@@ -1,13 +1,209 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed here as a
+  * (SparkSession, sfDir) => DataFrame, with a DuckDB oracle SQL string
+  * over the same parquet tables. Column names and types are aligned
+  * between both sides (the driver hash-compares by sorted column name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3JoinAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (Relational.q1Agg _),
+    "q2_filter_project" -> (Relational.q2FilterProject _),
+    "q3_join_agg"       -> (Relational.q3JoinAgg _),
+    "q4_broadcast_join" -> (Relational.q4BroadcastJoin _),
+    "q5_semi_join"      -> (Relational.q5SemiJoin _),
+    "q6_anti_join"      -> (Relational.q6AntiJoin _),
+    "q7_window_topn"    -> (Relational.q7WindowTopN _),
+    "q8_window_running" -> (Relational.q8WindowRunning _),
+    "q9_distinct"       -> (Relational.q9Distinct _),
+    "q10_count_distinct" -> (Relational.q10CountDistinct _),
+    "q11_setops"        -> (Relational.q11SetOps _),
+    "q12_sort_limit"    -> (Relational.q12SortLimit _),
+    "q13_rollup"        -> (Relational.q13Rollup _),
+    "q14_having"        -> (Relational.q14Having _),
+    "q15_case_decode"   -> (Relational.q15CaseDecode _),
+    "q16_date_agg"      -> (Relational.q16DateAgg _),
+    "q17_string_funcs"  -> (Relational.q17StringFuncs _),
+    "q18_sql_surface"   -> (Relational.qSqlSurface _),
+  )
+
+  /** Queries intentionally without an oracle (non-SQL-expressible in
+    * DuckDB, e.g. engine-specific hashes or approximate algorithms);
+    * the driver records a weaker rows-only check for these. */
+  def rowsOnly: Set[String] = Set()
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q2_filter_project" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity > 45""",
+
+    "q3_join_agg" -> """
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    "q4_broadcast_join" -> """
+      SELECT p_brand, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size >= 40
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+
+    "q5_semi_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q6_anti_join" -> """
+      SELECT c_custkey, c_name, c_mktsegment
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      ORDER BY c_custkey""",
+
+    "q7_window_topn" -> """
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        FROM orders) t
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn""",
+
+    "q8_window_running" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_suppkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_qty
+      FROM lineitem
+      WHERE l_suppkey <= 10
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    "q9_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus
+      FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q10_count_distinct" -> """
+      SELECT o_orderstatus,
+        COUNT(DISTINCT o_custkey) AS n_customers,
+        COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q11_setops" -> """
+      SELECT nationkey, 'both' AS which FROM
+        (SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+         INTERSECT
+         SELECT CAST(c_nationkey AS INTEGER) FROM customer) t1
+      UNION ALL
+      SELECT nationkey, 'cust_only' AS which FROM
+        (SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+         EXCEPT
+         SELECT CAST(s_nationkey AS INTEGER) FROM supplier) t2
+      ORDER BY which, nationkey""",
+
+    "q12_sort_limit" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 10""",
+
+    "q13_rollup" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "q14_having" -> """
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 15
+      ORDER BY o_custkey""",
+
+    "q15_case_decode" -> """
+      SELECT priority_clean, priority_meaning, COUNT(*) AS n FROM (
+        SELECT
+          CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM')
+               THEN o_orderpriority ELSE 'OTHER' END AS priority_clean,
+          CASE o_orderpriority
+               WHEN '1-URGENT' THEN 'Urgente'
+               WHEN '2-HIGH' THEN 'Alta'
+               WHEN '3-MEDIUM' THEN 'Media'
+               ELSE 'Desconocido' END AS priority_meaning
+        FROM orders) t
+      GROUP BY priority_clean, priority_meaning
+      ORDER BY priority_clean""",
+
+    "q16_date_agg" -> """
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+             CAST(MONTH(o_orderdate) AS INTEGER) AS mon,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY yr, mon""",
+
+    "q17_string_funcs" -> """
+      SELECT p_partkey,
+        string_split(p_name, ' ')[1] AS name_first,
+        TRIM(regexp_replace(p_name, '[aeiou]', '', 'g')) AS name_novowel,
+        p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size
+      FROM part
+      WHERE p_name LIKE '%an%'
+      ORDER BY p_partkey""",
+
+    "q18_sql_surface" -> """
+      SELECT o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_line_items,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority""",
+  )
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Every loader takes the scale-factor directory so the same query code
+  * runs at sf0.001 (smoke), sf0.01 (oracle) and sf0.1 (bench). Loads are
+  * plain parquet scans — column pruning and predicate pushdown happen in
+  * the queries that consume them, so at 100 TB the scan only reads the
+  * row groups / columns the plan needs.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+
+  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * vectorized parquet reader rejects. Read nanos as long (legacy conf)
+    * and convert to a microsecond timestamp by truncation — the same
+    * ns→µs truncation DuckDB applies, so oracle comparisons line up. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") /
+          org.apache.spark.sql.functions.lit(1000L)).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Register every table as a temp view so the general SQL surface
+    * (SURVEY.md §3 EP3 — the Athena-role entry point) works:
+    * `spark.sql("SELECT ... FROM lineitem ...")`.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings")
+      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+  }
+}

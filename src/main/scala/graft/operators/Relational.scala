@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+
+/** The general relational surface (SURVEY.md §2B): scans, filter/project,
+  * aggregation, joins (broadcast/semi/anti), windows, set ops, sort/limit,
+  * distinct, rollup, SQL-string entry point.
+  *
+  * The reference delegates this layer to AWS Athena (SURVEY.md §3 EP3);
+  * here it is native Spark SQL. Scale notes are on each operator.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary. One shuffle on the (low-cardinality)
+    * group keys; partial aggregation makes the shuffle tiny regardless of
+    * input size, so this is scan-bound at 100 TB. Decimal arithmetic keeps
+    * partial aggregation exact (associative). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filter + projection. Both the predicate and the 4-column read schema
+    * push into the parquet scan (verified via explain: PushedFilters /
+    * ReadSchema) — at 100 TB this reads only matching row groups. */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_quantity") > 45)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("disc_price"))
+
+  /** Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation.
+    * The two big joins shuffle on their keys; `nation` (25 rows) is
+    * broadcast so the final join adds no shuffle. AQE handles skew. */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("rev"))
+    val ord  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nat  = Tables.nation(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Dimension join with explicit broadcast: part is small relative to
+    * lineitem (1:4 vs 1:30 row ratio, and shrinks further after the p_size
+    * filter) — broadcasting eliminates shuffling the fact table. */
+  def q4BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") >= 40).select("p_partkey", "p_brand")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have at least one high-value
+    * order, counted by segment. Semi join never duplicates rows, and
+    * Spark pushes only the join key through the shuffle. */
+  def q5SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no order above 400k. */
+  def q6AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+              .filter(col("o_totalprice") > 400000)
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Top-3 orders per customer by price: window + row_number. One shuffle
+    * on o_custkey; the rank filter evaluates streaming per-group (Spark
+    * plans WindowExec with running row_number, no full materialization
+    * beyond the partition). Tie-break on o_orderkey for determinism. */
+  def q7WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+              col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running total per supplier over ship time (ROWS frame, fully ordered
+    * by a unique key triple so the cumulative sum is deterministic). */
+  def q8WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 10)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+              sum(dec(col("l_quantity"))).over(w)
+                .cast("double").as("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** DISTINCT via hash aggregate (partial distinct map-side first). */
+  def q9Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Exact distinct counts (the dashboard-style cardinality query). */
+  def q10CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+           count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Set operations: nations that have suppliers vs customers.
+    * INTERSECT/EXCEPT are distinct-semantics in both Spark and ANSI. */
+  def q11SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val supNations  = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    val custNations = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val both    = supNations.intersect(custNations)
+      .withColumn("which", lit("both"))
+    val custOnly = custNations.except(supNations)
+      .withColumn("which", lit("cust_only"))
+    both.unionByName(custOnly).orderBy(col("which"), col("nationkey"))
+  }
+
+  /** Global top-10 by price: Catalyst plans TakeOrderedAndProject —
+    * each partition keeps a 10-row heap, no full sort, no big shuffle.
+    * Exactly the plan you want for top-k over 100 TB. */
+  def q12SortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** ROLLUP for the reporting layer (dashboard subtotal rows). */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+               col("l_linestatus").asc_nulls_first)
+
+  /** GROUP BY + HAVING (post-aggregation filter). */
+  def q14Having(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total_spent"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+
+  /** when-chain decode (the reference's O12/O13 shape, SURVEY.md §2A) on
+    * o_orderpriority: whitelist + decode + default. Pure Catalyst CASE
+    * WHEN — constant-folded, codegen'd, no UDF. */
+  def q15CaseDecode(spark: SparkSession, dir: String): DataFrame = {
+    val valid = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+    val pr = col("o_orderpriority")
+    Tables.orders(spark, dir)
+      .withColumn("priority_clean",
+        when(pr.isin(valid: _*), pr).otherwise(lit("OTHER")))
+      .withColumn("priority_meaning",
+        when(pr === "1-URGENT", "Urgente")
+          .when(pr === "2-HIGH", "Alta")
+          .when(pr === "3-MEDIUM", "Media")
+          .otherwise("Desconocido"))
+      .groupBy(col("priority_clean"), col("priority_meaning"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("priority_clean"))
+  }
+
+  /** Date-dimension aggregation: orders per year/month. */
+  def q16DateAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+               month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("yr"), col("mon"))
+
+  /** String-function surface over part: like, split, regexp, trim, concat. */
+  def q17StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_name").like("%an%"))
+      .select(
+        col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("name_first"),
+        trim(regexp_replace(col("p_name"), "[aeiou]", "")).as("name_novowel"),
+        concat(col("p_brand"), lit("#"), col("p_size").cast("string"))
+          .as("brand_size"))
+      .orderBy(col("p_partkey"))
+
+  /** The SQL-string entry point (EP3 parity): same engine, ANSI SQL text.
+    * Proves the temp-view catalog + spark.sql path works end-to-end. */
+  def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT o.o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_line_items,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY o.o_orderpriority
+      ORDER BY o.o_orderpriority
+    """)
+  }
+}

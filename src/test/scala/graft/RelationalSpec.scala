@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.subsetOf(SparkEntry.rowsOnly),
+      s"queries missing oracle SQL and not declared rows-only: $noOracle")
+  }
+
+  test("q1_agg aggregates are exact decimals rendered as double") {
+    val row = operators.Relational.q1Agg(spark, sf).collect().head
+    assert(row.getAs[Double]("sum_qty") > 0)
+    assert(row.getAs[Long]("count_order") > 0)
+  }
+
+  test("q7_window_topn emits at most 3 rows per customer") {
+    val df = operators.Relational.q7WindowTopN(spark, sf)
+    val maxPer = df.groupBy("o_custkey").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect().head.getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("broadcast join plan for q4 contains BroadcastHashJoin") {
+    val plan = operators.Relational.q4BroadcastJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q2 filter and projection push into the parquet scan") {
+    val plan = operators.Relational.q2FilterProject(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))
+  }
+}
