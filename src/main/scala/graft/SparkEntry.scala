@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Cleanse, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,6 +37,8 @@ object SparkEntry {
     "q16_date_agg"      -> (Relational.q16DateAgg _),
     "q17_string_funcs"  -> (Relational.q17StringFuncs _),
     "q18_sql_surface"   -> (Relational.qSqlSurface _),
+    "q19_cleanse_country"  -> (Cleanse.qCleanseCountry _),
+    "q20_cleanse_pipeline" -> (Cleanse.qCleansePipeline _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -205,5 +207,60 @@ object SparkEntry {
       WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY o.o_orderpriority
       ORDER BY o.o_orderpriority""",
+
+    "q19_cleanse_country" -> """
+      SELECT c_custkey,
+        CASE hit WHEN 'England' THEN 'United Kingdom'
+                 WHEN 'Scotland' THEN 'United Kingdom'
+                 WHEN 'Wales' THEN 'United Kingdom'
+                 WHEN 'West Germany' THEN 'Germany'
+                 ELSE hit END AS country_eu
+      FROM (
+        SELECT c_custkey,
+          (list_filter(
+             list_filter(
+               list_transform(
+                 string_split(
+                   replace((['France, United Kingdom', '"England"', 'Peru',
+                             '', ' West Germany , Spain '])
+                           [CAST(c_custkey % 5 AS INTEGER) + 1], '"', ''),
+                   ','),
+                 x -> trim(x)),
+               x -> x <> ''),
+             x -> list_contains(
+               ['United Kingdom','England','Scotland','Wales','Ireland',
+                'Spain','France','Germany','West Germany','Italy','Portugal',
+                'Netherlands','Belgium','Sweden','Norway','Denmark','Finland',
+                'Poland','Czech Republic','Austria','Switzerland','Luxembourg',
+                'Russia','Ukraine','Belarus','Turkey','Greece','Cyprus',
+                'Iceland'], x)))[1] AS hit
+        FROM customer) t
+      WHERE hit IS NOT NULL
+      ORDER BY c_custkey""",
+
+    "q20_cleanse_pipeline" -> """
+      SELECT doc_id,
+        TRIM(replace(replace(substring(text, 1, 40), '"', ''), ',', ' -'))
+          AS title,
+        lang AS lang,
+        CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER) AS src_num,
+        CASE lang WHEN 'en' THEN 'English' WHEN 'fr' THEN 'French'
+                  WHEN 'de' THEN 'German' WHEN 'es' THEN 'Spanish'
+                  ELSE 'Desconocido' END AS lang_meaning,
+        string_split(text, ' ')[1] AS first_word,
+        CASE WHEN string_split(text, ' ')[1] LIKE '%join%' THEN 'Join'
+             WHEN string_split(text, ' ')[1] LIKE '%merge%' THEN 'Join'
+             WHEN string_split(text, ' ')[1] LIKE '%scan%' THEN 'Scan'
+             WHEN string_split(text, ' ')[1] LIKE '%filter%' THEN 'Scan'
+             WHEN string_split(text, ' ')[1] LIKE '%sort%' THEN 'Sort'
+             WHEN string_split(text, ' ')[1] LIKE '%order%' THEN 'Sort'
+             WHEN string_split(text, ' ')[1] LIKE '%group%' THEN 'Agg'
+             WHEN string_split(text, ' ')[1] LIKE '%window%' THEN 'Agg'
+             ELSE 'Other' END AS topic_group
+      FROM documents
+      WHERE n_chars >= 100
+        AND regexp_replace(source, '[^0-9]', '', 'g') <> ''
+        AND lang IN ('en','fr','de','es')
+      ORDER BY doc_id""",
   )
 }
