@@ -225,6 +225,50 @@ object Relational {
           .as("brand_size"))
       .orderBy(col("p_partkey"))
 
+  /** CUBE over two dimensions (all subtotal combinations) — the other
+    * multi-dimensional reporting shape next to ROLLUP. */
+  def q21Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+               col("o_orderpriority").asc_nulls_first)
+
+  /** Approximate distinct (HLL++): the scale path for cardinality over
+    * 100 TB where exact countDistinct would shuffle every key. Algorithm
+    * differs from DuckDB's approx_count_distinct, so this is rows-only;
+    * the companion exact query q10 is the oracle-checked twin. */
+  def q22ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Reporting query the README's dashboard implies (SURVEY.md §2B):
+    * top part-brand per nation by revenue — join + agg + window topN. */
+  def q23TopBrandPerNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .as("rev"))
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, dir)
+    val prt = Tables.part(spark, dir).select("p_partkey", "p_brand")
+    val perBrand = li
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("revenue").desc, col("p_brand").asc)
+    perBrand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("n_name"), col("rk"), col("p_brand"), col("revenue"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
   /** The SQL-string entry point (EP3 parity): same engine, ANSI SQL text.
     * Proves the temp-view catalog + spark.sql path works end-to-end. */
   def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
