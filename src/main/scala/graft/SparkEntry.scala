@@ -39,12 +39,19 @@ object SparkEntry {
     "q18_sql_surface"   -> (Relational.qSqlSurface _),
     "q19_cleanse_country"  -> (Cleanse.qCleanseCountry _),
     "q20_cleanse_pipeline" -> (Cleanse.qCleansePipeline _),
+    "q21_cube"             -> (Relational.q21Cube _),
+    "q22_approx_distinct"  -> (Relational.q22ApproxDistinct _),
+    "q23_top_brand_per_nation" -> (Relational.q23TopBrandPerNation _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
     * DuckDB, e.g. engine-specific hashes or approximate algorithms);
     * the driver records a weaker rows-only check for these. */
-  def rowsOnly: Set[String] = Set()
+  def rowsOnly: Set[String] = Set(
+    // HLL++ sketch differs from DuckDB's approx algorithm; the exact
+    // oracle-checked twin is q10_count_distinct.
+    "q22_approx_distinct",
+  )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -242,7 +249,8 @@ object SparkEntry {
       SELECT doc_id,
         TRIM(replace(replace(substring(text, 1, 40), '"', ''), ',', ' -'))
           AS title,
-        lang AS lang,
+        CASE WHEN lang IN ('en','fr','de','es') THEN lang
+             ELSE 'UNKNOWN' END AS lang,
         CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER) AS src_num,
         CASE lang WHEN 'en' THEN 'English' WHEN 'fr' THEN 'French'
                   WHEN 'de' THEN 'German' WHEN 'es' THEN 'Spanish'
@@ -262,5 +270,31 @@ object SparkEntry {
         AND regexp_replace(source, '[^0-9]', '', 'g') <> ''
         AND lang IN ('en','fr','de','es')
       ORDER BY doc_id""",
+
+    "q21_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST,
+               o_orderpriority ASC NULLS FIRST""",
+
+    "q23_top_brand_per_nation" -> """
+      SELECT n_name, rk, p_brand, revenue FROM (
+        SELECT n_name, p_brand, revenue,
+          CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+               ORDER BY revenue DESC, p_brand ASC) AS INTEGER) AS rk
+        FROM (
+          SELECT n_name, p_brand,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+              AS revenue
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN part     ON l_partkey = p_partkey
+          GROUP BY n_name, p_brand) agg) ranked
+      WHERE rk <= 2
+      ORDER BY n_name, rk""",
   )
 }

@@ -25,26 +25,34 @@ object Tables {
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
     * vectorized parquet reader rejects. Read nanos as long (legacy conf)
     * and convert to a microsecond timestamp by truncation — the same
-    * ns→µs truncation DuckDB applies, so oracle comparisons line up. */
+    * ns→µs truncation DuckDB applies, so oracle comparisons line up.
+    * `div` is integral long division: epoch nanos (~1.7e18) exceed
+    * double's 53-bit exact range, so float division here could be off
+    * by 1µs vs the oracle. The legacy conf is also set at builder time
+    * in Verify/Bench/tests; the set here keeps ad-hoc sessions working. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(s, d, "events")
-    raw.withColumn("ts",
+    table(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") /
-          org.apache.spark.sql.functions.lit(1000L)).cast("long")))
+        org.apache.spark.sql.functions.expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /** Register every table as a temp view so the general SQL surface
     * (SURVEY.md §3 EP3 — the Athena-role entry point) works:
-    * `spark.sql("SELECT ... FROM lineitem ...")`.
+    * `spark.sql("SELECT ... FROM lineitem ...")`. Idempotent per
+    * (session, dir): repeated calls from the query catalog are no-ops,
+    * so concurrent queries sharing one session see stable views.
     */
-  def registerViews(spark: SparkSession, dir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents", "embeddings")
-      .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
-    events(spark, dir).createOrReplaceTempView("events")
-  }
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    registered.synchronized {
+      if (registered.add((System.identityHashCode(spark), dir))) {
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "documents", "embeddings")
+          .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+        events(spark, dir).createOrReplaceTempView("events")
+      }
+    }
+  private val registered = scala.collection.mutable.Set[(Int, String)]()
 }
