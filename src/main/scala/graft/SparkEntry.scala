@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cleanse, Relational}
+import graft.operators.{Cleanse, Dedup, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,13 @@ object SparkEntry {
     "q21_cube"             -> (Relational.q21Cube _),
     "q22_approx_distinct"  -> (Relational.q22ApproxDistinct _),
     "q23_top_brand_per_nation" -> (Relational.q23TopBrandPerNation _),
+    "q24_dedup_exact"      -> (Dedup.q24DedupExact _),
+    "q25_dedup_minhash"    -> (Dedup.q25DedupMinhash _),
+    "q26_dedup_simhash"    -> (Dedup.q26DedupSimhash _),
+    "q27_cosine_topk"      -> (Similarity.q27CosineTopK _),
+    "q28_topk_udaf"        -> (Similarity.q28TopKUdaf _),
+    "q29_ann_lsh"          -> (Similarity.q29AnnLsh _),
+    "q30_embed_neardup"    -> (Similarity.q30EmbedNearDup _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -51,6 +58,11 @@ object SparkEntry {
     // HLL++ sketch differs from DuckDB's approx algorithm; the exact
     // oracle-checked twin is q10_count_distinct.
     "q22_approx_distinct",
+    // xxhash64 sketch is engine-specific; oracle-checked dedup twins are
+    // q24 (exact fingerprint) and q25 (MinHash, md5-portable).
+    "q26_dedup_simhash",
+    // approximate by design (LSH recall < 1); exact twins q27/q28.
+    "q29_ann_lsh",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -296,5 +308,121 @@ object SparkEntry {
           GROUP BY n_name, p_brand) agg) ranked
       WHERE rk <= 2
       ORDER BY n_name, rk""",
+
+    "q24_dedup_exact" -> """
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY 1
+      ORDER BY fp""",
+
+    "q25_dedup_minhash" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN sh x ON x.doc_id = doc_a
+      JOIN sh y ON y.doc_id = doc_b
+      WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
+      ORDER BY doc_a, doc_b""",
+
+    "q27_cosine_topk" -> """
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q_id, e.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y)
+          / sqrt(
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)),
+              (x, y) -> x + y)
+            * list_reduce(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(e.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id)
+      SELECT q_id, rank, vec_id, cosine FROM (
+        SELECT q_id, vec_id, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored) t
+      WHERE rank <= 10
+      ORDER BY q_id, rank""",
+
+    // identical semantics to q27 via the typed-Aggregator path
+    "q28_topk_udaf" -> """
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 5),
+      scored AS (
+        SELECT q_id, e.vec_id,
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y)
+          / sqrt(
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)),
+              (x, y) -> x + y)
+            * list_reduce(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(e.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id)
+      SELECT q_id, rank, vec_id, cosine FROM (
+        SELECT q_id, vec_id, cosine,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored) t
+      WHERE rank <= 10
+      ORDER BY q_id, rank""",
+
+    "q30_embed_neardup" -> """
+      SELECT vec_a, vec_b, cosine FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y)
+          / sqrt(
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(a.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)
+            * list_reduce(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+      WHERE cosine >= 0.45
+      ORDER BY vec_a, vec_b""",
   )
 }

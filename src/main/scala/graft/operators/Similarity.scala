@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * the LLM-pipeline extension surface (SURVEY.md §2B "Similarity search").
+  *
+  * Four operators, from oracle-checkable exact to 100 TB approximate:
+  *
+  *  - q27 exact top-k: brute-force cosine against a small broadcast query
+  *    set + window rank. The scan side streams once; correct baseline.
+  *  - q28 the same semantics through a typed `Aggregator` (top-k heap):
+  *    partial aggregation keeps k rows per partition, so the shuffle
+  *    carries k·#queries rows instead of #candidates — the plan you want
+  *    when the candidate side is 100 TB. Shares q27's oracle.
+  *  - q29 LSH ANN: random-hyperplane sign buckets, 4 hash tables; only
+  *    same-bucket candidates are scored. Approximate → rows-only.
+  *  - q30 embedding near-dup: exact all-pairs cosine >= 0.5 as the
+  *    oracle-checked twin; at scale run the same threshold inside q29's
+  *    buckets instead (documented, not the default, because recall < 1).
+  *
+  * All dot products are native higher-order functions (zip_with +
+  * aggregate) evaluated in double precision as a sequential left fold —
+  * bitwise-reproducible against the DuckDB oracle's identical fold.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. Deterministic:
+    * float→double widening is exact and the fold order is list order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
+
+  /** The query set: 5 probe vectors, broadcast to every executor. */
+  private def probes(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Candidates scored against every probe (self excluded). Broadcast
+    * nested-loop join: the big side streams through once, no shuffle. */
+  private def scored(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(probes(spark, dir)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cosine"))
+
+  /** Exact cosine top-10 per probe via window rank. One shuffle on q_id.
+    * Fine for few probes; q28 is the scale-path twin. */
+  def q27CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Same result through the typed-Aggregator (UDAF) surface: per-
+    * partition top-k heaps merge associatively, so the exchange after
+    * partial aggregation carries at most k rows per probe per partition
+    * — the brute-force-exact plan that still works when candidates are
+    * 100 TB. Oracle: identical SQL to q27 (same deterministic order). */
+  def q28TopKUdaf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    scored(spark, dir).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(TopKAgg.topK(10).toColumn)
+      .flatMap { case (qId, hits) =>
+        hits.zipWithIndex.map { case ((cos, vecId), i) =>
+          (qId, i + 1, vecId, cos)
+        }
+      }
+      .toDF("q_id", "rank", "vec_id", "cosine")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: 4 tables × 4 planes × 64 dims. */
+  private[operators] val planes: Seq[Seq[Seq[Double]]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(4)(Seq.fill(4)(Seq.fill(64)(rng.nextGaussian())))
+  }
+
+  /** 4-bit sign bucket of a vector under table t's hyperplanes. */
+  private def bucketKey(emb: Column, t: Int): Column =
+    planes(t).zipWithIndex.map { case (p, i) =>
+      when(dot(typedLit(p), emb) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** (id, table, bucket) pairs — one row per hash table per vector. */
+  private def buckets(df: DataFrame, id: Column, emb: Column): DataFrame =
+    df.select(id.as("id"), emb.as("emb"),
+        posexplode(array(planes.indices.map(t => bucketKey(emb, t)): _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+
+  /** ANN top-3 per probe: score only candidates that share an LSH bucket
+    * with the probe in at least one of the 4 tables. The join shuffles
+    * on (tbl, bucket) — bucket population, not n², bounds the work; more
+    * planes per table sharpen buckets as the corpus grows. Approximate
+    * (recall < 1 on purpose) → rows-only in the driver gate. */
+  def q29AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val qb = buckets(probes(spark, dir), col("q_id"), col("q_emb"))
+      .select(col("id").as("q_id"), col("emb").as("q_emb"),
+        col("tbl"), col("bucket"))
+    val cb = buckets(e, col("vec_id"), col("embedding"))
+      .select(col("id").as("vec_id"), col("emb").as("c_emb"),
+        col("tbl"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+      .distinct() // same pair can collide in several tables
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: exact cosine >= 0.45 over all pairs.
+    * This is the oracle-checked exact twin (quadratic — fine as a
+    * correctness anchor); the 100 TB path runs the same predicate inside
+    * q29's LSH buckets so the join never goes all-pairs. */
+  def q30EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}
+
+/** Typed top-k aggregator: keeps the k best (cosine desc, vec_id asc)
+  * pairs. reduce/merge are associative and bounded at k elements, so
+  * Catalyst plans partial aggregation — each input partition sends at
+  * most k rows per group through the shuffle. */
+object TopKAgg {
+  type Hit = (Double, Long) // (cosine, vec_id)
+
+  private def better(x: Hit, y: Hit): Boolean =
+    x._1 > y._1 || (x._1 == y._1 && x._2 < y._2)
+
+  def topK(k: Int): Aggregator[(Long, Long, Double), List[Hit], Seq[Hit]] =
+    new Aggregator[(Long, Long, Double), List[Hit], Seq[Hit]] {
+      def zero: List[Hit] = Nil
+      def reduce(buf: List[Hit], in: (Long, Long, Double)): List[Hit] =
+        trim((in._3, in._2) :: buf)
+      def merge(a: List[Hit], b: List[Hit]): List[Hit] = trim(a ++ b)
+      def finish(buf: List[Hit]): Seq[Hit] = buf.sortWith(better)
+      private def trim(l: List[Hit]): List[Hit] =
+        l.sortWith(better).take(k)
+      def bufferEncoder: org.apache.spark.sql.Encoder[List[Hit]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+      def outputEncoder: org.apache.spark.sql.Encoder[Seq[Hit]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.functions.Cols
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("fingerprint is md5 of lower/collapse-ws/trim canonical text") {
+    import spark.implicits._
+    val got = Seq("  Hello   WORLD ").toDF("t")
+      .select(Cols.fingerprint(col("t"))).as[String].head()
+    // md5("hello world")
+    assert(got == "5eb63bbbe01eeed093cb22bb8f5acdc3")
+  }
+
+  test("exact dedup groups case/whitespace variants of the same content") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox"),
+      (2L, "  the  QUICK brown fox "), // same canonical content as 1
+      (3L, "an entirely different document")).toDF("doc_id", "text")
+    val out = docs.groupBy(Cols.fingerprint(col("text")).as("fp"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("keep_id"),
+        org.apache.spark.sql.functions.count(col("doc_id")).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash finds near-identical docs, not unrelated ones") {
+    import spark.implicits._
+    // appending one word keeps shingle Jaccard at 39/40 = 0.975, so the
+    // 4-row band collision probability is 1-(1-0.975^4)^4 ≈ 0.9999
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = base + " extraword"
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash near-dup pairs have hamming <= 3 and include true dups") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 9) "CHANGED" else s"word$i")
+      .mkString(" ")
+    val unrelated = (200 to 260).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val rows = Dedup.simhashPairs(docs).collect()
+    assert(rows.forall(_.getInt(2) <= 3))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+
+  test("dedup catalog queries return rows on testdata") {
+    assert(operators.Dedup.q24DedupExact(spark, sf).count() == 500)
+    assert(operators.Dedup.q25DedupMinhash(spark, sf).count() > 0)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TopKAgg}
+
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("window top-k and Aggregator top-k agree exactly") {
+    val viaWindow = Similarity.q27CosineTopK(spark, sf).collect().toSeq
+    val viaUdaf = Similarity.q28TopKUdaf(spark, sf).collect().toSeq
+    assert(viaWindow.map(_.toSeq) == viaUdaf.map(_.toSeq))
+  }
+
+  test("ANN results are a subset of brute-force scores with same cosine") {
+    val exact = Similarity.q27CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = Similarity.q29AnnLsh(spark, sf).collect()
+    assert(ann.nonEmpty)
+    // every ANN hit of rank 1 that IS in the exact top-10 must carry the
+    // bitwise-identical cosine (same fold, same arithmetic)
+    val overlapping = ann.filter(r =>
+      exact.contains((r.getLong(0), r.getLong(2))))
+    assert(overlapping.nonEmpty)
+    overlapping.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+  }
+
+  test("ANN emits at most 3 ranked rows per probe, descending cosine") {
+    val byProbe = Similarity.q29AnnLsh(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    byProbe.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val cosines = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
+  test("TopKAgg keeps k best with deterministic tie-break") {
+    val agg = TopKAgg.topK(3)
+    val ins = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9),
+      (1L, 13L, 0.1), (1L, 14L, 0.7))
+    val buf = ins.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == Seq((0.9, 11L), (0.9, 12L), (0.7, 14L)))
+    // merge in any split order gives the same result
+    val (l, r) = ins.splitAt(2)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == agg.finish(buf))
+  }
+}
