@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cleanse, Dedup, Relational, Similarity}
+import graft.operators.{Cleanse, Dedup, Relational, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,11 @@ object SparkEntry {
     "q28_topk_udaf"        -> (Similarity.q28TopKUdaf _),
     "q29_ann_lsh"          -> (Similarity.q29AnnLsh _),
     "q30_embed_neardup"    -> (Similarity.q30EmbedNearDup _),
+    "q31_text_stats"       -> (TextStats.q31TextStats _),
+    "q32_lang_id"          -> (TextStats.q32LangId _),
+    "q33_quality_score"    -> (TextStats.q33QualityScore _),
+    "q34_token_count"      -> (TextStats.q34TokenCount _),
+    "q35_doc_fingerprint"  -> (TextStats.q35DocFingerprint _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -424,5 +429,99 @@ object SparkEntry {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
       WHERE cosine >= 0.45
       ORDER BY vec_a, vec_b""",
+
+    "q31_text_stats" -> """
+      SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+        CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+',
+          ' ', 'g')), ' '))) AS BIGINT) AS total_tokens,
+        CAST(SUM(len(string_split(trim(regexp_replace(lower(text), '\s+',
+          ' ', 'g')), ' '))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS avg_tokens
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source""",
+
+    "q32_lang_id" -> """
+      WITH scored AS (
+        SELECT lang,
+          len(list_filter(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' '), t -> list_contains(['the','a'], t)))
+            AS s_en,
+          len(list_filter(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' '),
+            t -> list_contains(['le','la','les'], t))) AS s_fr,
+          len(list_filter(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' '),
+            t -> list_contains(['der','die','das'], t))) AS s_de,
+          len(list_filter(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' '),
+            t -> list_contains(['el','los','una'], t))) AS s_es
+        FROM documents)
+      SELECT lang,
+        CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+             WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+             WHEN s_de >= s_es THEN 'de'
+             ELSE 'es' END AS predicted,
+        COUNT(*) AS n_docs
+      FROM scored
+      GROUP BY 1, 2
+      ORDER BY lang, predicted""",
+
+    "q33_quality_score" -> """
+      WITH n AS (
+        SELECT doc_id, lang,
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+            ' ') AS w
+        FROM documents)
+      SELECT doc_id, lang,
+        CAST(len(w) AS INTEGER) AS n_tokens,
+        CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+          / CAST(len(w) AS DOUBLE) AS avg_token_len,
+        CAST(len(list_filter(w, t -> list_contains(['the','a'], t)))
+          AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stopword_ratio,
+        CAST(length(regexp_replace(norm, '[^0-9]', '', 'g')) AS DOUBLE)
+          / CAST(length(norm) AS DOUBLE) AS digit_ratio,
+        CASE WHEN len(w) >= 50
+                  AND CAST(len(list_filter(w, t ->
+                    list_contains(['the','a'], t))) AS DOUBLE)
+                    / CAST(len(w) AS DOUBLE) <= 0.2 THEN 'high'
+             WHEN len(w) >= 20 THEN 'medium'
+             ELSE 'low' END AS quality
+      FROM n
+      ORDER BY doc_id""",
+
+    "q34_token_count" -> """
+      WITH perdoc AS (
+        SELECT lang,
+          len(regexp_extract_all(trim(regexp_replace(lower(text), '\s+',
+            ' ', 'g')), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+            ' ') AS w
+        FROM documents)
+      , sums AS (
+        SELECT lang, CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+               CAST(SUM(len(w)) AS BIGINT) AS total_ws
+        FROM perdoc GROUP BY lang),
+      vocab AS (
+        SELECT lang, COUNT(DISTINCT word) AS vocab
+        FROM (SELECT lang, unnest(w) AS word FROM perdoc)
+        GROUP BY lang)
+      SELECT s.lang, total_bpe, total_ws, vocab
+      FROM sums s JOIN vocab v ON s.lang = v.lang
+      ORDER BY s.lang""",
+
+    "q35_doc_fingerprint" -> """
+      SELECT doc_id,
+        CAST(length(norm) - 7 AS INTEGER) AS n_shingles,
+        list_min(list_transform(range(1, length(norm) - 6),
+          i -> md5(substring(norm, CAST(i AS INTEGER), 8)))) AS fp
+      FROM (SELECT doc_id,
+              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+            FROM documents) t
+      WHERE length(norm) >= 8
+      ORDER BY doc_id""",
   )
 }

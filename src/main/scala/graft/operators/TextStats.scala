@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols
+
+/** Text-analysis operators over the `documents` table — the LLM-pipeline
+  * extension surface (north star "text analysis"): corpus statistics,
+  * heuristic language ID, quality scoring, tokenizer-style token counts,
+  * and content fingerprinting.
+  *
+  * Every operator is a narrow per-row transform followed by at most one
+  * aggregation shuffle on low-cardinality keys (lang/source) — the shape
+  * that scales linearly to 100 TB. All expressions are native Catalyst
+  * (split/filter/transform/regexp) chosen to be bit-reproducible against
+  * the DuckDB oracle.
+  */
+object TextStats {
+
+  private def toks(c: Column): Column = split(Cols.normText(c), " ")
+
+  /** Corpus statistics per (lang, source): doc counts, char and token
+    * totals/averages. Partial aggregation makes the shuffle carry one
+    * row per (lang, source) per partition. */
+  def q31TextStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(toks(col("text"))).as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_chars"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        (sum(col("n_tokens").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_tokens"))
+      .orderBy(col("lang"), col("source"))
+
+  /** Marker-token profiles for the heuristic classifier. On this
+    * synthetic corpus only the English markers occur — the operator is
+    * validated by the oracle on its computation; accuracy is a property
+    * of the data, not the machinery. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "fr" -> Seq("le", "la", "les"),
+    "de" -> Seq("der", "die", "das"),
+    "es" -> Seq("el", "los", "una"))
+
+  private def markerScore(tokens: Column, markers: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(markers.map(lit): _*)))
+
+  /** Heuristic language ID: score each language profile by marker-token
+    * hits, predict the argmax (first-wins tie-break en>fr>de>es), and
+    * emit the confusion matrix against the labeled lang column. */
+  def q32LangId(spark: SparkSession, dir: String): DataFrame = {
+    val scoredCols = langMarkers.map { case (l, ms) =>
+      markerScore(col("w"), ms).as(s"s_$l")
+    }
+    val predicted =
+      when(col("s_en") >= col("s_fr") && col("s_en") >= col("s_de") &&
+        col("s_en") >= col("s_es"), "en")
+        .when(col("s_fr") >= col("s_de") && col("s_fr") >= col("s_es"), "fr")
+        .when(col("s_de") >= col("s_es"), "de")
+        .otherwise("es")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("w"))
+      .select(col("doc_id") +: col("lang") +: scoredCols: _*)
+      .withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Per-document quality scoring: token counts, characters per token,
+    * stopword and digit ratios, bucketed into high/medium/low. The
+    * classic pre-training corpus filter, as pure narrow expressions. */
+  def q33QualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        Cols.normText(col("text")).as("norm"),
+        toks(col("text")).as("w"))
+      .select(
+        col("doc_id"), col("lang"),
+        size(col("w")).as("n_tokens"),
+        // chars-per-token over the space-stripped normalized text
+        (length(regexp_replace(col("norm"), " ", "")).cast("double") /
+          size(col("w")).cast("double")).as("avg_token_len"),
+        (size(filter(col("w"), t => t.isin("the", "a"))).cast("double") /
+          size(col("w")).cast("double")).as("stopword_ratio"),
+        (length(regexp_replace(col("norm"), "[^0-9]", "")).cast("double") /
+          length(col("norm")).cast("double")).as("digit_ratio"))
+      .withColumn("quality",
+        when(col("n_tokens") >= 50 && col("stopword_ratio") <= 0.2, "high")
+          .when(col("n_tokens") >= 20, "medium")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+
+  /** Tokenizer-style (BPE-ish) token counting: runs of letters, runs of
+    * digits, or single non-alphanumeric symbols — the standard
+    * pre-tokenizer split — counted per language alongside whitespace
+    * tokens and the distinct-word vocabulary size. */
+  def q34TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val bpe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(Cols.normText(col("text")), lit(bpe), lit(0)))
+          .cast("long").as("n_bpe"),
+        toks(col("text")).as("w"))
+    // token totals aggregate per-doc rows; vocabulary needs the exploded
+    // words — two small shuffles on lang, joined at 5 rows
+    val sums = perDoc.groupBy(col("lang"))
+      .agg(sum(col("n_bpe")).as("total_bpe"),
+        sum(size(col("w")).cast("long")).as("total_ws"))
+    val vocab = perDoc.select(col("lang"), explode(col("w")).as("word"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("word")).as("vocab"))
+    sums.join(vocab, "lang").orderBy(col("lang"))
+  }
+
+  /** Content fingerprint per document: the minimum md5 over all 8-char
+    * shingles of the normalized text (min-hash winnowing, k=1). Rolling
+    * O(len) shingle set per row, no shuffle; md5 keeps it portable to
+    * the oracle. */
+  def q35DocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Cols.normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= 8)
+      .select(col("doc_id"),
+        (length(col("norm")) - 7).as("n_shingles"),
+        expr("array_min(transform(sequence(1, length(norm) - 7), " +
+          "i -> md5(substring(norm, i, 8))))").as("fp"))
+      .orderBy(col("doc_id"))
+}

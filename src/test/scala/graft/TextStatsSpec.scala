@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextStats
+
+class TextStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("text stats cover every (lang, source) with positive counts") {
+    val rows = TextStats.q31TextStats(spark, sf).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Double]("avg_tokens") > 0)
+    }
+  }
+
+  test("lang-id confusion matrix partitions the corpus") {
+    val total = TextStats.q32LangId(spark, sf).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(total == 500)
+  }
+
+  test("quality ratios are in [0, 1] and buckets are exhaustive") {
+    val rows = TextStats.q33QualityScore(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val sw = r.getAs[Double]("stopword_ratio")
+      val dg = r.getAs[Double]("digit_ratio")
+      assert(sw >= 0 && sw <= 1)
+      assert(dg >= 0 && dg <= 1)
+      assert(Set("high", "medium", "low")(r.getAs[String]("quality")))
+    }
+  }
+
+  test("BPE-ish tokens are at least as many as whitespace tokens") {
+    TextStats.q34TokenCount(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("total_bpe") >= r.getAs[Long]("total_ws"))
+      assert(r.getAs[Long]("vocab") > 0)
+    }
+  }
+
+  test("doc fingerprints are 32-hex and shingle counts positive") {
+    val rows = TextStats.q35DocFingerprint(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getAs[String]("fp").matches("[0-9a-f]{32}"))
+      assert(r.getAs[Int]("n_shingles") > 0)
+    }
+  }
+}
