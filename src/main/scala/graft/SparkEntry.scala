@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cleanse, Dedup, Relational, Similarity, TextStats}
+import graft.operators.{Cleanse, Dedup, Events, Relational, Similarity, TextStats}
+import graft.streaming.StreamingWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -54,6 +55,11 @@ object SparkEntry {
     "q33_quality_score"    -> (TextStats.q33QualityScore _),
     "q34_token_count"      -> (TextStats.q34TokenCount _),
     "q35_doc_fingerprint"  -> (TextStats.q35DocFingerprint _),
+    "q36_event_windows"    -> (Events.q36EventWindows _),
+    "q37_event_hopping"    -> (Events.q37EventHopping _),
+    "q38_sessionize"       -> (Events.q38Sessionize _),
+    "q39_stream_windows"   -> (StreamingWindows.q39StreamWindows _),
+    "q40_json_props"       -> (Events.q40JsonProps _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -523,5 +529,71 @@ object SparkEntry {
             FROM documents) t
       WHERE length(norm) >= 8
       ORDER BY doc_id""",
+
+    "q36_event_windows" -> """
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events,
+             MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    "q37_event_hopping" -> """
+      SELECT win_start, event_type, COUNT(*) AS n_events FROM (
+        SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                 - o * INTERVAL 5 MINUTE AS win_start,
+               event_type
+        FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) t) h
+      GROUP BY win_start, event_type
+      ORDER BY win_start, event_type""",
+
+    "q38_sessionize" -> """
+      WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+          lag(CAST(ts AS TIMESTAMP)) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, tsx,
+          CASE WHEN prev_ts IS NULL
+                    OR epoch_us(tsx) - epoch_us(prev_ts) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM ordered),
+      sess AS (
+        SELECT user_id, tsx,
+          SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY tsx, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        COUNT(*) AS n_events,
+        MIN(tsx) AS session_start,
+        CAST(epoch_us(MAX(tsx)) - epoch_us(MIN(tsx)) AS DOUBLE) / 1000000.0
+          AS duration_sec
+      FROM sess
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+
+    // streaming twin of q36 (counts only): AvailableNow drain ==
+    // batch result, so the same bucketing SQL oracles the stream
+    "q39_stream_windows" -> """
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    "q40_json_props" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER))
+          AS distinct_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
   )
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-time operators over the `events` table (10k rows / 30 days at
+  * sf0.01): tumbling and hopping window aggregation, gap-based
+  * sessionization, and JSON property extraction — the batch halves of
+  * the streaming surface (the streaming twins live in
+  * `graft.streaming`; they share these semantics so DuckDB can oracle
+  * both).
+  *
+  * Scale: every query shuffles once on (window/user, type) keys whose
+  * cardinality grows with time span, not event volume — partial
+  * aggregation keeps the exchanges small at 100 TB of events.
+  * Aggregates over the double `value` column use min/max (order-
+  * independent) rather than sums, so results are bitwise reproducible.
+  */
+object Events {
+
+  /** Tumbling 5-minute windows per event type: count + value extremes.
+    * `window()` is epoch-aligned, matching DuckDB's `time_bucket`. */
+  def q36EventWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"), col("min_value"), col("max_value"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Hopping windows (10-minute length, 5-minute slide): every event
+    * lands in exactly two windows. */
+  def q37EventHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** Gap-based sessionization (30-minute inactivity gap) per user via
+    * lag + running sum — the batch formulation of what
+    * `streaming.StreamSessions` does with flatMapGroupsWithState.
+    * One shuffle on user_id; sessions never cross users, so the window
+    * work is partition-local. */
+  def q38Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast("double") / 1000000.0).as("duration_sec"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** JSON property extraction from the `props` column: pull `$.k`,
+    * aggregate per event type. Narrow JSON path evaluation inside
+    * codegen — no UDF, no intermediate parse tree materialization. */
+  def q40JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("distinct_k"))
+      .orderBy(col("event_type"))
+}

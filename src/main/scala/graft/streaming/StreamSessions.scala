@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the wire (ts in epoch micros). */
+case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)
+
+/** Open-session state kept per user between micro-batches. */
+case class SessionState(start_us: Long, last_us: Long, n_events: Long)
+
+/** A closed session. */
+case class ClosedSession(user_id: Long, session_start_us: Long,
+    n_events: Long, duration_sec: Double)
+
+/** Stateful gap-based sessionization with `flatMapGroupsWithState` —
+  * the custom-state streaming surface (north star "Structured
+  * Streaming ... mapGroupsWithState/flatMapGroupsWithState for custom
+  * state"). Semantics match the batch formulation in
+  * `operators.Events.q38Sessionize`: a session closes after `gap`
+  * of user inactivity (enforced by event-time timeout against the
+  * watermark).
+  *
+  * State is one small record per ACTIVE user — not per event — so
+  * state-store size is bounded by concurrent users regardless of
+  * event volume; the shuffle partitions by user_id exactly like the
+  * batch window. Tests drive it with a MemoryStream and compare
+  * against q38 (see StreamingSpec).
+  */
+object StreamSessions {
+  val DefaultGapUs: Long = 30L * 60 * 1000000
+
+  def sessionize(events: Dataset[SessionEvent],
+      gapUs: Long = DefaultGapUs): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "30 minutes")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_event + gap: emit and clear
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start_us, s.n_events,
+              (s.last_us - s.start_us).toDouble / 1000000.0))
+          } else {
+            // fold this batch's events (in ts order) into the state,
+            // closing any session whose gap is exceeded within the batch
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+            var st = state.getOption.orNull
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { r =>
+              val ts = r._2
+              st match {
+                case null =>
+                  st = SessionState(ts, ts, 1)
+                case s if ts - s.last_us > gapUs =>
+                  closed += ClosedSession(userId, s.start_us, s.n_events,
+                    (s.last_us - s.start_us).toDouble / 1000000.0)
+                  st = SessionState(ts, ts, 1)
+                case s =>
+                  st = SessionState(s.start_us, ts, s.n_events + 1)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // close via timeout once the watermark passes last + gap
+              state.setTimeoutTimestamp((st.last_us + gapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming twin of `operators.Events.q36EventWindows`:
+  * file-source stream → event-time tumbling windows + watermark →
+  * sink. The DAG's commented 5-minute cadence
+  * (`/root/reference/dags/etl_csv_to_dwh.py:14`) realized as a genuine
+  * stream instead of a rescheduled batch.
+  *
+  * `Trigger.AvailableNow` drains whatever data exists and terminates,
+  * which makes the streaming path batch-equivalent and oracle-checkable
+  * (SURVEY.md §7 risk 5). In production the same plan runs unbounded
+  * with `Trigger.ProcessingTime`; the memory sink here is the bounded
+  * test/verify sink — swap for parquet/Kafka with a checkpoint dir and
+  * the plan (shuffle on window+type with partial agg, state store per
+  * window) is unchanged.
+  */
+object StreamingWindows {
+
+  /** events.parquet schema with `ts` as raw nanos (read as long under
+    * the legacy conf; the stream converts to a µs timestamp). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming 5-minute tumbling counts per event type. Returns the
+    * drained result as a DataFrame (sorted for the driver's compare). */
+  def q39StreamWindows(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val agg = src
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val name = "graft_stream_windows_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+}

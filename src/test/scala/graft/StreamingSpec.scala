@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Events
+import graft.streaming.{SessionEvent, StreamSessions, StreamingWindows}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming tumbling windows equal the batch formulation") {
+    val streamed = StreamingWindows.q39StreamWindows(spark, sf)
+      .collect().map(_.toSeq)
+    val batch = Events.q36EventWindows(spark, sf)
+      .select("win_start", "event_type", "n_events")
+      .collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = 1700000000000000L // arbitrary epoch micros
+    val min = 60L * 1000000
+    val input = MemoryStream[SessionEvent]
+    val out = StreamSessions.sessionize(input.toDS())
+    val q = out.writeStream.format("memory").queryName("graft_sess_test")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions (10-min burst, then 2h later a single);
+      // user 2: one single-event session
+      input.addData(
+        SessionEvent(1, t0, 1), SessionEvent(1, t0 + 10 * min, 2),
+        SessionEvent(1, t0 + 120 * min, 3),
+        SessionEvent(2, t0, 4))
+      q.processAllAvailable()
+      // sentinels push the watermark far past every gap (two rounds so
+      // the watermark from round one closes sessions in round two)
+      input.addData(SessionEvent(99, t0 + 1000 * min, 5))
+      q.processAllAvailable()
+      input.addData(SessionEvent(99, t0 + 2000 * min, 6))
+      q.processAllAvailable()
+      val got = spark.table("graft_sess_test")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got.contains((1L, t0, 2L, 600.0)))          // 10-min session
+      assert(got.contains((1L, t0 + 120 * min, 1L, 0.0))) // later single
+      assert(got.contains((2L, t0, 1L, 0.0)))
+    } finally q.stop()
+  }
+
+  test("batch sessionize conserves events and orders sessions") {
+    val df = Events.q38Sessionize(spark, sf)
+    val total = df.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect().head.getLong(0)
+    assert(total == graft.Tables.events(spark, sf).count())
+    assert(df.filter("duration_sec < 0").count() == 0)
+  }
+
+  test("hopping windows count every event exactly twice") {
+    val hopTotal = Events.q37EventHopping(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect().head.getLong(0)
+    assert(hopTotal == 2 * graft.Tables.events(spark, sf).count())
+  }
+}
