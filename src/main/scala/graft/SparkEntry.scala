@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cleanse, Dedup, Events, Relational, Similarity, TextStats}
+import graft.operators.{Cleanse, Dedup, Egress, Events, Relational, Similarity, TextStats}
 import graft.streaming.StreamingWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -60,6 +60,8 @@ object SparkEntry {
     "q38_sessionize"       -> (Events.q38Sessionize _),
     "q39_stream_windows"   -> (StreamingWindows.q39StreamWindows _),
     "q40_json_props"       -> (Events.q40JsonProps _),
+    "q41_csv_roundtrip"    -> (Egress.q41CsvRoundtrip _),
+    "q42_catalog_table"    -> (Egress.q42CatalogTable _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -595,5 +597,22 @@ object SparkEntry {
       FROM events
       GROUP BY event_type
       ORDER BY event_type""",
+
+    // oracle runs on the ORIGINAL parquet — the round-trip through
+    // CSV zones must reproduce it exactly
+    "q41_csv_roundtrip" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_acctbal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    "q42_catalog_table" -> """
+      SELECT n_regionkey, COUNT(*) AS n_nations,
+        MIN(n_name) AS first_nation
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey""",
   )
 }

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Ingest
+
+class IngestPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def mkTmp(): String =
+    Files.createTempDirectory("graft_ingest").toString
+
+  test("latestFile picks the lexicographically last CSV, None when empty") {
+    val dir = mkTmp()
+    assert(Ingest.latestFile(dir).isEmpty)
+    Files.writeString(Paths.get(dir, "2024-01-01_titles.csv"), "a\n1")
+    Files.writeString(Paths.get(dir, "2024-02-01_titles.csv"), "a\n2")
+    Files.writeString(Paths.get(dir, "notes.txt"), "ignored")
+    assert(Ingest.latestFile(dir).map(_.getFileName.toString)
+      .contains("2024-02-01_titles.csv"))
+  }
+
+  test("stageCopy overwrites idempotently") {
+    val src = Paths.get(mkTmp(), "in.csv")
+    Files.writeString(src, "x\n1")
+    val staging = mkTmp()
+    val first = Ingest.stageCopy(src, staging)
+    Files.writeString(src, "x\n2")
+    val second = Ingest.stageCopy(src, staging)
+    assert(first == second)
+    assert(Files.readString(second) == "x\n2")
+  }
+
+  test("CSV write/read round-trips rows with commas and quotes") {
+    import spark.implicits._
+    val df = Seq((1L, "plain"), (2L, "has, comma"), (3L, "has \"quote\""))
+      .toDF("id", "s")
+    val dir = mkTmp() + "/csv"
+    Ingest.writeCsv(df, dir, singleFile = true)
+    // inference types small ids as int — read positionally, not typed
+    val back = Ingest.readCsv(spark, dir).orderBy("id")
+      .collect().map(r => (r.get(0).toString.toLong, r.getString(1))).toSeq
+    assert(back == Seq((1L, "plain"), (2L, "has, comma"),
+      (3L, "has \"quote\"")))
+  }
+
+  test("configureS3A plumbs the Hadoop conf surface") {
+    Ingest.configureS3A(spark, "s3.example.test", "AK", "SK")
+    val h = spark.sparkContext.hadoopConfiguration
+    assert(h.get("fs.s3a.endpoint") == "s3.example.test")
+    assert(h.get("fs.s3a.access.key") == "AK")
+    assert(h.get("fs.s3a.aws.credentials.provider")
+      .contains("SimpleAWSCredentialsProvider"))
+  }
+
+  test("s3 credentials come from env, never defaults") {
+    assert(Ingest.s3CredentialsFromEnv(Map.empty).isEmpty)
+    assert(Ingest.s3CredentialsFromEnv(
+      Map("ACCESS_KEY" -> "a", "SECRET_ACCESS_KEY" -> "s"))
+      .contains(("a", "s")))
+  }
+
+  test("retry retries the declared number of times, then rethrows") {
+    var calls = 0
+    val got = Pipeline.retry(2) {
+      calls += 1
+      if (calls < 3) sys.error("flaky") else "ok"
+    }
+    assert(got == "ok" && calls == 3)
+    var calls2 = 0
+    intercept[RuntimeException] {
+      Pipeline.retry(1) { calls2 += 1; sys.error("always") }
+    }
+    assert(calls2 == 2)
+  }
+
+  test("staged pipeline runs extract→transform→load end to end") {
+    val input = mkTmp()
+    val staging = mkTmp()
+    val clean = mkTmp() + "/clean"
+    val out = mkTmp() + "/out"
+    // two generations in the input zone: only the newest is processed
+    val header = "show_id,type,title,director,cast,country,date_added," +
+      "release_year,rating,duration,listed_in,description"
+    Files.writeString(Paths.get(input, "batch1.csv"),
+      header + "\ns0,TV Show,Old One,d,c,France,x,2001,TV-MA,1 Season," +
+        "Dramas,old")
+    Files.writeString(Paths.get(input, "batch2.csv"),
+      header + "\ns1,TV Show,New One,d,c,Spain,x,2020,TV-14,1 Season," +
+        "Crime TV Shows,new")
+    assert(Pipeline.run(spark, input, staging, clean, out))
+    val cleaned = spark.read.parquet(clean).collect()
+    assert(cleaned.map(_.getAs[String]("show_id")).toSeq == Seq("s1"))
+    val csv = Ingest.readCsv(spark, out).collect()
+    assert(csv.length == 1 && csv.head.getAs[String]("country") == "Spain")
+  }
+
+  test("pipeline reports false on an empty input zone") {
+    assert(!Pipeline.run(spark, mkTmp(), mkTmp(), mkTmp() + "/c",
+      mkTmp() + "/o"))
+  }
+}
