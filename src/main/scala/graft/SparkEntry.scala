@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cleanse, Dedup, Egress, Events, Relational, Similarity, TextStats}
+import graft.operators.{Cleanse, Dedup, Egress, Events, Multimodal, Relational, Similarity, TextStats}
 import graft.streaming.StreamingWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -62,6 +62,8 @@ object SparkEntry {
     "q40_json_props"       -> (Events.q40JsonProps _),
     "q41_csv_roundtrip"    -> (Egress.q41CsvRoundtrip _),
     "q42_catalog_table"    -> (Egress.q42CatalogTable _),
+    "q43_multimodal_meta"  -> (Multimodal.q43MultimodalMeta _),
+    "q44_media_features"   -> (Multimodal.q44MediaFeatures _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -76,6 +78,9 @@ object SparkEntry {
     "q26_dedup_simhash",
     // approximate by design (LSH recall < 1); exact twins q27/q28.
     "q29_ann_lsh",
+    // runs through the typed mapPartitions decode stub — JVM-side
+    // logic DuckDB can't mirror; the metadata twin q43 is oracled.
+    "q44_media_features",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -614,5 +619,21 @@ object SparkEntry {
       FROM nation
       GROUP BY n_regionkey
       ORDER BY n_regionkey""",
+
+    "q43_multimodal_meta" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        CAST(320 + ascii(substring(md5(text), 1, 1)) * 8 AS INTEGER)
+          AS width,
+        CAST(240 + ascii(substring(md5(text), 2, 1)) * 4 AS INTEGER)
+          AS height,
+        CASE WHEN doc_id % 3 = 0 THEN 0
+             ELSE CAST(octet_length(encode(text)) AS BIGINT) * 10
+             END AS duration_ms
+      FROM documents
+      ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** One media asset: opaque payload bytes + typed identity columns.
+  * The schema a multimodal corpus uses at 100 TB: `binary` payload,
+  * small typed metadata beside it, partition by asset id. */
+case class MediaRecord(doc_id: Long, media_type: String,
+    payload: Array[Byte])
+
+/** Features "decoded" from a payload batch (stub decoder output). */
+case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+    n_frames: Int, mean_byte: Double)
+
+/** Multimodal-column operators (north star "multimodal columns"):
+  * image/audio/video payloads modeled as opaque `binary` columns with a
+  * typed metadata struct, plus the decode/feature-extract plumbing.
+  *
+  * The container ships no codec libraries, so the DECODE step is a
+  * clearly-marked deterministic stub (`StubDecoder`); everything
+  * Spark-side — the binary schema, the per-partition batch shape, the
+  * typed Dataset plumbing, partitioning — is real and tested. Swap
+  * `StubDecoder.decodeBatch` for a JNI/FFmpeg/JPEG decoder (or an Arrow
+  * `mapInPandas` stage in PySpark) and nothing else changes.
+  *
+  * Payloads here are synthesized from `documents.text` bytes so every
+  * sf has media of realistic, varied sizes without binary fixtures.
+  */
+object Multimodal {
+
+  /** The media table: binary payload + metadata struct. The metadata
+    * (byte size, pseudo width/height derived from a content hash,
+    * duration for time-media) is what a real ingest extracts from
+    * container headers at write time so queries never touch payloads. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      // deterministic 3-way modality split
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        octet_length(col("text")).as("n_bytes"),
+        (lit(320) + ascii(substring(md5(col("text")), 1, 1)) * 8)
+          .as("width"),
+        (lit(240) + ascii(substring(md5(col("text")), 2, 1)) * 4)
+          .as("height")).as("meta"))
+
+  /** Metadata-only query: modality, size and pseudo-dimensions per
+    * asset — runs entirely on the metadata struct, payloads pruned out
+    * of the scan (the point of carrying typed metadata beside blobs). */
+  def q43MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        when(col("media_type") =!= "image",
+          col("meta.n_bytes").cast("long") * 10).otherwise(0L)
+          .as("duration_ms"))
+      .orderBy(col("doc_id"))
+
+  /** Decode + feature extraction through the typed Dataset path:
+    * payloads flow per-partition in bounded batches (the mapInPandas
+    * batch shape), the stub decoder emits fixed-size features, and the
+    * result aggregates per modality. The payload column rides the scan
+    * only up to the decode stage — features are ~16 bytes/asset, so the
+    * post-decode shuffle is tiny regardless of payload volume. */
+  def q44MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaRecord]
+    media.mapPartitions(StubDecoder.decodeBatches(_, batchSize = 64))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        min(col("mean_byte")).as("min_mean_byte"),
+        max(col("mean_byte")).as("max_mean_byte"))
+      .orderBy(col("media_type"))
+  }
+}
+
+/** STUB decoder — stands in for the real codec library (absent in this
+  * container). Deterministic on payload bytes so tests are stable. The
+  * batch API is the contract a real decoder plugs into: it receives
+  * bounded groups of payloads (amortizing per-batch setup, bounding
+  * memory) and returns one feature row per asset. */
+object StubDecoder {
+
+  /** Group an iterator of records into bounded batches and "decode"
+    * each batch. Real implementation: hand the batch to the codec
+    * (JNI/FFmpeg/Arrow) and collect per-asset features. */
+  def decodeBatches(records: Iterator[MediaRecord],
+      batchSize: Int): Iterator[MediaFeatures] =
+    records.grouped(batchSize).flatMap(decodeBatch)
+
+  /** Fake per-batch decode: frame count from payload length, mean byte
+    * value as the "signal" feature. Replace with real decoding; keep
+    * the signature. */
+  private def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val n = r.payload.length
+      val mean =
+        if (n == 0) 0.0
+        else r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
+      MediaFeatures(r.doc_id, r.media_type, n, n / 1000 + 1, mean)
+    }
+}
