@@ -1,0 +1,191 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the sketch-heavy text operators. These are
+  * `CodegenFallback` (one virtual call per ROW — the per-element inner
+  * loops below dominate, so codegen of the outer shell buys nothing),
+  * replacing interpreted higher-order-function chains that paid lambda
+  * + UTF8String allocation costs per ELEMENT. Semantics are identical
+  * to the HOF formulations they replace, so the DuckDB oracles are
+  * unchanged.
+  */
+object TextExprs {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private[functions] def md5ThreadLocal: MessageDigest =
+    digests.get()
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  private[functions] def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned lexicographic compare of equal-length byte arrays —
+    * the same order as comparing their lowercase-hex renderings. */
+  private[functions] def lessThan(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Shared type check for the array<string> → sketch expressions. */
+  private[functions] def requireStringArray(
+      name: String, dt: DataType): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name expects array<string>, got $other")
+  }
+
+  def minhashSigs(shingles: Column, nSeeds: Int): Column =
+    GraftSqlBridge.column(
+      MinHashMd5Sigs(GraftSqlBridge.expression(shingles), nSeeds))
+
+  def simhash64(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+
+  def minShingleMd5(text: Column, shingleLen: Int): Column =
+    GraftSqlBridge.column(
+      MinShingleMd5(GraftSqlBridge.expression(text), shingleLen))
+}
+
+/** MinHash signature: for seed s in [0, nSeeds), the lexicographic
+  * minimum of `md5("<s>|<shingle>")` over the shingle set — exactly
+  * `transform(sequence(0, n-1), s -> array_min(transform(sh, x ->
+  * md5(concat(s, '|', x)))))`, one digest reuse and zero intermediate
+  * arrays instead of nSeeds × |sh| UTF8String allocations. */
+case class MinHashMd5Sigs(child: Expression, nSeeds: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprs.requireStringArray(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_md5_sigs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = TextExprs.md5ThreadLocal
+    val mins = new Array[Array[Byte]](nSeeds)
+    val seedPrefixes = Array.tabulate(nSeeds)(s =>
+      (s.toString + "|").getBytes(StandardCharsets.UTF_8))
+    var i = 0
+    while (i < arr.numElements()) {
+      val sh = arr.getUTF8String(i).getBytes
+      var s = 0
+      while (s < nSeeds) {
+        md.reset()
+        md.update(seedPrefixes(s))
+        md.update(sh)
+        val h = md.digest()
+        if (mins(s) == null || TextExprs.lessThan(h, mins(s))) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(m =>
+      UTF8String.fromString(if (m == null) "" else TextExprs.toHex(m))))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashMd5Sigs = copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: bit j of the result is set when
+  * the sum over tokens of `((xxhash64(token) >> j) & 1) * 2 - 1` is
+  * positive — the classic sign-of-weighted-sum sketch, one hash per
+  * token instead of 64 interpreted aggregates per document. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprs.requireStringArray(prettyName, child.dataType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i)
+      // same xxhash64(seed=42) Spark's SQL function computes
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(t, StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        counts(j) += (((h >>> j) & 1L).toInt * 2) - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+/** Minimum md5 over all character shingles of length `shingleLen` —
+  * `array_min(transform(sequence(1, length(s)-L+1), i -> md5(substring(
+  * s, i, L))))` without materializing the shingle array. Operates on
+  * characters (like SQL substring), so it matches the oracle on any
+  * input, not just ASCII. */
+case class MinShingleMd5(child: Expression, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $other")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "min_shingle_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < shingleLen) return null
+    val md = TextExprs.md5ThreadLocal
+    var min: Array[Byte] = null
+    var i = 0
+    while (i <= s.length - shingleLen) {
+      md.reset()
+      md.update(s.substring(i, i + shingleLen)
+        .getBytes(StandardCharsets.UTF_8))
+      val h = md.digest()
+      if (min == null || TextExprs.lessThan(h, min)) min = h
+      i += 1
+    }
+    UTF8String.fromString(TextExprs.toHex(min))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinShingleMd5 = copy(child = newChild)
+}

@@ -73,11 +73,10 @@ object Dedup {
   /** Reusable core of q25 over any (doc_id, text) DataFrame. */
   def minhashPairs(documents: DataFrame): DataFrame = {
     val docs = shingled(documents)
-    val sig = docs.select(col("doc_id"), expr(
-      // seed-th minhash = min over shingles of md5("<seed>|<shingle>")
-      "transform(sequence(0, 15), seed -> " +
-        "array_min(transform(sh, s -> md5(concat(cast(seed as string), '|', s)))))"
-    ).as("sig"))
+    // seed-th minhash = min over shingles of md5("<seed>|<shingle>") —
+    // the native one-pass expression (functions.MinHashMd5Sigs)
+    val sig = docs.select(col("doc_id"),
+      graft.functions.TextExprs.minhashSigs(col("sh"), 16).as("sig"))
     val bands = sig.select(col("doc_id"), expr(
       "explode(transform(sequence(0, 3), b -> struct(" +
         "cast(b as int) as band, " +
@@ -118,11 +117,8 @@ object Dedup {
     val docs = documents
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 1)
-    val sketched = docs.select(col("doc_id"), expr(
-      "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + " +
-        "IF(aggregate(w, 0L, (a, t) -> " +
-        "a + (shiftright(xxhash64(t), j) & 1L) * 2L - 1L) > 0L, " +
-        "shiftleft(1L, j), 0L))").as("simhash"))
+    val sketched = docs.select(col("doc_id"),
+      graft.functions.TextExprs.simhash64(col("w")).as("simhash"))
     val chunks = sketched.select(col("doc_id"), col("simhash"), expr(
       "explode(transform(sequence(0, 3), c -> struct(" +
         "cast(c as int) as chunk, " +

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.VectorExprs
 
 /** Similarity search over the `embeddings` table (64-dim float vectors) —
   * the LLM-pipeline extension surface (SURVEY.md §2B "Similarity search").
@@ -29,12 +30,11 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. Deterministic:
-    * float→double widening is exact and the fold order is list order. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product in double precision — the native
+    * codegen expression (functions.FloatVecDot). Deterministic:
+    * float→double widening is exact and the fold order is list order,
+    * bitwise-matching the oracle's fold. */
+  private def dot(a: Column, b: Column): Column = VectorExprs.vecDot(a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(dot(a, a) * dot(b, b))
@@ -45,13 +45,21 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
   /** Candidates scored against every probe (self excluded). Broadcast
-    * nested-loop join: the big side streams through once, no shuffle. */
-  private def scored(spark: SparkSession, dir: String): DataFrame =
+    * nested-loop join: the big side streams through once, no shuffle.
+    * Norms are projected BEFORE the join — one norm per row, not one
+    * per pair; the cosine value (dot / sqrt(na*nb)) is bitwise
+    * unchanged because the norm is the same pure fold either way. */
+  private def scored(spark: SparkSession, dir: String): DataFrame = {
+    val q = probes(spark, dir)
+      .withColumn("q_norm", dot(col("q_emb"), col("q_emb")))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
-      .join(broadcast(probes(spark, dir)), col("vec_id") =!= col("q_id"))
+      .withColumn("c_norm", dot(col("embedding"), col("embedding")))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        cosine(col("q_emb"), col("embedding")).as("cosine"))
+        (dot(col("q_emb"), col("embedding")) /
+          sqrt(col("q_norm") * col("c_norm"))).as("cosine"))
+  }
 
   /** Exact cosine top-10 per probe via window rank. One shuffle on q_id.
     * Fine for few probes; q28 is the scale-path twin. */
@@ -93,7 +101,8 @@ object Similarity {
   /** 4-bit sign bucket of a vector under table t's hyperplanes. */
   private def bucketKey(emb: Column, t: Int): Column =
     planes(t).zipWithIndex.map { case (p, i) =>
-      when(dot(typedLit(p), emb) >= 0, lit(1 << i)).otherwise(lit(0))
+      when(dot(typedLit(p.map(_.toFloat)), emb) >= 0, lit(1 << i))
+        .otherwise(lit(0))
     }.reduce(_ + _)
 
   /** (id, table, bucket) pairs — one row per hash table per vector. */
@@ -136,11 +145,14 @@ object Similarity {
   def q30EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .withColumn("norm_a", dot(col("emb_a"), col("emb_a")))
     val b = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      .withColumn("norm_b", dot(col("emb_b"), col("emb_b")))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosine(col("emb_a"), col("emb_b")).as("cosine"))
+        (dot(col("emb_a"), col("emb_b")) /
+          sqrt(col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -130,7 +130,6 @@ object TextStats {
       .filter(length(col("norm")) >= 8)
       .select(col("doc_id"),
         (length(col("norm")) - 7).as("n_shingles"),
-        expr("array_min(transform(sequence(1, length(norm) - 7), " +
-          "i -> md5(substring(norm, i, 8))))").as("fp"))
+        graft.functions.TextExprs.minShingleMd5(col("norm"), 8).as("fp"))
       .orderBy(col("doc_id"))
 }
