@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cleanse, Dedup, Egress, Events, Multimodal, Relational, Similarity, TextStats}
+import graft.operators.{Cleanse, Dedup, Egress, Events, Multimodal, Relational, Scale, Similarity, TextStats}
 import graft.streaming.StreamingWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -64,6 +64,9 @@ object SparkEntry {
     "q42_catalog_table"    -> (Egress.q42CatalogTable _),
     "q43_multimodal_meta"  -> (Multimodal.q43MultimodalMeta _),
     "q44_media_features"   -> (Multimodal.q44MediaFeatures _),
+    "q45_bucketed_join"    -> (Scale.q45BucketedJoin _),
+    "q46_partition_pruning" -> (Scale.q46PartitionPruning _),
+    "q47_salted_agg"       -> (Scale.q47SaltedAgg _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -635,5 +638,27 @@ object SparkEntry {
              END AS duration_ms
       FROM documents
       ORDER BY doc_id""",
+
+    "q45_bucketed_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q46_partition_pruning" -> """
+      SELECT CAST(MONTH(o_orderdate) AS INTEGER) AS mon,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE YEAR(o_orderdate) = 1997
+      GROUP BY 1
+      ORDER BY mon""",
+
+    "q47_salted_agg" -> """
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
   )
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+
+/** Scale-technique operators: the three physical-layout levers that
+  * decide whether a plan survives 100 TB — bucketing (co-located joins
+  * with no exchange), partitioned layout (partition pruning at the
+  * scan), and salting (manual skew spreading when AQE's runtime
+  * splitting isn't enough). Each is a verified catalog query whose
+  * RESULT is oracle-checked and whose PLAN property is asserted in
+  * ScaleSpec.
+  */
+object Scale {
+
+  /** Drop a managed table and its (possibly orphaned) warehouse
+    * location — the in-memory catalog forgets tables between sessions
+    * while the directory persists. */
+  private[operators] def dropManaged(spark: SparkSession,
+      table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(warehouse, table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Co-located join via bucketing: both fact tables written bucketed
+    * AND sorted on the join key, so the sort-merge join reads bucket i
+    * against bucket i directly — no shuffle, no sort at query time.
+    * This is THE technique for repeated large-fact joins at 100 TB:
+    * pay the shuffle once at write time, never again. ScaleSpec
+    * asserts the join stage contains no Exchange. */
+  def q45BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    dropManaged(spark, "graft_orders_bkt")
+    dropManaged(spark, "graft_lineitem_bkt")
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode(SaveMode.Overwrite).saveAsTable("graft_orders_bkt")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode(SaveMode.Overwrite).saveAsTable("graft_lineitem_bkt")
+    spark.table("graft_lineitem_bkt")
+      .hint("merge") // force SMJ so the bucketed layout, not a
+      // broadcast, satisfies the join's distribution requirement
+      .join(spark.table("graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Partition-pruned scan: orders written partitioned by order year,
+    * then read with a partition predicate — the scan lists ONE
+    * directory instead of the whole table (PartitionFilters in the
+    * plan, asserted in ScaleSpec). The everyday trick that turns a
+    * 100 TB scan into a 3 TB one. */
+  def q46PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("user.dir")}/target/tmp/q46_orders_by_year"
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode(SaveMode.Overwrite).parquet(root)
+    spark.read.parquet(root)
+      .filter(col("o_year") === 1997)
+      .groupBy(month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("mon"))
+  }
+
+  /** Salted two-phase aggregation: spread each hot group key over
+    * `nSalts` sub-keys for the first (heavy) aggregation, then combine
+    * the partials. With 5 distinct priorities, a naive groupBy at
+    * 100 TB would hash all data into 5 reducer partitions; salting
+    * fans the first exchange out to 5×16 keys. Same result, bounded
+    * per-task load. (AQE skew-join handles moderate skew automatically;
+    * salting is the deterministic escape hatch for pathological keys.) */
+  def saltedCount(df: DataFrame, key: String, saltSource: String,
+      nSalts: Int): DataFrame =
+    df.withColumn("salt", pmod(hash(col(saltSource)), lit(nSalts)))
+      .groupBy(col(key), col("salt"))
+      .agg(count(lit(1)).as("partial_n"))
+      .groupBy(col(key))
+      .agg(sum(col("partial_n")).as("n"))
+
+  def q47SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    saltedCount(Tables.orders(spark, dir),
+      key = "o_orderpriority", saltSource = "o_orderkey", nSalts = 16)
+      .orderBy(col("o_orderpriority"))
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bucketed join plans a sort-merge join with no exchange") {
+    val plan = Scale.q45BucketedJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // the join inputs come straight from bucketed scans: the only
+    // exchanges allowed are AFTER aggregation (for the final sort)
+    val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinPart.contains("Exchange"), joinPart.take(3000))
+  }
+
+  test("partition-pruned scan pushes the year predicate to listing") {
+    val plan = Scale.q46PartitionPruning(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(3000))
+    assert(plan.contains("o_year"), plan.take(3000))
+  }
+
+  test("salted aggregation matches the direct group-by") {
+    val direct = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = Scale.q47SaltedAgg(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == direct)
+  }
+
+  test("salted aggregation fans the first exchange out over salt keys") {
+    val plan = Scale.q47SaltedAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("salt"), plan.take(3000))
+  }
+}
