@@ -67,6 +67,8 @@ object SparkEntry {
     "q45_bucketed_join"    -> (Scale.q45BucketedJoin _),
     "q46_partition_pruning" -> (Scale.q46PartitionPruning _),
     "q47_salted_agg"       -> (Scale.q47SaltedAgg _),
+    "q48_percentiles"      -> (Relational.q48Percentiles _),
+    "q49_pivot"            -> (Relational.q49Pivot _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -660,5 +662,31 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    "q48_percentiles" -> """
+      SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.9) AS p90,
+        quantile_cont(o_totalprice, 0.99) AS p99,
+        COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q49_pivot" -> """
+      SELECT o_orderstatus,
+        COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+          AS "1-URGENT",
+        COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+          AS "2-HIGH",
+        COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+          AS "3-MEDIUM",
+        COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+          AS "4-NOT SPECIFIED",
+        COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+          AS "5-LOW"
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
   )
 }

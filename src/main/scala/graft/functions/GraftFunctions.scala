@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-name registration for the library's native expressions, so the
+  * general SQL surface (SURVEY.md §3 EP3) can call them too:
+  *
+  *   SELECT vec_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT simhash64(tokens), minhash_md5_sigs(shingles, 16), ...
+  *
+  * Two entry points with identical registrations:
+  *  - `GraftExtensions` for config-time injection
+  *    (`spark.sql.extensions=graft.functions.GraftExtensions`), the
+  *    standard way to ship custom functions with a library;
+  *  - `GraftFunctions.register(spark)` for a live session (used by the
+  *    temp-view SQL surface and tests).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** name → (builder, usage) for every native expression. */
+  val all: Seq[(String, (Seq[Expression] => Expression, String))] = Seq(
+    "vec_dot" -> ((args: Seq[Expression]) =>
+      FloatVecDot(args(0), args(1)),
+      "vec_dot(a, b) — double-precision dot product of two array<float>"),
+    "simhash64" -> ((args: Seq[Expression]) =>
+      SimHash64(args(0)),
+      "simhash64(tokens) — 64-bit SimHash of an array<string>"),
+    "minhash_md5_sigs" -> ((args: Seq[Expression]) =>
+      MinHashMd5Sigs(args(0), intArg(args(1), "nSeeds")),
+      "minhash_md5_sigs(shingles, n) — n md5 MinHash signatures"),
+    "min_shingle_md5" -> ((args: Seq[Expression]) =>
+      MinShingleMd5(args(0), intArg(args(1), "shingleLen")),
+      "min_shingle_md5(s, len) — min md5 over len-char shingles"))
+
+  /** Register into a live session's function registry. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, (builder, _)) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, (builder, usage)) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name, usage),
+        builder))
+    }
+}

@@ -269,10 +269,42 @@ object Relational {
       .orderBy(col("n_name"), col("rk"))
   }
 
+  /** Exact percentiles per group (the dashboard latency/price quantile
+    * query). Spark's `percentile` is exact (full sort per group) —
+    * the oracle-checkable anchor; `approx_percentile` (KLL/GK sketch,
+    * engine-specific) is the 100 TB twin exercised in RelationalSpec. */
+  def q48Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Pivot (reporting cross-tab): order counts by status × priority.
+    * Explicit pivot values keep the plan a single pass (no distinct
+    * pre-query) and the output schema stable; missing combinations are
+    * coalesced to 0 to match SQL conditional aggregation. */
+  def q49Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    val pivoted = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+    pivoted.select(col("o_orderstatus") +: priorities.map(p =>
+      coalesce(col(s"`$p`"), lit(0L)).as(p)): _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** The SQL-string entry point (EP3 parity): same engine, ANSI SQL text.
-    * Proves the temp-view catalog + spark.sql path works end-to-end. */
+    * Proves the temp-view catalog + spark.sql path works end-to-end,
+    * with the library's native functions registered by SQL name. */
   def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerViews(spark, dir)
+    graft.functions.GraftFunctions.register(spark)
     spark.sql("""
       SELECT o.o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS n_line_items,

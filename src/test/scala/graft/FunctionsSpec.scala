@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("native expressions are callable by SQL name after register") {
+    GraftFunctions.register(spark)
+    val dot = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))
+        |""".stripMargin).head().getDouble(0)
+    assert(dot == 11.0)
+    val sh = spark.sql("SELECT simhash64(array('a', 'b', 'c'))")
+      .head().getLong(0)
+    // deterministic sketch: identical token arrays hash identically
+    assert(sh == spark.sql("SELECT simhash64(array('a', 'b', 'c'))")
+      .head().getLong(0))
+    val sig = spark.sql(
+      "SELECT minhash_md5_sigs(array('ab', 'cd'), 4)")
+      .head().getSeq[String](0)
+    assert(sig.length == 4 && sig.forall(_.matches("[0-9a-f]{32}")))
+    // md5 portability anchor: seed 0, single shingle == md5('0|ab')
+    val anchor = spark.sql("SELECT minhash_md5_sigs(array('ab'), 1)[0]," +
+      " md5('0|ab')").head()
+    assert(anchor.getString(0) == anchor.getString(1))
+  }
+
+  test("SQL surface uses vec_dot over the embeddings view") {
+    Tables.registerViews(spark, sf)
+    GraftFunctions.register(spark)
+    val n = spark.sql(
+      """SELECT vec_id, vec_dot(embedding, embedding) AS norm
+        |FROM embeddings WHERE vec_id < 3""".stripMargin)
+      .collect()
+    assert(n.length == 3 && n.forall(_.getDouble(1) > 0))
+  }
+
+  test("extension class wires the same builders for config-time use") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders shared
+    assert(GraftFunctions.all.map(_._1).toSet ==
+      Set("vec_dot", "simhash64", "minhash_md5_sigs", "min_shingle_md5"))
+  }
+
+  test("approx percentile tracks the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val both = Tables.orders(spark, sf)
+      .agg(expr("percentile(o_totalprice, 0.5)").as("exact"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx"))
+      .head()
+    val (exact, approx) = (both.getDouble(0), both.getDouble(1))
+    assert(math.abs(exact - approx) / exact < 0.05)
+  }
+}
