@@ -69,6 +69,7 @@ object SparkEntry {
     "q47_salted_agg"       -> (Scale.q47SaltedAgg _),
     "q48_percentiles"      -> (Relational.q48Percentiles _),
     "q49_pivot"            -> (Relational.q49Pivot _),
+    "q50_grouping_sets"    -> (Relational.q50GroupingSets _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -688,5 +689,16 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    "q50_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST,
+               o_orderpriority ASC NULLS FIRST""",
   )
 }

@@ -39,9 +39,14 @@ object Dedup {
     "array_distinct(transform(sequence(1, size(w) - 1), " +
       "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"
 
-  /** doc_id + distinct shingle set for every document with >= 2 tokens. */
+  /** doc_id + distinct shingle set for every document with >= 2 tokens.
+    * The corpus arrives as few large files, so the scan alone may give
+    * one partition per file; the sketches below are CPU-bound per row,
+    * so spread rows over all cores first (the exchange moves only
+    * doc_id+text — negligible next to the hashing it parallelizes). */
   private def shingled(docs: DataFrame): DataFrame =
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), expr(shingleSql).as("sh"))
@@ -115,6 +120,7 @@ object Dedup {
   /** Reusable core of q26 over any (doc_id, text) DataFrame. */
   def simhashPairs(documents: DataFrame): DataFrame = {
     val docs = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 1)
     val sketched = docs.select(col("doc_id"),

@@ -299,6 +299,24 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** GROUPING SETS through the SQL surface — the third multi-
+    * dimensional aggregation shape next to ROLLUP (q13) and CUBE
+    * (q21), with grouping() to tag subtotal rows. */
+  def q50GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST,
+               o_orderpriority ASC NULLS FIRST
+    """)
+  }
+
   /** The SQL-string entry point (EP3 parity): same engine, ANSI SQL text.
     * Proves the temp-view catalog + spark.sql path works end-to-end,
     * with the library's native functions registered by SQL name. */

@@ -126,6 +126,9 @@ object TextStats {
     * the oracle. */
   def q35DocFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // md5-per-position is CPU-bound: spread the few source files'
+      // rows over all cores before sketching
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), Cols.normText(col("text")).as("norm"))
       .filter(length(col("norm")) >= 8)
       .select(col("doc_id"),

@@ -51,6 +51,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate content") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    val out = graft.streaming.StreamDedup.dedupStream(
+      input.toDF().toDF("doc_id", "text", "ts"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("graft_dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the quick fox", ts(0)),
+        (2L, "  THE  quick fox ", ts(30)), // same canonical content
+        (3L, "something else", ts(60)))
+      q.processAllAvailable()
+      input.addData((4L, "the quick fox", ts(90))) // still a duplicate
+      q.processAllAvailable()
+      val kept = spark.table("graft_dedup_test")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("batch sessionize conserves events and orders sessions") {
     val df = Events.q38Sessionize(spark, sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("n_events"))
