@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Cleanse, Dedup, Egress, Events, Multimodal, Relational, Scale, Similarity, TextStats}
+import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, Multimodal, Relational, Scale, Similarity, TextStats}
 import graft.streaming.StreamingWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -70,6 +70,8 @@ object SparkEntry {
     "q48_percentiles"      -> (Relational.q48Percentiles _),
     "q49_pivot"            -> (Relational.q49Pivot _),
     "q50_grouping_sets"    -> (Relational.q50GroupingSets _),
+    "q51_asof_join"        -> (AsOf.q51AsofJoin _),
+    "q52_range_join"       -> (AsOf.q52RangeJoin _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -700,5 +702,30 @@ object SparkEntry {
       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY o_orderstatus ASC NULLS FIRST,
                o_orderpriority ASC NULLS FIRST""",
+
+    "q51_asof_join" -> """
+      WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS sts
+                 FROM events WHERE event_type = 'signup'),
+      e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   event_type
+            FROM events)
+      SELECT event_type, COUNT(*) AS n_events,
+        COUNT(sts) AS n_with_signup,
+        MAX(epoch_us(ts) - epoch_us(sts)) AS max_lag_us
+      FROM e ASOF LEFT JOIN s
+        ON e.user_id = s.user_id AND e.ts >= s.sts
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "q52_range_join" -> """
+      WITH bands AS (
+        SELECT 'band_' || CAST(i AS VARCHAR) AS band,
+               i * 100.0 AS lo, (i + 1) * 100.0 AS hi
+        FROM (SELECT unnest(range(5)) AS i))
+      SELECT band, COUNT(*) AS n_events,
+        MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events JOIN bands ON value >= lo AND value < hi
+      GROUP BY band
+      ORDER BY band""",
   )
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal join operators Spark lacks as built-ins, composed from
+  * existing operators per the preference order (compose > custom plan):
+  *
+  *  - **as-of join**: for every left row, the latest right row with
+  *    `right.ts <= left.ts` per key. Implemented as union + sorted
+  *    carry-forward window — ONE shuffle on the key, each partition
+  *    processed in a single ordered pass. The naive alternative (theta
+  *    join on `r.ts <= l.ts` + max) is quadratic per key; this is
+  *    linear, the formulation that survives billions of events per key
+  *    at 100 TB.
+  *
+  *  - **range join**: joining on an interval predicate alone gives a
+  *    nested-loop plan. Banding rewrites it as an equi-join on a
+  *    computed bucket key (+ residual filter): each row joins only its
+  *    band's rows, restoring hash-join scalability.
+  */
+object AsOf {
+
+  /** Generic as-of join: left (key, ts, ...) gains `asof_ts` = the
+    * greatest right.ts <= left.ts for the same key (null when none).
+    * Ties (equal ts) resolve to the right row — standard ASOF `>=`
+    * semantics. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      ts: String, rightTs: String = "asof_ts"): DataFrame = {
+    val l = left.withColumn(rightTs, lit(null).cast("timestamp"))
+      .withColumn("__is_right", lit(0))
+    // align right to the left schema: null out every non-key column
+    val rAligned = right.select(col(key), col(ts))
+      .withColumn(rightTs, col(ts))
+      .withColumn("__is_right", lit(1))
+    val combined = l.unionByName(
+      rAligned.select(l.columns.map {
+        case c if c == key || c == ts || c == rightTs || c == "__is_right" =>
+          col(c)
+        case c => lit(null).cast(l.schema(c).dataType).as(c)
+      }: _*),
+      allowMissingColumns = false)
+    // right rows sort BEFORE left rows at equal ts so `>=` ties take
+    // the right value; carry the latest right ts forward per key
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    combined
+      .withColumn(rightTs, last(col(rightTs), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+      .drop("__is_right")
+  }
+
+  /** As-of join on testdata: every event gains the ts of the user's
+    * most recent signup event at-or-before it, then aggregates per
+    * event type: how many events happened with/without a prior signup
+    * and the max lag. Oracle: DuckDB's native ASOF JOIN. */
+  def q51AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val signups = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    asofJoin(events, signups, key = "user_id", ts = "ts")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("asof_ts")).as("n_with_signup"),
+        max(unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+          .as("max_lag_us"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Range join via banding: classify events into value bands defined
+    * by a bands table (lo <= value < hi). The band width (100) matches
+    * the table's interval, so every interval maps to exactly one band
+    * key and the join is a pure equi-join on the computed key — no
+    * nested loop, no cartesian. */
+  def q52RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // deterministic bands table: [0,100), [100,200), ... [400,500)
+    val bands = (0 until 5)
+      .map(i => (s"band_$i", i * 100.0, (i + 1) * 100.0))
+      .toDF("band", "lo", "hi")
+      .withColumn("bucket", (col("lo") / 100).cast("int"))
+    Tables.events(spark, dir)
+      .withColumn("bucket", floor(col("value") / 100).cast("int"))
+      .join(broadcast(bands), Seq("bucket"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .orderBy(col("band"))
+  }
+}

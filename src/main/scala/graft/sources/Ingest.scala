@@ -53,6 +53,20 @@ object Ingest {
     }
   }
 
+  /** Robust CSV scan for dirty feeds: PERMISSIVE mode nulls
+    * unparseable fields and captures the raw line in `_corrupt`
+    * instead of failing the job — the at-scale ingest posture (one bad
+    * row among billions must not kill the pipeline; quarantine it for
+    * repair, like the reference's repair filter O20 does post-hoc). */
+  def readCsvPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema.add("_corrupt", "string"))
+      .csv(path)
+
   /** O23: CSV sink with header + delimiter (`etl/load.py:80-84`).
     * `singleFile` coalesces to one task for reference parity (one CSV
     * out); leave it false at scale so every partition writes. */

@@ -46,6 +46,23 @@ class IngestPipelineSpec extends AnyFunSuite {
       (3L, "has \"quote\"")))
   }
 
+  test("permissive CSV quarantines malformed rows instead of failing") {
+    import org.apache.spark.sql.types._
+    val dir = mkTmp()
+    Files.writeString(Paths.get(dir, "dirty.csv"),
+      "id,n\n1,10\nbad-row-no-number,not-an-int\n3,30")
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("n", IntegerType)))
+    val df = Ingest.readCsvPermissive(spark, dir, schema).cache()
+    assert(df.count() == 3)
+    val corrupt = df.filter("_corrupt IS NOT NULL").collect()
+    assert(corrupt.length == 1)
+    assert(corrupt.head.getAs[String]("_corrupt")
+      .contains("bad-row-no-number"))
+    assert(df.filter("_corrupt IS NULL").count() == 2)
+    df.unpersist()
+  }
+
   test("configureS3A plumbs the Hadoop conf surface") {
     Ingest.configureS3A(spark, "s3.example.test", "AK", "SK")
     val h = spark.sparkContext.hadoopConfiguration
