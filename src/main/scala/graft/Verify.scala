@@ -17,6 +17,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // coalesce(1) is harness-only convenience: results at sf0.01 are
+      // small and one file simplifies the driver's read-back. Never do
+      // this on real output volumes — it serializes the final stage.
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -110,4 +110,20 @@ object StubDecoder {
         else r.payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / n
       MediaFeatures(r.doc_id, r.media_type, n, n / 1000 + 1, mean)
     }
+
+  /** Frame sampling stub: byte offsets of every `stride`-th "frame"
+    * (a real decoder returns keyframe offsets from the container
+    * index). Bounded output regardless of payload size. */
+  def frameSample(payload: Array[Byte], frameBytes: Int,
+      stride: Int): Seq[Int] =
+    payload.indices.by(frameBytes * stride).take(64)
+
+  /** Resize stub: a real implementation hands the batch to the codec
+    * and returns re-encoded bytes; the stub halves the payload by
+    * dropping every other byte — deterministic, size-halving, shape-
+    * preserving for the plumbing tests. */
+  def resizeHalf(payload: Array[Byte]): Array[Byte] =
+    payload.indices.collect {
+      case i if i % 2 == 0 => payload(i)
+    }.toArray
 }

@@ -45,6 +45,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling and resize stubs keep the batch contract") {
+    val payload = Array.tabulate(10000)(_.toByte)
+    val frames = StubDecoder.frameSample(payload, frameBytes = 100, stride = 2)
+    assert(frames.length <= 64)
+    assert(frames == frames.sorted && frames.distinct == frames)
+    assert(frames.forall(o => o >= 0 && o < payload.length))
+    val half = StubDecoder.resizeHalf(payload)
+    assert(half.length == payload.length / 2)
+    assert(half(1) == payload(2)) // every other byte retained
+  }
+
   test("mean byte equals the ascii average of the source text") {
     // documents are ascii word-salad: payload bytes == text chars, so
     // the decoded feature is checkable from the text itself

@@ -38,6 +38,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ANN recall against exact top-3 clears a measured floor") {
+    val exact3 = Similarity.q27CosineTopK(spark, sf).collect()
+      .filter(_.getInt(1) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.q29AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ann & exact3).size.toDouble / exact3.size
+    // deterministic on fixed data + seeded planes; measured 0.4 at
+    // sf0.001 on random vectors (no cluster structure to exploit) —
+    // the floor guards against silent bucketing regressions
+    assert(recall >= 0.2, s"recall@3 = $recall")
+  }
+
   test("TopKAgg keeps k best with deterministic tie-break") {
     val agg = TopKAgg.topK(3)
     val ins = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9),
