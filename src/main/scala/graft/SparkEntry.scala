@@ -72,6 +72,7 @@ object SparkEntry {
     "q50_grouping_sets"    -> (Relational.q50GroupingSets _),
     "q51_asof_join"        -> (AsOf.q51AsofJoin _),
     "q52_range_join"       -> (AsOf.q52RangeJoin _),
+    "q53_ann_ivf"          -> (Similarity.q53AnnIvf _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -86,6 +87,9 @@ object SparkEntry {
     "q26_dedup_simhash",
     // approximate by design (LSH recall < 1); exact twins q27/q28.
     "q29_ann_lsh",
+    // approximate by design (IVF nprobe < k); k-means centroid floats
+    // are additionally engine-specific. Exact twins q27/q28.
+    "q53_ann_ivf",
     // runs through the typed mapPartitions decode stub — JVM-side
     // logic DuckDB can't mirror; the metadata twin q43 is oracled.
     "q44_media_features",

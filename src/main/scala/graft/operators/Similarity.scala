@@ -138,6 +138,51 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns every
+    * vector to one of 16 cells at index-build time; queries probe only
+    * their `nprobe`=4 nearest cells, so the scored candidate set is
+    * ~nprobe/k of the corpus. The centroid table is tiny and lives on
+    * the driver/broadcast; candidate scoring joins on the cell id —
+    * the standard big-corpus ANN layout (train once, partition the
+    * corpus BY cell so each probe touches few partitions). Approximate
+    * → rows-only; exact twins q27/q28. */
+  def q53AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("vec", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("vec").fit(e)
+    val cells = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // probe's nprobe nearest cells by centroid distance — k×dim is
+    // driver-trivial at any corpus scale (16×64 here)
+    val probeCells = probes(spark, dir).collect().flatMap { r =>
+      val qId = r.getLong(0)
+      val qEmb = r.getSeq[Float](1).toArray
+      centroids.zipWithIndex.map { case (c, i) =>
+        val d2 = c.zip(qEmb).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d
+        }.sum
+        (qId, i, d2)
+      }.sortBy(_._3).take(4).map { case (q, cell, _) => (q, cell) }
+    }
+    import spark.implicits._
+    val probeCellsDf = probeCells.toSeq.toDF("q_id", "cell")
+      .join(probes(spark, dir), "q_id")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cells.join(broadcast(probeCellsDf), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: exact cosine >= 0.45 over all pairs.
     * This is the oracle-checked exact twin (quadratic — fine as a
     * correctness anchor); the 100 TB path runs the same predicate inside

@@ -51,6 +51,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@3 = $recall")
   }
 
+  test("IVF ANN emits ranked per-probe results with exact cosines") {
+    val exact = Similarity.q27CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.q53AnnIvf(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.length <= 3))
+    // hits that appear in the exact top-10 carry identical cosines
+    ivf.filter(r => exact.contains((r.getLong(0), r.getLong(2))))
+      .foreach(r => assert(exact((r.getLong(0), r.getLong(2)))
+        == r.getDouble(3)))
+  }
+
   test("TopKAgg keeps k best with deterministic tie-break") {
     val agg = TopKAgg.topK(3)
     val ins = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9),
