@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, Multimodal, Relational, Scale, Similarity, TextStats}
-import graft.streaming.StreamingWindows
+import graft.streaming.{StreamJoin, StreamingWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,7 @@ object SparkEntry {
     "q51_asof_join"        -> (AsOf.q51AsofJoin _),
     "q52_range_join"       -> (AsOf.q52RangeJoin _),
     "q53_ann_ivf"          -> (Similarity.q53AnnIvf _),
+    "q54_stream_stream_join" -> (StreamJoin.q54StreamStreamJoin _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -731,5 +732,20 @@ object SparkEntry {
       FROM events JOIN bands ON value >= lo AND value < hi
       GROUP BY band
       ORDER BY band""",
+
+    // AvailableNow drains the bounded input, so the stream-stream
+    // interval join equals the batch interval join
+    "q54_stream_stream_join" -> """
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+                        event_id AS click_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id AS p_user_id, CAST(ts AS TIMESTAMP) AS buy_ts,
+                   event_id AS buy_id
+            FROM events WHERE event_type = 'purchase')
+      SELECT click_id, buy_id, user_id, click_ts, buy_ts
+      FROM c JOIN p ON user_id = p_user_id
+        AND buy_ts >= click_ts
+        AND buy_ts <= click_ts + INTERVAL 10 MINUTE
+      ORDER BY click_id, buy_id""",
   )
 }

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Stream-stream interval join: purchases matched to the clicks they
+  * follow within 10 minutes, per user. Both sides carry watermarks so
+  * the join state is bounded — a click is held only until the purchase
+  * watermark passes click_ts + 10 min, which is what lets the join run
+  * forever on an unbounded stream. `Trigger.AvailableNow` drains the
+  * bounded test input, making the result equal to the batch interval
+  * join and therefore oracle-checkable.
+  */
+object StreamJoin {
+
+  def q54StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src: DataFrame = spark.readStream
+      .schema(StreamingWindows.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("buy_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+    val name = "graft_stream_join_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    spark.table(name)
+      .select(col("click_id"), col("buy_id"), col("user_id"),
+        col("click_ts"), col("buy_ts"))
+      .orderBy(col("click_id"), col("buy_id"))
+  }
+}
