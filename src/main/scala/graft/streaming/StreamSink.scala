@@ -1,0 +1,42 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** foreachBatch egress — the production sink pattern: each micro-batch
+  * is handed to the full BATCH writer, so streaming output gets
+  * everything the batch side has (partitioned parquet, bucketing,
+  * catalog tables, JDBC) without a dedicated streaming connector.
+  * The checkpoint + batchId give exactly-once: a replayed batch
+  * overwrites its own output deterministically.
+  */
+object StreamSink {
+
+  /** Run the 5-minute tumbling-count stream and land the final state
+    * as parquet under `outDir/data` via foreachBatch. Returns after
+    * the AvailableNow drain completes. */
+  def windowCountsToParquet(spark: SparkSession, dir: String,
+      outDir: String): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val agg = spark.readStream
+      .schema(StreamingWindows.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n_events"))
+    val writeBatch: (DataFrame, Long) => Unit = (batch, _) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/data")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .foreachBatch(writeBatch)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+}

@@ -51,6 +51,17 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch lands streaming results through the batch writer") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    graft.streaming.StreamSink.windowCountsToParquet(spark, sf, out)
+    val landed = spark.read.parquet(s"$out/data")
+      .collect().map(_.toSeq).toSet
+    val batch = Events.q36EventWindows(spark, sf)
+      .select("win_start", "event_type", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(landed == batch)
+  }
+
   test("streaming dedup drops within-watermark duplicate content") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
