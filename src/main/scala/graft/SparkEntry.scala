@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, Multimodal, Relational, Scale, Similarity, TextStats}
+import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, Multimodal, Relational, Sampling, Scale, Similarity, TextStats}
 import graft.streaming.{StreamJoin, StreamingWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -74,6 +74,8 @@ object SparkEntry {
     "q52_range_join"       -> (AsOf.q52RangeJoin _),
     "q53_ann_ivf"          -> (Similarity.q53AnnIvf _),
     "q54_stream_stream_join" -> (StreamJoin.q54StreamStreamJoin _),
+    "q55_hash_split"       -> (Sampling.q55HashSplit _),
+    "q56_stratified_sample" -> (Sampling.q56StratifiedSample _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -747,5 +749,24 @@ object SparkEntry {
         AND buy_ts >= click_ts
         AND buy_ts <= click_ts + INTERVAL 10 MINUTE
       ORDER BY click_id, buy_id""",
+
+    "q55_hash_split" -> """
+      SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+                  WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split,
+             lang, COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY 1, 2
+      ORDER BY split, lang""",
+
+    "q56_stratified_sample" -> """
+      SELECT lang, rn, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)
+            AS INTEGER) AS rn
+        FROM documents) t
+      WHERE rn <= 20
+      ORDER BY lang, rn""",
   )
 }
