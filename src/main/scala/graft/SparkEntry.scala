@@ -76,6 +76,7 @@ object SparkEntry {
     "q54_stream_stream_join" -> (StreamJoin.q54StreamStreamJoin _),
     "q55_hash_split"       -> (Sampling.q55HashSplit _),
     "q56_stratified_sample" -> (Sampling.q56StratifiedSample _),
+    "q57_sequence_packing" -> (Sampling.q57SequencePacking _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -768,5 +769,24 @@ object SparkEntry {
         FROM documents) t
       WHERE rn <= 20
       ORDER BY lang, rn""",
+
+    "q57_sequence_packing" -> """
+      WITH d AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+          CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+            ' ', 'g')), ' ')) AS BIGINT) AS tokens
+        FROM documents),
+      c AS (
+        SELECT shard, doc_id, tokens,
+          CAST(SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM d)
+      SELECT shard, (cum_tokens - tokens) // 2048 AS bin,
+        COUNT(*) AS n_docs,
+        CAST(SUM(tokens) AS BIGINT) AS total_tokens
+      FROM c
+      GROUP BY shard, bin
+      ORDER BY shard, bin""",
   )
 }

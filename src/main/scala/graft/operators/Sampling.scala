@@ -23,7 +23,7 @@ object Sampling {
 
   /** Deterministic train/val/test assignment (~80/10/10 by hex
     * thresholds). */
-  def split(key: Column): Column =
+  def assignSplit(key: Column): Column =
     when(hashOf(key) < "cc", "train")
       .when(hashOf(key) < "e6", "val")
       .otherwise("test")
@@ -32,10 +32,33 @@ object Sampling {
     * sanity report run before any training job. */
   def q55HashSplit(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("split", split(col("doc_id")))
+      .withColumn("split", assignSplit(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("split"), col("lang"))
+
+  /** Deterministic sequence packing: assign documents to fixed
+    * token-budget bins (2048 tokens) by running token count — the
+    * dataset-construction step that turns a document corpus into
+    * training sequences. Packing runs WITHIN shards (doc_id mod 8):
+    * a global running sum would be one partition doing all the work,
+    * while sharded packing parallelizes freely and is the layout a
+    * 100 TB corpus needs anyway (one packer per output shard). */
+  def q57SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (col("doc_id") % 8).cast("int").as("shard"),
+        size(split(graft.functions.Cols.normText(col("text")), " "))
+          .cast("long").as("tokens"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("bin", expr("(cum_tokens - tokens) div 2048L"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("total_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
 
   /** Stratified reproducible sample: the "first" 20 documents per
     * language in md5 order — uniform within each stratum, identical
