@@ -77,6 +77,9 @@ object SparkEntry {
     "q55_hash_split"       -> (Sampling.q55HashSplit _),
     "q56_stratified_sample" -> (Sampling.q56StratifiedSample _),
     "q57_sequence_packing" -> (Sampling.q57SequencePacking _),
+    "q58_latest_wins"      -> (Egress.q58LatestWins _),
+    "q59_json_roundtrip"   -> (Egress.q59JsonRoundtrip _),
+    "q60_orc_roundtrip"    -> (Egress.q60OrcRoundtrip _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -788,5 +791,30 @@ object SparkEntry {
       FROM c
       GROUP BY shard, bin
       ORDER BY shard, bin""",
+
+    "q58_latest_wins" -> """
+      SELECT user_id, event_id, tsx AS ts, event_type, value FROM (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+               event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+      ORDER BY user_id""",
+
+    // oracle on the original parquet: the jsonl cycle must reproduce it
+    "q59_json_roundtrip" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q60_orc_roundtrip" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
   )
 }

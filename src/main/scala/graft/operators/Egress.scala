@@ -39,6 +39,48 @@ object Egress {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Latest-wins upsert (SCD-1 compaction): one surviving row per key,
+    * the one with the greatest (ts, event_id) — how a CDC feed or
+    * re-delivered batch collapses to current state. Window row_number
+    * per key; WindowGroupLimit keeps 1 row/key map-side, so the
+    * shuffle carries keys, not history. */
+  def q58LatestWins(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** JSON-lines source: documents written as jsonl, read back with an
+    * explicit schema (inference over JSON is a full extra pass), and
+    * aggregated — oracle runs on the original parquet, so any
+    * serialization drift in the cycle fails the hash. */
+  def q59JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val zone = tmpDir("q59_json_zone")
+    Tables.documents(spark, dir).write.mode(SaveMode.Overwrite).json(zone)
+    spark.read.schema(Tables.documents(spark, dir).schema).json(zone)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** ORC sink/source round-trip — the other columnar format the
+    * engine writes; verified the same way. */
+  def q60OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val zone = tmpDir("q60_orc_zone")
+    Tables.orders(spark, dir).write.mode(SaveMode.Overwrite).orc(zone)
+    spark.read.orc(zone)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Session-catalog table (the Glue-catalog role, SURVEY.md §1
     * "Downstream schema"): persist nation via saveAsTable, then query
     * it back through the catalog by name. The managed table lands in
