@@ -14,7 +14,8 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamJoin {
 
-  def q54StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q54StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    StreamingWindows.withStreamPartitions(spark) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src: DataFrame = spark.readStream
       .schema(StreamingWindows.eventsSchema)
@@ -42,5 +43,5 @@ object StreamJoin {
       .select(col("click_id"), col("buy_id"), col("user_id"),
         col("click_ts"), col("buy_ts"))
       .orderBy(col("click_id"), col("buy_id"))
-  }
+    }
 }

@@ -31,9 +31,24 @@ object StreamingWindows {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Run `body` with a reduced shuffle-partition count and restore the
+    * previous value after. Stateful streaming keeps one state store
+    * per shuffle partition per stateful operator; for the bounded
+    * drains here, 8 stores load/commit faster than 32 and the query
+    * result is partitioning-independent. Unbounded production streams
+    * size this to (cores × state volume), not query latency. */
+  private[streaming] def withStreamPartitions[T](spark: SparkSession)(
+      body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Streaming 5-minute tumbling counts per event type. Returns the
     * drained result as a DataFrame (sorted for the driver's compare). */
-  def q39StreamWindows(spark: SparkSession, dir: String): DataFrame = {
+  def q39StreamWindows(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.readStream
       .schema(eventsSchema)
