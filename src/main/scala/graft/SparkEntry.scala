@@ -80,6 +80,8 @@ object SparkEntry {
     "q58_latest_wins"      -> (Egress.q58LatestWins _),
     "q59_json_roundtrip"   -> (Egress.q59JsonRoundtrip _),
     "q60_orc_roundtrip"    -> (Egress.q60OrcRoundtrip _),
+    "q61_correlated_subquery" -> (Relational.q61CorrelatedSubquery _),
+    "q62_range_frame"      -> (Relational.q62RangeFrame _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -816,5 +818,22 @@ object SparkEntry {
       FROM orders
       GROUP BY o_orderstatus
       ORDER BY o_orderstatus""",
+
+    "q61_correlated_subquery" -> """
+      SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_totalprice > 300000) >= 2
+      ORDER BY c_custkey""",
+
+    "q62_range_frame" -> """
+      SELECT o_orderkey, o_custkey, o_orderdate,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate
+          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+          AS DOUBLE) AS trailing_total
+      FROM orders
+      ORDER BY o_custkey, o_orderdate, o_orderkey""",
   )
 }

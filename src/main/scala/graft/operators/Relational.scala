@@ -317,6 +317,39 @@ object Relational {
     """)
   }
 
+  /** Correlated scalar subquery — exercises Catalyst's decorrelation:
+    * the per-customer COUNT rewrites to an aggregate + left join, so
+    * no per-row subquery execution survives into the physical plan. */
+  def q61CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT c_custkey, c_mktsegment
+      FROM customer c
+      WHERE (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+               AND o.o_totalprice > 300000) >= 2
+      ORDER BY c_custkey
+    """)
+  }
+
+  /** RANGE-frame window: trailing 30-day spend per customer — the
+    * frame is bounded by ORDER-BY VALUE (event time), not row
+    * position, so same-day orders share identical totals. Ordering on
+    * epoch micros keeps the offset arithmetic exact. */
+  def q62RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val thirtyDaysUs = 30L * 86400 * 1000000
+    val w = Window.partitionBy(col("o_custkey"))
+      // o_orderdate is TIMESTAMP_NTZ; the UTC-session cast to TIMESTAMP
+      // is a constant shift, so frame membership is unchanged
+      .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-thirtyDaysUs, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w)
+          .cast("double").as("trailing_total"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** The SQL-string entry point (EP3 parity): same engine, ANSI SQL text.
     * Proves the temp-view catalog + spark.sql path works end-to-end,
     * with the library's native functions registered by SQL name. */
