@@ -82,6 +82,9 @@ object SparkEntry {
     "q60_orc_roundtrip"    -> (Egress.q60OrcRoundtrip _),
     "q61_correlated_subquery" -> (Relational.q61CorrelatedSubquery _),
     "q62_range_frame"      -> (Relational.q62RangeFrame _),
+    "q63_multiset_setops"  -> (Relational.q63MultisetSetops _),
+    "q64_nullsafe_join"    -> (Relational.q64NullSafeJoin _),
+    "q65_top_bigrams"      -> (TextStats.q65TopBigrams _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -835,5 +838,47 @@ object SparkEntry {
           AS DOUBLE) AS trailing_total
       FROM orders
       ORDER BY o_custkey, o_orderdate, o_orderkey""",
+
+    "q63_multiset_setops" -> """
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS surplus FROM (
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_quantity > 25
+        EXCEPT ALL
+        SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_quantity <= 25) t
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q64_nullsafe_join" -> """
+      WITH a AS (
+        SELECT nullif(o_orderpriority, '5-LOW') AS pr, COUNT(*) AS n_f
+        FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+      b AS (
+        SELECT nullif(o_orderpriority, '5-LOW') AS pr_b, COUNT(*) AS n_o
+        FROM orders WHERE o_orderstatus = 'O' GROUP BY 1)
+      SELECT pr, n_f, n_o
+      FROM a JOIN b ON pr IS NOT DISTINCT FROM pr_b
+      ORDER BY pr NULLS FIRST""",
+
+    "q65_top_bigrams" -> """
+      WITH words AS (
+        SELECT lang,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      bg AS (
+        SELECT lang,
+          unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM words WHERE len(w) >= 2),
+      counts AS (
+        SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram)
+      SELECT lang, rn, bigram, n FROM (
+        SELECT lang, bigram, n,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY n DESC, bigram ASC) AS INTEGER) AS rn
+        FROM counts) t
+      WHERE rn <= 5
+      ORDER BY lang, rn""",
   )
 }

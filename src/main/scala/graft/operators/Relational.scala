@@ -317,6 +317,39 @@ object Relational {
     """)
   }
 
+  /** Multiset (bag) set operations: EXCEPT ALL keeps multiplicity —
+    * the per-occurrence surplus of high-quantity over low-quantity
+    * line items per (flag, status), aggregated to keep the result
+    * compact. */
+  def q63MultisetSetops(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val high = li.filter(col("l_quantity") > 25)
+      .select(col("l_returnflag"), col("l_linestatus"))
+    val low = li.filter(col("l_quantity") <= 25)
+      .select(col("l_returnflag"), col("l_linestatus"))
+    high.exceptAll(low)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("surplus"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match NULL keys — the semantics dimension tables with unknown
+    * members need. Priority classes are NULLed for '5-LOW' to create
+    * genuine NULL keys on both sides. */
+  def q64NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderstatus") === "F")
+      .select(nullif(col("o_orderpriority"), lit("5-LOW")).as("pr"))
+      .groupBy(col("pr")).agg(count(lit(1)).as("n_f"))
+    val b = o.filter(col("o_orderstatus") === "O")
+      .select(nullif(col("o_orderpriority"), lit("5-LOW")).as("pr_b"))
+      .groupBy(col("pr_b")).agg(count(lit(1)).as("n_o"))
+    a.join(b, col("pr") <=> col("pr_b"))
+      .select(col("pr"), col("n_f"), col("n_o"))
+      .orderBy(col("pr").asc_nulls_first)
+  }
+
   /** Correlated scalar subquery — exercises Catalyst's decorrelation:
     * the per-customer COUNT rewrites to an aggregate + left join, so
     * no per-row subquery execution survives into the physical plan. */

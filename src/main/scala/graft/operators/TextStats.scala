@@ -120,6 +120,29 @@ object TextStats {
     sums.join(vocab, "lang").orderBy(col("lang"))
   }
 
+  /** Top-5 word bigrams per language — n-gram frequency analysis via
+    * explode (LATERAL-VIEW semantics) + count + per-group rank. The
+    * explode multiplies rows before one (lang, bigram) shuffle with
+    * partial aggregation, so the exchange carries counts, not tokens. */
+  def q65TopBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("bigram").asc)
+    Tables.documents(spark, dir)
+      .select(col("lang"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("bigram"), col("n"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Content fingerprint per document: the minimum md5 over all 8-char
     * shingles of the normalized text (min-hash winnowing, k=1). Rolling
     * O(len) shingle set per row, no shuffle; md5 keeps it portable to
