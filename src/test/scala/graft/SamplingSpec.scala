@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("hash split is a partition: every doc in exactly one split") {
+    val rows = Sampling.q55HashSplit(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == 500)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // ~80/10/10 within generous tolerance at n=500
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit("train") > 300 && bySplit("train") < 480)
+  }
+
+  test("split assignment is deterministic across evaluations") {
+    val a = Sampling.q55HashSplit(spark, sf).collect().map(_.toSeq)
+    val b = Sampling.q55HashSplit(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("stratified sample takes exactly k rows per stratum") {
+    val perLang = Sampling.q56StratifiedSample(spark, sf).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perLang.values.forall(_ == 20))
+  }
+
+  test("packing bins respect the token budget up to one-doc overflow") {
+    val docs = Tables.documents(spark, sf)
+      .select(size(split(graft.functions.Cols.normText(col("text")), " "))
+        .cast("long").as("tokens"))
+      .agg(max("tokens")).collect().head.getLong(0)
+    val bins = Sampling.q57SequencePacking(spark, sf).collect()
+    // a bin can only exceed 2048 by the doc that straddles its start
+    bins.foreach { r =>
+      assert(r.getAs[Long]("total_tokens") < 2048 + docs,
+        s"bin ${r.getAs[Long]("bin")} overflows")
+    }
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == 500)
+  }
+
+  test("native expressions reject wrong input types at analysis") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("i", "s")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.VectorExprs.vecDot(col("i"), col("i")))
+        .collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.TextExprs.simhash64(col("s"))).collect()
+    }
+  }
+}
