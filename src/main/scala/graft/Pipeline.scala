@@ -23,7 +23,9 @@ object Pipeline {
     while (true) {
       try return f
       catch {
-        case _: Throwable if attempt < retries =>
+        // NonFatal only: never retry through OOM/interrupt — a fatal
+        // error means the JVM (or the caller's cancellation) wins
+        case scala.util.control.NonFatal(_) if attempt < retries =>
           attempt += 1
           if (delayMs > 0) Thread.sleep(delayMs)
       }

@@ -47,12 +47,17 @@ object Tables {
     */
   def registerViews(spark: SparkSession, dir: String): Unit =
     registered.synchronized {
-      if (registered.add((System.identityHashCode(spark), dir))) {
+      // keyed by session identity (WeakHashMap: sessions can be GC'd);
+      // re-register whenever the same session switches dirs so views
+      // never silently point at a previous dir's tables
+      if (!registered.get(spark).contains(dir)) {
         Seq("region", "nation", "customer", "supplier", "part", "orders",
             "lineitem", "documents", "embeddings")
           .foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
         events(spark, dir).createOrReplaceTempView("events")
+        registered.put(spark, dir)
       }
     }
-  private val registered = scala.collection.mutable.Set[(Int, String)]()
+  private val registered =
+    scala.collection.mutable.WeakHashMap[SparkSession, String]()
 }

@@ -19,25 +19,44 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 object GraftFunctions {
 
+  private def arity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
+
+  /** Accept any foldable integer expression (literal, CAST of one, …),
+    * not just a bare Literal. */
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
+    case f if f.foldable => f.eval() match {
+      case v: Int => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer constant, got $other")
+    }
     case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+      s"$what must be an integer constant, got $other")
   }
 
   /** name → (builder, usage) for every native expression. */
   val all: Seq[(String, (Seq[Expression] => Expression, String))] = Seq(
-    "vec_dot" -> ((args: Seq[Expression]) =>
-      FloatVecDot(args(0), args(1)),
+    "vec_dot" -> ((args: Seq[Expression]) => {
+      arity("vec_dot", args, 2)
+      FloatVecDot(args(0), args(1))
+    },
       "vec_dot(a, b) — double-precision dot product of two array<float>"),
-    "simhash64" -> ((args: Seq[Expression]) =>
-      SimHash64(args(0)),
+    "simhash64" -> ((args: Seq[Expression]) => {
+      arity("simhash64", args, 1)
+      SimHash64(args(0))
+    },
       "simhash64(tokens) — 64-bit SimHash of an array<string>"),
-    "minhash_md5_sigs" -> ((args: Seq[Expression]) =>
-      MinHashMd5Sigs(args(0), intArg(args(1), "nSeeds")),
+    "minhash_md5_sigs" -> ((args: Seq[Expression]) => {
+      arity("minhash_md5_sigs", args, 2)
+      MinHashMd5Sigs(args(0), intArg(args(1), "nSeeds"))
+    },
       "minhash_md5_sigs(shingles, n) — n md5 MinHash signatures"),
-    "min_shingle_md5" -> ((args: Seq[Expression]) =>
-      MinShingleMd5(args(0), intArg(args(1), "shingleLen")),
+    "min_shingle_md5" -> ((args: Seq[Expression]) => {
+      arity("min_shingle_md5", args, 2)
+      MinShingleMd5(args(0), intArg(args(1), "shingleLen"))
+    },
       "min_shingle_md5(s, len) — min md5 over len-char shingles"))
 
   /** Register into a live session's function registry. Idempotent. */

@@ -82,6 +82,7 @@ case class MinHashMd5Sigs(child: Expression, nSeeds: Int)
   override def checkInputDataTypes(): TypeCheckResult =
     TextExprs.requireStringArray(prettyName, child.dataType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // null for empty shingle sets
   override def prettyName: String = "minhash_md5_sigs"
 
   override def nullSafeEval(input: Any): Any = {
@@ -91,21 +92,29 @@ case class MinHashMd5Sigs(child: Expression, nSeeds: Int)
     val seedPrefixes = Array.tabulate(nSeeds)(s =>
       (s.toString + "|").getBytes(StandardCharsets.UTF_8))
     var i = 0
+    var seen = false
     while (i < arr.numElements()) {
-      val sh = arr.getUTF8String(i).getBytes
-      var s = 0
-      while (s < nSeeds) {
-        md.reset()
-        md.update(seedPrefixes(s))
-        md.update(sh)
-        val h = md.digest()
-        if (mins(s) == null || TextExprs.lessThan(h, mins(s))) mins(s) = h
-        s += 1
+      // skip null elements, matching array_min's null handling in the
+      // HOF formulation this replaces
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val sh = arr.getUTF8String(i).getBytes
+        var s = 0
+        while (s < nSeeds) {
+          md.reset()
+          md.update(seedPrefixes(s))
+          md.update(sh)
+          val h = md.digest()
+          if (mins(s) == null || TextExprs.lessThan(h, mins(s))) mins(s) = h
+          s += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins.map(m =>
-      UTF8String.fromString(if (m == null) "" else TextExprs.toHex(m))))
+    // no non-null shingles → no signature (array_min over empty = null)
+    if (!seen) null
+    else new GenericArrayData(mins.map(m =>
+      UTF8String.fromString(TextExprs.toHex(m))))
   }
 
   override protected def withNewChildInternal(
@@ -129,14 +138,17 @@ case class SimHash64(child: Expression)
     val counts = new Array[Int](64)
     var i = 0
     while (i < arr.numElements()) {
-      val t = arr.getUTF8String(i)
-      // same xxhash64(seed=42) Spark's SQL function computes
-      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-        .hash(t, StringType, 42L)
-      var j = 0
-      while (j < 64) {
-        counts(j) += (((h >>> j) & 1L).toInt * 2) - 1
-        j += 1
+      // null tokens contribute nothing to the sketch
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        // same xxhash64(seed=42) Spark's SQL function computes
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(t, StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          counts(j) += (((h >>> j) & 1L).toInt * 2) - 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -167,17 +179,22 @@ case class MinShingleMd5(child: Expression, shingleLen: Int)
       s"$prettyName expects string, got $other")
   }
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true // null when shorter than a shingle
   override def prettyName: String = "min_shingle_md5"
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    if (s.length < shingleLen) return null
+    // shingle over CODE POINTS, matching SQL substring/length semantics
+    // (UTF-16 substrings would miscount and could split surrogate
+    // pairs on supplementary-plane characters)
+    val cps = s.codePoints().toArray
+    if (cps.length < shingleLen) return null
     val md = TextExprs.md5ThreadLocal
     var min: Array[Byte] = null
     var i = 0
-    while (i <= s.length - shingleLen) {
+    while (i <= cps.length - shingleLen) {
       md.reset()
-      md.update(s.substring(i, i + shingleLen)
+      md.update(new String(cps, i, shingleLen)
         .getBytes(StandardCharsets.UTF_8))
       val h = md.digest()
       if (min == null || TextExprs.lessThan(h, min)) min = h

@@ -89,15 +89,7 @@ object Egress {
   def q42CatalogTable(spark: SparkSession, dir: String): DataFrame = {
     // the in-memory catalog forgets tables between sessions but the
     // warehouse directory persists — clear both before (re)creating
-    spark.sql("DROP TABLE IF EXISTS graft_nation_catalog")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = java.nio.file.Paths.get(warehouse, "graft_nation_catalog")
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    Scale.dropManaged(spark, "graft_nation_catalog")
     Tables.nation(spark, dir).write.mode(SaveMode.Overwrite)
       .saveAsTable("graft_nation_catalog")
     spark.table("graft_nation_catalog")

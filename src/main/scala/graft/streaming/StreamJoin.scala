@@ -39,9 +39,10 @@ object StreamJoin {
     val query = joined.writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    spark.table(name)
+    val result = spark.table(name)
       .select(col("click_id"), col("buy_id"), col("user_id"),
         col("click_ts"), col("buy_ts"))
       .orderBy(col("click_id"), col("buy_id"))
+    StreamingWindows.materializeAndDrop(spark, name, result)
     }
 }

@@ -68,9 +68,25 @@ object StreamingWindows {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.table(name)
+    val result = spark.table(name)
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n_events"))
       .orderBy(col("win_start"), col("event_type"))
+    materializeAndDrop(spark, name, result)
+  }
+
+  /** Copy a memory-sink result into a local relation and drop the sink
+    * view — repeated drains would otherwise accumulate one full result
+    * copy per run in the driver's sink registry. Sound here because
+    * drained results are small aggregates; an unbounded stream would
+    * use a durable sink (see StreamSink) instead. */
+  private[streaming] def materializeAndDrop(spark: SparkSession,
+      name: String,
+      result: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rows = result.collect()
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 }
