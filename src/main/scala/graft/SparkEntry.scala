@@ -85,6 +85,8 @@ object SparkEntry {
     "q63_multiset_setops"  -> (Relational.q63MultisetSetops _),
     "q64_nullsafe_join"    -> (Relational.q64NullSafeJoin _),
     "q65_top_bigrams"      -> (TextStats.q65TopBigrams _),
+    "q66_exact_variance"   -> (Relational.q66ExactVariance _),
+    "q67_corr_powersums"   -> (Relational.q67CorrPowerSums _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -880,5 +882,42 @@ object SparkEntry {
         FROM counts) t
       WHERE rn <= 5
       ORDER BY lang, rn""",
+
+    "q66_exact_variance" -> """
+      WITH s AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+          SUM(CAST(l_quantity AS DECIMAL(18,2))
+              * CAST(l_quantity AS DECIMAL(18,2))) AS sxx
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, n,
+        CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS var_pop_qty
+      FROM s
+      ORDER BY l_returnflag""",
+
+    "q67_corr_powersums" -> """
+      WITH s AS (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS syy,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sxy
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+        (n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+          AS corr_qty_price
+      FROM s
+      ORDER BY l_returnflag""",
   )
 }

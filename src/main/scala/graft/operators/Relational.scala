@@ -317,6 +317,49 @@ object Relational {
     """)
   }
 
+  /** Exact population variance from decimal power sums: Var = Sxx/n −
+    * (Sx/n)² with Sx, Sxx exact decimals. Power sums are associative,
+    * so partial (map-side) aggregation stays exact at any scale —
+    * unlike the built-in `var_pop`, whose float merge order varies
+    * with partitioning and across engines. The double math on top of
+    * the exact sums is engine-reproducible. */
+  def q66ExactVariance(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).as("sx"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sxx").cast("double") / col("n").cast("double") -
+          (col("sx").cast("double") / col("n").cast("double")) *
+          (col("sx").cast("double") / col("n").cast("double")))
+          .as("var_pop_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pearson correlation from the same power-sum construction:
+    * corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²)),
+    * every S an exact decimal sum, the final arithmetic double. */
+  def q67CorrPowerSums(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sx"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity")))
+          .cast("double").as("sxx"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+          .cast("double").as("syy"),
+        sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
+          .cast("double").as("sxy"))
+      .select(col("l_returnflag"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Multiset (bag) set operations: EXCEPT ALL keeps multiplicity —
     * the per-occurrence surplus of high-quantity over low-quantity
     * line items per (flag, status), aggregated to keep the result
