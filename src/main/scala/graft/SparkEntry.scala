@@ -914,8 +914,8 @@ object SparkEntry {
             AS sxy
         FROM lineitem GROUP BY 1)
       SELECT l_returnflag,
-        (n * sxy - sx * sy)
-          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ROUND((n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9)
           AS corr_qty_price
       FROM s
       ORDER BY l_returnflag""",

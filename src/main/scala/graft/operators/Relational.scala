@@ -354,9 +354,12 @@ object Relational {
         sum(dec(col("l_quantity")) * dec(col("l_extendedprice")))
           .cast("double").as("sxy"))
       .select(col("l_returnflag"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        // rounded to 9 decimals: the long double-expression chain can
+        // differ from the oracle by one ulp (FMA contraction in its
+        // vectorized evaluator); the power sums themselves are exact
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
-            (col("n") * col("syy") - col("sy") * col("sy"))))
+            (col("n") * col("syy") - col("sy") * col("sy"))), 9)
           .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
 
