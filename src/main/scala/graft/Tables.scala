@@ -44,6 +44,12 @@ object Tables {
     * `spark.sql("SELECT ... FROM lineitem ...")`. Idempotent per
     * (session, dir): repeated calls from the query catalog are no-ops,
     * so concurrent queries sharing one session see stable views.
+    *
+    * CONTRACT: the views snapshot the parquet file listing at
+    * registration (InMemoryFileIndex). If files under `dir` are
+    * replaced while the session lives, call [[refreshViews]] to
+    * re-register against the new listing — otherwise SQL-surface
+    * queries keep reading the old file set.
     */
   def registerViews(spark: SparkSession, dir: String): Unit =
     registered.synchronized {
@@ -58,6 +64,13 @@ object Tables {
         registered.put(spark, dir)
       }
     }
+
+  /** Invalidate the registerViews cache for a session whose `dir`
+    * contents changed on disk; the next registerViews call rebuilds
+    * every view (and thus re-lists the parquet files). */
+  def refreshViews(spark: SparkSession): Unit =
+    registered.synchronized { registered.remove(spark); () }
+
   private val registered =
     scala.collection.mutable.WeakHashMap[SparkSession, String]()
 }

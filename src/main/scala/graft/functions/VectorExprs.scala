@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * higher-order-function formulation, which allocates per element; the
   * result is bitwise identical (same fold order, same widening), so
   * DuckDB oracle parity is preserved while pair-scoring gets ~20×
-  * faster. */
+  * faster. Degenerate inputs keep the HOF semantics exactly:
+  * `zip_with` pads the shorter array with null and a null element
+  * poisons the running sum, so mismatched lengths or any null element
+  * yield NULL — never a silently partial dot product. */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -27,14 +30,17 @@ case class FloatVecDot(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val la = l.asInstanceOf[ArrayData]
     val ra = r.asInstanceOf[ArrayData]
-    val n = math.min(la.numElements(), ra.numElements())
+    val n = la.numElements()
+    if (n != ra.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (la.isNullAt(i) || ra.isNullAt(i)) return null
       acc += la.getFloat(i).toDouble * ra.getFloat(i).toDouble
       i += 1
     }
@@ -48,12 +54,17 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($l.numElements(), $r.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $l.getFloat($i) * (double) $r.getFloat($i);
+         |int $n = $l.numElements();
+         |if ($n != $r.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($l.isNullAt($i) || $r.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $l.getFloat($i) * (double) $r.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -24,16 +24,26 @@ import graft.Tables
   */
 object AsOf {
 
-  /** Generic as-of join: left (key, ts, ...) gains `asof_ts` = the
-    * greatest right.ts <= left.ts for the same key (null when none).
-    * Ties (equal ts) resolve to the right row — standard ASOF `>=`
-    * semantics. */
+  /** Generic as-of join: left (key, ts, ...) gains `rightTs` = the
+    * greatest right timestamp <= left.ts for the same key (null when
+    * none). Ties (equal ts) resolve to the right row — standard ASOF
+    * `>=` semantics. `tsRight` names the right DataFrame's timestamp
+    * column (defaults to the left's `ts` name). The output column
+    * `rightTs` and the internal marker must not already exist on the
+    * left — guarded here rather than silently overwritten. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      ts: String, rightTs: String = "asof_ts"): DataFrame = {
+      ts: String, rightTs: String = "asof_ts",
+      tsRight: String = null): DataFrame = {
+    val rTs = Option(tsRight).getOrElse(ts)
+    require(!left.columns.contains(rightTs),
+      s"asofJoin: left already has a column named '$rightTs'; pass a " +
+        "different rightTs output name")
+    require(!left.columns.contains("__is_right"),
+      "asofJoin: left must not contain the reserved column '__is_right'")
     val l = left.withColumn(rightTs, lit(null).cast("timestamp"))
       .withColumn("__is_right", lit(0))
     // align right to the left schema: null out every non-key column
-    val rAligned = right.select(col(key), col(ts))
+    val rAligned = right.select(col(key), col(rTs).as(ts))
       .withColumn(rightTs, col(ts))
       .withColumn("__is_right", lit(1))
     val combined = l.unionByName(

@@ -39,6 +39,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.length == 3 && n.forall(_.getDouble(1) > 0))
   }
 
+  test("vec_dot keeps HOF semantics on degenerate input (null, ragged)") {
+    import org.apache.spark.sql.functions._
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f, 4.0f)),
+      (Seq[java.lang.Float](1.0f), Seq[java.lang.Float](3.0f, 4.0f)),
+      (Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](3.0f, 4.0f)),
+      (null, Seq[java.lang.Float](3.0f)))
+      .toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"),
+        col("b").cast("array<float>").as("b"))
+    val hof = "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y)," +
+      " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    val rows = df.selectExpr("vec_dot(a, b) AS native", s"$hof AS hof")
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getDouble(0) == r.getDouble(1))
+    }
+    // rows 1 (ragged), 2 (null element), 3 (null input) must all be NULL
+    assert(rows.drop(1).forall(_.isNullAt(0)))
+    assert(!rows.head.isNullAt(0) && rows.head.getDouble(0) == 11.0)
+  }
+
   test("extension class wires the same builders for config-time use") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
