@@ -87,6 +87,14 @@ object SparkEntry {
     "q65_top_bigrams"      -> (TextStats.q65TopBigrams _),
     "q66_exact_variance"   -> (Relational.q66ExactVariance _),
     "q67_corr_powersums"   -> (Relational.q67CorrPowerSums _),
+    "q68_ngram_jaccard"    -> (Dedup.q68NgramJaccard _),
+    "q69_dedup_clusters"   -> (Dedup.q69DedupClusters _),
+    "q70_tfidf"            -> (TextStats.q70Tfidf _),
+    "q71_scd2_history"     -> (Events.q71Scd2History _),
+    "q72_window_nav"       -> (Relational.q72WindowNav _),
+    "q73_profile_columns"  -> (Relational.q73ProfileColumns _),
+    "q74_merge_apply"      -> (Egress.q74MergeApply _),
+    "q75_compaction"       -> (Egress.q75Compaction _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -919,5 +927,204 @@ object SparkEntry {
           AS corr_qty_price
       FROM s
       ORDER BY l_returnflag""",
+
+    "q68_ngram_jaccard" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      ix AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      rare AS (SELECT s FROM ix GROUP BY s HAVING COUNT(*) <= 20),
+      pruned AS (SELECT ix.doc_id, ix.s FROM ix JOIN rare USING (s)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pruned a
+        JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b,
+        CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN sh x ON x.doc_id = doc_a
+      JOIN sh y ON y.doc_id = doc_b
+      WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.6
+      ORDER BY doc_a, doc_b""",
+
+    // same MinHash edge set as q25, then connected components as a
+    // recursive transitive closure with min-reachable-id labels
+    "q69_dedup_clusters" -> """
+      WITH RECURSIVE words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+              UNION SELECT doc_b, doc_a FROM edges),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src)
+      SELECT label AS cluster, COUNT(*) AS n_docs, MAX(id) AS max_doc
+      FROM labels
+      GROUP BY label
+      ORDER BY cluster""",
+
+    "q70_tfidf" -> """
+      WITH w2 AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+              ' ', 'g')), ' ')) AS word
+          FROM documents) u
+        WHERE word <> ''),
+      df AS (
+        SELECT word, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, word FROM w2) d
+        GROUP BY word),
+      n AS (SELECT COUNT(*) AS n_total FROM documents),
+      tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf
+        FROM w2 WHERE doc_id < 20
+        GROUP BY doc_id, word),
+      scored AS (
+        SELECT doc_id, word, tf, df.df,
+          ROUND(CAST(tf AS DOUBLE)
+            * ln(CAST(n_total AS DOUBLE) / CAST(df.df AS DOUBLE)), 9)
+            AS score
+        FROM tf JOIN df USING (word) CROSS JOIN n)
+      SELECT doc_id, rn, word, tf, df, score FROM (
+        SELECT doc_id, word, tf, df, score,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, word ASC) AS INTEGER) AS rn
+        FROM scored) t
+      WHERE rn <= 3
+      ORDER BY doc_id, rn""",
+
+    "q71_scd2_history" -> """
+      SELECT user_id, event_id, tsx AS valid_from, valid_to, event_type,
+             value, CAST(valid_to IS NULL AS INTEGER) AS is_current
+      FROM (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+          lead(CAST(ts AS TIMESTAMP)) OVER (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to,
+          event_type, value
+        FROM events WHERE user_id < 30) t
+      ORDER BY user_id, valid_from, event_id""",
+
+    "q72_window_nav" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        lag(o_totalprice) OVER w AS prev_price,
+        lead(o_totalprice) OVER w AS next_price,
+        first_value(o_totalprice) OVER wf AS first_price,
+        last_value(o_totalprice) OVER wf AS last_price,
+        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        ROUND(percent_rank() OVER w, 9) AS pct_rank
+      FROM orders
+      WHERE o_custkey <= 100
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+             wf AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""",
+
+    "q73_profile_columns" -> """
+      WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+          COUNT(o_orderstatus) AS nn_st,
+          COUNT(DISTINCT o_orderstatus) AS nd_st,
+          MIN(o_orderstatus) AS min_st, MAX(o_orderstatus) AS max_st,
+          COUNT(o_orderpriority) AS nn_pr,
+          COUNT(DISTINCT o_orderpriority) AS nd_pr,
+          MIN(o_orderpriority) AS min_pr, MAX(o_orderpriority) AS max_pr,
+          COUNT(o_custkey) AS nn_ck, COUNT(DISTINCT o_custkey) AS nd_ck,
+          CAST(MIN(o_custkey) AS DOUBLE) AS min_ck,
+          CAST(MAX(o_custkey) AS DOUBLE) AS max_ck,
+          COUNT(o_totalprice) AS nn_tp,
+          COUNT(DISTINCT o_totalprice) AS nd_tp,
+          CAST(MIN(o_totalprice) AS DOUBLE) AS min_tp,
+          CAST(MAX(o_totalprice) AS DOUBLE) AS max_tp
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'o_orderstatus' AS col_name, n_rows,
+          n_rows - nn_st AS n_nulls, nd_st AS n_distinct,
+          CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+          min_st AS min_str, max_st AS max_str FROM s
+        UNION ALL
+        SELECT 'o_orderpriority', n_rows, n_rows - nn_pr, nd_pr,
+          NULL, NULL, min_pr, max_pr FROM s
+        UNION ALL
+        SELECT 'o_custkey', n_rows, n_rows - nn_ck, nd_ck,
+          min_ck, max_ck, NULL, NULL FROM s
+        UNION ALL
+        SELECT 'o_totalprice', n_rows, n_rows - nn_tp, nd_tp,
+          min_tp, max_tp, NULL, NULL FROM s) u
+      ORDER BY col_name""",
+
+    "q74_merge_apply" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_id < 1500),
+      base AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+      chg AS (
+        SELECT event_id, user_id, event_type, value + 1000 AS value,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM ev WHERE event_id % 3 = 0)
+      SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+        COALESCE(c.user_id, b.user_id) AS user_id,
+        COALESCE(c.event_type, b.event_type) AS event_type,
+        COALESCE(c.value, b.value) AS value,
+        CASE WHEN c.event_id IS NOT NULL THEN 'chg' ELSE 'base' END AS src
+      FROM base b FULL OUTER JOIN chg c ON b.event_id = c.event_id
+      WHERE COALESCE(c.op, '') <> 'D'
+      ORDER BY event_id""",
+
+    // oracle on the original parquet: the small-file + compaction
+    // cycle must preserve every row exactly
+    "q75_compaction" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        COUNT(DISTINCT doc_id) AS n_distinct_docs
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
   )
 }

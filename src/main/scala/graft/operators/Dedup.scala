@@ -117,6 +117,87 @@ object Dedup {
   def q26DedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
+  /** n-gram Jaccard dedup WITHOUT MinHash: candidates come from an
+    * inverted shingle index (docs sharing at least one rare shingle),
+    * then exact 2-gram Jaccard verifies. The document-frequency cap is
+    * what makes the index scale: a shingle occurring in more than
+    * `dfCap` docs (boilerplate) would contribute O(df²) candidate
+    * pairs, so it is dropped from the INDEX — the verify step still
+    * scores FULL shingle sets, so reported Jaccard values are exact.
+    * Recall contract: guaranteed for any pair sharing at least one
+    * sub-cap shingle; a dup cluster LARGER than the cap makes its own
+    * shingles common and hides its internal pairs — those are exactly
+    * the pairs exact dedup (q24) and MinHash banding (q25) still
+    * catch, which is why a production pipeline runs the tiers
+    * together rather than picking one. */
+  def q68NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, dir))
+    val ix = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // rare shingles only: df <= 20 bounds every index bucket
+    val rare = ix.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20)
+      .select(col("s"))
+    val pruned = ix.join(rare, "s")
+    val cand = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Connected components over an undirected edge list via min-label
+    * propagation: every node starts labeled with its own id; each round
+    * every node takes the minimum label among itself and its
+    * neighbors; stop when no label changed. Rounds = graph diameter —
+    * near-dup clusters are tiny and dense (diameter 1-3), so this
+    * converges in a couple of shuffles even at 100 TB corpus scale
+    * (for adversarial long-chain graphs, switch to large-star/
+    * small-star contraction, O(log n) rounds). `localCheckpoint`
+    * truncates the loop's lineage so plans don't grow per round. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("src", "dst").localCheckpoint()
+    val sym = e.union(e.select(col("dst"), col("src")))
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val next = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.label") < col("p.label"))
+        .isEmpty
+      labels = next
+    }
+    labels
+  }
+
+  /** Dedup clusters: connected components over the MinHash-verified
+    * near-dup pairs (q25), summarized per cluster. The canonical
+    * keep-one-copy step of a dedup pipeline — every cluster keeps its
+    * minimum doc_id (the cluster label). Oracle: DuckDB recursive CTE
+    * computing the same min-reachable-id labels over the same edges. */
+  def q69DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      minhashPairs(Tables.documents(spark, dir))
+        .select(col("doc_a"), col("doc_b")))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+      .orderBy(col("cluster"))
+
   /** Reusable core of q26 over any (doc_id, text) DataFrame. */
   def simhashPairs(documents: DataFrame): DataFrame = {
     val docs = documents

@@ -81,6 +81,87 @@ object Egress {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** MERGE semantics (CDC apply) composed from a full-outer join —
+    * WHEN MATCHED AND op='D' DELETE / WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT, the way an engine without a native MERGE builds
+    * it. The join shuffles both sides on the merge key once;
+    * change batches are usually tiny next to the base, so at scale
+    * the planner broadcasts the change side and the base never moves.
+    * Generic core + a catalog instance over `events` (base = even
+    * event_ids, changes = every third id, error rows become deletes).
+    * Caveat of the coalesce formulation: a NULL in a change column
+    * falls back to the base value (set-to-NULL updates need an
+    * explicit sentinel); fine for the non-null CDC payloads here.
+    */
+  def mergeApply(base: DataFrame, changes: DataFrame, key: String,
+      opCol: String): DataFrame = {
+    val dataCols = base.columns.filter(_ != key)
+    val b = base.as("b")
+    val c = changes.as("c")
+    b.join(c, col(s"b.$key") === col(s"c.$key"), "full_outer")
+      .filter(coalesce(col(s"c.$opCol"), lit("")) =!= "D")
+      .select(
+        coalesce(col(s"c.$key"), col(s"b.$key")).as(key) +:
+          dataCols.map(d =>
+            coalesce(col(s"c.$d"), col(s"b.$d")).as(d)): _*)
+  }
+
+  /** Catalog instance of mergeApply; `src` tags each surviving row
+    * with its provenance so the oracle checks the match logic, not
+    * just the survivor count. */
+  def q74MergeApply(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .filter(col("event_id") < 1500)
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val changes = ev.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + 1000)
+      .withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+    val chgKeys = changes.select(col("event_id").as("k"), lit(1).as("is_chg"))
+    mergeApply(base, changes, key = "event_id", opCol = "op")
+      .join(chgKeys, col("event_id") === col("k"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"),
+        when(col("is_chg").isNotNull, "chg").otherwise("base").as("src"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Small-file compaction — THE operational fix at 100 TB ingest: a
+    * directory of tiny files (here forced via repartition(64)) is
+    * rewritten into size-targeted files; output file count =
+    * ceil(bytes / target). Content equality is oracle-verified by the
+    * read-back aggregate; the file-count drop is asserted in spec.
+    * At scale this runs per partition-directory with the same
+    * size-listing + repartition(n) — no shuffle beyond the rewrite. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inDir), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nOut
+  }
+
+  def q75Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val small = tmpDir("q75_small_files")
+    val compacted = tmpDir("q75_compacted")
+    Tables.documents(spark, dir).repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(small)
+    compact(spark, small, compacted, targetBytes = 64L * 1024 * 1024)
+    spark.read.parquet(compacted)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("doc_id")).as("n_distinct_docs"))
+      .orderBy(col("lang"))
+  }
+
   /** Session-catalog table (the Glue-catalog role, SURVEY.md §1
     * "Downstream schema"): persist nation via saveAsTable, then query
     * it back through the catalog by name. The managed table lands in

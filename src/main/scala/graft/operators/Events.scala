@@ -70,6 +70,25 @@ object Events {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** SCD-2 history build (CDC): each user's event stream becomes a
+    * versioned history — valid_from = the event's ts, valid_to = the
+    * next event's ts (null while current), is_current flags the open
+    * row. One shuffle on user_id, one ordered pass per partition via
+    * lead(); the standard warehouse pattern for turning a change
+    * stream into point-in-time-queryable state. Complements q58
+    * (latest-wins keeps only the current row; SCD-2 keeps them all). */
+  def q71Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 30)
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("event_id"), col("ts").as("valid_from"),
+        col("valid_to"), col("event_type"), col("value"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   /** JSON property extraction from the `props` column: pull `$.k`,
     * aggregate per event type. Narrow JSON path evaluation inside
     * codegen — no UDF, no intermediate parse tree materialization. */

@@ -429,6 +429,71 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Window navigation functions in one pass: lead/lag, first/last
+    * value over the full partition frame, quartile bucket (ntile) and
+    * percent_rank — all share ONE window spec, so Spark plans a single
+    * sort+WindowExec (one shuffle on o_custkey). Explicit unbounded
+    * frame for last_value; the default running frame would return the
+    * current row. */
+  def q72WindowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 9).as("pct_rank"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** One-pass column profiling: per-column row/null/distinct counts
+    * and min/max, emitted as one row per column (the data-quality
+    * summary every ingest pipeline runs first). All statistics come
+    * from a single aggregate over one scan — the multi-distinct is
+    * planned via expand, still one pass over the data — then pivot to
+    * long form with a literal stack (no second scan). Numeric ranges
+    * stay DOUBLE and string ranges stay VARCHAR so no engine-specific
+    * float formatting enters the output. */
+  def q73ProfileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val strCols = Seq("o_orderstatus", "o_orderpriority")
+    val numCols = Seq("o_custkey", "o_totalprice")
+    val aggs = (strCols ++ numCols).flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"))
+    } ++ strCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } ++ numCols.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"))
+    }
+    val wide = o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // inline(array(named_struct(...))) rather than stack(): stack's
+    // type check compares struct FIELD names, which differ per column
+    val rows = (strCols.map(c =>
+      s"named_struct('col_name', '$c', 'n_nonnull', nn_$c, " +
+        s"'n_distinct', nd_$c, 'min_num', CAST(NULL AS DOUBLE), " +
+        s"'max_num', CAST(NULL AS DOUBLE), 'min_str', min_$c, " +
+        s"'max_str', max_$c)") ++
+      numCols.map(c =>
+        s"named_struct('col_name', '$c', 'n_nonnull', nn_$c, " +
+          s"'n_distinct', nd_$c, 'min_num', min_$c, 'max_num', max_$c, " +
+          s"'min_str', CAST(NULL AS STRING), " +
+          s"'max_str', CAST(NULL AS STRING))"))
+      .mkString(", ")
+    wide.selectExpr("n_rows", s"inline(array($rows))")
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("n_nonnull")).as("n_nulls"), col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
+  }
+
   /** The SQL-string entry point (EP3 parity): same engine, ANSI SQL text.
     * Proves the temp-view catalog + spark.sql path works end-to-end,
     * with the library's native functions registered by SQL name. */

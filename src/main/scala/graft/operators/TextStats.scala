@@ -143,6 +143,39 @@ object TextStats {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** TF-IDF: top-3 terms per document by tf·ln(N/df) for the probe
+    * docs (doc_id < 20), with document frequencies computed over the
+    * FULL corpus. Two shuffles — (doc, word) term counts and per-word
+    * document frequencies — joined on word; the df table is corpus-
+    * vocabulary-sized (small, broadcastable) while the tf side stays
+    * partitioned by doc. Scores round to 9 decimals to absorb the
+    * last-ulp difference between the engines' ln implementations. */
+  def q70Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val df = words.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val tf = words.filter(col("doc_id") < 20)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          log(col("n_total").cast("double") / col("df").cast("double")), 9))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("word"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   /** Content fingerprint per document: the minimum md5 over all 8-char
     * shingles of the normalized text (min-hash winnowing, k=1). Rolling
     * O(len) shingle set per row, no shuffle; md5 keeps it portable to

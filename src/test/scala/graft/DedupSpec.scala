@@ -61,4 +61,29 @@ class DedupSpec extends AnyFunSuite {
     assert(operators.Dedup.q24DedupExact(spark, sf).count() == 500)
     assert(operators.Dedup.q25DedupMinhash(spark, sf).count() > 0)
   }
+
+  test("connected components labels chains and keeps components apart") {
+    import spark.implicits._
+    // component A: 1-2-3-4 chain (diameter 3 forces >1 propagation
+    // round); component B: 10-11; node 20-20 self-edge stays alone
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("ngram jaccard inverted index finds the near-dup pairs") {
+    val out = operators.Dedup.q68NgramJaccard(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) >= 0.6))
+    // the tiers overlap where pairs share rare shingles; pairs inside
+    // dup clusters larger than the df cap are MinHash-only by design
+    // (see q68's recall contract), so assert overlap, not containment
+    val loose = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val minhash = operators.Dedup.q25DedupMinhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((minhash intersect loose).nonEmpty)
+  }
 }

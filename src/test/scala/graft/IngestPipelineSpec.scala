@@ -118,4 +118,34 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(!Pipeline.run(spark, mkTmp(), mkTmp(), mkTmp() + "/c",
       mkTmp() + "/o"))
   }
+
+  test("mergeApply inserts, updates, deletes on the key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "b2", 21.0, "U"), // update
+      (3L, "c", 30.0, "D"),  // delete
+      (4L, "d", 40.0, "U"))  // insert
+      .toDF("k", "s", "v", "op")
+    val out = operators.Egress.mergeApply(base, changes, "k", "op")
+      .orderBy(col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+  }
+
+  test("compact rewrites many small files into few size-targeted ones") {
+    import spark.implicits._
+    val in = mkTmp() + "/small"
+    val outDir = mkTmp() + "/compacted"
+    (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(32).write.parquet(in)
+    def parquetFiles(d: String) =
+      Files.list(Paths.get(d)).filter(_.toString.endsWith(".parquet")).count()
+    assert(parquetFiles(in) == 32)
+    val n = operators.Egress.compact(spark, in, outDir, 64L * 1024 * 1024)
+    assert(n == 1 && parquetFiles(outDir) == 1)
+    assert(spark.read.parquet(outDir).count() == 1000)
+  }
 }
