@@ -43,13 +43,19 @@ object Dedup {
     * The corpus arrives as few large files, so the scan alone may give
     * one partition per file; the sketches below are CPU-bound per row,
     * so spread rows over all cores first (the exchange moves only
-    * doc_id+text — negligible next to the hashing it parallelizes). */
+    * doc_id+text — negligible next to the hashing it parallelizes).
+    * Materialized once (localCheckpoint): every consumer joins the
+    * shingle table 2-4 times (signature/index build + per-side
+    * verify), and recomputing the shingling per consumer would
+    * dominate. At cluster scale this is "write the sketch table to
+    * parquet once, join it many times". */
   private def shingled(docs: DataFrame): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), expr(shingleSql).as("sh"))
+      .localCheckpoint()
 
   /** Exact dedup: every row keyed by content fingerprint; keep the lowest
     * doc_id per group. One hash-aggregate shuffle on the fingerprint —
