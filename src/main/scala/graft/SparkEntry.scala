@@ -95,6 +95,7 @@ object SparkEntry {
     "q73_profile_columns"  -> (Relational.q73ProfileColumns _),
     "q74_merge_apply"      -> (Egress.q74MergeApply _),
     "q75_compaction"       -> (Egress.q75Compaction _),
+    "q76_asof_native"      -> (graft.plans.NativeAsOf.q76AsofNative _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1126,5 +1127,21 @@ object SparkEntry {
       FROM documents
       GROUP BY lang
       ORDER BY lang""",
+
+    // identical semantics to q51, executed by the custom
+    // AsOfJoinExec physical operator instead of the union+window plan
+    "q76_asof_native" -> """
+      WITH s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS sts
+                 FROM events WHERE event_type = 'signup'),
+      e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   event_type
+            FROM events)
+      SELECT event_type, COUNT(*) AS n_events,
+        COUNT(sts) AS n_with_signup,
+        MAX(epoch_us(ts) - epoch_us(sts)) AS max_lag_us
+      FROM e ASOF LEFT JOIN s
+        ON e.user_id = s.user_id AND e.ts >= s.sts
+      GROUP BY event_type
+      ORDER BY event_type""",
   )
 }

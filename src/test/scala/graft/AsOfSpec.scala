@@ -61,4 +61,49 @@ class AsOfSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("NestedLoop"), plan.take(2000))
   }
+
+  test("native as-of join matches the composed union+window formulation") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(10), "a"), (1L, ts(20), "b"), (1L, ts(35), "c"),
+      (1L, ts(45), "d"), (2L, ts(100), "e"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(20)), (1L, ts(40)), (4L, ts(1)))
+      .toDF("user_id", "ts")
+    import org.apache.spark.sql.functions.col
+    val native = plans.NativeAsOf.asofJoin(left, right, "user_id", "ts")
+      .orderBy("user_id", "ts").collect()
+      .map(r => (r.getAs[String]("tag"),
+        Option(r.getAs[Timestamp]("asof_ts")).map(_.getTime))).toSeq
+    val composed = AsOf.asofJoin(left, right, "user_id", "ts")
+      .orderBy("user_id", "ts").collect()
+      .map(r => (r.getAs[String]("tag"),
+        Option(r.getAs[Timestamp]("asof_ts")).map(_.getTime))).toSeq
+    assert(native == composed)
+    assert(native == Seq(
+      ("a", None), ("b", Some(ts(20).getTime)), ("c", Some(ts(20).getTime)),
+      ("d", Some(ts(40).getTime)), ("e", None)))
+  }
+
+  test("native as-of plans AsOfJoinExec and agrees on testdata") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val signups = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    val df = plans.NativeAsOf.asofJoin(events, signups, "user_id", "ts")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"), phys.take(2000))
+    // each side shuffles independently on its own key — two exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(phys).length == 2,
+      phys.take(2000))
+    val native = df
+      .groupBy(col("user_id")).agg(count(col("asof_ts")).as("n"))
+      .orderBy(col("user_id")).collect().toSeq
+    val composed = AsOf.asofJoin(events, signups, "user_id", "ts")
+      .groupBy(col("user_id")).agg(count(col("asof_ts")).as("n"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(native == composed)
+  }
 }
