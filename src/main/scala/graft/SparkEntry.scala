@@ -96,6 +96,9 @@ object SparkEntry {
     "q74_merge_apply"      -> (Egress.q74MergeApply _),
     "q75_compaction"       -> (Egress.q75Compaction _),
     "q76_asof_native"      -> (graft.plans.NativeAsOf.q76AsofNative _),
+    "q77_unpivot"          -> (Relational.q77Unpivot _),
+    "q78_nested_arrays"    -> (Relational.q78NestedArrays _),
+    "q79_date_parsing"     -> (Relational.q79DateParsing _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1143,5 +1146,39 @@ object SparkEntry {
         ON e.user_id = s.user_id AND e.ts >= s.sts
       GROUP BY event_type
       ORDER BY event_type""",
+
+    // pivot → unpivot round trip equals the plain long-form group-by
+    "q77_unpivot" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+      ORDER BY o_orderstatus, o_orderpriority""",
+
+    "q78_nested_arrays" -> """
+      SELECT o_custkey,
+        CAST(len(l) AS INTEGER) AS n_orders,
+        l[1] AS top1,
+        list_reduce(l[1:3], (acc, x) -> acc + x) AS top3_sum
+      FROM (
+        SELECT o_custkey,
+          list_sort(list(o_totalprice), 'DESC') AS l
+        FROM orders GROUP BY o_custkey) t
+      ORDER BY o_custkey""",
+
+    "q79_date_parsing" -> """
+      SELECT o_orderkey,
+        strftime(o_orderdate, '%Y-%m-%d') AS dstr,
+        strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS parsed,
+        strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY,
+          '%Y-%m-%d') AS plus30,
+        strftime(date_trunc('month', CAST(o_orderdate AS DATE)),
+          '%Y-%m-%d') AS month_start,
+        strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+          AS month_end,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE),
+          DATE '1998-12-31') AS BIGINT) AS days_to_end
+      FROM orders
+      WHERE o_orderkey < 2000
+      ORDER BY o_orderkey""",
   )
 }

@@ -494,6 +494,65 @@ object Relational {
       .orderBy(col("col_name"))
   }
 
+  /** Pivot + unpivot round trip: the q49-style cross-tab melted back
+    * to long form with `Dataset.unpivot` (ANSI UNPIVOT). Empty cells
+    * (null after pivot) are dropped so the long form equals the plain
+    * group-by the oracle runs. Reshaping is projection-only on top of
+    * one aggregation shuffle. */
+  def q77Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+      "5-LOW")
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+      .unpivot(Array(col("o_orderstatus")), prios.map(col).toArray,
+        "o_orderpriority", "n")
+      .filter(col("n").isNotNull)
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
+  /** Nested-array processing: per customer, collect order totals,
+    * sort descending, slice the top 3 and fold them to a sum — the
+    * collect_list / sort_array / slice / aggregate higher-order
+    * pipeline for array columns. collect_list alone is order-
+    * nondeterministic; sort_array immediately canonicalizes it, and
+    * the fold then runs in a fixed order, so the double sum is
+    * bit-reproducible. One shuffle on the group key; arrays stay
+    * bounded by orders-per-customer. */
+  def q78NestedArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(collect_list(col("o_totalprice")).as("prices"))
+      .select(col("o_custkey"),
+        size(col("prices")).as("n_orders"),
+        expr("sort_array(prices, false)[0]").as("top1"),
+        expr("aggregate(slice(sort_array(prices, false), 1, 3), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("top3_sum"))
+      .orderBy(col("o_custkey"))
+
+  /** Date parsing and arithmetic: format → parse round trip,
+    * day offsets, month truncation/end, day difference — the
+    * ingest-side timestamp toolkit (reference's date columns are
+    * dropped at cleanse; this is the surface a real feed needs).
+    * All derived dates render as strings so both engines compare
+    * calendar values, not epoch encodings. */
+  def q79DateParsing(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("o_orderdate").cast("date")
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dstr"),
+        to_timestamp(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+          "yyyy-MM-dd").as("parsed"),
+        date_format(date_add(d, 30), "yyyy-MM-dd").as("plus30"),
+        date_format(trunc(d, "month"), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+        datediff(lit("1998-12-31").cast("date"), d).cast("long")
+          .as("days_to_end"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** The SQL-string entry point (EP3 parity): same engine, ANSI SQL text.
     * Proves the temp-view catalog + spark.sql path works end-to-end,
     * with the library's native functions registered by SQL name. */
