@@ -99,6 +99,7 @@ object SparkEntry {
     "q77_unpivot"          -> (Relational.q77Unpivot _),
     "q78_nested_arrays"    -> (Relational.q78NestedArrays _),
     "q79_date_parsing"     -> (Relational.q79DateParsing _),
+    "q80_salted_join"      -> (Scale.q80SaltedJoin _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1180,5 +1181,13 @@ object SparkEntry {
       FROM orders
       WHERE o_orderkey < 2000
       ORDER BY o_orderkey""",
+
+    // plain join: the salted formulation must be salt-invariant
+    "q80_salted_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
   )
 }

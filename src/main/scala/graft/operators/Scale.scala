@@ -96,4 +96,38 @@ object Scale {
     saltedCount(Tables.orders(spark, dir),
       key = "o_orderpriority", saltSource = "o_orderkey", nSalts = 16)
       .orderBy(col("o_orderpriority"))
+
+  /** Salted skew JOIN (q47 is the aggregation variant): the fact side
+    * gets a deterministic salt, the dimension side is replicated once
+    * per salt value, and the join key becomes (key, salt) — a hot key
+    * spreads over nSalts reducer partitions instead of melting one.
+    * Replication costs nSalts × |dim|, which is why this applies to
+    * fact⋈dim skew; fact⋈fact skew wants AQE's runtime splitting.
+    * Result is provably salt-invariant, which the oracle (plain join)
+    * verifies. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltSource: String, nSalts: Int): DataFrame = {
+    val f = fact.withColumn("salt",
+      pmod(hash(col(saltSource)), lit(nSalts)))
+    val d = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    // salting matters only on the shuffle path — pin a shuffled hash
+    // join so the plan actually exchanges on (key, salt); if the dim
+    // fits a broadcast there is no shuffle and no skew to fix
+    f.join(d.hint("shuffle_hash"), Seq(key, "salt")).drop("salt")
+  }
+
+  def q80SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        col("o_totalprice"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    saltedJoin(orders, cust, key = "c_custkey",
+      saltSource = "o_orderkey", nSalts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

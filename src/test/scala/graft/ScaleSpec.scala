@@ -38,4 +38,23 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("salt"), plan.take(3000))
   }
+
+  test("salted join shuffles on (key, salt), not key alone") {
+    val df = Scale.q80SaltedJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+    // the join-side exchanges must carry both the key and the salt
+    assert("hashpartitioning\\(c_custkey[^)]*salt".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+    // and salting must not change the result
+    val direct = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .groupBy("c_mktsegment").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == direct)
+  }
 }
