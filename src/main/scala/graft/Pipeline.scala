@@ -1,9 +1,11 @@
 package graft
 
-import java.nio.file.Path
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.functions.Cols.dsum
 import graft.operators.Cleanse
 import graft.sources.Ingest
 
@@ -62,16 +64,67 @@ object Pipeline {
   /** Run the full pipeline over directory zones. Returns true when a
     * file was processed, false when the input zone was empty. */
   def run(spark: SparkSession, inputDir: String, stagingDir: String,
-      cleanDir: String, outDir: String, retries: Int = 1): Boolean =
+      cleanDir: String, outDir: String, retries: Int = 1,
+      cleanse: DataFrame => DataFrame = Cleanse.cleanseTitles): Boolean =
     retry(retries) {
       extract(inputDir, stagingDir) match {
         case None => false
         case Some(staged) =>
-          transform(spark, staged, cleanDir)
+          transform(spark, staged, cleanDir, cleanse)
           load(spark, cleanDir, outDir)
           true
       }
     }
+
+  /** Land `df` as ONE named .csv file (the reference's input shape:
+    * single files in a drop directory, `etl/extract.py:10`). Spark
+    * writes a part-file directory; the driver moves the single part
+    * into place — file staging is coordinator work by design. */
+  private def writeSingleCsv(df: DataFrame, dir: String,
+      fileName: String): Unit = {
+    val scratch = s"$dir/_scratch_$fileName"
+    Ingest.writeCsv(df, scratch, singleFile = true)
+    val part = Ingest.latestFile(scratch, "part-*.csv")
+      .getOrElse(sys.error(s"no part file under $scratch"))
+    Files.createDirectories(Paths.get(dir))
+    Files.move(part, Paths.get(dir, fileName),
+      StandardCopyOption.REPLACE_EXISTING)
+    // remove the scratch dir (part file already moved out)
+    org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(scratch), true)
+  }
+
+  /** Catalog query: the staged pipeline end-to-end (O1+O2+O3 → O21 →
+    * O22+O23 → O27 retry envelope), oracle-verified by read-back. The
+    * input zone holds TWO dated drops — an older decoy (half the rows)
+    * and the current full dump; the latest-file pick must choose the
+    * newer one or the aggregate hash fails. The final aggregate runs
+    * over the pipeline's CSV out-zone but must match the oracle on the
+    * ORIGINAL customer parquet: any staging/quoting/inference drift in
+    * extract→transform→load corrupts the hash. */
+  def q84PipelineStaged(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${sys.props("user.dir")}/target/tmp/q84_pipeline"
+    val (input, staging, clean, out) =
+      (s"$base/input", s"$base/staging", s"$base/clean", s"$base/out")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    writeSingleCsv(cust.filter(col("c_custkey") % 2 === 0),
+      input, "customer_2020.csv") // stale decoy: must NOT be picked
+    writeSingleCsv(cust, input, "customer_2024.csv")
+    val processed = run(spark, input, staging, clean, out,
+      cleanse = df => df.filter(col("c_acctbal").isNotNull))
+    require(processed, s"pipeline found no input under $input")
+    Ingest.readCsv(spark, out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        dsum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(inputDir, stagingDir, cleanDir, outDir) = args

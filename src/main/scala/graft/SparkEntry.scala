@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, Multimodal, Relational, Sampling, Scale, Similarity, TextStats}
-import graft.streaming.{StreamJoin, StreamingWindows}
+import graft.streaming.{StreamDedup, StreamJoin, StreamSessions, StreamSink, StreamingWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,6 +100,14 @@ object SparkEntry {
     "q78_nested_arrays"    -> (Relational.q78NestedArrays _),
     "q79_date_parsing"     -> (Relational.q79DateParsing _),
     "q80_salted_join"      -> (Scale.q80SaltedJoin _),
+    "q81_stream_dedup"     -> (StreamDedup.q81StreamDedup _),
+    "q82_stream_sessions"  -> (StreamSessions.q82StreamSessions _),
+    "q83_stream_sink"      -> (StreamSink.q83StreamSinkRoundtrip _),
+    "q84_pipeline_staged"  -> (graft.Pipeline.q84PipelineStaged _),
+    "q85_global_index"     -> (Scale.q85GlobalIndex _),
+    "q86_map_props"        -> (Events.q86MapProps _),
+    "q87_vector_norm"      -> (Similarity.q87VectorNorm _),
+    "q88_approx_percentiles" -> (Relational.q88ApproxPercentiles _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -120,6 +128,9 @@ object SparkEntry {
     // runs through the typed mapPartitions decode stub — JVM-side
     // logic DuckDB can't mirror; the metadata twin q43 is oracled.
     "q44_media_features",
+    // GK-sketch percentiles are approximate by design; the exact
+    // oracle-checked twin is q48_percentiles (error bounded in spec).
+    "q88_approx_percentiles",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1181,6 +1192,112 @@ object SparkEntry {
       FROM orders
       WHERE o_orderkey < 2000
       ORDER BY o_orderkey""",
+
+    // the surviving fingerprint SET equals exact batch dedup; which
+    // copy survives is arrival-dependent, so only the set is compared
+    "q81_stream_dedup" -> """
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ',
+        'g'))) AS fp
+      FROM documents
+      ORDER BY fp""",
+
+    // sessions CLOSED during the AvailableNow drain: every non-final
+    // session per user (closed inline by gap exceedance) plus final
+    // sessions old enough that the post-drain watermark (max_ts - 30m
+    // delay) passed last_event + 30m gap and fired the event-time
+    // timeout. Validated as an exact set match against the stream.
+    "q82_stream_sessions" -> """
+      WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+          lag(CAST(ts AS TIMESTAMP)) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, tsx,
+          CASE WHEN prev_ts IS NULL
+                    OR epoch_us(tsx) - epoch_us(prev_ts) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM ordered),
+      sess AS (
+        SELECT user_id, tsx,
+          SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY tsx, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      agg AS (
+        SELECT user_id, sid, COUNT(*) AS n_events,
+          epoch_us(MIN(tsx)) AS session_start_us,
+          epoch_us(MAX(tsx)) AS last_us,
+          CAST(epoch_us(MAX(tsx)) - epoch_us(MIN(tsx)) AS DOUBLE)
+            / 1000000.0 AS duration_sec,
+          sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
+        FROM sess GROUP BY user_id, sid),
+      mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS m FROM events)
+      SELECT user_id, session_start_us, n_events, duration_sec
+      FROM agg, mx
+      WHERE (NOT is_last) OR (last_us + 1800000000 < m - 1800000000)
+      ORDER BY user_id, session_start_us""",
+
+    // foreachBatch parquet landing must equal the batch window counts
+    "q83_stream_sink" -> """
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    // oracle on the ORIGINAL parquet: the staged extract→transform→
+    // load cycle (latest-file pick included) must reproduce it
+    "q84_pipeline_staged" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+        COUNT(DISTINCT c_nationkey) AS n_nations,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_acctbal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    // distributed two-phase ranking must equal the single-sequence
+    // ROW_NUMBER over the same total order
+    "q85_global_index" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+          AS rank
+      FROM orders
+      ORDER BY rank""",
+
+    "q86_map_props" -> """
+      WITH kv AS (
+        SELECT event_type, unnest(json_keys(props)) AS key, props
+        FROM events)
+      SELECT event_type, key, COUNT(*) AS n,
+        MIN(CAST(json_extract_string(props, '$.' || key) AS INTEGER))
+          AS min_v,
+        MAX(CAST(json_extract_string(props, '$.' || key) AS INTEGER))
+          AS max_v,
+        COUNT(DISTINCT CAST(json_extract_string(props, '$.' || key)
+          AS INTEGER)) AS distinct_v
+      FROM kv
+      GROUP BY event_type, key
+      ORDER BY event_type, key""",
+
+    "q87_vector_norm" -> """
+      SELECT vec_id,
+        CAST(len(embedding) AS INTEGER) AS dim,
+        sqrt(list_reduce(list_transform(range(1, 65),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+          (x, y) -> x + y)) AS l2_norm,
+        list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))) AS max_abs,
+        CAST(embedding[1] AS DOUBLE)
+          / sqrt(list_reduce(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE)
+                 * CAST(embedding[i] AS DOUBLE)),
+            (x, y) -> x + y)) AS unit_first
+      FROM embeddings
+      ORDER BY vec_id""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

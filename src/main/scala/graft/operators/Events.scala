@@ -101,4 +101,24 @@ object Events {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"),
         countDistinct(col("k")).as("distinct_k"))
       .orderBy(col("event_type"))
+
+  /** MapType surface: parse `props` into a map<string,int> with
+    * `from_json`, explode it to (key, value) pairs, and aggregate per
+    * (event_type, key). Exercises map construction, map_keys/size
+    * predicates, and map explosion — all codegen-friendly narrow ops;
+    * the only shuffle is the final low-cardinality aggregation. */
+  def q86MapProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)).as("m"))
+      .filter(size(map_keys(col("m"))) > 0)
+      .select(col("event_type"), explode(col("m")).as(Seq("key", "value")))
+      .groupBy(col("event_type"), col("key"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+        countDistinct(col("value")).as("distinct_v"))
+      .orderBy(col("event_type"), col("key"))
 }

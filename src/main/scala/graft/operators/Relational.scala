@@ -283,6 +283,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
 
+  /** Approximate percentiles via the GK sketch — the 100 TB path: the
+    * exact `percentile` buffers every value per group, the sketch is
+    * O(1/accuracy) memory and merges associatively (map-side partial),
+    * so the shuffle carries sketches, not data. Sketch internals are
+    * engine-specific → rows-only; q48 is the oracle-checked exact twin
+    * and RelationalSpec bounds the error against it. */
+  def q88ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("p50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90"),
+        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** Pivot (reporting cross-tab): order counts by status × priority.
     * Explicit pivot values keep the plan a single pass (no distinct
     * pre-query) and the output schema stable; missing combinations are

@@ -130,4 +130,33 @@ object Scale {
         dsum(col("o_totalprice")).as("total"))
       .orderBy(col("c_mktsegment"))
   }
+
+  /** Distributed global row numbering — contiguous 1-based ranks in a
+    * total order WITHOUT collapsing to one partition. A bare
+    * `row_number() OVER (ORDER BY ...)` plans a SinglePartition
+    * exchange: one task sorts everything, the classic 100 TB killer.
+    * Instead: range-repartition on the sort key (each partition owns a
+    * contiguous key range), sort within partitions, then zipWithIndex
+    * assigns offsets from a lightweight per-partition count job — two
+    * passes, no second shuffle, every task bounded. The sort key must
+    * be a total order (tie-break on a unique column) or ranks within
+    * ties would be partition-placement-dependent. */
+  def globalIndex(df: DataFrame,
+      sortExprs: org.apache.spark.sql.Column*): DataFrame = {
+    val spark = df.sparkSession
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(nParts, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
+    }
+    spark.createDataFrame(indexed, sorted.schema
+      .add("rank", org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  def q85GlobalIndex(spark: SparkSession, dir: String): DataFrame =
+    globalIndex(
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      col("o_totalprice").desc, col("o_orderkey").asc)
 }

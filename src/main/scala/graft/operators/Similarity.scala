@@ -201,6 +201,27 @@ object Similarity {
       .filter(col("cosine") >= 0.45)
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Per-vector feature extraction — the narrow, shuffle-free pass
+    * every embedding pipeline runs before indexing: dimensionality,
+    * L2 norm (via the native dot expression), max |component|, and the
+    * first component of the L2-normalized vector. Everything stays in
+    * one WholeStageCodegen stage over the scan; at 100 TB this is a
+    * pure map with no exchange at all (the output sort exists only for
+    * the oracle compare). */
+  def q87VectorNorm(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val l2 = sqrt(dot(col("embedding"), col("embedding")))
+    e.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        l2.as("l2_norm"),
+        array_max(transform(col("embedding"),
+          x => abs(x.cast("double")))).as("max_abs"),
+        (element_at(col("embedding"), 1).cast("double") / l2)
+          .as("unit_first"))
+      .orderBy(col("vec_id"))
+  }
 }
 
 /** Typed top-k aggregator: keeps the k best (cosine desc, vec_id asc)

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
 
 import graft.functions.Cols
 
@@ -26,4 +28,38 @@ object StreamDedup {
       .withColumn("fp", Cols.fingerprint(F.col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Catalog query: stream `documents`, dedup by content fingerprint.
+    * Arrival time is synthesized from doc_id (one µs apart, offset
+    * well past epoch 0 — the stream's initial watermark — so no row is
+    * dropped as late), putting every duplicate inside the 1-hour
+    * watermark: the surviving SET of fingerprints equals exact batch
+    * dedup (q24). Which copy survives depends on arrival interleaving
+    * — inherent to streaming first-wins — so the query emits only the
+    * fingerprint set, which is interleaving-invariant and
+    * oracle-checkable. */
+  def q81StreamDedup(spark: SparkSession, dir: String): DataFrame =
+    StreamingWindows.withStreamPartitions(spark) {
+      val src = spark.readStream
+        .schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .withColumn("ts",
+          F.timestamp_micros(F.col("doc_id") + F.lit(1700000000000000L)))
+      val deduped = dedupStream(src, "1 hour").select("fp")
+      val name = "graft_stream_dedup_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val result = spark.table(name).orderBy("fp")
+      StreamingWindows.materializeAndDrop(spark, name, result)
+    }
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** One event on the wire (ts in epoch micros). */
 case class SessionEvent(user_id: Long, ts_us: Long, event_id: Long)
@@ -77,4 +77,34 @@ object StreamSessions {
           }
       }
   }
+
+  /** Catalog query: stateful sessionization over the `events` stream.
+    * The AvailableNow drain processes the file in one data batch, so
+    * the deterministic output is every session CLOSED while draining:
+    * sessions followed by a later same-user event (closed inline by
+    * gap-exceedance) plus, if the engine runs a no-data batch after
+    * the watermark advances, timed-out sessions old enough that
+    * last_event + gap < max_ts - watermark_delay. Both sets are pure
+    * functions of the data, so the result stays oracle-checkable. */
+  def q82StreamSessions(spark: SparkSession, dir: String): DataFrame =
+    StreamingWindows.withStreamPartitions(spark) {
+      import spark.implicits._
+      val src = spark.readStream
+        .schema(StreamingWindows.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"))
+        .as[SessionEvent]
+      val sessions = sessionize(src)
+      val name = "graft_stream_sessions_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = sessions.toDF().writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val result = spark.table(name)
+        .orderBy("user_id", "session_start_us")
+      StreamingWindows.materializeAndDrop(spark, name, result)
+    }
 }

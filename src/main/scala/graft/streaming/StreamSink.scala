@@ -39,4 +39,21 @@ object StreamSink {
       .start()
     query.awaitTermination()
   }
+
+  /** Catalog query: the foreachBatch egress verified by read-back —
+    * stream → window counts → batch parquet writer → read the landed
+    * files and hash-compare against the batch oracle. The zone is
+    * recreated per run (fresh checkpoint) so the drain always
+    * reprocesses the current input instead of replaying an old
+    * checkpoint against changed data. */
+  def q83StreamSinkRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    StreamingWindows.withStreamPartitions(spark) {
+      val out = s"${sys.props("user.dir")}/target/tmp/q83_stream_sink"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true)
+      windowCountsToParquet(spark, dir, out)
+      spark.read.parquet(s"$out/data")
+        .orderBy("win_start", "event_type")
+    }
 }

@@ -28,6 +28,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles track the exact sketch-free twin") {
+    val exact = operators.Relational.q48Percentiles(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    operators.Relational.q88ApproxPercentiles(spark, sf)
+      .collect().foreach { r =>
+        val (p50, p90, p99) = exact(r.getString(0))
+        // the sketch is rank-exact at this size; the residual is
+        // interpolation (exact percentile) vs nearest data value
+        // (approx), so the bound reflects value gaps, not sketch error
+        assert(math.abs(r.getDouble(1) - p50) / p50 < 0.05)
+        assert(math.abs(r.getDouble(2) - p90) / p90 < 0.05)
+        assert(math.abs(r.getDouble(3) - p99) / p99 < 0.05)
+      }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -57,4 +57,28 @@ class ScaleSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(salted == direct)
   }
+
+  test("global index matches single-sequence row_number without a " +
+      "single-partition sort") {
+    import org.apache.spark.sql.functions._
+    val df = Scale.q85GlobalIndex(spark, sf)
+    // two-phase plan: range repartition feeds the sort — nothing may
+    // collapse to one partition
+    val plan = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(4, col("o_totalprice").desc, col("o_orderkey"))
+      .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    val got = df.select("o_orderkey", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        row_number().over(w).cast("long").as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
 }

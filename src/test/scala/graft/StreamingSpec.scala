@@ -86,6 +86,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("catalog stream dedup keeps exactly the batch fingerprint set") {
+    val streamed = graft.streaming.StreamDedup.q81StreamDedup(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    val batch = graft.operators.Dedup.q24DedupExact(spark, sf)
+      .select("fp").collect().map(_.getString(0)).toSet
+    assert(streamed == batch)
+  }
+
+  test("catalog stream sessions are a subset of batch sessions and " +
+      "cover every non-final one") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamSessions.q82StreamSessions(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batchDf = Events.q38Sessionize(spark, sf)
+    val batch = batchDf
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        col("n_events"), col("duration_sec"), col("session_id"))
+      .collect()
+    val batchSet = batch
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed.subsetOf(batchSet))
+    // all-but-last per user must have been closed inline by the drain
+    val lastSid = batch.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(4)).max).toMap
+    val nonFinal = batch
+      .filter(r => r.getLong(4) < lastSid(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(nonFinal.subsetOf(streamed))
+  }
+
   test("batch sessionize conserves events and orders sessions") {
     val df = Events.q38Sessionize(spark, sf)
     val total = df.agg(org.apache.spark.sql.functions.sum("n_events"))
