@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, Multimodal, Relational, Sampling, Scale, Similarity, TextStats}
+import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, ModernSql, Multimodal, Relational, Sampling, Scale, Similarity, TextStats}
 import graft.streaming.{StreamDedup, StreamJoin, StreamSessions, StreamSink, StreamingWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -108,6 +108,14 @@ object SparkEntry {
     "q86_map_props"        -> (Events.q86MapProps _),
     "q87_vector_norm"      -> (Similarity.q87VectorNorm _),
     "q88_approx_percentiles" -> (Relational.q88ApproxPercentiles _),
+    "q89_recursive_calendar" -> (ModernSql.q89RecursiveCalendar _),
+    "q90_variant_props"    -> (ModernSql.q90VariantProps _),
+    "q91_hll_rollup"       -> (ModernSql.q91HllRollup _),
+    "q92_listagg"          -> (ModernSql.q92ListAgg _),
+    "q93_regr_stats"       -> (ModernSql.q93RegrStats _),
+    "q94_collation"        -> (ModernSql.q94Collation _),
+    "q95_xml_parse"        -> (ModernSql.q95XmlParse _),
+    "q96_incremental_rollup" -> (Egress.q96IncrementalRollup _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -131,6 +139,9 @@ object SparkEntry {
     // GK-sketch percentiles are approximate by design; the exact
     // oracle-checked twin is q48_percentiles (error bounded in spec).
     "q88_approx_percentiles",
+    // HLL sketch estimates are engine-specific; the exact twin is a
+    // plain distinct count (error bounded in spec vs countDistinct).
+    "q91_hll_rollup",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1298,6 +1309,86 @@ object SparkEntry {
             (x, y) -> x + y)) AS unit_first
       FROM embeddings
       ORDER BY vec_id""",
+
+    "q89_recursive_calendar" -> """
+      WITH RECURSIVE bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS mn,
+               CAST(MAX(o_orderdate) AS DATE) AS mx
+        FROM orders),
+      months (m, mn0, mx) AS (
+        SELECT CAST(date_trunc('month', mn) AS DATE), mn, mx FROM bounds
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), mn0, mx FROM months
+        WHERE m + INTERVAL 1 MONTH <= mx),
+      cal AS (
+        SELECT unnest(generate_series(greatest(m, mn0),
+          least(CAST(last_day(m) AS DATE), mx), INTERVAL 1 DAY)) AS d
+        FROM months),
+      order_days AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS od FROM orders)
+      SELECT CAST(year(d) AS INTEGER) AS yr,
+        CAST(month(d) AS INTEGER) AS mon,
+        COUNT(*) AS n_days,
+        CAST(SUM(CASE WHEN od IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_gap_days
+      FROM cal LEFT JOIN order_days ON d = od
+      GROUP BY year(d), month(d)
+      ORDER BY yr, mon""",
+
+    "q90_variant_props" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER))
+          AS BIGINT) AS sum_k,
+        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    "q92_listagg" -> """
+      SELECT r_name, COUNT(*) AS n_nations,
+        string_agg(n_name, ',' ORDER BY n_name) AS members
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
+
+    "q93_regr_stats" -> """
+      SELECT l_returnflag,
+        CAST(regr_count(y, x) AS BIGINT) AS n,
+        ROUND(regr_slope(y, x), 6) AS slope,
+        ROUND(regr_intercept(y, x), 6) AS intercept,
+        ROUND(regr_r2(y, x), 6) AS r2
+      FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+            FROM lineitem) t
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q94_collation" -> """
+      SELECT MIN(l) AS lang_repr, COUNT(*) AS n
+      FROM (SELECT lang AS l FROM documents
+            UNION ALL SELECT upper(lang) FROM documents) t
+      GROUP BY lower(l)
+      ORDER BY lang_repr""",
+
+    // oracle on the original columns: the XML serialize→parse cycle
+    // must be lossless
+    "q95_xml_parse" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        COUNT(DISTINCT doc_id) AS n_distinct_docs
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    // full recompute: merged partials must equal it exactly
+    "q96_incremental_rollup" -> """
+      SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY o_orderpriority, yr""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

@@ -162,6 +162,37 @@ object Egress {
       .orderBy(col("lang"))
   }
 
+  /** Incremental rollup maintenance — how a 100 TB daily aggregate is
+    * kept current WITHOUT rescanning history: the state zone stores
+    * per-(priority, year) partial sums as exact decimals; a new ingest
+    * batch contributes its own partials; merging is just re-summing
+    * the associative partials. Here the orders table is split into a
+    * "history" batch (materialized to the state zone) and a "new"
+    * batch; the merged rollup must hash-match the oracle's full
+    * recompute over everything — proving partial+merge ≡ recompute. */
+  def q96IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val stateZone = tmpDir("q96_rollup_state")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        year(col("o_orderdate")).as("yr"), col("o_totalprice"))
+    def partials(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("o_orderpriority"), col("yr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("partial_total"))
+    // history batch → persisted state (the standing rollup). Split on
+    // key parity so BOTH batches hit every (priority, year) group —
+    // the merge genuinely combines overlapping partials.
+    partials(orders.filter(col("o_orderkey") % 2 === 0))
+      .write.mode(SaveMode.Overwrite).parquet(stateZone)
+    // new batch arrives: merge its partials with the stored state
+    spark.read.parquet(stateZone)
+      .unionByName(partials(orders.filter(col("o_orderkey") % 2 === 1)))
+      .groupBy(col("o_orderpriority"), col("yr"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("partial_total")).cast("double").as("total"))
+      .orderBy(col("o_orderpriority"), col("yr"))
+  }
+
   /** Session-catalog table (the Glue-catalog role, SURVEY.md §1
     * "Downstream schema"): persist nation via saveAsTable, then query
     * it back through the catalog by name. The managed table lands in

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+
+/** Modern SQL surface (Spark 4.x): recursive CTEs, the VARIANT type
+  * for semi-structured data, mergeable HLL sketches, ordered string
+  * aggregation, built-in linear-regression aggregates, case-insensitive
+  * collations, and XML parsing. Each is a verified catalog query —
+  * these are the capabilities an Athena-replacement engine is expected
+  * to answer in plain SQL.
+  */
+object ModernSql {
+
+  /** Recursive CTE: build the calendar dimension between the first
+    * and last order date, left-join daily order activity, report
+    * per-month coverage vs gap days. Shape matters: the RECURSION
+    * walks months (bounded, ~1 level per month — each level is a tiny
+    * driver-side step), and day expansion is SET-BASED
+    * (sequence+explode) — recursing per day would mean thousands of
+    * sequential iterations, the anti-scale shape. The recursion
+    * carries its own stop bound as a column, so anchor and step are
+    * both pure. */
+  def q89RecursiveCalendar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      WITH RECURSIVE bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS mn,
+               CAST(MAX(o_orderdate) AS DATE) AS mx
+        FROM orders),
+      months (m, mn0, mx) MAX RECURSION LEVEL 500 AS (
+        SELECT CAST(trunc(mn, 'MM') AS DATE), mn, mx FROM bounds
+        UNION ALL
+        SELECT add_months(m, 1), mn0, mx FROM months
+        WHERE add_months(m, 1) <= mx),
+      cal AS (
+        SELECT explode(sequence(greatest(m, mn0),
+          least(CAST(last_day(m) AS DATE), mx), interval 1 day)) AS d
+        FROM months),
+      order_days AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS od FROM orders)
+      SELECT CAST(year(d) AS INT) AS yr, CAST(month(d) AS INT) AS mon,
+        COUNT(*) AS n_days,
+        CAST(SUM(CASE WHEN od IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_gap_days
+      FROM cal LEFT JOIN order_days ON d = od
+      GROUP BY year(d), month(d)
+      ORDER BY yr, mon""")
+  }
+
+  /** VARIANT ingestion: `parse_json` shreds the JSON props into the
+    * binary variant encoding once; `variant_get` then extracts typed
+    * paths without re-parsing text per access — the semi-structured
+    * scale path (one parse, many typed reads). */
+  def q90VariantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Mergeable HLL rollup — the 100 TB distinct-count pattern: build
+    * one sketch per (lang, source) partition, then UNION the sketches
+    * per lang and estimate. The union is associative, so partition
+    * sketches can be stored and re-aggregated along any rollup path
+    * without touching raw data again (exactly how a daily→monthly
+    * distinct-users rollup avoids rescanning history). Sketch bytes
+    * are engine-specific → rows-only; the estimate is error-bounded
+    * against exact distinct counts in spec. */
+  def q91HllRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(expr("hll_sketch_agg(doc_id, 14)").as("sk"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .as("est_distinct_docs"))
+      .orderBy(col("lang"))
+
+  /** Ordered string aggregation (LISTAGG ... WITHIN GROUP): the
+    * region→members roster. Deterministic because the order-by key is
+    * unique within each group. */
+  def q92ListAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)")
+          .as("members"))
+      .orderBy(col("r_name"))
+
+  /** Built-in regression aggregates: slope/intercept/R² of price vs
+    * quantity per return flag. Incremental-moment internals differ in
+    * final ulps across engines, so outputs are rounded — same
+    * discipline as q67's correlation. */
+  def q93RegrStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("x"),
+        col("l_extendedprice").cast("double").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(expr("CAST(regr_count(y, x) AS BIGINT)").as("n"),
+        round(expr("regr_slope(y, x)"), 6).as("slope"),
+        round(expr("regr_intercept(y, x)"), 6).as("intercept"),
+        round(expr("regr_r2(y, x)"), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+
+  /** Case-insensitive collation: group mixed-case values under
+    * UTF8_LCASE without rewriting them through lower(). The
+    * representative output value is min() over the ORIGINAL strings
+    * (binary collation), keeping the result deterministic while the
+    * GROUPING itself is collation-driven. */
+  def q94Collation(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val mixed = d.select(col("lang"))
+      .unionAll(d.select(upper(col("lang")).as("lang")))
+    mixed
+      .groupBy(collate(col("lang"), "UTF8_LCASE").as("k"))
+      .agg(min(collate(col("lang"), "UTF8_BINARY")).as("lang_repr"),
+        count(lit(1)).as("n"))
+      .select(col("lang_repr"), col("n"))
+      .orderBy(col("lang_repr"))
+  }
+
+  /** XML parsing: documents serialized as XML records (the third
+    * semi-structured format next to JSON/variant), parsed back with
+    * `from_xml` against an explicit schema and aggregated. The oracle
+    * runs on the original columns, so any escaping/typing drift in
+    * the serialize→parse cycle fails the hash. */
+  def q95XmlParse(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(concat(lit("<doc><id>"), col("doc_id"),
+        lit("</id><lang>"), col("lang"),
+        lit("</lang><nc>"), col("n_chars"),
+        lit("</nc></doc>")).as("xml"))
+      .select(expr(
+        "from_xml(xml, 'id BIGINT, lang STRING, nc BIGINT')").as("p"))
+      .groupBy(col("p.lang").as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p.nc")).as("total_chars"),
+        countDistinct(col("p.id")).as("n_distinct_docs"))
+      .orderBy(col("lang"))
+}

@@ -44,6 +44,19 @@ class RelationalSpec extends AnyFunSuite {
       }
   }
 
+  test("hll sketch rollup estimates track exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.documents(spark, sf)
+      .groupBy("lang").agg(countDistinct("doc_id").as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    operators.ModernSql.q91HllRollup(spark, sf).collect().foreach { r =>
+      val est = r.getLong(2)
+      val e = exact(r.getString(0))
+      // lgConfigK=14 → relative error well under 2% at any cardinality
+      assert(math.abs(est - e).toDouble / e < 0.02, s"${r.getString(0)}")
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
