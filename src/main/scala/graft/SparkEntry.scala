@@ -116,6 +116,8 @@ object SparkEntry {
     "q94_collation"        -> (ModernSql.q94Collation _),
     "q95_xml_parse"        -> (ModernSql.q95XmlParse _),
     "q96_incremental_rollup" -> (Egress.q96IncrementalRollup _),
+    "q97_lateral_topn"     -> (ModernSql.q97LateralTopN _),
+    "q98_ann_pq"           -> (Similarity.q98AnnPq _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -142,6 +144,9 @@ object SparkEntry {
     // HLL sketch estimates are engine-specific; the exact twin is a
     // plain distinct count (error bounded in spec vs countDistinct).
     "q91_hll_rollup",
+    // PQ codebooks (k-means) are engine-specific and recall < 1 by
+    // design; exact twins q27/q28, recall floor asserted in spec.
+    "q98_ann_pq",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1380,6 +1385,16 @@ object SparkEntry {
       FROM documents
       GROUP BY lang
       ORDER BY lang""",
+
+    "q97_lateral_topn" -> """
+      SELECT n_name, c_name, c_acctbal
+      FROM nation,
+      LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2) top_cust
+      ORDER BY n_name, c_acctbal DESC, c_name""",
 
     // full recompute: merged partials must equal it exactly
     "q96_incremental_rollup" -> """

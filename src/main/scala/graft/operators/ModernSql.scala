@@ -130,6 +130,23 @@ object ModernSql {
       .orderBy(col("lang_repr"))
   }
 
+  /** LATERAL correlated subquery: per-nation top-2 customers by
+    * balance. The planner decorrelates the LATERAL LIMIT into a
+    * ranked window over one shuffle — same physical shape as q7's
+    * explicit window, reached from the SQL-standard formulation. */
+  def q97LateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT n_name, c_name, c_acctbal
+      FROM nation,
+      LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2) top_cust
+      ORDER BY n_name, c_acctbal DESC, c_name""")
+  }
+
   /** XML parsing: documents serialized as XML records (the third
     * semi-structured format next to JSON/variant), parsed back with
     * `from_xml` against an explicit schema and aggregated. The oracle

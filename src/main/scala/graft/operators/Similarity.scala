@@ -202,6 +202,96 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Product-quantization ANN — the memory-side scale lever the IVF
+    * (q53) and LSH (q29) variants don't cover: each 64-float vector
+    * (256 B) is encoded as 4 subspace codes (4 B) against per-subspace
+    * k-means codebooks, a 64× compression that lets a 100 TB corpus'
+    * index live in RAM. Queries score candidates via ADC: a per-probe
+    * distance table (subspace × centroid, driver-tiny) turns approx
+    * distance into 4 lookups + adds per candidate; the top candidates
+    * are re-ranked with exact cosine. Codebooks are engine-specific →
+    * rows-only; recall floor vs exact q27 is asserted in spec. */
+  def q98AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val nSub = 4; val subDim = 16; val k = 16
+    val e = Tables.embeddings(spark, dir)
+    // one codebook per subspace, fitted on the vector slices
+    val codebooks: Array[Array[Array[Float]]] = (0 until nSub).map { s =>
+      val sub = e.select(array_to_vector(
+        slice(col("embedding"), s * subDim + 1, subDim)).as("vec"))
+      new KMeans().setK(k).setSeed(42 + s).setMaxIter(4)
+        .setFeaturesCol("vec")
+        .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat))
+    }.toArray
+    val bc = spark.sparkContext.broadcast(codebooks)
+    import spark.implicits._
+    // encode: nearest centroid per subspace — genuine per-row
+    // imperative math over a broadcast codebook, so a typed map
+    val encoded = e.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val cbs = bc.value
+        val codes = Array.tabulate(nSub) { s =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cbs(s).length) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val diff = cbs(s)(c)(i).toDouble - emb(s * subDim + i)
+              d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        (id, codes.toSeq)
+      }.toDF("vec_id", "codes")
+    // ADC distance tables: probe × subspace × centroid, driver-tiny
+    val dtRows = probes(spark, dir).collect().flatMap { r =>
+      val qId = r.getLong(0)
+      val qEmb = r.getSeq[Float](1).toArray
+      for {
+        s <- 0 until nSub
+        (cent, c) <- codebooks(s).zipWithIndex
+      } yield {
+        var d = 0.0; var i = 0
+        while (i < subDim) {
+          val diff = cent(i).toDouble - qEmb(s * subDim + i)
+          d += diff * diff; i += 1
+        }
+        (qId, s, c, d)
+      }
+    }
+    val dt = broadcast(dtRows.toSeq.toDF("q_id", "s", "code", "d"))
+    val approx = encoded
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(dt, Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d")).as("approx_d"))
+    val wApprox = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d").asc, col("vec_id").asc)
+    val candidates = approx
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= 20)
+      .select(col("q_id"), col("vec_id"))
+    // exact re-rank of the shortlist
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    candidates
+      .join(Tables.embeddings(spark, dir), "vec_id")
+      .join(broadcast(probes(spark, dir)
+        .withColumnRenamed("q_id", "p_id")),
+        col("q_id") === col("p_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_emb"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Per-vector feature extraction — the narrow, shuffle-free pass
     * every embedding pipeline runs before indexing: dimensionality,
     * L2 norm (via the native dot expression), max |component|, and the

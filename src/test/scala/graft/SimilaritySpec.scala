@@ -63,6 +63,25 @@ class SimilaritySpec extends AnyFunSuite {
         == r.getDouble(3)))
   }
 
+  test("PQ ANN re-ranked hits carry exact cosines and clear a " +
+      "recall floor") {
+    val exact3 = Similarity.q27CosineTopK(spark, sf).collect()
+      .filter(_.getInt(1) <= 3)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.q98AnnPq(spark, sf).collect()
+    pq.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.length <= 3))
+    val hits = pq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (hits & exact3).size.toDouble / exact3.size
+    // 4-byte codes over unclustered random vectors, 20-candidate
+    // re-rank: measured ~0.5 at sf0.001; floor guards regressions
+    assert(recall >= 0.2, s"PQ recall@3 = $recall")
+    val exactCos = Similarity.q27CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pq.filter(r => exactCos.contains((r.getLong(0), r.getLong(2))))
+      .foreach(r => assert(exactCos((r.getLong(0), r.getLong(2)))
+        == r.getDouble(3)))
+  }
+
   test("TopKAgg keeps k best with deterministic tie-break") {
     val agg = TopKAgg.topK(3)
     val ins = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9),
