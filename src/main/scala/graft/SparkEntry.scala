@@ -118,6 +118,9 @@ object SparkEntry {
     "q96_incremental_rollup" -> (Egress.q96IncrementalRollup _),
     "q97_lateral_topn"     -> (ModernSql.q97LateralTopN _),
     "q98_ann_pq"           -> (Similarity.q98AnnPq _),
+    "q99_outer_joins"      -> (Relational.q99OuterJoins _),
+    "q100_gap_fill"        -> (Relational.q100GapFill _),
+    "q101_moving_avg"      -> (Relational.q101MovingAvg _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1385,6 +1388,61 @@ object SparkEntry {
       FROM documents
       GROUP BY lang
       ORDER BY lang""",
+
+    "q99_outer_joins" -> """
+      WITH cust AS (SELECT c_custkey FROM customer
+                    WHERE c_custkey % 3 = 0),
+      big AS (SELECT o_custkey, o_orderkey FROM orders
+              WHERE o_totalprice > 300000),
+      l AS (
+        SELECT COUNT(CASE WHEN c_custkey IS NOT NULL
+                           AND o_custkey IS NOT NULL THEN 1 END) AS m,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS lo,
+               COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS ro
+        FROM cust LEFT JOIN big ON c_custkey = o_custkey),
+      r AS (
+        SELECT COUNT(CASE WHEN c_custkey IS NOT NULL
+                           AND o_custkey IS NOT NULL THEN 1 END) AS m,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS lo,
+               COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS ro
+        FROM cust RIGHT JOIN big ON c_custkey = o_custkey),
+      f AS (
+        SELECT COUNT(CASE WHEN c_custkey IS NOT NULL
+                           AND o_custkey IS NOT NULL THEN 1 END) AS m,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS lo,
+               COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS ro
+        FROM cust FULL OUTER JOIN big ON c_custkey = o_custkey)
+      SELECT 'left' AS join_type, m AS n_matched, lo AS n_left_only,
+             ro AS n_right_only FROM l
+      UNION ALL
+      SELECT 'right', m, lo, ro FROM r
+      UNION ALL
+      SELECT 'full_outer', m, lo, ro FROM f
+      ORDER BY join_type""",
+
+    "q100_gap_fill" -> """
+      SELECT user_id, event_id, tsx AS ts, reading,
+        last_value(reading IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY tsx, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+          CASE WHEN event_type = 'error' THEN NULL ELSE value END
+            AS reading
+        FROM events) t
+      WHERE user_id < 50
+      ORDER BY user_id, tsx, event_id""",
+
+    "q101_moving_avg" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS DOUBLE)
+          / CAST(COUNT(*) OVER w AS DOUBLE) AS ma_qty
+      FROM lineitem
+      WHERE l_suppkey <= 10
+      WINDOW w AS (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+      ORDER BY l_suppkey, l_orderkey, l_linenumber""",
 
     "q97_lateral_topn" -> """
       SELECT n_name, c_name, c_acctbal

@@ -412,6 +412,70 @@ object Relational {
       .orderBy(col("pr").asc_nulls_first)
   }
 
+  /** Outer-join completeness: the same customer↔high-value-orders
+    * relationship through LEFT, RIGHT, and FULL OUTER joins, each
+    * reduced to (matched, unmatched-left, unmatched-right) counts.
+    * One aggregate per join; the build side is the filtered order set
+    * so each join shuffles the small side only once. */
+  def q99OuterJoins(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"))
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey"), col("o_orderkey"))
+    def summarize(kind: String) =
+      cust.join(big, col("c_custkey") === col("o_custkey"), kind)
+        .agg(
+          count(when(col("c_custkey").isNotNull &&
+            col("o_custkey").isNotNull, 1)).as("n_matched"),
+          count(when(col("o_custkey").isNull, 1)).as("n_left_only"),
+          count(when(col("c_custkey").isNull, 1)).as("n_right_only"))
+        .select(lit(kind).as("join_type"), col("n_matched"),
+          col("n_left_only"), col("n_right_only"))
+    summarize("left").unionByName(summarize("right"))
+      .unionByName(summarize("full_outer"))
+      .orderBy(col("join_type"))
+  }
+
+  /** LOCF gap-fill (last observation carried forward): error readings
+    * are NULLed, then repaired with the previous non-null value per
+    * user via `last(..., ignoreNulls)` over an unbounded-preceding
+    * frame — the standard sensor/metric imputation. One shuffle on
+    * user_id; the frame is streaming-evaluable (no buffering). */
+  def q100GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("reading",
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")))
+      .withColumn("filled",
+        last(col("reading"), ignoreNulls = true).over(w))
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("reading"), col("filled"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Centered moving average (±2 rows) per supplier over ship dates —
+    * the smoothing window shape (bounded frame both directions).
+    * Bounded frames evaluate with O(frame) state per partition. */
+  def q101MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-2, 2)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 10)
+      .withColumn("ma_qty",
+        (sum(dec(col("l_quantity"))).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("ma_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Correlated scalar subquery — exercises Catalyst's decorrelation:
     * the per-customer COUNT rewrites to an aggregate + left join, so
     * no per-row subquery execution survives into the physical plan. */
