@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, ModernSql, Multimodal, Relational, Sampling, Scale, Similarity, TextStats}
+import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, ModernSql, Multimodal, Quality, Relational, Sampling, Scale, Similarity, TextStats}
 import graft.streaming.{StreamDedup, StreamJoin, StreamSessions, StreamSink, StreamingWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -121,6 +121,12 @@ object SparkEntry {
     "q99_outer_joins"      -> (Relational.q99OuterJoins _),
     "q100_gap_fill"        -> (Relational.q100GapFill _),
     "q101_moving_avg"      -> (Relational.q101MovingAvg _),
+    "q102_observe"         -> (Quality.q102Observe _),
+    "q103_na_fill"         -> (Quality.q103NaFill _),
+    "q104_crosstab"        -> (Quality.q104Crosstab _),
+    "q105_schema_evolution" -> (Quality.q105SchemaEvolution _),
+    "q106_try_cast"        -> (Quality.q106TryCast _),
+    "q107_levenshtein"     -> (Quality.q107Levenshtein _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1443,6 +1449,69 @@ object SparkEntry {
                    ORDER BY l_shipdate, l_orderkey, l_linenumber
                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
       ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+
+    // the observed metrics must equal a direct aggregation
+    "q102_observe" -> """
+      SELECT COUNT(*) AS n_rows,
+        COUNT(CASE WHEN o_totalprice > 300000 THEN 1 END) AS n_big,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders""",
+
+    "q103_na_fill" -> """
+      SELECT CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE lang END
+               AS lang,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE n_chars END)
+          AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY 1
+      ORDER BY lang""",
+
+    "q104_crosstab" -> """
+      SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+        COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+          AS "1-URGENT",
+        COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END)
+          AS "2-HIGH",
+        COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END)
+          AS "3-MEDIUM",
+        COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END)
+          AS "4-NOT SPECIFIED",
+        COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END)
+          AS "5-LOW"
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    // availability of `source` follows the batch split exactly
+    "q105_schema_evolution" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        COUNT(CASE WHEN doc_id % 2 = 1 THEN source END)
+          AS n_with_source,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    "q106_try_cast" -> """
+      SELECT o_orderstatus, COUNT(*) AS n,
+        COUNT(ratio) AS n_divisible,
+        MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+        COUNT(bad_cast) AS n_cast_ok
+      FROM (
+        SELECT o_orderstatus,
+          o_totalprice / NULLIF(o_custkey % 3, 0) AS ratio,
+          TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast
+        FROM orders) t
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    "q107_levenshtein" -> """
+      SELECT a.n_name AS name_a, b.n_name AS name_b,
+        CAST(levenshtein(a.n_name, b.n_name) AS INTEGER) AS dist
+      FROM nation a JOIN nation b ON a.n_name < b.n_name
+      WHERE levenshtein(a.n_name, b.n_name) <= 6
+      ORDER BY name_a, name_b""",
 
     "q97_lateral_topn" -> """
       SELECT n_name, c_name, c_acctbal

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+
+/** Data-quality / robustness surface: inline pipeline metrics
+  * (`observe`), null handling (`na.*`), contingency tables
+  * (`stat.crosstab`), schema evolution across parquet batches
+  * (`mergeSchema`), non-throwing casts (`try_*` — the ANSI-safe 100 TB
+  * posture: one malformed value must not kill a 6-hour job), and
+  * edit-distance fuzzy matching.
+  */
+object Quality {
+
+  private def tmpDir(name: String): String =
+    s"${sys.props("user.dir")}/target/tmp/$name"
+
+  /** `observe` attaches aggregate metrics to a query WITHOUT a second
+    * scan — the production pattern for row-count/quality counters on
+    * every pipeline write (a listener streams them to monitoring; here
+    * the observed values ARE the result, oracle-checked against a
+    * direct aggregation). */
+  def q102Observe(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Observation("q102_metrics")
+    val observed = Tables.orders(spark, dir).observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col("o_totalprice") > 300000, 1)).as("n_big"),
+      sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    // one DataFrame-level action to materialize the metrics: the noop
+    // sink executes the full plan and fires the SQL-execution-end
+    // event Observation.get waits on (an RDD-level count would hang —
+    // it never reaches the QueryExecutionListener)
+    observed.write.format("noop").mode(SaveMode.Overwrite).save()
+    val m = obs.get
+    import spark.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("n_big").asInstanceOf[Long],
+      m("total").asInstanceOf[Double]))
+      .toDF("n_rows", "n_big", "total")
+  }
+
+  /** DataFrameNaFunctions: nulls injected into lang/n_chars, then
+    * repaired with na.fill and summarized. The fill map is one Project
+    * — no shuffle beyond the final aggregate. */
+  def q103NaFill(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("lang",
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")))
+      .withColumn("n_chars",
+        when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("n_chars")))
+      .na.fill(Map("lang" -> "unknown", "n_chars" -> 0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+
+  /** Contingency table via stat.crosstab — status × priority counts
+    * as a wide table (the quick data-exploration primitive). */
+  def q104Crosstab(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .stat.crosstab("o_orderstatus", "o_orderpriority")
+      .orderBy(col("o_orderstatus_o_orderpriority"))
+
+  /** Parquet schema evolution: batch 1 lands without `source`, batch 2
+    * adds it; `mergeSchema` reads the union schema with nulls for the
+    * missing column — how a 100 TB lake absorbs new fields without
+    * rewriting history. Oracle reconstructs the same availability rule
+    * from the original table. */
+  def q105SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val zone = tmpDir("q105_evolving")
+    val d = Tables.documents(spark, dir)
+    d.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "lang", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"$zone/batch=1")
+    d.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "lang", "n_chars", "source")
+      .write.mode(SaveMode.Overwrite).parquet(s"$zone/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(zone)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("source")).as("n_with_source"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Non-throwing arithmetic/casts: try_divide nulls the div-by-zero
+    * rows, try_cast nulls unparseable strings — aggregates use
+    * order-independent min/max/count so the result is float-stable. */
+  def q106TryCast(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        expr("try_divide(o_totalprice, o_custkey % 3)").as("ratio"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        count(col("ratio")).as("n_divisible"),
+        min(col("ratio")).as("min_ratio"),
+        max(col("ratio")).as("max_ratio"),
+        count(col("bad_cast")).as("n_cast_ok"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Edit-distance fuzzy matching: nation-name pairs within
+    * levenshtein distance 6 — the primitive behind typo-tolerant
+    * entity resolution. All-pairs is fine on a dimension; at fact
+    * scale the same predicate runs inside blocking buckets (cf. the
+    * dedup operators' banding). */
+  def q107Levenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.nation(spark, dir).select(col("n_name").as("name_a"))
+    val b = Tables.nation(spark, dir).select(col("n_name").as("name_b"))
+    a.join(b, col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 6)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+}
