@@ -127,6 +127,8 @@ object SparkEntry {
     "q105_schema_evolution" -> (Quality.q105SchemaEvolution _),
     "q106_try_cast"        -> (Quality.q106TryCast _),
     "q107_levenshtein"     -> (Quality.q107Levenshtein _),
+    "q108_session_window"  -> (Events.q108SessionWindow _),
+    "q109_data_masking"    -> (Quality.q109DataMasking _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1512,6 +1514,44 @@ object SparkEntry {
       FROM nation a JOIN nation b ON a.n_name < b.n_name
       WHERE levenshtein(a.n_name, b.n_name) <= 6
       ORDER BY name_a, name_b""",
+
+    // native session_window: new session at gap >= 30 min (an event at
+    // exactly last+gap falls outside the [start, last+gap) window)
+    "q108_session_window" -> """
+      WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+          lag(CAST(ts AS TIMESTAMP)) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT user_id, tsx,
+          CASE WHEN prev_ts IS NULL
+                    OR epoch_us(tsx) - epoch_us(prev_ts) >= 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM ordered),
+      sess AS (
+        SELECT user_id, tsx,
+          SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY tsx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(tsx) AS session_start, COUNT(*) AS n_events
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, session_start""",
+
+    // masking/pseudonymization verified against the original values
+    "q109_data_masking" -> """
+      SELECT c_custkey,
+        regexp_replace(regexp_replace(regexp_replace(c_name,
+          '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+          AS masked_name,
+        sha256(c_name) AS pseudonym,
+        c_name AS roundtrip_name
+      FROM customer
+      WHERE c_custkey <= 200
+      ORDER BY c_custkey""",
 
     "q97_lateral_topn" -> """
       SELECT n_name, c_name, c_acctbal

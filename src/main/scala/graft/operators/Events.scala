@@ -102,6 +102,21 @@ object Events {
         countDistinct(col("k")).as("distinct_k"))
       .orderBy(col("event_type"))
 
+  /** Native gap-based sessions via `session_window` — the built-in
+    * operator for what q38 derives manually (lag + cumulative flag +
+    * two windows): one aggregate, sessions merged in the state/agg
+    * layer, no window-function passes. Session identity here is
+    * (user, session_start), matching q38's min(ts) per session. The
+    * same call works in Structured Streaming with a watermark. */
+  def q108SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** MapType surface: parse `props` into a map<string,int> with
     * `from_json`, explode it to (key, value) pairs, and aggregate per
     * (event_type, key). Exercises map construction, map_keys/size

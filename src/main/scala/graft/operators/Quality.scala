@@ -101,6 +101,26 @@ object Quality {
         count(col("bad_cast")).as("n_cast_ok"))
       .orderBy(col("o_orderstatus"))
 
+  /** PII protection surface: `mask` redacts shape-preserving
+    * (upper→X, lower→x, digit→n), `sha2` pseudonymizes (stable join
+    * key without the value), and an AES encrypt→decrypt round trip
+    * proves reversible encryption reconstructs the original —
+    * oracle-checked against the ORIGINAL values, so any corruption in
+    * the crypto cycle fails the hash. ECB mode only for determinism
+    * of the demo; production uses the default GCM (random IV) where
+    * ciphertext equality is intentionally impossible. */
+  def q109DataMasking(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        expr("mask(c_name)").as("masked_name"),
+        sha2(col("c_name"), 256).as("pseudonym"),
+        expr("""CAST(aes_decrypt(
+                  aes_encrypt(c_name, '0123456789abcdef', 'ECB'),
+                  '0123456789abcdef', 'ECB') AS STRING)""")
+          .as("roundtrip_name"))
+      .orderBy(col("c_custkey"))
+
   /** Edit-distance fuzzy matching: nation-name pairs within
     * levenshtein distance 6 — the primitive behind typo-tolerant
     * entity resolution. All-pairs is fine on a dimension; at fact
