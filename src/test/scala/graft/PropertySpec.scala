@@ -57,6 +57,29 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter(col("n1") =!= col("n2")).count() == 0)
   }
 
+  test("globalIndex assigns contiguous 1..n ranks in sort order on " +
+      "random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      v <- Gen.chooseNum(-1000, 1000)
+      id <- Gen.chooseNum(0L, 100000L)
+    } yield (id, v)
+    (0 until 3).foreach { i =>
+      val rows = Gen.listOfN(500, gen)
+        .pureApply(Gen.Parameters.default, Seed(5L + i))
+        .distinctBy(_._1) // unique tie-break key
+      val df = rows.toDF("id", "v").repartition(7)
+      val got = operators.Scale.globalIndex(df,
+        col("v").desc, col("id").asc)
+        .select("id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val expected = rows.sortBy { case (id, v) => (-v, id) }
+        .zipWithIndex.map { case ((id, _), ix) => (id, ix + 1L) }
+      assert(got.sortBy(_._2).toSeq == expected.toSeq, s"case $i")
+    }
+  }
+
   test("TopKAgg equals sort-take for any input order and any split") {
     val hitGen = for {
       cos <- Gen.oneOf(-1.0, -0.5, 0.0, 0.3, 0.3, 0.9, 1.0) // force ties

@@ -44,6 +44,16 @@ class RelationalSpec extends AnyFunSuite {
       }
   }
 
+  test("q3 joins the nation dimension via broadcast hash join") {
+    val plan = operators.Relational.q3JoinAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the explicit broadcast() must plan the nation join as BHJ with
+    // nation on the build side (other joins may also broadcast at the
+    // tiny test SF — that's threshold-dependent and not asserted)
+    assert("BroadcastHashJoin \\[c_nationkey[^\\]]*\\], \\[n_nationkey".r
+      .findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
   test("hll sketch rollup estimates track exact distinct counts") {
     import org.apache.spark.sql.functions._
     val exact = Tables.documents(spark, sf)
