@@ -129,6 +129,8 @@ object SparkEntry {
     "q107_levenshtein"     -> (Quality.q107Levenshtein _),
     "q108_session_window"  -> (Events.q108SessionWindow _),
     "q109_data_masking"    -> (Quality.q109DataMasking _),
+    "q110_cogroup"         -> (Relational.q110Cogroup _),
+    "q111_dynamic_overwrite" -> (Egress.q111DynamicOverwrite _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1552,6 +1554,29 @@ object SparkEntry {
       FROM customer
       WHERE c_custkey <= 200
       ORDER BY c_custkey""",
+
+    "q110_cogroup" -> """
+      SELECT o_orderkey, o_totalprice,
+        COUNT(l_orderkey) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_qty
+      FROM orders LEFT JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 400000
+      GROUP BY o_orderkey, o_totalprice
+      ORDER BY o_orderkey""",
+
+    // partial re-delivery: only 1997 is replaced (price doubled), all
+    // other partitions must be byte-identical to the first write
+    "q111_dynamic_overwrite" -> """
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1997
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+          AS DOUBLE) AS total
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_year""",
 
     "q97_lateral_topn" -> """
       SELECT n_name, c_name, c_acctbal

@@ -193,6 +193,40 @@ object Egress {
       .orderBy(col("o_orderpriority"), col("yr"))
   }
 
+  /** Dynamic partition overwrite — the lake-style partial update: a
+    * re-delivered batch replaces ONLY the partitions it contains,
+    * leaving the rest of the table untouched (vs static overwrite,
+    * which would truncate everything). Here: land orders partitioned
+    * by year, then re-deliver 1997 with a price adjustment; the final
+    * read must show adjusted 1997 next to intact other years. At
+    * 100 TB this is how daily reprocessing replaces one day out of
+    * thousands without rewriting history. */
+  def q111DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val zone = tmpDir("q111_orders_by_year")
+    val orders = Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    orders.write.partitionBy("o_year")
+      .mode(SaveMode.Overwrite).parquet(zone)
+    val adjusted = orders.filter(col("o_year") === 1997)
+      // keep the column double so all partition files share one schema
+      .withColumn("o_totalprice", (dec(col("o_totalprice")) * 2).cast("double"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try adjusted.write.partitionBy("o_year")
+      .mode(SaveMode.Overwrite).parquet(zone)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(zone)
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_year"))
+  }
+
   /** Session-catalog table (the Glue-catalog role, SURVEY.md §1
     * "Downstream schema"): persist nation via saveAsTable, then query
     * it back through the catalog by name. The managed table lands in

@@ -476,6 +476,38 @@ object Relational {
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Typed cogroup: orders and their lineitems co-processed per key in
+    * ONE pass — the KeyValueGroupedDataset surface for logic that a
+    * join+agg can't express (here it can, which is exactly what makes
+    * it oracle-checkable: per-order item count and quantity total for
+    * orders above a price floor). Both sides shuffle once on the key;
+    * the groups stream through the function without materializing a
+    * joined row per (order × item) pair. */
+  def q110Cogroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        dec(col("l_quantity")).cast("double").as("qty"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    orders.cogroup(items) { (key, os, ls) =>
+      os.toSeq.headOption.iterator.map { o =>
+        // accumulate in exact cents: float addition would depend on
+        // the (unspecified) group iteration order. Itemless orders
+        // yield None → NULL, matching SQL's SUM over an empty group.
+        var n = 0L; var cents = 0L
+        ls.foreach { l => n += 1; cents += math.round(l._2 * 100) }
+        (key, o._2, n, if (n == 0) None else Some(cents / 100.0))
+      }
+    }.toDF("o_orderkey", "o_totalprice", "n_items", "sum_qty")
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Correlated scalar subquery — exercises Catalyst's decorrelation:
     * the per-customer COUNT rewrites to an aggregate + left join, so
     * no per-row subquery execution survives into the physical plan. */
