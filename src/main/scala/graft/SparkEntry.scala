@@ -131,6 +131,7 @@ object SparkEntry {
     "q109_data_masking"    -> (Quality.q109DataMasking _),
     "q110_cogroup"         -> (Relational.q110Cogroup _),
     "q111_dynamic_overwrite" -> (Egress.q111DynamicOverwrite _),
+    "q112_ema"             -> (Events.q112Ema _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1577,6 +1578,17 @@ object SparkEntry {
       FROM orders
       GROUP BY 1
       ORDER BY o_year""",
+
+    // same sequential fold: list_reduce over the ts-ordered values
+    // seeds with the first element exactly like the mapGroups loop
+    "q112_ema" -> """
+      SELECT user_id, COUNT(*) AS n_events,
+        ROUND(list_reduce(
+          list(value ORDER BY CAST(ts AS TIMESTAMP), event_id),
+          (acc, x) -> 0.1 * x + 0.9 * acc), 9) AS ema_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     "q97_lateral_topn" -> """
       SELECT n_name, c_name, c_acctbal

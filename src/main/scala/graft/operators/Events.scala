@@ -117,6 +117,35 @@ object Events {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Exponential moving average per user — an inherently SEQUENTIAL
+    * per-key fold (each step depends on the previous), which no
+    * built-in aggregate expresses: the typed `mapGroups` escape hatch,
+    * used the way the guidelines reserve it for genuine imperative
+    * per-group logic. One shuffle on user_id; each group is buffered
+    * and sorted in memory, which is exactly the per-user event volume
+    * a feature pipeline assumes bounded (else: window chunking).
+    * Rounded for cross-engine float-fold comparability. */
+  def q112Ema(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // both weights as literals: 1-alpha computed at runtime would
+    // differ from the oracle's literal 0.9 in the last bit
+    val alpha = 0.1; val beta = 0.9
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        var ema = sorted.head._4
+        sorted.tail.foreach(r => ema = alpha * r._4 + beta * ema)
+        (user, sorted.length.toLong, ema)
+      }
+      .toDF("user_id", "n_events", "ema_value")
+      .withColumn("ema_value", round(col("ema_value"), 9))
+      .orderBy(col("user_id"))
+  }
+
   /** MapType surface: parse `props` into a map<string,int> with
     * `from_json`, explode it to (key, value) pairs, and aggregate per
     * (event_type, key). Exercises map construction, map_keys/size

@@ -58,6 +58,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("bucketed scan prunes to one bucket for an equality predicate") {
+    import org.apache.spark.sql.functions.col
+    Scale.q45BucketedJoin(spark, sf).collect() // materialize tables
+    // without a distribution requirement the planner would silently
+    // fall back to a plain scan — pin bucketed reading on so the
+    // equality predicate prunes to its one bucket
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val plan = spark.table("graft_lineitem_bkt")
+        .filter(col("l_orderkey") === 1L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        plan.take(2000))
+    } finally spark.conf.set(key, old)
+  }
+
   test("global index matches single-sequence row_number without a " +
       "single-partition sort") {
     import org.apache.spark.sql.functions._
