@@ -76,6 +76,34 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("runtime bloom filter is injected on the fact side of a " +
+      "selective join") {
+    import org.apache.spark.sql.functions.col
+    // thresholds sized for production (app side ≥ 10 GB) — drop them
+    // so the tiny test tables qualify and the rewrite is observable
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        -> "0",
+      // bloom injection targets shuffle joins (a broadcast join
+      // already prunes at the hash probe) — force SMJ at test scale
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.orders(spark, sf)
+        .filter(col("o_totalprice") > 500000)
+        .select("o_orderkey")
+      val fact = Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity")
+      val plan = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter"), plan.take(3000))
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("global index matches single-sequence row_number without a " +
       "single-partition sort") {
     import org.apache.spark.sql.functions._
