@@ -104,7 +104,7 @@ object Pipeline {
     * ORIGINAL customer parquet: any staging/quoting/inference drift in
     * extract→transform→load corrupts the hash. */
   def q84PipelineStaged(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${sys.props("user.dir")}/target/tmp/q84_pipeline"
+    val base = Scratch.dir("q84_pipeline")
     val (input, staging, clean, out) =
       (s"$base/input", s"$base/staging", s"$base/clean", s"$base/out")
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -1266,7 +1266,8 @@ object SparkEntry {
       mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS m FROM events)
       SELECT user_id, session_start_us, n_events, duration_sec
       FROM agg, mx
-      WHERE (NOT is_last) OR (last_us + 1800000000 < m - 1800000000)
+      WHERE (NOT is_last)
+         OR ((last_us + 1800000000) // 1000 < (m // 1000) - 1800000)
       ORDER BY user_id, session_start_us""",
 
     // foreachBatch parquet landing must equal the batch window counts

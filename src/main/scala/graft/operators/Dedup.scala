@@ -55,7 +55,10 @@ object Dedup {
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), expr(shingleSql).as("sh"))
-      .localCheckpoint()
+      // lazy: the checkpoint materializes on first use, not at
+      // DataFrame construction (eager would run the shingling job
+      // even for plan-only callers like explain)
+      .localCheckpoint(eager = false)
 
   /** Exact dedup: every row keyed by content fingerprint; keep the lowest
     * doc_id per group. One hash-aggregate shuffle on the fingerprint —

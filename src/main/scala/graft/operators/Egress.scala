@@ -14,8 +14,6 @@ import graft.sources.Ingest
   */
 object Egress {
 
-  private def tmpDir(name: String): String =
-    s"${sys.props("user.dir")}/target/tmp/$name"
 
   /** The full file cycle, oracle-verified by read-back: parquet →
     * CSV sink (O23, header+delimiter) → latest-file pick (O1) →
@@ -26,8 +24,8 @@ object Egress {
     * gate. Temp zones live under target/tmp (driver-local by design;
     * the same writer targets s3a:// URIs at scale). */
   def q41CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val csvZone = tmpDir("q41_csv_zone")
-    val staging = tmpDir("q41_staging")
+    val csvZone = graft.Scratch.dir("q41_csv_zone")
+    val staging = graft.Scratch.dir("q41_staging")
     Ingest.writeCsv(Tables.customer(spark, dir), csvZone, singleFile = true)
     val latest = Ingest.latestFile(csvZone, "part-*.csv")
       .getOrElse(sys.error(s"no CSV produced in $csvZone"))
@@ -61,7 +59,7 @@ object Egress {
     * aggregated — oracle runs on the original parquet, so any
     * serialization drift in the cycle fails the hash. */
   def q59JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val zone = tmpDir("q59_json_zone")
+    val zone = graft.Scratch.dir("q59_json_zone")
     Tables.documents(spark, dir).write.mode(SaveMode.Overwrite).json(zone)
     spark.read.schema(Tables.documents(spark, dir).schema).json(zone)
       .groupBy(col("lang"))
@@ -72,7 +70,7 @@ object Egress {
   /** ORC sink/source round-trip — the other columnar format the
     * engine writes; verified the same way. */
   def q60OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val zone = tmpDir("q60_orc_zone")
+    val zone = graft.Scratch.dir("q60_orc_zone")
     Tables.orders(spark, dir).write.mode(SaveMode.Overwrite).orc(zone)
     spark.read.orc(zone)
       .groupBy(col("o_orderstatus"))
@@ -149,8 +147,8 @@ object Egress {
   }
 
   def q75Compaction(spark: SparkSession, dir: String): DataFrame = {
-    val small = tmpDir("q75_small_files")
-    val compacted = tmpDir("q75_compacted")
+    val small = graft.Scratch.dir("q75_small_files")
+    val compacted = graft.Scratch.dir("q75_compacted")
     Tables.documents(spark, dir).repartition(64)
       .write.mode(SaveMode.Overwrite).parquet(small)
     compact(spark, small, compacted, targetBytes = 64L * 1024 * 1024)
@@ -171,7 +169,7 @@ object Egress {
     * batch; the merged rollup must hash-match the oracle's full
     * recompute over everything — proving partial+merge ≡ recompute. */
   def q96IncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
-    val stateZone = tmpDir("q96_rollup_state")
+    val stateZone = graft.Scratch.dir("q96_rollup_state")
     val orders = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),
         year(col("o_orderdate")).as("yr"), col("o_totalprice"))
@@ -202,7 +200,7 @@ object Egress {
     * 100 TB this is how daily reprocessing replaces one day out of
     * thousands without rewriting history. */
   def q111DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
-    val zone = tmpDir("q111_orders_by_year")
+    val zone = graft.Scratch.dir("q111_orders_by_year")
     val orders = Tables.orders(spark, dir)
       .withColumn("o_year", year(col("o_orderdate")))
     orders.write.partitionBy("o_year")

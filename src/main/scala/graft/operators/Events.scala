@@ -131,7 +131,9 @@ object Events {
     // differ from the oracle's literal 0.9 in the last bit
     val alpha = 0.1; val beta = 0.9
     Tables.events(spark, dir)
-      .select(col("user_id"), col("ts").cast("long").as("ts_us"),
+      // unix_micros, NOT cast("long"): timestamp→long casts to epoch
+      // SECONDS and would fold same-second events in the wrong order
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)

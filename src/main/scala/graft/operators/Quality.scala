@@ -15,9 +15,6 @@ import graft.functions.Cols._
   */
 object Quality {
 
-  private def tmpDir(name: String): String =
-    s"${sys.props("user.dir")}/target/tmp/$name"
-
   /** `observe` attaches aggregate metrics to a query WITHOUT a second
     * scan — the production pattern for row-count/quality counters on
     * every pipeline write (a listener streams them to monitoring; here
@@ -69,7 +66,7 @@ object Quality {
     * rewriting history. Oracle reconstructs the same availability rule
     * from the original table. */
   def q105SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val zone = tmpDir("q105_evolving")
+    val zone = graft.Scratch.dir("q105_evolving")
     val d = Tables.documents(spark, dir)
     d.filter(col("doc_id") % 2 === 0)
       .select("doc_id", "lang", "n_chars")

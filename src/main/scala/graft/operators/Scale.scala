@@ -65,7 +65,7 @@ object Scale {
     * plan, asserted in ScaleSpec). The everyday trick that turns a
     * 100 TB scan into a 3 TB one. */
   def q46PartitionPruning(spark: SparkSession, dir: String): DataFrame = {
-    val root = s"${sys.props("user.dir")}/target/tmp/q46_orders_by_year"
+    val root = graft.Scratch.dir("q46_orders_by_year")
     Tables.orders(spark, dir)
       .withColumn("o_year", year(col("o_orderdate")))
       .write.partitionBy("o_year").mode(SaveMode.Overwrite).parquet(root)

@@ -48,7 +48,7 @@ object StreamSink {
     * checkpoint against changed data. */
   def q83StreamSinkRoundtrip(spark: SparkSession, dir: String): DataFrame =
     StreamingWindows.withStreamPartitions(spark) {
-      val out = s"${sys.props("user.dir")}/target/tmp/q83_stream_sink"
+      val out = graft.Scratch.dir("q83_stream_sink")
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(out), true)

@@ -34,6 +34,18 @@ class AsOfSpec extends AnyFunSuite {
       ("e", None)))
   }
 
+  test("asofJoin accepts a differently-named right timestamp column") {
+    import spark.implicits._
+    val left = Seq((1L, ts(35), "c"), (1L, ts(10), "a"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts(20))).toDF("user_id", "observed_at")
+    val got = AsOf.asofJoin(left, right, "user_id", "ts",
+      tsRight = "observed_at")
+      .orderBy("ts").collect()
+      .map(r => Option(r.getAs[Timestamp]("asof_ts")).map(_.getTime))
+    assert(got.toSeq == Seq(None, Some(ts(20).getTime)))
+  }
+
   test("asof lag is never negative and signups match themselves") {
     import org.apache.spark.sql.functions._
     val events = Tables.events(spark, sf)
