@@ -5,6 +5,22 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.{GraftExtensions, GraftFunctions}
 
 class FunctionsSpec extends AnyFunSuite {
+  import TestSpark.{spark => tspark}
+
+  test("a registered scalar UDF matches the native normText column " +
+      "(surface parity; native stays the production path)") {
+    import tspark.implicits._
+    import org.apache.spark.sql.functions.{col, udf}
+    val normUdf = udf((s: String) =>
+      if (s == null) null
+      else s.toLowerCase.replaceAll("\\s+", " ").trim)
+    tspark.udf.register("norm_udf", normUdf)
+    val df = Seq("  The  QUICK\tfox ", "a", "", null, " x\n y ")
+      .toDF("t")
+      .select(graft.functions.Cols.normText(col("t")).as("native"),
+        org.apache.spark.sql.functions.expr("norm_udf(t)").as("viaUdf"))
+    df.collect().foreach(r => assert(r.get(0) == r.get(1), r.toString))
+  }
   import TestSpark._
 
   test("native expressions are callable by SQL name after register") {

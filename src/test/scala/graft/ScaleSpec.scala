@@ -104,6 +104,22 @@ class ScaleSpec extends AnyFunSuite {
     } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("ANALYZE TABLE feeds row counts into the optimizer's statistics") {
+    Scale.q45BucketedJoin(spark, sf).collect() // materialize a table
+    spark.sql("ANALYZE TABLE graft_orders_bkt COMPUTE STATISTICS")
+    // row counts surface in plan stats only under CBO
+    val key = "spark.sql.cbo.enabled"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try {
+      val stats = spark.table("graft_orders_bkt")
+        .queryExecution.optimizedPlan.stats
+      val actual = spark.table("graft_orders_bkt").count()
+      // CBO decisions (broadcast choice, join order) key off these
+      assert(stats.rowCount.contains(BigInt(actual)), stats.toString)
+    } finally spark.conf.set(key, old)
+  }
+
   test("global index matches single-sequence row_number without a " +
       "single-partition sort") {
     import org.apache.spark.sql.functions._
