@@ -132,6 +132,9 @@ object SparkEntry {
     "q110_cogroup"         -> (Relational.q110Cogroup _),
     "q111_dynamic_overwrite" -> (Egress.q111DynamicOverwrite _),
     "q112_ema"             -> (Events.q112Ema _),
+    "q113_decontamination" -> (Dedup.q113Decontamination _),
+    "q114_intradoc_repetition" -> (TextStats.q114IntradocRepetition _),
+    "q115_gopher_rules"    -> (TextStats.q115GopherRules _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1590,6 +1593,70 @@ object SparkEntry {
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
+
+    "q113_decontamination" -> """
+      WITH docs AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      d8 AS (SELECT doc_id, w FROM docs WHERE len(w) >= 8),
+      grams AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(w) - 6),
+            i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        FROM d8),
+      ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+      train AS (SELECT * FROM grams WHERE doc_id % 10 <> 0)
+      SELECT doc_id, COUNT(DISTINCT gram) AS n_shared_grams
+      FROM train JOIN ev USING (gram)
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    "q114_intradoc_repetition" -> """
+      SELECT doc_id,
+        CAST(len(segs) AS INTEGER) AS n_segments,
+        CAST(len(list_distinct(segs)) AS INTEGER) AS n_unique,
+        ROUND(1.0 - CAST(len(list_distinct(segs)) AS DOUBLE)
+          / CAST(len(segs) AS DOUBLE), 9) AS repetition_ratio
+      FROM (
+        SELECT doc_id,
+          list_filter(list_transform(string_split(lower(text), '. '),
+            s -> trim(s)), s -> s <> '') AS segs
+        FROM documents) t
+      WHERE len(segs) >= 1
+      ORDER BY doc_id""",
+
+    "q115_gopher_rules" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w,
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents)
+      SELECT doc_id, lang,
+        CAST(len(w) AS INTEGER) AS n_tokens,
+        len(w) BETWEEN 20 AND 100000 AS ok_length,
+        (CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+          / CAST(len(w) AS DOUBLE)) BETWEEN 2.0 AND 12.0
+          AS ok_mean_word_len,
+        len(list_filter(w, x -> list_contains(
+          ['the', 'a', 'of', 'to', 'and'], x))) >= 1 AS ok_stopwords,
+        ROUND(CAST(len(list_filter(w, x ->
+          regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+          / CAST(len(w) AS DOUBLE), 9) AS alpha_frac,
+        CAST(len(list_filter(w, x -> regexp_matches(x, '^[a-z]+$')))
+          AS DOUBLE) / CAST(len(w) AS DOUBLE) >= 0.5 AS ok_alpha,
+        (len(w) BETWEEN 20 AND 100000)
+          AND ((CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE)) BETWEEN 2.0 AND 12.0)
+          AND (len(list_filter(w, x -> list_contains(
+            ['the', 'a', 'of', 'to', 'and'], x))) >= 1)
+          AND (CAST(len(list_filter(w, x ->
+            regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE) >= 0.5) AS pass
+      FROM t
+      ORDER BY doc_id""",
 
     "q97_lateral_topn" -> """
       SELECT n_name, c_name, c_acctbal

@@ -231,4 +231,30 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Benchmark decontamination — the curation step every training-data
+    * pipeline runs before a model sees the corpus: any training
+    * document sharing an 8-word gram with the held-out set is flagged.
+    * Shape: both sides explode to (gram, doc) pairs, the EVAL side is
+    * tiny and deduplicated, the join is gram-equality (inverted-index
+    * semantics, never doc×doc), and the aggregate counts distinct
+    * overlapping grams per flagged doc. At 100 TB the eval gram set
+    * broadcasts and the train side streams through one narrow pass. */
+  def q113Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+    val gramSql =
+      "array_distinct(transform(sequence(0, size(w) - 8), " +
+        "i -> array_join(slice(w, i + 1, 8), ' ')))"
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), explode(expr(gramSql)).as("gram"))
+    val eval_ = grams(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("gram")).distinct()
+    val train = grams(docs.filter(col("doc_id") % 10 =!= 0))
+    train.join(broadcast(eval_), "gram")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -191,4 +191,51 @@ object TextStats {
         (length(col("norm")) - 7).as("n_shingles"),
         graft.functions.TextExprs.minShingleMd5(col("norm"), 8).as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Intra-document repetition (the Gopher/RefinedWeb "repetition
+    * removal" signal): segment each doc on sentence boundaries, count
+    * duplicate segments, and report the repetition ratio. Pure narrow
+    * array ops — no shuffle before the output sort. */
+  def q114IntradocRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(transform(split(lower(text), '\\\\. '), " +
+          "s -> trim(s)), s -> s <> '')").as("segs"))
+      .filter(size(col("segs")) >= 1)
+      .select(col("doc_id"),
+        size(col("segs")).as("n_segments"),
+        size(array_distinct(col("segs"))).as("n_unique"),
+        round(lit(1.0) - size(array_distinct(col("segs"))).cast("double")
+          / size(col("segs")).cast("double"), 9).as("repetition_ratio"))
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style heuristic quality rules as named boolean columns +
+    * an overall verdict — the canonical pre-training document filter
+    * (word-count window, mean-word-length window, stopword presence,
+    * alpha-word fraction). One narrow pass; at 100 TB this is the
+    * cheap first gate before any model-based scoring. */
+  def q115GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val nTok = size(w)
+    val meanLen = length(regexp_replace(Cols.normText(col("text")), " ", ""))
+      .cast("double") / nTok.cast("double")
+    val stopHits = size(expr(
+      "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')," +
+        " t -> t IN ('the', 'a', 'of', 'to', 'and'))"))
+    val alphaFrac = size(expr(
+      "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')," +
+        " t -> t rlike '^[a-z]+$')")).cast("double") / nTok.cast("double")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        nTok.as("n_tokens"),
+        (nTok.between(20, 100000)).as("ok_length"),
+        meanLen.between(2.0, 12.0).as("ok_mean_word_len"),
+        (stopHits >= 1).as("ok_stopwords"),
+        round(alphaFrac, 9).as("alpha_frac"),
+        (alphaFrac >= 0.5).as("ok_alpha"))
+      .withColumn("pass",
+        col("ok_length") && col("ok_mean_word_len") &&
+          col("ok_stopwords") && col("ok_alpha"))
+      .orderBy(col("doc_id"))
+  }
 }
