@@ -135,6 +135,10 @@ object SparkEntry {
     "q113_decontamination" -> (Dedup.q113Decontamination _),
     "q114_intradoc_repetition" -> (TextStats.q114IntradocRepetition _),
     "q115_gopher_rules"    -> (TextStats.q115GopherRules _),
+    "q116_stream_multibatch" -> (StreamingWindows.q116StreamMultibatch _),
+    "q117_funnel"          -> (Events.q117Funnel _),
+    "q118_retention"       -> (Events.q118Retention _),
+    "q119_histogram"       -> (Events.q119Histogram _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1657,6 +1661,62 @@ object SparkEntry {
             / CAST(len(w) AS DOUBLE) >= 0.5) AS pass
       FROM t
       ORDER BY doc_id""",
+
+    // cross-batch state merge must equal the batch aggregation
+    "q116_stream_multibatch" -> """
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    "q117_funnel" -> """
+      WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      s AS (SELECT user_id, MIN(ts) AS s_ts FROM e
+            WHERE event_type = 'signup' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+            FROM e JOIN s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+            GROUP BY e.user_id)
+      SELECT '1_signup' AS step, COUNT(*) AS n_users FROM s
+      UNION ALL
+      SELECT '2_click_after', COUNT(*) FROM c
+      UNION ALL
+      SELECT '3_purchase_after', COUNT(*) FROM p
+      ORDER BY step""",
+
+    "q118_retention" -> """
+      WITH weekly AS (
+        SELECT DISTINCT user_id,
+          date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+        FROM events),
+      firstwk AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM weekly
+        GROUP BY user_id)
+      SELECT cohort_week,
+        CAST(date_diff('day', cohort_week, wk) // 7 AS INTEGER)
+          AS week_offset,
+        COUNT(*) AS n_users
+      FROM weekly JOIN firstwk USING (user_id)
+      GROUP BY 1, 2
+      ORDER BY cohort_week, week_offset""",
+
+    // width_bucket(v, 0, 500, 20): under→0, over→21, else floor/25+1
+    "q119_histogram" -> """
+      SELECT CASE WHEN value < 0 THEN 0
+                  WHEN value >= 500 THEN 21
+                  ELSE CAST(FLOOR(value / 25) AS BIGINT) + 1
+             END AS bucket,
+        COUNT(*) AS n
+      FROM events
+      GROUP BY 1
+      ORDER BY bucket""",
 
     "q97_lateral_topn" -> """
       SELECT n_name, c_name, c_acctbal

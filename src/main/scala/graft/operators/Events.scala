@@ -148,6 +148,62 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Funnel analysis — ordered-step conversion (signup → click →
+    * purchase): each later step counts only events AFTER the user's
+    * previous-step time. Three small per-user aggregates chained by
+    * joins; at scale each join is user-keyed (same partitioning
+    * reused) and the funnel table is tiny next to the event stream. */
+  def q117Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(s, "user_id").filter(col("ts") >= col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    def step(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(name).as("step"), col("n_users"))
+    step("1_signup", s).unionByName(step("2_click_after", c))
+      .unionByName(step("3_purchase_after", p))
+      .orderBy(col("step"))
+  }
+
+  /** Cohort retention: users grouped by first-activity week, counted
+    * in each later activity week (the product-analytics retention
+    * triangle). Two user-keyed aggregates; the output is cohort ×
+    * offset — tiny regardless of event volume. */
+  def q118Retention(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).as("wk"))
+      .distinct()
+    val firstWk = weekly.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    weekly.join(firstWk, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7)
+          .cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      // weekly is distinct per (user, week): count(*) counts users
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Value histogram via width_bucket: 20 equal bins over [0, 500),
+    * under/overflow in buckets 0 and 21 — the one-pass distribution
+    * profile (numeric twin of the string crosstab q104). */
+  def q119Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(width_bucket(col("value"), lit(0.0), lit(500.0), lit(20))
+        .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
   /** MapType surface: parse `props` into a map<string,int> with
     * `from_json`, explode it to (key, value) pairs, and aggregate per
     * (event_type, key). Exercises map construction, map_keys/size

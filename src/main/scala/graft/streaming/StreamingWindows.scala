@@ -75,6 +75,42 @@ object StreamingWindows {
     materializeAndDrop(spark, name, result)
   }
 
+  /** Multi-batch incremental drain: the events table is split over
+    * four files and streamed ONE FILE PER TRIGGER, so the windowed
+    * aggregation's state store genuinely carries partial counts across
+    * micro-batches (q39's single-file drain exercises only one batch).
+    * The final complete-mode state must equal the batch aggregation —
+    * proving cross-batch state merge, the property an unbounded
+    * production stream lives on. */
+  def q116StreamMultibatch(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val zone = graft.Scratch.dir("q116_events_multi")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(zone), true)
+      graft.Tables.events(spark, dir).repartition(4)
+        .write.parquet(zone) // ts now µs timestamps in the zone files
+      val src = spark.readStream
+        .schema(graft.Tables.events(spark, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(zone)
+      val agg = src
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val name = "graft_stream_multi_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val result = spark.table(name)
+        .select(col("win.start").as("win_start"), col("event_type"),
+          col("n_events"))
+        .orderBy(col("win_start"), col("event_type"))
+      materializeAndDrop(spark, name, result)
+    }
+
   /** Copy a memory-sink result into a local relation and drop the sink
     * view — repeated drains would otherwise accumulate one full result
     * copy per run in the driver's sink registry. Sound here because
