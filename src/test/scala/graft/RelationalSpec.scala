@@ -21,9 +21,18 @@ object TestSpark {
 class RelationalSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("every registered query runs and returns rows at sf0.001") {
+  test("every registered query runs, returns rows, and plans no " +
+      "cartesian product at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
+      val df = fn(spark, sf)
+      // plan lint: a CartesianProduct is the one shape with no scale
+      // story — every intentional all-pairs op here broadcasts one
+      // side (BroadcastNestedLoopJoin), which at least bounds the
+      // shuffle. Catches an accidental join-condition dropout.
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(2000)}")
+      val n = df.count()
       assert(n > 0, s"$name returned 0 rows")
     }
   }
