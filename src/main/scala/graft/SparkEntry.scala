@@ -139,6 +139,9 @@ object SparkEntry {
     "q117_funnel"          -> (Events.q117Funnel _),
     "q118_retention"       -> (Events.q118Retention _),
     "q119_histogram"       -> (Events.q119Histogram _),
+    "q120_stream_scoring"  -> (Similarity.q120StreamScoring _),
+    "q121_chunking"        -> (TextStats.q121Chunking _),
+    "q122_dedup_signals"   -> (Dedup.q122DedupSignals _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1717,6 +1720,105 @@ object SparkEntry {
       FROM events
       GROUP BY 1
       ORDER BY bucket""",
+
+    // stateless stream scoring drain == the batch threshold filter
+    "q120_stream_scoring" -> """
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 5)
+      SELECT q_id, e.vec_id,
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y)
+        / sqrt(
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)),
+            (x, y) -> x + y)
+          * list_reduce(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y)) AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.q_id
+        AND list_reduce(list_transform(range(1, 65),
+          i -> CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+          (x, y) -> x + y)
+        / sqrt(
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)),
+            (x, y) -> x + y)
+          * list_reduce(list_transform(range(1, 65),
+            i -> CAST(e.embedding[i] AS DOUBLE)
+                 * CAST(e.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y)) >= 0.3
+      ORDER BY q_id, vec_id""",
+
+    "q121_chunking" -> """
+      WITH n AS (
+        SELECT doc_id,
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents),
+      k AS (
+        SELECT doc_id, norm,
+          unnest(range(0, (length(norm) - 1) // 100 + 1)) AS kk
+        FROM n WHERE length(norm) > 0)
+      SELECT doc_id, CAST(kk AS INTEGER) AS chunk_ix,
+        CAST(length(substring(norm, CAST(kk * 100 + 1 AS INTEGER), 200))
+          AS INTEGER) AS chunk_len,
+        md5(substring(norm, CAST(kk * 100 + 1 AS INTEGER), 200))
+          AS chunk_hash
+      FROM k
+      ORDER BY doc_id, chunk_ix""",
+
+    // union of the two near-dup signals with provenance
+    "q122_dedup_signals" -> """
+      SELECT vec_a AS id_a, vec_b AS id_b, 'embedding' AS signal,
+        ROUND(cosine, 9) AS score
+      FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_reduce(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE)
+                 * CAST(b.embedding[i] AS DOUBLE)),
+            (x, y) -> x + y)
+          / sqrt(
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(a.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)
+            * list_reduce(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+      WHERE cosine >= 0.45
+      UNION ALL
+      SELECT doc_a, doc_b, 'text_ngram', ROUND(jaccard, 9) FROM (
+        WITH words AS (
+          SELECT doc_id,
+            string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+              'g')), ' ') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(range(1, len(w)),
+              i -> w[i] || ' ' || w[i+1])) AS shl
+          FROM words WHERE len(w) >= 2),
+        ix AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+        rare AS (SELECT s FROM ix GROUP BY s HAVING COUNT(*) <= 20),
+        pruned AS (SELECT ix.doc_id, ix.s FROM ix JOIN rare USING (s)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM pruned a
+          JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+          CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE)
+            AS jaccard
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.6) t
+      ORDER BY signal, id_a, id_b""",
 
     "q97_lateral_topn" -> """
       SELECT n_name, c_name, c_acctbal

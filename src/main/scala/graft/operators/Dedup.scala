@@ -232,6 +232,24 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Multi-signal dedup candidate pool: near-dup pairs from the
+    * embedding-cosine signal and the text n-gram-Jaccard signal,
+    * unioned with provenance — the review queue a curation pipeline
+    * feeds to adjudication when signals disagree (each signal's pair
+    * generation stays banded/blocked; the union is trivially cheap). */
+  def q122DedupSignals(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Similarity.q30EmbedNearDup(spark, dir)
+      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"),
+        lit("embedding").as("signal"),
+        round(col("cosine"), 9).as("score"))
+    val txt = q68NgramJaccard(spark, dir)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        lit("text_ngram").as("signal"),
+        round(col("jaccard"), 9).as("score"))
+    emb.unionByName(txt)
+      .orderBy(col("signal"), col("id_a"), col("id_b"))
+  }
+
   /** Benchmark decontamination — the curation step every training-data
     * pipeline runs before a model sees the corpus: any training
     * document sharing an 8-word gram with the held-out set is flagged.

@@ -292,6 +292,44 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Streaming similarity scoring: embeddings arrive as a stream and
+    * are scored against a broadcast probe set inline — the online
+    * twin of q27's batch scan (think: newly-ingested documents scored
+    * against a fixed query/centroid set as they land). Stateless
+    * narrow map per micro-batch: no watermark, no state store; the
+    * memory-sink drain must equal the batch filter. */
+  def q120StreamScoring(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingWindows.withStreamPartitions(spark) {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val q = probes(spark, dir)
+        .withColumn("q_norm", dot(col("q_emb"), col("q_emb")))
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+      val scoredStream = src
+        .withColumn("c_norm", dot(col("embedding"), col("embedding")))
+        .join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("q_emb"), col("embedding")) /
+            sqrt(col("q_norm") * col("c_norm"))).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+      val name = "graft_stream_scoring_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = scoredStream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val result = spark.table(name).orderBy("q_id", "vec_id")
+      graft.streaming.StreamingWindows.materializeAndDrop(
+        spark, name, result)
+    }
+
   /** Per-vector feature extraction — the narrow, shuffle-free pass
     * every embedding pipeline runs before indexing: dimensionality,
     * L2 norm (via the native dot expression), max |component|, and the

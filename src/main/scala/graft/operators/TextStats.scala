@@ -192,6 +192,26 @@ object TextStats {
         graft.functions.TextExprs.minShingleMd5(col("norm"), 8).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** RAG-style chunking: each document sliced into 200-char windows
+    * with 100-char stride (the overlap preserves context across chunk
+    * boundaries). Pure narrow explode — ~len/100 rows per doc, no
+    * shuffle before the output sort; chunk identity is (doc, index) +
+    * content hash so downstream embedding/indexing stages can dedup
+    * re-chunked documents cheaply. */
+  def q121Chunking(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Cols.normText(col("text")).as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"),
+        expr("""posexplode(transform(
+            sequence(0, CAST((length(norm) - 1) DIV 100 AS INT)),
+            k -> substring(norm, k * 100 + 1, 200)))""")
+          .as(Seq("chunk_ix", "chunk")))
+      .select(col("doc_id"), col("chunk_ix"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_ix"))
+
   /** Intra-document repetition (the Gopher/RefinedWeb "repetition
     * removal" signal): segment each doc on sentence boundaries, count
     * duplicate segments, and report the repetition ratio. Pure narrow

@@ -37,7 +37,7 @@ object StreamingWindows {
     * drains here, 8 stores load/commit faster than 32 and the query
     * result is partitioning-independent. Unbounded production streams
     * size this to (cores × state volume), not query latency. */
-  private[streaming] def withStreamPartitions[T](spark: SparkSession)(
+  private[graft] def withStreamPartitions[T](spark: SparkSession)(
       body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val old = spark.conf.get(key)
@@ -116,7 +116,7 @@ object StreamingWindows {
     * copy per run in the driver's sink registry. Sound here because
     * drained results are small aggregates; an unbounded stream would
     * use a durable sink (see StreamSink) instead. */
-  private[streaming] def materializeAndDrop(spark: SparkSession,
+  private[graft] def materializeAndDrop(spark: SparkSession,
       name: String,
       result: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val rows = result.collect()
