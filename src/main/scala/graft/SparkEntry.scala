@@ -142,6 +142,9 @@ object SparkEntry {
     "q120_stream_scoring"  -> (Similarity.q120StreamScoring _),
     "q121_chunking"        -> (TextStats.q121Chunking _),
     "q122_dedup_signals"   -> (Dedup.q122DedupSignals _),
+    "q123_vocab_overlap"   -> (TextStats.q123VocabOverlap _),
+    "q124_map_hofs"        -> (Events.q124MapHofs _),
+    "q125_shortest_paths"  -> (Dedup.q125ShortestPaths _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1819,6 +1822,95 @@ object SparkEntry {
         WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
             / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.6) t
       ORDER BY signal, id_a, id_b""",
+
+    "q123_vocab_overlap" -> """
+      WITH wcount AS (
+        SELECT lang, word, COUNT(*) AS n FROM (
+          SELECT lang,
+            unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+              ' ', 'g')), ' ')) AS word
+          FROM documents) u
+        WHERE word <> ''
+        GROUP BY lang, word),
+      top AS (
+        SELECT lang, word FROM (
+          SELECT lang, word,
+            ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY n DESC, word ASC) AS rk
+          FROM wcount) t
+        WHERE rk <= 50),
+      voc AS (SELECT lang, list_sort(list(word)) AS vocab FROM top
+              GROUP BY lang)
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+        CAST(len(list_intersect(a.vocab, b.vocab)) AS INTEGER)
+          AS n_common,
+        ROUND(CAST(len(list_intersect(a.vocab, b.vocab)) AS DOUBLE)
+          / CAST(len(list_distinct(a.vocab || b.vocab)) AS DOUBLE), 9)
+          AS vocab_jaccard
+      FROM voc a JOIN voc b ON a.lang < b.lang
+      ORDER BY lang_a, lang_b""",
+
+    "q124_map_hofs" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+        MIN(CAST(json_extract_string(props, '$.k') AS INTEGER) * 2)
+          AS min_k2,
+        MAX(CAST(json_extract_string(props, '$.k') AS INTEGER) * 2)
+          AS max_k2,
+        CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k')
+          AS INTEGER) >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
+    // BFS distances from the smallest doc in the MinHash edge set;
+    // the recursive CTE mirrors the hop loop (MIN over path lengths)
+    "q125_shortest_paths" -> """
+      WITH RECURSIVE words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      edges AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      src AS (SELECT MIN(doc_a) AS s FROM edges),
+      bfs (doc_id, dist) AS (
+        SELECT s, 0 FROM src
+        UNION
+        SELECT e.doc_b, b.dist + 1
+        FROM bfs b JOIN edges e ON b.doc_id = e.doc_a
+        WHERE b.dist < 20),
+      final AS (
+        SELECT doc_id, MIN(dist) AS dist FROM bfs GROUP BY doc_id)
+      SELECT doc_id, CAST(dist AS INTEGER) AS dist
+      FROM final
+      ORDER BY doc_id""",
 
     "q97_lateral_topn" -> """
       SELECT n_name, c_name, c_acctbal

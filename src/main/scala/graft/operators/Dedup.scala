@@ -250,6 +250,45 @@ object Dedup {
       .orderBy(col("signal"), col("id_a"), col("id_b"))
   }
 
+  /** BFS shortest paths over the near-dup graph (Pregel-style): each
+    * iteration is ONE distributed join (frontier ⋈ edges) + anti-join
+    * against the visited set — the driver loops only over graph
+    * DIAMETER (small even on huge graphs), never over rows. Source =
+    * the smallest doc id that appears in any MinHash edge, so the
+    * result is a pure function of the data. Distances land per node;
+    * the same loop at 100 TB is iterative joins over a partitioned
+    * edge table (checkpoint every few hops to cut lineage). */
+  def q125ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{min => fmin}
+    val e = q25DedupMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = e.unionByName(
+        e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .localCheckpoint(eager = false) // reused every hop: cut the plan
+    val source = edges.agg(fmin(col("doc_a"))).head().getLong(0)
+    var visited = edges.sparkSession.range(1)
+      .select(lit(source).as("doc_id"), lit(0).as("dist"))
+    var frontier = visited
+    var hop = 1
+    var grew = true
+    while (grew && hop <= 20) { // diameter bound; near-dup graphs are shallow
+      val next = frontier.join(edges, col("doc_id") === col("doc_a"))
+        .select(col("doc_b").as("doc_id")).distinct()
+        .join(visited.select(col("doc_id").as("v")),
+          col("doc_id") === col("v"), "left_anti")
+        .withColumn("dist", lit(hop))
+      val n = next.count()
+      if (n == 0) grew = false
+      else {
+        visited = visited.unionByName(next).localCheckpoint(eager = false)
+        frontier = next
+        hop += 1
+      }
+    }
+    visited.orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination — the curation step every training-data
     * pipeline runs before a model sees the corpus: any training
     * document sharing an 8-word gram with the held-out set is flagged.

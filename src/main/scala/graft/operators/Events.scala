@@ -148,6 +148,27 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Map higher-order functions over the parsed props map:
+    * transform_values rescales, map_filter thresholds, map_keys /
+    * element_at read back — the MapType algebra staying entirely
+    * inside codegen (no explode needed when per-entry rows aren't). */
+  def q124MapHofs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_type"),
+        element_at(transform_values(col("m"), (_, v) => v * 2), "k")
+          .as("k2"),
+        size(map_filter(col("m"), (_, v) => v >= 50)).as("n_ge50"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("k2")).as("min_k2"), max(col("k2")).as("max_k2"),
+        sum(col("n_ge50")).as("n_heavy"))
+      .orderBy(col("event_type"))
+
   /** Funnel analysis — ordered-step conversion (signup → click →
     * purchase): each later step counts only events AFTER the user's
     * previous-step time. Three small per-user aggregates chained by

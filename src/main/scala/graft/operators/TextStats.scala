@@ -192,6 +192,33 @@ object TextStats {
         graft.functions.TextExprs.minShingleMd5(col("norm"), 8).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Cross-language vocabulary overlap: top-50 words per language
+    * (count desc, word asc — deterministic), then pairwise set algebra
+    * (array_intersect / array_union) for a corpus-similarity matrix.
+    * The word ranking shuffles once on (lang, word); the pair join
+    * runs over one 50-element array per language — dimension-sized. */
+  def q123VocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("word").asc)
+    val top = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_list(col("word"))).as("vocab"))
+    val a = top.select(col("lang").as("lang_a"), col("vocab").as("va"))
+    val b = top.select(col("lang").as("lang_b"), col("vocab").as("vb"))
+    a.join(b, col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        size(array_intersect(col("va"), col("vb"))).as("n_common"),
+        round(size(array_intersect(col("va"), col("vb"))).cast("double")
+          / size(array_union(col("va"), col("vb"))).cast("double"), 9)
+          .as("vocab_jaccard"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   /** RAG-style chunking: each document sliced into 200-char windows
     * with 100-char stride (the overlap preserves context across chunk
     * boundaries). Pure narrow explode — ~len/100 rows per doc, no
