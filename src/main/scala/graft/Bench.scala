@@ -36,12 +36,22 @@ object Bench {
         (name, -1.0, false)
       }
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal per-query times keep the line short, and the headline
+    // total/failed keys go LAST: the driver keeps only the final ~2000
+    // chars of output, so a long catalog must not push the total out of
+    // the capture window. A full copy also lands in bench_full.json.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","n_queries":${results.size},"value":${f3(total)}}"""
+    println(line)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), line + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

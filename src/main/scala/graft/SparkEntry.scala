@@ -145,6 +145,11 @@ object SparkEntry {
     "q123_vocab_overlap"   -> (TextStats.q123VocabOverlap _),
     "q124_map_hofs"        -> (Events.q124MapHofs _),
     "q125_shortest_paths"  -> (Dedup.q125ShortestPaths _),
+    "q126_sql_sugar"       -> (ModernSql.q126SqlSugar _),
+    "q127_sql_scalar_udf"  -> (ModernSql.q127SqlScalarUdf _),
+    "q128_sql_table_udf"   -> (ModernSql.q128SqlTableUdf _),
+    "q129_approx_topk"     -> (ModernSql.q129ApproxTopK _),
+    "q130_param_sql"       -> (ModernSql.q130ParamSql _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -174,6 +179,10 @@ object SparkEntry {
     // PQ codebooks (k-means) are engine-specific and recall < 1 by
     // design; exact twins q27/q28, recall floor asserted in spec.
     "q98_ann_pq",
+    // frequency-sketch item selection under count ties is engine-
+    // internal; counts are spec-checked against exact frequencies,
+    // exact top-k twin is q65-style group+rank.
+    "q129_approx_topk",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1930,6 +1939,59 @@ object SparkEntry {
       FROM orders
       GROUP BY 1, 2
       ORDER BY o_orderpriority, yr""",
+
+    // fully spelled-out equivalent of the GROUP BY ALL / ORDER BY ALL
+    // / lateral-alias sugar: sugar must not change semantics
+    "q126_sql_sugar" -> """
+      WITH per AS (
+        SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+          COUNT(*) AS n_orders,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, yr)
+      SELECT n_name, yr, n_orders,
+        CAST(revenue AS DOUBLE) AS revenue_usd,
+        CAST(revenue AS DOUBLE) * 2 AS revenue_x2,
+        CAST(revenue AS DOUBLE) * 2 - CAST(revenue AS DOUBLE)
+          AS revenue_back
+      FROM per
+      ORDER BY 1, 2, 3, 4, 5, 6""",
+
+    // the SQL UDF body inlined by hand
+    "q127_sql_scalar_udf" -> """
+      SELECT l_returnflag,
+        CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+          AS DOUBLE) AS net_revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // the table-UDF bin generator expanded as a CTE
+    "q128_sql_table_udf" -> """
+      WITH b AS (
+        SELECT CAST(i AS INTEGER) AS bin, i * 50000.0 AS lo,
+          (i + 1) * 50000.0 AS hi
+        FROM generate_series(0, 11) t(i))
+      SELECT b.bin, CAST(b.lo AS BIGINT) AS lo_usd,
+        COUNT(o_orderkey) AS n_orders
+      FROM b LEFT JOIN orders
+        ON o_totalprice >= b.lo AND o_totalprice < b.hi
+      GROUP BY b.bin, b.lo
+      ORDER BY b.bin""",
+
+    // named parameters bound to the same literals
+    "q130_param_sql" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_usd
+      FROM orders
+      WHERE o_orderstatus = 'F'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

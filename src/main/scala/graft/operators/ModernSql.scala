@@ -147,6 +147,109 @@ object ModernSql {
       ORDER BY n_name, c_acctbal DESC, c_name""")
   }
 
+  /** Modern SQL sugar in one verified query: GROUP BY ALL infers the
+    * grouping keys, ORDER BY ALL orders by every output column, and
+    * lateral column aliases (`revenue_x2` referencing `revenue_usd`
+    * defined in the same SELECT) avoid repeating expressions. Sugar
+    * only changes authoring, not the plan: the oracle is the fully
+    * spelled-out equivalent and must hash-match. `revenue_back`
+    * round-trips the lateral chain (x*2 - x == x exactly in IEEE). */
+  def q126SqlSugar(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      WITH per AS (
+        SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+          COUNT(*) AS n_orders,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ALL)
+      SELECT n_name, yr, n_orders,
+        CAST(revenue AS DOUBLE) AS revenue_usd,
+        revenue_usd * 2 AS revenue_x2,
+        revenue_x2 - revenue_usd AS revenue_back
+      FROM per
+      ORDER BY ALL""")
+  }
+
+  /** SQL scalar UDF (CREATE FUNCTION ... RETURN expr): the engine's
+    * user-extension surface without leaving SQL. The body is inlined
+    * by the analyzer into the calling plan — unlike an opaque JVM
+    * UDF it stays visible to Catalyst (pushdown/codegen), so this is
+    * the preferred extension tier below a native Expression. Returns
+    * DECIMAL so the aggregation stays order-independent-exact. */
+  def q127SqlScalarUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION net_usd(price DOUBLE, disc DOUBLE)
+      RETURNS DECIMAL(18,4)
+      RETURN CAST(CAST(price AS DECIMAL(18,2))
+        * (1 - CAST(disc AS DECIMAL(18,2))) AS DECIMAL(18,4))""")
+    spark.sql("""
+      SELECT l_returnflag,
+        CAST(SUM(net_usd(l_extendedprice, l_discount)) AS DOUBLE)
+          AS net_revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
+  /** SQL table UDF (RETURNS TABLE): a set-generating function usable
+    * in FROM — here a parameterized histogram-bin generator, range-
+    * joined (broadcast: 12 rows) against orders. LEFT JOIN from the
+    * bins keeps empty buckets, the shape a reporting layer needs. */
+  def q128SqlTableUdf(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      CREATE OR REPLACE TEMPORARY FUNCTION price_bins(width DOUBLE, n INT)
+      RETURNS TABLE(bin INT, lo DOUBLE, hi DOUBLE)
+      RETURN SELECT CAST(i AS INT) AS bin, i * width AS lo,
+        (i + 1) * width AS hi
+      FROM (SELECT explode(sequence(0, n - 1)) AS i)""")
+    spark.sql("""
+      SELECT b.bin, CAST(b.lo AS BIGINT) AS lo_usd,
+        COUNT(o_orderkey) AS n_orders
+      FROM price_bins(CAST(50000 AS DOUBLE), 12) b
+      LEFT JOIN orders ON o_totalprice >= b.lo AND o_totalprice < b.hi
+      GROUP BY b.bin, b.lo
+      ORDER BY b.bin""")
+  }
+
+  /** approx_top_k heavy hitters: one-pass mergeable frequency sketch
+    * (map-side partials, no exact per-key shuffle) — the 100 TB
+    * "top trending items" pattern. Item SELECTION under count ties is
+    * sketch-internal → rows-only; the spec checks every reported
+    * count against exact counts and that nothing above the k-th
+    * exact frequency was missed. Exact twin: q65-style group+rank. */
+  def q129ApproxTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT e.item AS p_brand, CAST(e.count AS BIGINT) AS est_count
+      FROM (SELECT explode(approx_top_k(p_brand, 8)) AS e FROM part)
+      ORDER BY est_count DESC, p_brand""")
+  }
+
+  /** Parameterized SQL (named markers, Spark 4): the injection-safe
+    * templated-query surface a serving layer uses — parameters bind
+    * as literals into the analyzed plan, so constant folding and
+    * partition/filter pushdown see real values, unlike string
+    * concatenation which risks both injection and plan-cache misses. */
+  def q130ParamSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_usd
+      FROM orders
+      WHERE o_orderstatus = :status
+        AND o_orderdate >= :from_date
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+      Map("status" -> "F", "from_date" -> "1995-01-01"))
+  }
+
   /** XML parsing: documents serialized as XML records (the third
     * semi-structured format next to JSON/variant), parsed back with
     * `from_xml` against an explicit schema and aggregated. The oracle

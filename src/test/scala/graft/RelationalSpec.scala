@@ -76,6 +76,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_top_k counts are exact and nothing above the kth " +
+      "frequency is missed") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.part(spark, sf)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = operators.ModernSql.q129ApproxTopK(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == math.min(8, exact.size))
+    // sketch counts must be exact at this cardinality (far below the
+    // tracked-items bound), and the returned set must contain every
+    // brand whose exact count strictly exceeds the kth frequency
+    // (which items tie-break INTO the top-k is sketch-internal)
+    got.foreach { case (b, n) => assert(exact(b) == n, b) }
+    val kth = got.values.min
+    exact.filter(_._2 > kth).keys.foreach(b => assert(got.contains(b), b))
+  }
+
+  test("sql udf results are analyzer-inlined, not opaque calls") {
+    // the scalar SQL UDF body must inline into the plan: no
+    // ScalaUDF/Invoke barrier, aggregation stays codegen-friendly
+    val plan = operators.ModernSql.q127SqlScalarUdf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan.take(2000))
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
