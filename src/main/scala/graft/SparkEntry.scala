@@ -150,6 +150,8 @@ object SparkEntry {
     "q128_sql_table_udf"   -> (ModernSql.q128SqlTableUdf _),
     "q129_approx_topk"     -> (ModernSql.q129ApproxTopK _),
     "q130_param_sql"       -> (ModernSql.q130ParamSql _),
+    "q131_zorder_layout"   -> (Scale.q131ZorderLayout _),
+    "q132_bloom_prefilter" -> (Scale.q132BloomPrefilter _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1992,6 +1994,45 @@ object SparkEntry {
         AND o_orderdate >= TIMESTAMP '1995-01-01'
       GROUP BY o_orderpriority
       ORDER BY o_orderpriority""",
+
+    // same Morton arithmetic spelled out per bit; ROW_NUMBER is safe
+    // because the (z, p_partkey) order key is unique
+    "q131_zorder_layout" -> """
+      WITH base AS (
+        SELECT p_partkey, CAST(p_size AS INTEGER) AS x,
+          LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS INTEGER), 63)
+            AS y
+        FROM part),
+      zv AS (
+        SELECT p_partkey, x, y,
+          (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) +
+          (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) +
+          (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) +
+          (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) +
+          (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) +
+          (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) AS z
+        FROM base),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY z, p_partkey) AS rk
+        FROM zv)
+      SELECT CAST((rk - 1) // 64 AS INTEGER) AS file_id,
+        COUNT(*) AS n_parts,
+        MIN(x) AS min_size, MAX(x) AS max_size,
+        MIN(y) AS min_priceb, MAX(y) AS max_priceb,
+        MIN(z) AS min_z, MAX(z) AS max_z
+      FROM ranked
+      GROUP BY 1
+      ORDER BY 1""",
+
+    // plain join: bloom false positives must all be removed by the
+    // real join, so the prefiltered plan is value-identical to this
+    "q132_bloom_prefilter" -> """
+      SELECT s_nationkey, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey < 5
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

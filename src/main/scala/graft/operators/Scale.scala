@@ -159,4 +159,63 @@ object Scale {
       Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_totalprice"),
       col("o_totalprice").desc, col("o_orderkey").asc)
+
+  /** Z-order (Morton-curve) data layout: interleave the bits of two
+    * filter dimensions (size, price bucket) into one sort key, cluster
+    * rows into fixed-size "files" along that curve, and report per-file
+    * min/max ranges — the stats a scan would prune on. Sorting by the
+    * interleaved key keeps BOTH dimensions locally bounded per file, so
+    * 2-D predicates skip most files; a single-column sort would bound
+    * only one. The curve key is pure bit arithmetic (codegen, no UDF),
+    * and file assignment reuses [[globalIndex]] (range partition +
+    * per-partition offsets — no single-partition exchange), exactly how
+    * a distributed z-order writer lays out 100 TB. ScaleSpec asserts
+    * the per-file ranges actually shrink vs the global range. */
+  def q131ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(spark, dir).select(
+      col("p_partkey"),
+      col("p_size").cast("int").as("x"),
+      least(floor((col("p_retailprice") - 900) / 2).cast("int"), lit(63))
+        .as("y"))
+    // 6-bit × 6-bit Morton interleave: z = Σ ((x>>i)&1)<<2i | ((y>>i)&1)<<2i+1
+    val z = (0 until 6).map { i =>
+      shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+    globalIndex(base.withColumn("z", z), col("z").asc, col("p_partkey").asc)
+      .withColumn("file_id", expr("CAST((rank - 1) div 64 AS INT)"))
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_parts"),
+        min(col("x")).as("min_size"), max(col("x")).as("max_size"),
+        min(col("y")).as("min_priceb"), max(col("y")).as("max_priceb"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy(col("file_id"))
+  }
+
+  /** Explicit sketch-prefilter join: build a bloom filter over the
+    * build-side keys (`df.stat.bloomFilter` — a driver-merged, few-KB
+    * mergeable sketch), ship it to every task, and drop non-matching
+    * fact rows BEFORE the join shuffle. False positives survive the
+    * prefilter but are removed by the real join, so the result is
+    * exact and the oracle is the plain join. This is the manual
+    * surface of the same idea Spark's runtime bloom filter applies
+    * automatically (asserted in ScaleSpec for q3-shaped joins); the
+    * explicit form works across stages/jobs where the optimizer can't
+    * see the producer, e.g. a nightly-built filter reused by many
+    * downstream jobs. The membership probe is the one closure-based
+    * filter in the catalog — the sketch object has no Column API. */
+  def q132BloomPrefilter(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.supplier(spark, dir)
+      .filter(col("s_nationkey") < 5)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val bf = dim.stat.bloomFilter("s_suppkey", 1 << 16, 0.01)
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), col("l_quantity"))
+      .filter(mightContain(col("l_suppkey")))
+      .join(dim, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("s_nationkey"))
+  }
 }

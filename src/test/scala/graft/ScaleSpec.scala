@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, udf}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Scale
@@ -142,5 +143,41 @@ class ScaleSpec extends AnyFunSuite {
         row_number().over(w).cast("long").as("rank"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == want)
+  }
+
+  test("z-order files bound both dimensions to a fraction of the " +
+      "global range") {
+    val stats = operators.Scale.q131ZorderLayout(spark, sf).collect()
+    // only full files: the final partial file may legitimately span a
+    // wide residual range
+    val full = stats.filter(_.getLong(1) == 64L)
+    assert(full.nonEmpty)
+    val avgSizeSpan = full.map(r => r.getInt(3) - r.getInt(2)).sum
+      .toDouble / full.length
+    val avgPriceSpan = full.map(r => r.getInt(5) - r.getInt(4)).sum
+      .toDouble / full.length
+    // global ranges: size 1..50 (span 49), price bucket 0..49 (span 49).
+    // A Morton sort over 64-row files must bound BOTH dims well below
+    // the global span — a 1-D sort would leave one dim near-global.
+    assert(avgSizeSpan < 25, s"avg size span $avgSizeSpan")
+    assert(avgPriceSpan < 25, s"avg price-bucket span $avgPriceSpan")
+  }
+
+  test("bloom prefilter keeps the true matches and strips most " +
+      "non-matching fact rows before the join") {
+    val dim = Tables.supplier(spark, sf)
+      .filter(col("s_nationkey") < 5).select("s_suppkey")
+    val bf = dim.stat.bloomFilter("s_suppkey", 1 << 16, 0.01)
+    val fact = Tables.lineitem(spark, sf).select("l_suppkey")
+    val total = fact.count()
+    val mightContain = udf((k: Long) => bf.mightContain(k))
+    val kept = fact.filter(mightContain(col("l_suppkey"))).count()
+    val trueMatches = fact.join(dim,
+      col("l_suppkey") === col("s_suppkey"), "left_semi").count()
+    assert(kept >= trueMatches) // no false negatives, ever
+    // ~20% of suppliers pass the nationkey filter; with fpp=1% the
+    // kept set must stay close to the true match count
+    assert(kept <= trueMatches + math.max(10, (total * 0.02).toLong),
+      s"kept=$kept true=$trueMatches total=$total")
   }
 }
