@@ -152,6 +152,8 @@ object SparkEntry {
     "q130_param_sql"       -> (ModernSql.q130ParamSql _),
     "q131_zorder_layout"   -> (Scale.q131ZorderLayout _),
     "q132_bloom_prefilter" -> (Scale.q132BloomPrefilter _),
+    "q133_binary_ingest"   -> (Multimodal.q133BinaryIngest _),
+    "q134_custom_source"   -> (Egress.q134CustomSource _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2033,6 +2035,29 @@ object SparkEntry {
       WHERE s_nationkey < 5
       GROUP BY s_nationkey
       ORDER BY s_nationkey""",
+
+    // the originating rows: byte counts + digests must survive the
+    // file write → binaryFile read cycle (strlen = UTF-8 bytes, the
+    // same bytes Spark writes; DuckDB md5 hashes those bytes)
+    "q133_binary_ingest" -> """
+      SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        md5(text) AS content_md5
+      FROM documents
+      WHERE doc_id % 20 = 0
+      ORDER BY doc_id""",
+
+    // the connector's deterministic table recomputed in SQL
+    "q134_custom_source" -> """
+      WITH src AS (
+        SELECT i AS id, CAST(i % 16 AS INTEGER) AS bucket,
+          md5(CAST(i AS VARCHAR)) AS fp
+        FROM range(0, 5000) t(i)
+        WHERE i >= 1000 AND i < 4000)
+      SELECT bucket, COUNT(*) AS n_rows,
+        MIN(fp) AS min_fp, MAX(fp) AS max_fp
+      FROM src
+      GROUP BY bucket
+      ORDER BY bucket""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

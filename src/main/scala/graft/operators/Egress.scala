@@ -242,4 +242,21 @@ object Egress {
         min(col("n_name")).as("first_nation"))
       .orderBy(col("n_regionkey"))
   }
+
+  /** DataSource V2 custom connector ([[graft.sources.SyntheticSource]])
+    * driven end-to-end: sliced parallel read, `id`-range filter pushed
+    * into the source (rows outside [1000, 4000) are never generated),
+    * then a normal aggregation on top. The oracle recomputes the same
+    * deterministic table in SQL, so the connector's split planning,
+    * pruning, and pushdown must all be value-transparent. Plan
+    * properties (pruned reader schema, narrowed range) are asserted in
+    * IngestPipelineSpec. */
+  def q134CustomSource(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 5000L).option("slices", 8).load()
+      .filter(col("id") >= 1000 && col("id") < 4000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      .orderBy(col("bucket"))
 }

@@ -83,6 +83,48 @@ object Multimodal {
         max(col("mean_byte")).as("max_mean_byte"))
       .orderBy(col("media_type"))
   }
+
+  /** Raw binary-file ingestion: one payload file per asset on disk,
+    * read back through Spark's `binaryFile` source (path, length,
+    * content) — how image/audio corpora actually arrive before
+    * anyone parquet-izes them. Asset identity is recovered from the
+    * file path; byte counts and content digests are oracle-checked
+    * against the originating rows, so any write/read corruption or
+    * charset drift fails the hash. Files are written executor-side
+    * per partition (a cluster writer passes a SerializableConfiguration
+    * and targets a Hadoop FS; the scratch zone here is driver-local
+    * like every sink query). `binaryFile` scans split BY FILE, so at
+    * 100 TB the parallelism unit is the asset, not the byte range —
+    * exactly right for whole-file decode. */
+  def q133BinaryIngest(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val zone = graft.Scratch.dir("q133_bin_zone")
+    val zp = Paths.get(zone)
+    if (Files.exists(zp)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(zp).iterator().asScala.toSeq.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    Files.createDirectories(zp)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          Files.write(Paths.get(zone, s"doc_${r.getLong(0)}.bin"),
+            r.getString(1)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(zone)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+  }
 }
 
 /** STUB decoder — stands in for the real codec library (absent in this
@@ -126,4 +168,5 @@ object StubDecoder {
     payload.indices.collect {
       case i if i % 2 == 0 => payload(i)
     }.toArray
+
 }

@@ -148,4 +148,34 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(n == 1 && parquetFiles(outDir) == 1)
     assert(spark.read.parquet(outDir).count() == 1000)
   }
+
+  test("DSv2 source prunes columns and pushes id-range filters into " +
+      "the scan") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 5000L).option("slices", 8).load()
+      .filter(col("id") >= 1000 && col("id") < 4000)
+      .select(col("bucket"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the Scan's description reports the narrowed range and the
+    // pruned reader schema — both must reflect the query, and the
+    // pushed range must not be re-generated then discarded
+    assert(plan.contains("range=[1000, 4000)"), plan.take(3000))
+    assert("cols=(id,)?bucket\\b".r.findFirstIn(plan).isDefined,
+      plan.take(3000))
+    assert(!plan.contains("fp"), plan.take(3000))
+    assert(df.count() == 3000)
+  }
+
+  test("DSv2 source plans one input partition per non-empty slice") {
+    val df = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 100L).option("slices", 8).load()
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == 100)
+    // more slices than rows: empty splits are dropped, not planned
+    val tiny = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 3L).option("slices", 8).load()
+    assert(tiny.rdd.getNumPartitions == 3)
+    assert(tiny.count() == 3)
+  }
 }
