@@ -154,6 +154,8 @@ object SparkEntry {
     "q132_bloom_prefilter" -> (Scale.q132BloomPrefilter _),
     "q133_binary_ingest"   -> (Multimodal.q133BinaryIngest _),
     "q134_custom_source"   -> (Egress.q134CustomSource _),
+    "q135_transform_with_state" ->
+      (graft.streaming.StreamTransformState.q135TransformWithState _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2058,6 +2060,14 @@ object SparkEntry {
       FROM src
       GROUP BY bucket
       ORDER BY bucket""",
+
+    // the batch GROUP BY the cross-batch named state must converge to
+    "q135_transform_with_state" -> """
+      SELECT user_id, COUNT(*) AS n_events,
+        MAX(event_id) AS max_event_id
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

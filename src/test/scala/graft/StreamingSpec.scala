@@ -135,4 +135,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(hopTotal == 2 * graft.Tables.events(spark, sf).count())
   }
+
+  test("transformWithState running totals converge to the batch " +
+      "group-by across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val got = streaming.StreamTransformState
+      .q135TransformWithState(spark, sf)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(col("event_id")).as("m"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == want)
+    // the state store provider conf must be restored after the drain
+    // (getOption surfaces the session default, HDFSBacked, not None)
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .exists(_.contains("RocksDB")))
+  }
 }
