@@ -156,6 +156,10 @@ object SparkEntry {
     "q134_custom_source"   -> (Egress.q134CustomSource _),
     "q135_transform_with_state" ->
       (graft.streaming.StreamTransformState.q135TransformWithState _),
+    "q136_stream_append_windows" ->
+      (StreamingWindows.q136StreamAppendWindows _),
+    "q137_default_columns" -> (Egress.q137DefaultColumns _),
+    "q138_union_by_name"   -> (Relational.q138UnionByName _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2068,6 +2072,40 @@ object SparkEntry {
       FROM events
       GROUP BY user_id
       ORDER BY user_id""",
+
+    // append mode emits exactly the windows the final watermark
+    // (global max event time - 10 min) has passed: end <= watermark
+    "q136_stream_append_windows" -> """
+      WITH wm AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        FROM events)
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events, wm
+      WHERE time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+              + INTERVAL 5 MINUTE <= w
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    // defaults recomputed explicitly: partial INSERT fills both,
+    // VALUES(..., DEFAULT, 5) fills only status
+    "q137_default_columns" -> """
+      SELECT n_nationkey AS id, 'new' AS status, 10 AS score
+      FROM nation
+      UNION ALL SELECT 1000, 'new', 5
+      ORDER BY id""",
+
+    // by-name union with a nulled missing column, repaired downstream
+    "q138_union_by_name" -> """
+      SELECT COALESCE(CASE WHEN year(o_orderdate) >= 1995
+               THEN o_orderpriority END, 'LEGACY') AS priority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_usd
+      FROM orders
+      GROUP BY 1
+      ORDER BY 1""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

@@ -243,6 +243,26 @@ object Egress {
       .orderBy(col("n_regionkey"))
   }
 
+  /** Column DEFAULT values (ANSI DDL surface): a catalog table whose
+    * columns declare defaults, filled in both by a partial-column-list
+    * INSERT ... SELECT and by the DEFAULT keyword in VALUES — the
+    * schema-evolution affordance that lets producers add columns
+    * without rewriting every writer. The oracle recomputes the
+    * defaults explicitly, so the resolution path (analyzer-injected
+    * literals, not storage magic) must be value-transparent. */
+  def q137DefaultColumns(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    Scale.dropManaged(spark, "graft_defaults")
+    spark.sql("""CREATE TABLE graft_defaults(
+      id BIGINT,
+      status STRING DEFAULT 'new',
+      score INT DEFAULT 10) USING parquet""")
+    spark.sql(
+      "INSERT INTO graft_defaults (id) SELECT n_nationkey FROM nation")
+    spark.sql("INSERT INTO graft_defaults VALUES (1000, DEFAULT, 5)")
+    spark.table("graft_defaults").orderBy(col("id"))
+  }
+
   /** DataSource V2 custom connector ([[graft.sources.SyntheticSource]])
     * driven end-to-end: sliced parallel read, `id`-range filter pushed
     * into the source (rows outside [1000, 4000) are never generated),

@@ -682,4 +682,26 @@ object Relational {
       ORDER BY o.o_orderpriority
     """)
   }
+
+  /** Schema-drift union: an old batch lacking a column unioned with a
+    * new batch that has it, via `unionByName(allowMissingColumns)` —
+    * position-based `union` would silently misalign columns here (the
+    * classic ingest bug); by-name resolution nulls the missing column
+    * instead, and the null is repaired downstream. This is the
+    * batch-side half of schema evolution (q105's mergeSchema read is
+    * the storage-side half). */
+  def q138UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val legacy = o.filter(year(col("o_orderdate")) < lit(1995))
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val modern = o.filter(year(col("o_orderdate")) >= lit(1995))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+    legacy.unionByName(modern, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("LEGACY"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_usd"))
+      .orderBy(col("priority"))
+  }
 }

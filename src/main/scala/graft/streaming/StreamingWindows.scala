@@ -111,6 +111,44 @@ object StreamingWindows {
       materializeAndDrop(spark, name, result)
     }
 
+  /** Append-mode windowed aggregation: rows are emitted ONLY when the
+    * watermark passes a window's end — the semantics an unbounded
+    * pipeline needs to write each window exactly once to a downstream
+    * sink (complete mode, q39/q116, re-emits everything). One data
+    * batch ingests the events; the AvailableNow no-data batch then
+    * advances the watermark to (global max event time − delay) and
+    * flushes exactly the windows whose end ≤ that bound, which the
+    * oracle recomputes in SQL. Windows still open at drain end stay in
+    * state, unemitted. (Deliberately single-batch: append mode DROPS
+    * rows behind the watermark, so a multi-file drain is only loss-free
+    * if files arrive in event-time order — file mtime ordering isn't a
+    * contract worth betting an oracle on. Cross-batch state merge is
+    * proven by q116/q135; production backfills through an append-mode
+    * stream must likewise replay in time order, or lose data.) */
+  def q136StreamAppendWindows(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = spark.readStream
+        .schema(eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val agg = src
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val name = "graft_stream_append_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val result = spark.table(name)
+        .select(col("win.start").as("win_start"), col("event_type"),
+          col("n_events"))
+        .orderBy(col("win_start"), col("event_type"))
+      materializeAndDrop(spark, name, result)
+    }
+
   /** Copy a memory-sink result into a local relation and drop the sink
     * view — repeated drains would otherwise accumulate one full result
     * copy per run in the driver's sink registry. Sound here because
