@@ -160,6 +160,8 @@ object SparkEntry {
       (StreamingWindows.q136StreamAppendWindows _),
     "q137_default_columns" -> (Egress.q137DefaultColumns _),
     "q138_union_by_name"   -> (Relational.q138UnionByName _),
+    "q139_stream_static_enrich" ->
+      (graft.streaming.StreamJoin.q139StreamStaticEnrich _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2106,6 +2108,13 @@ object SparkEntry {
       FROM orders
       GROUP BY 1
       ORDER BY 1""",
+
+    // batch twin of the per-micro-batch broadcast enrichment
+    "q139_stream_static_enrich" -> """
+      SELECT n_name, event_type, COUNT(*) AS n_events
+      FROM events JOIN nation ON user_id % 25 = n_nationkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

@@ -45,4 +45,36 @@ object StreamJoin {
       .orderBy(col("click_id"), col("buy_id"))
     StreamingWindows.materializeAndDrop(spark, name, result)
     }
+
+  /** Stream-static enrichment join: each micro-batch of the event
+    * stream hash-joins against a BROADCAST static dimension — no
+    * watermark, no join state, because the static side is complete by
+    * definition. This is the canonical "decorate events with reference
+    * data" shape (the reference's rating→meaning decode, done
+    * streaming); the dimension is re-resolvable per batch, so a
+    * slowly-refreshed dim table picks up changes without restarting
+    * the query. Stateless join + stateful downstream agg drains to the
+    * same result as the batch formulation. */
+  def q139StreamStaticEnrich(spark: SparkSession, dir: String): DataFrame =
+    StreamingWindows.withStreamPartitions(spark) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dim = broadcast(graft.Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name")))
+      val src = spark.readStream
+        .schema(StreamingWindows.eventsSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
+      val enriched = src
+        .join(dim, col("user_id") % 25 === col("n_nationkey"))
+        .groupBy(col("n_name"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val name = "graft_stream_static_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = enriched.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val result = spark.table(name)
+        .orderBy(col("n_name"), col("event_type"))
+      StreamingWindows.materializeAndDrop(spark, name, result)
+    }
 }

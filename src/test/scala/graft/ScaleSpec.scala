@@ -145,6 +145,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("cartesian guard blocks big-big unconditioned joins, allows " +
+      "small-side cross joins and conditioned joins") {
+    val guard = graft.plans.CartesianGuard(spark)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      // lineitem (~115 KB) and orders (~35 KB) both exceed 16 KB
+      spark.conf.set(key, (16 * 1024).toString)
+      val li = Tables.lineitem(spark, sf)
+      val big = li.crossJoin(Tables.orders(spark, sf))
+      val e = intercept[IllegalStateException] {
+        guard(big.queryExecution.analyzed)
+      }
+      assert(e.getMessage.contains("cartesian"))
+      // nation (~3 KB) is under the threshold: a legitimate
+      // broadcast-nested-loop cross join passes the guard
+      guard(Tables.nation(spark, sf).crossJoin(li)
+        .queryExecution.analyzed)
+      // a big-big join WITH a condition is the normal shuffled case
+      guard(li.join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.analyzed)
+    } finally spark.conf.set(key, old)
+  }
+
   test("z-order files bound both dimensions to a fraction of the " +
       "global range") {
     val stats = operators.Scale.q131ZorderLayout(spark, sf).collect()
