@@ -46,8 +46,14 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // longitudinal anchor: the round-1 catalog (q1–q20) as a stable
+    // subtotal, comparable across rounds regardless of catalog growth
+    val core20 = results.collect {
+      case (k, v, true) if k.stripPrefix("q").takeWhile(_.isDigit)
+        .toIntOption.exists(_ <= 20) => v
+    }.sum
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","n_queries":${results.size},"value":${f3(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","n_queries":${results.size},"core20_sec":${f3(core20)},"value":${f3(total)}}"""
     println(line)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), line + "\n")

@@ -162,6 +162,9 @@ object SparkEntry {
     "q138_union_by_name"   -> (Relational.q138UnionByName _),
     "q139_stream_static_enrich" ->
       (graft.streaming.StreamJoin.q139StreamStaticEnrich _),
+    "q140_media_transform" -> (Multimodal.q140MediaTransform _),
+    "q141_kept_corpus"     -> (Dedup.q141KeptCorpus _),
+    "q142_data_mixture"    -> (TextStats.q142DataMixture _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2115,6 +2118,93 @@ object SparkEntry {
       FROM events JOIN nation ON user_id % 25 = n_nationkey
       GROUP BY 1, 2
       ORDER BY 1, 2""",
+
+    // the stubs have closed forms on byte counts: resize = ceil(n/2),
+    // frames = min(64, ceil(n / 4096)); payload bytes = strlen(text)
+    "q140_media_transform" -> """
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS media_type,
+        CAST(strlen(text) AS INTEGER) AS n_bytes,
+        CAST((strlen(text) + 1) // 2 AS INTEGER) AS resized_bytes,
+        CAST(LEAST(64, CASE WHEN strlen(text) = 0 THEN 0
+          ELSE (strlen(text) - 1) // 4096 + 1 END) AS INTEGER)
+          AS n_frames_sampled
+      FROM documents
+      ORDER BY doc_id""",
+
+    // q69's component labels, applied: drop non-canonical members,
+    // roll the surviving corpus up per language
+    "q141_kept_corpus" -> """
+      WITH RECURSIVE words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+              UNION SELECT doc_b, doc_a FROM edges),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src),
+      dropped AS (SELECT id AS doc_id FROM labels WHERE id <> label)
+      SELECT d.lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_kept,
+        CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 0 ELSE 1 END)
+          AS BIGINT) AS n_dropped,
+        CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+          AS BIGINT) AS kept_chars
+      FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+      GROUP BY d.lang
+      ORDER BY d.lang""",
+
+    // same tokenization as q34's whitespace side; uniform target share
+    "q142_data_mixture" -> """
+      WITH perlang AS (
+        SELECT lang,
+          CAST(SUM(len(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' '))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY lang),
+      g AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS grand,
+              COUNT(*) AS n_langs FROM perlang)
+      SELECT lang, total_tokens,
+        ROUND(CAST(grand AS DOUBLE) / n_langs, 3) AS target_tokens,
+        ROUND(LEAST(1.0, (CAST(grand AS DOUBLE) / n_langs)
+          / CAST(total_tokens AS DOUBLE)), 9) AS sample_rate
+      FROM perlang, g
+      ORDER BY lang""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

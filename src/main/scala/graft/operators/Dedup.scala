@@ -207,6 +207,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
       .orderBy(col("cluster"))
 
+  /** The dedup pipeline's actual OUTPUT: the kept corpus. Every
+    * near-dup cluster (q69's components) keeps exactly its canonical
+    * doc (the minimum id — the component label); untouched docs pass
+    * through. Reported per language as kept/dropped counts and
+    * surviving characters — the numbers a curation run publishes.
+    * The drop set is applied with a LEFT ANTI join, so the full corpus
+    * is scanned once and never materializes the (tiny) cluster side. */
+  def q141KeptCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dropped = connectedComponents(
+      minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"), lit(1).as("is_dropped"))
+    docs.join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dropped").isNull, 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(coalesce(col("is_dropped").cast("long"), lit(0L)))
+          .as("n_dropped"),
+        sum(when(col("is_dropped").isNull, col("n_chars"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Reusable core of q26 over any (doc_id, text) DataFrame. */
   def simhashPairs(documents: DataFrame): DataFrame = {
     val docs = documents

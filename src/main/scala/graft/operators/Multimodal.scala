@@ -84,6 +84,32 @@ object Multimodal {
       .orderBy(col("media_type"))
   }
 
+  /** Media transform pass: resize + frame-sample every payload through
+    * the typed per-partition path (same batch plumbing as q44, stub
+    * codecs per the container constraint). Unlike q44's rows-only
+    * aggregate, each stub has a CLOSED FORM on the payload size —
+    * resize halves bytes (ceil), frame sampling yields
+    * min(64, ceil(bytes/stride·frame)) offsets — so the oracle can
+    * recompute per-asset expectations exactly and the whole
+    * decode-shaped pipeline (binary in, small typed features out) is
+    * hash-verified end to end. */
+  def q140MediaTransform(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val resized = StubDecoder.resizeHalf(r.payload)
+        val frames = StubDecoder.frameSample(r.payload,
+          frameBytes = 1024, stride = 4)
+        (r.doc_id, r.media_type, r.payload.length, resized.length,
+          frames.length)
+      })
+      .toDF("doc_id", "media_type", "n_bytes", "resized_bytes",
+        "n_frames_sampled")
+      .orderBy(col("doc_id"))
+  }
+
   /** Raw binary-file ingestion: one payload file per asset on disk,
     * read back through Spark's `binaryFile` source (path, length,
     * content) — how image/audio corpora actually arrive before

@@ -285,4 +285,28 @@ object TextStats {
           col("ok_stopwords") && col("ok_alpha"))
       .orderBy(col("doc_id"))
   }
+
+  /** Data-mixture weights: per-language token totals → a uniform
+    * target share → the sampling rate (capped at 1) that rebalances
+    * the corpus toward it. The arithmetic a training-data pipeline
+    * runs before sampling (q56) and packing (q57): decide how much of
+    * each source/language to take. Token totals are exact integers;
+    * the single-row grand total broadcasts, so the "global" step adds
+    * no shuffle beyond the per-lang aggregate. */
+  def q142DataMixture(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), size(toks(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("total_tokens"))
+    val grand = perLang.agg(
+      sum(col("total_tokens")).as("grand"),
+      count(lit(1)).as("n_langs"))
+    val target = col("grand").cast("double") / col("n_langs")
+    perLang.crossJoin(broadcast(grand))
+      .select(col("lang"), col("total_tokens"),
+        round(target, 3).as("target_tokens"),
+        round(least(lit(1.0),
+          target / col("total_tokens").cast("double")), 9)
+          .as("sample_rate"))
+      .orderBy(col("lang"))
+  }
 }
