@@ -165,6 +165,9 @@ object SparkEntry {
     "q140_media_transform" -> (Multimodal.q140MediaTransform _),
     "q141_kept_corpus"     -> (Dedup.q141KeptCorpus _),
     "q142_data_mixture"    -> (TextStats.q142DataMixture _),
+    "q143_writer_v2"       -> (Egress.q143WriterV2 _),
+    "q144_embed_quantize"  -> (Similarity.q144EmbedQuantize _),
+    "q145_unigram_lm"      -> (TextStats.q145UnigramLm _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2205,6 +2208,66 @@ object SparkEntry {
           / CAST(total_tokens AS DOUBLE)), 9) AS sample_rate
       FROM perlang, g
       ORDER BY lang""",
+
+    // the V2 write path must be value-transparent: aggregate on the
+    // read-back table == aggregate on the source rows
+    "q143_writer_v2" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_usd
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+
+    // same float→double widening, same floor(x/scale + 0.5) rule;
+    // the error term recomputes the code inline (identical value)
+    "q144_embed_quantize" -> """
+      WITH xs AS (
+        SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings),
+      s AS (
+        SELECT vec_id, xs,
+          list_aggregate(list_transform(xs, x -> abs(x)), 'max') / 127.0
+            AS scale
+        FROM xs)
+      SELECT vec_id,
+        CAST(len(xs) AS INTEGER) AS dim,
+        ROUND(scale, 9) AS scale,
+        CAST(list_aggregate(list_transform(xs,
+          x -> CAST(floor(x / scale + 0.5) AS BIGINT)), 'sum')
+          AS BIGINT) AS q_sum,
+        ROUND(list_aggregate(list_transform(xs,
+          x -> abs(x - CAST(CAST(floor(x / scale + 0.5) AS BIGINT)
+            AS DOUBLE) * scale)), 'max'), 9) AS max_abs_err
+      FROM s
+      ORDER BY vec_id""",
+
+    // per-term log-probs rounded to 9 decimals then summed as exact
+    // decimals — order-independent despite floating-point ln
+    "q145_unigram_lm" -> """
+      WITH w2 AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+              ' ', 'g')), ' ')) AS word
+          FROM documents) u
+        WHERE word <> ''),
+      n AS (SELECT COUNT(*) AS n_total FROM w2),
+      probs AS (
+        SELECT word,
+          CAST(ROUND(ln(CAST(COUNT(*) AS DOUBLE)
+            / CAST(n_total AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
+        FROM w2 CROSS JOIN n
+        GROUP BY word, n_total)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+        ROUND(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+          AS mean_logprob
+      FROM w2 JOIN probs USING (word)
+      WHERE doc_id < 30
+      GROUP BY doc_id
+      ORDER BY doc_id""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

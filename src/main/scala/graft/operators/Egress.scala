@@ -263,6 +263,33 @@ object Egress {
     spark.table("graft_defaults").orderBy(col("id"))
   }
 
+  /** DataFrameWriterV2 (`writeTo`): the modern catalog-first write API
+    * — explicit `partitionedBy` on a computed column, no string `mode`
+    * flags. (`create()` after an explicit drop: the built-in session
+    * catalog has no atomic REPLACE TABLE AS SELECT; a lakehouse
+    * catalog would take `createOrReplace()`.) The table lands
+    * year-partitioned in the session catalog and the read-back
+    * aggregate must match the oracle computed on the source rows, so
+    * the write path (partition expression evaluation included) is
+    * value-transparent. Same layout lever as q46's partitioned path
+    * write, driven through the V2 API a lakehouse catalog expects. */
+  def q143WriterV2(spark: SparkSession, dir: String): DataFrame = {
+    Scale.dropManaged(spark, "graft_orders_v2")
+    Tables.orders(spark, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("yr"))
+      .writeTo("graft_orders_v2")
+      .partitionedBy(col("yr"))
+      .using("parquet")
+      .create()
+    spark.table("graft_orders_v2")
+      .groupBy(col("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_usd"))
+      .orderBy(col("yr"), col("o_orderpriority"))
+  }
+
   /** DataSource V2 custom connector ([[graft.sources.SyntheticSource]])
     * driven end-to-end: sliced parallel read, `id`-range filter pushed
     * into the source (rows outside [1000, 4000) are never generated),

@@ -350,6 +350,35 @@ object Similarity {
           .as("unit_first"))
       .orderBy(col("vec_id"))
   }
+
+  /** Symmetric int8 quantization of the embedding column — the 4×
+    * compression a vector store applies before indexing (the PQ
+    * codes of q98 are the 64× cousin). Per vector: scale =
+    * max|x|/127, q_i = floor(x_i/scale + 0.5) — explicit floor(+0.5)
+    * instead of round() so both engines share one rounding rule.
+    * Everything is narrow per-row HOF arithmetic (no shuffle, no UDF);
+    * the checksum over quantized codes is an exact integer and the
+    * reconstruction error bound is order-independent (max), so the
+    * whole pass is hash-verified. */
+  def q144EmbedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xs"))
+      .select(col("vec_id"), col("xs"),
+        expr("array_max(transform(xs, x -> abs(x))) / 127.0D")
+          .as("scale"))
+      .select(col("vec_id"), col("xs"), col("scale"),
+        expr("transform(xs, x -> CAST(floor(x / scale + 0.5D) AS BIGINT))")
+          .as("q"))
+      .select(col("vec_id"),
+        size(col("xs")).as("dim"),
+        round(col("scale"), 9).as("scale"),
+        expr("aggregate(q, 0L, (a, v) -> a + v)").as("q_sum"),
+        round(expr(
+          "array_max(transform(zip_with(xs, q, (x, v) -> " +
+            "abs(x - CAST(v AS DOUBLE) * scale)), e -> e))"), 9)
+          .as("max_abs_err"))
+      .orderBy(col("vec_id"))
 }
 
 /** Typed top-k aggregator: keeps the k best (cosine desc, vec_id asc)
@@ -376,4 +405,5 @@ object TopKAgg {
       def outputEncoder: org.apache.spark.sql.Encoder[Seq[Hit]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     }
+
 }

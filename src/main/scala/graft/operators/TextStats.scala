@@ -286,6 +286,38 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram language-model scoring (the CCNet-style quality signal):
+    * corpus unigram log-probabilities, then each probe document's mean
+    * token log-prob — low scores flag out-of-distribution text. Per-
+    * term log-probs are rounded to 9 decimals and summed as exact
+    * DECIMALs, so the per-doc sum is order-independent and the oracle
+    * hash-matches despite floating-point ln. The vocabulary table
+    * broadcasts here; at 100 TB vocabulary you'd keep the top-V terms
+    * (covering ~99.9% of mass) to stay broadcastable, or fall back to
+    * a partitioned join on word. */
+  def q145UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val total = words.agg(count(lit(1)).as("n_total"))
+    val probs = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("word"),
+        round(log(col("cnt").cast("double") /
+          col("n_total").cast("double")), 9)
+          .cast("decimal(18,9)").as("lp"))
+    words.filter(col("doc_id") < 30)
+      .join(broadcast(probs), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("lp")).as("lp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("lp_sum").cast("double") /
+          col("n_tokens").cast("double"), 9).as("mean_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Data-mixture weights: per-language token totals → a uniform
     * target share → the sampling rate (capped at 1) that rebalances
     * the corpus toward it. The arithmetic a training-data pipeline
