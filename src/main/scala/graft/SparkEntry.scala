@@ -168,6 +168,9 @@ object SparkEntry {
     "q143_writer_v2"       -> (Egress.q143WriterV2 _),
     "q144_embed_quantize"  -> (Similarity.q144EmbedQuantize _),
     "q145_unigram_lm"      -> (TextStats.q145UnigramLm _),
+    "q146_argmax"          -> (Relational.q146ArgMax _),
+    "q147_bitmap_distinct" -> (Relational.q147BitmapDistinct _),
+    "q148_json_infer"      -> (Events.q148JsonInfer _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2268,6 +2271,38 @@ object SparkEntry {
       WHERE doc_id < 30
       GROUP BY doc_id
       ORDER BY doc_id""",
+
+    // arg_max/arg_min over the same unique composite key
+    "q146_argmax" -> """
+      SELECT n_name,
+        arg_max(c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+          * 10000000 + c_custkey) AS richest,
+        MAX(c_acctbal) AS max_bal,
+        arg_min(c_name, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+          * 10000000 + c_custkey) AS poorest,
+        MIN(c_acctbal) AS min_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name""",
+
+    // the bitmap pipeline must be lossless: plain exact distinct
+    "q147_bitmap_distinct" -> """
+      SELECT l_returnflag,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // the inferred DDL is pinned as a literal; sums via json extract
+    "q148_json_infer" -> """
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+          AS BIGINT) AS sum_k,
+        'STRUCT<k: BIGINT>' AS inferred_schema
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

@@ -244,4 +244,28 @@ object Events {
         min(col("value")).as("min_v"), max(col("value")).as("max_v"),
         countDistinct(col("value")).as("distinct_v"))
       .orderBy(col("event_type"), col("key"))
+
+  /** Schema inference for semi-structured ingest: `schema_of_json` on
+    * a sampled record derives the DDL, which then drives the typed
+    * `from_json` extraction of the whole column — how an ingest layer
+    * bootstraps typing for an unknown JSON feed without a full
+    * inference scan. The one-row sample is a deliberate driver-side
+    * step (schema decisions ARE driver decisions); the inferred DDL is
+    * carried into the output so the oracle pins it exactly. */
+  def q148JsonInfer(spark: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.events(spark, dir)
+      .orderBy(col("event_id")).select(col("props")).limit(1)
+      .collect()(0).getString(0)
+    val ddl = spark.range(1)
+      .select(schema_of_json(lit(sample)).as("s"))
+      .collect()(0).getString(0)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), ddl, Map.empty[String, String]).as("p"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("p.k").cast("long")).as("sum_k"))
+      .withColumn("inferred_schema", lit(ddl))
+      .orderBy(col("event_type"))
+  }
 }

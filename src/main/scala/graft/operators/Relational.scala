@@ -683,6 +683,55 @@ object Relational {
     """)
   }
 
+  /** Argmax/argmin without a window: `max_by`/`min_by` fold the
+    * associated value alongside the extremum in ONE aggregation pass —
+    * no per-group sort, no rank, partial-aggregable, so the shuffle
+    * carries one candidate per group per partition (compare q7's
+    * window top-N, which shuffles every row). The ordering key embeds
+    * a unique tie-break (exact integer cents · 10^7 + custkey) so the
+    * chosen row is deterministic even under balance ties. */
+  def q146ArgMax(spark: SparkSession, dir: String): DataFrame = {
+    val key = (floor(col("c_acctbal") * 100 + 0.5).cast("long") *
+      10000000L + col("c_custkey")).as("k")
+    Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_name"), col("c_acctbal"), key)
+      .groupBy(col("n_name"))
+      .agg(expr("max_by(c_name, k)").as("richest"),
+        max(col("c_acctbal")).as("max_bal"),
+        expr("min_by(c_name, k)").as("poorest"),
+        min(col("c_acctbal")).as("min_bal"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Exact distinct counting via mergeable roaring-style bitmaps: ids
+    * bucket into 32k-bit pages, each page folds to one bitmap
+    * (`bitmap_construct_agg`), pages OR-merge (`bitmap_or_agg`) and
+    * pop-count. Unlike HLL (q22/q91) the answer is EXACT, and unlike
+    * COUNT(DISTINCT) the partials are tiny, associative and storable —
+    * the ClickHouse/Iceberg approach to exact distinct users at 100 TB
+    * (persist page bitmaps, re-merge along any rollup). The oracle is
+    * plain COUNT(DISTINCT): the sketch must be lossless. */
+  def q147BitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT l_returnflag,
+        bitmap_count(bitmap_or_agg(b)) AS n_distinct_orders,
+        CAST(SUM(page_rows) AS BIGINT) AS n_rows
+      FROM (
+        -- +1: Spark's bitmap position/bucket functions are 1-based
+        -- (id 0 would fall off page 0); the shift is bijective so
+        -- distinct counts are unchanged
+        SELECT l_returnflag, bitmap_bucket_number(l_orderkey + 1) AS page,
+          bitmap_construct_agg(bitmap_bit_position(l_orderkey + 1)) AS b,
+          COUNT(*) AS page_rows
+        FROM lineitem
+        GROUP BY l_returnflag, bitmap_bucket_number(l_orderkey + 1))
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""")
+  }
+
   /** Schema-drift union: an old batch lacking a column unioned with a
     * new batch that has it, via `unionByName(allowMissingColumns)` —
     * position-based `union` would silently misalign columns here (the
