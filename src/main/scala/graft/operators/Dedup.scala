@@ -212,8 +212,11 @@ object Dedup {
     * doc (the minimum id — the component label); untouched docs pass
     * through. Reported per language as kept/dropped counts and
     * surviving characters — the numbers a curation run publishes.
-    * The drop set is applied with a LEFT ANTI join, so the full corpus
-    * is scanned once and never materializes the (tiny) cluster side. */
+    * The drop set (cluster members only — tiny relative to the corpus)
+    * broadcasts into a LEFT OUTER join so the full corpus streams
+    * through once and both kept and dropped rows stay countable; a
+    * pipeline that only needs the survivors would use LEFT ANTI and
+    * skip the drop-side bookkeeping. */
   def q141KeptCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val dropped = connectedComponents(

@@ -125,13 +125,8 @@ object Multimodal {
   def q133BinaryIngest(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     val zone = graft.Scratch.dir("q133_bin_zone")
-    val zp = Paths.get(zone)
-    if (Files.exists(zp)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(zp).iterator().asScala.toSeq.reverse
-        .foreach(Files.deleteIfExists(_))
-    }
-    Files.createDirectories(zp)
+    graft.Scratch.deleteRecursively(Paths.get(zone))
+    Files.createDirectories(Paths.get(zone))
     Tables.documents(spark, dir)
       .filter(col("doc_id") % 20 === 0)
       .select(col("doc_id"), col("text"))

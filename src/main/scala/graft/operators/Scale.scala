@@ -24,12 +24,7 @@ object Scale {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = java.nio.file.Paths.get(warehouse, table)
-    if (java.nio.file.Files.exists(loc)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    graft.Scratch.deleteRecursively(java.nio.file.Paths.get(warehouse, table))
   }
 
   /** Co-located join via bucketing: both fact tables written bucketed

@@ -45,20 +45,28 @@ object StreamingWindows {
     try body finally spark.conf.set(key, old)
   }
 
-  /** Streaming 5-minute tumbling counts per event type. Returns the
-    * drained result as a DataFrame (sorted for the driver's compare). */
-  def q39StreamWindows(spark: SparkSession, dir: String): DataFrame =
-    withStreamPartitions(spark) {
+  /** Shared pipeline of the complete/append-mode twins q39/q136:
+    * event stream → µs event time → 10-minute watermark → 5-minute
+    * tumbling counts per type. One definition so the two output modes
+    * are provably over the same aggregation. */
+  private def windowedEventCounts(spark: SparkSession,
+      dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream
+    spark.readStream
       .schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val agg = src
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** Streaming 5-minute tumbling counts per event type. Returns the
+    * drained result as a DataFrame (sorted for the driver's compare). */
+  def q39StreamWindows(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark) {
+    val agg = windowedEventCounts(spark, dir)
     val name = "graft_stream_windows_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val query = agg.writeStream
@@ -127,16 +135,7 @@ object StreamingWindows {
     * stream must likewise replay in time order, or lose data.) */
   def q136StreamAppendWindows(spark: SparkSession, dir: String): DataFrame =
     withStreamPartitions(spark) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = spark.readStream
-        .schema(eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-      val agg = src
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"))
+      val agg = windowedEventCounts(spark, dir)
       val name = "graft_stream_append_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val query = agg.writeStream.format("memory").queryName(name)

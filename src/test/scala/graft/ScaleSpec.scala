@@ -167,6 +167,16 @@ class ScaleSpec extends AnyFunSuite {
       guard(li.join(Tables.orders(spark, sf),
           col("l_orderkey") === col("o_orderkey"))
         .queryExecution.analyzed)
+      // comma-join / crossJoin+filter: at analysis time the predicate
+      // is still a Filter ABOVE a bare Join (pushdown hasn't run) —
+      // the guard must recognize it as conditioned, not reject it
+      Tables.registerViews(spark, sf)
+      guard(spark.sql(
+        "SELECT * FROM lineitem l, orders o WHERE l.l_orderkey = o.o_orderkey")
+        .queryExecution.analyzed)
+      guard(li.crossJoin(Tables.orders(spark, sf))
+        .filter(col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.analyzed)
     } finally spark.conf.set(key, old)
   }
 
