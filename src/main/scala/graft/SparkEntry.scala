@@ -171,6 +171,8 @@ object SparkEntry {
     "q146_argmax"          -> (Relational.q146ArgMax _),
     "q147_bitmap_distinct" -> (Relational.q147BitmapDistinct _),
     "q148_json_infer"      -> (Events.q148JsonInfer _),
+    "q149_tws_timers" ->
+      (graft.streaming.StreamTransformState.q149TwsTimers _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1279,6 +1281,42 @@ object SparkEntry {
     // sessions old enough that the post-drain watermark (max_ts - 30m
     // delay) passed last_event + 30m gap and fired the event-time
     // timeout. Validated as an exact set match against the stream.
+    // identical closed-session set as q82 — the state-v2 timer
+    // path must reproduce the flatMapGroupsWithState semantics
+    "q149_tws_timers" -> """
+      WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+          lag(CAST(ts AS TIMESTAMP)) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, tsx,
+          CASE WHEN prev_ts IS NULL
+                    OR epoch_us(tsx) - epoch_us(prev_ts) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM ordered),
+      sess AS (
+        SELECT user_id, tsx,
+          SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY tsx, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      agg AS (
+        SELECT user_id, sid, COUNT(*) AS n_events,
+          epoch_us(MIN(tsx)) AS session_start_us,
+          epoch_us(MAX(tsx)) AS last_us,
+          CAST(epoch_us(MAX(tsx)) - epoch_us(MIN(tsx)) AS DOUBLE)
+            / 1000000.0 AS duration_sec,
+          sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
+        FROM sess GROUP BY user_id, sid),
+      mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS m FROM events)
+      SELECT user_id, session_start_us, n_events, duration_sec
+      FROM agg, mx
+      WHERE (NOT is_last)
+         OR ((last_us + 1800000000) // 1000 < (m // 1000) - 1800000)
+      ORDER BY user_id, session_start_us""",
+
     "q82_stream_sessions" -> """
       WITH ordered AS (
         SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,

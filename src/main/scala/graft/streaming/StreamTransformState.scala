@@ -48,6 +48,58 @@ class RunningUserAgg
   }
 }
 
+/** Gap sessionization on the state-v2 API: same semantics as q82's
+  * flatMapGroupsWithState sessionizer, but sessions close through
+  * EXPLICIT event-time timers (`registerTimer` + `handleExpiredTimer`)
+  * instead of GroupStateTimeout — the processor owns an arbitrary
+  * number of timers per key, decoupled from the single state blob.
+  * A stale-timer guard (expiry < current session's deadline) makes
+  * re-registration unnecessary: outdated timers fire and no-op. */
+class TimerSessionizer(gapUs: Long) extends StatefulProcessor[
+    Long, (Long, Long, Long, java.sql.Timestamp), ClosedSession] {
+  @transient private var st: ValueState[SessionState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SessionState]("session",
+      Encoders.product[SessionState], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+      rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+    var cur = if (st.exists()) st.get() else null
+    val closed = Seq.newBuilder[ClosedSession]
+    sorted.foreach { r =>
+      val ts = r._2
+      cur match {
+        case null => cur = SessionState(ts, ts, 1)
+        case s if ts - s.last_us > gapUs =>
+          closed += ClosedSession(key, s.start_us, s.n_events,
+            (s.last_us - s.start_us).toDouble / 1000000.0)
+          cur = SessionState(ts, ts, 1)
+        case s => cur = SessionState(s.start_us, ts, s.n_events + 1)
+      }
+    }
+    if (cur != null) {
+      st.update(cur)
+      getHandle.registerTimer((cur.last_us + gapUs) / 1000)
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[ClosedSession] =
+    if (st.exists()) {
+      val s = st.get()
+      if (expiredTimerInfo.getExpiryTimeInMs() >= (s.last_us + gapUs) / 1000) {
+        st.clear()
+        Iterator.single(ClosedSession(key, s.start_us, s.n_events,
+          (s.last_us - s.start_us).toDouble / 1000000.0))
+      } else Iterator.empty // stale timer from a superseded deadline
+    } else Iterator.empty
+}
+
 object StreamTransformState {
 
   /** Drain the events table through transformWithState one file per
@@ -91,6 +143,55 @@ object StreamTransformState {
           .agg(max(col("n_events")).as("n_events"),
             max(col("max_event_id")).as("max_event_id"))
           .orderBy(col("user_id"))
+        StreamingWindows.materializeAndDrop(spark, name, result)
+      } finally {
+        oldProvider match {
+          case Some(v) => spark.conf.set(providerKey, v)
+          case None    => spark.conf.unset(providerKey)
+        }
+      }
+    }
+
+  /** q82's sessionization re-run through [[TimerSessionizer]] (state
+    * v2 + event-time timers, RocksDB-backed). Drains the events file
+    * in one data batch; inline gap-closures emit there, and the
+    * AvailableNow no-data batch fires timers the final watermark
+    * passed — the same deterministic closed-session set as q82, same
+    * oracle. */
+  def q149TwsTimers(spark: SparkSession, dir: String): DataFrame =
+    StreamingWindows.withStreamPartitions(spark) {
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val oldProvider = spark.conf.getOption(providerKey)
+      spark.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        import spark.implicits._
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val src = spark.readStream
+          .schema(StreamingWindows.eventsSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .withWatermark("ts", "30 minutes")
+          .as[(Long, Long, Long, java.sql.Timestamp)]
+        val sessions = src.groupByKey(_._1)
+          .transformWithState(
+            new TimerSessionizer(StreamSessions.DefaultGapUs),
+            TimeMode.EventTime(), OutputMode.Append())
+        val name = "graft_tws_timers_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val query = sessions.toDF().writeStream
+          .format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val result = spark.table(name)
+          .select(col("user_id"), col("session_start_us"),
+            col("n_events"), col("duration_sec"))
+          .orderBy(col("user_id"), col("session_start_us"))
         StreamingWindows.materializeAndDrop(spark, name, result)
       } finally {
         oldProvider match {

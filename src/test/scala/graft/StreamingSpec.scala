@@ -136,6 +136,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(hopTotal == 2 * graft.Tables.events(spark, sf).count())
   }
 
+  test("state-v2 timer sessionizer emits exactly the " +
+      "flatMapGroupsWithState session set") {
+    val a = streaming.StreamTransformState.q149TwsTimers(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val b = streaming.StreamSessions.q82StreamSessions(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("transformWithState running totals converge to the batch " +
       "group-by across micro-batches") {
     import org.apache.spark.sql.functions._
