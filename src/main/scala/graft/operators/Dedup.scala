@@ -235,6 +235,48 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** PageRank over the symmetric near-dup graph — iterative graph
+    * analytics beyond q125's BFS, in the Pregel shape: per-iteration
+    * join (ranks → out-edges) + aggregate (contributions per target),
+    * lineage truncated each round with localCheckpoint exactly like
+    * [[connectedComponents]]. All arithmetic is FIXED-POINT INTEGER
+    * (units of 1e-12): per-edge contribution `rank div outdeg`, damped
+    * update `0.15 + 0.85·sum` as `15e10 + (85·sum) div 100` — integer
+    * division is bitwise deterministic in any engine and under any
+    * shuffle order, so 10 iterations stay hash-comparable where
+    * floating-point ranks would drift. Every node of this graph has
+    * outdeg ≥ 1 (edges are symmetric), so no dangling-mass term. */
+  def q150PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(Tables.documents(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val unit = 1000000000000L // 1.0 in 1e-12 units
+    val base = 150000000000L  // 0.15
+    var ranks = nodes.withColumn("units", lit(unit)).localCheckpoint()
+    for (_ <- 1 to 10) {
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("id"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("units div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100"))
+            .as("units"))
+        .localCheckpoint()
+    }
+    ranks
+      .select(col("id").as("doc_id"), col("units").as("rank_units"))
+      .orderBy(col("rank_units").desc, col("doc_id"))
+      .limit(50)
+  }
+
   /** Reusable core of q26 over any (doc_id, text) DataFrame. */
   def simhashPairs(documents: DataFrame): DataFrame = {
     val docs = documents
