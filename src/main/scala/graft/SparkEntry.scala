@@ -174,6 +174,7 @@ object SparkEntry {
     "q149_tws_timers" ->
       (graft.streaming.StreamTransformState.q149TwsTimers _),
     "q150_pagerank"        -> (Dedup.q150PageRank _),
+    "q151_bm25"            -> (TextStats.q151Bm25 _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2478,6 +2479,43 @@ object SparkEntry {
       FROM it10
       ORDER BY rank_units DESC, doc_id
       LIMIT 50""",
+
+    // identical operator grouping and per-term 9-decimal rounding,
+    // summed as exact decimals (order-independent)
+    "q151_bm25" -> """
+      WITH w2 AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+              ' ', 'g')), ' ')) AS word
+          FROM documents) u
+        WHERE word <> ''),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY doc_id),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+      tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM w2
+        WHERE word IN ('the', 'data', 'model')
+        GROUP BY doc_id, word),
+      df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      sc AS (
+        SELECT tf.doc_id,
+          CAST(ROUND(
+            ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+               / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+               * CAST(dl AS DOUBLE)
+               / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+            9) AS DECIMAL(18,9)) AS s
+        FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
+        CROSS JOIN st)
+      SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25,
+        COUNT(*) AS n_terms_hit
+      FROM sc
+      GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

@@ -318,6 +318,48 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 document ranking for a keyword query — the IR scoring
+    * function search engines actually use (TF-IDF's saturating,
+    * length-normalized successor; k1=1.2, b=0.75). Corpus statistics
+    * (df, avgdl) come from full scans with tiny aggregated outputs;
+    * the per-(doc, term) score is computed in doubles, ROUNDED to 9
+    * decimals, then summed per doc as exact DECIMALs — the same
+    * order-independence discipline as q145, so ranking is
+    * deterministic and hash-checkable. Top-20 by (score, doc_id). */
+  def q151Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val query = Seq("the", "data", "model")
+    val docs = Tables.documents(spark, dir)
+    val words = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_len"))
+    val tf = words.filter(col("word").isin(query: _*))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_len").cast("double") /
+      col("n_docs").cast("double")
+    val idf = log((col("n_docs").cast("double") -
+      col("df").cast("double") + 0.5) /
+      (col("df").cast("double") + 0.5) + 1.0)
+    val norm = col("tf").cast("double") + lit(1.2) *
+      (lit(0.25) + lit(0.75) * col("dl").cast("double") / avgdl)
+    val scorePerTerm = round(
+      idf * (col("tf").cast("double") * 2.2) / norm, 9)
+      .cast("decimal(18,9)")
+    tf.join(broadcast(df), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), scorePerTerm.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s")).cast("double").as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Data-mixture weights: per-language token totals → a uniform
     * target share → the sampling rate (capped at 1) that rebalances
     * the corpus toward it. The arithmetic a training-data pipeline
