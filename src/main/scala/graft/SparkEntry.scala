@@ -175,6 +175,8 @@ object SparkEntry {
       (graft.streaming.StreamTransformState.q149TwsTimers _),
     "q150_pagerank"        -> (Dedup.q150PageRank _),
     "q151_bm25"            -> (TextStats.q151Bm25 _),
+    "q152_sql_scripting"   -> (ModernSql.q152SqlScripting _),
+    "q153_exec_immediate"  -> (ModernSql.q153ExecImmediate _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2516,6 +2518,32 @@ object SparkEntry {
       GROUP BY doc_id
       ORDER BY bm25 DESC, doc_id
       LIMIT 20""",
+
+    // the WHILE loop's fixpoint derived set-based: smallest 50k step
+    // leaving <= 1000 orders above it
+    "q152_sql_scripting" -> """
+      WITH steps AS (
+        SELECT (i + 1) * 50000.0 AS thr FROM generate_series(0, 19) t(i)),
+      counted AS (
+        SELECT thr,
+          (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr) AS cnt
+        FROM steps),
+      pick AS (
+        SELECT thr, cnt FROM counted WHERE cnt <= 1000
+        ORDER BY thr LIMIT 1)
+      SELECT CAST(thr AS BIGINT) AS threshold, cnt AS n_above,
+        (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         FROM orders, pick WHERE o_totalprice > pick.thr)
+          AS revenue_above
+      FROM pick""",
+
+    // the dynamic statement with its bind applied literally
+    "q153_exec_immediate" -> """
+      SELECT p_brand, COUNT(*) AS n_parts,
+        CAST(MIN(p_retailprice) AS DOUBLE) AS min_price
+      FROM part WHERE p_size >= 25
+      GROUP BY p_brand
+      ORDER BY p_brand""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

@@ -250,6 +250,54 @@ object ModernSql {
       Map("status" -> "F", "from_date" -> "1995-01-01"))
   }
 
+  /** SQL scripting (Spark 4 BEGIN…END): procedural control flow —
+    * DECLARE'd variables, a WHILE loop, scalar-subquery assignment —
+    * executed entirely engine-side. The script walks the price
+    * threshold up in 50k steps until fewer than 1000 orders remain
+    * above it (the parameter-search shape of an analyst's admin
+    * script); the oracle derives the same fixpoint set-based. Each
+    * loop iteration is a full query, so the procedural surface
+    * composes with everything else in the engine. */
+  def q152SqlScripting(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    val key = "spark.sql.scripting.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try spark.sql("""
+      BEGIN
+        DECLARE thr DOUBLE DEFAULT 0;
+        DECLARE cnt BIGINT DEFAULT 9223372036854775807;
+        WHILE cnt > 1000 DO
+          SET thr = thr + 50000;
+          SET cnt = (SELECT COUNT(*) FROM orders WHERE o_totalprice > thr);
+        END WHILE;
+        SELECT CAST(thr AS BIGINT) AS threshold, cnt AS n_above,
+          (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             AS DOUBLE)
+           FROM orders WHERE o_totalprice > thr) AS revenue_above;
+      END""")
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** EXECUTE IMMEDIATE with session variables: SQL text built and run
+    * inside the engine with `?` placeholders bound via USING — the
+    * dynamic-SQL surface (templated admin queries, multi-tenant
+    * fan-out) with injection-safe parameter binding, complementing
+    * q130's static named markers. */
+  def q153ExecImmediate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""DECLARE OR REPLACE VARIABLE graft_stmt STRING
+      DEFAULT 'SELECT p_brand, COUNT(*) AS n_parts,
+        CAST(MIN(p_retailprice) AS DOUBLE) AS min_price
+      FROM part WHERE p_size >= ? GROUP BY p_brand ORDER BY p_brand'""")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_min_size INT DEFAULT 0")
+    spark.sql("SET VAR graft_min_size = 25")
+    spark.sql("EXECUTE IMMEDIATE graft_stmt USING graft_min_size")
+  }
+
   /** XML parsing: documents serialized as XML records (the third
     * semi-structured format next to JSON/variant), parsed back with
     * `from_xml` against an explicit schema and aggregated. The oracle
