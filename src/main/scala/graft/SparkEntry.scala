@@ -177,6 +177,7 @@ object SparkEntry {
     "q151_bm25"            -> (TextStats.q151Bm25 _),
     "q152_sql_scripting"   -> (ModernSql.q152SqlScripting _),
     "q153_exec_immediate"  -> (ModernSql.q153ExecImmediate _),
+    "q154_point_in_time"   -> (Events.q154PointInTime _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2544,6 +2545,28 @@ object SparkEntry {
       FROM part WHERE p_size >= 25
       GROUP BY p_brand
       ORDER BY p_brand""",
+
+    // same half-open version intervals over the same ordering
+    "q154_point_in_time" -> """
+      WITH dim AS (
+        SELECT user_id AS d_user, CAST(ts AS TIMESTAMP) AS valid_from,
+          lead(CAST(ts AS TIMESTAMP)) OVER (
+            PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to,
+          event_type AS status
+        FROM events
+        WHERE user_id < 30 AND event_type <> 'purchase'),
+      f AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events
+        WHERE user_id < 30 AND event_type = 'purchase')
+      SELECT status, COUNT(*) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM f JOIN dim ON f.user_id = dim.d_user
+        AND dim.valid_from <= f.ts
+        AND (dim.valid_to IS NULL OR f.ts < dim.valid_to)
+      GROUP BY status
+      ORDER BY status""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

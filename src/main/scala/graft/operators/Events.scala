@@ -89,6 +89,37 @@ object Events {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Point-in-time (effective-dated) join: each purchase looks up the
+    * dimension VERSION valid at its event time — `valid_from <= ts <
+    * valid_to` against the SCD-2 style status history derived from
+    * the user's non-purchase events. This is the temporal-correctness
+    * join a warehouse runs against versioned dimensions (q71 builds
+    * such history; q51/q76 are the as-of cousins): an equi-join on
+    * the user plus a range predicate the planner evaluates inside the
+    * per-user join group, so work scales with versions-per-user, not
+    * versions². Zero-width versions (same-timestamp updates) match
+    * nothing, in both engines, by the half-open interval. */
+  def q154PointInTime(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val dim = Tables.events(spark, dir)
+      .filter(col("user_id") < 30 && col("event_type") =!= "purchase")
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+        col("valid_to"), col("event_type").as("status"))
+    val facts = Tables.events(spark, dir)
+      .filter(col("user_id") < 30 && col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    facts.join(dim,
+        col("user_id") === col("d_user") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.functions.Cols.dsum(col("value")).as("total_value"))
+      .orderBy(col("status"))
+  }
+
   /** JSON property extraction from the `props` column: pull `$.k`,
     * aggregate per event type. Narrow JSON path evaluation inside
     * codegen — no UDF, no intermediate parse tree materialization. */
