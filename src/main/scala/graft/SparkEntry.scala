@@ -2347,141 +2347,7 @@ object SparkEntry {
       GROUP BY event_type
       ORDER BY event_type""",
 
-    // 10 fixed-point iterations spelled out as chained CTEs over
-    // the same symmetric MinHash edge set (integer div is exact)
-    "q150_pagerank" -> """
-      WITH RECURSIVE words AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                       ' ') AS w
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(w)),
-            i -> w[i] || ' ' || w[i+1])) AS shl
-        FROM words WHERE len(w) >= 2),
-      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-      minh AS (
-        SELECT doc_id, seed,
-               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-        FROM minh GROUP BY doc_id, seed // 4),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        WHERE a.doc_id < b.doc_id),
-      edges AS (
-        SELECT doc_a, doc_b
-        FROM cand
-        JOIN sh x ON x.doc_id = doc_a
-        JOIN sh y ON y.doc_id = doc_b
-        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
-            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
-      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
-              UNION SELECT doc_b, doc_a FROM edges),
-      deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
-      nodes AS (SELECT DISTINCT src AS id FROM sym),
-      it0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS units
-              FROM nodes),
-      it1 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it0 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id),
-      it2 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it1 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id),
-      it3 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it2 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id),
-      it4 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it3 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id),
-      it5 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it4 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id),
-      it6 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it5 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id),
-      it7 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it6 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id),
-      it8 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it7 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id),
-      it9 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it8 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id),
-      it10 AS (
-        SELECT n.id, CAST(150000000000
-          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
-          AS BIGINT) AS units
-        FROM nodes n
-        LEFT JOIN sym e ON e.dst = n.id
-        LEFT JOIN it9 p ON p.id = e.src
-        LEFT JOIN deg d ON d.src = e.src
-        GROUP BY n.id)
-      SELECT id AS doc_id, units AS rank_units
-      FROM it10
-      ORDER BY rank_units DESC, doc_id
-      LIMIT 50""",
+    "q150_pagerank" -> q150PageRankOracle,
 
     // identical operator grouping and per-term 9-decimal rounding,
     // summed as exact decimals (order-independent)
@@ -2576,4 +2442,65 @@ object SparkEntry {
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
   )
+
+  /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED
+    * fixed-point iterations — one template, so a typo can't hide in
+    * hand-copied CTE blocks (integer div keeps every step exact). */
+  private def q150PageRankOracle: String = {
+    val iters = (1 to 10).map { k =>
+      s"""      it$k AS (
+        SELECT n.id, CAST(150000000000
+          + (85 * COALESCE(SUM(p.units // d.outdeg), 0)) // 100
+          AS BIGINT) AS units
+        FROM nodes n
+        LEFT JOIN sym e ON e.dst = n.id
+        LEFT JOIN it${k - 1} p ON p.id = e.src
+        LEFT JOIN deg d ON d.src = e.src
+        GROUP BY n.id)"""
+    }.mkString(",\n")
+    s"""
+      WITH RECURSIVE words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+              UNION SELECT doc_b, doc_a FROM edges),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM sym GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS id FROM sym),
+      it0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS units
+              FROM nodes),
+$iters
+      SELECT id AS doc_id, units AS rank_units
+      FROM it10
+      ORDER BY rank_units DESC, doc_id
+      LIMIT 50"""
+  }
 }

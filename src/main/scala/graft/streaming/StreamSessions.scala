@@ -31,6 +31,36 @@ case class ClosedSession(user_id: Long, session_start_us: Long,
 object StreamSessions {
   val DefaultGapUs: Long = 30L * 60 * 1000000
 
+  /** Close a session record into its emitted form. */
+  def close(userId: Long, s: SessionState): ClosedSession =
+    ClosedSession(userId, s.start_us, s.n_events,
+      (s.last_us - s.start_us).toDouble / 1000000.0)
+
+  /** The per-batch gap fold shared by the q82 (GroupStateTimeout) and
+    * q149 (state-v2 timer) sessionizers — ONE definition so the twins
+    * cannot drift: sort the batch's events by (ts, event_id), extend
+    * or gap-close the open session, return (closed sessions, open
+    * state). `prev` is the open session carried from earlier batches,
+    * `rows` the batch's (user_id, ts_us, event_id, _) tuples. */
+  def foldBatch(userId: Long, prev: Option[SessionState],
+      rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+      gapUs: Long): (Seq[ClosedSession], Option[SessionState]) = {
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+    var st = prev.orNull
+    val closed = Seq.newBuilder[ClosedSession]
+    sorted.foreach { r =>
+      val ts = r._2
+      st match {
+        case null => st = SessionState(ts, ts, 1)
+        case s if ts - s.last_us > gapUs =>
+          closed += close(userId, s)
+          st = SessionState(ts, ts, 1)
+        case s => st = SessionState(s.start_us, ts, s.n_events + 1)
+      }
+    }
+    (closed.result(), Option(st))
+  }
+
   def sessionize(events: Dataset[SessionEvent],
       gapUs: Long = DefaultGapUs): Dataset[ClosedSession] = {
     val spark = events.sparkSession
@@ -47,33 +77,16 @@ object StreamSessions {
             // watermark passed last_event + gap: emit and clear
             val s = state.get
             state.remove()
-            Iterator.single(ClosedSession(userId, s.start_us, s.n_events,
-              (s.last_us - s.start_us).toDouble / 1000000.0))
+            Iterator.single(close(userId, s))
           } else {
-            // fold this batch's events (in ts order) into the state,
-            // closing any session whose gap is exceeded within the batch
-            val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-            var st = state.getOption.orNull
-            val closed = Seq.newBuilder[ClosedSession]
-            sorted.foreach { r =>
-              val ts = r._2
-              st match {
-                case null =>
-                  st = SessionState(ts, ts, 1)
-                case s if ts - s.last_us > gapUs =>
-                  closed += ClosedSession(userId, s.start_us, s.n_events,
-                    (s.last_us - s.start_us).toDouble / 1000000.0)
-                  st = SessionState(ts, ts, 1)
-                case s =>
-                  st = SessionState(s.start_us, ts, s.n_events + 1)
-              }
-            }
-            if (st != null) {
+            val (closed, open) =
+              foldBatch(userId, state.getOption, rows, gapUs)
+            open.foreach { st =>
               state.update(st)
               // close via timeout once the watermark passes last + gap
               state.setTimeoutTimestamp((st.last_us + gapUs) / 1000)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
   }

@@ -63,28 +63,25 @@ class TimerSessionizer(gapUs: Long) extends StatefulProcessor[
     st = getHandle.getValueState[SessionState]("session",
       Encoders.product[SessionState], TTLConfig.NONE)
 
+  /** Timer expiry for an open session. State-v2 timers fire when
+    * expiry <= watermark (INCLUSIVE — TimerStateImpl), while q82's
+    * GroupStateTimeout fires on deadline < watermark (strict). The +1
+    * aligns the two: a timer at deadline+1 fires iff deadline <
+    * watermark, so both sessionizers emit the identical set at exact
+    * millisecond boundaries. */
+  private def expiryMs(s: SessionState): Long =
+    (s.last_us + gapUs) / 1000 + 1
+
   override def handleInputRows(key: Long,
       rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
       timerValues: TimerValues): Iterator[ClosedSession] = {
-    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-    var cur = if (st.exists()) st.get() else null
-    val closed = Seq.newBuilder[ClosedSession]
-    sorted.foreach { r =>
-      val ts = r._2
-      cur match {
-        case null => cur = SessionState(ts, ts, 1)
-        case s if ts - s.last_us > gapUs =>
-          closed += ClosedSession(key, s.start_us, s.n_events,
-            (s.last_us - s.start_us).toDouble / 1000000.0)
-          cur = SessionState(ts, ts, 1)
-        case s => cur = SessionState(s.start_us, ts, s.n_events + 1)
-      }
-    }
-    if (cur != null) {
+    val prev = if (st.exists()) Some(st.get()) else None
+    val (closed, open) = StreamSessions.foldBatch(key, prev, rows, gapUs)
+    open.foreach { cur =>
       st.update(cur)
-      getHandle.registerTimer((cur.last_us + gapUs) / 1000)
+      getHandle.registerTimer(expiryMs(cur))
     }
-    closed.result().iterator
+    closed.iterator
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,
@@ -92,15 +89,32 @@ class TimerSessionizer(gapUs: Long) extends StatefulProcessor[
       : Iterator[ClosedSession] =
     if (st.exists()) {
       val s = st.get()
-      if (expiredTimerInfo.getExpiryTimeInMs() >= (s.last_us + gapUs) / 1000) {
+      if (expiredTimerInfo.getExpiryTimeInMs() >= expiryMs(s)) {
         st.clear()
-        Iterator.single(ClosedSession(key, s.start_us, s.n_events,
-          (s.last_us - s.start_us).toDouble / 1000000.0))
+        Iterator.single(StreamSessions.close(key, s))
       } else Iterator.empty // stale timer from a superseded deadline
     } else Iterator.empty
 }
 
 object StreamTransformState {
+
+  /** Run `body` with the RocksDB state store provider (required by
+    * transformWithState — per-partition LSM stores with changelog
+    * checkpointing instead of JVM-heap hashmaps), restoring the
+    * previous provider conf afterwards. `conf.getOption` surfaces the
+    * session DEFAULT (HDFSBacked), not None, so restore just sets it
+    * back. */
+  private def withRocksDBProvider[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
 
   /** Drain the events table through transformWithState one file per
     * trigger (4 micro-batches), then reduce the per-batch running
@@ -108,11 +122,7 @@ object StreamTransformState {
     * GROUP BY — proving named-state carry across micro-batches. */
   def q135TransformWithState(spark: SparkSession, dir: String): DataFrame =
     StreamingWindows.withStreamPartitions(spark) {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val oldProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDBProvider(spark) {
         val zone = graft.Scratch.dir("q135_events_multi")
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
@@ -144,11 +154,6 @@ object StreamTransformState {
             max(col("max_event_id")).as("max_event_id"))
           .orderBy(col("user_id"))
         StreamingWindows.materializeAndDrop(spark, name, result)
-      } finally {
-        oldProvider match {
-          case Some(v) => spark.conf.set(providerKey, v)
-          case None    => spark.conf.unset(providerKey)
-        }
       }
     }
 
@@ -160,11 +165,7 @@ object StreamTransformState {
     * oracle. */
   def q149TwsTimers(spark: SparkSession, dir: String): DataFrame =
     StreamingWindows.withStreamPartitions(spark) {
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val oldProvider = spark.conf.getOption(providerKey)
-      spark.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      withRocksDBProvider(spark) {
         import spark.implicits._
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val src = spark.readStream
@@ -193,11 +194,6 @@ object StreamTransformState {
             col("n_events"), col("duration_sec"))
           .orderBy(col("user_id"), col("session_start_us"))
         StreamingWindows.materializeAndDrop(spark, name, result)
-      } finally {
-        oldProvider match {
-          case Some(v) => spark.conf.set(providerKey, v)
-          case None    => spark.conf.unset(providerKey)
-        }
       }
     }
 }
