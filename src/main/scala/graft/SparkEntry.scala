@@ -178,6 +178,9 @@ object SparkEntry {
     "q152_sql_scripting"   -> (ModernSql.q152SqlScripting _),
     "q153_exec_immediate"  -> (ModernSql.q153ExecImmediate _),
     "q154_point_in_time"   -> (Events.q154PointInTime _),
+    "q155_time_features"   -> (Events.q155TimeFeatures _),
+    "q156_sentence_stats"  -> (TextStats.q156SentenceStats _),
+    "q157_feature_hashing" -> (TextStats.q157FeatureHashing _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2433,6 +2436,60 @@ object SparkEntry {
         AND (dim.valid_to IS NULL OR f.ts < dim.valid_to)
       GROUP BY status
       ORDER BY status""",
+
+    // portable modular weekday from a fixed Monday epoch
+    "q155_time_features" -> """
+      WITH f AS (
+        SELECT event_type,
+          CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS INTEGER)
+            AS dow,
+          CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
+          CAST(quarter(CAST(ts AS TIMESTAMP)) AS INTEGER) AS qtr
+        FROM events)
+      SELECT event_type, dow, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN dow >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_weekend,
+        CAST(SUM(CASE WHEN hr >= 9 AND hr < 17 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_bizhours,
+        MIN(hr) AS min_hr, MAX(hr) AS max_hr, MIN(qtr) AS min_qtr
+      FROM f
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+
+    // same regex segmentation over the same normalized text
+    "q156_sentence_stats" -> """
+      WITH sents AS (
+        SELECT doc_id, lang, trim(s) AS sent
+        FROM (
+          SELECT doc_id, lang,
+            unnest(string_split_regex(trim(regexp_replace(lower(text),
+              '\s+', ' ', 'g')), '[.!?]+')) AS s
+          FROM documents) u
+        WHERE trim(s) <> ''),
+      w AS (
+        SELECT doc_id, lang, len(string_split(sent, ' ')) AS sent_words
+        FROM sents)
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+        COUNT(*) AS total_sents,
+        CAST(SUM(sent_words) AS BIGINT) AS total_sent_words,
+        CAST(MIN(sent_words) AS INTEGER) AS min_sent_words,
+        CAST(MAX(sent_words) AS INTEGER) AS max_sent_words
+      FROM w
+      GROUP BY lang
+      ORDER BY lang""",
+
+    // same md5-prefix bucket arithmetic ('0x' cast parses hex)
+    "q157_feature_hashing" -> """
+      WITH f AS (
+        SELECT doc_id, lang || '|' || source AS feat FROM documents)
+      SELECT CAST(CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT) % 64
+          AS INTEGER) AS bucket,
+        COUNT(*) AS n_docs,
+        COUNT(DISTINCT feat) AS n_distinct_feats,
+        MIN(feat) AS first_feat
+      FROM f
+      GROUP BY 1
+      ORDER BY 1""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

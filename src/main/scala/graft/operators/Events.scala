@@ -120,6 +120,33 @@ object Events {
       .orderBy(col("status"))
   }
 
+  /** Calendar feature extraction — the time features an ML pipeline
+    * derives from an event timestamp (cyclical position, weekend flag,
+    * business-hours flag), aggregated as a sanity profile. Day-of-week
+    * is computed as modular date arithmetic from a fixed Monday epoch
+    * rather than `dayofweek()` because weekday NUMBERING conventions
+    * differ across engines (Spark: 1=Sunday; others 0=Sunday or
+    * 1=Monday) — portable formulas beat locale/convention-dependent
+    * builtins in any cross-engine pipeline. */
+  def q155TimeFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"),
+        // days since Monday 2024-01-01, mod 7 → 0=Mon .. 6=Sun
+        (datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          % 7).as("dow"),
+        hour(col("ts")).as("hr"),
+        quarter(col("ts")).as("qtr"))
+      .withColumn("is_weekend", (col("dow") >= 5).cast("int"))
+      .withColumn("is_business_hours",
+        (col("hr") >= 9 && col("hr") < 17).cast("int"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("is_weekend").cast("long")).as("n_weekend"),
+        sum(col("is_business_hours").cast("long")).as("n_bizhours"),
+        min(col("hr")).as("min_hr"), max(col("hr")).as("max_hr"),
+        min(col("qtr")).as("min_qtr"))
+      .orderBy(col("event_type"), col("dow"))
+
   /** JSON property extraction from the `props` column: pull `$.k`,
     * aggregate per event type. Narrow JSON path evaluation inside
     * codegen — no UDF, no intermediate parse tree materialization. */

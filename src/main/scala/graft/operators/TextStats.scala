@@ -360,6 +360,50 @@ object TextStats {
       .limit(20)
   }
 
+  /** Sentence segmentation statistics: split on terminal punctuation
+    * runs ([.!?]+) — a portable regex segmenter rather than the
+    * locale-dependent `sentences()` BreakIterator, for the same
+    * cross-engine reason q155 avoids `dayofweek`. Per language:
+    * sentence counts and length distribution in words — the doc-shape
+    * features used for quality filtering and chunk-size planning. */
+  def q156SentenceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        filter(transform(
+          split(Cols.normText(col("text")), "[.!?]+"),
+          s => trim(s)), s => s =!= "").as("sents"))
+      .select(col("doc_id"), col("lang"),
+        explode(col("sents")).as("sent"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("sent"), " ")).as("sent_words"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_sents"),
+        sum(col("sent_words").cast("long")).as("total_sent_words"),
+        min(col("sent_words")).as("min_sent_words"),
+        max(col("sent_words")).as("max_sent_words"))
+      .orderBy(col("lang"))
+
+  /** Feature hashing (the "hashing trick"): categorical values map to
+    * a fixed-width feature index via a PORTABLE digest (first 8 md5
+    * hex chars mod dim) — murmur-based `hash()` would be engine-
+    * specific, md5 reproduces anywhere, which is what makes hashed
+    * feature spaces stable across the training and serving stacks.
+    * Output: per-bucket population for (lang × source) crossed
+    * features in a 64-bucket space, plus collision accounting. */
+  def q157FeatureHashing(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat_ws("|", col("lang"), col("source")).as("feat"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long")
+          % 64).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("feat")).as("n_distinct_feats"),
+        min(col("feat")).as("first_feat"))
+      .orderBy(col("bucket"))
+
   /** Data-mixture weights: per-language token totals → a uniform
     * target share → the sampling rate (capped at 1) that rebalances
     * the corpus toward it. The arithmetic a training-data pipeline
