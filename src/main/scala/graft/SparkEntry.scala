@@ -181,6 +181,9 @@ object SparkEntry {
     "q155_time_features"   -> (Events.q155TimeFeatures _),
     "q156_sentence_stats"  -> (TextStats.q156SentenceStats _),
     "q157_feature_hashing" -> (TextStats.q157FeatureHashing _),
+    "q158_split_leakage"   -> (Sampling.q158SplitLeakage _),
+    "q159_label_stats"     -> (Similarity.q159LabelStats _),
+    "q160_outliers"        -> (Relational.q160Outliers _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2490,6 +2493,100 @@ object SparkEntry {
       FROM f
       GROUP BY 1
       ORDER BY 1""",
+
+    // same banded pairs + the q55 md5 split, leakage = cross-split
+    "q158_split_leakage" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sp AS (
+        SELECT doc_a, doc_b,
+          CASE WHEN md5(CAST(doc_a AS VARCHAR)) < 'cc' THEN 'train'
+               WHEN md5(CAST(doc_a AS VARCHAR)) < 'e6' THEN 'val'
+               ELSE 'test' END AS split_a,
+          CASE WHEN md5(CAST(doc_b AS VARCHAR)) < 'cc' THEN 'train'
+               WHEN md5(CAST(doc_b AS VARCHAR)) < 'e6' THEN 'val'
+               ELSE 'test' END AS split_b
+        FROM pairs)
+      SELECT split_a, split_b, COUNT(*) AS n_pairs,
+        CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_leaks,
+        MIN(doc_a) AS example_doc_a
+      FROM sp
+      GROUP BY split_a, split_b
+      ORDER BY split_a, split_b""",
+
+    // identical sequential-fold norms, rounded then decimal-summed
+    "q159_label_stats" -> """
+      WITH n AS (
+        SELECT label,
+          CAST(ROUND(sqrt(list_reduce(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE)
+                 * CAST(embedding[i] AS DOUBLE)),
+            (x, y) -> x + y)), 9) AS DECIMAL(18,9)) AS nrm
+        FROM embeddings)
+      SELECT label, COUNT(*) AS n_vecs,
+        ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 9) AS avg_norm,
+        CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+        CAST(MAX(nrm) AS DOUBLE) AS max_norm
+      FROM n
+      GROUP BY label
+      ORDER BY label""",
+
+    // same exact power sums, same double conversion order
+    "q160_outliers" -> """
+      WITH o AS (
+        SELECT o_orderpriority AS pri,
+          CAST(o_totalprice AS DOUBLE) AS x,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS xd
+        FROM orders),
+      st AS (
+        SELECT pri, COUNT(*) AS n,
+          CAST(SUM(xd) AS DOUBLE) AS s1d,
+          CAST(SUM(xd * xd) AS DOUBLE) AS s2d
+        FROM o GROUP BY pri),
+      m AS (
+        SELECT pri, n, s1d / n AS mean,
+          sqrt((s2d - s1d * s1d / n) / n) AS sd
+        FROM st)
+      SELECT o.pri, MAX(m.n) AS n_orders,
+        ROUND(MAX(m.mean), 6) AS mean_price,
+        ROUND(MAX(m.sd), 6) AS sd_price,
+        CAST(SUM(CASE WHEN o.x > m.mean + 3.0 * m.sd
+                       OR o.x < m.mean - 3.0 * m.sd
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM o JOIN m ON o.pri = m.pri
+      GROUP BY o.pri
+      ORDER BY o.pri""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

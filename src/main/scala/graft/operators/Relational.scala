@@ -732,6 +732,40 @@ object Relational {
       ORDER BY l_returnflag""")
   }
 
+  /** 3-sigma outlier detection per group: mean and stddev derived from
+    * EXACT decimal power sums (q66's discipline — the partials are
+    * associative, so map-side aggregation stays correct), converted to
+    * doubles only at the end; the outlier predicate then compares the
+    * raw values against mean ± 3σ. Two passes over the fact table
+    * (stats, then flagging) joined on the tiny group key — the
+    * standard distributed standardization shape. */
+  def q160Outliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("pri"),
+        col("o_totalprice").cast("double").as("x"),
+        dec(col("o_totalprice")).as("xd"))
+    val stats = o.groupBy(col("pri"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xd")).as("s1"),
+        sum(col("xd") * col("xd")).as("s2"))
+      .select(col("pri"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n")) / col("n")).as("sd"))
+    o.join(broadcast(stats), "pri")
+      .select(col("pri"), col("n"), col("mean"), col("sd"),
+        (col("x") > col("mean") + lit(3.0) * col("sd") ||
+          col("x") < col("mean") - lit(3.0) * col("sd"))
+          .cast("long").as("is_outlier"))
+      .groupBy(col("pri"))
+      .agg(max(col("n")).as("n_orders"),
+        round(max(col("mean")), 6).as("mean_price"),
+        round(max(col("sd")), 6).as("sd_price"),
+        sum(col("is_outlier")).as("n_outliers"))
+      .orderBy(col("pri"))
+  }
+
   /** Schema-drift union: an old batch lacking a column unioned with a
     * new batch that has it, via `unionByName(allowMissingColumns)` —
     * position-based `union` would silently misalign columns here (the

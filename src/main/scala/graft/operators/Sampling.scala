@@ -75,4 +75,24 @@ object Sampling {
       .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("rn"))
   }
+
+  /** Split-leakage audit: near-duplicate pairs (q25's banded MinHash
+    * candidates, Jaccard-verified) whose two documents landed in
+    * DIFFERENT train/val/test splits — the eval-contamination report
+    * every dataset release needs (a test doc with a near-identical
+    * train twin silently inflates benchmarks; q113 is the n-gram
+    * cousin for verbatim overlap). Pair generation stays banded; the
+    * split assignment is the same pure md5 function as q55, so the
+    * audit is reproducible against any re-materialization. */
+  def q158SplitLeakage(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir))
+      .select(col("doc_a"), col("doc_b"))
+      .withColumn("split_a", assignSplit(col("doc_a")))
+      .withColumn("split_b", assignSplit(col("doc_b")))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("split_a") =!= col("split_b")).cast("long"))
+          .as("n_leaks"),
+        min(col("doc_a")).as("example_doc_a"))
+      .orderBy(col("split_a"), col("split_b"))
 }

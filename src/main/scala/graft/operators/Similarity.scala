@@ -351,6 +351,27 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Class-balance report over the labeled embeddings: per label,
+    * vector counts and the L2-norm distribution — the skew check run
+    * before training on a labeled corpus (a label whose vectors are
+    * systematically longer/shorter signals a collection artifact).
+    * Norms are rounded to 9 decimals and summed as exact decimals, so
+    * the per-class mean is fold-order-independent (q145 discipline);
+    * min/max are order-independent by nature. */
+  def q159LabelStats(spark: SparkSession, dir: String): DataFrame = {
+    val nrm = round(sqrt(dot(col("embedding"), col("embedding"))), 9)
+      .cast("decimal(18,9)")
+    Tables.embeddings(spark, dir)
+      .select(col("label"), nrm.as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("nrm")).cast("double") / count(lit(1)), 9)
+          .as("avg_norm"),
+        min(col("nrm")).cast("double").as("min_norm"),
+        max(col("nrm")).cast("double").as("max_norm"))
+      .orderBy(col("label"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the 4×
     * compression a vector store applies before indexing (the PQ
     * codes of q98 are the 64× cousin). Per vector: scale =
