@@ -184,6 +184,8 @@ object SparkEntry {
     "q158_split_leakage"   -> (Sampling.q158SplitLeakage _),
     "q159_label_stats"     -> (Similarity.q159LabelStats _),
     "q160_outliers"        -> (Relational.q160Outliers _),
+    "q161_oov_rate"        -> (TextStats.q161OovRate _),
+    "q162_truncation_loss" -> (TextStats.q162TruncationLoss _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2587,6 +2589,52 @@ object SparkEntry {
       FROM o JOIN m ON o.pri = m.pri
       GROUP BY o.pri
       ORDER BY o.pri""",
+
+    // same top-16 vocab (freq desc, word asc tie-break), NOT IN probe
+    "q161_oov_rate" -> """
+      WITH w2 AS (
+        SELECT lang, word FROM (
+          SELECT lang,
+            unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+              ' ', 'g')), ' ')) AS word
+          FROM documents) u
+        WHERE word <> ''),
+      wc AS (SELECT lang, word, COUNT(*) AS n FROM w2 GROUP BY 1, 2),
+      v AS (
+        SELECT word FROM (
+          SELECT word,
+            ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, word ASC) AS rk
+          FROM wc GROUP BY word) t
+        WHERE rk <= 16),
+      oov AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS oov_tokens
+        FROM wc WHERE word NOT IN (SELECT word FROM v)
+        GROUP BY lang),
+      tot AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS total_tokens
+        FROM wc GROUP BY lang)
+      SELECT lang, total_tokens, oov_tokens,
+        ROUND(CAST(oov_tokens AS DOUBLE)
+          / CAST(total_tokens AS DOUBLE), 9) AS oov_rate
+      FROM tot JOIN oov USING (lang)
+      ORDER BY lang""",
+
+    // same tokenization, same 2048 budget arithmetic
+    "q162_truncation_loss" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        CAST(SUM(CASE WHEN n_tok > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_truncated_docs,
+        CAST(SUM(GREATEST(n_tok - 2048, 0)) AS BIGINT) AS tokens_lost,
+        ROUND(CAST(SUM(GREATEST(n_tok - 2048, 0)) AS DOUBLE)
+          / CAST(SUM(n_tok) AS DOUBLE), 9) AS loss_rate
+      FROM (
+        SELECT lang,
+          len(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS n_tok
+        FROM documents) t
+      GROUP BY lang
+      ORDER BY lang""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

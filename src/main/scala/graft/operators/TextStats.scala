@@ -404,6 +404,59 @@ object TextStats {
         min(col("feat")).as("first_feat"))
       .orderBy(col("bucket"))
 
+  /** Vocabulary coverage / OOV-rate report: build the top-16 corpus
+    * vocabulary (by frequency, deterministic tie-break on the word),
+    * then measure what fraction of each language's token stream falls
+    * outside it — the tokenizer-health metric that decides vocab size
+    * (a lang with high OOV under a shared vocab degrades to byte
+    * fallback at training time). The vocab is tiny and broadcasts;
+    * the token stream is counted per (lang, word) BEFORE the join so
+    * the anti-join probe carries vocabulary-sized cardinality, not
+    * one row per token. */
+  def q161OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val wordCounts = words.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val vocabW = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("word").asc)
+    val vocab = wordCounts.groupBy(col("word"))
+      .agg(sum(col("n")).as("cnt"))
+      .withColumn("rk", row_number().over(vocabW))
+      .filter(col("rk") <= 16)
+      .select(col("word"))
+    wordCounts.join(broadcast(vocab), Seq("word"), "left_anti")
+      .groupBy(col("lang")).agg(sum(col("n")).as("oov_tokens"))
+      .join(wordCounts.groupBy(col("lang"))
+        .agg(sum(col("n")).as("total_tokens")), "lang")
+      .select(col("lang"), col("total_tokens"), col("oov_tokens"),
+        round(col("oov_tokens").cast("double") /
+          col("total_tokens").cast("double"), 9).as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** Context-window truncation loss: with a 2048-token budget per
+    * document, how many tokens would truncation discard, per language
+    * — the report that decides sequence length (vs packing, q57, which
+    * wastes nothing but reorders). Pure per-row arithmetic on token
+    * counts plus one rollup. */
+  def q162TruncationLoss(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(toks(col("text"))).cast("long").as("n_tok"))
+      .select(col("lang"), col("n_tok"),
+        greatest(col("n_tok") - budget, lit(0L)).as("lost"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum((col("n_tok") > budget).cast("long")).as("n_truncated_docs"),
+        sum(col("lost")).as("tokens_lost"),
+        round(sum(col("lost")).cast("double") /
+          sum(col("n_tok")).cast("double"), 9).as("loss_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** Data-mixture weights: per-language token totals → a uniform
     * target share → the sampling rate (capped at 1) that rebalances
     * the corpus toward it. The arithmetic a training-data pipeline
