@@ -2446,8 +2446,8 @@ object SparkEntry {
     "q155_time_features" -> """
       WITH f AS (
         SELECT event_type,
-          CAST((CAST(ts AS DATE) - DATE '2024-01-01') % 7 AS INTEGER)
-            AS dow,
+          CAST((((CAST(ts AS DATE) - DATE '2024-01-01') % 7) + 7) % 7
+            AS INTEGER) AS dow,
           CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hr,
           CAST(quarter(CAST(ts AS TIMESTAMP)) AS INTEGER) AS qtr
         FROM events)
@@ -2578,7 +2578,7 @@ object SparkEntry {
         FROM o GROUP BY pri),
       m AS (
         SELECT pri, n, s1d / n AS mean,
-          sqrt((s2d - s1d * s1d / n) / n) AS sd
+          sqrt(GREATEST((s2d - s1d * s1d / n) / n, 0.0)) AS sd
         FROM st)
       SELECT o.pri, MAX(m.n) AS n_orders,
         ROUND(MAX(m.mean), 6) AS mean_price,
@@ -2613,10 +2613,11 @@ object SparkEntry {
       tot AS (
         SELECT lang, CAST(SUM(n) AS BIGINT) AS total_tokens
         FROM wc GROUP BY lang)
-      SELECT lang, total_tokens, oov_tokens,
-        ROUND(CAST(oov_tokens AS DOUBLE)
+      SELECT lang, total_tokens,
+        COALESCE(oov_tokens, 0) AS oov_tokens,
+        ROUND(CAST(COALESCE(oov_tokens, 0) AS DOUBLE)
           / CAST(total_tokens AS DOUBLE), 9) AS oov_rate
-      FROM tot JOIN oov USING (lang)
+      FROM tot LEFT JOIN oov USING (lang)
       ORDER BY lang""",
 
     // same tokenization, same 2048 budget arithmetic

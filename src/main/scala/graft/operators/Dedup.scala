@@ -83,8 +83,13 @@ object Dedup {
     * band_key is the escape hatch. */
   def q25DedupMinhash(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Reusable core of q25 over any (doc_id, text) DataFrame. */
+  /** Reusable core of q25 over any (doc_id, text) DataFrame. Returns
+    * the verified pair set UNORDERED — q25 sorts for its own display
+    * contract; the graph/audit consumers (q69/q122/q125/q141/q150/
+    * q158) all aggregate immediately, and a global sort here would be
+    * a wasted range-exchange for every one of them. */
   def minhashPairs(documents: DataFrame): DataFrame = {
     val docs = shingled(documents)
     // seed-th minhash = min over shingles of md5("<seed>|<shingle>") —
@@ -111,7 +116,6 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** SimHash near-dedup: 64-bit sketch per doc (bit j is the sign of the

@@ -131,9 +131,10 @@ object Events {
   def q155TimeFeatures(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"), col("ts"),
-        // days since Monday 2024-01-01, mod 7 → 0=Mon .. 6=Sun
-        (datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
-          % 7).as("dow"),
+        // days since Monday 2024-01-01, POSITIVE mod 7 → 0=Mon..6=Sun
+        // (pmod, not %: signed % would put pre-epoch days in -6..0)
+        pmod(datediff(col("ts").cast("date"),
+          lit("2024-01-01").cast("date")), lit(7)).as("dow"),
         hour(col("ts")).as("hr"),
         quarter(col("ts")).as("qtr"))
       .withColumn("is_weekend", (col("dow") >= 5).cast("int"))

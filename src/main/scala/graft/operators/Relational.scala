@@ -750,9 +750,12 @@ object Relational {
         sum(col("xd") * col("xd")).as("s2"))
       .select(col("pri"), col("n"),
         (col("s1").cast("double") / col("n")).as("mean"),
-        sqrt((col("s2").cast("double") -
+        // clamp: double rounding can push a ~0 variance one ulp
+        // negative; sqrt(-ε) is NaN here but an ERROR in other
+        // engines — the clamp makes the boundary exact on both
+        sqrt(greatest((col("s2").cast("double") -
           col("s1").cast("double") * col("s1").cast("double") /
-            col("n")) / col("n")).as("sd"))
+            col("n")) / col("n"), lit(0.0))).as("sd"))
     o.join(broadcast(stats), "pri")
       .select(col("pri"), col("n"), col("mean"), col("sd"),
         (col("x") > col("mean") + lit(3.0) * col("sd") ||

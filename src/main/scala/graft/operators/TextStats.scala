@@ -394,7 +394,9 @@ object TextStats {
   def q157FeatureHashing(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        concat_ws("|", col("lang"), col("source")).as("feat"))
+        // null-PROPAGATING concat (matches SQL ||); concat_ws would
+        // silently fold a null side into the non-null one's bucket
+        concat(col("lang"), lit("|"), col("source")).as("feat"))
       .withColumn("bucket",
         (conv(substring(md5(col("feat")), 1, 8), 16, 10).cast("long")
           % 64).cast("int"))
@@ -414,23 +416,33 @@ object TextStats {
     * the anti-join probe carries vocabulary-sized cardinality, not
     * one row per token. */
   def q161OovRate(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+    // tokenize ONCE: the (lang, word) counts are vocabulary-sized, so
+    // checkpointing them is cheap and the three consumers below
+    // (vocab build, OOV probe, totals) don't each re-explode the
+    // corpus through the scan
+    val wordCounts = Tables.documents(spark, dir)
       .select(col("lang"), explode(toks(col("text"))).as("word"))
       .filter(col("word") =!= "")
-    val wordCounts = words.groupBy(col("lang"), col("word"))
+      .groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("n"))
-    val vocabW = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("word").asc)
+      .localCheckpoint()
+    val vocabW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word").asc)
     val vocab = wordCounts.groupBy(col("word"))
       .agg(sum(col("n")).as("cnt"))
       .withColumn("rk", row_number().over(vocabW))
       .filter(col("rk") <= 16)
       .select(col("word"))
-    wordCounts.join(broadcast(vocab), Seq("word"), "left_anti")
-      .groupBy(col("lang")).agg(sum(col("n")).as("oov_tokens"))
-      .join(wordCounts.groupBy(col("lang"))
-        .agg(sum(col("n")).as("total_tokens")), "lang")
-      .select(col("lang"), col("total_tokens"), col("oov_tokens"),
-        round(col("oov_tokens").cast("double") /
+    val oov = wordCounts.join(broadcast(vocab), Seq("word"), "left_anti")
+      .groupBy(col("lang")).agg(sum(col("n")).as("oov"))
+    // LEFT join + coalesce: a language with perfect coverage must
+    // report oov_tokens = 0, not vanish from the report
+    wordCounts.groupBy(col("lang"))
+      .agg(sum(col("n")).as("total_tokens"))
+      .join(oov, Seq("lang"), "left")
+      .select(col("lang"), col("total_tokens"),
+        coalesce(col("oov"), lit(0L)).as("oov_tokens"),
+        round(coalesce(col("oov"), lit(0L)).cast("double") /
           col("total_tokens").cast("double"), 9).as("oov_rate"))
       .orderBy(col("lang"))
   }
