@@ -86,4 +86,20 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((minhash intersect loose).nonEmpty)
   }
+
+  test("pagerank conserves total rank mass up to integer truncation") {
+    val rows = operators.Dedup.q150PageRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every rank >= the undamped base, and (over the top-50 window)
+    // no rank exceeds total mass; with symmetric edges and no
+    // dangling nodes the damped fixpoint keeps per-node units within
+    // [0.15, n] * 1e12 — a structural sanity bound, exactness is the
+    // oracle's job
+    val unit = 1000000000000L
+    rows.foreach { r =>
+      val u = r.getLong(1)
+      assert(u >= 150000000000L && u < unit * rows.length.toLong,
+        s"doc ${r.getLong(0)} units $u")
+    }
+  }
 }

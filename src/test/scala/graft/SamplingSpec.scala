@@ -57,4 +57,18 @@ class SamplingSpec extends AnyFunSuite {
       df.select(graft.functions.TextExprs.simhash64(col("s"))).collect()
     }
   }
+
+  test("split-leakage audit accounts for every near-dup pair exactly " +
+      "once and flags exactly the cross-split ones") {
+    val rows = operators.Sampling.q158SplitLeakage(spark, sf).collect()
+    val totalPairs = rows.map(_.getLong(2)).sum
+    val nPairs = operators.Dedup
+      .q25DedupMinhash(spark, sf).count()
+    assert(totalPairs == nPairs)
+    rows.foreach { r =>
+      val expectLeaks =
+        if (r.getString(0) == r.getString(1)) 0L else r.getLong(2)
+      assert(r.getLong(3) == expectLeaks, r.toString)
+    }
+  }
 }

@@ -94,4 +94,15 @@ class SimilaritySpec extends AnyFunSuite {
       l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
     assert(agg.finish(merged) == agg.finish(buf))
   }
+
+  test("int8 quantization error never exceeds half a step") {
+    operators.Similarity.q144EmbedQuantize(TestSpark.spark, TestSpark.sf)
+      .collect().foreach { r =>
+        val scale = r.getDouble(2)
+        val maxErr = r.getDouble(4)
+        // round-to-nearest: |x - q*scale| <= scale/2 (+ rounding slack
+        // from the 9-decimal output rounding)
+        assert(maxErr <= scale / 2 + 1e-9, s"vec ${r.getLong(0)}")
+      }
+  }
 }
