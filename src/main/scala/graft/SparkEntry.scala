@@ -186,6 +186,8 @@ object SparkEntry {
     "q160_outliers"        -> (Relational.q160Outliers _),
     "q161_oov_rate"        -> (TextStats.q161OovRate _),
     "q162_truncation_loss" -> (TextStats.q162TruncationLoss _),
+    "q163_weighted_sample" -> (Sampling.q163WeightedSample _),
+    "q164_corpus_diff"     -> (Egress.q164CorpusDiff _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2636,6 +2638,46 @@ object SparkEntry {
         FROM documents) t
       GROUP BY lang
       ORDER BY lang""",
+
+    // same md5-uniform draw against the same per-row keep curve
+    "q163_weighted_sample" -> """
+      WITH d AS (
+        SELECT lang,
+          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) AS DOUBLE) / 4294967296.0 AS u,
+          LEAST(1.0, CAST(n_chars AS DOUBLE) / 2000.0) AS p
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN u < p THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        ROUND(CAST(SUM(CASE WHEN u < p THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 9) AS keep_rate,
+        ROUND(CAST(SUM(CAST(ROUND(p, 9) AS DECIMAL(18,9))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 9) AS expected_rate
+      FROM d
+      GROUP BY lang
+      ORDER BY lang""",
+
+    // same simulated v2 (drop %7, amend %10, append shifted ids)
+    "q164_corpus_diff" -> """
+      WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      v2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0
+               THEN md5(text || ' [amended v2]')
+               ELSE md5(text) END AS h2
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, md5('new:' || text)
+        FROM documents WHERE doc_id < 100)
+      SELECT CASE WHEN h1 IS NULL THEN 'added'
+                  WHEN h2 IS NULL THEN 'removed'
+                  WHEN h1 = h2 THEN 'unchanged'
+                  ELSE 'changed' END AS change,
+        COUNT(*) AS n_docs
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      GROUP BY 1
+      ORDER BY 1""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

@@ -290,6 +290,39 @@ object Egress {
       .orderBy(col("yr"), col("o_orderpriority"))
   }
 
+  /** Corpus-version diff: compare two dataset snapshots by content
+    * digest and classify every doc as unchanged / changed / added /
+    * removed — the release-note report between corpus versions (q74
+    * APPLIES a change feed; this DERIVES one from two snapshots).
+    * v2 is simulated deterministically from v1: every 7th doc dropped,
+    * every 10th doc's text amended, 100 synthetic docs appended. The
+    * full-outer join on doc_id carries only (id, md5) — at 100 TB the
+    * diff never moves document bodies, just 16-byte digests. */
+  def q164CorpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2base = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          md5(concat(col("text"), lit(" [amended v2]"))))
+          .otherwise(md5(col("text"))).as("h2"))
+    val v2new = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 100) // deterministic subset, never limit()
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+        md5(concat(lit("new:"), col("text"))).as("h2"))
+    val v2 = v2base.unionByName(v2new)
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("change"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("change"))
+  }
+
   /** DataSource V2 custom connector ([[graft.sources.SyntheticSource]])
     * driven end-to-end: sliced parallel read, `id`-range filter pushed
     * into the source (rows outside [1000, 4000) are never generated),

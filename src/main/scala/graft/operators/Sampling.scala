@@ -76,6 +76,34 @@ object Sampling {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Quality-weighted (importance) sampling: each document's keep
+    * probability is a function of its own quality signals — here
+    * min(1, n_chars/2000), the "longer docs are likelier kept" curve —
+    * and the draw compares the md5-uniform of the doc id against that
+    * per-row threshold. Same zero-coordination determinism as q55/q56
+    * (pure function of the row), but with non-uniform rates: the
+    * upsampling/downsampling primitive behind quality-curriculum
+    * dataset builds. The first 8 md5 hex chars give a 32-bit uniform
+    * in [0,1) — portable to any engine with md5. */
+  def q163WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = conv(substring(hashOf(col("doc_id")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val pKeep = least(lit(1.0), col("n_chars").cast("double") / 2000.0)
+    Tables.documents(spark, dir)
+      .withColumn("kept", (u < pKeep).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        round(sum(col("kept")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("keep_rate"),
+        // per-row p rounded then decimal-summed: order-independent
+        round(sum(round(least(lit(1.0),
+            col("n_chars").cast("double") / 2000.0), 9)
+            .cast("decimal(18,9)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("expected_rate"))
+      .orderBy(col("lang"))
+  }
+
   /** Split-leakage audit: near-duplicate pairs (q25's banded MinHash
     * candidates, Jaccard-verified) whose two documents landed in
     * DIFFERENT train/val/test splits — the eval-contamination report
