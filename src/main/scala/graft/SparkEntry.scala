@@ -188,6 +188,8 @@ object SparkEntry {
     "q162_truncation_loss" -> (TextStats.q162TruncationLoss _),
     "q163_weighted_sample" -> (Sampling.q163WeightedSample _),
     "q164_corpus_diff"     -> (Egress.q164CorpusDiff _),
+    "q165_stream_update_windows" ->
+      (StreamingWindows.q165StreamUpdateWindows _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2678,6 +2680,15 @@ object SparkEntry {
       FROM v1 FULL OUTER JOIN v2 USING (doc_id)
       GROUP BY 1
       ORDER BY 1""",
+
+    // single data batch: update mode emits each window exactly once
+    "q165_stream_update_windows" -> """
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

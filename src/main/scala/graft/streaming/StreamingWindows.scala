@@ -148,6 +148,30 @@ object StreamingWindows {
       materializeAndDrop(spark, name, result)
     }
 
+  /** Update-mode windowed aggregation — the third output mode beside
+    * complete (q39/q116) and append (q136): each micro-batch emits
+    * ONLY the windows it changed, the sink upserts by key. With a
+    * single data batch every window is touched exactly once and the
+    * no-data batch changes nothing, so the emitted set equals the
+    * batch aggregation — deterministic and oracle-checkable while
+    * still running the update-mode state path (late-arriving data in
+    * production re-emits just the affected windows, which is what
+    * keeps a continuously-refreshed dashboard sink cheap). */
+  def q165StreamUpdateWindows(spark: SparkSession, dir: String): DataFrame =
+    withStreamPartitions(spark) {
+      val agg = windowedEventCounts(spark, dir)
+      val name = "graft_stream_update_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = agg.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val result = spark.table(name)
+        .select(col("win.start").as("win_start"), col("event_type"),
+          col("n_events"))
+        .orderBy(col("win_start"), col("event_type"))
+      materializeAndDrop(spark, name, result)
+    }
+
   /** Copy a memory-sink result into a local relation and drop the sink
     * view — repeated drains would otherwise accumulate one full result
     * copy per run in the driver's sink registry. Sound here because
