@@ -190,6 +190,12 @@ object SparkEntry {
     "q164_corpus_diff"     -> (Egress.q164CorpusDiff _),
     "q165_stream_update_windows" ->
       (StreamingWindows.q165StreamUpdateWindows _),
+    "q166_bool_aggs"       -> (Relational.q166BoolAggs _),
+    "q167_skew_kurtosis"   -> (Relational.q167SkewKurtosis _),
+    "q168_date_arith"      -> (Relational.q168DateArith _),
+    "q169_binary_encode"   -> (TextStats.q169BinaryEncode _),
+    "q170_string_toolkit"  -> (Events.q170StringToolkit _),
+    "q171_window_dist"     -> (Relational.q171WindowDist _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2689,6 +2695,102 @@ object SparkEntry {
       FROM events
       GROUP BY 1, 2
       ORDER BY win_start, event_type""",
+
+    // boolean folds are associative: FILTER-style aggregates mirror
+    "q166_bool_aggs" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_big,
+        bool_and(o_totalprice > 0) AS all_positive,
+        bool_or(o_orderstatus = 'F') AS any_finished,
+        CAST(SUM(CAST(CASE WHEN o_totalprice > 150000
+          THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE)
+          AS big_revenue
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    // same exact decimal power sums, same double formula on top
+    "q167_skew_kurtosis" -> """
+      WITH s AS (
+        SELECT l_returnflag,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(x) AS DOUBLE) AS s1,
+          CAST(SUM(x*x) AS DOUBLE) AS s2,
+          CAST(SUM(x*x*x) AS DOUBLE) AS s3,
+          CAST(SUM(x*x*x*x) AS DOUBLE) AS s4
+        FROM (SELECT l_returnflag,
+                CAST(l_quantity AS DECIMAL(7,2)) AS x FROM lineitem)
+        GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)*(s1/n)*(s1/n))
+          / POW(s2/n - (s1/n)*(s1/n), 1.5), 9) AS skew_qty,
+        ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+            - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n))
+          / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3, 9)
+          AS kurt_qty
+      FROM s
+      ORDER BY l_returnflag""",
+
+    // + INTERVAL 1 MONTH clamps end-of-month exactly like add_months
+    "q168_date_arith" -> """
+      WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                 AS month_start,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1)
+      SELECT strftime(month_start, '%Y-%m-%d') AS month_start,
+        n_orders,
+        strftime(last_day(month_start), '%Y-%m-%d') AS month_end,
+        strftime(CAST(month_start + INTERVAL 1 MONTH AS DATE),
+          '%Y-%m-%d') AS next_month_start,
+        CAST(isodow(month_start) AS INT) AS isodow_start,
+        CAST(date_diff('day', month_start,
+          CAST(month_start + INTERVAL 1 MONTH AS DATE)) AS INT)
+          AS days_in_month
+      FROM m
+      ORDER BY month_start""",
+
+    // md5 → unhex → base64 is byte-identical across engines
+    "q169_binary_encode" -> """
+      WITH g AS (
+        SELECT lang, COUNT(*) AS n_docs, MIN(md5(text)) AS min_hex
+        FROM documents GROUP BY lang)
+      SELECT lang, n_docs, min_hex,
+        CAST(length(min_hex) AS INT) AS hex_len,
+        CAST(octet_length(unhex(min_hex)) AS INT) AS raw_len,
+        base64(unhex(min_hex)) AS digest_b64
+      FROM g
+      ORDER BY lang""",
+
+    // printf mirrors format_string; overlay spelled as substr splice
+    "q170_string_toolkit" -> """
+      WITH g AS (
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events GROUP BY event_type)
+      SELECT event_type, n_events,
+        printf('%s:%06d', event_type, n_events) AS tag,
+        substr(event_type, 1, 1) || 'XX' || substr(event_type, 4)
+          AS spliced,
+        lpad(upper(event_type), 10, '*') AS padded,
+        translate(event_type, 'aeiou', 'AEIOU') AS devoweled,
+        reverse(event_type) AS reversed
+      FROM g
+      ORDER BY event_type""",
+
+    // composite (balance, key) order: ties cannot reorder the frame
+    "q171_window_dist" -> """
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+        ROUND(cume_dist() OVER
+          (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal, c_custkey), 9) AS cd,
+        nth_value(c_name, 3) OVER
+          (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          AS third_poorest
+      FROM customer
+      ORDER BY c_mktsegment, c_custkey""",
 
     // plain join: the salted formulation must be salt-invariant
     "q80_salted_join" -> """

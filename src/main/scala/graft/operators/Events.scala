@@ -327,4 +327,23 @@ object Events {
       .withColumn("inferred_schema", lit(ddl))
       .orderBy(col("event_type"))
   }
+
+  /** String-formatting toolkit over the event-type dimension:
+    * `format_string` (printf), `overlay` (in-place byte splice),
+    * `lpad`, `translate`, `reverse`. Grouping FIRST keeps the
+    * formatting expressions on the tiny aggregated result, not the
+    * raw event stream — the cheap way to build label/tag columns at
+    * any scale. */
+  def q170StringToolkit(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        format_string("%s:%06d", col("event_type"), col("n_events"))
+          .as("tag"),
+        overlay(col("event_type"), lit("XX"), lit(2)).as("spliced"),
+        lpad(upper(col("event_type")), 10, "*").as("padded"),
+        translate(col("event_type"), "aeiou", "AEIOU").as("devoweled"),
+        reverse(col("event_type")).as("reversed"))
+      .orderBy(col("event_type"))
 }

@@ -790,4 +790,99 @@ object Relational {
         dsum(col("o_totalprice")).as("total_usd"))
       .orderBy(col("priority"))
   }
+
+  /** Boolean / conditional aggregates: `count_if`, `bool_and`,
+    * `bool_or`, and a filtered sum — the predicate-aggregation family
+    * dashboards lean on. All four are plain partial aggregates (a
+    * boolean fold is associative), so map-side combine keeps the
+    * shuffle at group-count size regardless of input rows. */
+  def q166BoolAggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("o_totalprice") > 150000).as("n_big"),
+        bool_and(col("o_totalprice") > 0).as("all_positive"),
+        bool_or(col("o_orderstatus") === "F").as("any_finished"),
+        dsum(when(col("o_totalprice") > 150000, col("o_totalprice"))
+          .otherwise(lit(0))).as("big_revenue"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Population skewness and excess kurtosis from exact decimal power
+    * sums (S1..S4), same construction as q66/q67: the sums are
+    * associative and map-side combinable, so one pass and one tiny
+    * shuffle at any scale, and — unlike the built-in `skewness` /
+    * `kurtosis`, whose float merge order varies with partitioning —
+    * the result is bitwise reproducible across partition counts and
+    * engines. decimal(7,2) keeps x⁴ products inside decimal(38,8). */
+  def q167SkewKurtosis(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(7,2)")
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x * x).cast("double").as("s2"),
+        sum(x * x * x).cast("double").as("s3"),
+        sum(x * x * x * x).cast("double").as("s4"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+        {
+          val m1 = col("s1") / col("n")
+          val m2 = col("s2") / col("n") - m1 * m1
+          val m3 = col("s3") / col("n") - lit(3) * m1 * (col("s2") / col("n")) +
+            lit(2) * m1 * m1 * m1
+          round(m3 / pow(m2, 1.5), 9).as("skew_qty")
+        },
+        {
+          val m1 = col("s1") / col("n")
+          val m2 = col("s2") / col("n") - m1 * m1
+          val m4 = col("s4") / col("n") - lit(4) * m1 * (col("s3") / col("n")) +
+            lit(6) * m1 * m1 * (col("s2") / col("n")) -
+            lit(3) * m1 * m1 * m1 * m1
+          round(m4 / (m2 * m2) - lit(3), 9).as("kurt_qty")
+        })
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Calendar arithmetic: month bucketing with `last_day`,
+    * `add_months` (end-of-month clamped, like the oracle's
+    * `+ INTERVAL 1 MONTH`), ISO day-of-week of the month start
+    * (`weekday` is Monday=0; +1 = ISO), and exact days-in-month via
+    * date subtraction. All narrow per-row expressions after a single
+    * month-grain aggregation. */
+  def q168DateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(date_trunc("month", col("o_orderdate")).cast("date")
+        .as("month_start"))
+      .groupBy(col("month_start"))
+      .agg(count(lit(1)).as("n_orders"))
+      .select(
+        date_format(col("month_start"), "yyyy-MM-dd").as("month_start"),
+        col("n_orders"),
+        date_format(last_day(col("month_start")), "yyyy-MM-dd")
+          .as("month_end"),
+        date_format(add_months(col("month_start"), 1), "yyyy-MM-dd")
+          .as("next_month_start"),
+        (weekday(col("month_start")) + lit(1)).as("isodow_start"),
+        datediff(add_months(col("month_start"), 1), col("month_start"))
+          .as("days_in_month"))
+      .orderBy(col("month_start"))
+
+  /** Distribution-position window functions: `cume_dist` (fraction of
+    * the segment at-or-below this balance) and `nth_value` over an
+    * explicit full-partition frame (the segment's 3rd-poorest
+    * customer, broadcast to every row). The (balance, key) composite
+    * order makes both deterministic under ties. One shuffle on the
+    * partition key, same as any window. */
+  def q171WindowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wFull = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        round(cume_dist().over(w), 9).as("cd"),
+        nth_value(col("c_name"), 3).over(wFull).as("third_poorest"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
 }

@@ -492,4 +492,22 @@ object TextStats {
           .as("sample_rate"))
       .orderBy(col("lang"))
   }
+
+  /** Binary encoding chain: md5 hex → `unhex` to raw 16 bytes →
+    * `base64` — the digest-interchange path used when content hashes
+    * leave the engine (manifest files, dedup ledgers). Taking the
+    * per-group MIN of the hex digest first makes the encoded value
+    * deterministic; `octet_length` proves the hex→binary halving.
+    * All narrow expressions inside codegen, one tiny aggregation. */
+  def q169BinaryEncode(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), md5(col("text")).as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("h")).as("min_hex"))
+      .select(col("lang"), col("n_docs"),
+        col("min_hex"),
+        length(col("min_hex")).as("hex_len"),
+        octet_length(unhex(col("min_hex"))).as("raw_len"),
+        base64(unhex(col("min_hex"))).as("digest_b64"))
+      .orderBy(col("lang"))
 }
