@@ -298,6 +298,28 @@ object ModernSql {
     spark.sql("EXECUTE IMMEDIATE graft_stmt USING graft_min_size")
   }
 
+  /** SQL pipe syntax (`|>`): the linear query form where each stage
+    * reads top-to-bottom — scan, filter, aggregate, post-aggregate
+    * filter, derived column, order. Pipe operators compile to exactly
+    * the same Catalyst plan as the nested-SELECT equivalent (the
+    * oracle), so readability costs nothing at any scale; `AGGREGATE
+    * ... GROUP BY` emits the grouping keys implicitly and `EXTEND`
+    * appends a computed column without re-listing the projection. */
+  def q172SqlPipe(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      FROM orders
+      |> WHERE o_orderstatus <> 'P'
+      |> AGGREGATE COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+           GROUP BY o_orderpriority, o_orderstatus
+      |> WHERE n_orders >= 5
+      |> EXTEND CAST(round(revenue / n_orders, 2) AS DOUBLE)
+           AS avg_order
+      |> ORDER BY o_orderpriority, o_orderstatus""")
+  }
+
   /** XML parsing: documents serialized as XML records (the third
     * semi-structured format next to JSON/variant), parsed back with
     * `from_xml` against an explicit schema and aggregated. The oracle

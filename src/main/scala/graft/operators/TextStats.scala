@@ -510,4 +510,50 @@ object TextStats {
         octet_length(unhex(col("min_hex"))).as("raw_len"),
         base64(unhex(col("min_hex"))).as("digest_b64"))
       .orderBy(col("lang"))
+
+  /** Regexp analytics toolkit (SURVEY §2B names `regexp_count`
+    * explicitly): occurrence counts, boolean match, first-match
+    * position (`regexp_instr`), extract-all tokenization, and
+    * first-match extraction (`regexp_substr`), aggregated per lang.
+    * All are narrow codegen'd expressions evaluated in one scan pass —
+    * the per-row cost is the regex automaton, not the plan shape, so
+    * the query scales linearly with corpus bytes. */
+  def q173RegexpToolkit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(regexp_count(col("text"), lit("\\btable\\b")))
+          .as("table_mentions"),
+        count_if(col("text").rlike("\\bspark\\b")).as("spark_docs"),
+        sum(expr("regexp_instr(text, 'spark')")).as("spark_pos_sum"),
+        sum(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))))
+          .as("n_words"),
+        min(regexp_substr(col("text"), lit("\\bs[a-z]+")))
+          .as("first_s_word"))
+      .orderBy(col("lang"))
+
+  /** URL parsing toolkit: documents addressed by deterministic
+    * provenance URLs (built from source/lang/doc_id, as a crawl
+    * manifest would carry), then `parse_url` extracts HOST / PATH /
+    * a named QUERY parameter — the domain-extraction step every
+    * web-corpus filter runs before domain allow/deny lists. The
+    * oracle re-derives the parts from the raw columns, so the hash
+    * proves the parser against ground truth rather than against
+    * another parser. Host-grain aggregation keeps the output tiny. */
+  def q176UrlParse(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/"), col("lang"), lit("/doc-"), col("doc_id"),
+      lit("?q="), split(col("text"), " ").getItem(0))
+    Tables.documents(spark, dir)
+      .select(parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("q")).as("first_word"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("path")).as("n_paths"),
+        min(col("path")).as("min_path"),
+        countDistinct(col("first_word")).as("n_first_words"))
+      .orderBy(col("host"))
+  }
 }
