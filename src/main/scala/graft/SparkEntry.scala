@@ -196,6 +196,11 @@ object SparkEntry {
     "q169_binary_encode"   -> (TextStats.q169BinaryEncode _),
     "q170_string_toolkit"  -> (Events.q170StringToolkit _),
     "q171_window_dist"     -> (Relational.q171WindowDist _),
+    "q172_sql_pipe"        -> (ModernSql.q172SqlPipe _),
+    "q173_regexp_toolkit"  -> (TextStats.q173RegexpToolkit _),
+    "q174_quantile_family" -> (Relational.q174QuantileFamily _),
+    "q175_exists_subquery" -> (Relational.q175ExistsSubquery _),
+    "q176_url_parse"       -> (TextStats.q176UrlParse _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2799,6 +2804,88 @@ object SparkEntry {
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
+
+    // the nested-SELECT form the pipe syntax de-sugars to
+    "q172_sql_pipe" -> """
+      SELECT o_orderpriority, o_orderstatus, n_orders, revenue,
+        CAST(round(revenue / n_orders, 2) AS DOUBLE) AS avg_order
+      FROM (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS revenue
+        FROM orders
+        WHERE o_orderstatus <> 'P'
+        GROUP BY o_orderpriority, o_orderstatus)
+      WHERE n_orders >= 5
+      ORDER BY o_orderpriority, o_orderstatus""",
+
+    // literal patterns: strpos ≡ regexp_instr, NULLIF aligns DuckDB's
+    // empty-string no-match with Spark's NULL
+    "q173_regexp_toolkit" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(len(regexp_extract_all(text, '\btable\b')))
+          AS BIGINT) AS table_mentions,
+        CAST(SUM(CASE WHEN regexp_matches(text, '\bspark\b')
+          THEN 1 ELSE 0 END) AS BIGINT) AS spark_docs,
+        CAST(SUM(strpos(text, 'spark')) AS BIGINT) AS spark_pos_sum,
+        CAST(SUM(len(regexp_extract_all(text, '[a-z]+')))
+          AS BIGINT) AS n_words,
+        MIN(NULLIF(regexp_extract(text, '\bs[a-z]+'), ''))
+          AS first_s_word
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    // quantile_disc/cont share Spark's cume_dist / (n-1)·p definitions
+    "q174_quantile_family" -> """
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+        ROUND(median(CAST(l_quantity AS DOUBLE)), 9) AS median_qty,
+        ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 9)
+          AS q25_cont,
+        quantile_disc(CAST(l_quantity AS DOUBLE), 0.25) AS q25_disc,
+        quantile_disc(CAST(l_quantity AS DOUBLE), 0.75) AS q75_disc
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    // same EXISTS / NOT EXISTS / NULL-poisoned NOT IN semantics
+    "q175_exists_subquery" -> """
+      WITH with_orders AS (
+        SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment),
+      without_orders AS (
+        SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment),
+      notin_nullset AS (
+        SELECT COUNT(*) AS n FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders
+           UNION ALL SELECT CAST(NULL AS BIGINT)))
+      SELECT w.c_mktsegment, w.n AS n_with_orders,
+        COALESCE(wo.n, 0) AS n_without_orders,
+        (SELECT n FROM notin_nullset) AS n_notin_nullset
+      FROM with_orders w
+      LEFT JOIN without_orders wo ON w.c_mktsegment = wo.c_mktsegment
+      ORDER BY w.c_mktsegment""",
+
+    // re-derive host/path/query from the raw columns: the hash proves
+    // parse_url against ground truth, not against another parser
+    "q176_url_parse" -> """
+      WITH u AS (
+        SELECT source || '.example.com' AS host,
+          '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path,
+          split_part(text, ' ', 1) AS first_word
+        FROM documents)
+      SELECT host, COUNT(*) AS n_docs,
+        COUNT(DISTINCT path) AS n_paths,
+        MIN(path) AS min_path,
+        COUNT(DISTINCT first_word) AS n_first_words
+      FROM u
+      GROUP BY host
+      ORDER BY host""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

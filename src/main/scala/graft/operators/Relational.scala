@@ -885,4 +885,58 @@ object Relational {
         nth_value(col("c_name"), 3).over(wFull).as("third_poorest"))
       .orderBy(col("c_mktsegment"), col("c_custkey"))
   }
+
+  /** Exact quantile family: `median` / `percentile` (continuous,
+    * `(n-1)·p` interpolation) and ANSI `percentile_disc` (smallest
+    * value whose cume_dist ≥ p) over the same column, exposing the
+    * cont-vs-disc contrast on even-sized groups. Exact percentiles
+    * need the full value multiset per group; the mergeable-sketch
+    * alternative for 100 TB is the q88 GK twin. Double cast + round
+    * pin the interpolation arithmetic cross-engine. */
+  def q174QuantileFamily(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("x"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(median(col("x")), 9).as("median_qty"),
+        round(percentile(col("x"), lit(0.25)), 9).as("q25_cont"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)")
+          .as("q25_disc"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)")
+          .as("q75_disc"))
+      .orderBy(col("l_returnflag"))
+
+  /** Correlated-subquery trio over the SQL surface: `EXISTS` (plans
+    * as a left-semi join), `NOT EXISTS` (anti join), and the `NOT IN`
+    * null trap — the probe set is unioned with a NULL, so three-valued
+    * logic makes `NOT IN` unknowable for every row and the count is
+    * provably 0. DataFrame-API twins of the join shapes are q5/q6;
+    * this query proves the decorrelation path produces the same
+    * distributed plan from declarative SQL. */
+  def q175ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      WITH with_orders AS (
+        SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment),
+      without_orders AS (
+        SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment),
+      notin_nullset AS (
+        SELECT COUNT(*) AS n FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders
+           UNION ALL SELECT CAST(NULL AS BIGINT)))
+      SELECT w.c_mktsegment, w.n AS n_with_orders,
+        COALESCE(wo.n, 0) AS n_without_orders,
+        (SELECT n FROM notin_nullset) AS n_notin_nullset
+      FROM with_orders w
+      LEFT JOIN without_orders wo ON w.c_mktsegment = wo.c_mktsegment
+      ORDER BY w.c_mktsegment""")
+  }
 }
