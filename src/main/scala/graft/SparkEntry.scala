@@ -201,6 +201,13 @@ object SparkEntry {
     "q174_quantile_family" -> (Relational.q174QuantileFamily _),
     "q175_exists_subquery" -> (Relational.q175ExistsSubquery _),
     "q176_url_parse"       -> (TextStats.q176UrlParse _),
+    "q177_grouping_id"     -> (Relational.q177GroupingId _),
+    "q178_char_entropy"    -> (TextStats.q178CharEntropy _),
+    "q179_bpe_pairs"       -> (TextStats.q179BpePairs _),
+    "q180_pii_scan"        -> (Quality.q180PiiScan _),
+    "q181_embed_centroid"  -> (Similarity.q181EmbedCentroid _),
+    "q182_reused_exchange" -> (Scale.q182ReusedExchange _),
+    "q183_join_hints"      -> (Scale.q183JoinHints _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2886,6 +2893,134 @@ object SparkEntry {
       FROM u
       GROUP BY host
       ORDER BY host""",
+
+    // ANSI GROUPING(a, b) bitmask = Spark's grouping_id()
+    "q177_grouping_id" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_usd
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus, o_orderpriority""",
+
+    // identical sorted-list sequential fold: list_reduce seeds with
+    // the first element, Spark's aggregate with 0.0 — equal bitwise
+    "q178_char_entropy" -> """
+      WITH freq AS (
+        SELECT doc_id, lang, ch, COUNT(*) AS cnt
+        FROM (SELECT doc_id, lang,
+                unnest(regexp_extract_all(text, '.')) AS ch
+              FROM documents)
+        GROUP BY doc_id, lang, ch),
+      agg AS (
+        SELECT doc_id, lang, CAST(SUM(cnt) AS BIGINT) AS n_chars,
+          COUNT(*) AS distinct_chars, list_sort(list(cnt)) AS cnts
+        FROM freq GROUP BY doc_id, lang)
+      SELECT doc_id, lang, n_chars, distinct_chars,
+        ROUND(log2(CAST(n_chars AS DOUBLE)) -
+          list_reduce(list_transform(cnts, c ->
+            CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))),
+            (a, b) -> a + b) / CAST(n_chars AS DOUBLE), 9) AS entropy
+      FROM agg
+      ORDER BY doc_id""",
+
+    // generate_series(1, 0) is empty here; the length guard matches
+    // Spark's, where argless sequence(1, 0) would step downward
+    "q179_bpe_pairs" -> """
+      WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+          i -> substr(w, CAST(i AS INT), 2))) AS pair
+        FROM words WHERE length(w) >= 2)
+      SELECT pair, COUNT(*) AS n
+      FROM pairs GROUP BY pair
+      ORDER BY n DESC, pair
+      LIMIT 20""",
+
+    // same doc_id-derived injection, then the same regex battery;
+    // NULLIF aligns DuckDB's '' no-match with Spark's NULL
+    "q180_pii_scan" -> """
+      WITH t AS (
+        SELECT source,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+            CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE text END AS t
+        FROM documents)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN regexp_matches(t,
+          '[a-z0-9]+@[a-z0-9.-]+\.[a-z]{2,}') THEN 1 ELSE 0 END)
+          AS BIGINT) AS docs_with_email,
+        CAST(SUM(len(regexp_extract_all(t,
+          '[a-z0-9]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT) AS n_emails,
+        CAST(SUM(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')))
+          AS BIGINT) AS n_phones,
+        MIN(NULLIF(regexp_extract(t,
+          '[a-z0-9]+@[a-z0-9.-]+\.[a-z]{2,}'), '')) AS sample_email
+      FROM t GROUP BY source ORDER BY source""",
+
+    // centroid means rounded to 9 before scoring on both sides, then
+    // identical sequential folds — the rank boundary is exact
+    "q181_embed_centroid" -> """
+      WITH pos AS (
+        SELECT label, CAST(s.pos AS INT) AS pos, s.x AS x FROM (
+          SELECT label, unnest(list_transform(range(1, 65), i ->
+            {'pos': i,
+             'x': CAST(embedding[CAST(i AS INT)] AS DOUBLE)})) AS s
+          FROM embeddings)),
+      cent AS (
+        SELECT label, list(m ORDER BY pos) AS c
+        FROM (SELECT label, pos, ROUND(AVG(x), 9) AS m
+              FROM pos GROUP BY label, pos)
+        GROUP BY label),
+      scored AS (
+        SELECT e.vec_id, e.label,
+          list_reduce(list_transform(list_zip(e.embedding, c.c), s ->
+            CAST(s[1] AS DOUBLE) * s[2]), (a, b) -> a + b) AS dotp,
+          sqrt(list_reduce(list_transform(e.embedding, x ->
+            CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+            AS nv,
+          sqrt(list_reduce(list_transform(c.c, y -> y * y),
+            (a, b) -> a + b)) AS nc
+        FROM embeddings e JOIN cent c USING (label)),
+      ranked AS (
+        SELECT label, vec_id, ROUND(dotp / (nv * nc), 9) AS cos_centroid,
+          row_number() OVER (PARTITION BY label
+            ORDER BY dotp / (nv * nc), vec_id) AS rn
+        FROM scored)
+      SELECT label, vec_id, cos_centroid, CAST(rn AS INT) AS rn
+      FROM ranked WHERE rn <= 3
+      ORDER BY label, rn""",
+
+    // the CTE expanded twice — reuse must not change the numbers
+    "q182_reused_exchange" -> """
+      WITH t AS (
+        SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total
+        FROM orders GROUP BY o_orderpriority)
+      SELECT t.priority, t.n_orders, t.total,
+        CAST(round(t.total / m.max_total, 9) AS DOUBLE) AS share_of_max,
+        m.max_orders
+      FROM t CROSS JOIN (SELECT MAX(total) AS max_total,
+        MAX(n_orders) AS max_orders FROM t) m
+      ORDER BY t.priority""",
+
+    // hint-free semantics: hints must never change results
+    "q183_join_hints" -> """
+      SELECT r_name, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_bal
+      FROM customer c
+      JOIN nation n ON c_nationkey = n_nationkey
+      JOIN region r ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

@@ -131,4 +131,30 @@ object Quality {
       .filter(col("dist") <= 6)
       .orderBy(col("name_a"), col("name_b"))
   }
+
+  /** PII detection report — the scan an LLM corpus runs before the
+    * redaction pass (q109 is the redaction side). The synthetic corpus
+    * carries no PII, so a deterministic fraction of docs first gets an
+    * email + phone appended (doc_id-derived, so the oracle re-derives
+    * the same corpus); the regex battery then counts per-source hits.
+    * All narrow codegen'd regex expressions in one scan pass + one
+    * tiny aggregation — scales with corpus bytes. */
+  def q180PiiScan(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val injected = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("source"), injected.as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("t").rlike(emailRe)).as("docs_with_email"),
+        sum(regexp_count(col("t"), lit(emailRe))).as("n_emails"),
+        sum(regexp_count(col("t"), lit(phoneRe))).as("n_phones"),
+        min(regexp_substr(col("t"), lit(emailRe))).as("sample_email"))
+      .orderBy(col("source"))
+  }
 }

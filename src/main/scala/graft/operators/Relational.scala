@@ -908,6 +908,25 @@ object Relational {
           .as("q75_disc"))
       .orderBy(col("l_returnflag"))
 
+  /** Rollup with grouping metadata: `grouping_id()` (bitmask over the
+    * grouping columns, listed-order most-significant-first — the same
+    * convention as ANSI `GROUPING(a, b)`) and per-column `grouping()`
+    * flags, which is how a reporting layer distinguishes a real NULL
+    * key from a subtotal row. Same partial-aggregation shape as q13;
+    * the ids are computed at the aggregate, costing nothing extra. */
+  def q177GroupingId(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("int").as("gid"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_usd"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("gid"),
+        col("g_status"), col("g_priority"),
+        col("n_orders"), col("total_usd"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
   /** Correlated-subquery trio over the SQL surface: `EXISTS` (plans
     * as a left-semi join), `NOT EXISTS` (anti join), and the `NOT IN`
     * null trap — the probe set is unioned with a NULL, so three-valued

@@ -213,4 +213,47 @@ object Scale {
       .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("s_nationkey"))
   }
+
+  /** Exchange reuse: the aggregated CTE feeds both the main output and
+    * a max() scalar over itself, and Spark executes the shuffle ONCE —
+    * the second consumer reads a ReusedExchange (asserted in
+    * ScaleSpec). At 100 TB this halves the heaviest stage of any
+    * "value vs. group-wide extreme" report; the alternative (two
+    * scans + two shuffles) is what a naive view expansion would do. */
+  def q182ReusedExchange(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      WITH t AS (
+        SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total
+        FROM orders GROUP BY o_orderpriority)
+      SELECT t.priority, t.n_orders, t.total,
+        CAST(round(t.total / m.max_total, 9) AS DOUBLE) AS share_of_max,
+        m.max_orders
+      FROM t CROSS JOIN (SELECT MAX(total) AS max_total,
+        MAX(n_orders) AS max_orders FROM t) m
+      ORDER BY t.priority""")
+  }
+
+  /** Join-strategy hints: the per-join override surface for when the
+    * optimizer's size estimates are wrong at scale — BROADCAST pins
+    * the 5-row region replicate-everywhere, SHUFFLE_HASH builds the
+    * hash table from the 25-row nation side instead of sort-merging.
+    * ScaleSpec asserts the plan honors both (BroadcastHashJoin +
+    * ShuffledHashJoin, no SortMergeJoin); the oracle is the hint-free
+    * semantics — hints must never change results. */
+  def q183JoinHints(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT /*+ BROADCAST(r), SHUFFLE_HASH(n) */
+        r.r_name, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_bal
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+      ORDER BY r.r_name""")
+  }
 }

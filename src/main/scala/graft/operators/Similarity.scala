@@ -400,6 +400,47 @@ object Similarity {
             "abs(x - CAST(v AS DOUBLE) * scale)), e -> e))"), 9)
           .as("max_abs_err"))
       .orderBy(col("vec_id"))
+
+  /** Per-class centroid outliers: the 3 vectors farthest (lowest
+    * cosine) from their label's centroid — the mislabeled-example
+    * probe run over a labeled embedding corpus. Two shuffles total:
+    * one posexplode aggregation to the 10×64 centroid grid (partial
+    * aggregation carries one cell per partition), then a broadcast of
+    * the 10-row centroid table back onto the vectors; the rank is a
+    * per-label window. Determinism: each centroid mean is rounded to
+    * 9 decimals BEFORE scoring (killing the ±1 ulp noise of
+    * order-dependent double sums), after which every dot/norm is a
+    * sequential HOF fold over identical inputs — bitwise equal across
+    * engines, so even the rank-3 selection boundary is exact. */
+  def q181EmbedCentroid(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val centroid = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x").cast("double")), 9).as("m"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "s -> s.m)").as("c"))
+    val scored = e.join(broadcast(centroid), "label")
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(zip_with(embedding, c, (x, y) -> " +
+          "CAST(x AS DOUBLE) * y), 0.0D, (a, v) -> a + v)").as("dotp"),
+        sqrt(expr("aggregate(transform(embedding, x -> " +
+          "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, " +
+          "(a, v) -> a + v)")).as("nv"),
+        sqrt(expr("aggregate(transform(c, y -> y * y), 0.0D, " +
+          "(a, v) -> a + v)")).as("nc"))
+    val w = Window.partitionBy(col("label"))
+      .orderBy((col("dotp") / (col("nv") * col("nc"))).asc,
+        col("vec_id").asc)
+    scored
+      .select(col("label"), col("vec_id"),
+        round(col("dotp") / (col("nv") * col("nc")), 9)
+          .as("cos_centroid"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("label"), col("rn"))
+  }
 }
 
 /** Typed top-k aggregator: keeps the k best (cosine desc, vec_id asc)

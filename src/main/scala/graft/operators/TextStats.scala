@@ -533,6 +533,52 @@ object TextStats {
           .as("first_s_word"))
       .orderBy(col("lang"))
 
+  /** Per-document character-level Shannon entropy — the cheapest
+    * gibberish/spam signal in an LLM cleaning stack (random bytes score
+    * high, repeated-character junk scores near zero). Shape: one
+    * explode to chars, two partial aggregations. Determinism: the
+    * irrational `c·log2(c)` terms are folded over a SORTED count list
+    * sequentially, so the double result is bitwise identical across
+    * engines and partitionings; `H = log2(N) − S/N` is then pure
+    * scalar arithmetic on identical inputs. */
+  def q178CharEntropy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(regexp_extract_all(col("text"), lit("."), lit(0)))
+          .as("ch"))
+      .groupBy(col("doc_id"), col("lang"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        sort_array(collect_list(col("cnt"))).as("cnts"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("distinct_chars"),
+        round(log2(col("n_chars").cast("double")) -
+          expr("aggregate(cnts, 0.0D, (a, c) -> " +
+            "a + CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))") /
+          col("n_chars").cast("double"), 9).as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** BPE bootstrap: corpus-wide adjacent-character-pair frequencies —
+    * the statistic the first merge round of byte-pair-encoding
+    * tokenizer training maximizes. Pairs are generated per word with a
+    * native transform over index `sequence`s (explicit `length >= 2`
+    * guard: Spark's argless `sequence(1, 0)` steps DOWNWARD, it is not
+    * empty), counted with map-side partial aggregation, and top-20 is
+    * a TakeOrderedAndProject with a total (count, pair) order — per-
+    * partition heaps, no global sort, at any corpus size. */
+  def q179BpePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
   /** URL parsing toolkit: documents addressed by deterministic
     * provenance URLs (built from source/lang/doc_id, as a crawl
     * manifest would carry), then `parse_url` extracts HOST / PATH /

@@ -215,4 +215,20 @@ class ScaleSpec extends AnyFunSuite {
     assert(kept <= trueMatches + math.max(10, (total * 0.02).toLong),
       s"kept=$kept true=$trueMatches total=$total")
   }
+
+  test("self-referencing CTE reuses the aggregation exchange") {
+    val df = Scale.q182ReusedExchange(spark, sf)
+    df.collect() // AQE finalizes reuse at execution time
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") ||
+      plan.contains("ReusedQueryStage"), plan.take(4000))
+  }
+
+  test("join hints force broadcast and shuffled-hash strategies") {
+    val plan = Scale.q183JoinHints(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(4000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(4000))
+  }
 }
