@@ -208,6 +208,12 @@ object SparkEntry {
     "q181_embed_centroid"  -> (Similarity.q181EmbedCentroid _),
     "q182_reused_exchange" -> (Scale.q182ReusedExchange _),
     "q183_join_hints"      -> (Scale.q183JoinHints _),
+    "q184_stream_outer_join" ->
+      (graft.streaming.StreamJoin.q184StreamOuterJoin _),
+    "q185_interval_overlap" -> (AsOf.q185IntervalOverlap _),
+    "q186_schema_contract" -> (Egress.q186SchemaContract _),
+    "q187_partition_audit" -> (Egress.q187PartitionAudit _),
+    "q188_equidepth_hist"  -> (Relational.q188EquiDepthHist _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3010,6 +3016,106 @@ object SparkEntry {
       FROM t CROSS JOIN (SELECT MAX(total) AS max_total,
         MAX(n_orders) AS max_orders FROM t) m
       ORDER BY t.priority""",
+
+    // all interval matches + non-matching clicks whose join window
+    // closed strictly before the drain's final watermark (min of the
+    // two sides' max event time, minus the 30-minute delay)
+    "q184_stream_outer_join" -> """
+      WITH c AS (
+        SELECT event_id AS click_id, user_id,
+          CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT event_id AS buy_id, user_id AS p_user,
+          CAST(ts AS TIMESTAMP) AS buy_ts
+        FROM events WHERE event_type = 'purchase'),
+      wm AS (
+        SELECT least(
+          (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+            WHERE event_type = 'click'),
+          (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+            WHERE event_type = 'purchase')) - INTERVAL 30 MINUTE AS w),
+      matched AS (
+        SELECT c.click_id, c.user_id, c.click_ts, p.buy_id, p.buy_ts
+        FROM c JOIN p ON c.user_id = p.p_user
+          AND p.buy_ts >= c.click_ts
+          AND p.buy_ts <= c.click_ts + INTERVAL 10 MINUTE),
+      unmatched AS (
+        SELECT c.click_id, c.user_id, c.click_ts,
+          CAST(NULL AS BIGINT) AS buy_id,
+          CAST(NULL AS TIMESTAMP) AS buy_ts
+        FROM c
+        WHERE NOT EXISTS (SELECT 1 FROM p
+            WHERE p.p_user = c.user_id AND p.buy_ts >= c.click_ts
+              AND p.buy_ts <= c.click_ts + INTERVAL 10 MINUTE)
+          AND c.click_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm))
+      SELECT * FROM matched
+      UNION ALL SELECT * FROM unmatched
+      ORDER BY click_id, buy_id""",
+
+    // the theta join the banded equi-join must reproduce exactly
+    "q185_interval_overlap" -> """
+      WITH c AS (
+        SELECT user_id, event_id AS click_id,
+          CAST(ts AS TIMESTAMP) AS c_start,
+          CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS c_end
+        FROM events WHERE event_type = 'click'),
+      v AS (
+        SELECT user_id AS v_user, event_id AS view_id,
+          CAST(ts AS TIMESTAMP) AS v_start,
+          CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS v_end
+        FROM events WHERE event_type = 'view'),
+      pairs AS (
+        SELECT c.user_id, c.click_id, v.view_id
+        FROM c JOIN v ON c.user_id = v.v_user
+          AND c.c_start <= v.v_end AND v.v_start <= c.c_end)
+      SELECT user_id, COUNT(*) AS n_overlaps,
+        MIN(click_id) AS min_click, MAX(view_id) AS max_view
+      FROM pairs GROUP BY user_id
+      ORDER BY user_id""",
+
+    // the contract diff is a fixed metadata fact — literal oracle
+    "q186_schema_contract" -> """
+      SELECT * FROM (VALUES
+        ('doc_id',  'bigint', 'bigint', 'ok'),
+        ('lang',    'string', 'string', 'ok'),
+        ('n_chars', 'bigint', 'int',    'type_mismatch'),
+        ('quality', 'double', NULL,     'missing'),
+        ('source',  'string', NULL,     'missing'),
+        ('src',     NULL,     'string', 'unexpected'),
+        ('text',    'string', 'string', 'ok'))
+        AS t(field, expected, actual, status)
+      ORDER BY field""",
+
+    // same spine, same deliberate June-1995 hole
+    "q187_partition_audit" -> """
+      WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1),
+      spine AS (
+        SELECT unnest(generate_series((SELECT MIN(mo) FROM m),
+          (SELECT MAX(mo) FROM m), INTERVAL 1 MONTH)) AS mo)
+      SELECT strftime(CAST(s.mo AS DATE), '%Y-%m-%d') AS o_month,
+        CASE WHEN m.mo IS NULL OR s.mo = DATE '1995-06-01'
+          THEN 'missing' ELSE 'present' END AS status,
+        CAST(CASE WHEN m.mo IS NULL OR s.mo = DATE '1995-06-01'
+          THEN 0 ELSE m.n END AS BIGINT) AS n_rows
+      FROM spine s LEFT JOIN m ON CAST(s.mo AS DATE) = m.mo
+      ORDER BY o_month""",
+
+    // ANSI ntile: the first (n mod 10) deciles take the extra row
+    "q188_equidepth_hist" -> """
+      WITH d AS (
+        SELECT o_totalprice,
+          ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders)
+      SELECT decile, COUNT(*) AS n_orders,
+        MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total
+      FROM d GROUP BY decile
+      ORDER BY decile""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

@@ -106,4 +106,43 @@ object AsOf {
         max(col("value")).as("max_value"))
       .orderBy(col("band"))
   }
+
+  /** Interval-OVERLAP join (q52 joins points to intervals; this joins
+    * intervals to intervals): per user, every (click-window,
+    * view-window) pair of 10-minute activity intervals that overlap.
+    * The naive formulation is a per-user theta join — quadratic per
+    * key. Banding restores hash-join scalability: each interval
+    * explodes to the ≤2 10-minute bands it touches, the join is an
+    * equi-join on (user, band), the true overlap predicate runs as a
+    * residual filter, and `distinct` removes pairs that met in two
+    * bands. Work is bounded by band population, not n² — the
+    * formulation that survives dense activity at 100 TB. */
+  def q185IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def intervals(t: String, id: String, s: String, e: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(id),
+          col("ts").as(s),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as(e))
+    def banded(df: DataFrame, s: String, e: String) =
+      df.withColumn("band", explode(expr(
+        s"sequence(unix_timestamp($s) div 600, unix_timestamp($e) div 600)")))
+    val clicks = banded(intervals("click", "click_id", "c_start", "c_end"),
+      "c_start", "c_end")
+    val views = banded(intervals("view", "view_id", "v_start", "v_end"),
+      "v_start", "v_end")
+      .withColumnRenamed("user_id", "v_user_id")
+      .withColumnRenamed("band", "v_band")
+    clicks.join(views,
+        col("user_id") === col("v_user_id") && col("band") === col("v_band"))
+      .filter(col("c_start") <= col("v_end") &&
+        col("v_start") <= col("c_end"))
+      .select(col("user_id"), col("click_id"), col("view_id"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        min(col("click_id")).as("min_click"),
+        max(col("view_id")).as("max_view"))
+      .orderBy(col("user_id"))
+  }
 }

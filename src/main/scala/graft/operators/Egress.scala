@@ -331,6 +331,73 @@ object Egress {
     * pruning, and pushdown must all be value-transparent. Plan
     * properties (pruned reader schema, narrowed range) are asserted in
     * IngestPipelineSpec. */
+  /** Schema-contract validation — the data-contract gate a lake runs
+    * before accepting a delivery. A drifted copy of `documents` is
+    * written (column renamed, type narrowed, one contract column
+    * absent), then its parquet footer schema is diffed field-by-field
+    * against the expected contract: `ok`, `type_mismatch`, `missing`,
+    * `unexpected`. Pure metadata work — the scan reads the footer,
+    * never the data, so the gate costs nothing at any table size. */
+  def q186SchemaContract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zone = graft.Scratch.dir("q186_contract")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("source").as("src"), col("n_chars").cast("int"))
+      .write.mode(SaveMode.Overwrite).parquet(zone)
+    val contract = Seq( // the expected (field, type) contract
+      "doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+      "source" -> "string", "n_chars" -> "bigint", "quality" -> "double")
+    val actual = spark.read.parquet(zone).schema
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    val expected = contract.toMap
+    val rows =
+      contract.map { case (name, tpe) =>
+        actual.get(name) match {
+          case Some(a) if a == tpe => (name, tpe, a, "ok")
+          case Some(a) => (name, tpe, a, "type_mismatch")
+          case None => (name, tpe, null: String, "missing")
+        }
+      } ++ actual.keys.filterNot(expected.contains).toSeq.sorted
+        .map(n => (n, null: String, actual(n), "unexpected"))
+    rows.toDF("field", "expected", "actual", "status")
+      .orderBy(col("field"))
+  }
+
+  /** Partition-completeness audit — the freshness/completeness check a
+    * scheduler runs after a partitioned delivery. Orders are written
+    * partitioned by month with one month deliberately dropped (a
+    * simulated missed delivery); the audit builds the expected month
+    * spine with `sequence` between the source's min/max months and
+    * left-joins the actual per-partition counts: every spine month is
+    * reported `present` or `missing`. The spine is tiny (one row per
+    * partition), the actual counts come from partition-grain metadata
+    * aggregation — the audit never rescans the fact data at full
+    * width. */
+  def q187PartitionAudit(spark: SparkSession, dir: String): DataFrame = {
+    val zone = graft.Scratch.dir("q187_partitions")
+    val src = Tables.orders(spark, dir)
+      .withColumn("o_month",
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd"))
+    src.filter(col("o_month") =!= "1995-06-01")
+      .write.partitionBy("o_month").mode(SaveMode.Overwrite).parquet(zone)
+    val actual = spark.read.parquet(zone)
+      .groupBy(date_format(col("o_month"), "yyyy-MM-dd").as("o_month"))
+      .agg(count(lit(1)).as("n"))
+    val spine = src
+      .agg(min(to_date(col("o_month"))).as("lo"),
+        max(to_date(col("o_month"))).as("hi"))
+      .select(explode(expr("sequence(lo, hi, INTERVAL 1 MONTH)"))
+        .as("mo"))
+      .select(date_format(col("mo"), "yyyy-MM-dd").as("o_month"))
+    spine.join(actual, Seq("o_month"), "left_outer")
+      .select(col("o_month"),
+        when(col("n").isNull, lit("missing")).otherwise(lit("present"))
+          .as("status"),
+        coalesce(col("n"), lit(0L)).as("n_rows"))
+      .orderBy(col("o_month"))
+  }
+
   def q134CustomSource(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graft.sources.SyntheticSource")
       .option("rows", 5000L).option("slices", 8).load()

@@ -927,6 +927,28 @@ object Relational {
         col("n_orders"), col("total_usd"))
       .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
 
+  /** Equi-depth (equal-count) deciles via `ntile` — the histogram
+    * q119's width_bucket cannot give when the distribution is skewed.
+    * NOTE the scale shape honestly: a global ntile needs a total
+    * order, which plans a SinglePartition sort — fine for reporting
+    * grains, wrong for 100 TB of rows. At scale, derive the same
+    * buckets from q85's distributed global index (range partition +
+    * offsets) or from q48's percentile cut points; this query is the
+    * window-function surface with a deterministic (price, key) total
+    * order so ties cannot move rows between deciles. */
+  def q188EquiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("decile"))
+  }
+
   /** Correlated-subquery trio over the SQL surface: `EXISTS` (plans
     * as a left-semi join), `NOT EXISTS` (anti join), and the `NOT IN`
     * null trap — the probe set is unioned with a NULL, so three-valued

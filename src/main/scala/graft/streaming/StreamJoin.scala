@@ -46,6 +46,50 @@ object StreamJoin {
     StreamingWindows.materializeAndDrop(spark, name, result)
     }
 
+  /** Stream-stream LEFT OUTER interval join — q54's inner twin plus
+    * the null-extended rows. Matches emit immediately; an unmatched
+    * click emits with NULL purchase columns only once the watermark
+    * proves no purchase can still arrive (passes click_ts + 10 min),
+    * which is exactly how outer results stay correct on an unbounded
+    * stream with bounded state. The final no-data micro-batch of the
+    * AvailableNow drain advances the watermark to (min of both sides'
+    * max ts) − 30 min and flushes the evictable state, so the oracle
+    * can reconstruct the emitted set exactly: all interval matches,
+    * plus non-matching clicks whose join window closed strictly before
+    * that final watermark. */
+  def q184StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    StreamingWindows.withStreamPartitions(spark) {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src: DataFrame = spark.readStream
+      .schema(StreamingWindows.eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("buy_ts"),
+        col("event_id").as("buy_id"))
+      .withWatermark("buy_ts", "30 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val name = "graft_stream_outer_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val result = spark.table(name)
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("buy_id"), col("buy_ts"))
+      .orderBy(col("click_id"), col("buy_id"))
+    StreamingWindows.materializeAndDrop(spark, name, result)
+    }
+
   /** Stream-static enrichment join: each micro-batch of the event
     * stream hash-joins against a BROADCAST static dimension — no
     * watermark, no join state, because the static side is complete by
