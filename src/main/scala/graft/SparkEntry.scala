@@ -214,6 +214,12 @@ object SparkEntry {
     "q186_schema_contract" -> (Egress.q186SchemaContract _),
     "q187_partition_audit" -> (Egress.q187PartitionAudit _),
     "q188_equidepth_hist"  -> (Relational.q188EquiDepthHist _),
+    "q189_intersect_all"   -> (Relational.q189IntersectAll _),
+    "q190_filter_clause"   -> (Relational.q190FilterClause _),
+    "q191_zipf_fit"        -> (TextStats.q191ZipfFit _),
+    "q192_winsorize"       -> (Relational.q192Winsorize _),
+    "q193_filter_waterfall" -> (TextStats.q193FilterWaterfall _),
+    "q194_domain_policy"   -> (TextStats.q194DomainPolicy _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3116,6 +3122,130 @@ object SparkEntry {
           AS total
       FROM d GROUP BY decile
       ORDER BY decile""",
+
+    // bag intersection with multiplicity min(n_high, n_low)
+    "q189_intersect_all" -> """
+      WITH h AS (SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_quantity > 25),
+      l AS (SELECT l_returnflag, l_linestatus FROM lineitem
+        WHERE l_quantity <= 25),
+      i AS (SELECT * FROM h INTERSECT ALL SELECT * FROM l)
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_common
+      FROM i GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    // identical ANSI FILTER clause on both engines
+    "q190_filter_clause" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_total,
+        COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+          AS urgent_total,
+        MIN(o_orderdate) FILTER (WHERE o_orderpriority = '1-URGENT')
+          AS first_urgent
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    // logs rounded to 9 decimals then EXACT decimal power sums —
+    // order-free on both engines, no float fold anywhere
+    "q191_zipf_fit" -> """
+      WITH tok AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      f AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok
+        ORDER BY freq DESC, tok LIMIT 1000),
+      r AS (SELECT freq,
+        row_number() OVER (ORDER BY freq DESC, tok) AS rank FROM f),
+      d AS (SELECT
+        CAST(ROUND(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+        CAST(ROUND(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ly
+        FROM r),
+      s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+        CAST(SUM(lx * lx) AS DOUBLE) AS sxx,
+        CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
+        CAST(SUM(ly * ly) AS DOUBLE) AS syy FROM d)
+      SELECT CAST(n AS BIGINT) AS n_tokens,
+        ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) AS zipf_slope,
+        ROUND((sy - sx * ((n*sxy - sx*sy) / (n*sxx - sx*sx))) / n, 9)
+          AS intercept,
+        ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy)) /
+          ((n*sxx - sx*sx) * (n*syy - sy*sy)), 9) AS r2
+      FROM s""",
+
+    // quantile_disc shares Spark's percentile_disc definition, so the
+    // cut points are identical actual data values
+    "q192_winsorize" -> """
+      WITH cuts AS (SELECT
+        quantile_disc(o_totalprice, 0.05) AS lo,
+        quantile_disc(o_totalprice, 0.95) AS hi FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_floor,
+        CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_ceil,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS raw_total,
+        CAST(SUM(CAST(least(greatest(o_totalprice, lo), hi)
+          AS DECIMAL(18,2))) AS DOUBLE) AS winsorized_total
+      FROM orders, cuts
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+
+    // same first-failed-gate attribution, same gate order
+    "q193_filter_waterfall" -> """
+      WITH t AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+',
+            ' ', 'g')), ' ') AS w,
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents),
+      g AS (
+        SELECT CASE
+          WHEN NOT (len(w) BETWEEN 20 AND 100000) THEN 1
+          WHEN NOT ((CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE)) BETWEEN 2.0 AND 12.0) THEN 2
+          WHEN len(list_filter(w, x -> list_contains(
+            ['the', 'a', 'of', 'to', 'and'], x))) < 1 THEN 3
+          WHEN CAST(len(list_filter(w, x ->
+            regexp_matches(x, '^[a-z]+$'))) AS DOUBLE)
+            / CAST(len(w) AS DOUBLE) < 0.5 THEN 4
+          ELSE 0 END AS ff
+        FROM t),
+      a AS (SELECT COUNT(*) AS total,
+        CAST(SUM(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        CAST(SUM(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+        FROM g)
+      SELECT 1 AS stage, 'length' AS gate, total AS n_entering,
+        d1 AS n_dropped, total - d1 AS n_surviving FROM a
+      UNION ALL SELECT 2, 'mean_word_len', total - d1, d2,
+        total - d1 - d2 FROM a
+      UNION ALL SELECT 3, 'stopwords', total - d1 - d2, d3,
+        total - d1 - d2 - d3 FROM a
+      UNION ALL SELECT 4, 'alpha_frac', total - d1 - d2 - d3, d4,
+        total - d1 - d2 - d3 - d4 FROM a
+      ORDER BY stage""",
+
+    // same deny list, same (n_chars desc, doc_id) cap rank
+    "q194_domain_policy" -> """
+      WITH d AS (
+        SELECT source || '.example.com' AS host, doc_id, n_chars
+        FROM documents WHERE source NOT IN ('src3', 'src7')),
+      r AS (SELECT host, n_chars, row_number() OVER
+          (PARTITION BY host ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM d)
+      SELECT host, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN rnk <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(CASE WHEN rnk > 15 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_capped,
+        CAST(SUM(CASE WHEN rnk <= 15 THEN n_chars ELSE 0 END)
+          AS BIGINT) AS kept_chars
+      FROM r GROUP BY host
+      ORDER BY host""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

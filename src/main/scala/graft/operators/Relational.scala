@@ -949,6 +949,70 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** Multiset INTERSECT ALL — q63's EXCEPT ALL twin: per (flag,
+    * status), occurrences common to both bags with multiplicity
+    * min(n_high, n_low). Spark plans both bag operators as a
+    * count-and-compare aggregation, not a join — one shuffle on the
+    * compared columns, scale-safe. */
+  def q189IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val high = li.filter(col("l_quantity") > 25)
+      .select(col("l_returnflag"), col("l_linestatus"))
+    val low = li.filter(col("l_quantity") <= 25)
+      .select(col("l_returnflag"), col("l_linestatus"))
+    high.intersectAll(low)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_common"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** ANSI `FILTER (WHERE ...)` aggregate clause — the standard form of
+    * q166's count_if/conditional-sum family. Each filtered aggregate
+    * is still one partial-aggregable fold; the clause costs nothing at
+    * scale and avoids the CASE-wrapping that breaks some optimizers'
+    * null accounting. */
+  def q190FilterClause(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      SELECT o_orderstatus, COUNT(*) AS n_total,
+        COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+          AS urgent_total,
+        MIN(o_orderdate) FILTER (WHERE o_orderpriority = '1-URGENT')
+          AS first_urgent
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")
+  }
+
+  /** Winsorization: clamp a value column at its exact 5th/95th
+    * percentiles — the outlier treatment feature-prep applies before
+    * scaling. The two cut points are one tiny `percentile_disc`
+    * aggregate broadcast back over the data (cross join with a 1-row
+    * frame); clamping is a narrow `least/greatest`. percentile_disc
+    * picks ACTUAL data values, so the cut points are exact doubles and
+    * the whole result is hash-stable. */
+  def q192Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val cuts = Tables.orders(spark, dir).agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY o_totalprice)")
+        .as("lo"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)")
+        .as("hi"))
+    Tables.orders(spark, dir).crossJoin(broadcast(cuts))
+      .select(col("o_orderstatus"), col("o_totalprice"),
+        least(greatest(col("o_totalprice"), col("lo")), col("hi"))
+          .as("clamped"),
+        col("lo"), col("hi"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_if(col("o_totalprice") < col("lo")).as("n_floor"),
+        count_if(col("o_totalprice") > col("hi")).as("n_ceil"),
+        dsum(col("o_totalprice")).as("raw_total"),
+        dsum(col("clamped")).as("winsorized_total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Correlated-subquery trio over the SQL surface: `EXISTS` (plans
     * as a left-semi join), `NOT EXISTS` (anti join), and the `NOT IN`
     * null trap — the probe set is unioned with a NULL, so three-valued

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -578,6 +579,117 @@ object TextStats {
       .groupBy(col("pair")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(20)
+
+  /** Zipf-law fit over the top-1000 corpus tokens: least-squares slope
+    * / intercept / R² of log(freq) against log(rank) — the classic
+    * sanity check that a corpus is natural language (slope ≈ −1) and
+    * not template spam. The top-k is a TakeOrderedAndProject (per-
+    * partition heaps); only the 1000 survivors see a window, so the
+    * single-partition rank is bounded at k forever. Determinism: the
+    * irrational logs are rounded to 9 decimals and cast to decimal, so
+    * every regression power sum is EXACT decimal arithmetic —
+    * order-free, no float folds at all. */
+  def q191ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("freq").desc, col("tok"))
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(18,9)")
+    Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(1000)
+      .withColumn("rank", row_number().over(w))
+      .select(
+        dec9(log(col("rank").cast("double"))).as("lx"),
+        dec9(log(col("freq").cast("double"))).as("ly"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("lx")).cast("double").as("sx"),
+        sum(col("ly")).cast("double").as("sy"),
+        sum(col("lx") * col("lx")).cast("double").as("sxx"),
+        sum(col("lx") * col("ly")).cast("double").as("sxy"),
+        sum(col("ly") * col("ly")).cast("double").as("syy"))
+      .select(col("n").cast("long").as("n_tokens"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 9)
+          .as("zipf_slope"),
+        round((col("sy") - col("sx") *
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")))) / col("n"),
+          9).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 9)
+          .as("r2"))
+  }
+
+  /** Filter-waterfall report: q115's Gopher gates applied in a fixed
+    * order, with per-stage attrition — the "where did my data go"
+    * accounting a cleaning pipeline publishes next to its output.
+    * Each document is charged to the FIRST gate it fails; the
+    * waterfall is then four rows of closed-form arithmetic over one
+    * tiny aggregate, so the report adds one scan regardless of corpus
+    * size. */
+  def q193FilterWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    val w = toks(col("text"))
+    val nTok = size(w)
+    val meanLen = length(regexp_replace(Cols.normText(col("text")), " ", ""))
+      .cast("double") / nTok.cast("double")
+    val stopHits = size(expr(
+      "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')," +
+        " t -> t IN ('the', 'a', 'of', 'to', 'and'))"))
+    val alphaFrac = size(expr(
+      "filter(split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')," +
+        " t -> t rlike '^[a-z]+$')")).cast("double") / nTok.cast("double")
+    val firstFail = when(!nTok.between(20, 100000), 1)
+      .when(!meanLen.between(2.0, 12.0), 2)
+      .when(stopHits < 1, 3)
+      .when(alphaFrac < 0.5, 4)
+      .otherwise(0)
+    Tables.documents(spark, dir)
+      .select(firstFail.as("ff"))
+      .agg(count(lit(1)).as("total"),
+        count_if(col("ff") === 1).as("d1"),
+        count_if(col("ff") === 2).as("d2"),
+        count_if(col("ff") === 3).as("d3"),
+        count_if(col("ff") === 4).as("d4"))
+      .select(expr("""inline(array(
+        struct(1 AS stage, 'length' AS gate, total AS n_entering,
+          d1 AS n_dropped, total - d1 AS n_surviving),
+        struct(2 AS stage, 'mean_word_len' AS gate,
+          total - d1 AS n_entering, d2 AS n_dropped,
+          total - d1 - d2 AS n_surviving),
+        struct(3 AS stage, 'stopwords' AS gate,
+          total - d1 - d2 AS n_entering, d3 AS n_dropped,
+          total - d1 - d2 - d3 AS n_surviving),
+        struct(4 AS stage, 'alpha_frac' AS gate,
+          total - d1 - d2 - d3 AS n_entering, d4 AS n_dropped,
+          total - d1 - d2 - d3 - d4 AS n_surviving)))"""))
+      .orderBy(col("stage"))
+  }
+
+  /** Crawl-policy enforcement over provenance domains: a deny-list
+    * anti-join removes blocked hosts entirely, then a per-host cap
+    * keeps the 15 longest documents (deterministic (n_chars, doc_id)
+    * rank) — the domain-budget rule crawl curation applies so one
+    * giant domain cannot dominate the corpus. Anti-join on a tiny
+    * broadcast list + one window per host partition: both scale-safe
+    * shapes. */
+  def q194DomainPolicy(spark: SparkSession, dir: String): DataFrame = {
+    val denied = Seq("src3.example.com", "src7.example.com")
+    val host = concat(col("source"), lit(".example.com"))
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(host.as("host"), col("doc_id"), col("n_chars"))
+      .filter(!col("host").isin(denied: _*))
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("rnk") <= 15).as("n_kept"),
+        count_if(col("rnk") > 15).as("n_capped"),
+        sum(when(col("rnk") <= 15, col("n_chars")).otherwise(lit(0)))
+          .as("kept_chars"))
+      .orderBy(col("host"))
+  }
 
   /** URL parsing toolkit: documents addressed by deterministic
     * provenance URLs (built from source/lang/doc_id, as a crawl
