@@ -220,6 +220,7 @@ object SparkEntry {
     "q192_winsorize"       -> (Relational.q192Winsorize _),
     "q193_filter_waterfall" -> (TextStats.q193FilterWaterfall _),
     "q194_domain_policy"   -> (TextStats.q194DomainPolicy _),
+    "q195_source_agg_pushdown" -> (Egress.q195SourceAggPushdown _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3246,6 +3247,15 @@ object SparkEntry {
           AS BIGINT) AS kept_chars
       FROM r GROUP BY host
       ORDER BY host""",
+
+    // closed form over the same residue classes the source computes
+    "q195_source_agg_pushdown" -> """
+      SELECT CAST(i % 16 AS INT) AS bucket, COUNT(*) AS n_rows,
+        CAST(SUM(i) AS BIGINT) AS id_sum,
+        MIN(i) AS id_min, MAX(i) AS id_max
+      FROM range(100000, 1000000) t(i)
+      GROUP BY 1
+      ORDER BY 1""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

@@ -398,6 +398,24 @@ object Egress {
       .orderBy(col("o_month"))
   }
 
+  /** Aggregate pushdown through the DSv2 connector (q134's scan-side
+    * sibling): COUNT/SUM/MIN/MAX grouped by bucket are answered by the
+    * source in closed form — the scan emits 16 pre-aggregated rows
+    * instead of 900k generated ones, exactly how a warehouse-grade
+    * source answers aggregates from zone-map/footer metadata. The
+    * pushed id-range filter composes (the pushdown chain is
+    * filters → columns → aggregates). IngestPipelineSpec asserts the
+    * plan shows PushedAggregates over the narrowed range and that
+    * unsupported aggregates fall back to row generation. */
+  def q195SourceAggPushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 1000000L).option("slices", 8).load()
+      .filter(col("id") >= 100000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("id_sum"),
+        min(col("id")).as("id_min"), max(col("id")).as("id_max"))
+      .orderBy(col("bucket"))
+
   def q134CustomSource(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graft.sources.SyntheticSource")
       .option("rows", 5000L).option("slices", 8).load()

@@ -178,4 +178,29 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(tiny.rdd.getNumPartitions == 3)
     assert(tiny.count() == 3)
   }
+
+  test("DSv2 source answers grouped aggregates in closed form " +
+      "(aggregate pushdown, no row generation)") {
+    import org.apache.spark.sql.functions._
+    val df = operators.Egress.q195SourceAggPushdown(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[count, sum, min, max]"),
+      plan.take(3000))
+    assert(plan.contains("GroupedBy=[bucket]"), plan.take(3000))
+    // filter pushdown composes: the aggregated range must be narrowed
+    assert(plan.contains("range=[100000, 1000000)"), plan.take(3000))
+    val r = df.collect()
+    assert(r.length == 16)
+    // bucket 0 over [100000, 1000000): first 100000, last 999984
+    val b0 = r.find(_.getInt(0) == 0).get
+    assert(b0.getLong(1) == 56250L)
+    assert(b0.getLong(3) == 100000L && b0.getLong(4) == 999984L)
+    // an unsupported aggregate (avg of fp length) must NOT be pushed
+    val fallback = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", 1000L).load()
+      .agg(avg(length(col("fp"))).as("a"))
+    val fplan = fallback.queryExecution.executedPlan.toString
+    assert(!fplan.contains("PushedAggregates"), fplan.take(3000))
+    assert(fallback.collect()(0).getDouble(0) == 32.0)
+  }
 }
