@@ -1888,12 +1888,32 @@ object SparkEntry {
       FROM k
       ORDER BY doc_id, chunk_ix""",
 
-    // union of the two near-dup signals with provenance
+    // union of the two near-dup signals with provenance; the embedding
+    // side mirrors the sign-LSH candidate generation (4 tables × 4
+    // sign bits over dims 1..16 — a pure sign test, no float
+    // arithmetic, so bucket membership is engine-portable)
     "q122_dedup_signals" -> """
       SELECT vec_a AS id_a, vec_b AS id_b, 'embedding' AS signal,
         ROUND(cosine, 9) AS score
       FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        WITH bk AS (
+          SELECT vec_id, CAST(t.tbl AS INTEGER) AS tbl,
+            (CASE WHEN embedding[CAST(t.tbl * 4 + 1 AS INTEGER)] >= 0
+                  THEN 1 ELSE 0 END
+           + CASE WHEN embedding[CAST(t.tbl * 4 + 2 AS INTEGER)] >= 0
+                  THEN 2 ELSE 0 END
+           + CASE WHEN embedding[CAST(t.tbl * 4 + 3 AS INTEGER)] >= 0
+                  THEN 4 ELSE 0 END
+           + CASE WHEN embedding[CAST(t.tbl * 4 + 4 AS INTEGER)] >= 0
+                  THEN 8 ELSE 0 END) AS bucket
+          FROM embeddings CROSS JOIN
+            (SELECT unnest(range(4)) AS tbl) t),
+        cand AS (
+          SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+          FROM bk ba JOIN bk bb
+            ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket
+            AND ba.vec_id < bb.vec_id)
+        SELECT vec_a, vec_b,
           list_reduce(list_transform(range(1, 65),
             i -> CAST(a.embedding[i] AS DOUBLE)
                  * CAST(b.embedding[i] AS DOUBLE)),
@@ -1907,7 +1927,9 @@ object SparkEntry {
               i -> CAST(b.embedding[i] AS DOUBLE)
                    * CAST(b.embedding[i] AS DOUBLE)),
               (x, y) -> x + y)) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+        FROM cand
+        JOIN embeddings a ON a.vec_id = vec_a
+        JOIN embeddings b ON b.vec_id = vec_b) p
       WHERE cosine >= 0.45
       UNION ALL
       SELECT doc_a, doc_b, 'text_ngram', ROUND(jaccard, 9) FROM (

@@ -309,10 +309,13 @@ object Dedup {
   /** Multi-signal dedup candidate pool: near-dup pairs from the
     * embedding-cosine signal and the text n-gram-Jaccard signal,
     * unioned with provenance — the review queue a curation pipeline
-    * feeds to adjudication when signals disagree (each signal's pair
-    * generation stays banded/blocked; the union is trivially cheap). */
+    * feeds to adjudication when signals disagree. BOTH signals are
+    * banded: the embedding side consumes sign-LSH-bucketed candidates
+    * ([[Similarity.signLshNearDup]] — never the all-pairs q30 anchor,
+    * which stays a correctness/recall reference only), the text side
+    * an inverted shingle index; the union is trivially cheap. */
   def q122DedupSignals(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Similarity.q30EmbedNearDup(spark, dir)
+    val emb = Similarity.signLshNearDup(spark, dir, threshold = 0.45)
       .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"),
         lit("embedding").as("signal"),
         round(col("cosine"), 9).as("score"))
@@ -331,10 +334,13 @@ object Dedup {
     * the smallest doc id that appears in any MinHash edge, so the
     * result is a pure function of the data. Distances land per node;
     * the same loop at 100 TB is iterative joins over a partitioned
-    * edge table (checkpoint every few hops to cut lineage). */
+    * edge table (checkpoint every few hops to cut lineage). Edges come
+    * from the UNORDERED [[minhashPairs]] core — the per-hop joins
+    * aggregate immediately, so q25's display sort would be a wasted
+    * global range-exchange here (the Dedup.scala:89-92 contract). */
   def q125ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{min => fmin}
-    val e = q25DedupMinhash(spark, dir)
+    val e = minhashPairs(Tables.documents(spark, dir))
       .select(col("doc_a"), col("doc_b"))
     val edges = e.unionByName(
         e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -366,11 +372,16 @@ object Dedup {
   /** Benchmark decontamination — the curation step every training-data
     * pipeline runs before a model sees the corpus: any training
     * document sharing an 8-word gram with the held-out set is flagged.
-    * Shape: both sides explode to (gram, doc) pairs, the EVAL side is
-    * tiny and deduplicated, the join is gram-equality (inverted-index
+    * Shape: both sides explode to (gram, doc) pairs, the eval side is
+    * deduplicated, the join is gram-equality (inverted-index
     * semantics, never doc×doc), and the aggregate counts distinct
-    * overlapping grams per flagged doc. At 100 TB the eval gram set
-    * broadcasts and the train side streams through one narrow pass. */
+    * overlapping grams per flagged doc. The join strategy is left to
+    * the optimizer ON PURPOSE: a real held-out set is tiny and AQE
+    * broadcasts it from its measured runtime size, but this fixture's
+    * eval side is 10% of the corpus' distinct 8-grams — hinting
+    * `broadcast(eval_)` here would hard-code an assumption the data
+    * violates and OOM executors at 100 TB. Unhinted, the worst case is
+    * a shuffle-on-gram join, which scales. */
   def q113Decontamination(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -383,7 +394,7 @@ object Dedup {
     val eval_ = grams(docs.filter(col("doc_id") % 10 === 0))
       .select(col("gram")).distinct()
     val train = grams(docs.filter(col("doc_id") % 10 =!= 0))
-    train.join(broadcast(eval_), "gram")
+    train.join(eval_, "gram")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
       .orderBy(col("doc_id"))

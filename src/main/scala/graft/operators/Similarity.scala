@@ -185,8 +185,10 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: exact cosine >= 0.45 over all pairs.
     * This is the oracle-checked exact twin (quadratic — fine as a
-    * correctness anchor); the 100 TB path runs the same predicate inside
-    * q29's LSH buckets so the join never goes all-pairs. */
+    * correctness anchor); the 100 TB path is [[signLshNearDup]], which
+    * runs the same predicate inside LSH buckets so the join never goes
+    * all-pairs. Production consumers (q122) use the banded path; this
+    * anchor exists to measure its recall. */
   def q30EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
@@ -200,6 +202,53 @@ object Similarity {
           sqrt(col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= 0.45)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Banded embedding near-dup: the 100 TB path for q30's predicate.
+    * Candidates come from sign-LSH buckets — 4 hash tables, each keyed
+    * by the sign bits of 4 embedding dimensions (axis-aligned
+    * hyperplanes: the same LSH family as q29's random planes, chosen
+    * here because a sign test involves NO float arithmetic and is
+    * therefore bitwise portable to any oracle engine) — and only
+    * same-bucket pairs are scored with exact cosine, so the join
+    * shuffles on (tbl, bucket) and work is bounded by bucket
+    * population (~n²/16 per table at this width), never n². Scaling
+    * knobs are standard LSH tuning: more bits per table sharpen
+    * buckets as the corpus grows; more tables buy back the recall the
+    * extra bits cost. Recall < 1 BY DESIGN vs the exact all-pairs
+    * anchor [[q30EmbedNearDup]]: a pair at the cosine-0.45 threshold
+    * disagrees with a given hyperplane with p = θ/π ≈ 0.35, so
+    * detection ≈ 1-(1-0.65⁴)⁴ ≈ 0.55 there, rising to ≈ 0.95 for true
+    * near-dups (cosine ≥ 0.9); SimilaritySpec pins subset-of-anchor
+    * and the measured recall floor. */
+  def signLshNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    val bk = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until 4).map { t =>
+          (0 until 4).map { i =>
+            when(element_at(col("embedding"), t * 4 + i + 1) >= 0,
+              lit(1 << i)).otherwise(lit(0))
+          }.reduce(_ + _)
+        }: _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+    // norms projected per side BEFORE the join (one fold per bucket
+    // row, not one per collision); same pure fold ⇒ bitwise-identical
+    // cosine to the q30 anchor
+    val a = bk.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("tbl"), col("bucket"))
+      .withColumn("norm_a", dot(col("emb_a"), col("emb_a")))
+    val b = bk.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("tbl"), col("bucket"))
+      .withColumn("norm_b", dot(col("emb_b"), col("emb_b")))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) /
+          sqrt(col("norm_a") * col("norm_b"))).as("cosine"))
+      .distinct() // same pair can collide in several tables
+      .filter(col("cosine") >= threshold)
   }
 
   /** Product-quantization ANN — the memory-side scale lever the IVF

@@ -87,6 +87,15 @@ class DedupSpec extends AnyFunSuite {
     assert((minhash intersect loose).nonEmpty)
   }
 
+  test("graph consumers build edges from the unordered pair core — " +
+      "no global sort below the iteration joins") {
+    val plan = Dedup.minhashPairs(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    // q25's display orderBy is a range exchange; the BFS/CC/PageRank
+    // loops must never inherit it (Dedup.scala contract at minhashPairs)
+    assert(!plan.contains("rangepartitioning"), plan.take(3000))
+  }
+
   test("pagerank conserves total rank mass up to integer truncation") {
     val rows = operators.Dedup.q150PageRank(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -224,6 +224,23 @@ class ScaleSpec extends AnyFunSuite {
       plan.contains("ReusedQueryStage"), plan.take(4000))
   }
 
+  test("decontamination never broadcasts the corpus-proportional eval " +
+      "gram side") {
+    // the eval side of q113 is 10% of the corpus' distinct 8-grams —
+    // corpus-proportional, so a broadcast would OOM at 100 TB. With
+    // the threshold below its size the planner must pick a shuffle
+    // join; a reintroduced broadcast() hint would override the
+    // threshold and fail here.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "1024")
+    try {
+      val plan = operators.Dedup.q113Decontamination(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), plan.take(3000))
+    } finally spark.conf.set(key, old)
+  }
+
   test("join hints force broadcast and shuffled-hash strategies") {
     val plan = Scale.q183JoinHints(spark, sf)
       .queryExecution.executedPlan.toString

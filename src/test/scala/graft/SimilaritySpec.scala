@@ -82,6 +82,33 @@ class SimilaritySpec extends AnyFunSuite {
         == r.getDouble(3)))
   }
 
+  test("banded sign-LSH near-dup is a subset of the exact anchor " +
+      "with bitwise-identical cosines and a measured recall floor") {
+    val anchor = Similarity.q30EmbedNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = Similarity.signLshNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(banded.nonEmpty)
+    banded.foreach { case (k, cos) =>
+      assert(anchor.contains(k), s"pair $k not in exact anchor")
+      assert(anchor(k) == cos, s"cosine drift for $k")
+    }
+    // deterministic on fixed data; the floor guards bucketing
+    // regressions (recall < 1 by design — see signLshNearDup scaladoc)
+    val recall = banded.size.toDouble / anchor.size
+    assert(recall >= 0.2, s"banded recall = $recall of ${anchor.size}")
+  }
+
+  test("q122 candidate pool plans no all-pairs join of any kind") {
+    val plan = operators.Dedup.q122DedupSignals(spark, sf)
+      .queryExecution.executedPlan.toString
+    // stricter than the catalog-wide CartesianProduct lint: the
+    // production-shaped pool must not even broadcast-nested-loop —
+    // every pair generation goes through a bucket/band equi-join
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("TopKAgg keeps k best with deterministic tie-break") {
     val agg = TopKAgg.topK(3)
     val ins = Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9),
