@@ -221,6 +221,7 @@ object SparkEntry {
     "q193_filter_waterfall" -> (TextStats.q193FilterWaterfall _),
     "q194_domain_policy"   -> (TextStats.q194DomainPolicy _),
     "q195_source_agg_pushdown" -> (Egress.q195SourceAggPushdown _),
+    "q196_jdbc_roundtrip"  -> (Egress.q196JdbcRoundtrip _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3278,6 +3279,16 @@ object SparkEntry {
       FROM range(100000, 1000000) t(i)
       GROUP BY 1
       ORDER BY 1""",
+
+    // the JDBC cycle must be lossless: oracle on the original parquet
+    "q196_jdbc_roundtrip" -> """
+      SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_acctbal,
+        MIN(s_name) AS first_name
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

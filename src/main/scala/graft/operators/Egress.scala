@@ -37,6 +37,31 @@ object Egress {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** JDBC round-trip through an embedded Derby database: supplier →
+    * `writeJdbc` (overwrite: drop/create + batched inserts) →
+    * `readJdbc` with a 4-way range-partitioned cursor on s_suppkey →
+    * aggregate per nation. The oracle runs on the ORIGINAL parquet,
+    * so any type mapping / batching / range-boundary bug in the JDBC
+    * cycle (row lost at a partition bound, string truncation, double
+    * drift) fails the hash. Derby is in-process — the same two calls
+    * take any networked `jdbc:` URL, which is how the reference's
+    * declared-but-unimplemented MySQL DWH leg would run. */
+  def q196JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:${graft.Scratch.dir("q196_derby")};create=true"
+    val src = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
+    Ingest.writeJdbc(src, url, "graft_supplier")
+    val hi = src.agg(max(col("s_suppkey"))).head().getLong(0)
+    Ingest.readJdbc(spark, url, "graft_supplier",
+        rangePartition = Some(("s_suppkey", 1L, hi + 1, 4)))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("total_acctbal"),
+        min(col("s_name")).as("first_name"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Latest-wins upsert (SCD-1 compaction): one surviving row per key,
     * the one with the greatest (ts, event_id) — how a CDC feed or
     * re-delivered batch collapses to current state. Window row_number

@@ -102,4 +102,40 @@ object Ingest {
       a <- env.get("ACCESS_KEY")
       s <- env.get("SECRET_ACCESS_KEY")
     } yield (a, s)
+
+  /** JDBC scan. The reference DECLARES a relational DWH leg ("CSV ->
+    * Spark -> MySQL", `dags/etl_csv_to_dwh.py:13`) and installs the
+    * connector (`Dockerfile.airflow:46`) but ships no JDBC code —
+    * this closes that declared edge with Spark's own JDBC source
+    * (tested offline against embedded Derby; the same call takes any
+    * `jdbc:` URL + driver jar). `rangePartition` = (column, lower,
+    * upper, n) splits the read into n range-parallel cursors —
+    * mandatory at scale, where a single JDBC connection caps the scan
+    * at one machine's link; without it the read is one partition. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      rangePartition: Option[(String, Long, Long, Int)] = None)
+      : DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    rangePartition match {
+      case Some((c, lo, hi, n)) => base
+        .option("partitionColumn", c)
+        .option("lowerBound", lo)
+        .option("upperBound", hi)
+        .option("numPartitions", n)
+        .load()
+      case None => base.load()
+    }
+  }
+
+  /** JDBC sink: every partition opens its own connection and writes
+    * batched inserts (`batchsize` bounds round-trips). Overwrite
+    * drops/recreates the table — the reference DAG's declared
+    * replace-load semantics. Dimension-sized results only; a 100 TB
+    * fact table goes to parquet/object storage, not a row store. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: SaveMode = SaveMode.Overwrite, batchSize: Int = 1000): Unit =
+    df.write.mode(mode).format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize).save()
 }

@@ -203,4 +203,21 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(!fplan.contains("PushedAggregates"), fplan.take(3000))
     assert(fallback.collect()(0).getDouble(0) == 32.0)
   }
+
+  test("jdbc roundtrip through embedded Derby is lossless and the " +
+      "read is range-partitioned") {
+    import org.apache.spark.sql.functions.col
+    val url = s"jdbc:derby:${Scratch.dir("jdbc_spec")};create=true"
+    val src = Tables.supplier(spark, sf)
+    graft.sources.Ingest.writeJdbc(src, url, "spec_supplier")
+    val back = graft.sources.Ingest.readJdbc(spark, url, "spec_supplier",
+      rangePartition = Some(("s_suppkey", 1L, 1000L, 4)))
+    // the range split parallelizes the scan: 4 cursors, not 1
+    assert(back.rdd.getNumPartitions == 4)
+    // every row survives the type mapping + batching + split exactly
+    val a = src.collect().map(_.toSeq).toSet
+    val b = back.select(src.columns.map(col).toIndexedSeq: _*)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
