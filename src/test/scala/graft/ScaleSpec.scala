@@ -241,6 +241,42 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("AQE detects and splits a skewed join partition at runtime") {
+    import org.apache.spark.sql.functions._
+    // the adaptive twin of the MANUAL salting queries q47/q80: no
+    // query rewrite at all — AQE measures the finished shuffle stage,
+    // sees one partition far over factor×median and the byte
+    // threshold, and splits it into advisory-sized reads (skew=true
+    // on the join). First line of defense at 100 TB; salting remains
+    // the escape hatch AQE can't reach (e.g. skewed aggregations).
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val olds = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // hot key 0: 50k wide rows → one ~4 MB hash partition; 50 cold
+      // keys with ~100 thin rows each keep the median tiny
+      val left = spark.range(50000)
+        .select(lit(0L).as("k"),
+          rpad(col("id").cast("string"), 64, "p").as("pad"))
+        .union(spark.range(5000)
+          .select((col("id") % 50 + 1).as("k"), lit("small").as("pad")))
+      val right = spark.range(51).select(col("id").as("k"),
+        lit("dim").as("v"))
+      val joined = left.join(right, "k")
+      assert(joined.count() == 55000)
+      joined.collect() // finalize the adaptive plan
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("join hints force broadcast and shuffled-hash strategies") {
     val plan = Scale.q183JoinHints(spark, sf)
       .queryExecution.executedPlan.toString
