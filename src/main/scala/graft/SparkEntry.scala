@@ -222,6 +222,11 @@ object SparkEntry {
     "q194_domain_policy"   -> (TextStats.q194DomainPolicy _),
     "q195_source_agg_pushdown" -> (Egress.q195SourceAggPushdown _),
     "q196_jdbc_roundtrip"  -> (Egress.q196JdbcRoundtrip _),
+    "q197_stream_recovery" ->
+      (graft.streaming.StreamRecovery.q197StreamRecovery _),
+    "q198_dup_gram_profile" -> (Dedup.q198DupGramProfile _),
+    "q199_shuffle_order"   -> (Sampling.q199ShuffleOrder _),
+    "q200_length_buckets"  -> (TextStats.q200LengthBuckets _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3289,6 +3294,72 @@ object SparkEntry {
       FROM supplier
       GROUP BY s_nationkey
       ORDER BY s_nationkey""",
+
+    // recovery must be invisible: two checkpointed incarnations emit
+    // exactly the single-run append-mode window set (q136's oracle)
+    "q197_stream_recovery" -> """
+      WITH wm AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        FROM events)
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events, wm
+      WHERE time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+              + INTERVAL 5 MINUTE <= w
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    // corpus-vs-itself 8-gram duplication ratio per document
+    "q198_dup_gram_profile" -> """
+      WITH docs AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      d8 AS (SELECT doc_id, w FROM docs WHERE len(w) >= 8),
+      grams AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(w) - 6),
+            i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        FROM d8),
+      gdf AS (SELECT gram, COUNT(*) AS n_df FROM grams GROUP BY gram)
+      SELECT g.doc_id,
+        COUNT(*) AS n_grams,
+        CAST(SUM(CASE WHEN gdf.n_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_grams,
+        ROUND(CAST(SUM(CASE WHEN gdf.n_df >= 2 THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS dup_ratio
+      FROM grams g JOIN gdf USING (gram)
+      GROUP BY g.doc_id
+      ORDER BY g.doc_id""",
+
+    // the md5 permutation is engine-portable, so the oracle re-derives
+    // the full training order and the ranks must agree exactly
+    "q199_shuffle_order" -> """
+      SELECT CAST(ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+          AS rank,
+        doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents
+      ORDER BY rank""",
+
+    // integer token math until the final ratio
+    "q200_length_buckets" -> """
+      WITH t AS (
+        SELECT CAST(len(string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+      SELECT LEAST(n_tokens // 64, 7) AS bucket,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        MAX(n_tokens) AS max_tokens,
+        ROUND(CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS DOUBLE)
+          / CAST(MAX(n_tokens) * COUNT(*) AS DOUBLE), 9)
+          AS pad_waste_ratio
+      FROM t
+      GROUP BY 1
+      ORDER BY 1""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

@@ -399,4 +399,40 @@ object Dedup {
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus duplication profile — the document-granular form of the
+    * exact-substring-duplication diagnostic a curation run publishes
+    * BEFORE deciding thresholds: for every document, the fraction of
+    * its distinct 8-grams that also occur in at least one other
+    * document. (q113 compares train against a held-out set; this is
+    * the corpus against itself, and it reports a per-doc ratio rather
+    * than flagging pairs like q68.)
+    *
+    * Shape: inverted index (doc, gram) → one hash-aggregate computes
+    * each gram's document frequency (grams are pre-deduplicated per
+    * doc, so COUNT(*) = doc frequency) → join back on gram → per-doc
+    * ratio. Two gram-keyed shuffles and a doc-keyed one, all with
+    * map-side partial agg; nothing is broadcast and nothing is
+    * quadratic, so the profile runs at corpus scale as a routine
+    * report. */
+  def q198DupGramProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+    val gramSql =
+      "array_distinct(transform(sequence(0, size(w) - 8), " +
+        "i -> array_join(slice(w, i + 1, 8), ' ')))"
+    val grams = docs
+      .select(col("doc_id"), explode(expr(gramSql)).as("gram"))
+    val gramDf = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    grams.join(gramDf, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_ratio", round(
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"),
+        9))
+      .orderBy(col("doc_id"))
+  }
 }

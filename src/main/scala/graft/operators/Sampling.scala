@@ -123,4 +123,24 @@ object Sampling {
           .as("n_leaks"),
         min(col("doc_a")).as("example_doc_a"))
       .orderBy(col("split_a"), col("split_b"))
+
+  /** Deterministic global training order — the "shuffle the corpus"
+    * step before sequence packing: adjacent source documents are
+    * correlated (same crawl, same site), so training reads the corpus
+    * in a pseudo-random permutation. Position = md5 of the doc id:
+    * reproducible across runs/engines/cluster sizes, resumable from
+    * any rank, and shardable with zero coordination (the same reasons
+    * every sampler here keys on md5, not an RNG). Ranks come from
+    * [[Scale.globalIndex]] — range-repartition on the hash + per-
+    * partition offsets — because a bare `row_number() OVER (ORDER BY
+    * hash)` collapses 100 TB onto one task. The writer then lands
+    * rank ranges as ordered shards. */
+  def q199ShuffleOrder(spark: SparkSession, dir: String): DataFrame =
+    Scale.globalIndex(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"),
+            hashOf(col("doc_id")).as("shuffle_key")),
+        col("shuffle_key").asc, col("doc_id").asc)
+      .select(col("rank"), col("doc_id"), col("lang"), col("shuffle_key"))
+      .orderBy(col("rank"))
 }

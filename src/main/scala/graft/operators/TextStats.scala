@@ -714,4 +714,27 @@ object TextStats {
         countDistinct(col("first_word")).as("n_first_words"))
       .orderBy(col("host"))
   }
+
+  /** Length-bucket packing report — the batch-shape decision a
+    * training pipeline makes after truncation analysis (q162) and
+    * before sequence packing (q57): documents binned into 64-token-
+    * wide length buckets (top bucket open-ended), per bucket the doc
+    * count, token mass, observed max, and the padding waste if every
+    * doc were padded to the bucket max — the number that says whether
+    * bucketed batching is worth it vs packing. One narrow projection
+    * and one small aggregate; all integer arithmetic until the final
+    * ratio, so the report is bitwise portable. */
+  def q200LengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(toks(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", least(expr("n_tokens div 64"), lit(7L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round((max(col("n_tokens")) * count(lit(1)) - sum(col("n_tokens")))
+            .cast("double") /
+          (max(col("n_tokens")) * count(lit(1))).cast("double"), 9)
+          .as("pad_waste_ratio"))
+      .orderBy(col("bucket"))
 }
