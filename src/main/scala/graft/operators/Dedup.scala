@@ -408,13 +408,14 @@ object Dedup {
     * the corpus against itself, and it reports a per-doc ratio rather
     * than flagging pairs like q68.)
     *
-    * Shape: inverted index (doc, gram) → one hash-aggregate computes
-    * each gram's document frequency (grams are pre-deduplicated per
-    * doc, so COUNT(*) = doc frequency) → join back on gram → per-doc
-    * ratio. Two gram-keyed shuffles and a doc-keyed one, all with
-    * map-side partial agg; nothing is broadcast and nothing is
-    * quadratic, so the profile runs at corpus scale as a routine
-    * report. */
+    * Shape: inverted index (doc, gram) → each gram's document
+    * frequency as a COUNT over the gram window partition (grams are
+    * pre-deduplicated per doc, so the partition size IS the doc
+    * frequency) → per-doc ratio. The window formulation matters at
+    * scale: the agg-then-join-back alternative scans and explodes the
+    * corpus TWICE and shuffles the gram table twice; this is one
+    * explode pass, one gram-keyed exchange, one doc-keyed aggregate.
+    * Nothing is broadcast and nothing is quadratic. */
   def q198DupGramProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -424,9 +425,9 @@ object Dedup {
         "i -> array_join(slice(w, i + 1, 8), ' ')))"
     val grams = docs
       .select(col("doc_id"), explode(expr(gramSql)).as("gram"))
-    val gramDf = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df"))
-    grams.join(gramDf, "gram")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    grams.withColumn("df", count(lit(1)).over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
