@@ -126,6 +126,50 @@ object Pipeline {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** The reference DAG's DECLARED shape end-to-end — "CSV -> Spark ->
+    * MySQL" (`/root/reference/dags/etl_csv_to_dwh.py:13`), which the
+    * reference itself never implements (its real sink is S3): dated
+    * CSV drops in an input zone → latest-file pick + staging (O1+O2)
+    * → CSV scan (O3) → cleanse filter → JDBC DWH load (embedded
+    * Derby standing in for MySQL — same two calls take a networked
+    * URL) → read back FROM THE DWH with a range-partitioned scan →
+    * aggregate, under the DAG's retry envelope (O27). The oracle runs
+    * on the ORIGINAL part parquet, so the hash witnesses every leg of
+    * the declared path: file pick, CSV typing, JDBC type mapping,
+    * batched inserts, and the partition-bounded read-back. */
+  def q202DwhLoad(spark: SparkSession, dir: String): DataFrame = {
+    val base = Scratch.dir("q202_dwh")
+    val (input, staging) = (s"$base/input", s"$base/staging")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val part = graft.Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_type", "p_size", "p_retailprice")
+    writeSingleCsv(part.filter(col("p_partkey") % 2 === 0),
+      input, "part_2020.csv") // stale decoy: must NOT be picked
+    writeSingleCsv(part, input, "part_2024.csv")
+    // the Derby db lives OUTSIDE the cleaned zone: the embedded engine
+    // keeps a booted database cached by path, so deleting its files
+    // between runs would corrupt it — table-level Overwrite handles
+    // re-runs instead (drop/recreate, like q196)
+    val url = s"jdbc:derby:${Scratch.dir("q202_dwh_db")};create=true"
+    retry(1) {
+      val staged = extract(input, staging)
+        .getOrElse(sys.error(s"no input under $input"))
+      val clean = Ingest.readCsv(spark, staged.toString)
+        .filter(col("p_size").isNotNull)
+      Ingest.writeJdbc(clean, url, "graft_dwh_part")
+    }
+    val hi = part.agg(max(col("p_partkey"))).head().getLong(0)
+    Ingest.readJdbc(spark, url, "graft_dwh_part",
+        rangePartition = Some(("p_partkey", 1L, hi + 1, 4)))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        dsum(col("p_retailprice")).as("total_retail"),
+        min(col("p_type")).as("min_type"))
+      .orderBy(col("p_brand"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inputDir, stagingDir, cleanDir, outDir) = args
     val spark = SparkSession.builder()

@@ -227,6 +227,8 @@ object SparkEntry {
     "q198_dup_gram_profile" -> (Dedup.q198DupGramProfile _),
     "q199_shuffle_order"   -> (Sampling.q199ShuffleOrder _),
     "q200_length_buckets"  -> (TextStats.q200LengthBuckets _),
+    "q201_sparse_cosine"   -> (TextStats.q201SparseCosine _),
+    "q202_dwh_load"        -> (graft.Pipeline.q202DwhLoad _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3360,6 +3362,69 @@ object SparkEntry {
       FROM t
       GROUP BY 1
       ORDER BY 1""",
+
+    // sparse tf-idf cosine over bigram-shingle features: candidates
+    // from the rare-term index, per-term contributions rounded then
+    // decimal-summed
+    "q201_sparse_cosine" -> """
+      WITH wrd AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      trm AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS term
+        FROM wrd WHERE len(w) >= 2),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf
+             FROM trm GROUP BY doc_id, term),
+      dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_total FROM documents),
+      wtf AS (
+        SELECT doc_id, term,
+          ROUND(CAST(tf AS DOUBLE)
+            * ln(CAST(n_total AS DOUBLE) / CAST(df AS DOUBLE)), 9) AS wt
+        FROM tf JOIN dfr USING (term) CROSS JOIN n),
+      norms AS (
+        SELECT doc_id,
+          sqrt(CAST(SUM(CAST(ROUND(wt * wt, 9) AS DECIMAL(28,9)))
+            AS DOUBLE)) AS norm
+        FROM wtf GROUP BY doc_id),
+      ix AS (
+        SELECT term, doc_id FROM tf
+        JOIN (SELECT term FROM dfr WHERE df <= 20) r USING (term)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ix a JOIN ix b
+          ON a.term = b.term AND a.doc_id < b.doc_id),
+      dots AS (
+        SELECT doc_a, doc_b,
+          CAST(SUM(CAST(ROUND(wa.wt * wb.wt, 9) AS DECIMAL(28,9)))
+            AS DOUBLE) AS dotp
+        FROM cand
+        JOIN wtf wa ON wa.doc_id = doc_a
+        JOIN wtf wb ON wb.doc_id = doc_b AND wb.term = wa.term
+        GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b,
+        ROUND(dotp / (na.norm * nb.norm), 9) AS cosine
+      FROM dots
+      JOIN norms na ON na.doc_id = doc_a
+      JOIN norms nb ON nb.doc_id = doc_b
+      WHERE ROUND(dotp / (na.norm * nb.norm), 9) >= 0.5
+      ORDER BY doc_a, doc_b""",
+
+    // the declared CSV -> Spark -> DWH path must be lossless end to
+    // end; oracle on the original parquet
+    "q202_dwh_load" -> """
+      SELECT p_brand, COUNT(*) AS n_parts,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_retail,
+        MIN(p_type) AS min_type
+      FROM part
+      WHERE p_size IS NOT NULL
+      GROUP BY p_brand
+      ORDER BY p_brand""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

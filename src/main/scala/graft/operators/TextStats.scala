@@ -715,6 +715,81 @@ object TextStats {
       .orderBy(col("host"))
   }
 
+  /** Sparse TF-IDF cosine similarity join — similarity search over
+    * the corpus' own WEIGHTED TERM vectors, the sparse-text twin of
+    * the dense-embedding stack (q27-q30). Features are word-bigram
+    * shingles, not single words: a corpus can have a tiny unigram
+    * vocabulary where every word is boilerplate (this synthetic one
+    * does — 31 words, all df≈400, unigram cosine ≈ 1 for everything),
+    * while bigrams keep a discriminating df distribution — the same
+    * featureization reasoning as the shingle dedup tier (q25/q68).
+    *
+    * Scale shape: candidates come from a rare-term inverted index
+    * (df <= 20 — the q68 recall contract: boilerplate terms may not
+    * generate candidates, so a pair sharing ONLY common terms is
+    * missed by design), then each candidate pair is scored EXACTLY
+    * over its full weighted vectors via a (doc, term)-keyed join —
+    * work is candidates × terms, never n². Float portability: every
+    * per-term contribution is rounded to 9 dp and summed as DECIMAL
+    * (order-independent — the repo's standard pattern), idf shares
+    * q70's oracle-proven `ln`. At 100 TB the weighted-term table is
+    * materialized once and reused across the norm/score passes. */
+  def q201SparseCosine(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val terms = docs
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+        .as("term"))
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    // tf feeds three consumers (df table, weights, candidate index)
+    // and wtf four plan sites (norms ×2, both score sides) — the lazy
+    // checkpoints materialize each ONCE, the in-plan form of "write
+    // the weighted-term table, then join it many times" at 100 TB
+    // (same pattern as Dedup.shingled)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfr = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wtf = tf.join(dfr, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double") *
+          log(col("n_total").cast("double") / col("df").cast("double")),
+          9).as("wt"))
+      .localCheckpoint(eager = false)
+    val norms = wtf.groupBy(col("doc_id"))
+      .agg(sqrt(sum(round(col("wt") * col("wt"), 9)
+        .cast("decimal(28,9)")).cast("double")).as("norm"))
+    val rare = dfr.filter(col("df") <= 20).select(col("term"))
+    val ix = tf.join(rare, "term").select(col("term"), col("doc_id"))
+    val cand = ix.as("a")
+      .join(ix.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val wa = wtf.select(col("doc_id").as("doc_a"), col("term"),
+      col("wt").as("wt_a"))
+    val wb = wtf.select(col("doc_id").as("doc_b"), col("term"),
+      col("wt").as("wt_b"))
+    cand.join(wa, "doc_a").join(wb, Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(round(col("wt_a") * col("wt_b"), 9)
+        .cast("decimal(28,9)")).cast("double").as("dotp"))
+      .join(norms.select(col("doc_id").as("doc_a"),
+        col("norm").as("norm_a")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"),
+        col("norm").as("norm_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dotp") / (col("norm_a") * col("norm_b")), 9)
+          .as("cosine"))
+      .filter(col("cosine") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Length-bucket packing report — the batch-shape decision a
     * training pipeline makes after truncation analysis (q162) and
     * before sequence packing (q57): documents binned into 64-token-

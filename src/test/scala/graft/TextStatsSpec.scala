@@ -49,4 +49,32 @@ class TextStatsSpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_shingles") > 0)
     }
   }
+
+  test("sparse tf-idf cosine stays in [threshold, 1], is banded, and " +
+      "finds the near-dup pairs jaccard finds") {
+    val df = TextStats.q201SparseCosine(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // candidate generation must go through the rare-term equi-join —
+    // never an all-pairs shape. The one nested-loop join in the query
+    // is the broadcast of the 1-row corpus-count aggregate into the
+    // idf (the q70 pattern); it sits below the weighted-term
+    // checkpoint, so it may appear at most once.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      plan.take(3000))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= 0.5 && c <= 1.0 + 1e-9, r.toString)
+    }
+    // shingle-Jaccard near-dups share weighted vocabulary too: every
+    // q68 pair (threshold 0.6) must surface here — tf-idf cosine is
+    // the weaker-or-equal filter on this corpus
+    val cos = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = operators.Dedup.q68NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(cos),
+      s"jaccard pairs missing from sparse cosine: ${jac -- cos}")
+  }
 }
