@@ -229,6 +229,8 @@ object SparkEntry {
     "q200_length_buckets"  -> (TextStats.q200LengthBuckets _),
     "q201_sparse_cosine"   -> (TextStats.q201SparseCosine _),
     "q202_dwh_load"        -> (graft.Pipeline.q202DwhLoad _),
+    "q203_bigram_ppl"      -> (TextStats.q203BigramPpl _),
+    "q204_triangles"       -> (Dedup.q204Triangles _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3425,6 +3427,96 @@ object SparkEntry {
       WHERE p_size IS NOT NULL
       GROUP BY p_brand
       ORDER BY p_brand""",
+
+    // add-one bigram LM trained on the train split, held-out docs
+    // scored by mean nll; parallel unnests zip into aligned bigrams
+    "q203_bigram_ppl" -> """
+      WITH wrd AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      d2 AS (SELECT doc_id, w FROM wrd WHERE len(w) >= 2),
+      bg AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+          unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        FROM d2),
+      train AS (SELECT * FROM bg WHERE doc_id % 10 <> 0),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM train GROUP BY w1, w2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM train GROUP BY w1),
+      v AS (SELECT COUNT(DISTINCT w2) AS v FROM train),
+      held AS (SELECT * FROM bg WHERE doc_id % 10 = 0),
+      scored AS (
+        SELECT h.doc_id,
+          CAST(ROUND(-ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE)
+            / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)), 9)
+            AS DECIMAL(28,9)) AS nll
+        FROM held h
+        LEFT JOIN c2 ON c2.w1 = h.w1 AND c2.w2 = h.w2
+        LEFT JOIN c1 ON c1.w1 = h.w1
+        CROSS JOIN v)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        ROUND(CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+          AS mean_nll
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    // triangles over the MinHash-verified near-dup pairs: the same
+    // pair CTEs as q125, then the a<b<c two-join enumeration
+    "q204_triangles" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      deg AS (
+        SELECT doc_id, COUNT(*) AS degree FROM (
+          SELECT doc_a AS doc_id FROM pairs
+          UNION ALL SELECT doc_b FROM pairs) u
+        GROUP BY doc_id),
+      tn AS (
+        SELECT doc_id, COUNT(*) AS n_triangles FROM (
+          SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) u
+        GROUP BY doc_id)
+      SELECT d.doc_id, d.degree,
+        COALESCE(tn.n_triangles, 0) AS n_triangles
+      FROM deg d LEFT JOIN tn USING (doc_id)
+      ORDER BY doc_id""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

@@ -400,6 +400,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-node triangle counts over the near-dup graph — the density
+    * diagnostic that separates clique-like dup clusters (true
+    * re-posts: every copy pairs with every other) from chain-like
+    * ones (drifting template edits), which need different keep-one
+    * strategies. Completes the graph family: components (q69),
+    * PageRank (q150), BFS (q125), triangles here.
+    *
+    * Shape: the standard two-join enumeration over the a<b<c oriented
+    * edge list (minhashPairs already emits doc_a < doc_b) — each
+    * triangle materializes exactly once, work is bounded by
+    * wedge counts (Σ deg²), never all-triples; the closing-edge check
+    * is an equi-join. Per-node credit explodes each triangle to its
+    * three corners. Degree-ordering the orientation (the classic
+    * heavy-hitter defense) is the documented upgrade for skewed
+    * graphs; near-dup clusters are small and dense, where a<b<c is
+    * already balanced. */
+  def q204Triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(
+      minhashPairs(Tables.documents(spark, dir))
+        .select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  /** Per-node (degree, triangle count) over an a<b oriented edge
+    * list — the reusable core of q204 (unordered, like
+    * [[minhashPairs]]; display callers sort). */
+  def triangleCounts(pairs: DataFrame): DataFrame = {
+    val e = pairs.toDF("doc_a", "doc_b")
+      .localCheckpoint(eager = false) // three self-join consumers
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"),
+        col("e2.doc_b").as("c"))
+      .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")),
+        Seq("a", "c"))
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triPerNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Corpus duplication profile — the document-granular form of the
     * exact-substring-duplication diagnostic a curation run publishes
     * BEFORE deciding thresholds: for every document, the fraction of

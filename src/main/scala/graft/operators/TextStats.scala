@@ -790,6 +790,54 @@ object TextStats {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Bigram-LM document scoring — the CCNet-style perplexity quality
+    * gate: a bigram language model with add-one smoothing is TRAINED
+    * on the train split (doc_id % 10 != 0, the q113 split convention)
+    * and every HELD-OUT document is scored by its mean negative log
+    * likelihood (exp of which is perplexity). Curation pipelines drop
+    * or down-weight documents far from the corpus norm — gibberish
+    * and boilerplate both surface as outliers. q145 is the unigram
+    * baseline; this one conditions on context.
+    *
+    * Shape: the bigram/unigram count tables are gram-keyed aggregates
+    * over the train stream; scoring LEFT-joins the held-out token
+    * stream against them (unseen grams fall back to the add-one
+    * floor (0+1)/(0+V)) — the decontamination join shape, never a
+    * per-doc loop. V = the train successor vocabulary (distinct w2),
+    * matching the modeled space P(w2|w1). Per-token nll is rounded
+    * then decimal-summed (the q145/q151 discipline), so the score is
+    * order-independent and hash-checkable. */
+  def q203BigramPpl(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+    def bigrams(df: DataFrame) = df
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(" +
+          "element_at(w, i) as w1, element_at(w, i + 1) as w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val train = bigrams(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint(eager = false) // feeds c2, c1, and V
+    val c2 = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = train.agg(countDistinct(col("w2")).as("v"))
+    bigrams(docs.filter(col("doc_id") % 10 === 0))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log((coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 9)
+          .cast("decimal(28,9)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Length-bucket packing report — the batch-shape decision a
     * training pipeline makes after truncation analysis (q162) and
     * before sequence packing (q57): documents binned into 64-token-

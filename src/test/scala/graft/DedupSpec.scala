@@ -96,6 +96,18 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), plan.take(3000))
   }
 
+  test("triangle counts credit each corner once and pendants zero") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4 and isolated edge 10-11
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (2L, 1L), 2L -> (2L, 1L), 3L -> (3L, 1L),
+      4L -> (1L, 0L), 10L -> (1L, 0L), 11L -> (1L, 0L)))
+  }
+
   test("pagerank conserves total rank mass up to integer truncation") {
     val rows = operators.Dedup.q150PageRank(spark, sf).collect()
     assert(rows.nonEmpty)
