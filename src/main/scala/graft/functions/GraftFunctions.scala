@@ -57,7 +57,12 @@ object GraftFunctions {
       arity("min_shingle_md5", args, 2)
       MinShingleMd5(args(0), intArg(args(1), "shingleLen"))
     },
-      "min_shingle_md5(s, len) — min md5 over len-char shingles"))
+      "min_shingle_md5(s, len) — min md5 over len-char shingles"),
+    "jaccard_sim" -> ((args: Seq[Expression]) => {
+      arity("jaccard_sim", args, 2)
+      JaccardSim(args(0), args(1))
+    },
+      "jaccard_sim(a, b) — set Jaccard of two array<string>"))
 
   /** Register into a live session's function registry. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -69,6 +69,10 @@ object TextExprs {
   def minShingleMd5(text: Column, shingleLen: Int): Column =
     GraftSqlBridge.column(
       MinShingleMd5(GraftSqlBridge.expression(text), shingleLen))
+
+  def jaccard(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaccardSim(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
 /** MinHash signature: for seed s in [0, nSeeds), the lexicographic
@@ -163,6 +167,69 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+/** Set Jaccard similarity of two string arrays in ONE pass —
+  * bit-identical to `size(array_intersect(a, b)) /
+  * size(array_union(a, b))` cast to double (both counts are exact
+  * integers, so the single division is the only float op), without
+  * materializing either intermediate array: the HOF composite builds
+  * two full result arrays per PAIR on the dedup verify path, which is
+  * the hot inner loop of every banded candidate join (q25/q68/q122/
+  * q158 consumers). Duplicate elements dedupe exactly as
+  * array_intersect/array_union do, and a null ELEMENT counts as one
+  * distinguished set member (in the intersection only when both sides
+  * hold one) — matching the SQL functions' null semantics. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, array<string>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val setA = new java.util.HashSet[UTF8String](aa.numElements() * 2)
+    var nullA = false
+    var i = 0
+    while (i < aa.numElements()) {
+      if (aa.isNullAt(i)) nullA = true
+      else setA.add(aa.getUTF8String(i))
+      i += 1
+    }
+    // distinct B elements: intersection members vs union-only members
+    val seenB = new java.util.HashSet[UTF8String](bb.numElements() * 2)
+    var nullB = false
+    var inter = 0L
+    var bOnly = 0L
+    i = 0
+    while (i < bb.numElements()) {
+      if (bb.isNullAt(i)) nullB = true
+      else {
+        val e = bb.getUTF8String(i)
+        if (seenB.add(e)) {
+          if (setA.contains(e)) inter += 1 else bOnly += 1
+        }
+      }
+      i += 1
+    }
+    if (nullA && nullB) inter += 1
+    val union = setA.size.toLong + bOnly +
+      (if (nullA || nullB) 1L else 0L)
+    inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Minimum md5 over all character shingles of length `shingleLen` —

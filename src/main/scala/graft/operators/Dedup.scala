@@ -111,9 +111,11 @@ object Dedup {
     cand
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      // one-pass native expression == size(array_intersect)/
+      // size(array_union) bit-for-bit, minus two materialized arrays
+      // per pair on the verify hot path (FunctionsSpec pins equality)
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
@@ -161,8 +163,7 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy(col("doc_a"), col("doc_b"))

@@ -84,7 +84,32 @@ class FunctionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; builders shared
     assert(GraftFunctions.all.map(_._1).toSet ==
-      Set("vec_dot", "simhash64", "minhash_md5_sigs", "min_shingle_md5"))
+      Set("vec_dot", "simhash64", "minhash_md5_sigs", "min_shingle_md5",
+        "jaccard_sim"))
+  }
+
+  test("jaccard_sim equals the array_intersect/array_union composite " +
+      "on duplicates, disjoint sets, empties, and null elements") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),        // 2/4
+      (Seq("a", "a", "b"), Seq("b", "b", "a")),        // dup elements: 2/2
+      (Seq("a"), Seq("x")),                            // disjoint: 0/2
+      (Seq("a", "b"), Seq[String]()),                  // empty side: 0/2
+      (Seq[String]("a", null), Seq("a", "b", null)),   // null element
+      (Seq[String](null), Seq[String](null))           // null-only: 1/1
+    ).toDF("a", "b")
+    val rows = df.selectExpr("jaccard_sim(a, b) AS native",
+      "CAST(size(array_intersect(a, b)) AS DOUBLE) " +
+        "/ CAST(size(array_union(a, b)) AS DOUBLE) AS hof")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), r.toString)
+    }
+    assert(rows(0).getDouble(0) == 0.5)
+    assert(rows(4).getDouble(0) == 2.0 / 3.0) // {a, null} ∩/∪ {a, b, null}
+    assert(rows(5).getDouble(0) == 1.0)
   }
 
   test("approx percentile tracks the exact percentile") {
