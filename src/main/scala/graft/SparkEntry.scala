@@ -231,6 +231,7 @@ object SparkEntry {
     "q202_dwh_load"        -> (graft.Pipeline.q202DwhLoad _),
     "q203_bigram_ppl"      -> (TextStats.q203BigramPpl _),
     "q204_triangles"       -> (Dedup.q204Triangles _),
+    "q205_embed_clusters"  -> (Similarity.q205EmbedClusters _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3517,6 +3518,60 @@ object SparkEntry {
         COALESCE(tn.n_triangles, 0) AS n_triangles
       FROM deg d LEFT JOIN tn USING (doc_id)
       ORDER BY doc_id""",
+
+    // min-label components over the sign-LSH embedding pairs (the
+    // q122 bucket CTEs + q69's recursive reach)
+    "q205_embed_clusters" -> """
+      WITH RECURSIVE bk AS (
+        SELECT vec_id, CAST(t.tbl AS INTEGER) AS tbl,
+          (CASE WHEN embedding[CAST(t.tbl * 4 + 1 AS INTEGER)] >= 0
+                THEN 1 ELSE 0 END
+         + CASE WHEN embedding[CAST(t.tbl * 4 + 2 AS INTEGER)] >= 0
+                THEN 2 ELSE 0 END
+         + CASE WHEN embedding[CAST(t.tbl * 4 + 3 AS INTEGER)] >= 0
+                THEN 4 ELSE 0 END
+         + CASE WHEN embedding[CAST(t.tbl * 4 + 4 AS INTEGER)] >= 0
+                THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings CROSS JOIN
+          (SELECT unnest(range(4)) AS tbl) t),
+      cand AS (
+        SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+        FROM bk ba JOIN bk bb
+          ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket
+          AND ba.vec_id < bb.vec_id),
+      pairs AS (
+        SELECT vec_a, vec_b FROM (
+          SELECT vec_a, vec_b,
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)
+            / sqrt(
+              list_reduce(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(a.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)
+              * list_reduce(list_transform(range(1, 65),
+                i -> CAST(b.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)) AS cosine
+          FROM cand
+          JOIN embeddings a ON a.vec_id = vec_a
+          JOIN embeddings b ON b.vec_id = vec_b) p
+        WHERE cosine >= 0.45),
+      sym AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+              UNION SELECT vec_b, vec_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src)
+      SELECT label AS cluster, COUNT(*) AS n_vecs, MAX(id) AS max_vec
+      FROM labels
+      GROUP BY label
+      ORDER BY cluster""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

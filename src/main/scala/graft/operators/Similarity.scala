@@ -251,6 +251,21 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Embedding-space dup clusters: connected components over the
+    * banded sign-LSH near-dup pairs — cluster labeling for the
+    * EMBEDDING modality exactly as q69 labels the text modality
+    * (same [[Dedup.connectedComponents]] min-label loop, same
+    * keep-the-minimum-id contract), so a curation pipeline can
+    * adjudicate the two modalities' cluster structures side by
+    * side. Pair generation stays banded (never the q30 anchor). */
+  def q205EmbedClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      signLshNearDup(spark, dir, threshold = 0.45)
+        .select(col("vec_a"), col("vec_b")))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("id")).as("max_vec"))
+      .orderBy(col("cluster"))
+
   /** Product-quantization ANN — the memory-side scale lever the IVF
     * (q53) and LSH (q29) variants don't cover: each 64-float vector
     * (256 B) is encoded as 4 subspace codes (4 B) against per-subspace
