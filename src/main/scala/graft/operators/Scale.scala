@@ -204,6 +204,10 @@ object Scale {
       .filter(col("s_nationkey") < 5)
       .select(col("s_suppkey"), col("s_nationkey"))
     val bf = dim.stat.bloomFilter("s_suppkey", 1 << 16, 0.01)
+    // engine-native equivalent: Spark's internal runtime-filter
+    // expression `BloomFilterMightContain` — private API, injected by
+    // the optimizer in the q132-adjacent ScaleSpec assertion; this
+    // UDF is the only public probe surface for a driver-built sketch
     val mightContain = udf((k: Long) => bf.mightContain(k))
     Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), col("l_quantity"))
