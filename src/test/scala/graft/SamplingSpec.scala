@@ -71,4 +71,14 @@ class SamplingSpec extends AnyFunSuite {
       assert(r.getLong(3) == expectLeaks, r.toString)
     }
   }
+
+  test("shuffle order ranks are a contiguous permutation computed " +
+      "without a single-partition sort") {
+    val df = operators.Sampling.q199ShuffleOrder(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(3000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+    val ranks = df.collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to ranks.length).toSeq)
+  }
 }

@@ -50,6 +50,23 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram LM scores every held-out doc with positive nll and " +
+      "covers exactly the held-out split") {
+    val rows = TextStats.q203BigramPpl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val heldOut = graft.Tables.documents(spark, sf)
+      .filter("doc_id % 10 = 0 and size(split(trim(regexp_replace(" +
+        "lower(text), '\\\\s+', ' ')), ' ')) >= 2")
+      .count()
+    assert(rows.length.toLong == heldOut)
+    rows.foreach { r =>
+      // add-one smoothing keeps every probability strictly < 1 on a
+      // train vocabulary larger than any single count → nll > 0
+      assert(r.getAs[Double]("mean_nll") > 0, r.toString)
+      assert(r.getAs[Long]("n_bigrams") >= 1, r.toString)
+    }
+  }
+
   test("sparse tf-idf cosine stays in [threshold, 1], is banded, and " +
       "finds the near-dup pairs jaccard finds") {
     val df = TextStats.q201SparseCosine(spark, sf)
