@@ -232,6 +232,7 @@ object SparkEntry {
     "q203_bigram_ppl"      -> (TextStats.q203BigramPpl _),
     "q204_triangles"       -> (Dedup.q204Triangles _),
     "q205_embed_clusters"  -> (Similarity.q205EmbedClusters _),
+    "q206_incremental_dedup" -> (Dedup.q206IncrementalDedup _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3572,6 +3573,49 @@ object SparkEntry {
       FROM labels
       GROUP BY label
       ORDER BY cluster""",
+
+    // new-batch bands joined against the full band index; only pairs
+    // touching the new batch (doc_id % 10 = 7) are emitted
+    "q206_incremental_dedup" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS doc_a,
+               GREATEST(n.doc_id, o.doc_id) AS doc_b
+        FROM bands n
+        JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+          AND n.doc_id <> o.doc_id
+        WHERE n.doc_id % 10 = 7)
+      SELECT doc_a, doc_b,
+        ROUND(CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE), 9)
+          AS jaccard,
+        CASE WHEN doc_a % 10 = 7 AND doc_b % 10 = 7 THEN 'new_new'
+             ELSE 'new_old' END AS pair_type
+      FROM cand
+      JOIN sh x ON x.doc_id = doc_a
+      JOIN sh y ON y.doc_id = doc_b
+      WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
+      ORDER BY doc_a, doc_b""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

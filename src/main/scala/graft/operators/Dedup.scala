@@ -92,15 +92,7 @@ object Dedup {
     * a wasted range-exchange for every one of them. */
   def minhashPairs(documents: DataFrame): DataFrame = {
     val docs = shingled(documents)
-    // seed-th minhash = min over shingles of md5("<seed>|<shingle>") —
-    // the native one-pass expression (functions.MinHashMd5Sigs)
-    val sig = docs.select(col("doc_id"),
-      graft.functions.TextExprs.minhashSigs(col("sh"), 16).as("sig"))
-    val bands = sig.select(col("doc_id"), expr(
-      "explode(transform(sequence(0, 3), b -> struct(" +
-        "cast(b as int) as band, " +
-        "md5(concat_ws(',', slice(sig, b * 4 + 1, 4))) as band_key)))").as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+    val bands = bandTable(docs)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -119,6 +111,21 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= 0.8)
   }
+
+  /** (doc_id, band, band_key) rows for a shingled table: seed-th
+    * minhash = min over shingles of md5("<seed>|<shingle>") via the
+    * native one-pass expression (functions.MinHashMd5Sigs), 16 hashes
+    * grouped into 4 bands of 4. The shared index-build step of the
+    * full pairing (q25) and the incremental pairing (q206). */
+  private def bandTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.TextExprs.minhashSigs(col("sh"), 16).as("sig"))
+      .select(col("doc_id"), expr(
+        "explode(transform(sequence(0, 3), b -> struct(" +
+          "cast(b as int) as band, " +
+          "md5(concat_ws(',', slice(sig, b * 4 + 1, 4))) as band_key)))")
+        .as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
 
   /** SimHash near-dedup: 64-bit sketch per doc (bit j is the sign of the
     * token-weighted sum of bit j over xxhash64 of each token), candidates
@@ -399,6 +406,47 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Incremental dedup — the daily-ingest shape: near-dup pairs where
+    * at least one side is in the NEW batch (doc_id % 10 == 7 models
+    * today's arrivals), checked against the WHOLE corpus. The new
+    * side's bands join the full band index, so work is
+    * |new bands| × bucket population — at 100 TB you re-pair a day's
+    * batch against a persisted band index instead of re-running the
+    * all-corpus q25 pairing (old×old pairs were already adjudicated
+    * yesterday and are exactly what this query must NOT re-emit).
+    * LEAST/GREATEST normalizes orientation so a new-new pair arriving
+    * via either side lands once; verify is the same exact-Jaccard
+    * gate as q25. */
+  def q206IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, dir))
+    val bands = bandTable(docs)
+    val newBands = bands.filter(col("doc_id") % 10 === 7)
+    val cand = newBands.as("n")
+      .join(bands.as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_key") === col("o.band_key") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(
+        least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b"))
+          .as("jac_raw"))
+      .filter(col("jac_raw") >= 0.8) // gate on the raw value, like q25
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jac_raw"), 9).as("jaccard"))
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 7 && col("doc_b") % 10 === 7,
+          lit("new_new")).otherwise(lit("new_old")))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Per-node triangle counts over the near-dup graph — the density
