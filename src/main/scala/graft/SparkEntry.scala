@@ -233,6 +233,8 @@ object SparkEntry {
     "q204_triangles"       -> (Dedup.q204Triangles _),
     "q205_embed_clusters"  -> (Similarity.q205EmbedClusters _),
     "q206_incremental_dedup" -> (Dedup.q206IncrementalDedup _),
+    "q207_url_canonicalize" -> (TextStats.q207UrlCanonicalize _),
+    "q208_json_quarantine" -> (Events.q208JsonQuarantine _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3616,6 +3618,48 @@ object SparkEntry {
       WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
           / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
       ORDER BY doc_a, doc_b""",
+
+    // ground truth re-derived from the raw columns — the oracle never
+    // parses the dirty URL, so it checks the canonicalizer itself
+    "q207_url_canonicalize" -> """
+      WITH t AS (
+        SELECT
+          'https://WWW.' || upper(source) || '.Example.COM:443/'
+            || lang || '/doc-' || CAST(doc_id % 50 AS VARCHAR)
+            || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN doc_id % 3 = 1
+                 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                   || '&utm_campaign=x'
+                 ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) END
+            || '#s' || CAST(doc_id % 4 AS VARCHAR) AS url,
+          'https://www.' || lower(source) || '.example.com/'
+            || lang || '/doc-' || CAST(doc_id % 50 AS VARCHAR)
+            || '?id=' || CAST(doc_id % 7 AS VARCHAR) AS canon
+        FROM documents)
+      SELECT canon, COUNT(*) AS n_urls,
+        COUNT(DISTINCT url) AS n_distinct_raw
+      FROM t
+      GROUP BY canon
+      ORDER BY canon""",
+
+    // two independent JSON parsers must agree on the quarantine split
+    "q208_json_quarantine" -> """
+      WITH t AS (
+        SELECT event_type,
+          CASE WHEN event_id % 10 = 3 THEN '{' || props
+               ELSE props END AS raw
+        FROM events)
+      SELECT event_type, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_quarantined,
+        CAST(SUM(CASE WHEN json_valid(raw)
+          THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+          ELSE 0 END) AS BIGINT) AS k_sum
+      FROM t
+      GROUP BY event_type
+      ORDER BY event_type""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

@@ -228,6 +228,33 @@ object Events {
         sum(col("n_ge50")).as("n_heavy"))
       .orderBy(col("event_type"))
 
+  /** Malformed-JSON quarantine — the ingest posture for semi-
+    * structured feeds, mirroring the PERMISSIVE CSV path (O3): one
+    * bad record among billions must not kill the job OR silently
+    * vanish. A deterministic corruption (every event_id % 10 == 3
+    * gets a brace prepended) models the feed damage; `from_json`
+    * returns null for unparseable input, the aggregate reports
+    * quarantined vs parsed counts per type, and the k-sum over the
+    * PARSED rows proves the good data still flows. Oracle checks the
+    * same split via DuckDB's json_valid — two independent JSON
+    * parsers must agree on what is quarantined. */
+  def q208JsonQuarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("raw",
+        when(col("event_id") % 10 === 3, concat(lit("{"), col("props")))
+          .otherwise(col("props")))
+      .withColumn("m", from_json(col("raw"),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when(col("m").isNotNull,
+          element_at(col("m"), "k").cast("long")).otherwise(0L))
+          .as("k_sum"))
+      .orderBy(col("event_type"))
+
   /** Funnel analysis — ordered-step conversion (signup → click →
     * purchase): each later step counts only events AFTER the user's
     * previous-step time. Three small per-user aggregates chained by

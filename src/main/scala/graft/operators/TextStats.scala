@@ -790,6 +790,46 @@ object TextStats {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Crawl-URL canonicalization + dedup report — the step before any
+    * URL-keyed dedup or domain policy: the same page arrives under
+    * mixed-case hosts, explicit default ports, tracking parameters,
+    * trailing slashes, and fragments, and a URL-keyed pipeline that
+    * doesn't canonicalize splits its counts across all of them. Dirty
+    * variants are CONSTRUCTED deterministically from the documents
+    * columns; the canonicalizer (lowercase host, strip :443 port,
+    * strip fragment, drop utm_* params, sort the rest, trim trailing
+    * slash) runs through `parse_url` + array HOFs; and the ORACLE
+    * re-derives the canonical form from the raw columns — ground
+    * truth, not a second parser. Group sizes > 1 are exactly the
+    * variants canonicalization merges. */
+  def q207UrlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(
+      lit("https://WWW."), upper(col("source")), lit(".Example.COM:443/"),
+      col("lang"), lit("/doc-"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), (col("doc_id") % 7).cast("string"),
+            lit("&utm_campaign=x")))
+        .otherwise(concat(lit("?id="), (col("doc_id") % 7).cast("string"))),
+      lit("#s"), (col("doc_id") % 4).cast("string"))
+    val canon = concat(lit("https://"),
+      lower(parse_url(col("url"), lit("HOST"))),
+      regexp_replace(parse_url(col("url"), lit("PATH")), "/$", ""),
+      lit("?"),
+      array_join(array_sort(filter(
+        split(parse_url(col("url"), lit("QUERY")), "&"),
+        p => !p.startsWith("utm_"))), "&"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), dirty.as("url"))
+      .select(col("url"), canon.as("canon"))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("url")).as("n_distinct_raw"))
+      .orderBy(col("canon"))
+  }
+
   /** Bigram-LM document scoring — the CCNet-style perplexity quality
     * gate: a bigram language model with add-one smoothing is TRAINED
     * on the train split (doc_id % 10 != 0, the q113 split convention)
