@@ -235,6 +235,7 @@ object SparkEntry {
     "q206_incremental_dedup" -> (Dedup.q206IncrementalDedup _),
     "q207_url_canonicalize" -> (TextStats.q207UrlCanonicalize _),
     "q208_json_quarantine" -> (Events.q208JsonQuarantine _),
+    "q209_curation_pipeline" -> (Dedup.q209CurationPipeline _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3660,6 +3661,109 @@ object SparkEntry {
       FROM t
       GROUP BY event_type
       ORDER BY event_type""",
+
+    // the four-stage curation pipeline, each stage over the previous
+    // stage's survivors; counts via scalar subqueries
+    "q209_curation_pipeline" -> """
+      WITH RECURSIVE train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      tok AS (
+        SELECT doc_id, text,
+          len(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS n
+        FROM train),
+      s1 AS (SELECT doc_id, text FROM tok WHERE n BETWEEN 20 AND 100000),
+      fp AS (
+        SELECT doc_id, text,
+          MIN(doc_id) OVER (PARTITION BY
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+            AS min_id
+        FROM s1),
+      s2 AS (SELECT doc_id, text FROM fp WHERE doc_id = min_id),
+      words2 AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM s2),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words2 WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src),
+      drop3 AS (SELECT id AS doc_id FROM labels WHERE label < id),
+      s3 AS (SELECT doc_id, text FROM s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      gw AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM s3),
+      g3 AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(w) - 6),
+            i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        FROM gw WHERE len(w) >= 8),
+      ew AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents WHERE doc_id % 10 = 0),
+      eg AS (
+        SELECT DISTINCT
+          unnest(list_distinct(list_transform(range(1, len(w) - 6),
+            i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        FROM ew WHERE len(w) >= 8),
+      contaminated AS (
+        SELECT DISTINCT g3.doc_id FROM g3 JOIN eg USING (gram)),
+      s4 AS (SELECT doc_id FROM s3
+             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      n AS (
+        SELECT (SELECT COUNT(*) FROM train) AS n0,
+               (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3,
+               (SELECT COUNT(*) FROM s4) AS n4)
+      SELECT CAST(stage AS INT) AS stage, gate,
+        CAST(n_entering AS BIGINT) AS n_entering,
+        CAST(n_dropped AS BIGINT) AS n_dropped,
+        CAST(n_surviving AS BIGINT) AS n_surviving
+      FROM (
+        SELECT 1 AS stage, 'quality_length' AS gate, n0 AS n_entering,
+               n0 - n1 AS n_dropped, n1 AS n_surviving FROM n
+        UNION ALL SELECT 2, 'exact_dedup', n1, n1 - n2, n2 FROM n
+        UNION ALL SELECT 3, 'near_dedup', n2, n2 - n3, n3 FROM n
+        UNION ALL SELECT 4, 'decontamination', n3, n3 - n4, n4 FROM n) r
+      ORDER BY stage""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

@@ -449,6 +449,69 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The full curation pipeline END-TO-END — quality gate → exact
+    * dedup → near dedup → decontamination — as one attrition report:
+    * what a training-data run publishes after each stage (q193 is the
+    * quality-gates-only waterfall; this one composes the DEDUP tiers
+    * and the eval screen in their production order, each stage
+    * consuming the previous stage's survivors).
+    *
+    * Stage semantics (each an operator already proven standalone):
+    *  1. quality_length — Gopher token-count gate (20..100k), q115.
+    *  2. exact_dedup    — keep the min doc_id per content
+    *                      fingerprint among survivors (q24's key).
+    *  3. near_dedup     — MinHash pairs → connected components →
+    *                      drop non-canonical members (q25 + q69).
+    *  4. decontamination — drop survivors sharing an 8-gram with the
+    *                      held-out split (q113's screen; eval is the
+    *                      doc_id % 10 == 0 split, input is the rest).
+    * The five stage counts are driver-side scalar aggregates
+    * (metadata-sized); every heavy step is the banded/keyed shuffle
+    * plan of its standalone query, so the composition scales exactly
+    * as its parts do. At 100 TB each stage's survivors would persist
+    * to parquet between stages; the lazy checkpoints here are the
+    * in-plan form of that handoff. */
+  def q209CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val all = Tables.documents(spark, dir)
+    val train = all.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val s1 = train.filter(size(words(col("text"))).between(20, 100000))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Cols.fingerprint(col("text")))
+    val s2 = s1.withColumn("min_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("min_id"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(eager = false) // pairing + anti-join + count
+    val drop3 = connectedComponents(
+        minhashPairs(s2).select(col("doc_a"), col("doc_b")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val s3 = s2.join(drop3, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false)
+    val gramSql =
+      "array_distinct(transform(sequence(0, size(w) - 8), " +
+        "i -> array_join(slice(w, i + 1, 8), ' ')))"
+    def grams(df: DataFrame) = df
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"), explode(expr(gramSql)).as("gram"))
+    val evalGrams = grams(all.filter(col("doc_id") % 10 === 0))
+      .select(col("gram")).distinct()
+    val contaminated = grams(s3).join(evalGrams, "gram")
+      .select(col("doc_id")).distinct()
+    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+    val (n0, n1, n2, n3, n4) =
+      (train.count(), s1.count(), s2.count(), s3.count(), s4.count())
+    Seq(
+      (1, "quality_length", n0, n0 - n1, n1),
+      (2, "exact_dedup", n1, n1 - n2, n2),
+      (3, "near_dedup", n2, n2 - n3, n3),
+      (4, "decontamination", n3, n3 - n4, n4))
+      .toDF("stage", "gate", "n_entering", "n_dropped", "n_surviving")
+      .orderBy(col("stage"))
+  }
+
   /** Per-node triangle counts over the near-dup graph — the density
     * diagnostic that separates clique-like dup clusters (true
     * re-posts: every copy pairs with every other) from chain-like
