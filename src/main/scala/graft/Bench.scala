@@ -5,8 +5,38 @@ import org.apache.spark.sql.SparkSession
   * sink so the FULL plan executes (a bare `.count()` would let Catalyst
   * prune projections and report optimistic times). Prints one JSON line
   * for the driver's BENCH_r{N}.json.
+  *
+  * Measurement design (r5): the r4 record was median-of-3 with the three
+  * runs back-to-back per query, in lexicographic catalog order. That
+  * killed within-session outliers but NOT cross-session drift — the
+  * driver's independent r4 run disagreed >2x with the committed medians
+  * on four queries (q124 0.72s vs 7.85s) with zero plan changes, because
+  * back-to-back runs of the same query share the SAME neighborhood: all
+  * three samples inherit whatever the previous query left behind
+  * (streaming state-store teardown, pending GC, hot/cold code cache), so
+  * the median can't discard it. Fixes, in order of expected effect:
+  *
+  *   1. PASS-INTERLEAVED samples: run the whole catalog N times, each
+  *      pass in a DIFFERENT deterministic permutation (seeded per pass).
+  *      A query's samples now come from N different neighborhoods; a
+  *      neighbor-residue spike lands on different victims each pass and
+  *      the per-query median discards it.
+  *   2. Inter-query hygiene: stop leaked streaming queries, clear the
+  *      cache, sweep the scratch zone, and System.gc() between timed
+  *      runs, so query k+1 starts from the same (clean) state in every
+  *      session — the driver's and the builder's.
+  *   3. Adaptive sampling: if a query's max/min spread across the base
+  *      passes exceeds 2x, take extra clean-room samples and use the
+  *      median-of-5 — spread is the symptom the r4 divergence showed.
+  *   4. Environment metadata (load average, CPU count, heap) committed
+  *      alongside the raw samples, so a future record mismatch can be
+  *      checked against "was the machine busy" instead of guessed at.
   */
 object Bench {
+  private val BasePasses = 3
+  private val SpreadThreshold = 2.0
+  private val ExtraSamples = 2
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,35 +48,88 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAtStart = osBean.getSystemLoadAverage
+
+    /** Reset session state a query could inherit from its neighbor:
+      * leaked streams (state-store threads), cached plans, the scratch
+      * zone (stale checkpoint/sink dirs change FS behavior), and a GC
+      * so allocation debt from query k isn't collected mid-query k+1. */
+    def cleanRoom(): Unit = {
+      spark.streams.active.foreach { q =>
+        try q.stop() catch { case scala.util.control.NonFatal(_) => () }
+      }
+      spark.catalog.clearCache()
+      // Embedded Derby (q196) keeps its database booted in-JVM; deleting
+      // a booted database's files corrupts the next open. Shut the whole
+      // engine down first (success *throws* XJ015 by Derby contract).
+      // deregister=false: shutdown otherwise DEregisters the JDBC driver,
+      // and the next q196 run would die with "No suitable driver".
+      try java.sql.DriverManager
+        .getConnection("jdbc:derby:;shutdown=true;deregister=false")
+      catch { case _: java.sql.SQLException => () }
+      Scratch.deleteRecursively(java.nio.file.Paths.get(Scratch.dir("")))
+      System.gc()
+    }
+
     // untimed warmup: absorb JVM/codegen/FS-cache startup so the first
     // timed query isn't charged ~4s of session warmup
     try SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case scala.util.control.NonFatal(_) => () }
+
     // NonFatal only: an OOM/LinkageError must crash the run (rc != 0),
     // not masquerade as a slow query. A failed query reports -1 and
     // lands in "failed" so it can't pass as a fast success.
-    //
-    // Median-of-3 per query: a single-run time charges whatever the
-    // PREVIOUS query left behind (stream-drain cleanup, GC, cold code
-    // cache) to an innocent neighbor — the r3 record shows q13_rollup
-    // at 10.75s right after three streaming queries vs 0.64s for its
-    // cube twin. Run 1 absorbs that residue, the median discards it;
-    // all three raw samples land in bench_full.json for auditing.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      try {
-        val runs = Seq(once(), once(), once())
-        (name, runs.sorted.apply(1), true, runs)
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        (name, -1.0, false, Nil)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def once(name: String): Double = {
+      cleanRoom()
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // pass-interleaved sampling: pass k visits every query once, in a
+    // permutation seeded by k (deterministic across sessions, different
+    // across passes). samples(name) accumulates in pass order.
+    val samples = scala.collection.mutable.Map(names.map(_ -> Vector.empty[Double]): _*)
+    val failedSet = scala.collection.mutable.Set.empty[String]
+    for (pass <- 0 until BasePasses) {
+      val order = new scala.util.Random(pass.toLong).shuffle(names)
+      for (name <- order if !failedSet(name)) {
+        try samples(name) :+= once(name)
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failedSet += name
+        }
       }
     }
+    // adaptive top-up: a >2x max/min spread across passes is exactly the
+    // signature of the r4 cross-session divergence — resolve it with
+    // more evidence now rather than leaving it for the next round's
+    // driver run to contradict.
+    for (name <- names if !failedSet(name)) {
+      val s = samples(name)
+      if (s.nonEmpty && s.min > 0 && s.max / s.min > SpreadThreshold) {
+        try (1 to ExtraSamples).foreach(_ => samples(name) :+= once(name))
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name failed in top-up: ${e.getMessage}")
+          failedSet += name
+        }
+      }
+    }
+
+    def median(s: Vector[Double]): Double = {
+      val sorted = s.sorted
+      sorted(sorted.size / 2) // odd counts only (3 or 5)
+    }
+    val results = names.map { name =>
+      if (failedSet(name)) (name, -1.0, false, Vector.empty[Double])
+      else (name, median(samples(name)), true, samples(name))
+    }
+
     // 3-decimal per-query times keep the line short, and the headline
     // total/failed keys go LAST: the driver keeps only the final ~2000
     // chars of output, so a long catalog must not push the total out of
@@ -66,15 +149,22 @@ object Bench {
     val line =
       s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","n_queries":${results.size},"core20_sec":${f3(core20)},"value":${f3(total)}}"""
     println(line)
-    // the committed full record: the one-line summary (medians) plus
-    // every raw sample, so round-over-round comparisons can audit the
-    // measurement itself, not just the headline
+    // the committed full record: the one-line summary (medians), every
+    // raw sample, and the environment the samples were taken in — so a
+    // record mismatch next round is checkable, not guessable.
     val raw = results.map { case (k, _, _, runs) =>
       s"\"" + k + "\":" + runs.map(f3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val rt = Runtime.getRuntime
+    val env =
+      s"""{"load_avg_start":${f3(loadAtStart)},"load_avg_end":${f3(osBean.getSystemLoadAverage)},""" +
+      s""""available_processors":${rt.availableProcessors},"local_threads":"$cpus",""" +
+      s""""max_heap_mb":${rt.maxMemory / (1024 * 1024)},"java":"${sys.props("java.version")}",""" +
+      s""""spark":"${spark.version}"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      line + "\n" + s"""{"runs_per_query":3,"stat":"median","raw":$raw}""" + "\n")
+      line + "\n" +
+        s"""{"base_passes":$BasePasses,"stat":"median","order":"per-pass seeded permutation","topup_spread_threshold":$SpreadThreshold,"env":$env,"raw":$raw}""" + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }

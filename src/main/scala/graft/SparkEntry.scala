@@ -236,6 +236,7 @@ object SparkEntry {
     "q207_url_canonicalize" -> (TextStats.q207UrlCanonicalize _),
     "q208_json_quarantine" -> (Events.q208JsonQuarantine _),
     "q209_curation_pipeline" -> (Dedup.q209CurationPipeline _),
+    "q210_chain_components" -> (Dedup.q210ChainComponents _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3764,6 +3765,30 @@ object SparkEntry {
         UNION ALL SELECT 3, 'near_dedup', n2, n2 - n3, n3 FROM n
         UNION ALL SELECT 4, 'decontamination', n3, n3 - n4, n4 FROM n) r
       ORDER BY stage""",
+
+    // same chain edges (lead over doc_id per lang), then components as
+    // the q69 recursive transitive closure — verifies the star
+    // contraction against per-hop reachability on a high-diameter graph
+    "q210_chain_components" -> """
+      WITH RECURSIVE chain AS (
+        SELECT doc_id, lang,
+          lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS nxt
+        FROM documents),
+      edges AS (
+        SELECT doc_id AS a, nxt AS b FROM chain WHERE nxt IS NOT NULL),
+      sym AS (SELECT a AS src, b AS dst FROM edges
+              UNION SELECT b, a FROM edges),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src)
+      SELECT label AS cluster, COUNT(*) AS n_docs, MAX(id) AS max_doc
+      FROM labels
+      GROUP BY label
+      ORDER BY cluster""",
 
     // hint-free semantics: hints must never change results
     "q183_join_hints" -> """

@@ -176,22 +176,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Connected components over an undirected edge list via min-label
-    * propagation: every node starts labeled with its own id; each round
-    * every node takes the minimum label among itself and its
-    * neighbors; stop when no label changed. Rounds = graph diameter —
-    * near-dup clusters are tiny and dense (diameter 1-3), so this
-    * converges in a couple of shuffles even at 100 TB corpus scale
-    * (for adversarial long-chain graphs, switch to large-star/
-    * small-star contraction, O(log n) rounds). `localCheckpoint`
-    * truncates the loop's lineage so plans don't grow per round. */
+  /** Min-label rounds to attempt before concluding the graph is NOT the
+    * tiny-diameter near-dup shape and handing off to star contraction.
+    * Near-dup clusters converge in 2-3 rounds; a graph still moving
+    * after 6 has a long-chain component where per-round propagation
+    * (one hop per shuffle) would loop the driver diameter times. */
+  private val MinLabelMaxRounds = 6
+
+  /** Hard cap on star-contraction rounds. The alternation converges in
+    * O(log n) rounds (~60 covers any graph with < 2^60 nodes), so
+    * hitting this is a bug, not a big graph — fail loudly rather than
+    * loop the driver forever. */
+  private val StarMaxRounds = 60
+
+  /** Connected components over an undirected edge list. Two regimes,
+    * chosen by the data:
+    *
+    *  - min-label propagation (the fast path): every node starts
+    *    labeled with its own id; each round every node takes the
+    *    minimum label among itself and its neighbors. Rounds = graph
+    *    diameter — near-dup clusters are tiny and dense (diameter
+    *    1-3), so this converges in a couple of shuffles even at 100 TB
+    *    corpus scale, and each round is one join + one aggregate.
+    *  - large-star/small-star contraction ([[ccStarWithRounds]]): if
+    *    min-label is still moving after [[MinLabelMaxRounds]], the
+    *    graph has a high-diameter component and one-hop-per-round
+    *    propagation is the wrong algorithm; hand the edges PLUS the
+    *    labels learned so far (each (id, label) pair is a
+    *    connectivity-preserving shortcut edge) to the O(log n)
+    *    contraction, so the work already done is kept.
+    *
+    * `localCheckpoint` truncates the loop's lineage so plans don't
+    * grow per round. */
   def connectedComponents(edges: DataFrame): DataFrame = {
     val e = edges.toDF("src", "dst").localCheckpoint()
     val sym = e.union(e.select(col("dst"), col("src")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
     var converged = false
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < MinLabelMaxRounds) {
+      rounds += 1
       val next = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
         .union(labels)
@@ -203,7 +228,91 @@ object Dedup {
         .isEmpty
       labels = next
     }
-    labels
+    if (converged) labels
+    else ccStarWithRounds(
+      sym.select(col("src"), col("dst"))
+        .union(labels.select(col("id"), col("label"))))._1
+  }
+
+  /** Large-star/small-star connected components — the O(log n)-round
+    * contraction for graphs whose diameter makes per-hop label
+    * propagation infeasible (a 1M-node chain is 1M min-label rounds
+    * but ~20 star rounds). Alternates two local operations over the
+    * edge set until it reaches a fixed point:
+    *
+    *  - large-star: each center c rewires its strictly-LARGER
+    *    neighbors to m = min(N(c) ∪ {c}). Processed from the smaller
+    *    endpoint of every edge, so each edge is handled exactly once.
+    *  - small-star: each center c rewires its strictly-SMALLER
+    *    neighbors — and itself — to the minimum of that set.
+    *
+    * Both steps preserve connectivity (every rewired node stays linked
+    * to m through c's star) and only ever decrease parent pointers, so
+    * the edge set converges to the star of each component: (node,
+    * component-min) for every non-min node. Each step is one groupBy
+    * (the per-center min) + one join (the rewire) on the edge list —
+    * no diameter term anywhere. Fixed point is detected by set
+    * equality (count + one anti-join); at cluster scale the same check
+    * is a checksum comparison of the sorted edge sets.
+    *
+    * Returns (labels(id, label), rounds) — rounds is the number of
+    * large+small alternations, asserted O(log n) in DedupSpec. */
+  def ccStarWithRounds(edges: DataFrame): (DataFrame, Int) = {
+    val in = edges.toDF("a", "b")
+    // every node mentioned in the input gets a label — including nodes
+    // whose only edge is a self-loop, which the contraction below
+    // never sees (min-label parity; the hybrid hand-off relies on it)
+    val nodes = in.select(col("a").as("id"))
+      .union(in.select(col("b").as("id"))).distinct().localCheckpoint()
+    // canonical (u > v) undirected pairs; self-loops dropped
+    var e = in.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged) {
+      rounds += 1
+      if (rounds > StarMaxRounds)
+        throw new IllegalStateException(
+          s"star contraction not converged after $StarMaxRounds rounds")
+      // symmetric adjacency (center, neighbor), centers' neighborhood min
+      val sym = e.select(col("u").as("c"), col("v").as("n"))
+        .union(e.select(col("v").as("c"), col("u").as("n")))
+      val mins = sym.groupBy(col("c"))
+        .agg(min(col("n")).as("mn"))
+        .select(col("c"), least(col("mn"), col("c")).as("m"))
+      // large-star: every edge from its smaller endpoint c — the larger
+      // endpoint n reattaches to c's neighborhood min (m <= c < n, so
+      // the (n, m) output is already in canonical u > v order)
+      val large = sym.join(mins, "c")
+        .filter(col("n") > col("c"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct().localCheckpoint()
+      // small-star over the large-star output: center c with smaller
+      // neighbors S, m = min(S); c and every member of S \ {m} attach
+      // to m
+      val symS = large.select(col("u").as("c"), col("v").as("n"))
+      val minsS = symS.groupBy(col("c")).agg(min(col("n")).as("m"))
+      val small = symS.join(minsS, "c")
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .union(minsS.select(col("c").as("u"), col("m").as("v")))
+        .distinct().localCheckpoint()
+      // fixed point: the round changed nothing (set equality; counts
+      // first so the anti-join only runs at parity)
+      converged = small.count() == e.count() &&
+        small.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = small
+    }
+    // at the fixed point e IS the component stars: (node, root) per
+    // non-root node; roots — and self-loop-only nodes — label
+    // themselves via the nodes union. groupBy-min collapses the
+    // self-rows with the star rows.
+    val labels = e.select(col("u").as("id"), col("v").as("label"))
+      .union(nodes.select(col("id"), col("id").as("label")))
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    (labels, rounds)
   }
 
   /** Dedup clusters: connected components over the MinHash-verified
@@ -218,6 +327,34 @@ object Dedup {
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
       .orderBy(col("cluster"))
+
+  /** Star-contraction components over a deliberately LONG-CHAIN graph —
+    * the adversarial shape min-label propagation cannot survive (rounds
+    * = diameter) and the reason [[ccStarWithRounds]] exists. Fixture:
+    * within each language, consecutive documents (by doc_id rank) are
+    * chained — one path component per language, diameter = docs/lang.
+    * At sf0.01 that is ~80-250 hops: a min-label run would take that
+    * many shuffle rounds; the contraction takes O(log n) (round count
+    * pinned in DedupSpec). Output is the per-component summary in
+    * q69's shape; the oracle recomputes the same labels with a
+    * recursive transitive closure over the same chain edges, so a
+    * contraction bug that splits, merges, or mislabels a component
+    * fails the hash. The chain is built with one window (lead over
+    * doc_id per lang) — no join, no shuffle beyond the per-lang
+    * partition. */
+  def q210ChainComponents(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+    val edges = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("nxt"))
+    ccStarWithRounds(edges)._1
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+      .orderBy(col("cluster"))
+  }
 
   /** The dedup pipeline's actual OUTPUT: the kept corpus. Every
     * near-dup cluster (q69's components) keeps exactly its canonical

@@ -74,6 +74,36 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("star contraction: 1024-node chain converges in O(log n) rounds " +
+      "with the component-min labels") {
+    import spark.implicits._
+    // a path graph is the adversarial case for min-label propagation
+    // (rounds = diameter = 1023); ids are permuted (i*337 mod 1025,
+    // coprime) so the component min sits mid-chain, not at an endpoint
+    val ids = (0 until 1025).map(i => (i * 337 % 1025).toLong)
+    val edges = ids.zip(ids.tail).toDF("src", "dst")
+    val (labels, rounds) = Dedup.ccStarWithRounds(edges)
+    assert(rounds <= 20, s"expected O(log 1024) ~ 10 rounds, got $rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 1025)
+    assert(got.forall(_._2 == 0L), "single path component labeled by min")
+  }
+
+  test("hybrid hand-off: long chain exceeds the min-label budget and " +
+      "returns the same labels the propagation would") {
+    import spark.implicits._
+    // diameter 40 > MinLabelMaxRounds forces the star hand-off; a
+    // second small component and a self-loop-only node pin the parity
+    // corners (roots, singletons) across the two algorithms
+    val chain = (100L to 140L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val edges = (chain ++ Seq((7L, 9L), (50L, 50L))).toDF("src", "dst")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = (100L to 140L).map(_ -> 100L).toMap ++
+      Map(7L -> 7L, 9L -> 7L, 50L -> 50L)
+    assert(labels == expected)
+  }
+
   test("ngram jaccard inverted index finds the near-dup pairs") {
     val out = operators.Dedup.q68NgramJaccard(spark, sf).collect()
     assert(out.nonEmpty)
