@@ -237,6 +237,7 @@ object SparkEntry {
     "q208_json_quarantine" -> (Events.q208JsonQuarantine _),
     "q209_curation_pipeline" -> (Dedup.q209CurationPipeline _),
     "q210_chain_components" -> (Dedup.q210ChainComponents _),
+    "q211_persisted_index_dedup" -> (Dedup.q211PersistedIndexDedup _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -274,6 +275,52 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared oracle for q206 AND q211: both emit the incremental
+    * near-dup pair set (new batch × full corpus). q211 only changes
+    * where the old side's bands come FROM — the persisted bucketed
+    * index — which must be invisible in the result, so one oracle
+    * text pins both. */
+  private val incrementalDedupOracle: String = """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS doc_a,
+               GREATEST(n.doc_id, o.doc_id) AS doc_b
+        FROM bands n
+        JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+          AND n.doc_id <> o.doc_id
+        WHERE n.doc_id % 10 = 7)
+      SELECT doc_a, doc_b,
+        ROUND(CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE), 9)
+          AS jaccard,
+        CASE WHEN doc_a % 10 = 7 AND doc_b % 10 = 7 THEN 'new_new'
+             ELSE 'new_old' END AS pair_type
+      FROM cand
+      JOIN sh x ON x.doc_id = doc_a
+      JOIN sh y ON y.doc_id = doc_b
+      WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
+      ORDER BY doc_a, doc_b"""
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
@@ -3580,46 +3627,13 @@ object SparkEntry {
 
     // new-batch bands joined against the full band index; only pairs
     // touching the new batch (doc_id % 10 = 7) are emitted
-    "q206_incremental_dedup" -> """
-      WITH words AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                       ' ') AS w
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(w)),
-            i -> w[i] || ' ' || w[i+1])) AS shl
-        FROM words WHERE len(w) >= 2),
-      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-      minh AS (
-        SELECT doc_id, seed,
-               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-        FROM minh GROUP BY doc_id, seed // 4),
-      cand AS (
-        SELECT DISTINCT LEAST(n.doc_id, o.doc_id) AS doc_a,
-               GREATEST(n.doc_id, o.doc_id) AS doc_b
-        FROM bands n
-        JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
-          AND n.doc_id <> o.doc_id
-        WHERE n.doc_id % 10 = 7)
-      SELECT doc_a, doc_b,
-        ROUND(CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
-          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE), 9)
-          AS jaccard,
-        CASE WHEN doc_a % 10 = 7 AND doc_b % 10 = 7 THEN 'new_new'
-             ELSE 'new_old' END AS pair_type
-      FROM cand
-      JOIN sh x ON x.doc_id = doc_a
-      JOIN sh y ON y.doc_id = doc_b
-      WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
-          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
-      ORDER BY doc_a, doc_b""",
+    "q206_incremental_dedup" -> incrementalDedupOracle,
+
+    // q211 computes the SAME pair set as q206 — the only change is
+    // where the old side's bands come from (the persisted bucketed
+    // index table instead of a recompute), which must be invisible in
+    // the result; one oracle pins both
+    "q211_persisted_index_dedup" -> incrementalDedupOracle,
 
     // ground truth re-derived from the raw columns — the oracle never
     // parses the dirty URL, so it checks the canonicalizer itself

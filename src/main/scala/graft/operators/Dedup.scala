@@ -586,6 +586,70 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q206's daily-ingest story made REAL: the band index is persisted
+    * as a bucketed catalog table by "yesterday's" run, and today's
+    * incremental pairing READS it — the old corpus is never
+    * re-shingled, re-hashed, or re-banded. Same output as q206 (same
+    * oracle SQL), different provenance for the old side:
+    *
+    *  - yesterday: band rows for the old corpus → `graft_band_index`,
+    *    bucketed AND sorted on (band, band_key) — the join key — so
+    *    today's sort-merge join reads the index clustered and only
+    *    shuffles the (tiny) new side. DedupSpec asserts the plan:
+    *    bucketed scan on the old side, zero minhash computation over
+    *    old documents.
+    *  - today: bands computed for the NEW batch only (doc_id%10==7,
+    *    ~10% of the corpus); new×old candidates come from the index
+    *    join, new×new from the new side's self-join (yesterday's index
+    *    cannot contain today's docs). Union reproduces q206's
+    *    "new side × full index" candidate set exactly.
+    *
+    * At 100 TB the index table is the standing artifact a dedup
+    * service owns: thousands of buckets, appended (not rewritten) per
+    * ingest day, with the verify-side shingle table persisted the same
+    * way. 8 buckets here is the sf-scale stand-in. */
+  def q211PersistedIndexDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, dir))
+    Scale.dropManaged(spark, "graft_band_index")
+    bandTable(docs.filter(col("doc_id") % 10 =!= 7))
+      .write.bucketBy(8, "band", "band_key").sortBy("band", "band_key")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("graft_band_index")
+    val oldIndex = spark.table("graft_band_index")
+    // checkpoint: both candidate branches consume the new-batch bands;
+    // without it the minhash sketch of the new side runs twice
+    val newBands = bandTable(docs.filter(col("doc_id") % 10 === 7))
+      .localCheckpoint(eager = false)
+    val newOld = newBands.as("n")
+      .join(oldIndex.as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_key") === col("o.band_key"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val newNew = newBands.as("x")
+      .join(newBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = newOld.union(newNew).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b"))
+          .as("jac_raw"))
+      .filter(col("jac_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jac_raw"), 9).as("jaccard"))
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 7 && col("doc_b") % 10 === 7,
+          lit("new_new")).otherwise(lit("new_old")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The full curation pipeline END-TO-END — quality gate → exact
     * dedup → near dedup → decontamination — as one attrition report:
     * what a training-data run publishes after each stage (q193 is the

@@ -104,6 +104,36 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == expected)
   }
 
+  test("persisted-index dedup reads the old side from the bucketed " +
+      "catalog table and matches the recompute-everything pairing") {
+    val df = operators.Dedup.q211PersistedIndexDedup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the old corpus arrives as a bucketed scan of the standing index
+    // table — no re-shingle, no re-hash, no re-band of history
+    assert(plan.contains("graft_band_index"), plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan.take(3000))
+    // no minhash sketching anywhere in the pairing plan: the index was
+    // built by "yesterday's" write job; today's plan only joins it
+    assert(!plan.contains("minhash_md5_sigs"), plan.take(3000))
+    // and the index side of its join is never shuffled: between the
+    // join and the index FileScan there is no hash exchange (the tiny
+    // new side broadcasts / shuffles INTO the index layout, not vice
+    // versa)
+    val seg = plan.substring(
+      plan.lastIndexOf("Join", plan.indexOf("graft_band_index")),
+      plan.indexOf("graft_band_index"))
+    assert(!seg.contains("Exchange hashpartitioning"), seg)
+    // behavioral parity: identical pair set to q206's full recompute
+    val viaIndex = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    val recompute = operators.Dedup.q206IncrementalDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(viaIndex == recompute)
+  }
+
   test("ngram jaccard inverted index finds the near-dup pairs") {
     val out = operators.Dedup.q68NgramJaccard(spark, sf).collect()
     assert(out.nonEmpty)
