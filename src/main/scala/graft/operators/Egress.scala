@@ -396,9 +396,17 @@ object Egress {
     * spine with `sequence` between the source's min/max months and
     * left-joins the actual per-partition counts: every spine month is
     * reported `present` or `missing`. The spine is tiny (one row per
-    * partition), the actual counts come from partition-grain metadata
-    * aggregation — the audit never rescans the fact data at full
-    * width. */
+    * partition), and the actual counts are METADATA-ONLY: the
+    * read-back goes through the V2 parquet path with aggregate
+    * pushdown on, and COUNT(*) grouped by the partition column is
+    * answered from file footers (`PushedAggregation: [COUNT(*)]`,
+    * asserted in ScaleSpec) — no data page of the fact table is ever
+    * decoded. At 100 TB the audit costs one footer read per file,
+    * not a table scan. The V1-source exclusion is scoped to this one
+    * `read.parquet` call (relation resolution is eager); the
+    * aggregatePushdown flag is left on for the session — it only
+    * affects V2 reads, and every other parquet read in the catalog
+    * stays on the V1 path. */
   def q187PartitionAudit(spark: SparkSession, dir: String): DataFrame = {
     val zone = graft.Scratch.dir("q187_partitions")
     val src = Tables.orders(spark, dir)
@@ -406,9 +414,21 @@ object Egress {
         date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd"))
     src.filter(col("o_month") =!= "1995-06-01")
       .write.partitionBy("o_month").mode(SaveMode.Overwrite).parquet(zone)
-    val actual = spark.read.parquet(zone)
-      .groupBy(date_format(col("o_month"), "yyyy-MM-dd").as("o_month"))
+    val v1Key = "spark.sql.sources.useV1SourceList"
+    val prevV1 = spark.conf.get(v1Key)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set(v1Key, prevV1.split(",").filterNot(_.trim == "parquet")
+      .mkString(","))
+    val readBack = try spark.read.parquet(zone)
+      finally spark.conf.set(v1Key, prevV1)
+    // group by the RAW partition column — pushdown only matches plain
+    // partition-column grouping; the display formatting happens over
+    // the 12 aggregated rows
+    val actual = readBack
+      .groupBy(col("o_month"))
       .agg(count(lit(1)).as("n"))
+      .select(date_format(col("o_month"), "yyyy-MM-dd").as("o_month"),
+        col("n"))
     val spine = src
       .agg(min(to_date(col("o_month"))).as("lo"),
         max(to_date(col("o_month"))).as("hi"))

@@ -8,6 +8,20 @@ import graft.operators.Scale
 class ScaleSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("partition audit answers counts from parquet footers, not a " +
+      "data scan") {
+    val plan = operators.Egress.q187PartitionAudit(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the read-back aggregate is pushed into the V2 parquet scan:
+    // COUNT(*) grouped by the partition column comes from file
+    // metadata ("never rescans the fact data" made checkable)
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan.take(3000))
+    assert(plan.contains("PushedGroupBy: [o_month]"), plan.take(3000))
+    // and no data column of the audited zone is ever read
+    assert(plan.contains("ReadSchema: struct<o_month:date,count(*)"),
+      plan.take(3000))
+  }
+
   test("bucketed join plans a sort-merge join with no exchange") {
     val plan = Scale.q45BucketedJoin(spark, sf)
       .queryExecution.executedPlan.toString
