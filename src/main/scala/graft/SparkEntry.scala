@@ -238,6 +238,7 @@ object SparkEntry {
     "q209_curation_pipeline" -> (Dedup.q209CurationPipeline _),
     "q210_chain_components" -> (Dedup.q210ChainComponents _),
     "q211_persisted_index_dedup" -> (Dedup.q211PersistedIndexDedup _),
+    "q212_triangles_degree" -> (Dedup.q212TrianglesDegree _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -320,6 +321,62 @@ object SparkEntry {
       WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
           / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
       ORDER BY doc_a, doc_b"""
+
+  /** Shared oracle for q204 AND q212: per-node triangle counts are
+    * orientation-invariant, so the degree-ordered variant must be
+    * bit-identical to the id-ordered one. */
+  private val trianglesOracle: String = """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+      deg AS (
+        SELECT doc_id, COUNT(*) AS degree FROM (
+          SELECT doc_a AS doc_id FROM pairs
+          UNION ALL SELECT doc_b FROM pairs) u
+        GROUP BY doc_id),
+      tn AS (
+        SELECT doc_id, COUNT(*) AS n_triangles FROM (
+          SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) u
+        GROUP BY doc_id)
+      SELECT d.doc_id, d.degree,
+        COALESCE(tn.n_triangles, 0) AS n_triangles
+      FROM deg d LEFT JOIN tn USING (doc_id)
+      ORDER BY doc_id"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> """
@@ -3518,58 +3575,11 @@ object SparkEntry {
 
     // triangles over the MinHash-verified near-dup pairs: the same
     // pair CTEs as q125, then the a<b<c two-join enumeration
-    "q204_triangles" -> """
-      WITH words AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                       ' ') AS w
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(w)),
-            i -> w[i] || ' ' || w[i+1])) AS shl
-        FROM words WHERE len(w) >= 2),
-      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-      minh AS (
-        SELECT doc_id, seed,
-               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-        FROM minh GROUP BY doc_id, seed // 4),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        WHERE a.doc_id < b.doc_id),
-      pairs AS (
-        SELECT doc_a, doc_b FROM cand
-        JOIN sh x ON x.doc_id = doc_a
-        JOIN sh y ON y.doc_id = doc_b
-        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
-            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
-      tri AS (
-        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
-        FROM pairs e1
-        JOIN pairs e2 ON e1.doc_b = e2.doc_a
-        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
-      deg AS (
-        SELECT doc_id, COUNT(*) AS degree FROM (
-          SELECT doc_a AS doc_id FROM pairs
-          UNION ALL SELECT doc_b FROM pairs) u
-        GROUP BY doc_id),
-      tn AS (
-        SELECT doc_id, COUNT(*) AS n_triangles FROM (
-          SELECT a AS doc_id FROM tri
-          UNION ALL SELECT b FROM tri
-          UNION ALL SELECT c FROM tri) u
-        GROUP BY doc_id)
-      SELECT d.doc_id, d.degree,
-        COALESCE(tn.n_triangles, 0) AS n_triangles
-      FROM deg d LEFT JOIN tn USING (doc_id)
-      ORDER BY doc_id""",
+    "q204_triangles" -> trianglesOracle,
+
+    // q212 = q204 with the degree-ordered orientation — bit-identical
+    // counts by construction, so the same oracle pins both
+    "q212_triangles_degree" -> trianglesOracle,
 
     // min-label components over the sign-LSH embedding pairs (the
     // q122 bucket CTEs + q69's recursive reach)

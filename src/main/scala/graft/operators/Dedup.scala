@@ -726,11 +726,28 @@ object Dedup {
     * wedge counts (Σ deg²), never all-triples; the closing-edge check
     * is an equi-join. Per-node credit explodes each triangle to its
     * three corners. Degree-ordering the orientation (the classic
-    * heavy-hitter defense) is the documented upgrade for skewed
-    * graphs; near-dup clusters are small and dense, where a<b<c is
-    * already balanced. */
+    * heavy-hitter defense) is implemented as
+    * [[triangleCountsDegreeOrdered]] (q212, same oracle); near-dup
+    * clusters are small and dense, where a<b<c is already balanced,
+    * so this id-oriented form stays the default. */
   def q204Triangles(spark: SparkSession, dir: String): DataFrame =
     triangleCounts(
+      minhashPairs(Tables.documents(spark, dir))
+        .select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  /** q204 with the DEGREE-ORDERED orientation — the skew defense for
+    * power-law graphs, producing bit-identical counts (same oracle as
+    * q204). Each undirected edge points from its lower-(degree, id)
+    * endpoint to the higher one, so every wedge is enumerated at its
+    * LOWEST-degree corner: per-node wedge work drops from deg² to
+    * (out-deg)² where out-deg is bounded by O(√|E|) for any graph — a
+    * 10M-degree hub in an id-oriented enumeration would otherwise
+    * build 10¹⁴ wedges on one key. Near-dup graphs are benign, but a
+    * citation/link graph run through the same triangle diagnostic is
+    * exactly where the hub case is real. */
+  def q212TrianglesDegree(spark: SparkSession, dir: String): DataFrame =
+    triangleCountsDegreeOrdered(
       minhashPairs(Tables.documents(spark, dir))
         .select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
@@ -750,6 +767,62 @@ object Dedup {
     val deg = e.select(col("doc_a").as("doc_id"))
       .unionAll(e.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(triPerNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** [[triangleCounts]] with edges oriented by (degree, id) instead of
+    * raw id — identical output (DedupSpec pins equality on a fixture
+    * with a hub AND on the testdata graph), different work bound.
+    * Every triangle still materializes exactly once: orientation by
+    * any strict total order guarantees a unique lowest corner per
+    * triangle, and (degree, id) is a strict total order because id
+    * breaks degree ties. Wedges form only at a node's OUT-edges
+    * (toward higher-rank endpoints), and out-degree under degree
+    * ordering is O(√|E|) for every node — the hub's million edges are
+    * almost all IN-edges, so no reducer key ever sees the hub's full
+    * neighborhood. Costs one extra broadcast-shaped join (attaching
+    * endpoint degrees) over the id-oriented form. */
+  def triangleCountsDegreeOrdered(pairs: DataFrame): DataFrame = {
+    val e = pairs.toDF("doc_a", "doc_b")
+      .localCheckpoint(eager = false)
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(eager = false) // reused: orientation + output
+    // attach endpoint degrees, then orient low-(degree,id) -> high;
+    // carry the head's rank so wedge mates can be ordered without a
+    // third join
+    val oriented = e
+      .join(deg.select(col("doc_id").as("doc_a"), col("degree").as("da")),
+        "doc_a")
+      .join(deg.select(col("doc_id").as("doc_b"), col("degree").as("db")),
+        "doc_b")
+      .select(
+        when(struct(col("da"), col("doc_a")) < struct(col("db"), col("doc_b")),
+          struct(col("doc_a").as("src"), col("doc_b").as("dst"),
+            col("db").as("ddeg")))
+          .otherwise(struct(col("doc_b").as("src"), col("doc_a").as("dst"),
+            col("da").as("ddeg")))
+          .as("o"))
+      .select(col("o.src"), col("o.dst"), col("o.ddeg"))
+      .localCheckpoint(eager = false) // three self-join consumers
+    // wedges at the lowest-rank corner: two out-edges, mates ordered
+    // by (degree, id) so each wedge forms once; the closing edge is
+    // oriented b -> c by transitivity of the rank order
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (struct(col("e1.ddeg"), col("e1.dst"))
+            < struct(col("e2.ddeg"), col("e2.dst"))))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"),
+        col("e2.dst").as("c"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"))
     val triPerNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))

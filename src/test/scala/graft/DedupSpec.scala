@@ -168,6 +168,33 @@ class DedupSpec extends AnyFunSuite {
       4L -> (1L, 0L), 10L -> (1L, 0L), 11L -> (1L, 0L)))
   }
 
+  test("degree-ordered triangle orientation is count-identical on a " +
+      "hub graph and on the testdata near-dup graph") {
+    import spark.implicits._
+    // hub 1 with 10 spokes where id order and degree order DISAGREE
+    // (the hub has the smallest id, so id-orientation points all its
+    // edges outward while degree-orientation points them inward);
+    // closing edges 2-3, 4-5 make two hub triangles, plus a separate
+    // triangle and a pendant to cover zero-count corners
+    val hub = (2L to 11L).map(s => (1L, s))
+    val edges = (hub ++ Seq((2L, 3L), (4L, 5L), (20L, 21L), (21L, 22L),
+      (20L, 22L), (30L, 31L))).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val byId = asMap(Dedup.triangleCounts(edges))
+    val byDeg = asMap(Dedup.triangleCountsDegreeOrdered(edges))
+    assert(byDeg == byId)
+    // spot-pin ground truth so a shared bug can't hide in the equality
+    assert(byDeg(1L) == (10L, 2L), "hub: degree 10, two triangles")
+    assert(byDeg(20L) == (2L, 1L) && byDeg(30L) == (1L, 0L))
+    // and the real graph: same per-node counts from both orientations
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, sf))
+      .select(org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))
+    assert(asMap(Dedup.triangleCountsDegreeOrdered(pairs))
+      == asMap(Dedup.triangleCounts(pairs)))
+  }
+
   test("pagerank conserves total rank mass up to integer truncation") {
     val rows = operators.Dedup.q150PageRank(spark, sf).collect()
     assert(rows.nonEmpty)
