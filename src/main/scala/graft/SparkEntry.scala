@@ -239,6 +239,7 @@ object SparkEntry {
     "q210_chain_components" -> (Dedup.q210ChainComponents _),
     "q211_persisted_index_dedup" -> (Dedup.q211PersistedIndexDedup _),
     "q212_triangles_degree" -> (Dedup.q212TrianglesDegree _),
+    "q213_banded_recall"   -> (Similarity.q213BandedRecall _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3580,6 +3581,76 @@ object SparkEntry {
     // q212 = q204 with the degree-ordered orientation — bit-identical
     // counts by construction, so the same oracle pins both
     "q212_triangles_degree" -> trianglesOracle,
+
+    // the banded path's recall certificate: exact anchor pairs (q30's
+    // all-pairs cosine) left-joined with the float-free sign-bucket
+    // pairs — the recall column is hash-checked, not just floored
+    "q213_banded_recall" -> """
+      WITH bk AS (
+        SELECT vec_id, CAST(t.tbl AS INTEGER) AS tbl,
+          (CASE WHEN embedding[CAST(t.tbl * 4 + 1 AS INTEGER)] >= 0
+                THEN 1 ELSE 0 END
+         + CASE WHEN embedding[CAST(t.tbl * 4 + 2 AS INTEGER)] >= 0
+                THEN 2 ELSE 0 END
+         + CASE WHEN embedding[CAST(t.tbl * 4 + 3 AS INTEGER)] >= 0
+                THEN 4 ELSE 0 END
+         + CASE WHEN embedding[CAST(t.tbl * 4 + 4 AS INTEGER)] >= 0
+                THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings CROSS JOIN
+          (SELECT unnest(range(4)) AS tbl) t),
+      cand AS (
+        SELECT DISTINCT ba.vec_id AS vec_a, bb.vec_id AS vec_b
+        FROM bk ba JOIN bk bb
+          ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket
+          AND ba.vec_id < bb.vec_id),
+      banded AS (
+        SELECT vec_a, vec_b FROM (
+          SELECT vec_a, vec_b,
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)
+            / sqrt(
+              list_reduce(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(a.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)
+              * list_reduce(list_transform(range(1, 65),
+                i -> CAST(b.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)) AS cosine
+          FROM cand
+          JOIN embeddings a ON a.vec_id = vec_a
+          JOIN embeddings b ON b.vec_id = vec_b) p
+        WHERE cosine >= 0.45),
+      anchor AS (
+        SELECT vec_a, vec_b, cosine FROM (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE)
+                   * CAST(b.embedding[i] AS DOUBLE)),
+              (x, y) -> x + y)
+            / sqrt(
+              list_reduce(list_transform(range(1, 65),
+                i -> CAST(a.embedding[i] AS DOUBLE)
+                     * CAST(a.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)
+              * list_reduce(list_transform(range(1, 65),
+                i -> CAST(b.embedding[i] AS DOUBLE)
+                     * CAST(b.embedding[i] AS DOUBLE)),
+                (x, y) -> x + y)) AS cosine
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+        WHERE cosine >= 0.45)
+      SELECT floor(an.cosine * 20) / 20 AS cos_bucket,
+        COUNT(*) AS n_anchor_pairs,
+        CAST(SUM(CASE WHEN h.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_banded_pairs,
+        ROUND(CAST(SUM(CASE WHEN h.vec_a IS NOT NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*), 9) AS recall
+      FROM anchor an LEFT JOIN banded h
+        ON an.vec_a = h.vec_a AND an.vec_b = h.vec_b
+      GROUP BY floor(an.cosine * 20) / 20
+      ORDER BY cos_bucket""",
 
     // min-label components over the sign-LSH embedding pairs (the
     // q122 bucket CTEs + q69's recursive reach)

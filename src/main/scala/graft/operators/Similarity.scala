@@ -189,7 +189,13 @@ object Similarity {
     * runs the same predicate inside LSH buckets so the join never goes
     * all-pairs. Production consumers (q122) use the banded path; this
     * anchor exists to measure its recall. */
-  def q30EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def q30EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    exactNearDupPairs(spark, dir).orderBy(col("vec_a"), col("vec_b"))
+
+  /** Unordered core of q30 — the exact (vec_a, vec_b, cosine) pair
+    * set. Kept separate so measurement consumers (q213) don't inherit
+    * the display sort's range exchange. */
+  private def exactNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
       .withColumn("norm_a", dot(col("emb_a"), col("emb_a")))
@@ -201,7 +207,6 @@ object Similarity {
         (dot(col("emb_a"), col("emb_b")) /
           sqrt(col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= 0.45)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Banded embedding near-dup: the 100 TB path for q30's predicate.
@@ -265,6 +270,37 @@ object Similarity {
       .groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("n_vecs"), max(col("id")).as("max_vec"))
       .orderBy(col("cluster"))
+
+  /** The banded path's recall CONTRACT, published as a query — the
+    * number a curation operator actually reports when choosing LSH
+    * knobs: per cosine bucket, how many true near-dup pairs exist
+    * (exact anchor) and how many the banded path catches. Both sides
+    * are fully oracle-checkable: the anchor is q30's all-pairs cosine
+    * and the banded side is the float-free sign-bucket join, so the
+    * recall column itself is hash-verified — a bucketing regression
+    * that quietly halves recall fails CORRECTNESS, not just a spec
+    * floor. The anchor join is quadratic BY ROLE: this is the
+    * measurement that certifies the banded path, run on a sample (or
+    * a validation slice at 100 TB), never on the serving path —
+    * banded pairs are spec-pinned to be a SUBSET of anchor pairs, so
+    * a left join from the anchor covers both counts in one pass. */
+  def q213BandedRecall(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = exactNearDupPairs(spark, dir)
+    val banded = signLshNearDup(spark, dir, threshold = 0.45)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("hit"))
+    anchor.join(banded, Seq("vec_a", "vec_b"), "left")
+      // 0.05-grain buckets from the 0.45 threshold up; the recall
+      // gradient (weak at threshold, ~1 for true dups) is the signal
+      .withColumn("cos_bucket", floor(col("cosine") * 20) / 20)
+      .groupBy(col("cos_bucket"))
+      .agg(count(lit(1)).as("n_anchor_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_banded_pairs"))
+      .select(col("cos_bucket"), col("n_anchor_pairs"),
+        col("n_banded_pairs"),
+        round(col("n_banded_pairs").cast("double")
+          / col("n_anchor_pairs"), 9).as("recall"))
+      .orderBy(col("cos_bucket"))
+  }
 
   /** Product-quantization ANN — the memory-side scale lever the IVF
     * (q53) and LSH (q29) variants don't cover: each 64-float vector

@@ -93,10 +93,13 @@ class SimilaritySpec extends AnyFunSuite {
       assert(anchor.contains(k), s"pair $k not in exact anchor")
       assert(anchor(k) == cos, s"cosine drift for $k")
     }
-    // deterministic on fixed data; the floor guards bucketing
-    // regressions (recall < 1 by design — see signLshNearDup scaladoc)
+    // deterministic on fixed data; the floor is pinned just under the
+    // measured value (0.571 at sf0.001, 0.5 at sf0.01) so a bucketing
+    // regression that halves recall FAILS — 0.2 would have let one
+    // through (recall < 1 by design — see signLshNearDup scaladoc;
+    // q213 publishes the per-bucket gradient as an oracled query)
     val recall = banded.size.toDouble / anchor.size
-    assert(recall >= 0.2, s"banded recall = $recall of ${anchor.size}")
+    assert(recall >= 0.5, s"banded recall = $recall of ${anchor.size}")
   }
 
   test("q122 candidate pool plans no all-pairs join of any kind") {
