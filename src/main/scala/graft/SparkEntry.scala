@@ -3741,7 +3741,10 @@ object SparkEntry {
       GROUP BY canon
       ORDER BY canon""",
 
-    // two independent JSON parsers must agree on the quarantine split
+    // two independent JSON parsers must agree on the quarantine split;
+    // NULL raw is quarantined explicitly (json_valid(NULL) is NULL, so
+    // a bare NOT would count it valid) and a missing/null $.k in valid
+    // JSON contributes 0, matching the Spark side's coalesce
     "q208_json_quarantine" -> """
       WITH t AS (
         SELECT event_type,
@@ -3749,10 +3752,10 @@ object SparkEntry {
                ELSE props END AS raw
         FROM events)
       SELECT event_type, COUNT(*) AS n_events,
-        CAST(SUM(CASE WHEN NOT json_valid(raw) THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_quarantined,
-        CAST(SUM(CASE WHEN json_valid(raw)
-          THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+        CAST(SUM(CASE WHEN raw IS NULL OR NOT json_valid(raw)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+        CAST(SUM(CASE WHEN raw IS NOT NULL AND json_valid(raw)
+          THEN COALESCE(CAST(json_extract_string(raw, '$.k') AS BIGINT), 0)
           ELSE 0 END) AS BIGINT) AS k_sum
       FROM t
       GROUP BY event_type

@@ -232,27 +232,29 @@ object Events {
     * structured feeds, mirroring the PERMISSIVE CSV path (O3): one
     * bad record among billions must not kill the job OR silently
     * vanish. A deterministic corruption (every event_id % 10 == 3
-    * gets a brace prepended) models the feed damage; `from_json`
-    * returns null for unparseable input, the aggregate reports
-    * quarantined vs parsed counts per type, and the k-sum over the
-    * PARSED rows proves the good data still flows. Oracle checks the
-    * same split via DuckDB's json_valid — two independent JSON
-    * parsers must agree on what is quarantined. */
+    * gets a brace prepended) models the feed damage. Validity is
+    * SCHEMA-FREE by construction: `try_parse_json` (VARIANT) fails
+    * exactly when the input is not JSON — same contract as the
+    * oracle's `json_valid` — where the earlier `from_json(MapType)`
+    * draft also nulled out well-formed JSON whose values didn't fit
+    * the map type, an engine-specific split the oracle only agreed
+    * with by luck of the synthetic data. NULL input is quarantined
+    * explicitly on BOTH sides (DuckDB's `json_valid(NULL)` is NULL,
+    * which a bare NOT would silently count as valid). The k-sum over
+    * the parsed rows proves the good data still flows. */
   def q208JsonQuarantine(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .withColumn("raw",
         when(col("event_id") % 10 === 3, concat(lit("{"), col("props")))
           .otherwise(col("props")))
-      .withColumn("m", from_json(col("raw"),
-        org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.IntegerType)))
+      .withColumn("v", try_parse_json(col("raw")))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_quarantined"),
-        sum(when(col("m").isNotNull,
-          element_at(col("m"), "k").cast("long")).otherwise(0L))
-          .as("k_sum"))
+        sum(when(col("raw").isNull || col("v").isNull, 1L).otherwise(0L))
+          .as("n_quarantined"),
+        sum(when(col("v").isNotNull,
+          coalesce(try_variant_get(col("v"), "$.k", "long"), lit(0L)))
+          .otherwise(0L)).as("k_sum"))
       .orderBy(col("event_type"))
 
   /** Funnel analysis — ordered-step conversion (signup → click →
