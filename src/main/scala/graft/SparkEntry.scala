@@ -240,6 +240,9 @@ object SparkEntry {
     "q211_persisted_index_dedup" -> (Dedup.q211PersistedIndexDedup _),
     "q212_triangles_degree" -> (Dedup.q212TrianglesDegree _),
     "q213_banded_recall"   -> (Similarity.q213BandedRecall _),
+    "q214_media_phash"     -> (Multimodal.q214MediaPhash _),
+    "q215_cluster_reps"    -> (Dedup.q215ClusterRepresentatives _),
+    "q216_contamination_spans" -> (Dedup.q216ContaminationSpans _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3898,6 +3901,129 @@ object SparkEntry {
       JOIN region r ON n_regionkey = r_regionkey
       GROUP BY r_name
       ORDER BY r_name""",
+
+    // the media perceptual-hash tier, recomputed all-pairs: the 8-chunk
+    // pigeonhole makes the Spark banded result EXACTLY the hamming<=7
+    // pair set, so a brute-force oracle pins it bit-for-bit. Char
+    // arithmetic here == the Spark side's payload-byte arithmetic
+    // because the fixture is ASCII (documents are synthesized from an
+    // ASCII vocabulary; q133's md5 round-trip would catch drift).
+    "q214_media_phash" -> """
+      WITH bins AS (
+        SELECT doc_id, unnest(list_transform(range(1, length(text) - 2),
+          j -> (((ascii(substr(text, j, 1)) * 31
+                  + ascii(substr(text, j + 1, 1))) * 31
+                 + ascii(substr(text, j + 2, 1))) * 31
+                + ascii(substr(text, j + 3, 1))) % 128)) AS bin
+        FROM documents WHERE length(text) >= 4),
+      hist AS (
+        SELECT doc_id, list_transform(range(0, 128), b ->
+          coalesce(len(list_filter(bl, x -> x = b)), 0)) AS hist
+        FROM (SELECT doc_id, list(bin) AS bl FROM bins GROUP BY doc_id)),
+      h AS (
+        SELECT doc_id,
+          list_sum(list_transform(range(0, 63), b ->
+            CASE WHEN hist[b + 2] > hist[b + 1]
+                 THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS h_lo,
+          list_sum(list_transform(range(0, 63), b ->
+            CASE WHEN hist[b + 66] > hist[b + 65]
+                 THEN 1::BIGINT << b ELSE 0::BIGINT END)) AS h_hi
+        FROM hist)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.h_lo, b.h_lo))
+             + bit_count(xor(a.h_hi, b.h_hi)) AS INTEGER) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h_lo, b.h_lo))
+            + bit_count(xor(a.h_hi, b.h_hi)) <= 7
+      ORDER BY doc_a, doc_b""",
+
+    // q69's component CTEs + token counts + argmax-by-quality: the
+    // keep-best (not keep-first) representative policy, pinned exactly
+    "q215_cluster_reps" -> """
+      WITH RECURSIVE words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+              UNION SELECT doc_b, doc_a FROM edges),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src),
+      toks AS (
+        SELECT doc_id, CAST(len(w) AS INTEGER) AS n_tokens FROM words),
+      m AS (
+        SELECT l.id, l.label, t.n_tokens,
+          ROW_NUMBER() OVER (PARTITION BY l.label
+            ORDER BY t.n_tokens DESC, l.id ASC) AS rk
+        FROM labels l JOIN toks t ON t.doc_id = l.id)
+      SELECT label AS cluster, COUNT(*) AS n_members,
+        MAX(CASE WHEN rk = 1 THEN id END) AS rep_doc,
+        MAX(CASE WHEN rk = 1 THEN n_tokens END) AS rep_tokens,
+        CAST(SUM(CASE WHEN rk > 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+          AS dropped_tokens
+      FROM m GROUP BY label ORDER BY cluster""",
+
+    // q113's gram CTEs kept positional, then gaps-and-islands to merge
+    // contiguous contaminated offsets into redaction spans
+    "q216_contamination_spans" -> """
+      WITH docs AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      d8 AS (SELECT doc_id, w FROM docs WHERE len(w) >= 8),
+      pos0 AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM d8),
+      grams AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+          array_to_string(w[i:i+7], ' ') AS gram
+        FROM pos0),
+      ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+      hits AS (
+        SELECT doc_id, pos FROM grams JOIN ev USING (gram)
+        WHERE doc_id % 10 <> 0),
+      isl AS (
+        SELECT doc_id, pos,
+          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+            AS island
+        FROM hits)
+      SELECT doc_id, MIN(pos) AS span_start,
+        CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+        COUNT(*) AS n_grams
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

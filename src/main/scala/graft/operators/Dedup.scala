@@ -384,6 +384,42 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** q215: per-cluster representative selection by QUALITY, not by
+    * min-id. q141's keep-lowest-doc_id policy is the textbook default,
+    * but a production curation pipeline keeps the BEST member of each
+    * near-dup cluster — a boilerplate-stripped mirror should win over
+    * the ad-cluttered original even when its id is higher. Quality
+    * proxy here is token count (the repo's q33 quality gate is bucketed
+    * on it); ties break to the lowest doc_id so selection is total and
+    * oracle-stable.
+    *
+    * Plan shape: components over the banded pair set (never all-pairs),
+    * then ONE hash exchange on the cluster label serves both the
+    * row_number window and the final aggregate — the groupBy reuses the
+    * window's partitioning, so "rank inside cluster then summarize
+    * cluster" costs one shuffle of (id, label, n_tokens) triples, not
+    * two. `dropped_tokens` is what the policy saves downstream: tokens
+    * that would have been tokenized+trained on had the whole cluster
+    * survived. */
+  def q215ClusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val members = connectedComponents(
+      minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+      .join(docs.select(col("doc_id").as("id"),
+        size(words(col("text"))).as("n_tokens")), "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("n_tokens").desc, col("id").asc)
+    members.withColumn("rk", row_number().over(w))
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("id"))).as("rep_doc"),
+        max(when(col("rk") === 1, col("n_tokens"))).as("rep_tokens"),
+        sum(when(col("rk") > 1, col("n_tokens")).otherwise(0L))
+          .as("dropped_tokens"))
+      .orderBy(col("cluster"))
+  }
+
   /** PageRank over the symmetric near-dup graph — iterative graph
     * analytics beyond q125's BFS, in the Pregel shape: per-iteration
     * join (ranks → out-edges) + aggregate (contributions per target),
@@ -543,6 +579,48 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q216: decontamination at the SPAN level — q113 flags WHICH train
+    * docs share 8-grams with the eval set; this reports WHERE, as
+    * contiguous token ranges, so the pipeline can excise the
+    * contaminated span and keep the rest of the document instead of
+    * dropping it whole (the difference between losing a sentence and
+    * losing a book when one quoted benchmark question appears in it).
+    *
+    * Positions survive the plan: grams explode WITH their 0-based
+    * token offset (no array_distinct — the same gram at two offsets is
+    * two redactions), the eval join keeps only hit offsets, and
+    * contiguous runs merge via gaps-and-islands (offset minus
+    * per-doc row_number is constant within a run). span_end is the
+    * last TOKEN index covered (last gram start + 7). The join shuffles
+    * on the gram — same unhinted strategy, and the same reasoning, as
+    * q113; the window + island aggregate then shuffle tiny
+    * (doc_id, pos) hits only. */
+  def q216ContaminationSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+    val gramSql =
+      "transform(sequence(0, size(w) - 8), " +
+        "i -> array_join(slice(w, i + 1, 8), ' '))"
+    val eval_ = docs.filter(col("doc_id") % 10 === 0)
+      .select(explode(expr(s"array_distinct($gramSql)")).as("gram"))
+      .distinct()
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), posexplode(expr(gramSql)).as(Seq("pos", "gram")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    train.join(eval_, "gram")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + 7).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** Incremental dedup — the daily-ingest shape: near-dup pairs where

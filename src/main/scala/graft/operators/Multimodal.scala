@@ -15,6 +15,11 @@ case class MediaRecord(doc_id: Long, media_type: String,
 case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
     n_frames: Int, mean_byte: Double)
 
+/** 126-bit perceptual hash of one media payload, packed as two
+  * non-negative 63-bit longs (bit 63 unused on purpose: both engines'
+  * BIGINT shifts stay in signed-positive range). */
+case class MediaPHash(doc_id: Long, h_lo: Long, h_hi: Long)
+
 /** Multimodal-column operators (north star "multimodal columns"):
   * image/audio/video payloads modeled as opaque `binary` columns with a
   * typed metadata struct, plus the decode/feature-extract plumbing.
@@ -110,6 +115,76 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual hashes for every media asset through the typed decode
+    * path: payloads flow per-partition, the stub "perceptual decode"
+    * reduces each payload to a 128-bin byte-4-gram histogram, and the
+    * difference hash compares adjacent bins (the classic image dHash
+    * recipe with the resize-to-grid step replaced by a histogram — the
+    * feature must be POSITION-INVARIANT here because near-dup payloads
+    * differ by small internal edits that shift every later byte; a
+    * positional grid scores them as unrelated, measured on this corpus
+    * at hamming 21-41 vs the histogram's 0-3). Output is 16 bytes per
+    * asset no matter the payload size, so everything downstream of the
+    * decode is payload-volume-independent. A real deployment swaps the
+    * histogram for codec output (DCT low-frequency grid for images,
+    * chroma vectors for audio) and keeps the banding unchanged. */
+  def perceptualHashes(spark: SparkSession, dir: String): Dataset[MediaPHash] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { r =>
+        val hist = StubDecoder.gramHistogram(r.payload)
+        MediaPHash(r.doc_id, StubDecoder.diffBits(hist, 0),
+          StubDecoder.diffBits(hist, 64))
+      })
+  }
+
+  /** q214: perceptual near-dup pairs over the media fixture — the
+    * media-modality tier of the dedup stack (exact q24, MinHash q25,
+    * SimHash q26, embedding q30/q122 being the text/vector tiers).
+    *
+    * Banding: each 126-bit hash splits into 8 chunks of <=16 bits; by
+    * pigeonhole, any pair within hamming distance 7 agrees exactly on
+    * at least one chunk, so the banded self-join on (chunk, value)
+    * followed by a bit_count(xor) <= 7 verify returns EXACTLY the
+    * all-pairs result — which is why this tier is fully oracle-able
+    * (the DuckDB oracle recomputes the hash per doc and compares all
+    * pairs; the fixture is ASCII so char arithmetic == byte
+    * arithmetic). Threshold 7: measured on this corpus the 25
+    * MinHash-verified near-dup pairs land at hamming <= 3 and the
+    * nearest non-dup pair at 15 — 7 sits in the gap with margin both
+    * ways.
+    *
+    * Scale: hashes are 16 bytes/doc; the join shuffles on (chunk,
+    * value) so work is bounded by bucket population, never all-pairs.
+    * A boilerplate-heavy corpus concentrates hash values — the same
+    * skew hazard as MinHash banding, with the same remedies (AQE skew
+    * split, salting hot chunk values). */
+  def q214MediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = perceptualHashes(spark, dir).toDF()
+    val banded = hashes.select(col("doc_id"), col("h_lo"), col("h_hi"),
+      expr("explode(transform(sequence(0, 7), c -> struct(" +
+        "cast(c as int) as chunk, " +
+        "cast(shiftrightunsigned(if(c < 4, h_lo, h_hi), (c % 4) * 16)" +
+        " & 65535 as int) as chunk_val)))").as("ck"))
+      .select(col("doc_id"), col("h_lo"), col("h_hi"),
+        col("ck.chunk"), col("ck.chunk_val"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.h_lo").bitwiseXOR(col("b.h_lo"))) +
+          bit_count(col("a.h_hi").bitwiseXOR(col("b.h_hi"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= 7)
+      // a close pair shares several chunks; one output row per pair
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Raw binary-file ingestion: one payload file per asset on disk,
     * read back through Spark's `binaryFile` source (path, length,
     * content) — how image/audio corpora actually arrive before
@@ -180,6 +255,35 @@ object StubDecoder {
   def frameSample(payload: Array[Byte], frameBytes: Int,
       stride: Int): Seq[Int] =
     payload.indices.by(frameBytes * stride).take(64)
+
+  /** "Perceptual decode" stub: payload bytes -> 128-bin histogram of
+    * rolling 4-byte grams (polynomial base-31 hash mod 128). Stands in
+    * for the codec-side perceptual feature (DCT grid / chromaprint);
+    * deterministic and portable — on ASCII payloads the DuckDB oracle
+    * reproduces it with char arithmetic. */
+  def gramHistogram(payload: Array[Byte]): Array[Int] = {
+    val hist = new Array[Int](128)
+    var j = 0
+    while (j + 3 < payload.length) {
+      val bin = ((((payload(j) & 0xff) * 31 + (payload(j + 1) & 0xff)) * 31
+        + (payload(j + 2) & 0xff)) * 31 + (payload(j + 3) & 0xff)) % 128
+      hist(bin) += 1
+      j += 1
+    }
+    hist
+  }
+
+  /** Difference hash over 64 histogram bins starting at `off`: bit b
+    * set iff hist(off+b+1) > hist(off+b) — 63 bits, sign bit clear. */
+  def diffBits(hist: Array[Int], off: Int): Long = {
+    var h = 0L
+    var b = 0
+    while (b < 63) {
+      if (hist(off + b + 1) > hist(off + b)) h |= 1L << b
+      b += 1
+    }
+    h
+  }
 
   /** Resize stub: a real implementation hands the batch to the codec
     * and returns re-encoded bytes; the stub halves the payload by

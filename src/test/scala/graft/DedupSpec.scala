@@ -210,4 +210,48 @@ class DedupSpec extends AnyFunSuite {
         s"doc ${r.getLong(0)} units $u")
     }
   }
+
+  test("cluster representatives follow quality, not id order") {
+    val reps = operators.Dedup.q215ClusterRepresentatives(spark, sf)
+      .collect()
+    assert(reps.nonEmpty)
+    reps.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_members")) >= 2) // clusters only
+      // the representative must at least match the cluster-label doc,
+      // which is always a member (label = min id by construction)
+      assert(r.getLong(r.fieldIndex("rep_doc"))
+        >= r.getLong(r.fieldIndex("cluster")))
+    }
+    // the policy must actually differ from q141's keep-min-id on this
+    // corpus: at least one cluster elects a higher-id (longer) member.
+    // if every rep were the min id, this test catches the regression
+    // where the window ordering silently degrades to id order
+    assert(reps.exists(r =>
+      r.getLong(r.fieldIndex("rep_doc"))
+        > r.getLong(r.fieldIndex("cluster"))))
+  }
+
+  test("contamination spans are maximal, in-bounds, and cover q113's docs") {
+    import spark.implicits._
+    val spans = operators.Dedup.q216ContaminationSpans(spark, sf)
+      .as[(Long, Int, Int, Long)].collect()
+    assert(spans.nonEmpty)
+    spans.foreach { case (_, s, e, n) =>
+      assert(s >= 0 && e >= s + 7) // an 8-gram span covers 8 tokens
+      assert(n >= 1 && n <= e - s - 6) // grams fit inside the span
+    }
+    // islands are maximal: consecutive spans in a doc are separated
+    // by at least one clean gram START (s2 > e1-6 ⇔ next gram start
+    // > last gram start + 1); the 8-token tails may still brush
+    spans.groupBy(_._1).values.foreach { ds =>
+      ds.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1 - 6)
+        case _ => ()
+      }
+    }
+    // doc coverage identical to the doc-level flag query
+    val flagged = operators.Dedup.q113Decontamination(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    assert(spans.map(_._1).toSet == flagged)
+  }
 }

@@ -56,6 +56,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(half(1) == payload(2)) // every other byte retained
   }
 
+  test("perceptual banding returns exactly the brute-force hamming<=7 pairs") {
+    // the pigeonhole guarantee made checkable: 8 chunks over 126 bits
+    // means a pair within hamming 7 MUST share a chunk, so the banded
+    // join loses nothing vs all-pairs — this is what lets q214 carry a
+    // brute-force oracle while shipping a bucket-bounded plan
+    import spark.implicits._
+    val hashes = Multimodal.perceptualHashes(spark, sf).collect()
+    val brute = (for {
+      a <- hashes; b <- hashes if a.doc_id < b.doc_id
+      ham = java.lang.Long.bitCount(a.h_lo ^ b.h_lo) +
+        java.lang.Long.bitCount(a.h_hi ^ b.h_hi)
+      if ham <= 7
+    } yield (a.doc_id, b.doc_id, ham)).toSet
+    val banded = Multimodal.q214MediaPhash(spark, sf).as[(Long, Long, Int)]
+      .collect().toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the fixture's near-dups must surface
+  }
+
+  test("perceptual near-dup plan joins on chunk keys, never all-pairs") {
+    val plan = Multimodal.q214MediaPhash(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("media tier agrees with the MinHash tier on this corpus") {
+    // independent signals (byte-gram histogram vs word-shingle MinHash)
+    // landing on the same 25 pairs is the cross-modality consistency a
+    // curation pipeline leans on; a histogram regression that loses
+    // recall or invents pairs breaks set equality here
+    import spark.implicits._
+    val media = Multimodal.q214MediaPhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val minhash = operators.Dedup.q25DedupMinhash(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(media == minhash)
+  }
+
   test("mean byte equals the ascii average of the source text") {
     // documents are ascii word-salad: payload bytes == text chars, so
     // the decoded feature is checkable from the text itself
