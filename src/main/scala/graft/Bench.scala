@@ -61,14 +61,23 @@ object Bench {
         try q.stop() catch { case scala.util.control.NonFatal(_) => () }
       }
       spark.catalog.clearCache()
-      // Embedded Derby (q196) keeps its database booted in-JVM; deleting
-      // a booted database's files corrupts the next open. Shut the whole
-      // engine down first (success *throws* XJ015 by Derby contract).
-      // deregister=false: shutdown otherwise DEregisters the JDBC driver,
-      // and the next q196 run would die with "No suitable driver".
+      // Embedded Derby (q196/q202) keeps its database booted in-JVM;
+      // deleting a booted database's files corrupts the next open. Shut
+      // the whole engine down first (success *throws* XJ015 by Derby
+      // contract), then RE-REGISTER the driver: engine shutdown
+      // deregisters it from DriverManager (even with deregister=false,
+      // measured on this Derby), and Spark's JDBC source resolves the
+      // driver through DriverManager.getDriver(url) — without the
+      // re-registration every later JDBC query dies with "No suitable
+      // driver" (exactly how r5's first sweep lost q196/q202).
       try java.sql.DriverManager
-        .getConnection("jdbc:derby:;shutdown=true;deregister=false")
+        .getConnection("jdbc:derby:;shutdown=true")
       catch { case _: java.sql.SQLException => () }
+      try java.sql.DriverManager.registerDriver(
+        Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+          .getDeclaredConstructor().newInstance()
+          .asInstanceOf[java.sql.Driver])
+      catch { case scala.util.control.NonFatal(_) => () }
       Scratch.deleteRecursively(java.nio.file.Paths.get(Scratch.dir("")))
       System.gc()
     }

@@ -243,6 +243,8 @@ object SparkEntry {
     "q214_media_phash"     -> (Multimodal.q214MediaPhash _),
     "q215_cluster_reps"    -> (Dedup.q215ClusterRepresentatives _),
     "q216_contamination_spans" -> (Dedup.q216ContaminationSpans _),
+    "q217_stream_index_dedup" ->
+      (graft.streaming.StreamDedup.q217StreamIndexDedup _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4024,6 +4026,46 @@ object SparkEntry {
         COUNT(*) AS n_grams
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start""",
+
+    // the streaming admission gate is q206's new×old half with the
+    // stream side always on the left: arriving (%10=7) docs probed
+    // against the standing-corpus band index, exact-Jaccard verified
+    "q217_stream_index_dedup" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+        FROM bands n
+        JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+        WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7)
+      SELECT doc_new, doc_old,
+        ROUND(CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE), 9)
+          AS jaccard
+      FROM cand
+      JOIN sh x ON x.doc_id = doc_new
+      JOIN sh y ON y.doc_id = doc_old
+      WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
+      ORDER BY doc_new, doc_old""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

@@ -49,7 +49,7 @@ object Dedup {
     * verify), and recomputing the shingling per consumer would
     * dominate. At cluster scale this is "write the sketch table to
     * parquet once, join it many times". */
-  private def shingled(docs: DataFrame): DataFrame =
+  private[graft] def shingled(docs: DataFrame): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -117,7 +117,7 @@ object Dedup {
     * native one-pass expression (functions.MinHashMd5Sigs), 16 hashes
     * grouped into 4 bands of 4. The shared index-build step of the
     * full pairing (q25) and the incremental pairing (q206). */
-  private def bandTable(docs: DataFrame): DataFrame =
+  private[graft] def bandTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         graft.functions.TextExprs.minhashSigs(col("sh"), 16).as("sig"))
       .select(col("doc_id"), expr(

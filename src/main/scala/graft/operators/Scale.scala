@@ -19,7 +19,7 @@ object Scale {
   /** Drop a managed table and its (possibly orphaned) warehouse
     * location — the in-memory catalog forgets tables between sessions
     * while the directory persists. */
-  private[operators] def dropManaged(spark: SparkSession,
+  private[graft] def dropManaged(spark: SparkSession,
       table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(

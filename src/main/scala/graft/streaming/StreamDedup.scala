@@ -62,4 +62,92 @@ object StreamDedup {
       val result = spark.table(name).orderBy("fp")
       StreamingWindows.materializeAndDrop(spark, name, result)
     }
+
+  /** q217: the streaming NEAR-dup admission gate — arriving documents
+    * are checked against the PERSISTED MinHash band index of the
+    * standing corpus before they are admitted. q206/q211 are the batch
+    * (daily) shape of this; this is the online shape a real ingest
+    * front-door runs: the index is a bucketed catalog table built once
+    * per compaction cycle, and each micro-batch only computes its own
+    * sketches and probes the buckets it lands in.
+    *
+    * Plan shape per micro-batch: narrow sketching (shingles → 16
+    * minhash sigs → 4 band keys, all codegen expressions — no
+    * checkpoint, no repartition: streaming batches are already
+    * parallel), a STREAM-STATIC inner join against the band index on
+    * (band, band_key), stateful pair dedup (the same candidate can
+    * arrive via several bands/batches), then a second static join
+    * fetches the matched corpus doc's shingles for the exact-Jaccard
+    * verify. Only the NEW side flows through streaming state — the
+    * corpus side stays a static table, which is what bounds state at
+    * 100 TB (state ∝ admitted candidates, not corpus size).
+    *
+    * Pair dedup uses dropDuplicates on the pair key, which is
+    * unbounded state by contract; a production gate bounds it with
+    * `dropDuplicatesWithinWatermark` keyed the same way (the q81
+    * pattern) — the fixture drain here is finite, and keeping the
+    * pair key time-free makes the output interleaving-invariant and
+    * thus oracle-checkable. */
+  def q217StreamIndexDedup(spark: SparkSession, dir: String): DataFrame =
+    StreamingWindows.withStreamPartitions(spark) {
+      import graft.operators.{Dedup, Scale}
+      val corpus = graft.Tables.documents(spark, dir)
+        .filter(F.col("doc_id") % 10 =!= 7)
+      val corpusShingles = Dedup.shingled(corpus)
+      // the standing artifact: bucketed so batch consumers (q211's
+      // shape) join it exchange-free; the stream probe below reads it
+      // as a plain static table
+      Scale.dropManaged(spark, "graft_band_index_gate")
+      Dedup.bandTable(corpusShingles)
+        .write.bucketBy(8, "band", "band_key").sortBy("band", "band_key")
+        .mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable("graft_band_index_gate")
+      val index = spark.table("graft_band_index_gate")
+
+      val arriving = spark.readStream
+        .schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .filter(F.col("doc_id") % 10 === 7)
+        .select(F.col("doc_id"),
+          F.split(Cols.normText(F.col("text")), " ").as("w"))
+        .filter(F.size(F.col("w")) >= 2)
+        .select(F.col("doc_id"),
+          F.expr("array_distinct(transform(sequence(1, size(w) - 1), " +
+            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))")
+            .as("sh"))
+      val probes = arriving
+        .select(F.col("doc_id"), F.col("sh"),
+          graft.functions.TextExprs.minhashSigs(F.col("sh"), 16).as("sig"))
+        .select(F.col("doc_id"), F.col("sh"),
+          F.expr("explode(transform(sequence(0, 3), b -> struct(" +
+            "cast(b as int) as band, md5(concat_ws(',', " +
+            "slice(sig, b * 4 + 1, 4))) as band_key)))").as("bk"))
+        .select(F.col("doc_id").as("doc_new"), F.col("sh"),
+          F.col("bk.band"), F.col("bk.band_key"))
+      val verified = probes
+        .join(index,
+          probes("band") === index("band") &&
+            probes("band_key") === index("band_key"))
+        .select(F.col("doc_new"), F.col("sh"),
+          index("doc_id").as("doc_old"))
+        .dropDuplicates("doc_new", "doc_old")
+        .join(corpusShingles
+          .select(F.col("doc_id").as("doc_old"), F.col("sh").as("sh_old")),
+          "doc_old")
+        .select(F.col("doc_new"), F.col("doc_old"),
+          graft.functions.TextExprs.jaccard(F.col("sh"), F.col("sh_old"))
+            .as("jac_raw"))
+        .filter(F.col("jac_raw") >= 0.8)
+        .select(F.col("doc_new"), F.col("doc_old"),
+          F.round(F.col("jac_raw"), 9).as("jaccard"))
+
+      val name = "graft_stream_gate_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = verified.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      query.awaitTermination()
+      val result = spark.table(name).orderBy("doc_new", "doc_old")
+      StreamingWindows.materializeAndDrop(spark, name, result)
+    }
 }

@@ -203,6 +203,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == want, got.toSeq.sorted.mkString("\n"))
   }
 
+  test("stream index gate emits only new-vs-corpus pairs, matching " +
+    "the batch incremental pairing") {
+    import spark.implicits._
+    val gate = graft.streaming.StreamDedup.q217StreamIndexDedup(spark, sf)
+      .select("doc_new", "doc_old").as[(Long, Long)].collect()
+    assert(gate.nonEmpty)
+    // orientation contract: arriving side is always %10==7, index side
+    // never is — the gate must not re-adjudicate corpus-internal pairs
+    gate.foreach { case (n, o) =>
+      assert(n % 10 == 7 && o % 10 != 7, s"pair ($n,$o)")
+    }
+    // the online gate equals the batch daily-ingest query's new×old
+    // half (q206 additionally reports new×new from its self-join)
+    val batch = graft.operators.Dedup.q206IncrementalDedup(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("pair_type") === "new_old")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .map { case (a, b) => if (a % 10 == 7) (a, b) else (b, a) }
+    assert(gate.toSet == batch.toSet)
+  }
+
   test("transformWithState running totals converge to the batch " +
       "group-by across micro-batches") {
     import org.apache.spark.sql.functions._
