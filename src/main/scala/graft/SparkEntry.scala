@@ -245,6 +245,7 @@ object SparkEntry {
     "q216_contamination_spans" -> (Dedup.q216ContaminationSpans _),
     "q217_stream_index_dedup" ->
       (graft.streaming.StreamDedup.q217StreamIndexDedup _),
+    "q218_boilerplate_spans" -> (Dedup.q218BoilerplateSpans _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4066,6 +4067,38 @@ object SparkEntry {
       WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
           / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
       ORDER BY doc_new, doc_old""",
+
+    // q216's positional-gram + islands CTEs with the candidate source
+    // swapped: grams occurring in more than one DISTINCT document
+    "q218_boilerplate_spans" -> """
+      WITH docs AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      d8 AS (SELECT doc_id, w FROM docs WHERE len(w) >= 8),
+      pos0 AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM d8),
+      grams AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+          array_to_string(w[i:i+7], ' ') AS gram
+        FROM pos0),
+      df AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df
+        FROM grams GROUP BY gram),
+      hits AS (
+        SELECT g.doc_id, g.pos FROM grams g
+        JOIN df USING (gram) WHERE df.df > 1),
+      isl AS (
+        SELECT doc_id, pos,
+          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+            AS island
+        FROM hits)
+      SELECT doc_id, MIN(pos) AS span_start,
+        CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+        COUNT(*) AS n_grams
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

@@ -623,6 +623,52 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** q218: inter-document duplicated-span excision — the corpus-driven
+    * sibling of q216 (same positional-gram + gaps-and-islands
+    * machinery, different candidate source): spans whose 8-grams occur
+    * in MORE THAN ONE document. This is gram-level line-dedup — the
+    * boilerplate-removal pass of a crawl pipeline (headers, footers,
+    * licenses repeated across pages) — where q216 excises eval
+    * contamination and q198 only PROFILES corpus self-duplication
+    * per doc. The df>1 cap is the fixture-scale stand-in; production
+    * raises it so only template-grade spans (df over hundreds) are
+    * excised, with near-dup handling left to the q25 tier.
+    *
+    * Plan: the positional gram table builds once (checkpointed — both
+    * the df aggregate and the hit join consume it; re-exploding the
+    * corpus twice would double the dominant cost), df counts DISTINCT
+    * docs per gram (intra-doc repeats are q114's surface, not
+    * boilerplate), and the hit join shuffles on the gram exactly like
+    * q113/q216 — unhinted, because the shared-gram side is
+    * corpus-proportional. */
+  def q218BoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+    val gramSql =
+      "transform(sequence(0, size(w) - 8), " +
+        "i -> array_join(slice(w, i + 1, 8), ' '))"
+    val posGrams = docs
+      .select(col("doc_id"), posexplode(expr(gramSql)).as(Seq("pos", "gram")))
+      .localCheckpoint(eager = false)
+    val shared = posGrams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .select(col("gram"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    posGrams.join(shared, "gram")
+      .select(col("doc_id"), col("pos"))
+      .withColumn("island", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + 7).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_grams"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** Incremental dedup — the daily-ingest shape: near-dup pairs where
     * at least one side is in the NEW batch (doc_id % 10 == 7 models
     * today's arrivals), checked against the WHOLE corpus. The new

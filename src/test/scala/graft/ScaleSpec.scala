@@ -255,6 +255,37 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("cluster-representative ranking and summary share one label " +
+      "exchange") {
+    // q215's stated plan contract: the groupBy(label) after the
+    // row_number window reuses the window's hashpartitioning(label) —
+    // rank-then-summarize costs ONE exchange of (id, label, n_tokens),
+    // not two. If a plan change re-shuffles between Window and the
+    // aggregates, an Exchange appears between them and this fails.
+    val plan = operators.Dedup.q215ClusterRepresentatives(spark, sf)
+      .queryExecution.executedPlan.toString
+    val window = plan.indexOf("Window")
+    assert(window >= 0, plan.take(3000))
+    val above = plan.substring(0, window)
+    // above the window (downstream of it in execution): only the
+    // final-sort range exchange is allowed, never a hash repartition
+    assert(!above.contains("Exchange hashpartitioning"), above.take(3000))
+  }
+
+  test("contamination-span islands aggregate without re-shuffling " +
+      "the per-doc hits") {
+    // q216: groupBy(doc_id, island) runs on the window's
+    // hashpartitioning(doc_id) — clustering on a superset of keys is
+    // satisfied by the subset partitioning, so the island merge adds
+    // no exchange after the window
+    val plan = operators.Dedup.q216ContaminationSpans(spark, sf)
+      .queryExecution.executedPlan.toString
+    val window = plan.indexOf("Window")
+    assert(window >= 0, plan.take(3000))
+    assert(!plan.substring(0, window).contains("Exchange hashpartitioning"),
+      plan.take(3000))
+  }
+
   test("AQE detects and splits a skewed join partition at runtime") {
     import org.apache.spark.sql.functions._
     // the adaptive twin of the MANUAL salting queries q47/q80: no
