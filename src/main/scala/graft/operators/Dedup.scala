@@ -790,12 +790,13 @@ object Dedup {
     *  4. decontamination — drop survivors sharing an 8-gram with the
     *                      held-out split (q113's screen; eval is the
     *                      doc_id % 10 == 0 split, input is the rest).
-    * The five stage counts are driver-side scalar aggregates
-    * (metadata-sized); every heavy step is the banded/keyed shuffle
-    * plan of its standalone query, so the composition scales exactly
-    * as its parts do. At 100 TB each stage's survivors would persist
-    * to parquet between stages; the lazy checkpoints here are the
-    * in-plan form of that handoff. */
+    * The five stage counts run as ONE union-of-tagged-branches
+    * aggregate (a single job over metadata-sized branches — not five
+    * sequential driver actions); every heavy step is the banded/keyed
+    * shuffle plan of its standalone query, so the composition scales
+    * exactly as its parts do. At 100 TB each stage's survivors would
+    * persist to parquet between stages; the lazy checkpoints here are
+    * the in-plan form of that handoff. */
   def q209CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val all = Tables.documents(spark, dir)
@@ -826,13 +827,25 @@ object Dedup {
     val contaminated = grams(s3).join(evalGrams, "gram")
       .select(col("doc_id")).distinct()
     val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
-    val (n0, n1, n2, n3, n4) =
-      (train.count(), s1.count(), s2.count(), s3.count(), s4.count())
+    // ONE counting job: each stage frame contributes a tagged
+    // single-literal column (pruning drops everything else from the
+    // branch scans), the union groups by tag, and the checkpointed
+    // shared prefixes (s2, s3) materialize once and feed every later
+    // branch — five sequential driver count() actions collapse into
+    // one aggregate of five metadata-sized branches
+    val byStage = train.select(lit(0).as("s"))
+      .unionAll(s1.select(lit(1).as("s")))
+      .unionAll(s2.select(lit(2).as("s")))
+      .unionAll(s3.select(lit(3).as("s")))
+      .unionAll(s4.select(lit(4).as("s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def n(k: Int): Long = byStage.getOrElse(k, 0L)
     Seq(
-      (1, "quality_length", n0, n0 - n1, n1),
-      (2, "exact_dedup", n1, n1 - n2, n2),
-      (3, "near_dedup", n2, n2 - n3, n3),
-      (4, "decontamination", n3, n3 - n4, n4))
+      (1, "quality_length", n(0), n(0) - n(1), n(1)),
+      (2, "exact_dedup", n(1), n(1) - n(2), n(2)),
+      (3, "near_dedup", n(2), n(2) - n(3), n(3)),
+      (4, "decontamination", n(3), n(3) - n(4), n(4)))
       .toDF("stage", "gate", "n_entering", "n_dropped", "n_surviving")
       .orderBy(col("stage"))
   }
