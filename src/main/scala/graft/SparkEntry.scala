@@ -246,6 +246,7 @@ object SparkEntry {
     "q217_stream_index_dedup" ->
       (graft.streaming.StreamDedup.q217StreamIndexDedup _),
     "q218_boilerplate_spans" -> (Dedup.q218BoilerplateSpans _),
+    "q219_span_excision"   -> (Dedup.q219SpanExcision _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4099,6 +4100,54 @@ object SparkEntry {
         COUNT(*) AS n_grams
       FROM isl GROUP BY doc_id, island
       ORDER BY doc_id, span_start""",
+
+    // q218's span CTEs + token-level NOT EXISTS + ordered reassembly:
+    // the md5 pins the redacted TEXT, not just the drop counts
+    "q219_span_excision" -> """
+      WITH docs AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      toks AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS tok
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i
+              FROM docs) t),
+      d8 AS (SELECT doc_id, w FROM docs WHERE len(w) >= 8),
+      pos0 AS (
+        SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM d8),
+      grams AS (
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+          array_to_string(w[i:i+7], ' ') AS gram
+        FROM pos0),
+      df AS (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df
+        FROM grams GROUP BY gram),
+      hits AS (
+        SELECT g.doc_id, g.pos FROM grams g
+        JOIN df USING (gram) WHERE df.df > 1),
+      isl AS (
+        SELECT doc_id, pos,
+          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+            AS island
+        FROM hits),
+      spans AS (
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end
+        FROM isl GROUP BY doc_id, island),
+      kept AS (
+        SELECT t.doc_id, t.pos, t.tok FROM toks t
+        WHERE NOT EXISTS (
+          SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id
+            AND t.pos BETWEEN s.span_start AND s.span_end)),
+      ka AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+          md5(string_agg(tok, ' ' ORDER BY pos)) AS redacted_md5
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
+        CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+        coalesce(ka.redacted_md5, md5('')) AS redacted_md5
+      FROM docs d LEFT JOIN ka USING (doc_id)
+      ORDER BY d.doc_id""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

@@ -641,7 +641,12 @@ object Dedup {
     * boilerplate), and the hit join shuffles on the gram exactly like
     * q113/q216 — unhinted, because the shared-gram side is
     * corpus-proportional. */
-  def q218BoilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
+  def q218BoilerplateSpans(spark: SparkSession, dir: String): DataFrame =
+    boilerplateSpans(spark, dir)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Unsorted core of q218 — also the span source q219 applies. */
+  private def boilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 8)
@@ -666,7 +671,47 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_grams"))
-      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** q219: APPLY the excision q218 reports — emit the redacted corpus.
+    * Every token inside a duplicated span is dropped; the survivors
+    * reassemble in order and the result is fingerprinted (md5), so the
+    * oracle verifies the REASSEMBLED TEXT itself, not just drop
+    * counts — an off-by-one in span bounds or a reordering in the
+    * rebuild changes the hash. Docs without spans (including the
+    * under-8-token ones that cannot carry a span) pass through whole,
+    * which the left join + coalesce makes explicit.
+    *
+    * Plan: tokens explode once; the span anti-join is doc_id-equi with
+    * the range check as residual (shuffles on doc_id, never
+    * nested-loop); the rebuild is sort_array over per-doc collected
+    * (pos, tok) structs — per-doc arrays, no global sort. At 100 TB
+    * the excision writes the redacted corpus back to parquet; the md5
+    * here stands in for that sink so the whole rebuild is
+    * hash-verified. */
+  def q219SpanExcision(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "tok")))
+    val spans = boilerplateSpans(spark, dir)
+      .select(col("doc_id").as("span_doc"), col("span_start"),
+        col("span_end"))
+    val kept = toks.join(spans,
+        col("doc_id") === col("span_doc") &&
+          col("pos").between(col("span_start"), col("span_end")),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("redacted_md5"))
+    docs.select(col("doc_id"), size(col("w")).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("redacted_md5"), md5(lit(""))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
   }
 
   /** Incremental dedup — the daily-ingest shape: near-dup pairs where
