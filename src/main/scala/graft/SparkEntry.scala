@@ -247,6 +247,7 @@ object SparkEntry {
       (graft.streaming.StreamDedup.q217StreamIndexDedup _),
     "q218_boilerplate_spans" -> (Dedup.q218BoilerplateSpans _),
     "q219_span_excision"   -> (Dedup.q219SpanExcision _),
+    "q220_corpus_drift"    -> (TextStats.q220CorpusDrift _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4148,6 +4149,43 @@ object SparkEntry {
         coalesce(ka.redacted_md5, md5('')) AS redacted_md5
       FROM docs d LEFT JOIN ka USING (doc_id)
       ORDER BY d.doc_id""",
+
+    // symmetric smoothed KL between the two halves; per-token terms
+    // round to 9 decimals and sum as exact decimals (q191's recipe)
+    "q220_corpus_drift" -> """
+      WITH tok AS (
+        SELECT doc_id % 2 AS half, t.tok FROM (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+              ' ', 'g')), ' ')) AS tok
+          FROM documents) t
+        WHERE t.tok <> ''),
+      counts AS (
+        SELECT tok,
+          CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_a,
+          CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_b
+        FROM tok GROUP BY tok),
+      totals AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+          CAST(SUM(n_b) AS BIGINT) AS tot_b,
+          COUNT(*) AS v
+        FROM counts),
+      terms AS (
+        SELECT
+          CAST(ROUND(p * ln(p / q), 9) AS DECIMAL(18,9)) AS t_ab,
+          CAST(ROUND(q * ln(q / p), 9) AS DECIMAL(18,9)) AS t_ba
+        FROM (
+          SELECT
+            CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + v AS DOUBLE) AS p,
+            CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + v AS DOUBLE) AS q
+          FROM counts CROSS JOIN totals) x)
+      SELECT v AS n_vocab, tot_a AS n_tokens_a, tot_b AS n_tokens_b,
+        ROUND(CAST(SUM(t_ab) AS DOUBLE), 9) AS kl_ab,
+        ROUND(CAST(SUM(t_ba) AS DOUBLE), 9) AS kl_ba
+      FROM terms CROSS JOIN totals
+      GROUP BY v, tot_a, tot_b""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

@@ -621,6 +621,46 @@ object TextStats {
           .as("r2"))
   }
 
+  /** q220: token-distribution drift between two corpus snapshots
+    * (halves by doc_id parity here; in production, yesterday's mixture
+    * vs today's) — symmetric KL divergence with add-one smoothing over
+    * the joint vocabulary. The drift monitor a data-mixture pipeline
+    * alarms on: a slope in KL means a source started over- or
+    * under-contributing long before eyeballing samples would catch it.
+    *
+    * Determinism is q191's recipe: each irrational per-token term
+    * p·ln(p/q) rounds to 9 decimals and casts to decimal(18,9), so the
+    * cross-vocabulary sums are EXACT decimal arithmetic — order-free
+    * under any shuffle, hash-identical in the oracle. One shuffle on
+    * the token; the two scalar totals ride a 1-row cross join. */
+  def q220CorpusDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec9 = (c: Column) => round(c, 9).cast("decimal(18,9)")
+    val tok = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2).cast("int").as("half"),
+        explode(toks(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = tok.groupBy(col("tok"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      .localCheckpoint(eager = false) // totals + terms both consume it
+    val totals = counts.agg(sum(col("n_a")).as("tot_a"),
+      sum(col("n_b")).as("tot_b"), count(lit(1)).as("v"))
+    val terms = counts.crossJoin(totals)
+      .select(
+        ((col("n_a") + 1).cast("double") /
+          (col("tot_a") + col("v")).cast("double")).as("p"),
+        ((col("n_b") + 1).cast("double") /
+          (col("tot_b") + col("v")).cast("double")).as("q"))
+      .select(dec9(col("p") * log(col("p") / col("q"))).as("t_ab"),
+        dec9(col("q") * log(col("q") / col("p"))).as("t_ba"))
+    terms.agg(sum(col("t_ab")).as("s_ab"), sum(col("t_ba")).as("s_ba"))
+      .crossJoin(totals)
+      .select(col("v").as("n_vocab"), col("tot_a").as("n_tokens_a"),
+        col("tot_b").as("n_tokens_b"),
+        round(col("s_ab").cast("double"), 9).as("kl_ab"),
+        round(col("s_ba").cast("double"), 9).as("kl_ba"))
+  }
+
   /** Filter-waterfall report: q115's Gopher gates applied in a fixed
     * order, with per-stage attrition — the "where did my data go"
     * accounting a cleaning pipeline publishes next to its output.
