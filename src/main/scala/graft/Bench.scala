@@ -73,11 +73,17 @@ object Bench {
       try java.sql.DriverManager
         .getConnection("jdbc:derby:;shutdown=true")
       catch { case _: java.sql.SQLException => () }
-      try java.sql.DriverManager.registerDriver(
-        Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-          .getDeclaredConstructor().newInstance()
-          .asInstanceOf[java.sql.Driver])
-      catch { case scala.util.control.NonFatal(_) => () }
+      // re-register only when the shutdown actually deregistered it —
+      // unconditional registration would stack a wrapper instance per
+      // timed run (~650/sweep) in DriverManager's driver list
+      try java.sql.DriverManager.getDriver("jdbc:derby:probe")
+      catch { case _: java.sql.SQLException =>
+        try java.sql.DriverManager.registerDriver(
+          Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+            .getDeclaredConstructor().newInstance()
+            .asInstanceOf[java.sql.Driver])
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       Scratch.deleteRecursively(java.nio.file.Paths.get(Scratch.dir("")))
       System.gc()
     }

@@ -34,10 +34,22 @@ object Dedup {
   /** Normalized word tokens of a text column (lower, collapse ws, trim). */
   private def words(c: Column): Column = split(Cols.normText(c), " ")
 
-  /** Distinct 2-word shingles; callers must guard size(words) >= 2. */
-  private val shingleSql =
+  /** Distinct 2-word shingles; callers must guard size(words) >= 2.
+    * Shared with the streaming gate (q217): probe keys must be
+    * bit-identical to the persisted index or the gate silently
+    * matches nothing. */
+  private[graft] val shingleSql =
     "array_distinct(transform(sequence(1, size(w) - 1), " +
       "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))"
+
+  /** Band-key explode over a 16-element `sig` column: 4 bands of 4,
+    * band_key = md5 of the comma-joined slice. The ONE recipe both
+    * the persisted index (bandTable) and the streaming probe (q217)
+    * must share — see shingleSql. */
+  private[graft] val bandExplodeSql =
+    "explode(transform(sequence(0, 3), b -> struct(" +
+      "cast(b as int) as band, " +
+      "md5(concat_ws(',', slice(sig, b * 4 + 1, 4))) as band_key)))"
 
   /** doc_id + distinct shingle set for every document with >= 2 tokens.
     * The corpus arrives as few large files, so the scan alone may give
@@ -120,11 +132,7 @@ object Dedup {
   private[graft] def bandTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         graft.functions.TextExprs.minhashSigs(col("sh"), 16).as("sig"))
-      .select(col("doc_id"), expr(
-        "explode(transform(sequence(0, 3), b -> struct(" +
-          "cast(b as int) as band, " +
-          "md5(concat_ws(',', slice(sig, b * 4 + 1, 4))) as band_key)))")
-        .as("bk"))
+      .select(col("doc_id"), expr(bandExplodeSql).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
 
   /** SimHash near-dedup: 64-bit sketch per doc (bit j is the sign of the
@@ -598,21 +606,40 @@ object Dedup {
     * q113; the window + island aggregate then shuffle tiny
     * (doc_id, pos) hits only. */
   def q216ContaminationSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val pg = positionalGrams(spark, dir)
+    val eval_ = pg.filter(col("doc_id") % 10 === 0)
+      .select(col("gram")).distinct()
+    val hits = pg.filter(col("doc_id") % 10 =!= 0)
+      .join(eval_, "gram")
+      .select(col("doc_id"), col("pos"))
+    gramIslandSpans(hits)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** (doc_id, 0-based token offset, 8-gram) for every >=8-token doc —
+    * the shared positional index of the span operators (q216, q218,
+    * q219). Checkpointed: each consumer reads it at least twice
+    * (candidate build + hit join), and re-exploding the corpus would
+    * dominate. */
+  private def positionalGrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 8)
-    val gramSql =
-      "transform(sequence(0, size(w) - 8), " +
-        "i -> array_join(slice(w, i + 1, 8), ' '))"
-    val eval_ = docs.filter(col("doc_id") % 10 === 0)
-      .select(explode(expr(s"array_distinct($gramSql)")).as("gram"))
-      .distinct()
-    val train = docs.filter(col("doc_id") % 10 =!= 0)
-      .select(col("doc_id"), posexplode(expr(gramSql)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), posexplode(
+        expr("transform(sequence(0, size(w) - 8), " +
+          "i -> array_join(slice(w, i + 1, 8), ' '))"))
+        .as(Seq("pos", "gram")))
+      .localCheckpoint(eager = false)
+
+  /** Merge per-doc gram-hit offsets into maximal contiguous spans
+    * (gaps-and-islands: offset minus per-doc row_number is constant
+    * within a run); span_end is the last TOKEN index covered (last
+    * gram start + 7). The ONE span semantics q216/q218 report and
+    * q219 applies — a bound fix lands in all three at once. */
+  private def gramIslandSpans(hits: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    train.join(eval_, "gram")
-      .select(col("doc_id"), col("pos"))
+    hits
       .withColumn("island", col("pos") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("island"))
       .agg(min(col("pos")).as("span_start"),
@@ -620,7 +647,6 @@ object Dedup {
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"),
         col("n_grams"))
-      .orderBy(col("doc_id"), col("span_start"))
   }
 
   /** q218: inter-document duplicated-span excision — the corpus-driven
@@ -647,30 +673,13 @@ object Dedup {
 
   /** Unsorted core of q218 — also the span source q219 applies. */
   private def boilerplateSpans(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= 8)
-    val gramSql =
-      "transform(sequence(0, size(w) - 8), " +
-        "i -> array_join(slice(w, i + 1, 8), ' '))"
-    val posGrams = docs
-      .select(col("doc_id"), posexplode(expr(gramSql)).as(Seq("pos", "gram")))
-      .localCheckpoint(eager = false)
-    val shared = posGrams.select(col("doc_id"), col("gram")).distinct()
+    val pg = positionalGrams(spark, dir)
+    val shared = pg.select(col("doc_id"), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") > 1)
       .select(col("gram"))
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    posGrams.join(shared, "gram")
-      .select(col("doc_id"), col("pos"))
-      .withColumn("island", col("pos") - row_number().over(byDoc))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + 7).as("span_end"),
-        count(lit(1)).as("n_grams"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        col("n_grams"))
+    gramIslandSpans(
+      pg.join(shared, "gram").select(col("doc_id"), col("pos")))
   }
 
   /** q219: APPLY the excision q218 reports — emit the redacted corpus.

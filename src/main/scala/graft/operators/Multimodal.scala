@@ -131,6 +131,12 @@ object Multimodal {
   def perceptualHashes(spark: SparkSession, dir: String): Dataset[MediaPHash] = {
     import spark.implicits._
     mediaTable(spark, dir)
+      // a payload under one gram has an empty histogram — every such
+      // asset would hash to (0,0) and collapse into one spurious
+      // hamming-0 cluster; exclude them like the oracle does (the
+      // fixture's min payload is ~44 bytes, so this is a guard, not a
+      // filter that fires today)
+      .filter(octet_length(col("payload")) >= 4)
       .select(col("doc_id"), col("media_type"), col("payload"))
       .as[MediaRecord]
       .mapPartitions(_.map { r =>

@@ -104,6 +104,9 @@ object StreamDedup {
         .saveAsTable("graft_band_index_gate")
       val index = spark.table("graft_band_index_gate")
 
+      // the probe reuses Dedup's EXACT shingle and band-key recipes
+      // (shingleSql / bandExplodeSql) — the gate only works if probe
+      // keys are bit-identical to the persisted index's
       val arriving = spark.readStream
         .schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet")
@@ -112,17 +115,12 @@ object StreamDedup {
         .select(F.col("doc_id"),
           F.split(Cols.normText(F.col("text")), " ").as("w"))
         .filter(F.size(F.col("w")) >= 2)
-        .select(F.col("doc_id"),
-          F.expr("array_distinct(transform(sequence(1, size(w) - 1), " +
-            "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))))")
-            .as("sh"))
+        .select(F.col("doc_id"), F.expr(Dedup.shingleSql).as("sh"))
       val probes = arriving
         .select(F.col("doc_id"), F.col("sh"),
           graft.functions.TextExprs.minhashSigs(F.col("sh"), 16).as("sig"))
         .select(F.col("doc_id"), F.col("sh"),
-          F.expr("explode(transform(sequence(0, 3), b -> struct(" +
-            "cast(b as int) as band, md5(concat_ws(',', " +
-            "slice(sig, b * 4 + 1, 4))) as band_key)))").as("bk"))
+          F.expr(Dedup.bandExplodeSql).as("bk"))
         .select(F.col("doc_id").as("doc_new"), F.col("sh"),
           F.col("bk.band"), F.col("bk.band_key"))
       val verified = probes
