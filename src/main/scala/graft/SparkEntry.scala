@@ -248,6 +248,12 @@ object SparkEntry {
     "q218_boilerplate_spans" -> (Dedup.q218BoilerplateSpans _),
     "q219_span_excision"   -> (Dedup.q219SpanExcision _),
     "q220_corpus_drift"    -> (TextStats.q220CorpusDrift _),
+    "q221_chi2_independence" -> (Quality.q221Chi2Independence _),
+    "q222_kappa_agreement" -> (TextStats.q222KappaAgreement _),
+    "q223_threshold_sweep" -> (Dedup.q223ThresholdSweep _),
+    "q224_quality_dup_rate" -> (Dedup.q224QualityDupRate _),
+    "q225_budget_selection" -> (Sampling.q225BudgetSelection _),
+    "q226_minhash_calibration" -> (Dedup.q226MinhashCalibration _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4186,6 +4192,270 @@ object SparkEntry {
         ROUND(CAST(SUM(t_ba) AS DOUBLE), 9) AS kl_ba
       FROM terms CROSS JOIN totals
       GROUP BY v, tot_a, tot_b""",
+
+    // all arithmetic on exact BIGINT counts until the final double
+    // division, mirroring the Spark expression shapes exactly
+    "q221_chi2_independence" -> """
+      WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS observed
+        FROM documents GROUP BY lang, source),
+      r AS (SELECT lang, CAST(SUM(observed) AS BIGINT) AS row_total
+            FROM cells GROUP BY lang),
+      c AS (SELECT source, CAST(SUM(observed) AS BIGINT) AS col_total
+            FROM cells GROUP BY source),
+      g AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM cells),
+      j AS (
+        SELECT cells.lang, cells.source, observed, row_total, col_total,
+          CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+            / CAST(n AS DOUBLE) AS expected
+        FROM cells JOIN r USING (lang) JOIN c USING (source)
+        CROSS JOIN g)
+      SELECT lang, source, observed, row_total, col_total, expected,
+        (CAST(observed AS DOUBLE) - expected)
+          * (CAST(observed AS DOUBLE) - expected) / expected AS chi2_term
+      FROM j
+      ORDER BY lang, source""",
+
+    "q222_kappa_agreement" -> """
+      WITH scored AS (
+        SELECT lang,
+          len(list_filter(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' '), t -> list_contains(['the','a'], t)))
+            AS s_en,
+          len(list_filter(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' '),
+            t -> list_contains(['le','la','les'], t))) AS s_fr,
+          len(list_filter(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' '),
+            t -> list_contains(['der','die','das'], t))) AS s_de,
+          len(list_filter(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' '),
+            t -> list_contains(['el','los','una'], t))) AS s_es
+        FROM documents),
+      pred AS (
+        SELECT lang,
+          CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es
+                 THEN 'en'
+               WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+               WHEN s_de >= s_es THEN 'de'
+               ELSE 'es' END AS predicted
+        FROM scored),
+      conf AS (
+        SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2),
+      tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN lang = predicted THEN n ELSE 0 END)
+            AS BIGINT) AS n_agree
+        FROM conf),
+      rm AS (SELECT lang AS label, CAST(SUM(n) AS BIGINT) AS r
+             FROM conf GROUP BY 1),
+      cm AS (SELECT predicted AS label, CAST(SUM(n) AS BIGINT) AS c
+             FROM conf GROUP BY 1),
+      x AS (SELECT CAST(SUM(r * c) AS BIGINT) AS rc
+            FROM rm JOIN cm USING (label)),
+      k AS (
+        SELECT n_docs, n_agree,
+          CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+          CAST(rc AS DOUBLE)
+            / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) AS pe
+        FROM tot CROSS JOIN x)
+      SELECT n_docs, n_agree, po, pe, (po - pe) / (1 - pe) AS kappa
+      FROM k""",
+
+    // q25's banded-candidate CTEs without the 0.8 keep filter, swept
+    // over the same threshold grid the Spark side explodes
+    "q223_threshold_sweep" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      scored AS (
+        SELECT doc_a, doc_b,
+          CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE)
+            AS jaccard
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b)
+      SELECT CAST(thr AS DOUBLE) AS threshold,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_flagged
+      FROM scored
+      CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS thr) t
+      WHERE jaccard >= thr
+      GROUP BY thr
+      ORDER BY threshold""",
+
+    // q25's verified pair set feeding the q33 quality buckets: docs in
+    // any kept pair vs the full corpus, per bucket
+    "q224_quality_dup_rate" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      dup AS (
+        SELECT DISTINCT doc_id FROM (
+          SELECT doc_a AS doc_id FROM pairs
+          UNION ALL SELECT doc_b FROM pairs) u),
+      q AS (
+        SELECT doc_id,
+          CASE WHEN len(w) >= 50
+                    AND CAST(len(list_filter(w, t ->
+                      list_contains(['the','a'], t))) AS DOUBLE)
+                      / CAST(len(w) AS DOUBLE) <= 0.2 THEN 'high'
+               WHEN len(w) >= 20 THEN 'medium'
+               ELSE 'low' END AS quality
+        FROM words)
+      SELECT quality, n_docs, n_dup_docs,
+        CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+      FROM (
+        SELECT quality, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_docs
+        FROM q LEFT JOIN dup USING (doc_id)
+        GROUP BY quality) agg
+      ORDER BY quality""",
+
+    // the oracle's global-order window IS the single-task formulation
+    // the Spark side decomposes into blocks — identical prefix sums
+    "q225_budget_selection" -> """
+      WITH n AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+            ' ') AS w
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS tokens,
+          CASE WHEN len(w) >= 50
+                    AND CAST(len(list_filter(w, t ->
+                      list_contains(['the','a'], t))) AS DOUBLE)
+                      / CAST(len(w) AS DOUBLE) <= 0.2 THEN 'high'
+               WHEN len(w) >= 20 THEN 'medium'
+               ELSE 'low' END AS quality
+        FROM n),
+      t AS (
+        SELECT doc_id, tokens, quality,
+          CASE quality WHEN 'high' THEN 0 WHEN 'medium' THEN 1
+               ELSE 2 END AS tier
+        FROM q),
+      c AS (
+        SELECT tier, quality, tokens,
+          SUM(tokens) OVER (ORDER BY tier, doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t),
+      b AS (SELECT SUM(tokens) // 2 AS budget FROM t)
+      SELECT tier, quality,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+        CAST(SUM(CASE WHEN cum <= budget THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(CASE WHEN cum <= budget THEN tokens ELSE 0 END)
+          AS BIGINT) AS tokens_kept
+      FROM c CROSS JOIN b
+      GROUP BY tier, quality
+      ORDER BY tier""",
+
+    // per-pair signature agreement from the minh CTE joined per seed;
+    // exact-Jaccard means via integer micro-units (no float-sum order)
+    "q226_minhash_calibration" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      m AS (
+        SELECT doc_a, doc_b,
+          CAST(COUNT(CASE WHEN a.mh = b.mh THEN 1 END) AS INTEGER)
+            AS n_sig_matches
+        FROM cand
+        JOIN minh a ON a.doc_id = doc_a
+        JOIN minh b ON b.doc_id = doc_b AND b.seed = a.seed
+        GROUP BY doc_a, doc_b),
+      s AS (
+        SELECT m.n_sig_matches,
+          CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE)
+            AS jaccard
+        FROM m
+        JOIN sh x ON x.doc_id = m.doc_a
+        JOIN sh y ON y.doc_id = m.doc_b)
+      SELECT n_sig_matches,
+        CAST(n_sig_matches AS DOUBLE) / 16.0 AS est_jaccard,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CAST(ROUND(jaccard * 1000000.0) AS BIGINT)) AS DOUBLE)
+          / (1000000.0 * CAST(COUNT(*) AS DOUBLE)) AS avg_exact_jaccard
+      FROM s
+      GROUP BY n_sig_matches
+      ORDER BY n_sig_matches""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

@@ -102,7 +102,15 @@ object Dedup {
     * contract; the graph/audit consumers (q69/q122/q125/q141/q150/
     * q158) all aggregate immediately, and a global sort here would be
     * a wasted range-exchange for every one of them. */
-  def minhashPairs(documents: DataFrame): DataFrame = {
+  def minhashPairs(documents: DataFrame): DataFrame =
+    minhashCandidatesScored(documents).filter(col("jaccard") >= 0.8)
+
+  /** The banded candidate set with exact Jaccard but WITHOUT the 0.8
+    * keep threshold — the sub-core q223's threshold sweep and q226's
+    * estimator calibration need: both reason about what the verify
+    * step would do at other cut-offs, so the cut-off can't be baked
+    * in. minhashPairs == this.filter(jaccard >= 0.8). */
+  def minhashCandidatesScored(documents: DataFrame): DataFrame = {
     val docs = shingled(documents)
     val bands = bandTable(docs)
     val cand = bands.as("a")
@@ -121,7 +129,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b"))
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
   }
 
   /** (doc_id, band, band_key) rows for a shingled table: seed-th
@@ -1057,5 +1064,115 @@ object Dedup {
         col("n_dup_grams").cast("double") / col("n_grams").cast("double"),
         9))
       .orderBy(col("doc_id"))
+  }
+
+  /** Dedup threshold sensitivity sweep — the tuning report run before
+    * committing a verify cut-off: over the SAME banded candidate set
+    * production uses ([[minhashCandidatesScored]]), how many pairs
+    * survive and how many documents get flagged for drop at each
+    * candidate threshold? (doc_b is the dropped side under the
+    * keep-lowest-id pair policy, so distinct doc_b counts flagged
+    * docs.) One extra exchange over q25: the candidate pairs — already
+    * band-bounded, NOT corpus-sized — explode by the 5-row threshold
+    * grid and re-aggregate; the corpus itself is still scanned once,
+    * through the shared shingle/band plan. */
+  def q223ThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+    minhashCandidatesScored(Tables.documents(spark, dir))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(thresholds.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_flagged"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Quality x duplication interaction — the curation diagnostic that
+    * decides whether near-dedup can piggyback on the quality filter
+    * (if dup docs are overwhelmingly low-quality, the quality gate
+    * already removes most of them; if not, both passes must run). Per
+    * q33 quality bucket: total docs, docs that appear in at least one
+    * verified near-dup pair, and the dup rate.
+    *
+    * The dup-doc side is pair-explode + distinct over the band-bounded
+    * pair set — tiny relative to the corpus — so the attach-back is a
+    * broadcast semi-ish left join against the corpus-sized quality
+    * frame, never a corpus x corpus shuffle. Rate is an exact-count
+    * ratio → deterministic double. */
+  def q224QualityDupRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = TextStats.qualityScored(docs)
+      .select(col("doc_id"), col("quality"))
+    val dupDocs = minhashPairs(docs)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("is_dup", lit(1L))
+    quality.join(broadcast(dupDocs), Seq("doc_id"), "left")
+      .groupBy(col("quality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("quality"))
+  }
+
+  /** MinHash estimator calibration certificate — the sketch-quality
+    * report that justifies the signature length: for every banded
+    * candidate pair, the signature-agreement estimate (matching
+    * seeds / 16) next to the exact verified Jaccard, grouped by
+    * agreement count. A healthy sketch shows avg exact Jaccard tracking
+    * the estimate; a broken hash or band wiring shows up as a flat or
+    * inverted profile. Complements q213 (which certifies band RECALL
+    * against the cosine anchor; this certifies the ESTIMATOR itself).
+    *
+    * The exact-Jaccard average is summed in integer micro-units
+    * (round(j*1e6) per pair) so the per-bucket mean is an exact
+    * integer ratio — no float-summation order dependence between
+    * engines or partitionings. Work is bounded by the candidate set;
+    * the signature re-join adds two hash joins on the pair table, not
+    * a corpus rescan of text. */
+  def q226MinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, dir))
+    // signatures computed ONCE; bands derive from this same frame (the
+    // band self-join and the two sig re-joins are reused subplans, not
+    // fresh text scans)
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.TextExprs.minhashSigs(col("sh"), 16).as("sig"))
+    val bands = sigs.select(col("doc_id"), expr(bandExplodeSql).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val matches = size(filter(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+      b => b))
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(
+        graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b"))
+          .as("jaccard"),
+        matches.cast("int").as("n_sig_matches"))
+      .groupBy(col("n_sig_matches"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("jaccard") * 1e6).cast("long")).as("sum_micro"))
+      .select(col("n_sig_matches"),
+        (col("n_sig_matches").cast("double") / lit(16.0d)).as("est_jaccard"),
+        col("n_pairs"),
+        (col("sum_micro").cast("double") /
+          (lit(1e6) * col("n_pairs").cast("double")))
+          .as("avg_exact_jaccard"))
+      .orderBy(col("n_sig_matches"))
   }
 }

@@ -157,4 +157,45 @@ object Quality {
         min(regexp_substr(col("t"), lit(emailRe))).as("sample_email"))
       .orderBy(col("source"))
   }
+
+  /** Chi-squared independence report for `lang` x `source` — the
+    * corpus-composition drift test a curation pipeline runs per
+    * snapshot: are languages distributed across sources the way the
+    * last snapshot said, or did one crawl source suddenly skew?
+    * Emits one row per contingency cell with observed count, expected
+    * count under independence, and the cell's chi-squared term; an
+    * analyst (or q220's drift monitor) sums the terms against the
+    * critical value for (R-1)(C-1) degrees of freedom.
+    *
+    * Scale shape: ONE corpus-wide aggregate (groupBy lang,source);
+    * both marginals and the grand total re-aggregate the cell table,
+    * which has |langs| x |sources| rows — metadata-sized at any corpus
+    * size — so the three joins that attach them are broadcasts by
+    * construction, never a second corpus scan. All arithmetic stays on
+    * exact BIGINT counts until the final double division, so the report
+    * is bitwise-deterministic across engines and partitionings. */
+  def q221Chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("observed"))
+    val rowTot = cells.groupBy(col("lang"))
+      .agg(sum(col("observed")).as("row_total"))
+    val colTot = cells.groupBy(col("source"))
+      .agg(sum(col("observed")).as("col_total"))
+    val grand = cells.agg(sum(col("observed")).as("n"))
+    val expected =
+      (col("row_total").cast("double") * col("col_total").cast("double")) /
+        col("n").cast("double")
+    cells
+      .join(broadcast(rowTot), "lang")
+      .join(broadcast(colTot), "source")
+      .crossJoin(broadcast(grand))
+      .select(col("lang"), col("source"), col("observed"),
+        col("row_total"), col("col_total"),
+        expected.as("expected"),
+        ((col("observed").cast("double") - expected) *
+          (col("observed").cast("double") - expected) / expected)
+          .as("chi2_term"))
+      .orderBy(col("lang"), col("source"))
+  }
 }

@@ -143,4 +143,60 @@ object Sampling {
         col("shuffle_key").asc, col("doc_id").asc)
       .select(col("rank"), col("doc_id"), col("lang"), col("shuffle_key"))
       .orderBy(col("rank"))
+
+  /** Token-budget data selection — "take the best documents until the
+    * budget is spent": rank the corpus by quality tier (q33's buckets,
+    * high first) then doc_id, and keep the prefix whose cumulative
+    * token count fits half the corpus's total tokens (the budget is a
+    * fraction, so the query is scale-free). Emits the per-tier
+    * attrition report: total vs kept docs/tokens — high fully kept,
+    * the boundary tier partially, the rest dropped.
+    *
+    * The cumulative sum is the scale hazard: `SUM() OVER (ORDER BY
+    * ...)` with no partition collapses the corpus onto one task. This
+    * runs the two-level block decomposition instead: per-(tier, block)
+    * sums — blocks are doc_id ranges, so (tier, block) segments are
+    * contiguous in the global order — then ONE unpartitioned window
+    * over the BLOCK table (metadata-sized: n_docs/128 rows, the same
+    * "tiny global step" license as q142's grand-total broadcast),
+    * whose exclusive prefix becomes each block's offset; the
+    * corpus-sized window is partitioned by (tier, block) and the
+    * global cumsum is offset + local. ScaleSpec pins the invariant:
+    * every unpartitioned Window in this plan sits above an aggregate,
+    * never directly on corpus rows. */
+  def q225BudgetSelection(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextStats.qualityScored(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("tokens"),
+        col("quality"))
+      .withColumn("tier",
+        when(col("quality") === "high", 0)
+          .when(col("quality") === "medium", 1)
+          .otherwise(2))
+      .withColumn("block", expr("doc_id div 128"))
+    val blockSums = scored.groupBy(col("tier"), col("block"))
+      .agg(sum(col("tokens")).as("block_tokens"))
+    val wOff = Window.orderBy(col("tier"), col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blockSums
+      .withColumn("offset",
+        coalesce(sum(col("block_tokens")).over(wOff), lit(0L)))
+      .select(col("tier"), col("block"), col("offset"))
+    val budget = blockSums.agg(
+      expr("sum(block_tokens) div 2").as("budget"))
+    val wLocal = Window.partitionBy(col("tier"), col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .join(broadcast(offsets), Seq("tier", "block"))
+      .withColumn("cum", col("offset") + sum(col("tokens")).over(wLocal))
+      .crossJoin(broadcast(budget))
+      .groupBy(col("tier"), col("quality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("tokens_total"),
+        sum(when(col("cum") <= col("budget"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("cum") <= col("budget"), col("tokens"))
+          .otherwise(0L)).as("tokens_kept"))
+      .orderBy(col("tier"))
+  }
 }

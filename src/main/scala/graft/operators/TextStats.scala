@@ -53,10 +53,12 @@ object TextStats {
   private def markerScore(tokens: Column, markers: Seq[String]): Column =
     size(filter(tokens, t => t.isin(markers.map(lit): _*)))
 
-  /** Heuristic language ID: score each language profile by marker-token
-    * hits, predict the argmax (first-wins tie-break en>fr>de>es), and
-    * emit the confusion matrix against the labeled lang column. */
-  def q32LangId(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared core of q32/q222: per-document heuristic language
+    * prediction (marker-token argmax, first-wins tie-break
+    * en>fr>de>es) next to the labeled lang column. Pure narrow
+    * expressions — one scan pass, no shuffle. */
+  private[graft] def langPredictions(spark: SparkSession,
+      dir: String): DataFrame = {
     val scoredCols = langMarkers.map { case (l, ms) =>
       markerScore(col("w"), ms).as(s"s_$l")
     }
@@ -70,16 +72,68 @@ object TextStats {
       .select(col("doc_id"), col("lang"), toks(col("text")).as("w"))
       .select(col("doc_id") +: col("lang") +: scoredCols: _*)
       .withColumn("predicted", predicted)
+      .select(col("doc_id"), col("lang"), col("predicted"))
+  }
+
+  /** Heuristic language ID: score each language profile by marker-token
+    * hits, predict the argmax (first-wins tie-break en>fr>de>es), and
+    * emit the confusion matrix against the labeled lang column. */
+  def q32LangId(spark: SparkSession, dir: String): DataFrame =
+    langPredictions(spark, dir)
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("predicted"))
+
+  /** Cohen's kappa between the labeled `lang` column and the q32
+    * heuristic classifier — the chance-corrected agreement score a
+    * pipeline publishes when it swaps in a cheaper labeler (is the
+    * heuristic actually agreeing with the reference labels beyond
+    * what marginal-frequency luck predicts?).
+    *
+    * Everything after the single corpus-wide confusion aggregate is
+    * metadata-sized: the |L|x|L| matrix re-aggregates into marginals
+    * and the expected-agreement cross term, so po/pe/kappa are ratios
+    * of exact BIGINT counts — deterministic doubles regardless of
+    * partitioning, and the whole tail of the plan is driver-trivial
+    * at any corpus size. */
+  def q222KappaAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val conf = langPredictions(spark, dir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val tot = conf.agg(
+      sum(col("n")).as("n_docs"),
+      sum(when(col("lang") === col("predicted"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val rowMarg = conf.groupBy(col("lang").as("label"))
+      .agg(sum(col("n")).as("r"))
+    val colMarg = conf.groupBy(col("predicted").as("label"))
+      .agg(sum(col("n")).as("c"))
+    val cross = rowMarg.join(colMarg, "label")
+      .agg(sum(col("r") * col("c")).as("rc"))
+    tot.crossJoin(cross)
+      .select(col("n_docs"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n_docs").cast("double"))
+          .as("po"),
+        (col("rc").cast("double") /
+          (col("n_docs").cast("double") * col("n_docs").cast("double")))
+          .as("pe"))
+      .select(col("n_docs"), col("n_agree"), col("po"), col("pe"),
+        ((col("po") - col("pe")) / (lit(1.0) - col("pe"))).as("kappa"))
   }
 
   /** Per-document quality scoring: token counts, characters per token,
     * stopword and digit ratios, bucketed into high/medium/low. The
     * classic pre-training corpus filter, as pure narrow expressions. */
   def q33QualityScore(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    qualityScored(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
+  /** Unordered core of q33 over any documents-shaped frame — the
+    * consumers that aggregate immediately (q224's dup-interaction
+    * report, q225's budget selection) reuse this without paying q33's
+    * display sort. */
+  private[graft] def qualityScored(documents: DataFrame): DataFrame =
+    documents
       .select(col("doc_id"), col("lang"),
         Cols.normText(col("text")).as("norm"),
         toks(col("text")).as("w"))

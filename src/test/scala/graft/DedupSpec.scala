@@ -254,4 +254,45 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(spans.map(_._1).toSet == flagged)
   }
+
+  test("threshold sweep is monotone and its 0.8 row IS the production " +
+      "pair count") {
+    val rows = Dedup.q223ThresholdSweep(spark, sf).collect()
+      .map(r => (r.getAs[Double]("threshold"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_docs_flagged")))
+      .sortBy(_._1)
+    // raising the cut-off can only shrink both counts
+    rows.sliding(2).foreach {
+      case Array((tA, pA, dA), (tB, pB, dB)) =>
+        assert(pA >= pB && dA >= dB, s"not monotone: $tA -> $tB")
+      case _ =>
+    }
+    rows.foreach { case (_, p, d) =>
+      assert(d <= p, "flagged docs cannot exceed surviving pairs")
+    }
+    // the 0.8 bucket must equal what minhashPairs ships to production
+    // (sweep and pipeline share one candidate core by construction)
+    val prod = Dedup.minhashPairs(Tables.documents(spark, sf)).count()
+    val at08 = rows.collectFirst { case (t, p, _) if t == 0.8 => p }
+    assert(at08.getOrElse(0L) == prod, s"sweep@0.8=$at08 vs prod=$prod")
+  }
+
+  test("minhash calibration buckets partition the banded candidate " +
+      "set and the estimator tracks exact jaccard") {
+    val docs = Tables.documents(spark, sf)
+    val nCand = Dedup.minhashCandidatesScored(docs).count()
+    val rows = Dedup.q226MinhashCalibration(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == nCand,
+      "buckets must partition the candidate pairs exactly")
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      val avg = r.getAs[Double]("avg_exact_jaccard")
+      assert(est >= 0.0 && est <= 1.0, r.toString)
+      assert(avg >= 0.0 && avg <= 1.0, r.toString)
+      assert(est == r.getAs[Int]("n_sig_matches") / 16.0)
+    }
+    // banded candidates share at least one full band = 4 matching
+    // seeds, so no bucket below 4 can exist
+    assert(rows.forall(_.getAs[Int]("n_sig_matches") >= 4))
+  }
 }

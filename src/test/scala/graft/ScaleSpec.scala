@@ -329,4 +329,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(plan.contains("ShuffledHashJoin"), plan.take(4000))
     assert(!plan.contains("SortMergeJoin"), plan.take(4000))
   }
+
+  test("budget selection puts unpartitioned windows only above " +
+      "aggregates, never on corpus rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Window => LWindow}
+    val df = operators.Sampling.q225BudgetSelection(spark, sf)
+    // the q225 contract: the global prefix-sum runs on the BLOCK
+    // table (post-aggregate, n_docs/128 rows), and the corpus-sized
+    // window is partitioned by (tier, block). An unpartitioned window
+    // whose subtree has no Aggregate would be the single-task global
+    // sort this decomposition exists to avoid.
+    val unpart = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.nonEmpty, "expected the block-offset global window")
+    unpart.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"unpartitioned window directly over corpus rows:\n$w")
+    }
+    // result invariants: kept never exceeds totals, and the kept
+    // prefix fits the declared half-corpus budget
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"))
+    }
+    val total = rows.map(_.getAs[Long]("tokens_total")).sum
+    val kept = rows.map(_.getAs[Long]("tokens_kept")).sum
+    assert(kept > 0 && kept <= total / 2, s"kept=$kept total=$total")
+    // tier 0 (high quality) is first in the global order; with a
+    // half-corpus budget it must be kept in full on this data
+    val high = rows.find(_.getAs[Int]("tier") == 0)
+    high.foreach(r =>
+      assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs") ||
+        r.getAs[Long]("tokens_total") > total / 2))
+  }
 }

@@ -94,4 +94,52 @@ class TextStatsSpec extends AnyFunSuite {
     assert(jac.subsetOf(cos),
       s"jaccard pairs missing from sparse cosine: ${jac -- cos}")
   }
+
+  test("kappa agreement re-derives exactly from the q32 confusion " +
+      "matrix and stays in range") {
+    val conf = TextStats.q32LangId(spark, sf).collect()
+    val n = conf.map(_.getAs[Long]("n_docs")).sum
+    val agree = conf
+      .filter(r => r.getAs[String]("lang") == r.getAs[String]("predicted"))
+      .map(_.getAs[Long]("n_docs")).sum
+    val row = TextStats.q222KappaAgreement(spark, sf).collect() match {
+      case Array(only) => only
+      case other => fail(s"expected 1 row, got ${other.length}")
+    }
+    assert(row.getAs[Long]("n_docs") == n)
+    assert(row.getAs[Long]("n_agree") == agree)
+    assert(row.getAs[Double]("po") == agree.toDouble / n)
+    val kappa = row.getAs[Double]("kappa")
+    assert(kappa >= -1.0 && kappa <= 1.0, s"kappa=$kappa")
+    // chance-corrected score never exceeds raw agreement
+    assert(kappa <= row.getAs[Double]("po") + 1e-12)
+  }
+
+  test("chi-squared cells are marginal-consistent and terms nonnegative") {
+    val rows = operators.Quality.q221Chi2Independence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val grand = rows.map(_.getAs[Long]("observed")).sum
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, cells) =>
+      val rt = cells.head.getAs[Long]("row_total")
+      assert(cells.map(_.getAs[Long]("observed")).sum == rt,
+        s"row marginal mismatch for lang=$lang")
+    }
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, cells) =>
+      val ct = cells.head.getAs[Long]("col_total")
+      assert(cells.map(_.getAs[Long]("observed")).sum == ct,
+        s"col marginal mismatch for source=$src")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2_term") >= 0.0)
+      assert(r.getAs[Double]("expected") > 0.0)
+    }
+    // the independence model puts expected mass on EVERY (row, col)
+    // combination; the report only materializes observed cells, so
+    // their expected sum is at most the grand total (equal only when
+    // the table is dense)
+    val expSum = rows.map(_.getAs[Double]("expected")).sum
+    assert(expSum <= grand + 1e-6 * grand, s"expSum=$expSum grand=$grand")
+    assert(expSum > 0.9 * grand,
+      "observed support should carry most of the expected mass")
+  }
 }
