@@ -254,6 +254,9 @@ object SparkEntry {
     "q224_quality_dup_rate" -> (Dedup.q224QualityDupRate _),
     "q225_budget_selection" -> (Sampling.q225BudgetSelection _),
     "q226_minhash_calibration" -> (Dedup.q226MinhashCalibration _),
+    "q227_pii_redaction"   -> (Quality.q227PiiRedaction _),
+    "q228_shard_manifest"  -> (Sampling.q228ShardManifest _),
+    "q229_cluster_downweight" -> (Dedup.q229ClusterDownweight _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4456,6 +4459,133 @@ object SparkEntry {
       FROM s
       GROUP BY n_sig_matches
       ORDER BY n_sig_matches""",
+
+    // q180's injected corpus verbatim; the checksum pins every
+    // redacted byte (48-bit md5 prefix summed order-free)
+    "q227_pii_redaction" -> """
+      WITH inj AS (
+        SELECT source,
+          CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+            CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE text END AS t
+        FROM documents),
+      red AS (
+        SELECT source, t,
+          regexp_replace(regexp_replace(t,
+            '[a-z0-9]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS r
+        FROM inj)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(CASE WHEN t <> r THEN 1 END) AS BIGINT)
+          AS docs_redacted,
+        CAST(SUM(len(regexp_extract_all(t,
+          '[a-z0-9]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT)
+          AS emails_redacted,
+        CAST(SUM(len(regexp_extract_all(t, '\+1-555-[0-9]{4}')))
+          AS BIGINT) AS phones_redacted,
+        CAST(SUM(('0x' || substr(md5(r), 1, 12))::BIGINT) AS BIGINT)
+          AS corpus_checksum,
+        CAST(COUNT(CASE WHEN regexp_matches(r,
+            '[a-z0-9]+@[a-z0-9.-]+\.[a-z]{2,}')
+          OR regexp_matches(r, '\+1-555-[0-9]{4}') THEN 1 END)
+          AS BIGINT) AS residual_pii
+      FROM red GROUP BY source ORDER BY source""",
+
+    "q228_shard_manifest" -> """
+      WITH s AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+            ::INTEGER % 16 AS shard,
+          CAST(len(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tokens
+        FROM documents),
+      m AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(tokens) AS BIGINT) AS n_tokens
+        FROM s GROUP BY shard),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM m)
+      SELECT shard, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) * 16.0 / CAST(tot AS DOUBLE) AS balance
+      FROM m CROSS JOIN t
+      ORDER BY shard""",
+
+    // q69's recursive-CTE components; representative = the component's
+    // min doc_id = the CC label on both sides
+    "q229_cluster_downweight" -> """
+      WITH RECURSIVE words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+              UNION SELECT doc_b, doc_a FROM edges),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src),
+      tok AS (
+        SELECT doc_id,
+          CAST(len(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tokens
+        FROM documents),
+      lab AS (
+        SELECT t.doc_id, t.tokens, l.label
+        FROM tok t LEFT JOIN labels l ON l.id = t.doc_id),
+      clusters AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(tokens) AS BIGINT) AS cluster_tokens,
+          CAST(MAX(CASE WHEN doc_id = label THEN tokens END) AS BIGINT)
+            AS rep_tokens
+        FROM lab WHERE label IS NOT NULL GROUP BY label),
+      paired AS (
+        SELECT k AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(SUM(cluster_tokens) AS BIGINT) AS tokens_total,
+          CAST(SUM(rep_tokens) AS BIGINT) AS tokens_keep_one
+        FROM clusters GROUP BY k),
+      single AS (
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+          CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+          CAST(SUM(tokens) AS BIGINT) AS tokens_keep_one
+        FROM lab WHERE label IS NULL),
+      u AS (SELECT * FROM single UNION ALL SELECT * FROM paired)
+      SELECT cluster_size, n_clusters,
+        cluster_size * n_clusters AS n_docs,
+        tokens_total, tokens_keep_one,
+        CAST(tokens_total AS DOUBLE) / CAST(cluster_size AS DOUBLE)
+          AS tokens_effective
+      FROM u
+      ORDER BY cluster_size""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

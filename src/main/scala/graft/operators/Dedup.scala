@@ -1175,4 +1175,52 @@ object Dedup {
           .as("avg_exact_jaccard"))
       .orderBy(col("n_sig_matches"))
   }
+
+  /** Duplication-downweighting ledger — the alternative to dropping
+    * near-dups (q141): keep every copy but weight each cluster's
+    * docs by 1/k, the mixture policy several pre-training recipes use
+    * for mild duplication. Per cluster size k: cluster count, doc
+    * count, raw token mass, the keep-one token mass (representative =
+    * min doc_id, the CC label), and the effective token mass under
+    * 1/k weighting — an exact integer-over-k ratio, so the double is
+    * bitwise-deterministic.
+    *
+    * Scale shape: the CC label table covers ONLY docs in >=1 banded
+    * pair — pair-bounded, broadcastable — so singleton docs (the
+    * overwhelming corpus majority at any scale) never enter a
+    * cluster shuffle: they reduce in ONE map-side-partial global
+    * aggregate, and only the pair-bounded labeled slice pays a
+    * groupBy(cluster) exchange. A naive coalesce(label, doc_id)
+    * grouping would shuffle the whole corpus on a unique-per-row key;
+    * this plan shuffles the ~0.x% that dedup actually touched. */
+  def q229ClusterDownweight(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      size(split(graft.functions.Cols.normText(col("text")), " "))
+        .cast("long").as("tokens"))
+    val labels = connectedComponents(
+      minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label"))
+    val labeled = toks.join(broadcast(labels), Seq("doc_id"), "left")
+    val paired = labeled.filter(col("label").isNotNull)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("k"), sum(col("tokens")).as("cluster_tokens"),
+        max(when(col("doc_id") === col("label"), col("tokens")))
+          .as("rep_tokens"))
+      .groupBy(col("k").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_tokens")).as("tokens_total"),
+        sum(col("rep_tokens")).as("tokens_keep_one"))
+    val singletons = labeled.filter(col("label").isNull)
+      .agg(lit(1L).as("cluster_size"), count(lit(1)).as("n_clusters"),
+        sum(col("tokens")).as("tokens_total"),
+        sum(col("tokens")).as("tokens_keep_one"))
+    singletons.union(paired)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        col("tokens_total"), col("tokens_keep_one"),
+        (col("tokens_total").cast("double") /
+          col("cluster_size").cast("double")).as("tokens_effective"))
+      .orderBy(col("cluster_size"))
+  }
 }

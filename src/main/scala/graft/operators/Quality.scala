@@ -139,14 +139,21 @@ object Quality {
     * the same corpus); the regex battery then counts per-source hits.
     * All narrow codegen'd regex expressions in one scan pass + one
     * tiny aggregation — scales with corpus bytes. */
-  def q180PiiScan(spark: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[a-z0-9]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phoneRe = "\\+1-555-[0-9]{4}"
-    val injected = when(col("doc_id") % 7 === 0,
+  private[graft] val emailRe = "[a-z0-9]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val phoneRe = "\\+1-555-[0-9]{4}"
+
+  /** The deterministic PII-injected corpus q180/q227 share: every 7th
+    * doc gets a doc_id-derived email + phone appended, so the DuckDB
+    * oracle re-derives the identical text. */
+  private[graft] def piiInjected: org.apache.spark.sql.Column =
+    when(col("doc_id") % 7 === 0,
       concat(col("text"), lit(" contact user"),
         col("doc_id").cast("string"), lit("@example.com or +1-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
       .otherwise(col("text"))
+
+  def q180PiiScan(spark: SparkSession, dir: String): DataFrame = {
+    val injected = piiInjected
     Tables.documents(spark, dir)
       .select(col("source"), injected.as("t"))
       .groupBy(col("source"))
@@ -197,5 +204,37 @@ object Quality {
           (col("observed").cast("double") - expected) / expected)
           .as("chi2_term"))
       .orderBy(col("lang"), col("source"))
+  }
+
+  /** PII redaction APPLIED — q180 is the scan, this is the production
+    * pass that ships: emails and phones replaced with typed
+    * placeholder tokens over the same injected corpus, certified per
+    * source by (a) an order-free corpus checksum — the SUM of each
+    * redacted doc's 48-bit md5 prefix, so the oracle must reproduce
+    * every redacted byte exactly, in any row order — and (b) a
+    * residual-PII recount over the redacted text, which the spec pins
+    * to zero (the redaction's own acceptance test).
+    *
+    * Scale shape: pure narrow codegen'd regex expressions in ONE scan
+    * pass + one tiny per-source aggregate — no shuffle beyond the
+    * |sources|-row agg exchange; identical cost profile to q180. The
+    * full redacted corpus would normally be the written output (q21's
+    * parquet sink); the report here is the part with oracle value. */
+  def q227PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val raw = piiInjected
+    val redacted = regexp_replace(
+      regexp_replace(raw, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+    Tables.documents(spark, dir)
+      .select(col("source"), raw.as("t"), redacted.as("r"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("t") =!= col("r")).as("docs_redacted"),
+        sum(regexp_count(col("t"), lit(emailRe))).as("emails_redacted"),
+        sum(regexp_count(col("t"), lit(phoneRe))).as("phones_redacted"),
+        sum(conv(substring(md5(col("r")), 1, 12), 16, 10).cast("long"))
+          .as("corpus_checksum"),
+        count_if(col("r").rlike(emailRe) || col("r").rlike(phoneRe))
+          .as("residual_pii"))
+      .orderBy(col("source"))
   }
 }

@@ -199,4 +199,33 @@ object Sampling {
           .otherwise(0L)).as("tokens_kept"))
       .orderBy(col("tier"))
   }
+
+  /** Output-shard manifest — the layout step that turns a curated
+    * corpus into N training shards: each doc hashes to one of 16
+    * shards (md5 prefix, engine-portable), and the manifest reports
+    * per-shard doc/token totals plus the balance factor
+    * (shard_tokens x 16 / total — 1.0 is perfect). Hash sharding is
+    * the 100 TB layout answer because balance needs NO global
+    * coordination: with millions of docs per shard the law of large
+    * numbers bounds skew, and the manifest is the per-run certificate
+    * that it did (the spec pins the factor; at sf0.001 tolerance is
+    * loose, tightening as corpus size grows). One scan + a 16-row
+    * aggregate; the grand total re-aggregates the 16-row manifest, so
+    * its attach-back broadcast is metadata-sized by construction. */
+  def q228ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val shards = Tables.documents(spark, dir)
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 16).as("shard"),
+        size(split(graft.functions.Cols.normText(col("text")), " "))
+          .cast("long").as("tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+    val total = shards.agg(sum(col("n_tokens")).as("tot"))
+    shards.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") * 16.0d /
+          col("tot").cast("double")).as("balance"))
+      .orderBy(col("shard"))
+  }
 }

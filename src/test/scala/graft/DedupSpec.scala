@@ -295,4 +295,39 @@ class DedupSpec extends AnyFunSuite {
     // seeds, so no bucket below 4 can exist
     assert(rows.forall(_.getAs[Int]("n_sig_matches") >= 4))
   }
+
+  test("cluster downweighting conserves corpus mass and agrees with " +
+      "the q69 cluster inventory") {
+    val rows = Dedup.q229ClusterDownweight(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    val corpusDocs = docs.count()
+    val corpusTokens = docs.select(
+      org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          graft.functions.Cols.normText(col("text")), " "))
+        .cast("long").as("t"))
+      .agg(org.apache.spark.sql.functions.sum(col("t"))).head().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == corpusDocs)
+    assert(rows.map(_.getAs[Long]("tokens_total")).sum == corpusTokens)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("cluster_size")
+      assert(r.getAs[Long]("tokens_keep_one") <=
+        r.getAs[Long]("tokens_total"))
+      assert(r.getAs[Double]("tokens_effective") ==
+        r.getAs[Long]("tokens_total").toDouble / k)
+      // keep-one and 1/k weighting agree exactly on singletons
+      if (k == 1L)
+        assert(r.getAs[Double]("tokens_effective") ==
+          r.getAs[Long]("tokens_keep_one").toDouble)
+    }
+    // the k>=2 inventory must match q69's cluster table
+    val q69Sizes = Dedup.q69DedupClusters(spark, sf).collect()
+      .groupBy(_.getAs[Long]("n_docs")).map { case (k, cs) =>
+        k -> cs.length.toLong
+      }
+    val got = rows.filter(_.getAs[Long]("cluster_size") >= 2L)
+      .map(r => r.getAs[Long]("cluster_size") ->
+        r.getAs[Long]("n_clusters")).toMap
+    assert(got == q69Sizes, s"got=$got q69=$q69Sizes")
+  }
 }

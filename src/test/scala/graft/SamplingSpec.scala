@@ -81,4 +81,18 @@ class SamplingSpec extends AnyFunSuite {
     val ranks = df.collect().map(_.getLong(0)).sorted
     assert(ranks.toSeq == (1L to ranks.length).toSeq)
   }
+
+  test("shard manifest partitions the corpus and hash balance holds") {
+    val rows = Sampling.q228ShardManifest(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "shards must partition the corpus exactly")
+    // balance factors average to 1 by construction (16 shards)
+    val balances = rows.map(_.getAs[Double]("balance"))
+    assert(math.abs(balances.sum / 16.0 - 1.0) < 1e-9)
+    // law-of-large-numbers bound, loose at sf0.001 (~60 docs/shard);
+    // the factor tightens as corpus size grows — that's the point of
+    // the manifest as a per-run certificate
+    balances.foreach(b => assert(b > 0.3 && b < 2.0, s"balance=$b"))
+  }
 }

@@ -142,4 +142,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(expSum > 0.9 * grand,
       "observed support should carry most of the expected mass")
   }
+
+  test("pii redaction leaves zero residual matches and redacts " +
+      "exactly the injected docs") {
+    val rows = operators.Quality.q227PiiRedaction(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the redaction's acceptance test: re-scanning the redacted text
+    // finds nothing
+    assert(rows.map(_.getAs[Long]("residual_pii")).sum == 0L)
+    // the synthetic corpus carries no natural PII, so the redacted-doc
+    // count equals the injected population (doc_id % 7 == 0)
+    val injected = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("docs_redacted")).sum == injected)
+    // each injected doc contributes exactly one email and one phone
+    assert(rows.map(_.getAs[Long]("emails_redacted")).sum == injected)
+    assert(rows.map(_.getAs[Long]("phones_redacted")).sum == injected)
+  }
 }
