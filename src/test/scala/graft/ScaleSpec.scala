@@ -366,4 +366,17 @@ class ScaleSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs") ||
         r.getAs[Long]("tokens_total") > total / 2))
   }
+
+  test("cluster downweighting never shuffles the corpus on a " +
+      "per-row key") {
+    // q229's scale contract: only the pair-bounded labeled slice pays
+    // a groupBy(label) exchange; singletons reduce map-side into one
+    // global aggregate. A coalesce(label, doc_id) grouping — the
+    // naive formulation — would hash-exchange the whole corpus on a
+    // unique-per-row key and show up here.
+    val plan = operators.Dedup.q229ClusterDownweight(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(doc_id"), plan.take(3000))
+    assert(!plan.contains("hashpartitioning(coalesce"), plan.take(3000))
+  }
 }
