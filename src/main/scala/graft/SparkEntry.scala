@@ -257,6 +257,8 @@ object SparkEntry {
     "q227_pii_redaction"   -> (Quality.q227PiiRedaction _),
     "q228_shard_manifest"  -> (Sampling.q228ShardManifest _),
     "q229_cluster_downweight" -> (Dedup.q229ClusterDownweight _),
+    "q230_fuzzy_join"      -> (Quality.q230FuzzyJoin _),
+    "q231_overlap_profile" -> (Dedup.q231OverlapProfile _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4586,6 +4588,59 @@ object SparkEntry {
           AS tokens_effective
       FROM u
       ORDER BY cluster_size""",
+
+    // The engine finds dist<=1 pairs via delete-1 SymSpell blocking
+    // (recall-complete for dist<=1, see Quality.q230FuzzyJoin); the
+    // oracle is deliberately the naive all-pairs definition the
+    // blocking must reproduce exactly.
+    "q230_fuzzy_join" -> """
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b""",
+
+    "q231_overlap_profile" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      rare AS (SELECT s FROM shingles GROUP BY s HAVING count(*) <= 20),
+      pruned AS (SELECT doc_id, s FROM shingles JOIN rare USING (s)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pruned a JOIN pruned b
+          ON a.s = b.s AND a.doc_id < b.doc_id),
+      scored AS (
+        SELECT doc_a, doc_b,
+          CAST(len(list_intersect(x.shl, y.shl)) AS BIGINT) AS inter,
+          CAST(len(x.shl) AS BIGINT) AS n_a,
+          CAST(len(y.shl) AS BIGINT) AS n_b
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b),
+      prof AS (
+        SELECT doc_a, doc_b,
+          CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS cont_a,
+          CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) AS cont_b,
+          CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE)
+            AS jaccard
+        FROM scored)
+      SELECT doc_a, doc_b, cont_a, cont_b, jaccard,
+        CASE WHEN jaccard >= 0.8 THEN 'mutual_dup'
+             WHEN cont_a >= 0.9 THEN 'a_in_b'
+             WHEN cont_b >= 0.9 THEN 'b_in_a'
+             ELSE 'partial_overlap' END AS relation
+      FROM prof
+      WHERE jaccard >= 0.1 OR greatest(cont_a, cont_b) >= 0.9
+      ORDER BY doc_a, doc_b""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

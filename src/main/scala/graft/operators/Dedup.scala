@@ -154,6 +154,28 @@ object Dedup {
   def q26DedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
+  /** (doc_a < doc_b) candidate pairs from the df-capped inverted
+    * shingle index: docs sharing at least one shingle rarer than
+    * `dfCap`. The cap bounds every index bucket's O(df²) pair
+    * fan-out; recall contract is documented at q68. Shared by the
+    * Jaccard (q68) and overlap-profile (q231) verifiers — both score
+    * FULL shingle sets afterwards, so the cap never biases reported
+    * similarity values, only candidate recall. */
+  private[graft] def invertedIndexCandidates(
+      docs: DataFrame, dfCap: Int): DataFrame = {
+    val ix = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = ix.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select(col("s"))
+    val pruned = ix.join(rare, "s")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** n-gram Jaccard dedup WITHOUT MinHash: candidates come from an
     * inverted shingle index (docs sharing at least one rare shingle),
     * then exact 2-gram Jaccard verifies. The document-frequency cap is
@@ -169,25 +191,55 @@ object Dedup {
     * together rather than picking one. */
   def q68NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(Tables.documents(spark, dir))
-    val ix = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    // rare shingles only: df <= 20 bounds every index bucket
-    val rare = ix.groupBy(col("s"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 20)
-      .select(col("s"))
-    val pruned = ix.join(rare, "s")
-    val cand = pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    cand
+    invertedIndexCandidates(docs, dfCap = 20)
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b"))
           .as("jaccard"))
       .filter(col("jaccard") >= 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Overlap-profile report — Jaccard next to DIRECTIONAL containment.
+    * Jaccard conflates two different duplication shapes that demand
+    * different drop policies: a pair of mutual near-copies (drop
+    * either) and a short doc quoted whole inside a longer one (low
+    * Jaccard but containment(A→B) = |A∩B|/|A| ≈ 1; the right move is
+    * keep the superset, not keep-min-id). For every inverted-index
+    * candidate pair this emits both containment legs, the Jaccard,
+    * and a relation class; pairs below the Jaccard floor AND the
+    * containment bar are dropped. Candidate recall follows q68's
+    * df-cap contract; scoring reuses the checkpointed shingle table —
+    * no second text scan. All set sizes are exact integers, so the
+    * IEEE ratios are bit-identical across engines. (The synthetic
+    * corpus has no strict-subset pairs — `relation` here lands in
+    * {mutual_dup, partial_overlap} — but the directional legs are
+    * what the operator exists to expose.) */
+  def q231OverlapProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, dir))
+    invertedIndexCandidates(docs, dfCap = 20)
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("inter"),
+        size(col("sh_a")).cast("long").as("n_a"),
+        size(col("sh_b")).cast("long").as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("n_a")).as("cont_a"),
+        (col("inter").cast("double") / col("n_b")).as("cont_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.1 ||
+        greatest(col("cont_a"), col("cont_b")) >= 0.9)
+      .withColumn("relation",
+        when(col("jaccard") >= 0.8, lit("mutual_dup"))
+          .when(col("cont_a") >= 0.9, lit("a_in_b"))
+          .when(col("cont_b") >= 0.9, lit("b_in_a"))
+          .otherwise(lit("partial_overlap")))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

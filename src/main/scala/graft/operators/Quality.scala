@@ -132,6 +132,49 @@ object Quality {
       .orderBy(col("name_a"), col("name_b"))
   }
 
+  /** Scalable fuzzy join — the blocking-bucket upgrade q107's scaladoc
+    * promises: customer-name pairs within levenshtein distance 1,
+    * found WITHOUT an all-pairs comparison. Blocking is the symmetric
+    * delete-1 scheme (SymSpell): every name emits itself plus each
+    * string with one character removed as block keys; any two names
+    * within edit distance 1 necessarily share a key (equal-length
+    * substitution pairs share the variant deleting the differing
+    * position; an insert/delete pair shares the shorter string
+    * itself). So blocking is recall-COMPLETE for dist <= 1 — unlike
+    * the banded dedup tiers there is no recall contract, the result
+    * EQUALS the all-pairs answer, which is exactly what the oracle
+    * computes (naive n² cross join: fine for an oracle, not for an
+    * engine). Cost shape: ~len(name)+1 keys per row through one
+    * exchange, candidate work bounded by block population (names
+    * agreeing everywhere but one position), then an exact
+    * levenshtein verify kills the distance-2 survivors that share a
+    * key. At 100 TB-side cardinalities this is the standard
+    * entity-resolution join; q107 stays as the tiny-dimension
+    * all-pairs baseline. */
+  def q230FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // the name itself + every delete-1 variant, deduped (repeated
+    // characters make identical deletions)
+    val variantsSql =
+      "array_distinct(concat(array(name), " +
+        "transform(sequence(1, length(name)), " +
+        "i -> concat(substring(name, 1, i - 1), " +
+        "substring(name, i + 1, length(name))))))"
+    val blocked = c.select(col("id"), col("name"),
+      explode(expr(variantsSql)).as("k"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
+        col("b.id").as("id_b"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** PII detection report — the scan an LLM corpus runs before the
     * redaction pass (q109 is the redaction side). The synthetic corpus
     * carries no PII, so a deterministic fraction of docs first gets an
