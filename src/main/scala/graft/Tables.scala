@@ -22,19 +22,44 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * vectorized parquet reader rejects. Read nanos as long (legacy conf)
-    * and convert to a microsecond timestamp by truncation — the same
-    * ns→µs truncation DuckDB applies, so oracle comparisons line up.
-    * `div` is integral long division: epoch nanos (~1.7e18) exceed
-    * double's 53-bit exact range, so float division here could be off
-    * by 1µs vs the oracle. The legacy conf is also set at builder time
+  /** events.parquet has shipped in two generations: `ts` as
+    * TIMESTAMP(NANOS) (rejected by Spark's vectorized reader — read as
+    * long under the legacy conf) and as TIMESTAMP(MICROS) without the
+    * UTC-adjusted flag (read as TIMESTAMP_NTZ). [[normalizeEventsTs]]
+    * folds both into one µs `TimestampType` column so every downstream
+    * query and stream sees a single schema regardless of which
+    * generation is on disk. The legacy conf is also set at builder time
     * in Verify/Bench/tests; the set here keeps ad-hoc sessions working. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(table(s, d, "events"))
+  }
+
+  /** Raw on-disk schema of events.parquet (footer read only) — what a
+    * streaming reader must declare before [[normalizeEventsTs]]. */
+  def eventsFileSchema(s: SparkSession, d: String):
+      org.apache.spark.sql.types.StructType = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").schema
+  }
+
+  /** Normalize `ts` to a µs `TimestampType` whatever the file
+    * generation. Nanos-as-long uses `div` (integral long division):
+    * epoch nanos (~1.7e18) exceed double's 53-bit exact range, so float
+    * division could be off by 1µs vs the DuckDB oracle's own ns→µs
+    * truncation. The NTZ cast re-tags the wall clock as a UTC instant —
+    * the session timezone is pinned to UTC, so the value is identical
+    * to what the nanos path produced for the same instant. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -16,12 +16,7 @@ object StreamJoin {
 
   def q54StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
     StreamingWindows.withStreamPartitions(spark) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src: DataFrame = spark.readStream
-      .schema(StreamingWindows.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src: DataFrame = StreamingWindows.eventsStream(spark, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -59,12 +54,7 @@ object StreamJoin {
     * that final watermark. */
   def q184StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
     StreamingWindows.withStreamPartitions(spark) {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def src: DataFrame = spark.readStream
-      .schema(StreamingWindows.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src: DataFrame = StreamingWindows.eventsStream(spark, dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
@@ -101,13 +91,9 @@ object StreamJoin {
     * same result as the batch formulation. */
   def q139StreamStaticEnrich(spark: SparkSession, dir: String): DataFrame =
     StreamingWindows.withStreamPartitions(spark) {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val dim = broadcast(graft.Tables.nation(spark, dir)
         .select(col("n_nationkey"), col("n_name")))
-      val src = spark.readStream
-        .schema(StreamingWindows.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
+      val src = StreamingWindows.eventsStream(spark, dir)
       val enriched = src
         .join(dim, col("user_id") % 25 === col("n_nationkey"))
         .groupBy(col("n_name"), col("event_type"))

@@ -102,15 +102,8 @@ object StreamSessions {
   def q82StreamSessions(spark: SparkSession, dir: String): DataFrame =
     StreamingWindows.withStreamPartitions(spark) {
       import spark.implicits._
-      // defensive, like q39/q83: a fresh session that hasn't read
-      // events through Tables yet needs the nanos-as-long conf before
-      // touching the TIMESTAMP(NANOS) parquet
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = spark.readStream
-        .schema(StreamingWindows.eventsSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir)
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      val src = StreamingWindows.eventsStream(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"))
         .as[SessionEvent]
       val sessions = sessionize(src)

@@ -18,12 +18,7 @@ object StreamSink {
     * the AvailableNow drain completes. */
   def windowCountsToParquet(spark: SparkSession, dir: String,
       outDir: String): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val agg = spark.readStream
-      .schema(StreamingWindows.eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = StreamingWindows.eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))

@@ -167,12 +167,8 @@ object StreamTransformState {
     StreamingWindows.withStreamPartitions(spark) {
       withRocksDBProvider(spark) {
         import spark.implicits._
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val src = spark.readStream
-          .schema(StreamingWindows.eventsSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(dir)
-          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        val src = StreamingWindows.eventsStream(spark, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
             col("event_id"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
           .withWatermark("ts", "30 minutes")

@@ -21,15 +21,18 @@ import org.apache.spark.sql.types._
   */
 object StreamingWindows {
 
-  /** events.parquet schema with `ts` as raw nanos (read as long under
-    * the legacy conf; the stream converts to a µs timestamp). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** The events file as a stream with `ts` normalized to a µs
+    * TimestampType — shared by every streaming catalog query. The
+    * declared schema comes from the file footer and the normalization
+    * is schema-adaptive (Tables.normalizeEventsTs), so a testdata
+    * regeneration that switches the on-disk timestamp encoding
+    * (TIMESTAMP(NANOS) ↔ TIMESTAMP(MICROS)) can't break the readers. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(graft.Tables.eventsFileSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
 
   /** Run `body` with a reduced shuffle-partition count and restore the
     * previous value after. Stateful streaming keeps one state store
@@ -51,12 +54,7 @@ object StreamingWindows {
     * are provably over the same aggregation. */
   private def windowedEventCounts(spark: SparkSession,
       dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
