@@ -972,6 +972,149 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Hashed linear quality classifier — the fasttext-shaped model
+    * application pass: every token hashes into one of 4096 feature
+    * buckets (md5 prefix, engine-portable), each bucket carries a
+    * fixed signed integer weight (itself md5-derived, standing in for
+    * trained parameters shipped as a broadcastable array), and a
+    * document's score is the mean bucket weight of its tokens. This is
+    * how a trained linear/fasttext quality or language classifier
+    * actually runs inside a curation pipeline — a pure per-token
+    * lookup + per-doc mean, no model server.
+    *
+    * Scale shape: ONE narrow codegen pass (hash → weight are
+    * expressions, so there isn't even a lookup join) + one doc-keyed
+    * aggregate; at 100 TB with a real weight vector the only change is
+    * a broadcast of the 4096-float array into the expression. All
+    * arithmetic is exact BIGINT until the final double division, so
+    * the score is bitwise-portable. */
+  def q232HashedClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("word")), 1, 8), 16, 10)
+      .cast("long"), lit(4096L))
+    val weight = pmod(conv(substring(md5(concat(lit("w"),
+      bucket.cast("string"))), 1, 8), 16, 10).cast("long"), lit(2001L)) -
+      lit(1000L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .select(col("doc_id"), weight.as("wt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("wt")).as("weight_sum"))
+      .withColumn("score",
+        round(col("weight_sum").cast("double") /
+          (col("n_tokens") * 1000L).cast("double"), 9))
+      .withColumn("label",
+        when(col("score") >= 0.02, "keep")
+          .when(col("score") >= -0.02, "borderline")
+          .otherwise("drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Trigram LM with stupid backoff — the production upgrade of the
+    * q203 bigram gate: score held-out documents under
+    * S(w3|w1,w2) = c(w1w2w3)/c(w1w2)            if the trigram was seen,
+    *             = 0.4 * c(w2w3)/c(w2)          else if the bigram was,
+    *             = 0.4^2 * (c(w3)+1)/(N+V)      otherwise (add-one floor
+    * so unseen held-out words stay finite). Stupid backoff is the
+    * web-scale standard precisely because the scores need no
+    * normalization pass — every count is a plain aggregate, which is
+    * what makes the model trainable as a handful of gram-keyed
+    * groupBys at 100 TB.
+    *
+    * Shape: four count tables off one checkpointed train token stream
+    * (trigram, context-pair, bigram, unigram — each vocabulary-sized,
+    * far smaller than the corpus) + two scalars; scoring LEFT-joins the
+    * held-out trigram stream against them, shuffling on gram keys the
+    * same way q113/q203 do. Per-token backoff scores round to 9
+    * decimals then decimal-sum, so the doc score is order-independent
+    * and hash-checkable. */
+  def q235TrigramBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    def trigrams(df: DataFrame) = df
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> struct(" +
+          "element_at(w, i) as w1, element_at(w, i + 1) as w2, " +
+          "element_at(w, i + 2) as w3))")).as("tg"))
+      .select(col("doc_id"), col("tg.w1"), col("tg.w2"), col("tg.w3"))
+    val train = trigrams(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint(eager = false) // feeds all four count tables
+    val c3 = train.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val cCtx = train.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_ctx"))
+    val cBg = train.groupBy(col("w2").as("b2"), col("w3").as("b3"))
+      .agg(count(lit(1)).as("c_bg"))
+    val cUni = train.groupBy(col("w3").as("u3"))
+      .agg(count(lit(1)).as("c_uni"))
+    // N counts the same events the unigram table does (trigram-final
+    // tokens), so the floor is a true probability over that space; V is
+    // the modeled vocabulary.
+    val scal = train.agg(count(lit(1)).as("n_tok"),
+      countDistinct(col("w3")).as("v"))
+    val score =
+      when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c_ctx").cast("double"))
+        .when(col("c_bg").isNotNull,
+          lit(0.4) * col("c_bg").cast("double") /
+            col("c_bg_ctx").cast("double"))
+        .otherwise(lit(0.16) *
+          (coalesce(col("c_uni"), lit(0L)) + 1L).cast("double") /
+          (col("n_tok") + col("v")).cast("double"))
+    trigrams(docs.filter(col("doc_id") % 10 === 0))
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(cCtx, Seq("w1", "w2"), "left")
+      .join(cBg, col("w2") === col("b2") && col("w3") === col("b3"), "left")
+      // bigram backoff denominator: occurrences of w2 as a context head
+      .join(cUni.select(col("u3").as("w2"), col("c_uni").as("c_bg_ctx")),
+        Seq("w2"), "left")
+      .join(cUni, col("w3") === col("u3"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"),
+        round(-log(score), 9).cast("decimal(28,9)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(sum(col("nll")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-mass concentration by source, per language — the mixture
+    * health-check behind q142's composition report: a language whose
+    * token mass concentrates in one crawl source is one takedown or
+    * license change away from losing its data. Emits the
+    * Herfindahl-Hirschman index (sum of squared shares), Shannon
+    * entropy in nats, the top source's share, and the source count.
+    *
+    * Shape: one corpus aggregate to (lang, source) — metadata-sized —
+    * then windowed shares and a |langs|-row reduce; exact BIGINT token
+    * sums until the final divisions (the q221 discipline). */
+  def q236SourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val byLang = Window.partitionBy(col("lang"))
+    val share = col("src_tokens").cast("double") /
+      sum(col("src_tokens")).over(byLang).cast("double")
+    bySrc
+      .select(col("lang"), col("src_tokens"), share.as("share"))
+      // per-source terms round to 9 decimals then decimal-sum (the q203
+      // discipline): double addition is order-dependent and Spark's
+      // partition order differs from DuckDB's
+      .groupBy(col("lang"))
+      .agg(sum(col("src_tokens")).as("lang_tokens"),
+        count(lit(1)).as("n_sources"),
+        sum(round(col("share") * col("share"), 9).cast("decimal(28,9)"))
+          .cast("double").as("hhi"),
+        sum(round(-col("share") * log(col("share")), 9)
+          .cast("decimal(28,9)")).cast("double").as("entropy"),
+        round(max(col("share")), 9).as("top_share"))
+      .orderBy(col("lang"))
+  }
+
   /** Length-bucket packing report — the batch-shape decision a
     * training pipeline makes after truncation analysis (q162) and
     * before sequence packing (q57): documents binned into 64-token-
