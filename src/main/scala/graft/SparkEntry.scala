@@ -259,6 +259,10 @@ object SparkEntry {
     "q229_cluster_downweight" -> (Dedup.q229ClusterDownweight _),
     "q230_fuzzy_join"      -> (Quality.q230FuzzyJoin _),
     "q231_overlap_profile" -> (Dedup.q231OverlapProfile _),
+    "q232_hashed_classifier" -> (TextStats.q232HashedClassifier _),
+    "q233_dpp_join"        -> (Scale.q233DppJoin _),
+    "q235_trigram_backoff" -> (TextStats.q235TrigramBackoff _),
+    "q236_source_concentration" -> (TextStats.q236SourceConcentration _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4641,6 +4645,133 @@ object SparkEntry {
       FROM prof
       WHERE jaccard >= 0.1 OR greatest(cont_a, cont_b) >= 0.9
       ORDER BY doc_a, doc_b""",
+
+    // hashed linear classifier: md5-derived bucket + weight are both
+    // engine-portable (hex prefix -> int), so the score is exact
+    "q232_hashed_classifier" -> """
+      WITH wrd AS (
+        SELECT doc_id,
+          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS word
+        FROM documents),
+      b AS (
+        SELECT doc_id,
+          (CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 4096)
+            AS bucket
+        FROM wrd),
+      wt AS (
+        SELECT doc_id,
+          (CAST(concat('0x', substr(md5(concat('w',
+             CAST(bucket AS VARCHAR))), 1, 8)) AS BIGINT) % 2001) - 1000
+            AS wt
+        FROM b),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+          CAST(SUM(wt) AS BIGINT) AS weight_sum
+        FROM wt GROUP BY doc_id)
+      SELECT doc_id, n_tokens, weight_sum,
+        ROUND(CAST(weight_sum AS DOUBLE)
+          / CAST(n_tokens * 1000 AS DOUBLE), 9) AS score,
+        CASE WHEN ROUND(CAST(weight_sum AS DOUBLE)
+               / CAST(n_tokens * 1000 AS DOUBLE), 9) >= 0.02 THEN 'keep'
+             WHEN ROUND(CAST(weight_sum AS DOUBLE)
+               / CAST(n_tokens * 1000 AS DOUBLE), 9) >= -0.02
+               THEN 'borderline'
+             ELSE 'drop' END AS label
+      FROM agg
+      ORDER BY doc_id""",
+
+    // dynamic partition pruning: the dim's era filter reaches the
+    // fact scan only through the join at runtime; the oracle states
+    // the equivalent direct semantics (era = 'modern' <=> year >= 1999)
+    "q233_dpp_join" -> """
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE YEAR(o_orderdate) >= 1999
+      GROUP BY 1
+      ORDER BY o_year""",
+
+    // trigram stupid backoff: the oracle rebuilds all four count
+    // tables over the same trigram event space, incl. the dedicated
+    // c(w2) backoff denominator (NOT the trigram-final unigram table)
+    "q235_trigram_backoff" -> """
+      WITH wrd AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      d3 AS (SELECT doc_id, w FROM wrd WHERE len(w) >= 3),
+      tg AS (
+        SELECT doc_id,
+          unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS w1,
+          unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS w2,
+          unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS w3
+        FROM d3),
+      train AS (SELECT * FROM tg WHERE doc_id % 10 <> 0),
+      c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM train
+             GROUP BY w1, w2, w3),
+      cctx AS (SELECT w1, w2, COUNT(*) AS c_ctx FROM train GROUP BY w1, w2),
+      cbg AS (SELECT w2, w3, COUNT(*) AS c_bg FROM train GROUP BY w2, w3),
+      cbgctx AS (SELECT w2, COUNT(*) AS c_bg_ctx FROM train GROUP BY w2),
+      cuni AS (SELECT w3, COUNT(*) AS c_uni FROM train GROUP BY w3),
+      scal AS (SELECT COUNT(*) AS n_tok, COUNT(DISTINCT w3) AS v
+               FROM train),
+      held AS (SELECT * FROM tg WHERE doc_id % 10 = 0),
+      scored AS (
+        SELECT h.doc_id,
+          CAST(ROUND(-ln(
+            CASE WHEN c3.c3 IS NOT NULL
+                 THEN CAST(c3.c3 AS DOUBLE) / CAST(cctx.c_ctx AS DOUBLE)
+                 WHEN cbg.c_bg IS NOT NULL AND cbgctx.c_bg_ctx IS NOT NULL
+                 THEN 0.4 * CAST(cbg.c_bg AS DOUBLE)
+                      / CAST(cbgctx.c_bg_ctx AS DOUBLE)
+                 ELSE 0.16 * CAST(COALESCE(cuni.c_uni, 0) + 1 AS DOUBLE)
+                      / CAST(s.n_tok + s.v AS DOUBLE) END), 9)
+            AS DECIMAL(28,9)) AS nll
+        FROM held h
+        LEFT JOIN c3 ON c3.w1 = h.w1 AND c3.w2 = h.w2 AND c3.w3 = h.w3
+        LEFT JOIN cctx ON cctx.w1 = h.w1 AND cctx.w2 = h.w2
+        LEFT JOIN cbg ON cbg.w2 = h.w2 AND cbg.w3 = h.w3
+        LEFT JOIN cbgctx ON cbgctx.w2 = h.w2
+        LEFT JOIN cuni ON cuni.w3 = h.w3
+        CROSS JOIN scal s)
+      SELECT doc_id, COUNT(*) AS n_trigrams,
+        ROUND(CAST(SUM(nll) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+          AS mean_nll
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id""",
+
+    // source-concentration mixture report; zero-token sources are
+    // filtered on BOTH sides so ln(share) stays finite
+    "q236_source_concentration" -> """
+      WITH tok AS (
+        SELECT lang, source,
+          CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+            ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      bysrc AS (
+        SELECT lang, source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        FROM tok GROUP BY lang, source
+        HAVING CAST(SUM(n_tokens) AS BIGINT) > 0),
+      sh AS (
+        SELECT lang, src_tokens,
+          CAST(src_tokens AS DOUBLE)
+            / CAST(SUM(src_tokens) OVER (PARTITION BY lang) AS DOUBLE)
+            AS share
+        FROM bysrc)
+      SELECT lang, CAST(SUM(src_tokens) AS BIGINT) AS lang_tokens,
+        COUNT(*) AS n_sources,
+        CAST(SUM(CAST(ROUND(share * share, 9) AS DECIMAL(28,9)))
+          AS DOUBLE) AS hhi,
+        CAST(SUM(CAST(ROUND(-share * ln(share), 9) AS DECIMAL(28,9)))
+          AS DOUBLE) AS entropy,
+        ROUND(MAX(share), 9) AS top_share
+      FROM sh
+      GROUP BY lang
+      ORDER BY lang""",
   )
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED

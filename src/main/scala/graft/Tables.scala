@@ -32,6 +32,11 @@ object Tables {
     * in Verify/Bench/tests; the set here keeps ad-hoc sessions working. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the MICROS/NTZ file generation is re-tagged as a UTC instant by
+    // normalizeEventsTs; that cast is session-timezone dependent, so pin
+    // UTC here too (all committed entry points already do) — an ad-hoc
+    // session in a non-UTC JVM would otherwise silently shift every ts
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     normalizeEventsTs(table(s, d, "events"))
   }
 
@@ -40,6 +45,7 @@ object Tables {
   def eventsFileSchema(s: SparkSession, d: String):
       org.apache.spark.sql.types.StructType = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC") // see events()
     table(s, d, "events").schema
   }
 

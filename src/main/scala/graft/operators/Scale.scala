@@ -240,6 +240,45 @@ object Scale {
       ORDER BY t.priority""")
   }
 
+  /** Dynamic partition pruning — the runtime companion to q46's static
+    * pruning and THE load-bearing optimizer feature for a partitioned
+    * 100 TB lake: the fact is partitioned on the join key, the dim's
+    * selective filter is on a DATA column (`era`) the planner cannot
+    * see through statically, so the only way to avoid scanning every
+    * fact partition is to evaluate the dim side first and prune with
+    * its join keys at RUNTIME. Spark plans a
+    * `DynamicPruningExpression(InSubquery…)` into the fact scan's
+    * PartitionFilters, reusing the join's broadcast exchange as the
+    * subquery — the fact side then lists/reads only the 3 surviving
+    * year partitions of 7 (ScaleSpec asserts both the expression and
+    * the post-execution partitions-read metric). At scale this is the
+    * difference between scanning 100 TB and scanning the three
+    * partitions the dim filter actually selects.
+    *
+    * The era attribute is materialized into the parquet dim — not
+    * derived in the query — precisely so constant folding cannot
+    * rewrite the filter onto `d_year`; the pruning HAS to flow through
+    * the join, which is what makes it dynamic. */
+  def q233DppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val factRoot = graft.Scratch.dir("q233_orders_by_year")
+    val dimRoot  = graft.Scratch.dir("q233_year_dim")
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode(SaveMode.Overwrite).parquet(factRoot)
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("d_year")).distinct()
+      .withColumn("era",
+        when(col("d_year") >= 1999, lit("modern")).otherwise(lit("classic")))
+      .write.mode(SaveMode.Overwrite).parquet(dimRoot)
+    val fact = spark.read.parquet(factRoot)
+    val dim = spark.read.parquet(dimRoot).filter(col("era") === "modern")
+    fact.join(broadcast(dim), col("o_year") === col("d_year"))
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_year"))
+  }
+
   /** Join-strategy hints: the per-join override surface for when the
     * optimizer's size estimates are wrong at scale — BROADCAST pins
     * the 5-row region replicate-everywhere, SHUFFLE_HASH builds the

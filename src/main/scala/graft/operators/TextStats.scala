@@ -1046,6 +1046,15 @@ object TextStats {
       .agg(count(lit(1)).as("c_ctx"))
     val cBg = train.groupBy(col("w2").as("b2"), col("w3").as("b3"))
       .agg(count(lit(1)).as("c_bg"))
+    // backoff-bigram context denominator c(w2), counted over the SAME
+    // event space as cBg (one event per training trigram) — so
+    // c_bg <= c_bg_ctx always and c_bg non-null implies c_bg_ctx
+    // non-null. Counting w2 from the unigram (trigram-final) table
+    // instead would mismatch event spaces: a w2 never seen in final
+    // position would null the denominator and the score would exceed 1
+    // for others.
+    val cBgCtx = train.groupBy(col("w2").as("b2c"))
+      .agg(count(lit(1)).as("c_bg_ctx"))
     val cUni = train.groupBy(col("w3").as("u3"))
       .agg(count(lit(1)).as("c_uni"))
     // N counts the same events the unigram table does (trigram-final
@@ -1056,7 +1065,7 @@ object TextStats {
     val score =
       when(col("c3").isNotNull,
         col("c3").cast("double") / col("c_ctx").cast("double"))
-        .when(col("c_bg").isNotNull,
+        .when(col("c_bg").isNotNull && col("c_bg_ctx").isNotNull,
           lit(0.4) * col("c_bg").cast("double") /
             col("c_bg_ctx").cast("double"))
         .otherwise(lit(0.16) *
@@ -1066,9 +1075,7 @@ object TextStats {
       .join(c3, Seq("w1", "w2", "w3"), "left")
       .join(cCtx, Seq("w1", "w2"), "left")
       .join(cBg, col("w2") === col("b2") && col("w3") === col("b3"), "left")
-      // bigram backoff denominator: occurrences of w2 as a context head
-      .join(cUni.select(col("u3").as("w2"), col("c_uni").as("c_bg_ctx")),
-        Seq("w2"), "left")
+      .join(cBgCtx, col("w2") === col("b2c"), "left")
       .join(cUni, col("w3") === col("u3"), "left")
       .crossJoin(broadcast(scal))
       .select(col("doc_id"),
@@ -1096,6 +1103,11 @@ object TextStats {
         size(toks(col("text"))).cast("long").as("n_tokens"))
       .groupBy(col("lang"), col("source"))
       .agg(sum(col("n_tokens")).as("src_tokens"))
+      // a source whose docs all tokenize to zero tokens carries no
+      // mass: dropping it keeps log(share) finite (Spark's log(0) is
+      // NULL and sum() would silently eat the term; DuckDB's ln(0)
+      // errors) and keeps n_sources = sources with actual mass
+      .filter(col("src_tokens") > 0L)
     val byLang = Window.partitionBy(col("lang"))
     val share = col("src_tokens").cast("double") /
       sum(col("src_tokens")).over(byLang).cast("double")

@@ -159,6 +159,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("dpp join prunes fact partitions at runtime through the dim " +
+      "filter") {
+    val df = Scale.q233DppJoin(spark, sf)
+    df.collect() // partitions-read is a runtime fact — materialize first
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val planStr = finalPlan.toString
+    // the fact scan's PartitionFilters must carry the runtime subquery
+    assert(planStr.toLowerCase.contains("dynamicpruningexpression"),
+      planStr.take(3000))
+    // AQE query stages are leaf nodes whose executed subtree lives in
+    // `plan` — descend explicitly, plain collect() never reaches scans
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val factScans = scans(finalPlan).filter(_.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")))
+    assert(factScans.nonEmpty, planStr.take(3000))
+    // era = 'modern' selects 1999-2001: 3 of the 7 year partitions
+    // are read; the other 4 are never listed into the scan
+    assert(factScans.head.metrics("numPartitions").value == 3,
+      factScans.head.metrics.mkString("\n"))
+  }
+
   test("cartesian guard blocks big-big unconditioned joins, allows " +
       "small-side cross joins and conditioned joins") {
     val guard = graft.plans.CartesianGuard(spark)
