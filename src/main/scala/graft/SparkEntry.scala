@@ -261,8 +261,11 @@ object SparkEntry {
     "q231_overlap_profile" -> (Dedup.q231OverlapProfile _),
     "q232_hashed_classifier" -> (TextStats.q232HashedClassifier _),
     "q233_dpp_join"        -> (Scale.q233DppJoin _),
+    "q234_hll_error_cert"  -> (Relational.q234HllErrorCert _),
     "q235_trigram_backoff" -> (TextStats.q235TrigramBackoff _),
     "q236_source_concentration" -> (TextStats.q236SourceConcentration _),
+    "q237_stream_gate_bounded" ->
+      (graft.streaming.StreamDedup.q237StreamGateBounded _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4048,42 +4051,12 @@ object SparkEntry {
     // the streaming admission gate is q206's new×old half with the
     // stream side always on the left: arriving (%10=7) docs probed
     // against the standing-corpus band index, exact-Jaccard verified
-    "q217_stream_index_dedup" -> """
-      WITH words AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                       ' ') AS w
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(w)),
-            i -> w[i] || ' ' || w[i+1])) AS shl
-        FROM words WHERE len(w) >= 2),
-      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-      minh AS (
-        SELECT doc_id, seed,
-               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-        FROM minh GROUP BY doc_id, seed // 4),
-      cand AS (
-        SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
-        FROM bands n
-        JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
-        WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7)
-      SELECT doc_new, doc_old,
-        ROUND(CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
-          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE), 9)
-          AS jaccard
-      FROM cand
-      JOIN sh x ON x.doc_id = doc_new
-      JOIN sh y ON y.doc_id = doc_old
-      WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
-          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
-      ORDER BY doc_new, doc_old""",
+    "q217_stream_index_dedup" -> streamGateOracle,
+
+    // q237 = q217 with watermark-bounded pair-dedup state; identical
+    // admitted pairs on the fixture by construction, so one oracle
+    // pins both (see StreamDedup.q237StreamGateBounded)
+    "q237_stream_gate_bounded" -> streamGateOracle,
 
     // q216's positional-gram + islands CTEs with the candidate source
     // swapped: grams occurring in more than one DISTINCT document
@@ -4693,6 +4666,19 @@ object SparkEntry {
       GROUP BY 1
       ORDER BY o_year""",
 
+    // HLL certificate: the oracle owns the exact side and asserts the
+    // within-bound flag as literal TRUE — a sketch drifting past 3×rsd
+    // hash-mismatches the round (the estimate itself is engine-specific
+    // and deliberately not in the output)
+    "q234_hll_error_cert" -> """
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        COUNT(*) AS n_rows,
+        TRUE AS within_bound
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
     // trigram stupid backoff: the oracle rebuilds all four count
     // tables over the same trigram event space, incl. the dedicated
     // c(w2) backoff denominator (NOT the trigram-final unigram table)
@@ -4773,6 +4759,47 @@ object SparkEntry {
       GROUP BY lang
       ORDER BY lang""",
   )
+
+  /** Shared oracle of the streaming admission gate (q217 unbounded /
+    * q237 watermark-bounded): new-vs-corpus banded candidates with the
+    * exact-Jaccard verify — state bounding must not change the
+    * admitted set. */
+  private def streamGateOracle: String = """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_old
+        FROM bands n
+        JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
+        WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7)
+      SELECT doc_new, doc_old,
+        ROUND(CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE), 9)
+          AS jaccard
+      FROM cand
+      JOIN sh x ON x.doc_id = doc_new
+      JOIN sh y ON y.doc_id = doc_old
+      WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+          / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
+      ORDER BY doc_new, doc_old"""
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED
     * fixed-point iterations — one template, so a typo can't hide in

@@ -245,6 +245,36 @@ object Relational {
            count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** HLL error CERTIFICATE — q22's approximation turned into a checked
+    * invariant (the q213/q226 pattern applied to the oldest no-oracle
+    * row): the HLL++ estimate and the exact distinct count are computed
+    * in ONE aggregate pass, and the output carries the exact side plus
+    * a within-bound flag. The estimate itself is engine-specific and
+    * stays out of the hashed output, but the flag is hash-checked — the
+    * DuckDB oracle emits literal TRUE, so if Spark's sketch ever drifts
+    * past the bound the round's correctness gate fails. Spark's HLL++
+    * is deterministic for fixed data (no seed), so the flag is stable.
+    *
+    * Bound: rsd is configured at 0.05; the certificate allows 3×rsd
+    * (0.15) relative error — conservative enough to be stable, tight
+    * enough to catch a broken sketch. RelationalSpec additionally pins
+    * the OBSERVED error at test scale well inside one rsd. At 100 TB
+    * the exact side is the expensive one (a full distinct shuffle);
+    * the certificate is what you run on a sampled slice to qualify the
+    * cheap sketch for the other 99.9% of partitions. */
+  def q234HllErrorCert(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.05).as("est"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("rel_err",
+        abs(col("est") - col("exact_parts")).cast("double") /
+          col("exact_parts").cast("double"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n_rows"),
+        (col("rel_err") <= 0.15).as("within_bound"))
+      .orderBy(col("l_returnflag"))
+
   /** Reporting query the README's dashboard implies (SURVEY.md §2B):
     * top part-brand per nation by revenue — join + agg + window topN. */
   def q23TopBrandPerNation(spark: SparkSession, dir: String): DataFrame = {

@@ -82,13 +82,37 @@ object StreamDedup {
     * corpus side stays a static table, which is what bounds state at
     * 100 TB (state ∝ admitted candidates, not corpus size).
     *
-    * Pair dedup uses dropDuplicates on the pair key, which is
-    * unbounded state by contract; a production gate bounds it with
-    * `dropDuplicatesWithinWatermark` keyed the same way (the q81
-    * pattern) — the fixture drain here is finite, and keeping the
-    * pair key time-free makes the output interleaving-invariant and
-    * thus oracle-checkable. */
+    * Pair dedup here uses dropDuplicates on the pair key — unbounded
+    * state by documented contract, kept as the time-free reference
+    * form. [[q237StreamGateBounded]] is the production variant: same
+    * pipeline, same output, with the pair state bounded by
+    * `dropDuplicatesWithinWatermark` (the q81 pattern) and eviction
+    * spec-asserted. */
   def q217StreamIndexDedup(spark: SparkSession, dir: String): DataFrame =
+    gateIndexDedup(spark, dir, bounded = false)._1
+
+  /** q237: q217 with the pair-dedup state BOUNDED — the production
+    * form the q217 scaladoc only narrated. Arrivals carry an event
+    * time (synthesized seconds apart, so the drain's time span ≫ the
+    * 1-minute delay) and the pair dedup becomes
+    * `dropDuplicatesWithinWatermark`: a (doc_new, doc_old) key is
+    * remembered only until the watermark passes its event time +
+    * delay, so gate state is (admission rate × watermark window)
+    * instead of growing with everything ever admitted. Output is
+    * IDENTICAL to q217 on the fixture — every duplicate candidate
+    * pair originates from the same arriving row (its 4 band probes
+    * share one timestamp), so no dedup decision ever spans more than
+    * the watermark — which is why the two queries share one oracle.
+    * StreamingDedupSpec asserts eviction actually happens
+    * (numRowsRemoved > 0 in the state operator's progress). */
+  def q237StreamGateBounded(spark: SparkSession, dir: String): DataFrame =
+    gateIndexDedup(spark, dir, bounded = true)._1
+
+  /** Shared gate pipeline; `bounded` selects watermark-bounded pair
+    * dedup (q237) vs the contract-documented unbounded form (q217).
+    * Returns (result, total state rows evicted by watermark). */
+  private[graft] def gateIndexDedup(spark: SparkSession, dir: String,
+      bounded: Boolean): (DataFrame, Long) =
     StreamingWindows.withStreamPartitions(spark) {
       import graft.operators.{Dedup, Scale}
       val corpus = graft.Tables.documents(spark, dir)
@@ -97,39 +121,57 @@ object StreamDedup {
       // the standing artifact: bucketed so batch consumers (q211's
       // shape) join it exchange-free; the stream probe below reads it
       // as a plain static table
-      Scale.dropManaged(spark, "graft_band_index_gate")
+      val tbl = if (bounded) "graft_band_index_gate_wm"
+                else "graft_band_index_gate"
+      Scale.dropManaged(spark, tbl)
       Dedup.bandTable(corpusShingles)
         .write.bucketBy(8, "band", "band_key").sortBy("band", "band_key")
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .saveAsTable("graft_band_index_gate")
-      val index = spark.table("graft_band_index_gate")
+        .saveAsTable(tbl)
+      val index = spark.table(tbl)
 
       // the probe reuses Dedup's EXACT shingle and band-key recipes
       // (shingleSql / bandExplodeSql) — the gate only works if probe
       // keys are bit-identical to the persisted index's
-      val arriving = spark.readStream
+      val raw = spark.readStream
         .schema(docsSchema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(dir)
         .filter(F.col("doc_id") % 10 === 7)
-        .select(F.col("doc_id"),
+      // bounded mode: seconds-apart arrival times make the drain span
+      // many watermark windows, so eviction is observable; all probes
+      // of one arrival share its timestamp, keeping dedup complete
+      val timed =
+        if (bounded) raw
+          .withColumn("ts",
+            F.timestamp_seconds(F.col("doc_id") + F.lit(1700000000L)))
+          .withWatermark("ts", "1 minute")
+        else raw.withColumn("ts", F.lit(null).cast("timestamp"))
+      val arriving = timed
+        .select(F.col("doc_id"), F.col("ts"),
           F.split(Cols.normText(F.col("text")), " ").as("w"))
         .filter(F.size(F.col("w")) >= 2)
-        .select(F.col("doc_id"), F.expr(Dedup.shingleSql).as("sh"))
+        .select(F.col("doc_id"), F.col("ts"),
+          F.expr(Dedup.shingleSql).as("sh"))
       val probes = arriving
-        .select(F.col("doc_id"), F.col("sh"),
+        .select(F.col("doc_id"), F.col("ts"), F.col("sh"),
           graft.functions.TextExprs.minhashSigs(F.col("sh"), 16).as("sig"))
-        .select(F.col("doc_id"), F.col("sh"),
+        .select(F.col("doc_id"), F.col("ts"), F.col("sh"),
           F.expr(Dedup.bandExplodeSql).as("bk"))
-        .select(F.col("doc_id").as("doc_new"), F.col("sh"),
+        .select(F.col("doc_id").as("doc_new"), F.col("ts"), F.col("sh"),
           F.col("bk.band"), F.col("bk.band_key"))
-      val verified = probes
+      val candidates = probes
         .join(index,
           probes("band") === index("band") &&
             probes("band_key") === index("band_key"))
-        .select(F.col("doc_new"), F.col("sh"),
+        .select(F.col("doc_new"), F.col("ts"), F.col("sh"),
           index("doc_id").as("doc_old"))
-        .dropDuplicates("doc_new", "doc_old")
+      val deduped =
+        if (bounded)
+          candidates.dropDuplicatesWithinWatermark("doc_new", "doc_old")
+        else candidates.dropDuplicates("doc_new", "doc_old")
+      val verified = deduped
+        .drop("ts")
         .join(corpusShingles
           .select(F.col("doc_id").as("doc_old"), F.col("sh").as("sh_old")),
           "doc_old")
@@ -145,7 +187,10 @@ object StreamDedup {
       val query = verified.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       query.awaitTermination()
+      val evicted = query.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
       val result = spark.table(name).orderBy("doc_new", "doc_old")
-      StreamingWindows.materializeAndDrop(spark, name, result)
+      (StreamingWindows.materializeAndDrop(spark, name, result), evicted)
     }
 }

@@ -53,6 +53,29 @@ class RelationalSpec extends AnyFunSuite {
       }
   }
 
+  test("hll certificate: estimate stays within one rsd of exact at " +
+      "test scale, and the certified flag is true everywhere") {
+    import org.apache.spark.sql.functions.{abs => fabs, col}
+    // recompute the internal estimate the certificate dropped from its
+    // hashed output, and pin the OBSERVED error well inside the 3×rsd
+    // certificate bound — if this creeps, the q234 flag is next
+    val joined = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("l_partkey"))
+          .as("exact"),
+        org.apache.spark.sql.functions
+          .approx_count_distinct(col("l_partkey"), 0.05).as("est"))
+      .select(fabs(col("est") - col("exact")).cast("double") /
+        col("exact").cast("double"))
+      .collect().map(_.getDouble(0))
+    assert(joined.nonEmpty)
+    assert(joined.forall(_ <= 0.05), joined.mkString(","))
+    val certified = operators.Relational.q234HllErrorCert(spark, sf)
+      .collect()
+    assert(certified.forall(_.getBoolean(3)),
+      certified.mkString("\n"))
+  }
+
   test("q3 joins the nation dimension via broadcast hash join") {
     val plan = operators.Relational.q3JoinAgg(spark, sf)
       .queryExecution.executedPlan.toString

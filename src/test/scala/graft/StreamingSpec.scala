@@ -223,6 +223,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(gate.toSet == batch.toSet)
   }
 
+  test("watermark-bounded gate admits the same pairs as the unbounded " +
+      "form AND actually evicts pair-dedup state") {
+    import spark.implicits._
+    val (bounded, evicted) = graft.streaming.StreamDedup
+      .gateIndexDedup(spark, sf, bounded = true)
+    val got = bounded.select("doc_new", "doc_old", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = graft.streaming.StreamDedup
+      .q217StreamIndexDedup(spark, sf)
+      .select("doc_new", "doc_old", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // bounding state must not change the admitted set (same oracle)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the point of the variant: the watermark actually REMOVES state —
+    // arrivals span many 1-minute windows, so expired pair keys are
+    // evicted instead of accumulating forever
+    assert(evicted > 0, s"expected state eviction, got $evicted removals")
+  }
+
   test("transformWithState running totals converge to the batch " +
       "group-by across micro-batches") {
     import org.apache.spark.sql.functions._
