@@ -266,6 +266,8 @@ object SparkEntry {
     "q236_source_concentration" -> (TextStats.q236SourceConcentration _),
     "q237_stream_gate_bounded" ->
       (graft.streaming.StreamDedup.q237StreamGateBounded _),
+    "q238_index_append"    -> (Dedup.q238IndexAppendMaintenance _),
+    "q239_fuzzy_join_d2"   -> (Quality.q239FuzzyJoinD2 _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -308,10 +310,10 @@ object SparkEntry {
     * where the old side's bands come FROM — the persisted bucketed
     * index — which must be invisible in the result, so one oracle
     * text pins both. */
-  private val incrementalDedupOracle: String = """
+  private def incrementalDedupOracleFor(newMod: Int): String = s"""
       WITH words AS (
         SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
                        ' ') AS w
         FROM documents),
       sh AS (
@@ -335,12 +337,13 @@ object SparkEntry {
         FROM bands n
         JOIN bands o ON n.band = o.band AND n.band_key = o.band_key
           AND n.doc_id <> o.doc_id
-        WHERE n.doc_id % 10 = 7)
+        WHERE n.doc_id % 10 = $newMod)
       SELECT doc_a, doc_b,
         ROUND(CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
           / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE), 9)
           AS jaccard,
-        CASE WHEN doc_a % 10 = 7 AND doc_b % 10 = 7 THEN 'new_new'
+        CASE WHEN doc_a % 10 = $newMod AND doc_b % 10 = $newMod
+             THEN 'new_new'
              ELSE 'new_old' END AS pair_type
       FROM cand
       JOIN sh x ON x.doc_id = doc_a
@@ -348,6 +351,8 @@ object SparkEntry {
       WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
           / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
       ORDER BY doc_a, doc_b"""
+
+  private val incrementalDedupOracle: String = incrementalDedupOracleFor(7)
 
   /** Shared oracle for q204 AND q212: per-node triangle counts are
     * orientation-invariant, so the degree-ordered variant must be
@@ -3742,6 +3747,12 @@ object SparkEntry {
     // the result; one oracle pins both
     "q211_persisted_index_dedup" -> incrementalDedupOracle,
 
+    // q238 probes the base-plus-appended index with the %10==8 batch;
+    // the oracle is the FROM-SCRATCH rebuild semantics (banded
+    // candidates of that batch against everything else) — append
+    // maintenance must be invisible in the result
+    "q238_index_append" -> incrementalDedupOracleFor(8),
+
     // ground truth re-derived from the raw columns — the oracle never
     // parses the dirty URL, so it checks the canonicalizer itself
     "q207_url_canonicalize" -> """
@@ -4575,6 +4586,15 @@ object SparkEntry {
         CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
       FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
       WHERE levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b""",
+
+    // delete-2 blocking is recall-complete for dist<=2 (SymSpell), so
+    // the oracle is again the naive all-pairs definition
+    "q239_fuzzy_join_d2" -> """
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
       ORDER BY id_a, id_b""",
 
     "q231_overlap_profile" -> """

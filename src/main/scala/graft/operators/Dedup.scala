@@ -887,6 +887,71 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Band-index MAINTENANCE — the append half of the daily-ingest
+    * cycle q211 only narrated (q211 rebuilds the index with Overwrite
+    * each run; a standing 100 TB index is never rebuilt daily):
+    *
+    *  - day 0: base corpus (doc_id%10 ∉ {7,8}) → bucketed index table.
+    *  - day 1: the admitted batch (%10==7) APPENDS its bands with
+    *    `insertInto` — the write flows through the table's bucket spec
+    *    (each append lays one more file per bucket), history is never
+    *    rewritten. Periodic compaction (bucket-preserving rewrite once
+    *    small per-bucket files accumulate) is the same write shape as
+    *    day 0 run over `spark.table(...)` into a fresh table name.
+    *  - day 2: the next batch (%10==8) probes the APPENDED index and
+    *    must find candidates among base AND day-1 docs — proving the
+    *    append is semantically invisible vs a from-scratch rebuild,
+    *    which is exactly what the oracle checks (banded candidates of
+    *    the day-2 batch against everything else, one SQL text).
+    *
+    * Plan contract (DedupSpec): the probe's index side is a bucketed
+    * scan with no hash exchange — append maintenance must not cost the
+    * index its exchange-free join layout. */
+  def q238IndexAppendMaintenance(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, dir))
+    val day1 = col("doc_id") % 10 === 7
+    val day2 = col("doc_id") % 10 === 8
+    Scale.dropManaged(spark, "graft_band_index_app")
+    bandTable(docs.filter(!day1 && !day2))
+      .write.bucketBy(8, "band", "band_key").sortBy("band", "band_key")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("graft_band_index_app")
+    bandTable(docs.filter(day1))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto("graft_band_index_app")
+    val index = spark.table("graft_band_index_app")
+    val newBands = bandTable(docs.filter(day2))
+      .localCheckpoint(eager = false) // feeds both candidate branches
+    val newOld = newBands.as("n")
+      .join(index.as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_key") === col("o.band_key"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val newNew = newBands.as("x")
+      .join(newBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    newOld.union(newNew).distinct()
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b"))
+          .as("jac_raw"))
+      .filter(col("jac_raw") >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jac_raw"), 9).as("jaccard"))
+      .withColumn("pair_type",
+        when(col("doc_a") % 10 === 8 && col("doc_b") % 10 === 8,
+          lit("new_new")).otherwise(lit("new_old")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The full curation pipeline END-TO-END — quality gate → exact
     * dedup → near dedup → decontamination — as one attrition report:
     * what a training-data run publishes after each stage (q193 is the

@@ -175,6 +175,64 @@ object Quality {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Delete-2 SymSpell tier — q230 at the distance real entity
+    * resolution runs (dist ≤ 2). Block keys are every variant of a
+    * name with AT MOST two characters deleted; SymSpell's theorem
+    * makes this recall-COMPLETE for lev ≤ 2 (if lev(a,b) ≤ 2 the
+    * deletions on each side that mirror the edit script produce a
+    * shared key), so like q230 the result EQUALS the all-pairs oracle
+    * — no recall contract needed.
+    *
+    * Key-explosion math: a length-L name emits 1 + L + C(L,2) keys
+    * (L=18 here → 172/row, ~len²/2 growth — the reason dist ≤ 3
+    * SymSpell tiers switch to prefix-aware keys). The cost guard is
+    * block population, not key count: a shared key admits names whose
+    * edit distance is up to 4 (2 deletions each side), so candidate
+    * volume is Σ_blocks C(|block|,2). This fixture IS the pathology
+    * the guard watches for — the constant "Customer#000…" prefix lets
+    * one key collect ~8-20% of all names (294 of 1500 at sf0.01) —
+    * yet the measured candidate volume stays ≤ 2.4× the result size
+    * (0.44× all-pairs at sf0.01, improving with n as digit diversity
+    * grows), because fat-block candidates are also near-matches here.
+    * DedupSpec pins the candidate:result ratio — the verify-work
+    * budget — at test scale; in production that ratio and the max
+    * block population are the job's health metrics, and a block
+    * population trending toward corpus scale is the signal to switch
+    * that key family to position/prefix-qualified keys. */
+  /** delete-≤2 variants of `name`: the name, every delete-1, and
+    * delete-1 of every delete-1 (= delete-2), deduped (repeated
+    * characters make identical deletions). Shared with the spec's
+    * block-population audit. */
+  private[graft] val delete2VariantsSql = """array_distinct(concat(
+        array(name),
+        transform(sequence(1, length(name)),
+          i -> concat(substring(name, 1, i - 1),
+                      substring(name, i + 1, length(name)))),
+        flatten(transform(
+          transform(sequence(1, length(name)),
+            i -> concat(substring(name, 1, i - 1),
+                        substring(name, i + 1, length(name)))),
+          v -> transform(sequence(1, length(v)),
+            k -> concat(substring(v, 1, k - 1),
+                        substring(v, k + 1, length(v))))))))"""
+
+  def q239FuzzyJoinD2(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val blocked = c.select(col("id"), col("name"),
+      explode(expr(delete2VariantsSql)).as("k"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
+        col("b.id").as("id_b"), col("b.name").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** PII detection report — the scan an LLM corpus runs before the
     * redaction pass (q109 is the redaction side). The synthetic corpus
     * carries no PII, so a deterministic fraction of docs first gets an

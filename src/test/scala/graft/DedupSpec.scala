@@ -134,6 +134,101 @@ class DedupSpec extends AnyFunSuite {
     assert(viaIndex == recompute)
   }
 
+  test("appended band index probes exchange-free and matches a " +
+      "from-scratch rebuild") {
+    val df = operators.Dedup.q238IndexAppendMaintenance(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // probe side: bucketed scan of the appended table, no re-banding
+    // of history, no hash exchange between the join and the index scan
+    assert(plan.contains("graft_band_index_app"), plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    val seg = plan.substring(
+      plan.lastIndexOf("Join", plan.indexOf("graft_band_index_app")),
+      plan.indexOf("graft_band_index_app"))
+    assert(!seg.contains("Exchange hashpartitioning"), seg)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    // the appended table holds base + day-1 bands: band-count identity
+    // vs computing them fresh proves the append landed, not a rewrite
+    import org.apache.spark.sql.functions.col
+    val docs = operators.Dedup.shingled(Tables.documents(spark, sf))
+    val wantIndexRows = operators.Dedup
+      .bandTable(docs.filter(col("doc_id") % 10 =!= 8)).count()
+    assert(spark.table("graft_band_index_app").count() == wantIndexRows)
+    // from-scratch rebuild semantics: banded candidates of the day-2
+    // batch against everything else, straight from the recipes
+    val bands = operators.Dedup.bandTable(docs)
+    val cand = bands.as("n")
+      .join(bands.as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_key") === col("o.band_key") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .filter(col("n.doc_id") % 10 === 8)
+      .select(
+        org.apache.spark.sql.functions
+          .least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        org.apache.spark.sql.functions
+          .greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+      .distinct()
+    val want = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b"))
+          .as("j"))
+      .filter(col("j") >= 0.8)
+      .collect().map { r =>
+        val t = if (r.getLong(0) % 10 == 8 && r.getLong(1) % 10 == 8)
+          "new_new" else "new_old"
+        (r.getLong(0), r.getLong(1),
+          BigDecimal(r.getDouble(2)).setScale(9,
+            BigDecimal.RoundingMode.HALF_UP).toDouble, t)
+      }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("delete-2 fuzzy join equals the all-pairs answer with bounded " +
+      "block populations") {
+    import org.apache.spark.sql.functions._
+    val got = operators.Quality.q239FuzzyJoinD2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val c = Tables.customer(spark, sf)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val nNames = c.count()
+    val want = c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        levenshtein(col("a.name"), col("b.name")).as("d"))
+      .filter(col("d") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // recall-COMPLETE by construction: the blocked result IS the
+    // all-pairs result, not an approximation of it
+    assert(got == want)
+    assert(got.nonEmpty)
+    // candidate-volume guard: the verify-work budget from the q239
+    // scaladoc. The constant "Customer#" prefix makes single blocks
+    // collect a large share of names (114 of 150 here — the observed
+    // pathology, asserted so a fixture change resurfaces it), but the
+    // DISTINCT candidate pair volume must stay within 2x the result —
+    // blocked verify work proportional to output, not to n².
+    val blocked = c.select(col("id"),
+      explode(expr(operators.Quality.delete2VariantsSql)).as("k"))
+    val maxBlock = blocked
+      .groupBy(col("k")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxBlock > nNames / 2, // the fixture IS the pathology
+      s"max block $maxBlock of $nNames names")
+    val candidates = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct().count()
+    assert(candidates <= 2L * got.size,
+      s"$candidates candidates for ${got.size} results")
+  }
+
   test("ngram jaccard inverted index finds the near-dup pairs") {
     val out = operators.Dedup.q68NgramJaccard(spark, sf).collect()
     assert(out.nonEmpty)
