@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a full-catalog bench sweep generates thousands of codegen classes;
+  // the JVM default 240m code cache fills mid-sweep and JIT silently
+  // degrades — late-pass samples of multi-job queries inflate (r5's
+  // q131 driver raw went 4.7→6.2→8.9 ACROSS passes). Headroom +
+  // flushing keeps compiled code available for the whole sweep.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -268,6 +268,7 @@ object SparkEntry {
       (graft.streaming.StreamDedup.q237StreamGateBounded _),
     "q238_index_append"    -> (Dedup.q238IndexAppendMaintenance _),
     "q239_fuzzy_join_d2"   -> (Quality.q239FuzzyJoinD2 _),
+    "q240_round_report"    -> (Dedup.q240RoundReport _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -3800,106 +3801,7 @@ object SparkEntry {
 
     // the four-stage curation pipeline, each stage over the previous
     // stage's survivors; counts via scalar subqueries
-    "q209_curation_pipeline" -> """
-      WITH RECURSIVE train AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
-      tok AS (
-        SELECT doc_id, text,
-          len(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-            'g')), ' ')) AS n
-        FROM train),
-      s1 AS (SELECT doc_id, text FROM tok WHERE n BETWEEN 20 AND 100000),
-      fp AS (
-        SELECT doc_id, text,
-          MIN(doc_id) OVER (PARTITION BY
-            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
-            AS min_id
-        FROM s1),
-      s2 AS (SELECT doc_id, text FROM fp WHERE doc_id = min_id),
-      words2 AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-            'g')), ' ') AS w
-        FROM s2),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(w)),
-            i -> w[i] || ' ' || w[i+1])) AS shl
-        FROM words2 WHERE len(w) >= 2),
-      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-      minh AS (
-        SELECT doc_id, seed,
-               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-        FROM minh GROUP BY doc_id, seed // 4),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        WHERE a.doc_id < b.doc_id),
-      pairs AS (
-        SELECT doc_a, doc_b FROM cand
-        JOIN sh x ON x.doc_id = doc_a
-        JOIN sh y ON y.doc_id = doc_b
-        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
-            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
-      sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs),
-      reach(src, dst) AS (
-        SELECT src, dst FROM sym
-        UNION
-        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-      labels AS (
-        SELECT src AS id, LEAST(src, MIN(dst)) AS label
-        FROM reach GROUP BY src),
-      drop3 AS (SELECT id AS doc_id FROM labels WHERE label < id),
-      s3 AS (SELECT doc_id, text FROM s2
-             WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
-      gw AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-            'g')), ' ') AS w
-        FROM s3),
-      g3 AS (
-        SELECT doc_id,
-          unnest(list_distinct(list_transform(range(1, len(w) - 6),
-            i -> array_to_string(w[i:i+7], ' ')))) AS gram
-        FROM gw WHERE len(w) >= 8),
-      ew AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-            'g')), ' ') AS w
-        FROM documents WHERE doc_id % 10 = 0),
-      eg AS (
-        SELECT DISTINCT
-          unnest(list_distinct(list_transform(range(1, len(w) - 6),
-            i -> array_to_string(w[i:i+7], ' ')))) AS gram
-        FROM ew WHERE len(w) >= 8),
-      contaminated AS (
-        SELECT DISTINCT g3.doc_id FROM g3 JOIN eg USING (gram)),
-      s4 AS (SELECT doc_id FROM s3
-             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
-      n AS (
-        SELECT (SELECT COUNT(*) FROM train) AS n0,
-               (SELECT COUNT(*) FROM s1) AS n1,
-               (SELECT COUNT(*) FROM s2) AS n2,
-               (SELECT COUNT(*) FROM s3) AS n3,
-               (SELECT COUNT(*) FROM s4) AS n4)
-      SELECT CAST(stage AS INT) AS stage, gate,
-        CAST(n_entering AS BIGINT) AS n_entering,
-        CAST(n_dropped AS BIGINT) AS n_dropped,
-        CAST(n_surviving AS BIGINT) AS n_surviving
-      FROM (
-        SELECT 1 AS stage, 'quality_length' AS gate, n0 AS n_entering,
-               n0 - n1 AS n_dropped, n1 AS n_surviving FROM n
-        UNION ALL SELECT 2, 'exact_dedup', n1, n1 - n2, n2 FROM n
-        UNION ALL SELECT 3, 'near_dedup', n2, n2 - n3, n3 FROM n
-        UNION ALL SELECT 4, 'decontamination', n3, n3 - n4, n4 FROM n) r
-      ORDER BY stage""",
+    "q209_curation_pipeline" -> curationPipelineOracle,
 
     // same chain edges (lead over doc_id per lang), then components as
     // the q69 recursive transitive closure — verifies the star
@@ -4482,100 +4384,15 @@ object SparkEntry {
           AS BIGINT) AS residual_pii
       FROM red GROUP BY source ORDER BY source""",
 
-    "q228_shard_manifest" -> """
-      WITH s AS (
-        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
-            ::INTEGER % 16 AS shard,
-          CAST(len(string_split(trim(regexp_replace(lower(text),
-            '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tokens
-        FROM documents),
-      m AS (
-        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
-          CAST(SUM(tokens) AS BIGINT) AS n_tokens
-        FROM s GROUP BY shard),
-      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM m)
-      SELECT shard, n_docs, n_tokens,
-        CAST(n_tokens AS DOUBLE) * 16.0 / CAST(tot AS DOUBLE) AS balance
-      FROM m CROSS JOIN t
-      ORDER BY shard""",
+    "q228_shard_manifest" -> shardManifestOracle,
 
     // q69's recursive-CTE components; representative = the component's
     // min doc_id = the CC label on both sides
-    "q229_cluster_downweight" -> """
-      WITH RECURSIVE words AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                       ' ') AS w
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(w)),
-            i -> w[i] || ' ' || w[i+1])) AS shl
-        FROM words WHERE len(w) >= 2),
-      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-      minh AS (
-        SELECT doc_id, seed,
-               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-        FROM minh GROUP BY doc_id, seed // 4),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        WHERE a.doc_id < b.doc_id),
-      edges AS (
-        SELECT doc_a, doc_b
-        FROM cand
-        JOIN sh x ON x.doc_id = doc_a
-        JOIN sh y ON y.doc_id = doc_b
-        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
-            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
-      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
-              UNION SELECT doc_b, doc_a FROM edges),
-      reach(src, dst) AS (
-        SELECT src, dst FROM sym
-        UNION
-        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-      labels AS (
-        SELECT src AS id, LEAST(src, MIN(dst)) AS label
-        FROM reach GROUP BY src),
-      tok AS (
-        SELECT doc_id,
-          CAST(len(string_split(trim(regexp_replace(lower(text),
-            '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tokens
-        FROM documents),
-      lab AS (
-        SELECT t.doc_id, t.tokens, l.label
-        FROM tok t LEFT JOIN labels l ON l.id = t.doc_id),
-      clusters AS (
-        SELECT label, CAST(COUNT(*) AS BIGINT) AS k,
-          CAST(SUM(tokens) AS BIGINT) AS cluster_tokens,
-          CAST(MAX(CASE WHEN doc_id = label THEN tokens END) AS BIGINT)
-            AS rep_tokens
-        FROM lab WHERE label IS NOT NULL GROUP BY label),
-      paired AS (
-        SELECT k AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
-          CAST(SUM(cluster_tokens) AS BIGINT) AS tokens_total,
-          CAST(SUM(rep_tokens) AS BIGINT) AS tokens_keep_one
-        FROM clusters GROUP BY k),
-      single AS (
-        SELECT CAST(1 AS BIGINT) AS cluster_size,
-          CAST(COUNT(*) AS BIGINT) AS n_clusters,
-          CAST(SUM(tokens) AS BIGINT) AS tokens_total,
-          CAST(SUM(tokens) AS BIGINT) AS tokens_keep_one
-        FROM lab WHERE label IS NULL),
-      u AS (SELECT * FROM single UNION ALL SELECT * FROM paired)
-      SELECT cluster_size, n_clusters,
-        cluster_size * n_clusters AS n_docs,
-        tokens_total, tokens_keep_one,
-        CAST(tokens_total AS DOUBLE) / CAST(cluster_size AS DOUBLE)
-          AS tokens_effective
-      FROM u
-      ORDER BY cluster_size""",
+    "q229_cluster_downweight" -> clusterDownweightOracle,
+
+    // the composed round report re-states the three section oracles
+    // verbatim as subqueries — the composition must change nothing
+    "q240_round_report" -> roundReportOracle,
 
     // The engine finds dist<=1 pairs via delete-1 SymSpell blocking
     // (recall-complete for dist<=1, see Quality.q230FuzzyJoin); the
@@ -4820,6 +4637,221 @@ object SparkEntry {
       WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
           / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8
       ORDER BY doc_new, doc_old"""
+
+  private val curationPipelineOracle: String = """
+      WITH RECURSIVE train AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+      tok AS (
+        SELECT doc_id, text,
+          len(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS n
+        FROM train),
+      s1 AS (SELECT doc_id, text FROM tok WHERE n BETWEEN 20 AND 100000),
+      fp AS (
+        SELECT doc_id, text,
+          MIN(doc_id) OVER (PARTITION BY
+            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+            AS min_id
+        FROM s1),
+      s2 AS (SELECT doc_id, text FROM fp WHERE doc_id = min_id),
+      words2 AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM s2),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words2 WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src),
+      drop3 AS (SELECT id AS doc_id FROM labels WHERE label < id),
+      s3 AS (SELECT doc_id, text FROM s2
+             WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+      gw AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM s3),
+      g3 AS (
+        SELECT doc_id,
+          unnest(list_distinct(list_transform(range(1, len(w) - 6),
+            i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        FROM gw WHERE len(w) >= 8),
+      ew AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents WHERE doc_id % 10 = 0),
+      eg AS (
+        SELECT DISTINCT
+          unnest(list_distinct(list_transform(range(1, len(w) - 6),
+            i -> array_to_string(w[i:i+7], ' ')))) AS gram
+        FROM ew WHERE len(w) >= 8),
+      contaminated AS (
+        SELECT DISTINCT g3.doc_id FROM g3 JOIN eg USING (gram)),
+      s4 AS (SELECT doc_id FROM s3
+             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      n AS (
+        SELECT (SELECT COUNT(*) FROM train) AS n0,
+               (SELECT COUNT(*) FROM s1) AS n1,
+               (SELECT COUNT(*) FROM s2) AS n2,
+               (SELECT COUNT(*) FROM s3) AS n3,
+               (SELECT COUNT(*) FROM s4) AS n4)
+      SELECT CAST(stage AS INT) AS stage, gate,
+        CAST(n_entering AS BIGINT) AS n_entering,
+        CAST(n_dropped AS BIGINT) AS n_dropped,
+        CAST(n_surviving AS BIGINT) AS n_surviving
+      FROM (
+        SELECT 1 AS stage, 'quality_length' AS gate, n0 AS n_entering,
+               n0 - n1 AS n_dropped, n1 AS n_surviving FROM n
+        UNION ALL SELECT 2, 'exact_dedup', n1, n1 - n2, n2 FROM n
+        UNION ALL SELECT 3, 'near_dedup', n2, n2 - n3, n3 FROM n
+        UNION ALL SELECT 4, 'decontamination', n3, n3 - n4, n4 FROM n) r
+      ORDER BY stage"""
+
+  private val shardManifestOracle: String = """
+      WITH s AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+            ::INTEGER % 16 AS shard,
+          CAST(len(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tokens
+        FROM documents),
+      m AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(tokens) AS BIGINT) AS n_tokens
+        FROM s GROUP BY shard),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM m)
+      SELECT shard, n_docs, n_tokens,
+        CAST(n_tokens AS DOUBLE) * 16.0 / CAST(tot AS DOUBLE) AS balance
+      FROM m CROSS JOIN t
+      ORDER BY shard"""
+
+  private val clusterDownweightOracle: String = """
+      WITH RECURSIVE words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+              UNION SELECT doc_b, doc_a FROM edges),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src),
+      tok AS (
+        SELECT doc_id,
+          CAST(len(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tokens
+        FROM documents),
+      lab AS (
+        SELECT t.doc_id, t.tokens, l.label
+        FROM tok t LEFT JOIN labels l ON l.id = t.doc_id),
+      clusters AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(tokens) AS BIGINT) AS cluster_tokens,
+          CAST(MAX(CASE WHEN doc_id = label THEN tokens END) AS BIGINT)
+            AS rep_tokens
+        FROM lab WHERE label IS NOT NULL GROUP BY label),
+      paired AS (
+        SELECT k AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(SUM(cluster_tokens) AS BIGINT) AS tokens_total,
+          CAST(SUM(rep_tokens) AS BIGINT) AS tokens_keep_one
+        FROM clusters GROUP BY k),
+      single AS (
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+          CAST(COUNT(*) AS BIGINT) AS n_clusters,
+          CAST(SUM(tokens) AS BIGINT) AS tokens_total,
+          CAST(SUM(tokens) AS BIGINT) AS tokens_keep_one
+        FROM lab WHERE label IS NULL),
+      u AS (SELECT * FROM single UNION ALL SELECT * FROM paired)
+      SELECT cluster_size, n_clusters,
+        cluster_size * n_clusters AS n_docs,
+        tokens_total, tokens_keep_one,
+        CAST(tokens_total AS DOUBLE) / CAST(cluster_size AS DOUBLE)
+          AS tokens_effective
+      FROM u
+      ORDER BY cluster_size"""
+
+  /** q240's oracle: the three section oracles as verbatim subqueries,
+    * tagged and column-aligned exactly like the Spark union. */
+  private def roundReportOracle: String = s"""
+      SELECT * FROM (
+        SELECT 'attrition' AS section, CAST(stage AS BIGINT) AS seq,
+          gate AS key, n_entering AS n_a, n_dropped AS n_b,
+          n_surviving AS n_c,
+          ROUND(CAST(n_surviving AS DOUBLE) / CAST(n_entering AS DOUBLE),
+            9) AS metric
+        FROM ($curationPipelineOracle)
+        UNION ALL
+        SELECT 'shard', CAST(shard AS BIGINT), CAST(shard AS VARCHAR),
+          n_docs, n_tokens, CAST(NULL AS BIGINT), ROUND(balance, 9)
+        FROM ($shardManifestOracle)
+        UNION ALL
+        SELECT 'downweight', cluster_size, CAST(cluster_size AS VARCHAR),
+          n_docs, tokens_total, tokens_keep_one,
+          ROUND(tokens_effective, 9)
+        FROM ($clusterDownweightOracle))
+      ORDER BY section, seq"""
 
   /** q150's oracle: the shared MinHash edge CTEs plus 10 GENERATED
     * fixed-point iterations — one template, so a typo can't hide in

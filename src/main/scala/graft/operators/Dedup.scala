@@ -1318,6 +1318,14 @@ object Dedup {
     val labels = connectedComponents(
       minhashPairs(docs).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("label"))
+    clusterDownweightFrom(toks, labels)
+  }
+
+  /** q229's ledger over prepared (doc_id, tokens) and (doc_id, label)
+    * frames — split out so compositions (q240) can stage both once and
+    * reuse them across report sections. */
+  private[graft] def clusterDownweightFrom(toks: DataFrame,
+      labels: DataFrame): DataFrame = {
     val labeled = toks.join(broadcast(labels), Seq("doc_id"), "left")
     val paired = labeled.filter(col("label").isNotNull)
       .groupBy(col("label"))
@@ -1339,5 +1347,58 @@ object Dedup {
         (col("tokens_total").cast("double") /
           col("cluster_size").cast("double")).as("tokens_effective"))
       .orderBy(col("cluster_size"))
+  }
+
+  /** The ROUND REPORT — the single artifact a curation run publishes,
+    * composing three proven reports into one union-tagged frame (the
+    * q209 counter discipline applied at the report level):
+    *
+    *  - `attrition`  — q209's four-stage pipeline waterfall,
+    *  - `shard`      — q228's token-balanced output manifest,
+    *  - `downweight` — q229's duplication ledger per cluster size.
+    *
+    * The composition is where checkpoint/broadcast disciplines are
+    * stress-tested TOGETHER: the corpus tokenization is staged ONCE
+    * (lazy localCheckpoint) and feeds both the shard and downweight
+    * sections; the CC label frame is the one label exchange q229
+    * already pays; the attrition section arrives as a driver-local
+    * frame (q209 aggregates to four rows internally). DedupSpec
+    * asserts each section equals its standalone query and that the
+    * composed plan stages the corpus instead of rescanning it per
+    * section. One schema for all sections keeps the artifact a single
+    * parquet a dashboard can read: (section, seq, key, n_a, n_b, n_c,
+    * metric) with section-specific meanings documented per row kind. */
+  def q240RoundReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      size(split(graft.functions.Cols.normText(col("text")), " "))
+        .cast("long").as("tokens"))
+      .localCheckpoint(eager = false) // shard + downweight sections
+    val labels = connectedComponents(
+      minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label"))
+    val attrition = q209CurationPipeline(spark, dir).select(
+      lit("attrition").as("section"),
+      col("stage").cast("long").as("seq"), col("gate").as("key"),
+      col("n_entering").as("n_a"), col("n_dropped").as("n_b"),
+      col("n_surviving").as("n_c"),
+      round(col("n_surviving").cast("double") /
+        col("n_entering").cast("double"), 9).as("metric"))
+    val shard = Sampling.shardManifestFrom(toks).select(
+      lit("shard").as("section"),
+      col("shard").cast("long").as("seq"),
+      col("shard").cast("string").as("key"),
+      col("n_docs").as("n_a"), col("n_tokens").as("n_b"),
+      lit(null).cast("long").as("n_c"),
+      round(col("balance"), 9).as("metric"))
+    val downweight = clusterDownweightFrom(toks, labels).select(
+      lit("downweight").as("section"),
+      col("cluster_size").as("seq"),
+      col("cluster_size").cast("string").as("key"),
+      col("n_docs").as("n_a"), col("tokens_total").as("n_b"),
+      col("tokens_keep_one").as("n_c"),
+      round(col("tokens_effective"), 9).as("metric"))
+    attrition.unionAll(shard).unionAll(downweight)
+      .orderBy(col("section"), col("seq"))
   }
 }

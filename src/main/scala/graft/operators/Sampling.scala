@@ -212,13 +212,21 @@ object Sampling {
     * loose, tightening as corpus size grows). One scan + a 16-row
     * aggregate; the grand total re-aggregates the 16-row manifest, so
     * its attach-back broadcast is metadata-sized by construction. */
-  def q228ShardManifest(spark: SparkSession, dir: String): DataFrame = {
-    val shards = Tables.documents(spark, dir)
+  def q228ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestFrom(Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(graft.functions.Cols.normText(col("text")), " "))
+          .cast("long").as("tokens")))
+
+  /** q228's manifest over a prepared (doc_id, tokens) frame — split out
+    * so compositions (q240) can stage the tokenization once and feed
+    * several report sections from the same checkpointed pass. */
+  private[graft] def shardManifestFrom(toks: DataFrame): DataFrame = {
+    val shards = toks
       .select(
         (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
           .cast("int") % 16).as("shard"),
-        size(split(graft.functions.Cols.normText(col("text")), " "))
-          .cast("long").as("tokens"))
+        col("tokens"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
     val total = shards.agg(sum(col("n_tokens")).as("tot"))

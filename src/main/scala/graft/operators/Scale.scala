@@ -140,8 +140,13 @@ object Scale {
       sortExprs: org.apache.spark.sql.Column*): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // EAGER checkpoint: zipWithIndex runs two jobs (per-partition
+    // counts, then the offset map). Un-checkpointed, the second job
+    // re-runs the reduce-side sort; checkpointed, both jobs read the
+    // sorted blocks once-materialized — the sort is paid exactly once.
     val sorted = df.repartitionByRange(nParts, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
+      .localCheckpoint()
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
     }

@@ -191,6 +191,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("round report composes without rescanning the corpus and each " +
+      "section equals its standalone query") {
+    val df = operators.Dedup.q240RoundReport(spark, sf)
+    // composition discipline: the returned plan consumes ONLY staged
+    // inputs (checkpointed tokenization/labels, driver-local attrition)
+    // — the corpus parquet is never re-read per section
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan.take(3000))
+    val rows = df.collect()
+    val bySection = rows.groupBy(_.getString(0))
+    assert(bySection.keySet == Set("attrition", "shard", "downweight"))
+    val attr = operators.Dedup.q209CurationPipeline(spark, sf).collect()
+      .map(r => r.getInt(0).toLong ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bySection("attrition").map(r => r.getLong(1) ->
+      (r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      == attr)
+    val shard = operators.Sampling.q228ShardManifest(spark, sf).collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySection("shard").map(r => r.getLong(1) ->
+      (r.getLong(3), r.getLong(4))).toMap == shard)
+    val dw = operators.Dedup.q229ClusterDownweight(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(bySection("downweight").map(r => r.getLong(1) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5))).toMap == dw)
+  }
+
   test("delete-2 fuzzy join equals the all-pairs answer with bounded " +
       "block populations") {
     import org.apache.spark.sql.functions._
