@@ -269,6 +269,8 @@ object SparkEntry {
     "q238_index_append"    -> (Dedup.q238IndexAppendMaintenance _),
     "q239_fuzzy_join_d2"   -> (Quality.q239FuzzyJoinD2 _),
     "q240_round_report"    -> (Dedup.q240RoundReport _),
+    "q241_index_compaction" -> (Dedup.q241IndexCompaction _),
+    "q242_incremental_cc"  -> (Dedup.q242IncrementalCC _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -1250,52 +1252,7 @@ object SparkEntry {
 
     // same MinHash edge set as q25, then connected components as a
     // recursive transitive closure with min-reachable-id labels
-    "q69_dedup_clusters" -> """
-      WITH RECURSIVE words AS (
-        SELECT doc_id,
-          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                       ' ') AS w
-        FROM documents),
-      sh AS (
-        SELECT doc_id,
-          list_distinct(list_transform(range(1, len(w)),
-            i -> w[i] || ' ' || w[i+1])) AS shl
-        FROM words WHERE len(w) >= 2),
-      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-      minh AS (
-        SELECT doc_id, seed,
-               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
-        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
-        GROUP BY doc_id, seed),
-      bands AS (
-        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
-        FROM minh GROUP BY doc_id, seed // 4),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a
-        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-        WHERE a.doc_id < b.doc_id),
-      edges AS (
-        SELECT doc_a, doc_b
-        FROM cand
-        JOIN sh x ON x.doc_id = doc_a
-        JOIN sh y ON y.doc_id = doc_b
-        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
-            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
-      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
-              UNION SELECT doc_b, doc_a FROM edges),
-      reach(src, dst) AS (
-        SELECT src, dst FROM sym
-        UNION
-        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
-      labels AS (
-        SELECT src AS id, LEAST(src, MIN(dst)) AS label
-        FROM reach GROUP BY src)
-      SELECT label AS cluster, COUNT(*) AS n_docs, MAX(id) AS max_doc
-      FROM labels
-      GROUP BY label
-      ORDER BY cluster""",
+    "q69_dedup_clusters" -> dedupClustersOracle,
 
     "q70_tfidf" -> """
       WITH w2 AS (
@@ -4394,6 +4351,14 @@ object SparkEntry {
     // verbatim as subqueries — the composition must change nothing
     "q240_round_report" -> roundReportOracle,
 
+    // q241 probes the COMPACTED index; compaction must be invisible in
+    // the result, so the from-scratch rebuild oracle pins it (= q238)
+    "q241_index_compaction" -> incrementalDedupOracleFor(8),
+
+    // q242's incremental label update must equal the full-corpus
+    // recompute — q69's cluster-summary oracle, same SQL text
+    "q242_incremental_cc" -> dedupClustersOracle,
+
     // The engine finds dist<=1 pairs via delete-1 SymSpell blocking
     // (recall-complete for dist<=1, see Quality.q230FuzzyJoin); the
     // oracle is deliberately the naive all-pairs definition the
@@ -4406,11 +4371,15 @@ object SparkEntry {
       ORDER BY id_a, id_b""",
 
     // delete-2 blocking is recall-complete for dist<=2 (SymSpell), so
-    // the oracle is again the naive all-pairs definition
+    // the oracle is again the naive all-pairs definition — over the
+    // same %7 qualification slice (the dist<=2 relation on the full
+    // table is Theta(n^2)-dense; see the q239 scaladoc)
     "q239_fuzzy_join_d2" -> """
+      WITH s AS (SELECT c_custkey, c_name FROM customer
+                 WHERE c_custkey % 7 = 3)
       SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
-      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      FROM s a JOIN s b ON a.c_custkey < b.c_custkey
       WHERE levenshtein(a.c_name, b.c_name) <= 2
       ORDER BY id_a, id_b""",
 
@@ -4831,6 +4800,55 @@ object SparkEntry {
           AS tokens_effective
       FROM u
       ORDER BY cluster_size"""
+
+  /** q69's oracle (cluster summary over the full near-dup graph);
+    * q242's incremental update must reproduce it bit-for-bit. */
+  private val dedupClustersOracle: String = """
+      WITH RECURSIVE words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      shingles AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      minh AS (
+        SELECT doc_id, seed,
+               min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+        FROM shingles CROSS JOIN (SELECT unnest(range(16)) AS seed) t
+        GROUP BY doc_id, seed),
+      bands AS (
+        SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS band_key
+        FROM minh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id < b.doc_id),
+      edges AS (
+        SELECT doc_a, doc_b
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.8),
+      sym AS (SELECT doc_a AS src, doc_b AS dst FROM edges
+              UNION SELECT doc_b, doc_a FROM edges),
+      reach(src, dst) AS (
+        SELECT src, dst FROM sym
+        UNION
+        SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+      labels AS (
+        SELECT src AS id, LEAST(src, MIN(dst)) AS label
+        FROM reach GROUP BY src)
+      SELECT label AS cluster, COUNT(*) AS n_docs, MAX(id) AS max_doc
+      FROM labels
+      GROUP BY label
+      ORDER BY cluster"""
 
   /** q240's oracle: the three section oracles as verbatim subqueries,
     * tagged and column-aligned exactly like the Spark union. */

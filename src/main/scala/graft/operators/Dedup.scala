@@ -920,8 +920,18 @@ object Dedup {
     bandTable(docs.filter(day1))
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .insertInto("graft_band_index_app")
-    val index = spark.table("graft_band_index_app")
-    val newBands = bandTable(docs.filter(day2))
+    probeBandIndex(docs, spark.table("graft_band_index_app"),
+      docs.filter(day2), newMod = 8)
+  }
+
+  /** The persisted-index probe shared by q238 (appended index) and
+    * q241 (compacted index): band the new batch, take new×index and
+    * new×new candidates, verify with exact Jaccard against the
+    * shingle table. `newMod` tags pair_type (both sides ≡ newMod →
+    * new_new). */
+  private def probeBandIndex(docs: DataFrame, index: DataFrame,
+      newSide: DataFrame, newMod: Int): DataFrame = {
+    val newBands = bandTable(newSide)
       .localCheckpoint(eager = false) // feeds both candidate branches
     val newOld = newBands.as("n")
       .join(index.as("o"),
@@ -947,9 +957,131 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("jac_raw"), 9).as("jaccard"))
       .withColumn("pair_type",
-        when(col("doc_a") % 10 === 8 && col("doc_b") % 10 === 8,
+        when(col("doc_a") % 10 === newMod && col("doc_b") % 10 === newMod,
           lit("new_new")).otherwise(lit("new_old")))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Band-index COMPACTION — the periodic half of the maintenance
+    * cycle (q238 is the append half): after appends accumulate small
+    * per-bucket files, the standing index is rewritten into its next
+    * version with the SAME bucket spec, one file per bucket — with
+    * ZERO exchange. The trick is forcing the bucket-aligned scan
+    * (autoBucketedScan off for the rewrite): the read then runs one
+    * task per bucket, each task merges its bucket's small files and
+    * lays exactly one sorted file under the same spec. Compaction is
+    * thus a LOCAL per-bucket merge — the scale-correct shape: a
+    * 100 TB index compacts without ever reshuffling. (A
+    * `repartition(n, bucketCols)` formulation does NOT work: the
+    * optimizer removes it as redundant against the table's bucketing
+    * and then disables the bucketed scan, leaving an unaligned write
+    * that multiplies files — measured, not theorized.) The probe
+    * against the compacted version must equal the rebuild oracle
+    * (same SQL as q238); DedupSpec asserts one file per bucket and
+    * the exchange-free probe. */
+  def q241IndexCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, dir))
+    val day1 = col("doc_id") % 10 === 7
+    val day2 = col("doc_id") % 10 === 8
+    Scale.dropManaged(spark, "graft_band_index_cpt")
+    Scale.dropManaged(spark, "graft_band_index_cptd")
+    bandTable(docs.filter(!day1 && !day2))
+      .write.bucketBy(8, "band", "band_key").sortBy("band", "band_key")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("graft_band_index_cpt")
+    bandTable(docs.filter(day1))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .insertInto("graft_band_index_cpt")
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val oldAbs = spark.conf.get(abs)
+    spark.conf.set(abs, "false") // bucket-aligned read: 1 task/bucket
+    try spark.table("graft_band_index_cpt")
+      .write.bucketBy(8, "band", "band_key").sortBy("band", "band_key")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable("graft_band_index_cptd")
+    finally spark.conf.set(abs, oldAbs)
+    probeBandIndex(docs, spark.table("graft_band_index_cptd"),
+      docs.filter(day2), newMod = 8)
+  }
+
+  /** INCREMENTAL connected components — the daily-ingest form of the
+    * dedup cluster update, completing the incremental family (q206
+    * incremental pairing, q238 index append): yesterday's labels are a
+    * standing artifact, and today's batch only contributes DELTA edges
+    * (new×old + new×new from the banded probe — old×old was
+    * adjudicated yesterday and is never re-paired). The update
+    * CONTRACTS old endpoints to their old component label, runs CC on
+    * the contracted delta graph — nodes are new docs, touched old
+    * labels, and touched old singletons, so the graph is
+    * delta-sized, not corpus-sized — and relabels:
+    *
+    *  - old members: label L → merged(L) when the new batch bridged
+    *    their component into a larger one, else unchanged;
+    *  - new docs / touched old singletons: merged(node) directly.
+    *
+    * Labels stay "min doc_id in component" because an old label is
+    * already the min of its old component, so the min over contracted
+    * node ids IS the global min of the merged component. The result is
+    * therefore IDENTICAL to a full-corpus recompute, which is exactly
+    * what the oracle checks (q69's cluster summary, same SQL text).
+    * At 100 TB this is the difference between re-clustering the corpus
+    * nightly and touching only components the day's batch reaches. */
+  def q242IncrementalCC(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % 10 === 7
+    // yesterday's artifact: labels over the OLD corpus only
+    val oldLabels = connectedComponents(
+      minhashPairs(docs.filter(!isNew)).select(col("doc_a"), col("doc_b")))
+      .localCheckpoint(eager = false)
+    // today's delta: banded candidates of the new batch against the
+    // full corpus (q206's candidate shape), exact-Jaccard verified;
+    // ONE shingle checkpoint feeds banding and both verify sides
+    val sh = shingled(docs)
+    val bands = bandTable(sh)
+    val newBands = bands.filter(col("doc_id") % 10 === 7)
+    val delta = newBands.as("n")
+      .join(bands.as("o"),
+        col("n.band") === col("o.band") &&
+          col("n.band_key") === col("o.band_key") &&
+          col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+      .distinct()
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .filter(graft.functions.TextExprs
+        .jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    // contract old endpoints to their old label (absent → the doc is a
+    // new arrival or an untouched-yesterday singleton: itself)
+    val cEdges = delta
+      .join(oldLabels.select(col("id").as("doc_a"), col("label").as("la")),
+        Seq("doc_a"), "left")
+      .join(oldLabels.select(col("id").as("doc_b"), col("label").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("src"),
+        coalesce(col("lb"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst")) // intra-component delta edges
+    val merged = connectedComponents(cEdges)
+      .select(col("id").as("node"), col("label").as("m"))
+      .localCheckpoint(eager = false)
+    // relabel old members through their label's merge (if any); add
+    // the contracted nodes that are docs themselves (new docs, touched
+    // old singletons) — old-label nodes are already members of their
+    // own components and covered by the first branch
+    val oldFinal = oldLabels
+      .join(merged, oldLabels("label") === merged("node"), "left")
+      .select(col("id"), coalesce(col("m"), col("label")).as("label"))
+    val docNodes = merged
+      .join(oldLabels.select(col("id")), merged("node") === col("id"),
+        "left_anti")
+      .select(col("node").as("id"), col("m").as("label"))
+    oldFinal.unionByName(docNodes)
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+      .orderBy(col("cluster"))
   }
 
   /** The full curation pipeline END-TO-END — quality gate → exact

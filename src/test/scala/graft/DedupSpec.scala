@@ -191,6 +191,52 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("index compaction lays one file per bucket and the probe " +
+      "still matches the rebuild") {
+    val df = operators.Dedup.q241IndexCompaction(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the probe reads the COMPACTED version as a bucketed scan with no
+    // hash exchange between the join and the index scan
+    assert(plan.contains("graft_band_index_cptd"), plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    val seg = plan.substring(
+      plan.lastIndexOf("Join", plan.indexOf("graft_band_index_cptd")),
+      plan.indexOf("graft_band_index_cptd"))
+    assert(!seg.contains("Exchange hashpartitioning"), seg)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    // compaction is invisible in the result: same pairs as the
+    // appended-index probe (whose oracle is the from-scratch rebuild)
+    val viaAppend = operators.Dedup.q238IndexAppendMaintenance(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(got == viaAppend)
+    // the point of compacting: exactly numBuckets data files remain
+    // (the appended table carries more — several files per bucket)
+    def dataFiles(table: String): Int = {
+      val wh = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val d = new java.io.File(wh, table)
+      Option(d.listFiles()).map(_.count(f =>
+        f.getName.endsWith(".parquet"))).getOrElse(0)
+    }
+    assert(dataFiles("graft_band_index_cptd") == 8,
+      s"compacted: ${dataFiles("graft_band_index_cptd")} files")
+    assert(dataFiles("graft_band_index_cpt") > 8,
+      s"appended: ${dataFiles("graft_band_index_cpt")} files")
+  }
+
+  test("incremental cc equals the full-corpus recompute") {
+    val inc = operators.Dedup.q242IncrementalCC(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = operators.Dedup.q69DedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full)
+    assert(inc.nonEmpty)
+  }
+
   test("round report composes without rescanning the corpus and each " +
       "section equals its standalone query") {
     val df = operators.Dedup.q240RoundReport(spark, sf)
@@ -225,6 +271,7 @@ class DedupSpec extends AnyFunSuite {
     val got = operators.Quality.q239FuzzyJoinD2(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val c = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 7 === 3) // q239's qualification slice
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     val nNames = c.count()
     val want = c.as("a").join(c.as("b"), col("a.id") < col("b.id"))
