@@ -271,6 +271,8 @@ object SparkEntry {
     "q240_round_report"    -> (Dedup.q240RoundReport _),
     "q241_index_compaction" -> (Dedup.q241IndexCompaction _),
     "q242_incremental_cc"  -> (Dedup.q242IncrementalCC _),
+    "q243_bpe_merges"      -> (TextStats.q243BpeMerges _),
+    "q244_mixture_apply"   -> (Sampling.q244MixtureApply _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4359,6 +4361,42 @@ object SparkEntry {
     // recompute — q69's cluster-summary oracle, same SQL text
     "q242_incremental_cc" -> dedupClustersOracle,
 
+    // three generated BPE rounds (template below, like q150's) — the
+    // oracle replays count → argmax (same tie-break) → replace
+    "q243_bpe_merges" -> bpeMergesOracle,
+
+    // mixture application: the filter uses the UNROUNDED rate on both
+    // sides; only the reported rate column is rounded
+    "q244_mixture_apply" -> """
+      WITH d AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+            ' ', 'g')), ' ')) AS BIGINT) AS tokens
+        FROM documents),
+      bylang AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+          CAST(SUM(tokens) AS BIGINT) AS tokens_in
+        FROM d GROUP BY lang),
+      m AS (SELECT MIN(tokens_in) AS budget FROM bylang),
+      rates AS (
+        SELECT lang, n_docs_in, tokens_in,
+          LEAST(1.0, CAST(budget AS DOUBLE) / CAST(tokens_in AS DOUBLE))
+            AS rate
+        FROM bylang CROSS JOIN m),
+      kept AS (
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+          CAST(SUM(d.tokens) AS BIGINT) AS tokens_kept
+        FROM d JOIN rates USING (lang)
+        WHERE CAST(CAST(concat('0x',
+            substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+            AS DOUBLE) / 16777216.0 < rates.rate
+        GROUP BY d.lang)
+      SELECT r.lang, r.n_docs_in, r.tokens_in, ROUND(r.rate, 9) AS rate,
+        COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+        COALESCE(k.tokens_kept, 0) AS tokens_kept
+      FROM rates r LEFT JOIN kept k ON k.lang = r.lang
+      ORDER BY r.lang""",
+
     // The engine finds dist<=1 pairs via delete-1 SymSpell blocking
     // (recall-complete for dist<=1, see Quality.q230FuzzyJoin); the
     // oracle is deliberately the naive all-pairs definition the
@@ -4849,6 +4887,49 @@ object SparkEntry {
       FROM labels
       GROUP BY label
       ORDER BY cluster"""
+
+  /** q243's oracle: three GENERATED BPE rounds (the q150 template
+    * discipline — a typo can't hide in hand-copied round blocks).
+    * Each round: weighted adjacent-pair count over the current
+    * vocabulary, argmax with the count-desc/left-asc/right-asc
+    * tie-break, then the space-delimited replace whose left-to-right
+    * non-overlapping scan both engines share. */
+  private def bpeMergesOracle: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""      p$k AS (
+        SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq,
+            unnest(list_transform(range(1, len(a)), i -> a[i])) AS l,
+            unnest(list_transform(range(1, len(a)), i -> a[i+1])) AS r
+          FROM (SELECT string_split(trim(s), ' ') AS a, freq
+                FROM v${k - 1}) t
+          WHERE len(a) >= 2) q
+        GROUP BY l, r),
+      b$k AS (SELECT * FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+      v$k AS (SELECT replace(v${k - 1}.s,
+                ' ' || b$k.l || ' ' || b$k.r || ' ',
+                ' ' || b$k.l || b$k.r || ' ') AS s, freq
+              FROM v${k - 1} CROSS JOIN b$k)"""
+    }.mkString(",\n")
+    s"""
+      WITH wrd AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+          '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      v0 AS (
+        SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' '
+            AS s,
+          CAST(COUNT(*) AS BIGINT) AS freq
+        FROM wrd WHERE length(w) >= 1 GROUP BY w),
+$rounds
+      SELECT CAST(mr AS INT) AS merge_round, l AS lsym, r AS rsym,
+        cnt AS pair_count
+      FROM (
+        SELECT 1 AS mr, l, r, cnt FROM b1
+        UNION ALL SELECT 2, l, r, cnt FROM b2
+        UNION ALL SELECT 3, l, r, cnt FROM b3) u
+      ORDER BY merge_round"""
+  }
 
   /** q240's oracle: the three section oracles as verbatim subqueries,
     * tagged and column-aligned exactly like the Spark union. */

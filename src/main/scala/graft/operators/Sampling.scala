@@ -212,6 +212,53 @@ object Sampling {
     * loose, tightening as corpus size grows). One scan + a 16-row
     * aggregate; the grand total re-aggregates the 16-row manifest, so
     * its attach-back broadcast is metadata-sized by construction. */
+  /** Mixture APPLICATION — the enforcement half of the composition
+    * reports (q142 measures the mixture, q236 scores its
+    * concentration; this query CHANGES it): flatten the language mix
+    * by downsampling every language to the smallest language's token
+    * mass. Per language, keep rate = min_lang_tokens / lang_tokens;
+    * per document, the keep decision is a pure hash of doc_id
+    * (md5-prefix uniform in [0,1), the q55/q163 discipline) compared
+    * against the language's rate — deterministic across runs,
+    * engines, partitionings, and shards, which is what lets a 100 TB
+    * corpus apply a mixture with zero coordination: every shard
+    * filters independently and the global mix still lands on target.
+    *
+    * Plan: one corpus pass to (doc, lang, tokens); a |langs|-row
+    * aggregate; rates broadcast back; hash filter; final |langs|-row
+    * report of kept-vs-target. No shuffle touches corpus rows except
+    * the two metadata-sized aggregations. */
+  def q244MixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(graft.functions.Cols.normText(col("text")), " "))
+          .cast("long").as("tokens"))
+    val byLang = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_in"), sum(col("tokens")).as("tokens_in"))
+    val minTokens = byLang.agg(min(col("tokens_in")).as("budget"))
+    val rates = byLang.crossJoin(broadcast(minTokens))
+      .select(col("lang"), col("n_docs_in"), col("tokens_in"),
+        least(lit(1.0d),
+          col("budget").cast("double") / col("tokens_in").cast("double"))
+          .as("rate"))
+    // uniform draw: first 6 md5 hex chars of doc_id as an integer in
+    // [0, 16^6); exact integer arithmetic then one IEEE division
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 6),
+      16, 10).cast("long").cast("double") / lit((1L << 24).toDouble))
+    val kept = docs.join(broadcast(rates.select(col("lang"), col("rate"))),
+        "lang")
+      .filter(u < col("rate"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("tokens")).as("tokens_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs_in"), col("tokens_in"),
+        round(col("rate"), 9).as("rate"),
+        coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .orderBy(col("lang"))
+  }
+
   def q228ShardManifest(spark: SparkSession, dir: String): DataFrame =
     shardManifestFrom(Tables.documents(spark, dir)
       .select(col("doc_id"),

@@ -1087,6 +1087,64 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Iterative BPE merge induction — THREE rounds of the byte-pair
+    * training loop whose single-round pair profile is q179: symbolize
+    * every distinct word as space-separated characters, then per round
+    * (a) count adjacent symbol pairs weighted by word frequency,
+    * (b) pick the most frequent pair (deterministic tie-break:
+    * count desc, left asc, right asc), (c) apply the merge to the
+    * vocabulary. This is how a tokenizer is actually induced from a
+    * corpus, and the scale shape is the point: after the ONE corpus
+    * pass that builds the word-frequency table, every round runs over
+    * the VOCABULARY (≪ corpus), the merge decision is a 1-row argmax
+    * to the driver (the q148 discipline: a driver-side decision, not a
+    * driver-side loop over data), and the merge application is a
+    * narrow `replace` over vocab rows. At 100 TB the word table is a
+    * few GB and 50k merge rounds run where the data is not.
+    *
+    * Merge semantics: symbols are space-delimited and the pattern
+    * " l r " → " lr " consumes its trailing space, so a run like
+    * "a a a" merges left-to-right greedily ("aa a") — both engines'
+    * `replace` scan left-to-right non-overlapping, making the oracle
+    * exact. The vocabulary is checkpointed per round so round k+1's
+    * plan starts from k's result, not a 3-deep replace lineage. */
+  def q243BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+          array_join(expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+            " "),
+          lit(" ")).as("s"),
+        col("freq"))
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (round <- 1 to 3) {
+      val best = vocab
+        .select(col("freq"), split(trim(col("s")), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(a) - 1), i -> struct(" +
+            "element_at(a, i) as l, element_at(a, i + 1) as r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()(0)
+      val (l, r, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round, l, r, cnt))
+      vocab = vocab.select(
+          call_function("replace", col("s"),
+            lit(s" $l $r "), lit(s" $l$r ")).as("s"),
+          col("freq"))
+        .localCheckpoint(eager = false)
+    }
+    merges.toSeq.toDF("merge_round", "lsym", "rsym", "pair_count")
+      .orderBy(col("merge_round"))
+  }
+
   /** Token-mass concentration by source, per language — the mixture
     * health-check behind q142's composition report: a language whose
     * token mass concentrates in one crawl source is one takedown or

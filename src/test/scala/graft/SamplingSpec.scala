@@ -95,4 +95,25 @@ class SamplingSpec extends AnyFunSuite {
     // the manifest as a per-run certificate
     balances.foreach(b => assert(b > 0.3 && b < 2.0, s"balance=$b"))
   }
+
+  test("mixture application flattens every language toward the " +
+      "smallest language's token budget") {
+    val rows = Sampling.q244MixtureApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val budget = rows.map(_.getAs[Long]("tokens_in")).min
+    rows.foreach { r =>
+      val (in, kept, rate) = (r.getAs[Long]("tokens_in"),
+        r.getAs[Long]("tokens_kept"), r.getAs[Double]("rate"))
+      assert(kept <= in)
+      // the budget language itself passes through untouched
+      if (in == budget) {
+        assert(rate == 1.0)
+        assert(kept == in)
+      }
+      // hash thinning lands near rate*mass; loose at sf0.001 where a
+      // language is a few hundred docs (the q228 tolerance argument)
+      assert(math.abs(kept.toDouble - rate * in) / in < 0.35,
+        s"lang=${r.getString(0)} kept=$kept in=$in rate=$rate")
+    }
+  }
 }

@@ -160,4 +160,18 @@ class TextStatsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("emails_redacted")).sum == injected)
     assert(rows.map(_.getAs[Long]("phones_redacted")).sum == injected)
   }
+
+  test("bpe merge rounds produce non-increasing pair counts and " +
+      "non-empty merged symbols") {
+    val rows = operators.TextStats.q243BpeMerges(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.length == 3)
+    // a merge can only reduce existing pair counts, and every new pair
+    // it creates is bounded by a pre-merge count — so the argmax count
+    // never increases round over round
+    assert(rows.sliding(2).forall { case Array(a, b) => b._4 <= a._4 })
+    rows.foreach { case (_, l, r, n) =>
+      assert(l.nonEmpty && r.nonEmpty && n > 0)
+    }
+  }
 }
