@@ -273,6 +273,9 @@ object SparkEntry {
     "q242_incremental_cc"  -> (Dedup.q242IncrementalCC _),
     "q243_bpe_merges"      -> (TextStats.q243BpeMerges _),
     "q244_mixture_apply"   -> (Sampling.q244MixtureApply _),
+    "q245_percentile_cert" -> (Relational.q245PercentileCert _),
+    "q246_topk_cert"       -> (ModernSql.q246TopkCert _),
+    "q247_hll_rollup_cert" -> (ModernSql.q247HllRollupCert _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4396,6 +4399,37 @@ object SparkEntry {
         COALESCE(k.tokens_kept, 0) AS tokens_kept
       FROM rates r LEFT JOIN kept k ON k.lang = r.lang
       ORDER BY r.lang""",
+
+    // certificates for the remaining sketch families (the q234
+    // pattern): the oracle owns the exact side and asserts the bound
+    // flag as literal TRUE — sketch drift fails the round's hash
+    "q245_percentile_cert" -> """
+      SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.5) AS p50,
+        quantile_cont(o_totalprice, 0.9) AS p90,
+        quantile_cont(o_totalprice, 0.99) AS p99,
+        COUNT(*) AS n,
+        TRUE AS within_bound
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q246_topk_cert" -> """
+      WITH exact AS (
+        SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY p_brand)
+      SELECT p_brand, n_parts, TRUE AS certified
+      FROM exact
+      ORDER BY n_parts DESC, p_brand
+      LIMIT 8""",
+
+    "q247_hll_rollup_cert" -> """
+      SELECT lang,
+        COUNT(DISTINCT doc_id) AS exact_distinct,
+        COUNT(DISTINCT source) AS n_sources,
+        TRUE AS within_bound
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
 
     // The engine finds dist<=1 pairs via delete-1 SymSpell blocking
     // (recall-complete for dist<=1, see Quality.q230FuzzyJoin); the

@@ -230,6 +230,60 @@ object ModernSql {
       ORDER BY est_count DESC, p_brand""")
   }
 
+  /** Heavy-hitter certificate for q129's approx_top_k: the exact
+    * top-8 brands (deterministic count-desc/brand-asc tie-break) each
+    * carry a `certified` flag — true unless the brand's exact count
+    * STRICTLY exceeds the 8th-ranked count and the sketch still
+    * missed it. Boundary ties are certified trivially (which item of
+    * a tie the sketch reports is sketch-internal, q129's documented
+    * rows-only reason); a genuine heavy hitter dropped by the sketch
+    * fails the hash because the oracle asserts TRUE everywhere. At 25
+    * distinct brands the sketch tracks every item, so the certificate
+    * is also exercising the merge path, not saturation. */
+  def q246TopkCert(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql("""
+      WITH approx AS (
+        SELECT e.item AS p_brand, CAST(e.count AS BIGINT) AS est
+        FROM (SELECT explode(approx_top_k(p_brand, 8)) AS e FROM part)),
+      exact AS (
+        SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY p_brand),
+      topx AS (
+        SELECT p_brand, n_parts FROM exact
+        ORDER BY n_parts DESC, p_brand LIMIT 8),
+      k AS (SELECT MIN(n_parts) AS kth FROM topx)
+      SELECT t.p_brand, t.n_parts,
+        (t.n_parts <= k.kth OR a.p_brand IS NOT NULL) AS certified
+      FROM topx t CROSS JOIN k
+      LEFT JOIN approx a ON a.p_brand = t.p_brand
+      ORDER BY t.n_parts DESC, t.p_brand""")
+  }
+
+  /** Merged-sketch certificate for q91's HLL rollup: the per-source
+    * sketches are unioned per lang and the estimate is checked against
+    * the exact distinct count in the same output row — the bound that
+    * matters is on the MERGED sketch (union error compounds), which is
+    * exactly what a stored-sketch rollup pipeline needs certified.
+    * lgK=14 keeps these cardinalities in sparse mode, so the 2.5%
+    * bound is generous; the flag is hash-checked (oracle emits TRUE). */
+  def q247HllRollupCert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merged = docs
+      .groupBy(col("lang"), col("source"))
+      .agg(expr("hll_sketch_agg(doc_id, 14)").as("sk"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sources"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    docs.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("exact_distinct"))
+      .join(merged, "lang")
+      .select(col("lang"), col("exact_distinct"), col("n_sources"),
+        (abs(col("est") - col("exact_distinct")).cast("double") /
+          col("exact_distinct").cast("double") <= 0.025)
+          .as("within_bound"))
+      .orderBy(col("lang"))
+  }
+
   /** Parameterized SQL (named markers, Spark 4): the injection-safe
     * templated-query surface a serving layer uses — parameters bind
     * as literals into the analyzed plan, so constant folding and

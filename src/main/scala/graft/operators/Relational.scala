@@ -275,6 +275,30 @@ object Relational {
         (col("rel_err") <= 0.15).as("within_bound"))
       .orderBy(col("l_returnflag"))
 
+  /** GK-percentile error certificate — q234's pattern applied to q88:
+    * exact and sketch percentiles in ONE aggregate pass, exact side +
+    * within-5% flag hash-checked (oracle emits TRUE). The 5% bound is
+    * the q88-spec tolerance: at this size the sketch is rank-exact and
+    * the residual is interpolated-value vs nearest-data-value. */
+  def q245PercentileCert(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("a50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("a90"),
+        expr("approx_percentile(o_totalprice, 0.99, 10000)").as("a99"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderpriority"),
+        col("p50"), col("p90"), col("p99"), col("n"),
+        (abs(col("a50") - col("p50")) / col("p50") <= 0.05 &&
+          abs(col("a90") - col("p90")) / col("p90") <= 0.05 &&
+          abs(col("a99") - col("p99")) / col("p99") <= 0.05)
+          .as("within_bound"))
+      .orderBy(col("o_orderpriority"))
+
   /** Reporting query the README's dashboard implies (SURVEY.md §2B):
     * top part-brand per nation by revenue — join + agg + window topN. */
   def q23TopBrandPerNation(spark: SparkSession, dir: String): DataFrame = {
