@@ -276,6 +276,10 @@ object SparkEntry {
     "q245_percentile_cert" -> (Relational.q245PercentileCert _),
     "q246_topk_cert"       -> (ModernSql.q246TopkCert _),
     "q247_hll_rollup_cert" -> (ModernSql.q247HllRollupCert _),
+    "q248_kmeans_assign"   -> (Similarity.q248KmeansAssign _),
+    "q249_semdedup"        -> (Similarity.q249SemDedup _),
+    "q250_calibration"     -> (TextStats.q250CalibrationReport _),
+    "q251_temperature_mix" -> (Sampling.q251TemperatureMixture _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4636,7 +4640,144 @@ object SparkEntry {
       FROM sh
       GROUP BY lang
       ORDER BY lang""",
+
+    // q248/q249 share the two-round Lloyd chain: seed = 8 lowest
+    // vec_ids, distances rounded to 9 before the argmin (tie-break =
+    // lowest cid, DuckDB's row_number ORDER BY dist, cid mirroring
+    // Spark's array_position-first-min), centers re-averaged to 9
+    // decimals between rounds so both engines iterate from identical
+    // doubles. SSE sums 9-rounded dists as exact DECIMAL(28,9).
+    "q248_kmeans_assign" -> s"""
+      $kmeansCtes
+      SELECT CAST(cid AS INT) AS cid, count(*) AS n,
+        CAST(SUM(CAST(dist AS DECIMAL(28,9))) AS DOUBLE) AS sse
+      FROM a2 GROUP BY cid ORDER BY cid""",
+
+    "q249_semdedup" -> s"""
+      $kmeansCtes,
+      pairs AS (
+        SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id,
+          ROUND(list_reduce(list_transform(list_zip(a.v, b.v),
+              p -> p[1]*p[2]), (x,y) -> x + y)
+            / (sqrt(list_reduce(list_transform(a.v, x -> x*x),
+                (x,y) -> x + y))
+             * sqrt(list_reduce(list_transform(b.v, x -> x*x),
+                (x,y) -> x + y))), 9) AS cos
+        FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      dropped AS (
+        SELECT cid, count(*) AS n_dropped FROM
+          (SELECT DISTINCT cid, b_id FROM pairs WHERE cos >= 0.35)
+        GROUP BY cid)
+      SELECT CAST(a.cid AS INT) AS cid, count(*) AS n,
+        COALESCE(d.n_dropped, 0) AS n_dropped,
+        count(*) - COALESCE(d.n_dropped, 0) AS n_kept
+      FROM a2 a LEFT JOIN dropped d ON a.cid = d.cid
+      GROUP BY a.cid, d.n_dropped ORDER BY cid""",
+
+    // reliability diagram + ECE over the q232 score; fixed-width bins
+    // on the min-max-normalized score (no corpus-wide ntile), bin
+    // means as exact DECIMAL sums of 9-rounded p
+    "q250_calibration" -> """
+      WITH wrd AS (
+        SELECT doc_id, lang,
+          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS word
+        FROM documents),
+      wt AS (
+        SELECT doc_id, lang,
+          (CAST(concat('0x', substr(md5(concat('w', CAST(
+             (CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 4096)
+           AS VARCHAR))), 1, 8)) AS BIGINT) % 2001) - 1000 AS wt
+        FROM wrd),
+      s AS (
+        SELECT doc_id, lang,
+          ROUND(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) * 1000 AS DOUBLE), 9) AS score
+        FROM wt GROUP BY doc_id, lang),
+      mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM s),
+      p AS (SELECT lang, ROUND((score - lo) / (hi - lo), 9) AS p
+            FROM s CROSS JOIN mm),
+      bn AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS INT) AS bin, p, lang
+             FROM p),
+      bins AS (
+        SELECT bin, COUNT(*) AS n,
+          ROUND(CAST(SUM(CAST(p AS DECIMAL(28,9))) AS DOUBLE)
+            / COUNT(*), 9) AS avg_p,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos,
+          ROUND(CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*), 9) AS pos_rate
+        FROM bn GROUP BY bin),
+      g AS (SELECT *, ROUND(ABS(avg_p - pos_rate), 9) AS gap FROM bins),
+      tot AS (SELECT ROUND(CAST(SUM(CAST(gap AS DECIMAL(28,9)) * n)
+                AS DOUBLE) / SUM(n), 9) AS ece FROM g)
+      SELECT bin, n, avg_p, n_pos, pos_rate, gap, ece
+      FROM g CROSS JOIN tot ORDER BY bin""",
+
+    // sqrt-temperature mixture, 1.2-epoch cap; Z rounds to 6 decimals
+    // before any division, sqrt is IEEE-exact on both engines
+    "q251_temperature_mix" -> """
+      WITH tok AS (
+        SELECT lang,
+          CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+            ' ', 'g')), ' ')) AS BIGINT) AS n
+        FROM documents),
+      byl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tokens
+              FROM tok GROUP BY lang),
+      z AS (SELECT ROUND(SUM(sqrt(tokens)), 6) AS z,
+              CAST(SUM(tokens) AS BIGINT) AS budget FROM byl),
+      m AS (
+        SELECT lang, tokens,
+          ROUND(sqrt(tokens) / z, 9) AS weight,
+          ROUND(ROUND(sqrt(tokens) / z, 9) * budget, 3) AS target_tokens,
+          ROUND(LEAST(ROUND(ROUND(sqrt(tokens) / z, 9) * budget, 3),
+            tokens * CAST(1.2 AS DOUBLE)), 3) AS capped_tokens
+        FROM byl CROSS JOIN z)
+      SELECT lang, tokens, weight, target_tokens, capped_tokens,
+        ROUND(capped_tokens / tokens, 9) AS epochs
+      FROM m ORDER BY lang""",
   )
+
+  /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final
+    * assignment). Kept as one string so both oracles iterate from the
+    * same seed and rounding discipline as `Similarity.kmeansAssigned`. */
+  private val kmeansCtes: String = """
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM e ORDER BY vec_id LIMIT 8),
+      d1 AS (
+        SELECT e.vec_id, e.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM e CROSS JOIN seed s),
+      a1 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 65),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS s
+                 FROM a1)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      d2 AS (
+        SELECT e.vec_id, e.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM e CROSS JOIN c1 s),
+      a2 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d2)
+        WHERE rn = 1)"""
 
   /** Shared oracle of the streaming admission gate (q217 unbounded /
     * q237 watermark-bounded): new-vs-corpus banded candidates with the

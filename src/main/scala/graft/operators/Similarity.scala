@@ -541,6 +541,125 @@ object Similarity {
       .filter(col("rn") <= 3)
       .orderBy(col("label"), col("rn"))
   }
+
+  // ------------------------------------------------------------- k-means
+
+  /** Squared-L2 / dot-product folds over double arrays — sequential
+    * left folds from 0.0, bitwise-matching the oracle's list_reduce
+    * (0.0 + x == x exactly for the non-negative squares, and the two
+    * engines then add identical doubles in identical order). */
+  private def sqDist(v: Column, c: Column): Column =
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (a, x) => a + x)
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (x, y) => x + y)
+  private def normD(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (x, y) => x + y))
+
+  /** One Lloyd assignment pass against a BROADCAST center set: the
+    * centers ride into the executors as a k×64 array literal, so
+    * assignment is a narrow codegen map over the corpus — zero
+    * shuffle, zero join. Distances round to 9 decimals before the
+    * argmin so the tie-break (lowest center id) is engine-portable;
+    * `array_position` of the min returns the FIRST index, which is
+    * exactly that tie-break. */
+  private[graft] def lloydAssign(e: DataFrame, centers: Seq[Seq[Double]]): DataFrame =
+    e.withColumn("dists", transform(typedlit(centers),
+        c => round(sqDist(col("v"), c), 9)))
+      .withColumn("dist", array_min(col("dists")))
+      .withColumn("cid",
+        (array_position(col("dists"), col("dist")) - 1).cast("int"))
+      .drop("dists")
+
+  /** Center recompute: one posexplode aggregation down to the k×64
+    * mean grid (partial aggregation carries one cell per partition),
+    * means rounded to 9 decimals (the q181 discipline — kills the
+    * ±1 ulp noise of order-dependent double sums, so both engines
+    * iterate from IDENTICAL centers), then a k-row driver collect.
+    * The collect is the MLlib KMeans pattern: centers are model state,
+    * metadata-sized by construction (k×dim doubles), and pulling them
+    * to the driver is what lets the next assignment pass be a
+    * broadcast literal instead of a corpus-wide join. */
+  private def recomputeCenters(assigned: DataFrame): Seq[Seq[Double]] = {
+    val rows = assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "s -> s.m)").as("c"))
+      .orderBy(col("cid"))
+      .collect()
+    // Empty clusters would renumber the center array and silently
+    // desync cid from the oracle's group key — fail loudly instead.
+    // With k=8 seeded from real corpus points this never fires on the
+    // test corpora (spec-asserted); production k-means handles it by
+    // re-seeding from the farthest point.
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"empty k-means cluster: got cids ${rows.map(_.getInt(0)).toSeq}")
+    rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+  }
+
+  /** Two Lloyd rounds over the embedding corpus, k=8, seeded from the
+    * k lowest vec_ids (deterministic, engine-portable). Returns the
+    * final per-vector assignment (vec_id, v, cid, dist). */
+  private[graft] def kmeansAssigned(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val seed = e.orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    lloydAssign(e, recomputeCenters(lloydAssign(e, seed)))
+  }
+
+  /** q248: distributed k-means (Lloyd's) — the clustering pass under
+    * semantic dedup, mixture balancing, and diversity sampling at
+    * corpus scale. Per iteration the corpus is touched exactly twice
+    * (one narrow assignment map, one posexplode mean-grid aggregate)
+    * and NOTHING corpus-sized ever shuffles: the only exchanges carry
+    * the k×64 mean grid. At 100 TB the iteration count stays the knob
+    * (here 2, pinned so the oracle can mirror it as two CTE chains);
+    * the assignment map cost is k×dim multiply-adds per row —
+    * embarrassingly parallel. SSE sums per-vector distances as exact
+    * DECIMAL(28,9) (each already 9-rounded), so the report is
+    * order-independent and hash-checkable. */
+  def q248KmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssigned(spark, dir)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(28,9)")).cast("double").as("sse"))
+      .orderBy(col("cid"))
+
+  /** q249: SemDeDup — semantic near-dup pruning INSIDE k-means
+    * clusters (Abbas et al. 2023's shape: cluster first, then pay the
+    * quadratic pairwise cosine only within a cluster). The pair join
+    * keys on cid, so the corpus shuffles once on a bounded-population
+    * key and the quadratic term is (n/k)² per cluster, never n²; at
+    * 100 TB k scales with the corpus to hold cluster population
+    * roughly constant, which keeps per-cluster pair work flat — the
+    * whole point of the algorithm. Drop rule is deterministic: b is
+    * dropped iff SOME same-cluster a < b has cosine >= 0.35 (rounded
+    * to 9 before the compare), i.e. each cluster keeps its lowest-id
+    * representative per semantic neighborhood. */
+  def q249SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val a = kmeansAssigned(spark, dir).select(col("cid"), col("vec_id"),
+      col("v"))
+    val l = a.select(col("cid"), col("vec_id").as("a_id"), col("v").as("va"))
+    val r = a.select(col("cid"), col("vec_id").as("b_id"), col("v").as("vb"))
+    val dropped = l.join(r, Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(dotD(col("va"), col("vb")) /
+        (normD(col("va")) * normD(col("vb"))), 9) >= 0.35)
+      .select(col("cid"), col("b_id")).distinct()
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
+    a.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .join(dropped, Seq("cid"), "left")
+      .select(col("cid"), col("n"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cid"))
+  }
 }
 
 /** Typed top-k aggregator: keeps the k best (cosine desc, vec_id asc)

@@ -125,6 +125,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(agg.finish(merged) == agg.finish(buf))
   }
 
+  test("k-means: Lloyd's is monotone and the report is consistent") {
+    val n = Similarity.q248KmeansAssign(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // all 8 clusters non-empty (the recomputeCenters contract) and the
+    // report covers the whole corpus exactly once
+    assert(n.map(_._1).toSeq == (0 until 8))
+    assert(n.map(_._2).sum == graft.Tables.embeddings(spark, sf).count())
+    assert(n.forall(_._3 > 0.0))
+    // Lloyd monotonicity: total SSE after the second assignment is <=
+    // SSE right after the first (reassignment can only tighten)
+    val e = graft.Tables.embeddings(spark, sf).selectExpr("vec_id",
+      "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+    val seed = e.orderBy(org.apache.spark.sql.functions.col("vec_id"))
+      .limit(8).collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val sse1 = Similarity.lloydAssign(e, seed)
+      .agg(org.apache.spark.sql.functions.sum("dist")).collect()(0)
+      .getDouble(0)
+    assert(n.map(_._3).sum <= sse1 + 1e-6)
+  }
+
+  test("SemDeDup drops are within-cluster and keep lowest-id reps") {
+    val rep = Similarity.q249SemDedup(spark, sf).collect()
+    assert(rep.length == 8)
+    rep.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3)) // n = drop+keep
+      assert(r.getLong(3) >= 1) // a cluster always keeps its lowest id
+    }
+    // the pair stage must key on cid — no cartesian / nested-loop pair
+    // generation even though the per-cluster work is quadratic
+    val plan = Similarity.q249SemDedup(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("int8 quantization error never exceeds half a step") {
     operators.Similarity.q144EmbedQuantize(TestSpark.spark, TestSpark.sf)
       .collect().foreach { r =>
