@@ -283,4 +283,39 @@ object Sampling {
           col("tot").cast("double")).as("balance"))
       .orderBy(col("shard"))
   }
+
+  /** q251: temperature-scaled language mixture with an epoch cap —
+    * the UniMax-shaped alternative to q142's equal-target and q244's
+    * flatten-to-min: sampling weight ∝ tokens^(1/τ) with τ=2 (i.e.
+    * sqrt), which upweights low-resource languages without fully
+    * flattening, then an epoch cap (here 1.2×) stops any language
+    * from being repeated past the point of memorization risk. The
+    * report is what a mixture config bakes in: weight, target token
+    * mass at a one-corpus budget, the capped mass, and the implied
+    * epoch count (en lands under 1 epoch, small languages cap at 1.2).
+    *
+    * Scale shape: one corpus tokenize-and-count pass down to a
+    * |langs|-row table; everything after is metadata arithmetic on
+    * that table (one 1-row normalizer crossJoin). Determinism: per-
+    * language token masses are exact BIGINTs; the only cross-row
+    * double sum (the sqrt normalizer Z) rounds to 6 decimals before
+    * any division, and sqrt itself is IEEE correctly-rounded on both
+    * engines, so every derived double is bitwise-portable. */
+  def q251TemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(graft.functions.Cols.normText(col("text")), " "))
+          .cast("long").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("tokens"))
+    val z = byLang.agg(round(sum(sqrt(col("tokens"))), 6).as("z"),
+      sum(col("tokens")).as("budget"))
+    val weight = round(sqrt(col("tokens")) / col("z"), 9)
+    val target = round(weight * col("budget"), 3)
+    val capped = round(least(target, col("tokens") * 1.2d), 3)
+    byLang.crossJoin(broadcast(z))
+      .select(col("lang"), col("tokens"), weight.as("weight"),
+        target.as("target_tokens"), capped.as("capped_tokens"),
+        round(capped / col("tokens"), 9).as("epochs"))
+      .orderBy(col("lang"))
+  }
 }

@@ -988,26 +988,78 @@ object TextStats {
     * a broadcast of the 4096-float array into the expression. All
     * arithmetic is exact BIGINT until the final double division, so
     * the score is bitwise-portable. */
-  def q232HashedClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def q232HashedClassifier(spark: SparkSession, dir: String): DataFrame =
+    hashedScores(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("weight_sum"),
+        col("score"))
+      .withColumn("label",
+        when(col("score") >= 0.02, "keep")
+          .when(col("score") >= -0.02, "borderline")
+          .otherwise("drop"))
+      .orderBy(col("doc_id"))
+
+  /** The q232 scoring pass with the doc's language carried through
+    * (functionally dependent on doc_id, so the extra grouping key
+    * changes nothing) — shared by the classifier (q232) and its
+    * calibration report (q250). */
+  private def hashedScores(spark: SparkSession, dir: String): DataFrame = {
     val bucket = pmod(conv(substring(md5(col("word")), 1, 8), 16, 10)
       .cast("long"), lit(4096L))
     val weight = pmod(conv(substring(md5(concat(lit("w"),
       bucket.cast("string"))), 1, 8), 16, 10).cast("long"), lit(2001L)) -
       lit(1000L)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toks(col("text"))).as("word"))
-      .select(col("doc_id"), weight.as("wt"))
-      .groupBy(col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(toks(col("text"))).as("word"))
+      .select(col("doc_id"), col("lang"), weight.as("wt"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("wt")).as("weight_sum"))
       .withColumn("score",
         round(col("weight_sum").cast("double") /
           (col("n_tokens") * 1000L).cast("double"), 9))
-      .withColumn("label",
-        when(col("score") >= 0.02, "keep")
-          .when(col("score") >= -0.02, "borderline")
-          .otherwise("drop"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** q250: classifier calibration — the reliability diagram + ECE
+    * pass a curation team runs before trusting a quality classifier's
+    * scores as keep/drop probabilities. Scores min-max-normalize to
+    * [0,1] (the two extrema are one metadata aggregate, broadcast
+    * back), land in 10 FIXED-WIDTH bins — a pure per-row map, no
+    * corpus-wide ntile window — and each bin compares its mean
+    * predicted mass against the empirical positive rate (weak label:
+    * lang = 'en', the corpus's majority class). ECE is the n-weighted
+    * mean absolute gap, attached from a 10-row aggregate.
+    *
+    * Scale shape: two corpus passes (score, bin-assign+aggregate) and
+    * three metadata-sized exchanges (extrema, 10 bins, 1 ECE row).
+    * Bin means sum 9-rounded p as exact DECIMAL(28,9), so every
+    * reported number is order-independent and hash-checkable. */
+  def q250CalibrationReport(spark: SparkSession, dir: String): DataFrame = {
+    val s = hashedScores(spark, dir)
+      .select(col("doc_id"), col("lang"), col("score"))
+    val mm = s.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    val p = s.crossJoin(broadcast(mm))
+      .select(col("lang"),
+        round((col("score") - col("lo")) / (col("hi") - col("lo")), 9)
+          .as("p"))
+    val bins = p
+      .withColumn("bin",
+        least(floor(col("p") * 10), lit(9.0d)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("p").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("avg_p"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n").cast("double"), 9))
+      .withColumn("gap", round(abs(col("avg_p") - col("pos_rate")), 9))
+    val ece = bins.agg(
+      round(sum(col("gap").cast("decimal(28,9)") * col("n")).cast("double")
+        / sum(col("n")).cast("double"), 9).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("avg_p"), col("n_pos"),
+        col("pos_rate"), col("gap"), col("ece"))
+      .orderBy(col("bin"))
   }
 
   /** Trigram LM with stupid backoff — the production upgrade of the

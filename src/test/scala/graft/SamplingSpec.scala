@@ -116,4 +116,26 @@ class SamplingSpec extends AnyFunSuite {
         s"lang=${r.getString(0)} kept=$kept in=$in rate=$rate")
     }
   }
+
+  test("temperature mixture: weights normalize, cap binds both ways") {
+    val rows = operators.Sampling
+      .q251TemperatureMixture(TestSpark.spark, TestSpark.sf).collect()
+    assert(rows.length >= 2)
+    // sqrt-temperature weights sum to 1 (Z rounded to 6 decimals, so
+    // the sum is off by at most |langs| rounding ulps)
+    assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-5)
+    rows.foreach { r =>
+      val (t, target, capped, epochs) = (r.getAs[Long]("tokens"),
+        r.getAs[Double]("target_tokens"), r.getAs[Double]("capped_tokens"),
+        r.getAs[Double]("epochs"))
+      assert(capped <= target + 1e-9)
+      assert(epochs <= 1.2 + 1e-9) // the epoch cap is a hard ceiling
+      assert(capped <= t * 1.2 + 1e-6)
+    }
+    // temperature flattening must leave the biggest language UNDER one
+    // epoch and upweight at least one small language past one epoch
+    val byTokens = rows.sortBy(-_.getAs[Long]("tokens"))
+    assert(byTokens.head.getAs[Double]("epochs") < 1.0)
+    assert(byTokens.last.getAs[Double]("epochs") > 1.0)
+  }
 }

@@ -174,4 +174,26 @@ class TextStatsSpec extends AnyFunSuite {
       assert(l.nonEmpty && r.nonEmpty && n > 0)
     }
   }
+
+  test("calibration report: bins partition the corpus, ECE is the " +
+      "n-weighted mean gap") {
+    val rows = operators.TextStats
+      .q250CalibrationReport(TestSpark.spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val nDocs = graft.Tables.documents(TestSpark.spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nDocs)
+    val ece = rows.head.getAs[Double]("ece")
+    assert(ece > 0.0 && ece < 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ece") == ece) // one constant, every row
+      assert(math.abs(r.getAs[Double]("gap") -
+        math.abs(r.getAs[Double]("avg_p") - r.getAs[Double]("pos_rate")))
+        < 1e-9)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+    }
+    // the recomputed weighted gap must reproduce the attached ECE
+    val recomputed = rows.map(r => r.getAs[Long]("n") *
+      r.getAs[Double]("gap")).sum / nDocs
+    assert(math.abs(recomputed - ece) < 1e-6)
+  }
 }
