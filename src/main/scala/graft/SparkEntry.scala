@@ -280,6 +280,8 @@ object SparkEntry {
     "q249_semdedup"        -> (Similarity.q249SemDedup _),
     "q250_calibration"     -> (TextStats.q250CalibrationReport _),
     "q251_temperature_mix" -> (Sampling.q251TemperatureMixture _),
+    "q252_dsir_select"     -> (Sampling.q252DsirSelect _),
+    "q253_winnowing"       -> (Dedup.q253Winnowing _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4736,6 +4738,68 @@ object SparkEntry {
       SELECT lang, tokens, weight, target_tokens, capped_tokens,
         ROUND(capped_tokens / tokens, 9) AS epochs
       FROM m ORDER BY lang""",
+
+    // DSIR: add-one-smoothed unigram log-likelihood ratio vs the src0
+    // target; per-token ratios round to 9 then decimal-sum
+    "q252_dsir_select" -> """
+      WITH tok AS (
+        SELECT doc_id, source,
+          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS word
+        FROM documents),
+      tgt AS (SELECT word, CAST(count(*) AS BIGINT) AS ct
+              FROM tok WHERE source = 'src0' GROUP BY word),
+      raw AS (SELECT word, CAST(count(*) AS BIGINT) AS cr
+              FROM tok GROUP BY word),
+      sc AS (SELECT CAST(count(*) AS BIGINT) AS nt
+             FROM tok WHERE source = 'src0'),
+      sr AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+               CAST(count(DISTINCT word) AS BIGINT) AS v FROM tok),
+      scored AS (
+        SELECT t.doc_id,
+          ROUND(ln((CAST(COALESCE(g.ct, 0) + 1 AS DOUBLE)
+                     * CAST(sr.nr + sr.v AS DOUBLE))
+                 / (CAST(r.cr + 1 AS DOUBLE)
+                     * CAST(sc.nt + sr.v AS DOUBLE))), 9) AS lr
+        FROM tok t
+        LEFT JOIN tgt g USING (word)
+        JOIN raw r USING (word)
+        CROSS JOIN sc CROSS JOIN sr),
+      agg AS (
+        SELECT doc_id, count(*) AS n_tokens,
+          ROUND(CAST(SUM(CAST(lr AS DECIMAL(28,9))) AS DOUBLE)
+            / count(*), 9) AS dsir_score
+        FROM scored GROUP BY doc_id)
+      SELECT d.doc_id, d.lang, d.source, a.n_tokens, a.dsir_score
+      FROM agg a JOIN documents d USING (doc_id)
+      ORDER BY a.dsir_score DESC, d.doc_id LIMIT 25""",
+
+    // winnowing: 4-gram hashes, window w=5, min per full window;
+    // 1-based positions here vs 0-based in Spark — same full-window set
+    "q253_winnowing" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      grams AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+          CAST(concat('0x', substr(md5(concat(w[CAST(i AS INT)], ' ',
+            w[CAST(i AS INT)+1], ' ', w[CAST(i AS INT)+2], ' ',
+            w[CAST(i AS INT)+3])), 1, 8)) AS BIGINT) AS h
+        FROM tok, unnest(range(1, len(w) - 2)) AS t(i)
+        WHERE len(w) >= 4),
+      wins AS (
+        SELECT doc_id, pos,
+          MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp,
+          COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+        FROM grams),
+      full_w AS (SELECT * FROM wins WHERE pos <= n_grams - 4)
+      SELECT doc_id, MAX(n_grams) AS n_grams, count(*) AS n_windows,
+        CAST(count(DISTINCT fp) AS BIGINT) AS n_fp,
+        ROUND(CAST(count(DISTINCT fp) AS DOUBLE) / MAX(n_grams), 9)
+          AS density
+      FROM full_w GROUP BY doc_id ORDER BY doc_id""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

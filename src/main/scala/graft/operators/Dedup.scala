@@ -1533,4 +1533,52 @@ object Dedup {
     attrition.unionAll(shard).unionAll(downweight)
       .orderBy(col("section"), col("seq"))
   }
+
+  /** q253: winnowing fingerprints (Schleimer et al. 2003) — the
+    * guaranteed-recall local fingerprint selection under plagiarism /
+    * overlap detection: hash every 4-gram, slide a 5-gram-wide window
+    * over the positions, keep each window's MINIMUM hash. Any shared
+    * substring of >= w+k-1 tokens between two documents is then
+    * guaranteed to surface as a shared selected fingerprint, at an
+    * expected density of 2/(w+1) of the grams — the report's density
+    * column sits at ~0.33, which is the certificate that selection is
+    * working (q35's single whole-doc fingerprint has recall only for
+    * identical docs; this is the substring-robust tier between q35 and
+    * the q113 full gram index, at a 3× smaller index than the latter).
+    *
+    * Scale shape: one explode pass to position-indexed gram hashes,
+    * ONE doc-keyed exchange for the sliding-window min (documents are
+    * bounded-length, so a per-doc window is safe at any corpus size —
+    * the q114 argument), one doc-keyed aggregate. The fingerprint
+    * index this selects is what a production pipeline would persist
+    * bucketed-by-fingerprint (the q211 discipline) for cross-doc
+    * probe joins. */
+  def q253Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 4)
+    val grams = docs.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, size(w) - 4), " +
+          "i -> array_join(slice(w, i + 1, 4), ' '))"))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          .as("h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, 4)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .withColumn("n_grams", count(lit(1)).over(all))
+      .filter(col("pos") <= col("n_grams") - 5) // full windows only
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_windows"),
+        count_distinct(col("fp")).as("n_fp"),
+        round(count_distinct(col("fp")).cast("double") /
+          max(col("n_grams")).cast("double"), 9).as("density"))
+      .orderBy(col("doc_id"))
+  }
 }

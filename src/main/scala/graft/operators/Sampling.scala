@@ -318,4 +318,59 @@ object Sampling {
         round(capped / col("tokens"), 9).as("epochs"))
       .orderBy(col("lang"))
   }
+
+  /** q252: DSIR-shaped importance resampling (Xie et al. 2023) —
+    * select raw documents whose hashed-feature distribution looks like
+    * a TARGET domain (here source src0 stands in for the curated
+    * target corpus). Each document scores the mean per-token
+    * log-likelihood ratio log(p_target(w)/p_raw(w)) under add-one-
+    * smoothed unigram models, and the selection is the top 25 by
+    * (score desc, doc_id) — the "sample raw data that matches the
+    * target" primitive behind domain-targeted pretraining mixes.
+    *
+    * Scale shape: the two unigram models are vocabulary-sized count
+    * tables built from one token-explode pass (gram-keyed shuffles,
+    * the q203/q235 LM discipline — NEVER broadcast: at 100 TB the
+    * vocabulary is large; the token stream left-joins them on word).
+    * The three scalars (target mass, raw mass, vocab size) broadcast
+    * as 1-row frames. Per-token ratios round to 9 then decimal-sum,
+    * so scores are order-independent; the final top-25 is a
+    * TakeOrdered, never a global sort. */
+  def q252DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(split(graft.functions.Cols.normText(col("text")), " "))
+        .as("word"))
+    val tokSrc = docs.select(col("doc_id"), col("source"),
+      explode(split(graft.functions.Cols.normText(col("text")), " "))
+        .as("word"))
+    val tgt = tokSrc.filter(col("source") === "src0")
+      .groupBy(col("word")).agg(count(lit(1)).as("ct"))
+    val raw = tok.groupBy(col("word")).agg(count(lit(1)).as("cr"))
+    val scTgt = tokSrc.filter(col("source") === "src0")
+      .agg(count(lit(1)).as("nt"))
+    val scRaw = tok.agg(count(lit(1)).as("nr"),
+      count_distinct(col("word")).as("v"))
+    val lr = round(log(
+      ((coalesce(col("ct"), lit(0L)) + 1L).cast("double") *
+        (col("nr") + col("v")).cast("double")) /
+      ((col("cr") + 1L).cast("double") *
+        (col("nt") + col("v")).cast("double"))), 9)
+    val scored = tok
+      .join(tgt, Seq("word"), "left")
+      .join(raw, Seq("word"))
+      .crossJoin(broadcast(scTgt)).crossJoin(broadcast(scRaw))
+      .select(col("doc_id"), lr.cast("decimal(28,9)").as("lr"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("lr")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("dsir_score"))
+    scored
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        "doc_id")
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens"), col("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(25)
+  }
 }

@@ -500,4 +500,23 @@ class DedupSpec extends AnyFunSuite {
         r.getAs[Long]("n_clusters")).toMap
     assert(got == q69Sizes, s"got=$got q69=$q69Sizes")
   }
+
+  test("winnowing selects at the theoretical density and counts are " +
+      "internally consistent") {
+    val rows = Dedup.q253Winnowing(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ng, nw, nfp) = (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_windows"), r.getAs[Long]("n_fp"))
+      assert(nw == ng - 4, s"doc ${r.getLong(0)}: windows != grams-4")
+      assert(nfp >= 1 && nfp <= nw)
+      // a selected fingerprint covers at most w=5 windows, so at least
+      // ceil(n_windows/5) distinct mins must be selected
+      assert(nfp >= (nw + 4) / 5, s"doc ${r.getLong(0)}: too few fps")
+    }
+    // expected density is 2/(w+1) = 0.333; the corpus mean must sit
+    // near it (the certificate that window-min selection is unbiased)
+    val mean = rows.map(_.getAs[Double]("density")).sum / rows.length
+    assert(mean > 0.25 && mean < 0.42, s"mean density $mean")
+  }
 }

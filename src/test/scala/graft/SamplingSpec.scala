@@ -138,4 +138,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(byTokens.head.getAs[Double]("epochs") < 1.0)
     assert(byTokens.last.getAs[Double]("epochs") > 1.0)
   }
+
+  test("DSIR selection enriches toward the target domain") {
+    val rows = Sampling.q252DsirSelect(spark, sf).collect()
+    assert(rows.length == 25)
+    // scores arrive ranked
+    val scores = rows.map(_.getAs[Double]("dsir_score"))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b })
+    // the point of importance resampling: the target source's share of
+    // the selection strictly exceeds its corpus share
+    val srcShare = rows.count(_.getAs[String]("source") == "src0") / 25.0
+    val docs = Tables.documents(spark, sf)
+    val corpusShare = docs.filter(col("source") === "src0").count()
+      .toDouble / docs.count()
+    assert(srcShare > corpusShare,
+      s"selection share $srcShare vs corpus share $corpusShare")
+  }
 }
