@@ -4657,15 +4657,16 @@ object SparkEntry {
 
     "q249_semdedup" -> s"""
       $kmeansCtes,
+      nrm AS (
+        SELECT cid, vec_id,
+          list_transform(v, x -> x / sqrt(list_reduce(
+            list_transform(v, y -> y*y), (p,q) -> p + q))) AS vn
+        FROM a2),
       pairs AS (
         SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id,
-          ROUND(list_reduce(list_transform(list_zip(a.v, b.v),
-              p -> p[1]*p[2]), (x,y) -> x + y)
-            / (sqrt(list_reduce(list_transform(a.v, x -> x*x),
-                (x,y) -> x + y))
-             * sqrt(list_reduce(list_transform(b.v, x -> x*x),
-                (x,y) -> x + y))), 9) AS cos
-        FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+          ROUND(list_reduce(list_transform(list_zip(a.vn, b.vn),
+              p -> p[1]*p[2]), (x,y) -> x + y), 9) AS cos
+        FROM nrm a JOIN nrm b ON a.cid = b.cid AND a.vec_id < b.vec_id),
       dropped AS (
         SELECT cid, count(*) AS n_dropped FROM
           (SELECT DISTINCT cid, b_id FROM pairs WHERE cos >= 0.35)

@@ -641,16 +641,26 @@ object Similarity {
     * whole point of the algorithm. Drop rule is deterministic: b is
     * dropped iff SOME same-cluster a < b has cosine >= 0.35 (rounded
     * to 9 before the compare), i.e. each cluster keeps its lowest-id
-    * representative per semantic neighborhood. */
+    * representative per semantic neighborhood.
+    *
+    * Each vector pre-normalizes to unit length ONCE (a per-row map)
+    * so the quadratic stage pays a single dot product per pair
+    * instead of dot + two norms — 3× less per-pair arithmetic, the
+    * optimization that matters where the work actually lives. The
+    * oracle mirrors the same normalize-then-dot order, so the floats
+    * stay bitwise-aligned. */
   def q249SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val a = kmeansAssigned(spark, dir).select(col("cid"), col("vec_id"),
-      col("v"))
-    val l = a.select(col("cid"), col("vec_id").as("a_id"), col("v").as("va"))
-    val r = a.select(col("cid"), col("vec_id").as("b_id"), col("v").as("vb"))
+    val a = kmeansAssigned(spark, dir)
+      .withColumn("nv", normD(col("v")))
+      .select(col("cid"), col("vec_id"),
+        transform(col("v"), x => x / col("nv")).as("vn"))
+    val l = a.select(col("cid"), col("vec_id").as("a_id"),
+      col("vn").as("va"))
+    val r = a.select(col("cid"), col("vec_id").as("b_id"),
+      col("vn").as("vb"))
     val dropped = l.join(r, Seq("cid"))
       .filter(col("a_id") < col("b_id"))
-      .filter(round(dotD(col("va"), col("vb")) /
-        (normD(col("va")) * normD(col("vb"))), 9) >= 0.35)
+      .filter(round(dotD(col("va"), col("vb")), 9) >= 0.35)
       .select(col("cid"), col("b_id")).distinct()
       .groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
     a.groupBy(col("cid")).agg(count(lit(1)).as("n"))
