@@ -283,6 +283,7 @@ object SparkEntry {
     "q252_dsir_select"     -> (Sampling.q252DsirSelect _),
     "q253_winnowing"       -> (Dedup.q253Winnowing _),
     "q254_label_knn"       -> (Similarity.q254LabelKnn _),
+    "q255_ood_report"      -> (Similarity.q255OodReport _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4835,6 +4836,23 @@ object SparkEntry {
         ROUND(CAST(SUM(CAST(cos AS DECIMAL(28,9))) AS DOUBLE)
           / count(*), 9) AS mean_nn_cos
       FROM best GROUP BY p_label ORDER BY label""",
+
+    // per-cluster distance percentiles + robust outlier count over the
+    // shared Lloyd chain; exact interpolated percentiles (q174 parity)
+    "q255_ood_report" -> s"""
+      $kmeansCtes,
+      pct AS (
+        SELECT cid, count(*) AS n,
+          ROUND(quantile_cont(dist, 0.5), 9) AS p50,
+          ROUND(quantile_cont(dist, 0.9), 9) AS p90,
+          ROUND(quantile_cont(dist, 0.99), 9) AS p99
+        FROM a2 GROUP BY cid)
+      SELECT CAST(a.cid AS INT) AS cid, MAX(p.n) AS n, MAX(p.p50) AS p50,
+        MAX(p.p90) AS p90, MAX(p.p99) AS p99,
+        CAST(SUM(CASE WHEN a.dist > p.p50 * 2.0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_outliers
+      FROM a2 a JOIN pct p ON a.cid = p.cid
+      GROUP BY a.cid ORDER BY cid""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

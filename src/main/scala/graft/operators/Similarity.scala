@@ -720,6 +720,38 @@ object Similarity {
         col("n_correct"), col("accuracy"), col("mean_nn_cos"))
       .orderBy(col("label"))
   }
+
+  /** q255: OOD / outlier report per k-means cluster — the "what does
+    * this cluster's distance distribution look like, and how much
+    * mass sits far outside it" pass that decides whether a cluster is
+    * coherent (tight percentiles), noisy (fat tail), or junk (median
+    * itself is huge); the outlier rule (dist > 2× cluster median) is
+    * the robust-statistics cousin of mean+2σ that survives the exact
+    * thing it is hunting. Reuses the q248 assignment; one exact
+    * percentile aggregate per cluster (k×3 doubles), broadcast back
+    * for the outlier count — two metadata exchanges total.
+    *
+    * At 100 TB the exact per-cluster percentile is the one piece to
+    * swap: `percentile_approx`/GK (the q88/q129 tier) gives the same
+    * report with bounded memory; the exact form stays here because it
+    * is what the oracle can check bit-for-bit. */
+  def q255OodReport(spark: SparkSession, dir: String): DataFrame = {
+    val a = kmeansAssigned(spark, dir).select(col("cid"), col("dist"))
+    val pct = a.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(dist, 0.5)"), 9).as("p50"),
+        round(expr("percentile(dist, 0.9)"), 9).as("p90"),
+        round(expr("percentile(dist, 0.99)"), 9).as("p99"))
+    a.join(broadcast(pct), "cid")
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n"), max(col("p50")).as("p50"),
+        max(col("p90")).as("p90"), max(col("p99")).as("p99"),
+        sum(when(col("dist") > col("p50") * 2.0d, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("cid"), col("n"), col("p50"), col("p90"), col("p99"),
+        col("n_outliers"))
+      .orderBy(col("cid"))
+  }
 }
 
 /** Typed top-k aggregator: keeps the k best (cosine desc, vec_id asc)

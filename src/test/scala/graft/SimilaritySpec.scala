@@ -178,6 +178,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("OOD report: percentiles are ordered and the outlier rule is " +
+      "self-consistent") {
+    val rows = Similarity.q255OodReport(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 8))
+    assert(rows.map(_.getAs[Long]("n")).sum ==
+      graft.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 > 0 && p50 <= p90 && p90 <= p99)
+      // at most half the cluster can sit beyond 2x its own median
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n") / 2)
+    }
+  }
+
   test("int8 quantization error never exceeds half a step") {
     operators.Similarity.q144EmbedQuantize(TestSpark.spark, TestSpark.sf)
       .collect().foreach { r =>
