@@ -284,6 +284,8 @@ object SparkEntry {
     "q253_winnowing"       -> (Dedup.q253Winnowing _),
     "q254_label_knn"       -> (Similarity.q254LabelKnn _),
     "q255_ood_report"      -> (Similarity.q255OodReport _),
+    "q256_prefix_dup"      -> (Dedup.q256PrefixDup _),
+    "q257_hard_negatives"  -> (Similarity.q257HardNegatives _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4853,6 +4855,59 @@ object SparkEntry {
           AS BIGINT) AS n_outliers
       FROM a2 a JOIN pct p ON a.cid = p.cid
       GROUP BY a.cid ORDER BY cid""",
+
+    "q256_prefix_dup" -> """
+      WITH tok AS (
+        SELECT doc_id, string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      pfx AS (
+        SELECT doc_id, array_to_string(w[1:8], ' ') AS prefix
+        FROM tok WHERE len(w) >= 8),
+      agg AS (
+        SELECT prefix, count(*) AS n_docs,
+          MIN(doc_id) AS first_doc
+        FROM pfx GROUP BY prefix HAVING count(*) >= 2)
+      SELECT prefix, n_docs, first_doc FROM agg
+      ORDER BY n_docs DESC, prefix LIMIT 20""",
+
+    // same probe-candidate stream as q254; μ sums 9-rounded cosines
+    // as exact decimals before the single threshold compare
+    "q257_hard_negatives" -> """
+      WITH e AS (
+        SELECT vec_id, label,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      n AS (
+        SELECT vec_id, label,
+          list_transform(v, x -> x / sqrt(list_reduce(
+            list_transform(v, y -> y*y), (p,q) -> p + q))) AS vn
+        FROM e),
+      pr AS (SELECT vec_id AS p_id, label AS p_label, vn AS pv
+             FROM n WHERE vec_id % 10 = 0),
+      cand AS (
+        SELECT p.p_id, p.p_label, c.label AS c_label,
+          ROUND(list_reduce(list_transform(list_zip(c.vn, p.pv),
+            s -> s[1]*s[2]), (x,y) -> x + y), 9) AS cos
+        FROM pr p JOIN n c ON c.vec_id <> p.p_id),
+      mu AS (
+        SELECT p_id, p_label,
+          ROUND(CAST(SUM(CASE WHEN c_label = p_label
+                THEN CAST(cos AS DECIMAL(28,9)) ELSE 0 END) AS DOUBLE)
+            / SUM(CASE WHEN c_label = p_label THEN 1 ELSE 0 END), 9)
+            AS mu
+        FROM cand GROUP BY p_id, p_label),
+      hard AS (
+        SELECT c.p_id, c.p_label,
+          CAST(SUM(CASE WHEN c.c_label <> c.p_label AND c.cos > m.mu
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_hard
+        FROM cand c JOIN mu m ON c.p_id = m.p_id
+        GROUP BY c.p_id, c.p_label)
+      SELECT p_label AS label, count(*) AS n_probes,
+        CAST(SUM(n_hard) AS BIGINT) AS n_hard_total,
+        ROUND(CAST(SUM(n_hard) AS DOUBLE) / count(*), 9)
+          AS mean_hard_per_probe
+      FROM hard GROUP BY p_label ORDER BY label""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

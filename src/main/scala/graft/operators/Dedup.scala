@@ -1581,4 +1581,26 @@ object Dedup {
           max(col("n_grams")).cast("double"), 9).as("density"))
       .orderBy(col("doc_id"))
   }
+
+  /** q256: duplicated-prefix inventory — crawl boilerplate shows up
+    * as many documents OPENING identically (cookie banners, nav
+    * headers, license preambles) long before they are near-dups as
+    * wholes; the standard first-probe is the top duplicated 8-token
+    * prefixes. One narrow map to the prefix key (no explode — only
+    * the first 8 tokens of each doc materialize), one prefix-keyed
+    * aggregate with map-side partials, HAVING >= 2, top-20
+    * TakeOrdered (count desc, prefix asc — total order, no global
+    * sort). At 100 TB this is among the cheapest corpus passes there
+    * is, which is why it runs first in a triage pipeline. */
+  def q256PrefixDup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 8)
+      .select(col("doc_id"),
+        array_join(slice(col("w"), 1, 8), " ").as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("prefix"))
+      .limit(20)
 }

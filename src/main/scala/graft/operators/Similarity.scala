@@ -689,7 +689,10 @@ object Similarity {
     * through the shuffle, never the candidate stream. Cosines round
     * to 9 before the argmax so the neighbor choice (and its
     * tie-break: lowest candidate id) is engine-portable. */
-  def q254LabelKnn(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared probe-candidate stream of q254/q257: unit-normalized
+    * vectors, 10% probe sample broadcast against the corpus, one
+    * 9-rounded dot per (probe, candidate) pair, self excluded. */
+  private def probeCands(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -699,11 +702,17 @@ object Similarity {
     val probes = e.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("p_id"), col("label").as("p_label"),
         col("vn").as("pv"))
-    val best = e.join(broadcast(probes), col("vec_id") =!= col("p_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("p_id"))
+      .select(col("p_id"), col("p_label"), col("vec_id").as("cand_id"),
+        col("label").as("c_label"),
+        round(dotD(col("vn"), col("pv")), 9).as("cos"))
+  }
+
+  def q254LabelKnn(spark: SparkSession, dir: String): DataFrame = {
+    val best = probeCands(spark, dir)
       .select(col("p_id"), col("p_label"),
-        struct(round(dotD(col("vn"), col("pv")), 9).as("cos"),
-          (-col("vec_id")).as("neg_id"),
-          col("label").as("n_label")).as("cand"))
+        struct(col("cos"), (-col("cand_id")).as("neg_id"),
+          col("c_label").as("n_label")).as("cand"))
       .groupBy(col("p_id"), col("p_label"))
       .agg(max(col("cand")).as("best"))
     best
@@ -751,6 +760,46 @@ object Similarity {
       .select(col("cid"), col("n"), col("p50"), col("p90"), col("p99"),
         col("n_outliers"))
       .orderBy(col("cid"))
+  }
+
+  /** q257: hard-negative inventory — the mining report behind
+    * contrastive embedding training: for each probe, count the
+    * WRONG-label candidates whose cosine beats the probe's own
+    * same-label mean. A strong space yields few (negatives sit below
+    * the positive band); this corpus's chance-level space yields
+    * roughly half the negatives, which is exactly what q254's
+    * accuracy says it should. Per label the report gives probe count,
+    * total hard negatives, and the per-probe mean — the numbers that
+    * size a hard-negative sampling budget.
+    *
+    * Two passes over the probe-candidate stream (mean, then count
+    * above it) with the stream STAGED ONCE via localCheckpoint — the
+    * q209 staging discipline; both aggregates are probe-keyed partial
+    * aggregations. Same-label means sum 9-rounded cosines as exact
+    * decimals, so the μ threshold each count compares against is
+    * bitwise-portable. */
+  def q257HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val cand = probeCands(spark, dir).localCheckpoint()
+    val dec = "decimal(28,9)"
+    val mu = cand.groupBy(col("p_id"), col("p_label"))
+      .agg(round(
+        sum(when(col("c_label") === col("p_label"),
+          col("cos").cast(dec)).otherwise(lit(0).cast(dec)))
+          .cast("double") /
+        sum(when(col("c_label") === col("p_label"), 1L).otherwise(0L))
+          .cast("double"), 9).as("mu"))
+    val hard = cand.join(broadcast(mu), Seq("p_id", "p_label"))
+      .groupBy(col("p_id"), col("p_label"))
+      .agg(sum(when(col("c_label") =!= col("p_label") &&
+        col("cos") > col("mu"), 1L).otherwise(0L)).as("n_hard"))
+    hard.groupBy(col("p_label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(col("n_hard")).as("n_hard_total"),
+        round(sum(col("n_hard")).cast("double") /
+          count(lit(1)).cast("double"), 9).as("mean_hard_per_probe"))
+      .select(col("p_label").as("label"), col("n_probes"),
+        col("n_hard_total"), col("mean_hard_per_probe"))
+      .orderBy(col("label"))
   }
 }
 

@@ -519,4 +519,16 @@ class DedupSpec extends AnyFunSuite {
     val mean = rows.map(_.getAs[Double]("density")).sum / rows.length
     assert(mean > 0.25 && mean < 0.42, s"mean density $mean")
   }
+
+  test("duplicated-prefix inventory only reports real duplicates, " +
+      "ranked by population") {
+    val rows = Dedup.q256PrefixDup(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val counts = rows.map(_.getAs[Long]("n_docs"))
+    assert(counts.forall(_ >= 2))
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[String]("prefix").split(" ").length == 8)
+    }
+  }
 }

@@ -193,6 +193,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hard-negative inventory is bounded by the wrong-label " +
+      "candidate population and covers the q254 probe sample") {
+    val rows = Similarity.q257HardNegatives(spark, sf).collect()
+    val knn = Similarity.q254LabelKnn(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("n_probes")).toMap
+    assert(rows.map(r =>
+      r.getAs[Int]("label") -> r.getAs[Long]("n_probes")).toMap == knn)
+    val nVecs = graft.Tables.embeddings(spark, sf).count()
+    rows.foreach { r =>
+      // a probe's hard negatives are a subset of its wrong-label
+      // candidates, which number < n_vectors - 1
+      assert(r.getAs[Double]("mean_hard_per_probe") < (nVecs - 1).toDouble)
+      assert(r.getAs[Long]("n_hard_total") >= 0)
+    }
+  }
+
   test("int8 quantization error never exceeds half a step") {
     operators.Similarity.q144EmbedQuantize(TestSpark.spark, TestSpark.sf)
       .collect().foreach { r =>
