@@ -286,6 +286,7 @@ object SparkEntry {
     "q255_ood_report"      -> (Similarity.q255OodReport _),
     "q256_prefix_dup"      -> (Dedup.q256PrefixDup _),
     "q257_hard_negatives"  -> (Similarity.q257HardNegatives _),
+    "q258_source_gates"    -> (Quality.q258SourceGates _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4908,6 +4909,39 @@ object SparkEntry {
         ROUND(CAST(SUM(n_hard) AS DOUBLE) / count(*), 9)
           AS mean_hard_per_probe
       FROM hard GROUP BY p_label ORDER BY label""",
+
+    "q258_source_gates" -> """
+      WITH base AS (
+        SELECT doc_id, source,
+          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+          length(text) AS n_chars_raw,
+          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+        FROM documents),
+      feat AS (
+        SELECT doc_id, source,
+          len(string_split(norm, ' ')) AS n_tok,
+          CAST(n_digits AS DOUBLE) / n_chars_raw AS digit_ratio,
+          CAST(length(norm) - (len(string_split(norm, ' ')) - 1)
+            AS DOUBLE) / len(string_split(norm, ' ')) AS mean_wl,
+          (doc_id % 7 = 0) AS pii
+        FROM base),
+      g AS (
+        SELECT source,
+          (n_tok BETWEEN 20 AND 2000) AS len_ok,
+          (digit_ratio <= 0.2) AS digit_ok,
+          (mean_wl BETWEEN 2 AND 12) AS wl_ok, pii
+        FROM feat)
+      SELECT source, count(*) AS n_docs,
+        CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_len_ok,
+        CAST(SUM(CASE WHEN digit_ok THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_digit_ok,
+        CAST(SUM(CASE WHEN wl_ok THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_wl_ok,
+        CAST(SUM(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
+        CAST(SUM(CASE WHEN len_ok AND digit_ok AND wl_ok AND NOT pii
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM g GROUP BY source ORDER BY source""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

@@ -349,4 +349,41 @@ object Quality {
           .as("residual_pii"))
       .orderBy(col("source"))
   }
+
+  /** q258: source × gate attrition matrix — "which sources die at
+    * which gate": for every source, how many documents pass each
+    * independent curation gate (token length in [20,2000], digit
+    * ratio ≤ 0.2, mean word length in [2,12], PII-injected) and how
+    * many survive all of them. q193's waterfall answers "which GATE
+    * costs the most overall"; this answers the provenance question a
+    * crawl team actually asks — which upstream feed is junk — and is
+    * the report that decides source-level contracts. One narrow
+    * feature map (every gate is a string/arith expression inside
+    * codegen, no explode), one source-keyed aggregate with map-side
+    * partials. */
+  def q258SourceGates(spark: SparkSession, dir: String): DataFrame = {
+    val norm = normText(col("text"))
+    val nTok = size(split(norm, " "))
+    val feat = Tables.documents(spark, dir).select(col("source"),
+      nTok.as("n_tok"),
+      (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        length(col("text")).cast("double")).as("digit_ratio"),
+      ((length(norm) - (nTok - 1)).cast("double") /
+        nTok.cast("double")).as("mean_wl"),
+      (col("doc_id") % 7 === 0).as("pii"))
+    feat.select(col("source"),
+        (col("n_tok") >= 20 && col("n_tok") <= 2000).as("len_ok"),
+        (col("digit_ratio") <= 0.2d).as("digit_ok"),
+        (col("mean_wl") >= 2.0d && col("mean_wl") <= 12.0d).as("wl_ok"),
+        col("pii"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("len_ok")).as("n_len_ok"),
+        count_if(col("digit_ok")).as("n_digit_ok"),
+        count_if(col("wl_ok")).as("n_wl_ok"),
+        count_if(col("pii")).as("n_pii"),
+        count_if(col("len_ok") && col("digit_ok") && col("wl_ok") &&
+          !col("pii")).as("n_pass"))
+      .orderBy(col("source"))
+  }
 }

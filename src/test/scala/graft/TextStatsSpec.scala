@@ -175,6 +175,26 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("source-gate matrix partitions the corpus and its PII column " +
+      "matches the injected population") {
+    val rows = operators.Quality.q258SourceGates(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val injected = docs
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_pii")).sum == injected)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      Seq("n_len_ok", "n_digit_ok", "n_wl_ok", "n_pii", "n_pass")
+        .foreach(c => assert(r.getAs[Long](c) <= n, c))
+      // survivors can't exceed any single gate's pass count
+      assert(r.getAs[Long]("n_pass") <= r.getAs[Long]("n_len_ok"))
+      assert(r.getAs[Long]("n_pass") <= n - r.getAs[Long]("n_pii"))
+    }
+  }
+
   test("calibration report: bins partition the corpus, ECE is the " +
       "n-weighted mean gap") {
     val rows = operators.TextStats
