@@ -409,4 +409,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning(doc_id"), plan.take(3000))
     assert(!plan.contains("hashpartitioning(coalesce"), plan.take(3000))
   }
+
+  test("k-means never shuffles the corpus on a per-row key: the only " +
+      "exchanges carry the k x dim mean grid or the k-row report") {
+    val plan = operators.Similarity.q248KmeansAssign(spark, sf)
+      .queryExecution.executedPlan.toString
+    // assignment is a broadcast-literal narrow map — a per-row
+    // vec_id exchange would mean the centers were joined, not inlined
+    assert(!plan.contains("hashpartitioning(vec_id"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    // every remaining exchange keys on cluster id (k=8 groups)
+    val exchanges = "hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(exchanges.subsetOf(Set("cid")), s"exchange keys: $exchanges")
+  }
 }
