@@ -287,6 +287,7 @@ object SparkEntry {
     "q256_prefix_dup"      -> (Dedup.q256PrefixDup _),
     "q257_hard_negatives"  -> (Similarity.q257HardNegatives _),
     "q258_source_gates"    -> (Quality.q258SourceGates _),
+    "q259_embed_report"    -> (Similarity.q259EmbedReport _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4942,6 +4943,55 @@ object SparkEntry {
         CAST(SUM(CASE WHEN len_ok AND digit_ok AND wl_ok AND NOT pii
           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
       FROM g GROUP BY source ORDER BY source""",
+
+    // composed embedding-tier report: the q248/q249/q255 section
+    // oracles unioned over ONE shared Lloyd chain
+    "q259_embed_report" -> s"""
+      $kmeansCtes,
+      nrm AS (
+        SELECT cid, vec_id,
+          list_transform(v, x -> x / sqrt(list_reduce(
+            list_transform(v, y -> y*y), (p,q) -> p + q))) AS vn
+        FROM a2),
+      pairs AS (
+        SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id,
+          ROUND(list_reduce(list_transform(list_zip(a.vn, b.vn),
+              p -> p[1]*p[2]), (x,y) -> x + y), 9) AS cos
+        FROM nrm a JOIN nrm b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+      dropped AS (
+        SELECT cid, count(*) AS n_dropped FROM
+          (SELECT DISTINCT cid, b_id FROM pairs WHERE cos >= 0.35)
+        GROUP BY cid),
+      sem AS (
+        SELECT a.cid, count(*) AS n, COALESCE(d.n_dropped, 0) AS nd
+        FROM a2 a LEFT JOIN dropped d ON a.cid = d.cid
+        GROUP BY a.cid, d.n_dropped),
+      pct AS (
+        SELECT cid, count(*) AS n,
+          ROUND(quantile_cont(dist, 0.5), 9) AS p50,
+          ROUND(quantile_cont(dist, 0.99), 9) AS p99
+        FROM a2 GROUP BY cid),
+      ood AS (
+        SELECT a.cid, MAX(p.n) AS n, MAX(p.p99) AS p99,
+          CAST(SUM(CASE WHEN a.dist > p.p50 * 2.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_out
+        FROM a2 a JOIN pct p ON a.cid = p.cid
+        GROUP BY a.cid)
+      SELECT 'kmeans' AS section, CAST(cid AS BIGINT) AS seq,
+        count(*) AS n_a, CAST(NULL AS BIGINT) AS n_b,
+        CAST(NULL AS BIGINT) AS n_c,
+        ROUND(CAST(SUM(CAST(dist AS DECIMAL(28,9))) AS DOUBLE), 9)
+          AS metric
+      FROM a2 GROUP BY cid
+      UNION ALL
+      SELECT 'semdedup', CAST(cid AS BIGINT), n, nd, n - nd,
+        ROUND(CAST(nd AS DOUBLE) / n, 9)
+      FROM sem
+      UNION ALL
+      SELECT 'ood', CAST(cid AS BIGINT), n, n_out,
+        CAST(NULL AS BIGINT), p99
+      FROM ood
+      ORDER BY section, seq""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

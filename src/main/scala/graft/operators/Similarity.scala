@@ -649,8 +649,14 @@ object Similarity {
     * optimization that matters where the work actually lives. The
     * oracle mirrors the same normalize-then-dot order, so the floats
     * stay bitwise-aligned. */
-  def q249SemDedup(spark: SparkSession, dir: String): DataFrame = {
-    val a = kmeansAssigned(spark, dir)
+  def q249SemDedup(spark: SparkSession, dir: String): DataFrame =
+    semDedupFrom(kmeansAssigned(spark, dir))
+
+  /** q249's report over a prepared assignment — split out so the
+    * composed report (q259) can stage the Lloyd chain once and feed
+    * every section from the same checkpointed pass. */
+  private def semDedupFrom(assigned: DataFrame): DataFrame = {
+    val a = assigned
       .withColumn("nv", normD(col("v")))
       .select(col("cid"), col("vec_id"),
         transform(col("v"), x => x / col("nv")).as("vn"))
@@ -744,8 +750,12 @@ object Similarity {
     * swap: `percentile_approx`/GK (the q88/q129 tier) gives the same
     * report with bounded memory; the exact form stays here because it
     * is what the oracle can check bit-for-bit. */
-  def q255OodReport(spark: SparkSession, dir: String): DataFrame = {
-    val a = kmeansAssigned(spark, dir).select(col("cid"), col("dist"))
+  def q255OodReport(spark: SparkSession, dir: String): DataFrame =
+    oodFrom(kmeansAssigned(spark, dir))
+
+  /** q255's report over a prepared assignment (see semDedupFrom). */
+  private def oodFrom(assigned: DataFrame): DataFrame = {
+    val a = assigned.select(col("cid"), col("dist"))
     val pct = a.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"),
         round(expr("percentile(dist, 0.5)"), 9).as("p50"),
@@ -800,6 +810,37 @@ object Similarity {
       .select(col("p_label").as("label"), col("n_probes"),
         col("n_hard_total"), col("mean_hard_per_probe"))
       .orderBy(col("label"))
+  }
+
+  /** q259: composed embedding-tier report — cluster inventory (q248),
+    * semantic-dedup yield (q249), and OOD tail (q255) as ONE
+    * union-tagged artifact, the embedding counterpart of q240's
+    * curation round report. The Lloyd chain runs ONCE
+    * (localCheckpoint) and every section reads the staged assignment;
+    * without staging, each section would re-run both Lloyd rounds and
+    * their driver collects — three corpus re-clusterings for one
+    * report. Schema: (section, seq, n_a, n_b, n_c, metric), ordered
+    * by section then cluster id. */
+  def q259EmbedReport(spark: SparkSession, dir: String): DataFrame = {
+    val a = kmeansAssigned(spark, dir).localCheckpoint()
+    val sizes = a.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist").cast("decimal(28,9)")).cast("double").as("sse"))
+      .select(lit("kmeans").as("section"), col("cid").cast("long").as("seq"),
+        col("n").as("n_a"), lit(null).cast("long").as("n_b"),
+        lit(null).cast("long").as("n_c"), round(col("sse"), 9).as("metric"))
+    val sem = semDedupFrom(a).select(
+      lit("semdedup").as("section"), col("cid").cast("long").as("seq"),
+      col("n").as("n_a"), col("n_dropped").as("n_b"),
+      col("n_kept").as("n_c"),
+      round(col("n_dropped").cast("double") / col("n").cast("double"), 9)
+        .as("metric"))
+    val ood = oodFrom(a).select(
+      lit("ood").as("section"), col("cid").cast("long").as("seq"),
+      col("n").as("n_a"), col("n_outliers").as("n_b"),
+      lit(null).cast("long").as("n_c"), col("p99").as("metric"))
+    sizes.unionAll(sem).unionAll(ood)
+      .orderBy(col("section"), col("seq"))
   }
 }
 

