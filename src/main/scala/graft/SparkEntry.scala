@@ -288,6 +288,7 @@ object SparkEntry {
     "q257_hard_negatives"  -> (Similarity.q257HardNegatives _),
     "q258_source_gates"    -> (Quality.q258SourceGates _),
     "q259_embed_report"    -> (Similarity.q259EmbedReport _),
+    "q260_stream_router"   -> (Similarity.q260StreamClusterRouter _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -4992,6 +4993,19 @@ object SparkEntry {
         CAST(NULL AS BIGINT), p99
       FROM ood
       ORDER BY section, seq""",
+
+    // stream-batch equivalence: the online router's drained counts
+    // must equal the batch Lloyd chain + q255 outlier rule
+    "q260_stream_router" -> s"""
+      $kmeansCtes,
+      pct AS (
+        SELECT cid, ROUND(quantile_cont(dist, 0.5), 9) AS p50
+        FROM a2 GROUP BY cid)
+      SELECT CAST(a.cid AS INT) AS cid, count(*) AS n_assigned,
+        CAST(SUM(CASE WHEN a.dist > p.p50 * 2.0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_flagged
+      FROM a2 a JOIN pct p ON a.cid = p.cid
+      GROUP BY a.cid ORDER BY cid""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

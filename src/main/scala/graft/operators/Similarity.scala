@@ -600,18 +600,27 @@ object Similarity {
     rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
   }
 
-  /** Two Lloyd rounds over the embedding corpus, k=8, seeded from the
-    * k lowest vec_ids (deterministic, engine-portable). Returns the
-    * final per-vector assignment (vec_id, v, cid, dist). */
-  private[graft] def kmeansAssigned(spark: SparkSession, dir: String,
-      k: Int = 8): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** The trained model state: centers after one Lloyd refinement of
+    * the k-lowest-vec_id seed (deterministic, engine-portable) —
+    * metadata-sized, loadable into any consumer as a literal. */
+  private[graft] def finalCenters(spark: SparkSession, dir: String,
+      k: Int = 8): Seq[Seq[Double]] = {
+    val e = embDouble(spark, dir)
     val seed = e.orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    lloydAssign(e, recomputeCenters(lloydAssign(e, seed)))
+    recomputeCenters(lloydAssign(e, seed))
   }
+
+  /** Two Lloyd rounds over the embedding corpus, k=8. Returns the
+    * final per-vector assignment (vec_id, v, cid, dist). */
+  private[graft] def kmeansAssigned(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame =
+    lloydAssign(embDouble(spark, dir), finalCenters(spark, dir, k))
 
   /** q248: distributed k-means (Lloyd's) — the clustering pass under
     * semantic dedup, mixture balancing, and diversity sampling at
@@ -842,6 +851,60 @@ object Similarity {
     sizes.unionAll(sem).unionAll(ood)
       .orderBy(col("section"), col("seq"))
   }
+
+  /** q260: streaming cluster router — the ONLINE consumer of the
+    * k-means model: newly-arriving vectors are assigned to the
+    * trained centers and OOD-flagged (dist > 2× the cluster's batch
+    * median) as they land, the admission-routing step in front of a
+    * sharded vector index or a per-cluster curation queue. The model
+    * (k×64 centers + k thresholds) loads BEFORE the stream starts and
+    * rides into every micro-batch as literals — assignment is a
+    * stateless narrow map, so the stream needs no watermark and no
+    * state store, exactly like q120; the only stream state is the
+    * complete-mode k-row count aggregate.
+    *
+    * Oracled by stream-batch equivalence: the drained per-cluster
+    * (n_assigned, n_flagged) must equal what the batch chain (q248 /
+    * q255's outlier rule) computes over the same rows — the q217
+    * discipline applied to the embedding tier. */
+  def q260StreamClusterRouter(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingWindows.withStreamPartitions(spark) {
+      import org.apache.spark.sql.types._
+      val centers = finalCenters(spark, dir)
+      val thresholds = kmeansAssigned(spark, dir)
+        .groupBy(col("cid"))
+        .agg(round(expr("percentile(dist, 0.5)"), 9).as("p50"))
+        .orderBy(col("cid")).collect()
+      require(thresholds.map(_.getInt(0)).toSeq == thresholds.indices,
+        "cluster ids must be dense for the threshold literal")
+      val thr = typedlit(thresholds.map(_.getDouble(1)).toIndexedSeq)
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val routed = lloydAssign(src, centers)
+        .withColumn("flag",
+          col("dist") > element_at(thr, col("cid") + 1) * 2.0d)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"),
+          count_if(col("flag")).as("n_flagged"))
+      val name = "graft_stream_router_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = routed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val result = spark.table(name).orderBy(col("cid"))
+      graft.streaming.StreamingWindows.materializeAndDrop(
+        spark, name, result)
+    }
 }
 
 /** Typed top-k aggregator: keeps the k best (cosine desc, vec_id asc)

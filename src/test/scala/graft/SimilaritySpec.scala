@@ -227,6 +227,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rep.length == 24)
   }
 
+  test("streaming cluster router equals the batch chain exactly") {
+    val streamed = Similarity.q260StreamClusterRouter(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val batchN = Similarity.q248KmeansAssign(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchOut = Similarity.q255OodReport(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("n_outliers")).toMap
+    assert(streamed.length == 8)
+    streamed.foreach { case (cid, n, flagged) =>
+      assert(n == batchN(cid), s"cid=$cid assigned")
+      assert(flagged == batchOut(cid), s"cid=$cid flagged")
+    }
+  }
+
   test("int8 quantization error never exceeds half a step") {
     operators.Similarity.q144EmbedQuantize(TestSpark.spark, TestSpark.sf)
       .collect().foreach { r =>
