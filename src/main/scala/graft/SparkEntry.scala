@@ -289,6 +289,7 @@ object SparkEntry {
     "q258_source_gates"    -> (Quality.q258SourceGates _),
     "q259_embed_report"    -> (Similarity.q259EmbedReport _),
     "q260_stream_router"   -> (Similarity.q260StreamClusterRouter _),
+    "q261_heaps_law"       -> (TextStats.q261HeapsLaw _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5006,6 +5007,50 @@ object SparkEntry {
           AS BIGINT) AS n_flagged
       FROM a2 a JOIN pct p ON a.cid = p.cid
       GROUP BY a.cid ORDER BY cid""",
+
+    // Heaps growth over trigram types: min-chunk per type gives the
+    // whole cumulative curve in one shuffle; β from exact decimal
+    // sums of 9-rounded log points
+    "q261_heaps_law" -> """
+      WITH tok AS (
+        SELECT doc_id % 10 AS b,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      g AS (
+        SELECT b, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT)+1]
+          || ' ' || w[CAST(i AS INT)+2] AS gram
+        FROM tok, unnest(range(1, len(w) - 1)) AS t(i)
+        WHERE len(w) >= 3),
+      tb AS (SELECT b, CAST(count(*) AS BIGINT) AS t FROM g GROUP BY b),
+      wmin AS (SELECT gram, MIN(b) AS minb FROM g GROUP BY gram),
+      vb AS (SELECT minb AS b, CAST(count(*) AS BIGINT) AS v
+             FROM wmin GROUP BY minb),
+      pre AS (
+        SELECT tb.b AS prefix,
+          CAST(SUM(tb.t) OVER (ORDER BY tb.b) AS BIGINT)
+            AS n_grams_cum,
+          CAST(SUM(COALESCE(vb.v, 0)) OVER (ORDER BY tb.b) AS BIGINT)
+            AS types_cum
+        FROM tb LEFT JOIN vb ON tb.b = vb.b),
+      pts AS (
+        SELECT prefix, n_grams_cum, types_cum,
+          ROUND(ln(n_grams_cum), 9) AS x,
+          ROUND(ln(types_cum), 9) AS y
+        FROM pre),
+      fit AS (
+        SELECT count(*) AS n,
+          CAST(SUM(CAST(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(ROUND(x*y, 9) AS DECIMAL(28,9))) AS DOUBLE)
+            AS sxy,
+          CAST(SUM(CAST(ROUND(x*x, 9) AS DECIMAL(28,9))) AS DOUBLE)
+            AS sxx
+        FROM pts)
+      SELECT p.prefix, p.n_grams_cum, p.types_cum,
+        ROUND((f.n * f.sxy - f.sx * f.sy)
+          / (f.n * f.sxx - f.sx * f.sx), 6) AS beta
+      FROM pts p CROSS JOIN fit f ORDER BY p.prefix""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

@@ -1259,4 +1259,55 @@ object TextStats {
           (max(col("n_tokens")) * count(lit(1))).cast("double"), 9)
           .as("pad_waste_ratio"))
       .orderBy(col("bucket"))
+
+  /** q261: Heaps-law growth certificate over trigram TYPES — the
+    * "how fast does genuinely new content appear as the corpus grows"
+    * curve that sizes dedup indexes and scaling plans (q191's Zipf
+    * fit is the frequency-axis companion). The corpus splits into 10
+    * hash chunks; prefix i's type count is the number of trigrams
+    * whose FIRST chunk is <= i — one `min(bucket)` aggregate per
+    * type, so the whole cumulative curve costs one gram-keyed
+    * shuffle, never ten re-scans. The log-log slope β (Heaps
+    * exponent) is fitted from exact decimal sums of 9-rounded points,
+    * attached to every row from the 10-row table. Sub-linear β < 1 is
+    * the certificate that the corpus keeps repeating itself — the
+    * economic argument for every dedup tier above. */
+  def q261HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .select((col("doc_id") % 10).as("b"), toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("b"), explode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> array_join(slice(w, i + 1, 3), ' '))")).as("gram"))
+    val tb = g.groupBy(col("b")).agg(count(lit(1)).as("t"))
+    val vb = g.groupBy(col("gram")).agg(min(col("b")).as("minb"))
+      .groupBy(col("minb")).agg(count(lit(1)).as("v"))
+    val w10 = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // the unpartitioned window runs over the 10-row chunk table, not
+    // corpus rows (the q225 discipline)
+    val pre = tb.join(vb, col("b") === col("minb"), "left")
+      .select(col("b").as("prefix"),
+        sum(col("t")).over(w10).as("n_grams_cum"),
+        sum(coalesce(col("v"), lit(0L))).over(w10).as("types_cum"))
+    val pts = pre.select(col("prefix"), col("n_grams_cum"),
+      col("types_cum"),
+      round(log(col("n_grams_cum")), 9).as("x"),
+      round(log(col("types_cum")), 9).as("y"))
+    val dec = "decimal(28,9)"
+    val fit = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum(round(col("x") * col("y"), 9).cast(dec)).cast("double")
+        .as("sxy"),
+      sum(round(col("x") * col("x"), 9).cast(dec)).cast("double")
+        .as("sxx"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("prefix"), col("n_grams_cum"), col("types_cum"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta"))
+      .orderBy(col("prefix"))
+  }
 }

@@ -175,6 +175,24 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("Heaps curve is monotone, sub-linear, and beta sits in the " +
+      "natural-corpus band") {
+    val rows = TextStats.q261HeapsLaw(spark, sf).collect()
+    assert(rows.length == 10)
+    val grams = rows.map(_.getAs[Long]("n_grams_cum"))
+    val types = rows.map(_.getAs[Long]("types_cum"))
+    assert(grams.sliding(2).forall { case Array(a, b) => b > a })
+    assert(types.sliding(2).forall { case Array(a, b) => b >= a })
+    // types can never outnumber gram occurrences
+    rows.foreach(r => assert(r.getAs[Long]("types_cum") <=
+      r.getAs[Long]("n_grams_cum")))
+    val beta = rows.head.getAs[Double]("beta")
+    assert(rows.forall(_.getAs[Double]("beta") == beta))
+    // sub-linear growth: repeated content exists, but vocabulary is
+    // not saturated either
+    assert(beta > 0.2 && beta < 1.0, s"beta=$beta")
+  }
+
   test("source-gate matrix partitions the corpus and its PII column " +
       "matches the injected population") {
     val rows = operators.Quality.q258SourceGates(spark, sf).collect()
