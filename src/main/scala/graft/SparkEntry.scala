@@ -290,6 +290,7 @@ object SparkEntry {
     "q259_embed_report"    -> (Similarity.q259EmbedReport _),
     "q260_stream_router"   -> (Similarity.q260StreamClusterRouter _),
     "q261_heaps_law"       -> (TextStats.q261HeapsLaw _),
+    "q262_score_drift"     -> (Quality.q262ScoreDrift _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5051,6 +5052,64 @@ object SparkEntry {
         ROUND((f.n * f.sxy - f.sx * f.sy)
           / (f.n * f.sxx - f.sx * f.sx), 6) AS beta
       FROM pts p CROSS JOIN fit f ORDER BY p.prefix""",
+
+    // discrete KS on the pooled ventile grid; bin assignment via
+    // list_filter against the rounded quantile list
+    "q262_score_drift" -> """
+      WITH wrd AS (
+        SELECT doc_id, source,
+          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS word
+        FROM documents),
+      wt AS (
+        SELECT doc_id, source,
+          (CAST(concat('0x', substr(md5(concat('w', CAST(
+             (CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT)
+               % 4096)
+           AS VARCHAR))), 1, 8)) AS BIGINT) % 2001) - 1000 AS wt
+        FROM wrd),
+      s AS (
+        SELECT doc_id, source,
+          ROUND(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) * 1000 AS DOUBLE), 9) AS score
+        FROM wt GROUP BY doc_id, source),
+      thr AS (
+        SELECT list_transform(quantile_cont(score,
+          [0.05, 0.10, 0.15, 0.20, 0.25, 0.30, 0.35, 0.40, 0.45, 0.50,
+           0.55, 0.60, 0.65, 0.70, 0.75, 0.80, 0.85, 0.90, 0.95]),
+          q -> ROUND(q, 9)) AS g
+        FROM s),
+      b AS (
+        SELECT source, len(list_filter(g, t -> score > t)) AS bin
+        FROM s CROSS JOIN thr),
+      sb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS n
+             FROM b GROUP BY source, bin),
+      grid AS (SELECT CAST(j AS INT) AS j FROM unnest(range(1, 20))
+               AS t(j)),
+      src_n AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_src
+                FROM sb GROUP BY source),
+      f AS (
+        SELECT sb.source, g.j,
+          CAST(SUM(CASE WHEN sb.bin < g.j THEN sb.n ELSE 0 END)
+            AS BIGINT) AS c
+        FROM sb CROSS JOIN grid g GROUP BY sb.source, g.j),
+      fc AS (
+        SELECT g.j,
+          CAST(SUM(CASE WHEN sb.bin < g.j THEN sb.n ELSE 0 END)
+            AS BIGINT) AS cc
+        FROM sb CROSS JOIN grid g GROUP BY g.j),
+      nc AS (SELECT CAST(SUM(n) AS BIGINT) AS nc FROM sb),
+      d AS (
+        SELECT f.source, f.j,
+          ROUND(ABS(CAST(f.c AS DOUBLE) / sn.n_src
+            - CAST(fc.cc AS DOUBLE) / nc.nc), 9) AS diff
+        FROM f JOIN fc ON f.j = fc.j
+        JOIN src_n sn ON f.source = sn.source
+        CROSS JOIN nc)
+      SELECT source, MAX(diff) AS ks,
+        CAST(MIN(CASE WHEN diff = mx THEN j END) AS INT) AS worst_j
+      FROM (SELECT *, MAX(diff) OVER (PARTITION BY source) AS mx FROM d)
+      GROUP BY source ORDER BY source""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

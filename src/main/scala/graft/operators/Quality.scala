@@ -386,4 +386,60 @@ object Quality {
           !col("pii")).as("n_pass"))
       .orderBy(col("source"))
   }
+
+  /** q262: per-source score-drift — a discrete two-sample
+    * Kolmogorov–Smirnov statistic between each source's classifier-
+    * score distribution and the pooled corpus, evaluated on the
+    * corpus's own ventile grid. The continuous KS needs a global
+    * sort; the grid form is the scale-honest version — and because
+    * the grid is the pooled distribution's OWN quantiles, it has
+    * maximal resolution exactly where the mass is. A drifting feed
+    * (format change, spam influx, encoding bug) shows up as its KS
+    * detaching from the pack long before mean-level metrics move.
+    *
+    * Shape: one scoring pass; the 19 thresholds are ONE exact-
+    * percentile aggregate collected driver-side (19 doubles — model
+    * state, the q248 discipline) and inlined, so bin assignment is a
+    * narrow map (`size(filter(...))`, no per-row join, no 19×
+    * explode); everything after runs on the (source × bin) table —
+    * a few hundred rows at any corpus size. */
+  def q262ScoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = TextStats.hashedScores(spark, dir)
+      .select(col("source"), col("score"))
+    val qs = (1 to 19).map(_ / 20.0d)
+    val thrSeq = s
+      .agg(expr(s"percentile(score, array(${qs.mkString(", ")}))")
+        .as("g"))
+      .select(expr("transform(g, q -> round(q, 9))").as("g"))
+      .collect()(0).getSeq[Double](0).toIndexedSeq
+    val thr = typedlit(thrSeq)
+    val sb = s
+      .withColumn("bin", size(filter(thr, t => col("score") > t)))
+      .groupBy(col("source"), col("bin")).agg(count(lit(1)).as("n"))
+    val grid = (1 to 19).toDF("j")
+    val srcN = sb.groupBy(col("source")).agg(sum(col("n")).as("n_src"))
+    val f = sb.crossJoin(broadcast(grid))
+      .groupBy(col("source"), col("j"))
+      .agg(sum(when(col("bin") < col("j"), col("n")).otherwise(0L))
+        .as("c"))
+    val fc = sb.crossJoin(broadcast(grid))
+      .groupBy(col("j"))
+      .agg(sum(when(col("bin") < col("j"), col("n")).otherwise(0L))
+        .as("cc"), sum(col("n")).as("nc_part"))
+    val nc = sb.agg(sum(col("n")).as("nc"))
+    val d = f.join(broadcast(fc.select(col("j"), col("cc"))), Seq("j"))
+      .join(broadcast(srcN), Seq("source"))
+      .crossJoin(broadcast(nc))
+      .select(col("source"), col("j"),
+        round(abs(col("c").cast("double") / col("n_src").cast("double") -
+          col("cc").cast("double") / col("nc").cast("double")), 9)
+          .as("diff"))
+    d.groupBy(col("source"))
+      .agg(max(col("diff")).as("ks"),
+        max(struct(col("diff"), (-col("j")).as("nj"))).as("best"))
+      .select(col("source"), col("ks"),
+        (-col("best.nj")).cast("int").as("worst_j"))
+      .orderBy(col("source"))
+  }
 }

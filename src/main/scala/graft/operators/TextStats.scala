@@ -1002,17 +1002,18 @@ object TextStats {
     * (functionally dependent on doc_id, so the extra grouping key
     * changes nothing) — shared by the classifier (q232) and its
     * calibration report (q250). */
-  private def hashedScores(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def hashedScores(spark: SparkSession,
+      dir: String): DataFrame = {
     val bucket = pmod(conv(substring(md5(col("word")), 1, 8), 16, 10)
       .cast("long"), lit(4096L))
     val weight = pmod(conv(substring(md5(concat(lit("w"),
       bucket.cast("string"))), 1, 8), 16, 10).cast("long"), lit(2001L)) -
       lit(1000L)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("source"),
         explode(toks(col("text"))).as("word"))
-      .select(col("doc_id"), col("lang"), weight.as("wt"))
-      .groupBy(col("doc_id"), col("lang"))
+      .select(col("doc_id"), col("lang"), col("source"), weight.as("wt"))
+      .groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("wt")).as("weight_sum"))
       .withColumn("score",

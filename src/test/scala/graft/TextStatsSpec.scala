@@ -193,6 +193,21 @@ class TextStatsSpec extends AnyFunSuite {
     assert(beta > 0.2 && beta < 1.0, s"beta=$beta")
   }
 
+  test("score-drift KS is a valid statistic: in [0,1], grid-bounded, " +
+      "and zero only if a source tracks the pool exactly") {
+    val rows = operators.Quality.q262ScoreDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0.0 && ks <= 1.0)
+      val j = r.getAs[Int]("worst_j")
+      assert(j >= 1 && j <= 19)
+    }
+    // sources differ from the pool on this corpus — at least one
+    // detaches visibly
+    assert(rows.map(_.getAs[Double]("ks")).max > 0.05)
+  }
+
   test("source-gate matrix partitions the corpus and its PII column " +
       "matches the injected population") {
     val rows = operators.Quality.q258SourceGates(spark, sf).collect()
