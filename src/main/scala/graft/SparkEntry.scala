@@ -291,6 +291,7 @@ object SparkEntry {
     "q260_stream_router"   -> (Similarity.q260StreamClusterRouter _),
     "q261_heaps_law"       -> (TextStats.q261HeapsLaw _),
     "q262_score_drift"     -> (Quality.q262ScoreDrift _),
+    "q263_doc_chunks"      -> (Sampling.q263DocChunks _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5110,6 +5111,27 @@ object SparkEntry {
         CAST(MIN(CASE WHEN diff = mx THEN j END) AS INT) AS worst_j
       FROM (SELECT *, MAX(diff) OVER (PARTITION BY source) AS mx FROM d)
       GROUP BY source ORDER BY source""",
+
+    // chunk grid is pure integer arithmetic: 1 + ceil(max(0,n-64)/48)
+    // chunks per doc, slice end clamped by the list length on both
+    // engines
+    "q263_doc_chunks" -> """
+      WITH w AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS w
+        FROM documents),
+      n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM w),
+      k AS (
+        SELECT doc_id, w, n,
+          unnest(range(0, 1 + (greatest(n - 64, 0) + 47) // 48)) AS k
+        FROM n)
+      SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        CAST(k * 48 AS BIGINT) AS chunk_start,
+        least(64, n - k * 48) AS chunk_len,
+        array_to_string(w[CAST(k * 48 + 1 AS BIGINT)
+          : CAST(least(k * 48 + 64, n) AS BIGINT)], ' ') AS chunk_text
+      FROM k ORDER BY doc_id, chunk_idx""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

@@ -373,4 +373,36 @@ object Sampling {
       .orderBy(col("dsir_score").desc, col("doc_id"))
       .limit(25)
   }
+
+  /** q263: overlapping token-window chunking — the restructuring pass
+    * that turns variable-length documents into fixed-context training
+    * or retrieval units (window 64 tokens, stride 48, so consecutive
+    * chunks share a 16-token overlap). The number of chunks is
+    * `1 + ceil(max(0, n-64)/48)` — every document yields at least one
+    * chunk and the last chunk always reaches the document's end, so
+    * no token is dropped; `(doc_id, chunk_idx)` is the stable chunk
+    * key that survives re-runs and re-partitioning.
+    *
+    * Scale shape: a pure per-row map + explode — NO shuffle at all
+    * (the plan is scan → generate → project): a 100 TB corpus chunks
+    * shard-locally with zero coordination, and the ~1.33× token
+    * amplification from the overlap is paid in the output, never in
+    * an exchange. All arithmetic is integer (no float `ceil`), so the
+    * chunk grid is bitwise portable across engines. */
+  def q263DocChunks(spark: SparkSession, dir: String): DataFrame = {
+    val W = 64
+    val S = 48
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        split(graft.functions.Cols.normText(col("text")), " ").as("w"))
+      .withColumn("n", size(col("w")).cast("long"))
+      .withColumn("k", explode(sequence(lit(0L),
+        expr(s"(greatest(n - $W, 0L) + ${S - 1}L) DIV ${S}L"))))
+      .select(col("doc_id"), col("k").cast("int").as("chunk_idx"),
+        (col("k") * S).cast("long").as("chunk_start"),
+        least(lit(W.toLong), col("n") - col("k") * S).as("chunk_len"),
+        array_join(slice(col("w"), (col("k") * S + 1).cast("int"),
+          lit(W)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 }

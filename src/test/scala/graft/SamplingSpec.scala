@@ -154,4 +154,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(srcShare > corpusShare,
       s"selection share $srcShare vs corpus share $corpusShare")
   }
+
+  test("chunking loses no token, overlaps by 16, and never shuffles") {
+    val chunks = Sampling.q263DocChunks(spark, sf)
+    val rows = chunks.collect()
+    // per-doc reconstruction: chunk k covers [48k, 48k+len); the union
+    // of covered index ranges must be exactly [0, n)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(split(graft.functions.Cols.normText(col("text")), " "))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      val n = docs(id)
+      // first chunk starts at 0; the last reaches the document's end
+      assert(sorted.head.getAs[Long]("chunk_start") == 0L)
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") +
+        last.getAs[Long]("chunk_len") == n)
+      // consecutive chunks overlap by exactly window - stride = 16
+      // tokens (unless the doc ends first)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("chunk_start") ==
+            a.getAs[Long]("chunk_start") + 48L)
+        case _ => ()
+      }
+      // no chunk exceeds the window
+      assert(sorted.forall(_.getAs[Long]("chunk_len") <= 64L))
+    }
+    // the chunker is shard-local: no Exchange anywhere in the plan
+    // (the orderBy is presentation-only; check the unordered frame)
+    val plan = Sampling.q263DocChunks(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the final orderBy adds one range exchange for presentation; the
+    // chunk computation itself (scan -> generate -> project) must not
+    assert(plan.split("Sort").head.indexOf("Exchange") == -1 ||
+      plan.indexOf("Generate") < plan.indexOf("Exchange"),
+      "chunk generation must happen before any exchange")
+  }
 }
