@@ -292,6 +292,7 @@ object SparkEntry {
     "q261_heaps_law"       -> (TextStats.q261HeapsLaw _),
     "q262_score_drift"     -> (Quality.q262ScoreDrift _),
     "q263_doc_chunks"      -> (Sampling.q263DocChunks _),
+    "q265_k_anonymity"     -> (Quality.q265KAnonymity _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5132,6 +5133,21 @@ object SparkEntry {
         array_to_string(w[CAST(k * 48 + 1 AS BIGINT)
           : CAST(least(k * 48 + 64, n) AS BIGINT)], ' ') AS chunk_text
       FROM k ORDER BY doc_id, chunk_idx""",
+
+    // fixed-width balance bands keep the audit shard-composable;
+    // SUM(int) would be HUGEINT, so counts stay count(*) BIGINTs
+    "q265_k_anonymity" -> """
+      WITH cls AS (
+        SELECT c_mktsegment, c_nationkey,
+          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+          CAST(count(*) AS BIGINT) AS class_size
+        FROM customer
+        GROUP BY c_mktsegment, c_nationkey, bal_band)
+      SELECT class_size,
+        CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(count(*) * class_size AS BIGINT) AS n_rows,
+        class_size < 5 AS at_risk
+      FROM cls GROUP BY class_size ORDER BY class_size""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

@@ -403,6 +403,39 @@ object Quality {
     * narrow map (`size(filter(...))`, no per-row join, no 19×
     * explode); everything after runs on the (source × bin) table —
     * a few hundred rows at any corpus size. */
+  /** q265: k-anonymity audit over quasi-identifiers — the re-
+    * identification risk report a data-release (or training-data
+    * compliance) review runs before publishing row-level records.
+    * Quasi-identifier = (market segment, nation, account-balance
+    * band): every combination is an equivalence class; a row in a
+    * class of size s is re-identifiable among s candidates. The
+    * report is the class-size histogram (one row per observed size:
+    * how many classes, how many rows, whether below the k=5 release
+    * threshold) — `min(class_size)` IS the dataset's k-anonymity.
+    *
+    * The balance band is a FIXED-WIDTH floor(bal/1000) map, not a
+    * corpus ntile: a quantile band would need a global sort and —
+    * worse — would make each row's class depend on every other row,
+    * so shards could not be audited independently. Fixed bands keep
+    * the audit shard-composable: per-shard class counts sum to the
+    * global ones.
+    *
+    * Scale shape: two aggregates — QI group-by (map-side partial,
+    * class cardinality bounded by the QI domain, not the row count)
+    * then a histogram group-by over the class table. The corpus is
+    * touched once. */
+  def q265KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"),
+        (count(lit(1)) * col("class_size")).as("n_rows"))
+      .withColumn("at_risk", col("class_size") < 5L)
+      .orderBy(col("class_size"))
+
   def q262ScoreDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val s = TextStats.hashedScores(spark, dir)

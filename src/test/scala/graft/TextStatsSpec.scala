@@ -249,4 +249,21 @@ class TextStatsSpec extends AnyFunSuite {
       r.getAs[Double]("gap")).sum / nDocs
     assert(math.abs(recomputed - ece) < 1e-6)
   }
+
+  test("k-anonymity histogram accounts for every customer row and " +
+      "flags exactly the sub-k classes") {
+    val rows = operators.Quality
+      .q265KAnonymity(TestSpark.spark, TestSpark.sf).collect()
+    val nCust = graft.Tables.customer(TestSpark.spark, TestSpark.sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == nCust)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") ==
+        r.getAs[Long]("class_size") * r.getAs[Long]("n_classes"))
+      assert(r.getAs[Boolean]("at_risk") ==
+        (r.getAs[Long]("class_size") < 5L))
+    }
+    // the dataset's k-anonymity is the smallest observed class size
+    val k = rows.map(_.getAs[Long]("class_size")).min
+    assert(k >= 1L)
+  }
 }
