@@ -293,6 +293,7 @@ object SparkEntry {
     "q262_score_drift"     -> (Quality.q262ScoreDrift _),
     "q263_doc_chunks"      -> (Sampling.q263DocChunks _),
     "q265_k_anonymity"     -> (Quality.q265KAnonymity _),
+    "q268_mad_outliers"    -> (Quality.q268MadOutliers _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5148,6 +5149,45 @@ object SparkEntry {
         CAST(count(*) * class_size AS BIGINT) AS n_rows,
         class_size < 5 AS at_risk
       FROM cls GROUP BY class_size ORDER BY class_size""",
+
+    // same score CTEs as q262; quantile_cont matches Spark's exact
+    // interpolating percentile; every per-row term rounds to 9 before
+    // the comparison so the outlier flag is engine-portable
+    "q268_mad_outliers" -> """
+      WITH wrd AS (
+        SELECT doc_id, source,
+          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS word
+        FROM documents),
+      wt AS (
+        SELECT doc_id, source,
+          (CAST(concat('0x', substr(md5(concat('w', CAST(
+             (CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT)
+               % 4096)
+           AS VARCHAR))), 1, 8)) AS BIGINT) % 2001) - 1000 AS wt
+        FROM wrd),
+      s AS (
+        SELECT doc_id, source,
+          ROUND(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) * 1000 AS DOUBLE), 9) AS score
+        FROM wt GROUP BY doc_id, source),
+      med AS (
+        SELECT source, ROUND(quantile_cont(score, 0.5), 9) AS med
+        FROM s GROUP BY source),
+      dev AS (
+        SELECT s.source, m.med, ROUND(ABS(s.score - m.med), 9) AS dev
+        FROM s JOIN med m ON s.source = m.source),
+      mad AS (
+        SELECT source, ROUND(quantile_cont(dev, 0.5), 9) AS mad
+        FROM dev GROUP BY source)
+      SELECT d.source,
+        CAST(count(*) AS BIGINT) AS n_docs, d.med, a.mad,
+        CAST(SUM(CASE WHEN d.dev > ROUND(a.mad * 4.4478, 9)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        ROUND(CAST(SUM(CASE WHEN d.dev > ROUND(a.mad * 4.4478, 9)
+            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9) AS outlier_rate
+      FROM dev d JOIN mad a ON d.source = a.source
+      GROUP BY d.source, d.med, a.mad ORDER BY d.source""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

@@ -436,6 +436,43 @@ object Quality {
       .withColumn("at_risk", col("class_size") < 5L)
       .orderBy(col("class_size"))
 
+  /** q268: robust outlier report per source — median/MAD in place of
+    * mean/stddev, so a handful of extreme documents cannot drag the
+    * very threshold that is supposed to catch them (the classic
+    * failure of z-score gating on heavy-tailed quality scores). A doc
+    * is an outlier when |score − median| > 3·1.4826·MAD (1.4826
+    * scales MAD to σ under normality, so "3" keeps its familiar
+    * meaning).
+    *
+    * Scale shape: per-SOURCE exact percentiles — the group key bounds
+    * the sort width, there is no corpus-global percentile anywhere
+    * (at 100 TB the exact per-group percentile becomes the GK sketch
+    * of q129; the report shape is unchanged). Two corpus passes
+    * (score → deviation) with the per-source median attached back as
+    * a broadcast of a |sources|-row frame; every per-row term rounds
+    * to 9 decimals before comparison so the flag is engine-portable. */
+  def q268MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextStats.hashedScores(spark, dir)
+      .select(col("source"), col("score"))
+    val med = s.groupBy(col("source"))
+      .agg(round(expr("percentile(score, 0.5d)"), 9).as("med"))
+    val dev = s.join(broadcast(med), Seq("source"))
+      .select(col("source"), col("med"),
+        round(abs(col("score") - col("med")), 9).as("dev"))
+    val mad = dev.groupBy(col("source"))
+      .agg(round(expr("percentile(dev, 0.5d)"), 9).as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dev") > round(col("mad") * 4.4478d, 9), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("source"), col("n_docs"), col("med"), col("mad"),
+        col("n_outliers"),
+        round(col("n_outliers").cast("double") /
+          col("n_docs").cast("double"), 9).as("outlier_rate"))
+      .orderBy(col("source"))
+  }
+
   def q262ScoreDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val s = TextStats.hashedScores(spark, dir)

@@ -266,4 +266,21 @@ class TextStatsSpec extends AnyFunSuite {
     val k = rows.map(_.getAs[Long]("class_size")).min
     assert(k >= 1L)
   }
+
+  test("MAD outlier report: median/MAD are robust centers and the " +
+      "flag rate stays in the tail") {
+    val rows = operators.Quality
+      .q268MadOutliers(TestSpark.spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, out) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_outliers"))
+      assert(out <= n)
+      assert(r.getAs[Double]("mad") >= 0.0)
+      // a 3-sigma-equivalent robust gate can never flag half a source:
+      // by construction at least half the docs sit within one MAD
+      assert(out.toDouble / n < 0.5)
+      assert(math.abs(r.getAs[Double]("outlier_rate") -
+        out.toDouble / n) < 1e-6)
+    }
+  }
 }
