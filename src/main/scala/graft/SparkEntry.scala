@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, ModernSql, Multimodal, Quality, Relational, Sampling, Scale, Similarity, TextStats}
+import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, ModernSql, Multimodal, Quality, Relational, Sampling, Scale, Similarity, SplitRepair, TextStats}
 import graft.streaming.{StreamDedup, StreamJoin, StreamSessions, StreamSink, StreamingWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -294,6 +294,7 @@ object SparkEntry {
     "q263_doc_chunks"      -> (Sampling.q263DocChunks _),
     "q265_k_anonymity"     -> (Quality.q265KAnonymity _),
     "q268_mad_outliers"    -> (Quality.q268MadOutliers _),
+    "q270_split_repair"    -> (SplitRepair.q270SplitRepair _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5188,6 +5189,8 @@ object SparkEntry {
             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9) AS outlier_rate
       FROM dev d JOIN mad a ON d.source = a.source
       GROUP BY d.source, d.med, a.mad ORDER BY d.source""",
+
+    "q270_split_repair" -> splitRepairOracle,
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final
@@ -5468,7 +5471,17 @@ object SparkEntry {
 
   /** q69's oracle (cluster summary over the full near-dup graph);
     * q242's incremental update must reproduce it bit-for-bit. */
-  private val dedupClustersOracle: String = """
+  private val dedupClustersOracle: String =
+    ccLabelCtes + """
+      SELECT label AS cluster, COUNT(*) AS n_docs, MAX(id) AS max_doc
+      FROM labels
+      GROUP BY label
+      ORDER BY cluster"""
+
+  /** The shared CTE chain ending in `labels(id, label)` (min-label
+    * transitive closure over the verified near-dup edges) and `edges`
+    * — q69/q242's component labels, reused by q270's split repair. */
+  private def ccLabelCtes: String = """
       WITH RECURSIVE words AS (
         SELECT doc_id,
           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
@@ -5509,11 +5522,53 @@ object SparkEntry {
         SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
       labels AS (
         SELECT src AS id, LEAST(src, MIN(dst)) AS label
-        FROM reach GROUP BY src)
-      SELECT label AS cluster, COUNT(*) AS n_docs, MAX(id) AS max_doc
-      FROM labels
-      GROUP BY label
-      ORDER BY cluster"""
+        FROM reach GROUP BY src)"""
+
+  /** q270's oracle: majority-split repair over the q69 labels. The
+    * row_number tie-break (cnt desc, then train < val < test) mirrors
+    * the Spark side's max(struct(cnt, prio, split)) argmax; the
+    * post-repair cross-pair count recomputes from `edges`, the same
+    * verified edge list the labels came from. */
+  private val splitRepairOracle: String =
+    ccLabelCtes + """,
+      spl AS (
+        SELECT doc_id,
+          CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+               WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      cs AS (
+        SELECT l.label, s.split, CAST(count(*) AS BIGINT) AS cnt
+        FROM labels l JOIN spl s ON l.id = s.doc_id
+        GROUP BY l.label, s.split),
+      maj AS (
+        SELECT label, split AS split_after FROM (
+          SELECT label, split,
+            row_number() OVER (PARTITION BY label ORDER BY cnt DESC,
+              CASE split WHEN 'train' THEN 0 WHEN 'val' THEN 1
+                ELSE 2 END) AS rn
+          FROM cs) t
+        WHERE rn = 1),
+      fin AS (
+        SELECT s.doc_id, s.split AS split_before,
+          COALESCE(m.split_after, s.split) AS split_after,
+          l.label IS NOT NULL AS clustered
+        FROM spl s
+        LEFT JOIN labels l ON l.id = s.doc_id
+        LEFT JOIN maj m ON l.label = m.label),
+      xp AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN a.split_after <>
+            b.split_after THEN 1 ELSE 0 END), 0) AS BIGINT)
+          AS cross_pairs_after
+        FROM edges e
+        JOIN fin a ON e.doc_a = a.doc_id
+        JOIN fin b ON e.doc_b = b.doc_id)
+      SELECT clustered, split_before, split_after,
+        CAST(count(*) AS BIGINT) AS n_docs, xp.cross_pairs_after
+      FROM fin CROSS JOIN xp
+      GROUP BY clustered, split_before, split_after,
+        xp.cross_pairs_after
+      ORDER BY clustered, split_before, split_after"""
 
   /** q243's oracle: three GENERATED BPE rounds (the q150 template
     * discipline — a typo can't hide in hand-copied round blocks).

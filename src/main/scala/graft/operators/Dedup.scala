@@ -1604,3 +1604,67 @@ object Dedup {
       .orderBy(col("n_docs").desc, col("prefix"))
       .limit(20)
 }
+
+/** Companion surface for split hygiene: the REPAIR that q158's
+  * leakage audit calls for. Kept beside the dedup core because the
+  * repair unit is the near-dup cluster, not the document. */
+object SplitRepair {
+  import Dedup.{minhashPairs, connectedComponents}
+
+  /** q270: cluster-coherent split repair — q158 AUDITS near-dup pairs
+    * that straddle the train/val/test boundary (eval contamination);
+    * this operator FIXES them: every near-dup cluster is reassigned
+    * wholly to its majority split (ties break train > val > test, so
+    * contested mass lands where it inflates no eval metric), and the
+    * output carries the proof: the (clustered, before, after)
+    * transition matrix accounting for every document, plus the
+    * post-repair cross-split pair count — structurally zero, because
+    * docs sharing a cluster share a split by construction, and
+    * recomputed from the edge list rather than asserted.
+    *
+    * Scale shape: the edge list is localCheckpointed once and feeds
+    * both the component labels and the certificate re-join; the
+    * majority vote and the transition matrix are cluster-/split-keyed
+    * aggregates (bounded by #clusters, not corpus rows); the repair
+    * join attaches a |clusters|-row decision table back to the doc
+    * table. Singleton documents never enter a shuffle keyed by
+    * anything but their own group-by — the q229 discipline. */
+  def q270SplitRepair(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val e = minhashPairs(docs)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val labels = connectedComponents(e)
+    val spl = docs.select(col("doc_id"),
+      Sampling.assignSplit(col("doc_id")).as("split"))
+    val cs = labels.join(spl, labels("id") === spl("doc_id"))
+      .groupBy(col("label"), col("split"))
+      .agg(count(lit(1)).as("cnt"))
+    val prio = when(col("split") === "train", 2)
+      .when(col("split") === "val", 1).otherwise(0)
+    val maj = cs
+      .select(col("label"),
+        struct(col("cnt"), prio.as("prio"), col("split")).as("s"))
+      .groupBy(col("label")).agg(max(col("s")).as("m"))
+      .select(col("label"), col("m.split").as("split_after"))
+    val fin = spl
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"),
+        "left")
+      .join(maj, Seq("label"), "left")
+      .select(col("doc_id"), col("split").as("split_before"),
+        coalesce(col("split_after"), col("split")).as("split_after"),
+        col("label").isNotNull.as("clustered"))
+    val xp = e
+      .join(fin.select(col("doc_id").as("doc_a"),
+        col("split_after").as("sa")), "doc_a")
+      .join(fin.select(col("doc_id").as("doc_b"),
+        col("split_after").as("sb")), "doc_b")
+      .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L)
+        .otherwise(0L)), lit(0L)).as("cross_pairs_after"))
+    fin.groupBy(col("clustered"), col("split_before"),
+        col("split_after"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(xp))
+      .orderBy(col("clustered"), col("split_before"),
+        col("split_after"))
+  }
+}

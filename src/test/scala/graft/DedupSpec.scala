@@ -531,4 +531,23 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getAs[String]("prefix").split(" ").length == 8)
     }
   }
+
+  test("split repair: every doc accounted, singletons never move, " +
+      "post-repair leakage is zero") {
+    val rows = operators.SplitRepair.q270SplitRepair(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      // the certificate: recomputed from the edge list, not asserted
+      assert(r.getAs[Long]("cross_pairs_after") == 0L)
+      // unclustered docs have nothing to repair
+      if (!r.getAs[Boolean]("clustered"))
+        assert(r.getAs[String]("split_before") ==
+          r.getAs[String]("split_after"))
+    }
+    // the fixture has near-dup clusters spanning splits, so the repair
+    // must actually move something (else the test is vacuous)
+    assert(rows.exists(r => r.getAs[Boolean]("clustered") &&
+      r.getAs[String]("split_before") != r.getAs[String]("split_after")))
+  }
 }
