@@ -292,8 +292,12 @@ object SparkEntry {
     "q261_heaps_law"       -> (TextStats.q261HeapsLaw _),
     "q262_score_drift"     -> (Quality.q262ScoreDrift _),
     "q263_doc_chunks"      -> (Sampling.q263DocChunks _),
+    "q264_cms_cert"        -> (TextStats.q264CmsCert _),
     "q265_k_anonymity"     -> (Quality.q265KAnonymity _),
+    "q266_l_diversity"     -> (Quality.q266LDiversity _),
+    "q267_bpe_encode"      -> (TextStats.q267BpeEncode _),
     "q268_mad_outliers"    -> (Quality.q268MadOutliers _),
+    "q269_robust_clip"     -> (Quality.q269RobustClip _),
     "q270_split_repair"    -> (SplitRepair.q270SplitRepair _),
   )
 
@@ -5136,6 +5140,40 @@ object SparkEntry {
           : CAST(least(k * 48 + 64, n) AS BIGINT)], ' ') AS chunk_text
       FROM k ORDER BY doc_id, chunk_idx""",
 
+    // the sketch is rebuilt cell-for-cell from the same md5 row
+    // hashes; the 3N/W bound check is pure integer arithmetic
+    "q264_cms_cert" -> """
+      WITH wrd AS (
+        SELECT unnest(string_split(trim(regexp_replace(lower(text),
+          '\s+', ' ', 'g')), ' ')) AS word
+        FROM documents),
+      wc AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM wrd WHERE length(word) >= 1 GROUP BY word),
+      n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM wc),
+      hk AS (
+        SELECT word, cnt, i,
+          CAST(concat('0x', substr(md5(concat('cms', CAST(i AS VARCHAR),
+            '|', word)), 1, 8)) AS BIGINT) % 512 AS bucket
+        FROM wc CROSS JOIN (SELECT unnest(range(0, 4)) AS i) r),
+      sk AS (
+        SELECT i, bucket, CAST(SUM(cnt) AS BIGINT) AS bcnt
+        FROM hk GROUP BY i, bucket),
+      probes AS (
+        SELECT word, cnt AS exact_cnt FROM wc
+        ORDER BY cnt DESC, word LIMIT 20),
+      est AS (
+        SELECT p.word, CAST(MIN(s.bcnt) AS BIGINT) AS est_cnt
+        FROM probes p
+        JOIN hk ON hk.word = p.word
+        JOIN sk s ON s.i = hk.i AND s.bucket = hk.bucket
+        GROUP BY p.word)
+      SELECT p.word, p.exact_cnt, e.est_cnt,
+        e.est_cnt - p.exact_cnt AS err,
+        (e.est_cnt - p.exact_cnt) * 512 <= 3 * n.n_total AS within_bound
+      FROM probes p JOIN est e ON e.word = p.word CROSS JOIN n
+      ORDER BY p.exact_cnt DESC, p.word""",
+
     // fixed-width balance bands keep the audit shard-composable;
     // SUM(int) would be HUGEINT, so counts stay count(*) BIGINTs
     "q265_k_anonymity" -> """
@@ -5150,6 +5188,22 @@ object SparkEntry {
         CAST(count(*) * class_size AS BIGINT) AS n_rows,
         class_size < 5 AS at_risk
       FROM cls GROUP BY class_size ORDER BY class_size""",
+
+    // two stacked group-bys mirror the Spark no-Expand distinct;
+    // SUM casts keep DuckDB's HUGEINT out of the schema
+    "q266_l_diversity" -> """
+      WITH cls AS (
+        SELECT c_nationkey,
+          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+          CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+          CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM customer GROUP BY c_nationkey, bal_band)
+      SELECT l_div, CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(SUM(class_size) AS BIGINT) AS n_rows,
+        l_div < 3 AS at_risk
+      FROM cls GROUP BY l_div ORDER BY l_div""",
+
+    "q267_bpe_encode" -> bpeEncodeOracle,
 
     // same score CTEs as q262; quantile_cont matches Spark's exact
     // interpolating percentile; every per-row term rounds to 9 before
@@ -5189,6 +5243,58 @@ object SparkEntry {
             THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 9) AS outlier_rate
       FROM dev d JOIN mad a ON d.source = a.source
       GROUP BY d.source, d.med, a.mad ORDER BY d.source""",
+
+    // q268's CTEs with the score carried through; the clip, the
+    // displaced mass, and the zero-residual certificate all mirror
+    // the Spark rounding discipline term for term
+    "q269_robust_clip" -> """
+      WITH wrd AS (
+        SELECT doc_id, source,
+          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS word
+        FROM documents),
+      wt AS (
+        SELECT doc_id, source,
+          (CAST(concat('0x', substr(md5(concat('w', CAST(
+             (CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT)
+               % 4096)
+           AS VARCHAR))), 1, 8)) AS BIGINT) % 2001) - 1000 AS wt
+        FROM wrd),
+      s AS (
+        SELECT doc_id, source,
+          ROUND(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) * 1000 AS DOUBLE), 9) AS score
+        FROM wt GROUP BY doc_id, source),
+      med AS (
+        SELECT source, ROUND(quantile_cont(score, 0.5), 9) AS med
+        FROM s GROUP BY source),
+      dev AS (
+        SELECT s.source, m.med, s.score,
+          ROUND(ABS(s.score - m.med), 9) AS dev
+        FROM s JOIN med m ON s.source = m.source),
+      mad AS (
+        SELECT source, ROUND(quantile_cont(dev, 0.5), 9) AS mad
+        FROM dev GROUP BY source),
+      c AS (
+        SELECT d.source, d.med, a.mad, d.score,
+          ROUND(a.mad * 4.4478, 9) AS hw,
+          ROUND(d.med - ROUND(a.mad * 4.4478, 9), 9) AS lo,
+          ROUND(d.med + ROUND(a.mad * 4.4478, 9), 9) AS hi
+        FROM dev d JOIN mad a ON d.source = a.source),
+      cc AS (
+        SELECT source, med, mad, score, hw, lo, hi,
+          LEAST(GREATEST(score, lo), hi) AS clipped
+        FROM c)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, med, mad,
+        CAST(SUM(CASE WHEN score < lo THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped_lo,
+        CAST(SUM(CASE WHEN score > hi THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped_hi,
+        ROUND(CAST(SUM(CAST(ROUND(ABS(score - clipped), 9)
+          AS DECIMAL(28,9))) AS DOUBLE), 9) AS mass_moved,
+        CAST(SUM(CASE WHEN ROUND(ABS(clipped - med), 9) > hw
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
+      FROM cc GROUP BY source, med, mad ORDER BY source""",
 
     "q270_split_repair" -> splitRepairOracle,
   )
@@ -5576,7 +5682,11 @@ object SparkEntry {
     * vocabulary, argmax with the count-desc/left-asc/right-asc
     * tie-break, then the space-delimited replace whose left-to-right
     * non-overlapping scan both engines share. */
-  private def bpeMergesOracle: String = {
+  /** Shared CTE chain for the BPE pair (q243 train / q267 encode):
+    * word stream, symbolized vocabulary, and the three training
+    * rounds (p_k pair counts, b_k argmax with the deterministic
+    * tie-break, v_k merged vocabulary). */
+  private def bpeCtes: String = {
     val rounds = (1 to 3).map { k =>
       s"""      p$k AS (
         SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -5603,7 +5713,10 @@ object SparkEntry {
             AS s,
           CAST(COUNT(*) AS BIGINT) AS freq
         FROM wrd WHERE length(w) >= 1 GROUP BY w),
-$rounds
+$rounds"""
+  }
+
+  private def bpeMergesOracle: String = s"""$bpeCtes
       SELECT CAST(mr AS INT) AS merge_round, l AS lsym, r AS rsym,
         cnt AS pair_count
       FROM (
@@ -5611,7 +5724,40 @@ $rounds
         UNION ALL SELECT 2, l, r, cnt FROM b2
         UNION ALL SELECT 3, l, r, cnt FROM b3) u
       ORDER BY merge_round"""
-  }
+
+  /** q267's oracle: replay the three learned merges over every word
+    * occurrence (lang carried through), identical replace semantics
+    * to the Spark encoder. */
+  private def bpeEncodeOracle: String = s"""$bpeCtes,
+      wl AS (
+        SELECT lang, unnest(string_split(trim(regexp_replace(lower(text),
+          '\\s+', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      base AS (
+        SELECT lang, w,
+          ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s
+        FROM wl WHERE length(w) >= 1),
+      e1 AS (SELECT lang, w, replace(base.s,
+               ' ' || b1.l || ' ' || b1.r || ' ',
+               ' ' || b1.l || b1.r || ' ') AS s
+             FROM base CROSS JOIN b1),
+      e2 AS (SELECT lang, w, replace(e1.s,
+               ' ' || b2.l || ' ' || b2.r || ' ',
+               ' ' || b2.l || b2.r || ' ') AS s
+             FROM e1 CROSS JOIN b2),
+      e3 AS (SELECT lang, w, replace(e2.s,
+               ' ' || b3.l || ' ' || b3.r || ' ',
+               ' ' || b3.l || b3.r || ' ') AS s
+             FROM e2 CROSS JOIN b3)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(length(w)) AS BIGINT) AS symbols_before,
+        CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT)
+          AS symbols_after,
+        CAST(SUM(length(w)) - SUM(len(string_split(trim(s), ' ')))
+          AS BIGINT) AS merge_applications,
+        ROUND(CAST(SUM(len(string_split(trim(s), ' '))) AS DOUBLE)
+          / CAST(SUM(length(w)) AS DOUBLE), 9) AS compression
+      FROM e3 GROUP BY lang ORDER BY lang"""
 
   /** q240's oracle: the three section oracles as verbatim subqueries,
     * tagged and column-aligned exactly like the Spark union. */

@@ -473,6 +473,86 @@ object Quality {
       .orderBy(col("source"))
   }
 
+  /** q266: l-diversity audit — the companion check to q265's
+    * k-anonymity. A class can be large (k-anonymous) yet still leak:
+    * if every row in it shares the same SENSITIVE value, membership
+    * alone reveals the attribute. Here the quasi-identifier is
+    * (nation, balance band) and the sensitive attribute is the market
+    * segment; l = distinct sensitive values per class, and the report
+    * is the l-histogram (classes, rows, at-risk below l=3).
+    *
+    * Scale shape: distinct-inside-group is computed as TWO stacked
+    * group-bys — collapse to (QI, sensitive) first (map-side partial
+    * agg on a domain-bounded key), then count rows per QI — instead
+    * of `countDistinct`, whose Expand doubles the shuffled rows. Same
+    * fixed-width band discipline as q265 keeps the audit
+    * shard-composable. */
+  def q266LDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0d).cast("long").as("bal_band"),
+        col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("l_div"), sum(col("n")).as("class_size"))
+      .groupBy(col("l_div"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .withColumn("at_risk", col("l_div") < 3L)
+      .orderBy(col("l_div"))
+
+  /** q269: applied robust winsorization — q268 REPORTS the outliers;
+    * this query applies the repair a score-consuming pipeline actually
+    * ships: clip every score into [median − 3σ̂, median + 3σ̂] per
+    * source (σ̂ = 1.4826·MAD, q268's robust scale), and certify the
+    * result — `n_residual` counts clipped values that still sit
+    * outside the band and the oracle pins it to zero, so the
+    * certificate is hash-checked, not eyeballed. `mass_moved` (the
+    * total score mass the clip displaced) is the number a reviewer
+    * compares against the corpus size before trusting downstream
+    * means.
+    *
+    * Scale shape: identical to q268 — per-source exact percentiles
+    * (group-bounded sort width), medians/MADs attached back as
+    * broadcast metadata frames, one final corpus aggregate. Every
+    * per-row term rounds to 9 decimals before comparison and the
+    * displaced mass sums as DECIMAL(28,9), so the report is
+    * engine-portable. */
+  def q269RobustClip(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextStats.hashedScores(spark, dir)
+      .select(col("source"), col("score"))
+    val med = s.groupBy(col("source"))
+      .agg(round(expr("percentile(score, 0.5d)"), 9).as("med"))
+    val dev = s.join(broadcast(med), Seq("source"))
+      .select(col("source"), col("med"), col("score"),
+        round(abs(col("score") - col("med")), 9).as("dev"))
+    val mad = dev.groupBy(col("source"))
+      .agg(round(expr("percentile(dev, 0.5d)"), 9).as("mad"))
+    val halfwidth = round(col("mad") * 4.4478d, 9)
+    val lo = round(col("med") - halfwidth, 9)
+    val hi = round(col("med") + halfwidth, 9)
+    val clipped = least(greatest(col("score"), lo), hi)
+    dev.join(broadcast(mad), Seq("source"))
+      .select(col("source"), col("med"), col("mad"), col("score"),
+        halfwidth.as("hw"), lo.as("lo"), hi.as("hi"),
+        clipped.as("clipped"))
+      .groupBy(col("source"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("score") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_hi"),
+        round(sum(round(abs(col("score") - col("clipped")), 9)
+          .cast("decimal(28,9)")).cast("double"), 9).as("mass_moved"),
+        sum(when(round(abs(col("clipped") - col("med")), 9) > col("hw"),
+          1L).otherwise(0L)).as("n_residual"))
+      .select(col("source"), col("n_docs"), col("med"), col("mad"),
+        col("n_clipped_lo"), col("n_clipped_hi"), col("mass_moved"),
+        col("n_residual"))
+      .orderBy(col("source"))
+  }
+
   def q262ScoreDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val s = TextStats.hashedScores(spark, dir)

@@ -1163,6 +1163,16 @@ object TextStats {
     * plan starts from k's result, not a 3-deep replace lineage. */
   def q243BpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    bpeMergeList(spark, dir)
+      .toDF("merge_round", "lsym", "rsym", "pair_count")
+      .orderBy(col("merge_round"))
+  }
+
+  /** The q243 training loop, returning the learned merge table as
+    * driver-side model state (3 rows — the q248 discipline) so the
+    * encoder (q267) can apply it without re-deriving. */
+  private[operators] def bpeMergeList(spark: SparkSession,
+      dir: String): Seq[(Int, String, String, Long)] = {
     var vocab = Tables.documents(spark, dir)
       .select(explode(toks(col("text"))).as("w"))
       .filter(length(col("w")) >= 1)
@@ -1194,8 +1204,100 @@ object TextStats {
           col("freq"))
         .localCheckpoint(eager = false)
     }
-    merges.toSeq.toDF("merge_round", "lsym", "rsym", "pair_count")
-      .orderBy(col("merge_round"))
+    merges.toSeq
+  }
+
+  /** q267: BPE ENCODING — apply q243's learned merge table to every
+    * word occurrence in the corpus and report, per language, the
+    * symbol count before/after and the compression ratio. This is the
+    * tokenizer-application half of the q243 pair (train = induce
+    * merges over the vocabulary; encode = replay them over the
+    * corpus), and the half that actually runs at 100 TB: the merge
+    * table is driver-side model state (3 rows here, 50k in
+    * production) broadcast into a chained narrow `replace` — pure
+    * codegen string work, no join, no shuffle until the final
+    * |langs|-row aggregate.
+    *
+    * Each applied merge fuses two symbols into one, so
+    * `symbols_before − symbols_after` equals the number of merge
+    * applications — the spec pins that invariant alongside the
+    * oracle's hash. Same left-to-right greedy `replace` semantics as
+    * q243 (the " l r "→" lr " pattern consumes its trailing space),
+    * so the DuckDB oracle replays the identical encoder. */
+  def q267BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergeList(spark, dir)
+    val sym0: Column = concat(lit(" "),
+      array_join(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        " "),
+      lit(" "))
+    val encoded = merges.foldLeft(sym0) { case (c, (_, l, r, _)) =>
+      call_function("replace", c, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) >= 1)
+      .select(col("lang"),
+        length(col("w")).cast("long").as("chars"),
+        size(split(trim(encoded), " ")).cast("long").as("symbols"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("chars")).as("symbols_before"),
+        sum(col("symbols")).as("symbols_after"))
+      .withColumn("merge_applications",
+        col("symbols_before") - col("symbols_after"))
+      .withColumn("compression",
+        round(col("symbols_after").cast("double") /
+          col("symbols_before").cast("double"), 9))
+      .orderBy(col("lang"))
+  }
+
+  /** q264: Count-Min Sketch error certificate — the point-query
+    * sketch completing the certificate family (HLL q234, GK q245,
+    * top-k q246, merged-HLL q247, MinHash q226): d=4 hash rows ×
+    * W=512 counters over the corpus token stream, probed at the 20
+    * most frequent words against their exact counts. CMS guarantees
+    * est ≥ exact always (collisions only ADD) and est − exact ≤ 3N/W
+    * with prob ≥ 1 − (1/3)^d per probe; `within_bound` checks the 3N/W
+    * bound in PURE INTEGER arithmetic (err·W ≤ 3·N), so the
+    * certificate is hash-checked with zero float portability risk.
+    *
+    * Scale shape: ONE corpus pass builds the word-frequency table
+    * (map-side combinable, vocabulary-sized); the sketch is then
+    * folded from the vocab table (×4 row explode over vocab, NOT over
+    * the corpus) into d·W = 2048 cells; probes join the broadcast
+    * sketch. The md5-derived row hashes are engine-portable, so the
+    * oracle rebuilds the identical sketch. */
+  def q264CmsCert(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    def bucket(row: Column, word: Column): Column =
+      pmod(conv(substring(md5(concat(lit("cms"), row.cast("string"),
+        lit("|"), word)), 1, 8), 16, 10).cast("long"), lit(512L))
+    val hk = wc.select(col("word"), col("cnt"),
+        explode(typedlit(List(0, 1, 2, 3))).as("row_i"))
+      .withColumn("bucket", bucket(col("row_i"), col("word")))
+    val sketch = hk.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cnt")).as("bcnt"))
+    val n = wc.agg(sum(col("cnt")).as("n_total"))
+    val probes = wc.orderBy(col("cnt").desc, col("word")).limit(20)
+      .withColumnRenamed("cnt", "exact_cnt")
+    probes
+      .select(col("word"), col("exact_cnt"),
+        explode(typedlit(List(0, 1, 2, 3))).as("row_i"))
+      .withColumn("bucket", bucket(col("row_i"), col("word")))
+      .join(broadcast(sketch), Seq("row_i", "bucket"))
+      .groupBy(col("word"), col("exact_cnt"))
+      .agg(min(col("bcnt")).as("est_cnt"))
+      .crossJoin(broadcast(n))
+      .select(col("word"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("err"),
+        ((col("est_cnt") - col("exact_cnt")) * 512L <=
+          lit(3L) * col("n_total")).as("within_bound"))
+      .orderBy(col("exact_cnt").desc, col("word"))
   }
 
   /** Token-mass concentration by source, per language — the mixture

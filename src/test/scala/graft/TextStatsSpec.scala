@@ -283,4 +283,70 @@ class TextStatsSpec extends AnyFunSuite {
         out.toDouble / n) < 1e-6)
     }
   }
+
+  test("CMS certificate: estimates only ever overestimate and all " +
+      "probes sit within the 3N/W bound") {
+    val rows = operators.TextStats.q264CmsCert(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      // collisions only ADD counts: est >= exact is structural
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"))
+      assert(r.getAs[Long]("err") ==
+        r.getAs[Long]("est_cnt") - r.getAs[Long]("exact_cnt"))
+      // with d=4 rows the 3N/W Markov bound failing on any probe has
+      // prob < (1/3)^4; the oracle hash pins the same flags
+      assert(r.getAs[Boolean]("within_bound"))
+    }
+  }
+
+  test("l-diversity histogram accounts for every customer row and " +
+      "l is bounded by the sensitive domain") {
+    val rows = operators.Quality.q266LDiversity(spark, sf).collect()
+    val nCust = graft.Tables.customer(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == nCust)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("l_div")
+      // 5 market segments bound the achievable diversity
+      assert(l >= 1L && l <= 5L)
+      assert(r.getAs[Boolean]("at_risk") == (l < 3L))
+      assert(r.getAs[Long]("n_rows") >= r.getAs[Long]("n_classes") * l)
+    }
+  }
+
+  test("BPE encoding compresses every language and the symbol deficit " +
+      "equals the merge applications") {
+    val rows = operators.TextStats.q267BpeEncode(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val before = r.getAs[Long]("symbols_before")
+      val after = r.getAs[Long]("symbols_after")
+      // 3 merges learned on the global corpus must fire in every lang
+      // of this fixture (top pairs are corpus-wide frequent)
+      assert(after < before)
+      assert(r.getAs[Long]("merge_applications") == before - after)
+      val c = r.getAs[Double]("compression")
+      assert(c > 0.0 && c < 1.0)
+      // a word of n chars has n symbols before any merge
+      assert(before >= r.getAs[Long]("n_words"))
+    }
+  }
+
+  test("robust clip leaves zero residuals outside the band and moves " +
+      "only tail mass") {
+    val rows = operators.Quality.q269RobustClip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the certificate: clipping into [med-3sigma, med+3sigma] can
+      // leave nothing outside it
+      assert(r.getAs[Long]("n_residual") == 0L)
+      val n = r.getAs[Long]("n_docs")
+      val clipped = r.getAs[Long]("n_clipped_lo") +
+        r.getAs[Long]("n_clipped_hi")
+      // by construction at least half of every source is within one
+      // MAD of its median — a 3-sigma clip touches only the tail
+      assert(clipped < n / 2)
+      assert(r.getAs[Double]("mass_moved") >= 0.0)
+      if (clipped == 0) assert(r.getAs[Double]("mass_moved") == 0.0)
+    }
+  }
 }
