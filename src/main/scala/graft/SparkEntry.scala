@@ -299,6 +299,9 @@ object SparkEntry {
     "q268_mad_outliers"    -> (Quality.q268MadOutliers _),
     "q269_robust_clip"     -> (Quality.q269RobustClip _),
     "q270_split_repair"    -> (SplitRepair.q270SplitRepair _),
+    "q271_skyline"         -> (Quality.q271Skyline _),
+    "q272_acf"             -> (Events.q272Acf _),
+    "q273_cusum"           -> (Events.q273Cusum _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5297,6 +5300,97 @@ object SparkEntry {
       FROM cc GROUP BY source, med, mad ORDER BY source""",
 
     "q270_split_repair" -> splitRepairOracle,
+
+    // one-pass window skyline: identical dominance predicate to the
+    // two-level Spark plan (they are provably the same set)
+    "q271_skyline" -> """
+      WITH wrd AS (
+        SELECT doc_id, lang,
+          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS word
+        FROM documents),
+      wt AS (
+        SELECT doc_id, lang,
+          (CAST(concat('0x', substr(md5(concat('w', CAST(
+             (CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT)
+               % 4096)
+           AS VARCHAR))), 1, 8)) AS BIGINT) % 2001) - 1000 AS wt
+        FROM wrd),
+      s AS (
+        SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          ROUND(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) * 1000 AS DOUBLE), 9) AS score
+        FROM wt GROUP BY doc_id, lang),
+      sky AS (
+        SELECT doc_id, lang, n_tokens, score,
+          MAX(score) OVER (PARTITION BY lang ORDER BY n_tokens
+            RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS my_gt,
+          MAX(score) OVER (PARTITION BY lang, n_tokens) AS my_eq
+        FROM s)
+      SELECT doc_id, lang, n_tokens, score FROM sky
+      WHERE (my_gt IS NULL OR my_gt < score) AND my_eq = score
+      ORDER BY lang, n_tokens DESC, doc_id""",
+
+    // integer-scaled centering (n*x - S) keeps numerator/denominator
+    // exact; the only float op is the final division
+    "q272_acf" -> """
+      WITH h AS (
+        SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+          AS BIGINT) // 3600 AS hr,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+      b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM h),
+      g AS (SELECT unnest(range(b.lo, b.hi + 1)) AS hr FROM b),
+      s AS (SELECT g.hr, COALESCE(h.x, 0) AS x
+            FROM g LEFT JOIN h ON h.hr = g.hr),
+      t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sm FROM s),
+      c AS (SELECT hr, t.n * x - t.sm AS c FROM s CROSS JOIN t),
+      d AS (SELECT CAST(SUM(c * c) AS BIGINT) AS den FROM c),
+      lags AS (SELECT unnest(range(1, 25)) AS lag),
+      p AS (
+        SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          CAST(SUM(a.c * b2.c) AS BIGINT) AS num
+        FROM c a CROSS JOIN lags l JOIN c b2 ON b2.hr = a.hr + l.lag
+        GROUP BY l.lag)
+      SELECT CAST(p.lag AS INT) AS lag, p.n_pairs,
+        ROUND(CAST(p.num AS DOUBLE) / CAST(d.den AS DOUBLE), 9) AS acf
+      FROM p CROSS JOIN d ORDER BY lag""",
+
+    // same integer scaling; argmax tie-break (|S| desc, earliest day)
+    // mirrors the Spark struct-max exactly
+    "q273_cusum" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, day),
+      tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS s
+        FROM daily GROUP BY event_type),
+      w AS (
+        SELECT d.event_type, d.day, t.n, t.s,
+          CAST(ROW_NUMBER() OVER pw AS BIGINT) AS t_idx,
+          CAST(SUM(d.x) OVER pw AS BIGINT) AS cum
+        FROM daily d JOIN tot t ON t.event_type = d.event_type
+        WINDOW pw AS (PARTITION BY d.event_type ORDER BY d.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sc AS (
+        SELECT event_type, day, n, s, t_idx, cum,
+          n * cum - t_idx * s AS ss
+        FROM w),
+      best AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY ABS(ss) DESC, t_idx ASC) AS rn
+          FROM sc) q WHERE rn = 1)
+      SELECT event_type, n AS n_days, CAST(day AS VARCHAR) AS cp_day,
+        ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 9) AS cusum,
+        ROUND(CAST(cum AS DOUBLE) / CAST(t_idx AS DOUBLE), 9) AS pre_mean,
+        CASE WHEN n > t_idx THEN
+          ROUND(CAST(s - cum AS DOUBLE) / CAST(n - t_idx AS DOUBLE), 9)
+        END AS post_mean
+      FROM best ORDER BY event_type""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final

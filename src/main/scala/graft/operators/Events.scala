@@ -375,4 +375,95 @@ object Events {
         translate(col("event_type"), "aeiou", "AEIOU").as("devoweled"),
         reverse(col("event_type")).as("reversed"))
       .orderBy(col("event_type"))
+
+  /** q272: autocorrelation function of the hourly event-count series
+    * at lags 1..24 — the seasonality detector a monitoring pipeline
+    * runs before choosing alert windows (a daily cycle shows as a
+    * spike at lag 24). The series is gap-filled to a dense hourly grid
+    * (a silent empty hour is signal, not a missing row).
+    *
+    * Exactness: the classic ACF needs (x_t − x̄)(x_{t+h} − x̄) sums —
+    * float-ordering poison. Scaling by n turns every centered term
+    * into the INTEGER n·x_t − Σx, so numerator and denominator are
+    * exact integer sums and the only float op is the final division
+    * (n·10⁵ hourly counts stay far inside long range at any corpus
+    * this side of 10¹⁸ events; beyond that the products move to
+    * DECIMAL(38,0), same shape).
+    *
+    * Scale shape: ONE corpus aggregate to (hour, count) — everything
+    * after (grid, centering, 24 lag self-joins) runs on the
+    * hours-sized series, metadata at any corpus size. */
+  def q272Acf(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+        .cast("long").as("hr"))
+      .groupBy(col("hr")).agg(count(lit(1)).as("x"))
+    val bounds = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+    val series = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+      .join(hourly, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("x"), lit(0L)).as("x"))
+      .localCheckpoint(eager = false)
+    val tot = series.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val cent = series.crossJoin(broadcast(tot))
+      .select(col("hr"), (col("n") * col("x") - col("s")).as("c"))
+      .localCheckpoint(eager = false)
+    val den = cent.agg(sum(col("c") * col("c")).as("den"))
+    val lags = spark.range(1L, 25L).select(col("id").cast("int").as("lag"))
+    val shifted = cent.select(col("hr").as("hr2"), col("c").as("c2"))
+    cent.crossJoin(broadcast(lags))
+      .join(shifted, col("hr2") === col("hr") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("c") * col("c2")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        round(col("num").cast("double") / col("den").cast("double"), 9)
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+
+  /** q273: CUSUM changepoint detection over the daily count series
+    * per event type — where did the level shift? S_t = Σ_{i≤t}(x_i −
+    * x̄) peaks (in absolute value) at the most likely single
+    * changepoint; the report carries the peak day, the CUSUM value
+    * there, and the pre/post segment means a reviewer compares.
+    *
+    * Same integer-scaling discipline as q272: S'_t = n·cum_t − t·Σx
+    * is exact, the argmax over |S'_t| (earliest day on ties) is an
+    * integer decision, and only the three reported means/CUSUM divide
+    * at the end. The cumulative window runs per event type over the
+    * DAILY aggregate — days-sized, never corpus rows (the q225
+    * discipline: unpartitioned-ish windows only above aggregates). */
+  def q273Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.join(broadcast(tot), Seq("event_type"))
+      .withColumn("t", count(lit(1)).over(wCum))
+      .withColumn("cum", sum(col("x")).over(wCum))
+      .withColumn("ss", col("n") * col("cum") - col("t") * col("s"))
+    scored
+      .groupBy(col("event_type"))
+      .agg(max(struct(abs(col("ss")).as("a"), (-col("t")).as("nt"),
+        col("day").as("day"), col("cum").as("cum"), col("ss").as("ss"),
+        col("n").as("n"), col("s").as("s"))).as("b"))
+      .select(col("event_type"),
+        col("b.n").as("n_days"),
+        // string-rendered: a DATE column round-trips through pandas as
+        // a midnight timestamp and breaks the canonical compare
+        col("b.day").cast("string").as("cp_day"),
+        round(col("b.ss").cast("double") / col("b.n").cast("double"), 9)
+          .as("cusum"),
+        round(col("b.cum").cast("double") /
+          (-col("b.nt")).cast("double"), 9).as("pre_mean"),
+        when(col("b.n") + col("b.nt") > 0L,
+          round((col("b.s") - col("b.cum")).cast("double") /
+            (col("b.n") + col("b.nt")).cast("double"), 9))
+          .as("post_mean"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -551,6 +552,45 @@ object Quality {
         col("n_clipped_lo"), col("n_clipped_hi"), col("mass_moved"),
         col("n_residual"))
       .orderBy(col("source"))
+  }
+
+  /** q271: 2-D Pareto skyline per language — the documents no other
+    * document (same lang) beats on BOTH axes (token count ↑, quality
+    * score ↑, weak inequality with at least one strict). This is the
+    * classic skyline operator Spark has no primitive for, composed
+    * from range-frame windows: a point survives iff no strictly-longer
+    * doc has score ≥ its own (`max(score)` over the range frame
+    * n_tokens+1..∞) and no equal-length doc has a strictly higher
+    * score (`max(score)` over the equal-length partition).
+    *
+    * Scale design — two-level pruning: the first pass computes the
+    * skyline WITHIN (lang, 64-token band); since dominance within a
+    * band implies dominance globally, dropping band-dominated rows is
+    * safe, and the per-band window bounds the sort width (no giant
+    * per-lang sort over the corpus). The second pass runs the same
+    * filter per lang over the band survivors — at most a few points
+    * per band — so the global window touches a bands-sized frame.
+    * Both passes are exact; the composition equals the one-pass
+    * skyline, which is what the oracle computes. */
+  def q271Skyline(spark: SparkSession, dir: String): DataFrame = {
+    def skyline(df: DataFrame, part: Seq[String]): DataFrame = {
+      val pcols = part.map(col)
+      val wGt = Window.partitionBy(pcols: _*).orderBy(col("n_tokens"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val wEq = Window.partitionBy((part :+ "n_tokens").map(col): _*)
+      df.withColumn("my_gt", max(col("score")).over(wGt))
+        .withColumn("my_eq", max(col("score")).over(wEq))
+        .filter((col("my_gt").isNull || col("my_gt") < col("score")) &&
+          col("my_eq") === col("score"))
+        .drop("my_gt", "my_eq")
+    }
+    val s = TextStats.hashedScores(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("score"))
+    val local = skyline(
+      s.withColumn("band", (col("n_tokens") / lit(64L)).cast("long")),
+      Seq("lang", "band")).drop("band")
+    skyline(local, Seq("lang"))
+      .orderBy(col("lang"), col("n_tokens").desc, col("doc_id"))
   }
 
   def q262ScoreDrift(spark: SparkSession, dir: String): DataFrame = {

@@ -1002,7 +1002,7 @@ object TextStats {
     * (functionally dependent on doc_id, so the extra grouping key
     * changes nothing) — shared by the classifier (q232) and its
     * calibration report (q250). */
-  private[operators] def hashedScores(spark: SparkSession,
+  private[graft] def hashedScores(spark: SparkSession,
       dir: String): DataFrame = {
     val bucket = pmod(conv(substring(md5(col("word")), 1, 8), 16, 10)
       .cast("long"), lit(4096L))

@@ -159,4 +159,54 @@ class RelationalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))
   }
+
+  test("two-level banded skyline equals the brute-force Pareto " +
+      "frontier") {
+    val sky = operators.Quality.q271Skyline(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id")))
+      .toSet
+    // brute-force dominance per lang on the sf0.001 fixture
+    val pts = operators.TextStats.hashedScores(spark, sf)
+      .select("doc_id", "lang", "n_tokens", "score").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("score")))
+    val expected = pts.groupBy(_._1).toSeq.flatMap { case (lang, ps) =>
+      ps.filter { p =>
+        !ps.exists(q => q._3 >= p._3 && q._4 >= p._4 &&
+          (q._3 > p._3 || q._4 > p._4))
+      }.map(p => (lang, p._2)).toSeq
+    }.toSet
+    assert(sky == expected)
+  }
+
+  test("ACF is a valid correlation sequence over the dense hourly grid") {
+    val rows = operators.Events.q272Acf(spark, sf).collect()
+    assert(rows.length == 24)
+    val n0 = rows.find(_.getAs[Int]("lag") == 1).get
+      .getAs[Long]("n_pairs") + 1
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      // Cauchy-Schwarz bounds the lagged product sum by the variance
+      assert(a >= -1.0 && a <= 1.0, s"acf=$a")
+      // a dense grid loses exactly `lag` pairs at the boundary
+      assert(r.getAs[Long]("n_pairs") == n0 - r.getAs[Int]("lag"))
+    }
+  }
+
+  test("CUSUM changepoint: peak sign agrees with the segment-mean " +
+      "ordering") {
+    val rows = operators.Events.q273Cusum(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_days") > 0)
+      val c = r.getAs[Double]("cusum")
+      if (!r.isNullAt(r.fieldIndex("post_mean")) && c != 0.0) {
+        val (pre, post) =
+          (r.getAs[Double]("pre_mean"), r.getAs[Double]("post_mean"))
+        // a negative CUSUM trough means the prefix ran below average,
+        // so the suffix must run above it (and vice versa)
+        if (c < 0) assert(pre < post) else assert(pre > post)
+      }
+    }
+  }
 }
