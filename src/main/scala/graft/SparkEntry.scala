@@ -302,6 +302,9 @@ object SparkEntry {
     "q271_skyline"         -> (Quality.q271Skyline _),
     "q272_acf"             -> (Events.q272Acf _),
     "q273_cusum"           -> (Events.q273Cusum _),
+    "q274_dim_ablation"    -> (Similarity.q274DimAblation _),
+    "q275_effective_mixture" -> (Dedup.q275EffectiveMixture _),
+    "q276_linkage_weights" -> (Quality.q276LinkageWeights _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5391,6 +5394,65 @@ object SparkEntry {
           ROUND(CAST(s - cum AS DOUBLE) / CAST(n - t_idx AS DOUBLE), 9)
         END AS post_mean
       FROM best ORDER BY event_type""",
+
+    "q274_dim_ablation" -> dimAblationOracle,
+
+    "q275_effective_mixture" -> effectiveMixtureOracle,
+
+    // all-pairs match relation (= q230's blocked join), adjacent-key
+    // non-match sample, add-one smoothing, log2 on the rounded probs
+    "q276_linkage_weights" -> """
+      WITH m AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      attrs AS (
+        SELECT c_custkey AS id, c_nationkey AS nat, c_mktsegment AS seg,
+          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+        FROM customer),
+      np AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM attrs a JOIN attrs b ON b.id = a.id + 1
+        WHERE NOT EXISTS (SELECT 1 FROM m
+          WHERE m.id_a = a.id AND m.id_b = b.id)),
+      ma AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_m,
+          CAST(SUM(CASE WHEN x.nat = y.nat THEN 1 ELSE 0 END) AS BIGINT)
+            AS nat_m,
+          CAST(SUM(CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END) AS BIGINT)
+            AS seg_m,
+          CAST(SUM(CASE WHEN x.band = y.band THEN 1 ELSE 0 END) AS BIGINT)
+            AS band_m
+        FROM m JOIN attrs x ON x.id = m.id_a
+        JOIN attrs y ON y.id = m.id_b),
+      ua AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_u,
+          CAST(SUM(CASE WHEN x.nat = y.nat THEN 1 ELSE 0 END) AS BIGINT)
+            AS nat_u,
+          CAST(SUM(CASE WHEN x.seg = y.seg THEN 1 ELSE 0 END) AS BIGINT)
+            AS seg_u,
+          CAST(SUM(CASE WHEN x.band = y.band THEN 1 ELSE 0 END) AS BIGINT)
+            AS band_u
+        FROM np JOIN attrs x ON x.id = np.id_a
+        JOIN attrs y ON y.id = np.id_b),
+      f AS (
+        SELECT 'bal_band' AS field, band_m AS agree_m, band_u AS agree_u,
+          n_m, n_u FROM ma CROSS JOIN ua
+        UNION ALL SELECT 'nation', nat_m, nat_u, n_m, n_u
+          FROM ma CROSS JOIN ua
+        UNION ALL SELECT 'segment', seg_m, seg_u, n_m, n_u
+          FROM ma CROSS JOIN ua)
+      SELECT field, n_m AS n_match_pairs, agree_m AS agree_match,
+        n_u AS n_nonmatch_pairs, agree_u AS agree_nonmatch,
+        ROUND(CAST(agree_m + 1 AS DOUBLE) / CAST(n_m + 2 AS DOUBLE), 9)
+          AS m_prob,
+        ROUND(CAST(agree_u + 1 AS DOUBLE) / CAST(n_u + 2 AS DOUBLE), 9)
+          AS u_prob,
+        ROUND(log2(
+          ROUND(CAST(agree_m + 1 AS DOUBLE) / CAST(n_m + 2 AS DOUBLE), 9)
+          / ROUND(CAST(agree_u + 1 AS DOUBLE) / CAST(n_u + 2 AS DOUBLE),
+              9)), 9) AS weight
+      FROM f ORDER BY field""",
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final
@@ -5723,6 +5785,96 @@ object SparkEntry {
       labels AS (
         SELECT src AS id, LEAST(src, MIN(dst)) AS label
         FROM reach GROUP BY src)"""
+
+  /** q274's oracle: the q27 cosine CTE template instantiated per dim
+    * variant (the dot/norm folds range only over the first d dims =
+    * the slice), recall joined against the 64-dim anchor. */
+  private def dimAblationOracle: String = {
+    def dotSql(a: String, b: String, d: Int): String =
+      s"""list_reduce(list_transform(range(1, ${d + 1}),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+            (x, y) -> x + y)"""
+    val variants = Seq(16, 32, 64).map { d =>
+      s"""      s$d AS (
+        SELECT q_id, e.vec_id,
+          ${dotSql("q_emb", "e.embedding", d)}
+          / sqrt(${dotSql("q_emb", "q_emb", d)}
+            * ${dotSql("e.embedding", "e.embedding", d)}) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id),
+      t$d AS (
+        SELECT q_id, vec_id FROM (
+          SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM s$d) z WHERE rn <= 10)"""
+    }.mkString(",\n")
+    val recalls = Seq(16, 32).map { d =>
+      s"""      r$d AS (
+        SELECT qq.q_id, COALESCE(i.cnt, 0) AS hits
+        FROM (SELECT DISTINCT q_id FROM t64) qq
+        LEFT JOIN (
+          SELECT t$d.q_id, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM t$d JOIN t64 ON t64.q_id = t$d.q_id
+            AND t64.vec_id = t$d.vec_id
+          GROUP BY t$d.q_id) i ON i.q_id = qq.q_id),
+      a$d AS (
+        SELECT $d AS dim, CAST(COUNT(*) AS BIGINT) AS n_queries,
+          CAST(SUM(hits) AS BIGINT) AS total_hits,
+          CAST(MIN(hits) AS BIGINT) AS min_hits
+        FROM r$d)"""
+    }.mkString(",\n")
+    s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 20),
+$variants,
+$recalls
+      SELECT CAST(dim AS INT) AS dim, n_queries, total_hits,
+        ROUND(CAST(total_hits AS DOUBLE)
+          / CAST(n_queries * 10 AS DOUBLE), 9) AS mean_recall,
+        ROUND(CAST(min_hits AS DOUBLE) / 10.0, 9) AS min_recall
+      FROM (SELECT * FROM a16 UNION ALL SELECT * FROM a32) u
+      ORDER BY dim"""
+  }
+
+  /** q275's oracle: the shared CC label chain plus the per-(lang, k)
+    * effective-mass roll-up mirroring the Spark rounding discipline. */
+  private def effectiveMixtureOracle: String =
+    ccLabelCtes + """,
+      tokl AS (
+        SELECT doc_id, lang,
+          CAST(len(string_split(trim(regexp_replace(lower(text),
+            '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tokens
+        FROM documents),
+      sizes AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS k
+        FROM labels GROUP BY label),
+      lab AS (
+        SELECT t.lang, t.tokens, COALESCE(s.k, 1) AS k
+        FROM tokl t
+        LEFT JOIN labels l ON l.id = t.doc_id
+        LEFT JOIN sizes s ON s.label = l.label),
+      bylk AS (
+        SELECT lang, k, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(tokens) AS BIGINT) AS tok
+        FROM lab GROUP BY lang, k),
+      pl AS (
+        SELECT lang, CAST(SUM(n) AS BIGINT) AS n_docs,
+          CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+          SUM(CAST(ROUND(CAST(tok AS DOUBLE) / CAST(k AS DOUBLE), 9)
+            AS DECIMAL(28,9))) AS eff_dec
+        FROM bylk GROUP BY lang),
+      tt AS (SELECT CAST(SUM(raw_tokens) AS BIGINT) AS raw_total,
+                    SUM(eff_dec) AS eff_total FROM pl)
+      SELECT lang, n_docs, raw_tokens,
+        ROUND(CAST(eff_dec AS DOUBLE), 9) AS eff_tokens,
+        ROUND(CAST(raw_tokens AS DOUBLE) / CAST(raw_total AS DOUBLE), 9)
+          AS raw_share,
+        ROUND(CAST(eff_dec AS DOUBLE) / CAST(eff_total AS DOUBLE), 9)
+          AS eff_share,
+        ROUND(ROUND(CAST(eff_dec AS DOUBLE) / CAST(eff_total AS DOUBLE), 9)
+          - ROUND(CAST(raw_tokens AS DOUBLE) / CAST(raw_total AS DOUBLE),
+              9), 9) AS share_shift
+      FROM pl CROSS JOIN tt ORDER BY lang"""
 
   /** q270's oracle: majority-split repair over the q69 labels. The
     * row_number tie-break (cnt desc, then train < val < test) mirrors

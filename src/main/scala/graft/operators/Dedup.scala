@@ -1481,6 +1481,57 @@ object Dedup {
       .orderBy(col("cluster_size"))
   }
 
+  /** q275: effective language mixture after duplication downweighting
+    * — what q229's 1/k ledger DOES to the corpus composition. Every
+    * doc in a near-dup cluster of size k contributes tokens/k
+    * effective mass; the report compares each language's raw token
+    * share against its effective share, and `share_shift` is the
+    * number a mixture owner reads: a language whose content is
+    * heavily duplicated loses share once duplication stops counting,
+    * and re-weighting (q142/q251) must start from the EFFECTIVE
+    * shares, not the raw ones.
+    *
+    * Scale shape: q229's discipline verbatim — the CC label table is
+    * pair-bounded and broadcast, cluster sizes are a metadata frame,
+    * singletons never enter a cluster shuffle; the corpus reduces in
+    * ONE (lang, k) aggregate. Per-(lang,k) masses stay exact BIGINTs;
+    * tokens/k rounds to 9 and decimal-sums, so effective mass is
+    * order-independent; totals attach as a broadcast 1-row frame. */
+  def q275EffectiveMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      size(split(graft.functions.Cols.normText(col("text")), " "))
+        .cast("long").as("tokens"))
+    val labels = connectedComponents(
+      minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label"))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("k"))
+    val byLangK = toks
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(broadcast(sizes), Seq("label"), "left")
+      .withColumn("k", coalesce(col("k"), lit(1L)))
+      .groupBy(col("lang"), col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("tokens")).as("tok"))
+    val perLang = byLangK.groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("tok")).as("raw_tokens"),
+        sum(round(col("tok").cast("double") / col("k").cast("double"), 9)
+          .cast("decimal(28,9)")).as("eff_dec"))
+    val totals = perLang.agg(sum(col("raw_tokens")).as("raw_total"),
+      sum(col("eff_dec")).as("eff_total"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("raw_share",
+        round(col("raw_tokens").cast("double") /
+          col("raw_total").cast("double"), 9))
+      .withColumn("eff_share",
+        round(col("eff_dec").cast("double") /
+          col("eff_total").cast("double"), 9))
+      .select(col("lang"), col("n_docs"), col("raw_tokens"),
+        round(col("eff_dec").cast("double"), 9).as("eff_tokens"),
+        col("raw_share"), col("eff_share"),
+        round(col("eff_share") - col("raw_share"), 9).as("share_shift"))
+      .orderBy(col("lang"))
+  }
+
   /** The ROUND REPORT — the single artifact a curation run publishes,
     * composing three proven reports into one union-tagged frame (the
     * q209 counter discipline applied at the report level):

@@ -474,6 +474,70 @@ object Quality {
       .orderBy(col("source"))
   }
 
+  /** q276: Fellegi–Sunter linkage weights — the scoring model layer
+    * above the fuzzy joins (q230/q239). For each comparison field
+    * (nation, market segment, balance band) estimate m = P(agree |
+    * match) from the labeled match pairs (q230's delete-1 join, which
+    * EQUALS the all-pairs dist≤1 relation) and u = P(agree |
+    * non-match) from a deterministic non-match sample (adjacent
+    * custkey pairs, anti-joined against the match relation so no true
+    * match contaminates it). The agreement weight log2(m/u) is what a
+    * production linker sums per field to score a candidate pair;
+    * add-one smoothing keeps both probabilities off 0/1 so the log is
+    * always finite and the report deterministic.
+    *
+    * Scale shape: the match relation comes from the blocked join (no
+    * all-pairs anywhere); both pair sets reduce in ONE aggregate each
+    * (three boolean-sum columns); the field unpivot and the weight
+    * arithmetic run on two 1-row frames. Counts stay integers until
+    * the smoothed divisions, which consume already-rounded inputs. */
+  def q276LinkageWeights(spark: SparkSession, dir: String): DataFrame = {
+    val attrs = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000.0d).cast("long").as("band"))
+    def side(s: String): DataFrame = attrs.select(col("id").as(s"id_$s"),
+      col("nat").as(s"nat_$s"), col("seg").as(s"seg_$s"),
+      col("band").as(s"band_$s"))
+    def agreeCounts(pairs: DataFrame, p: String): DataFrame = pairs
+      .join(broadcast(side("a")), Seq("id_a"))
+      .join(broadcast(side("b")), Seq("id_b"))
+      .agg(count(lit(1)).as(s"n_$p"),
+        sum(when(col("nat_a") === col("nat_b"), 1L).otherwise(0L))
+          .as(s"nat_$p"),
+        sum(when(col("seg_a") === col("seg_b"), 1L).otherwise(0L))
+          .as(s"seg_$p"),
+        sum(when(col("band_a") === col("band_b"), 1L).otherwise(0L))
+          .as(s"band_$p"))
+    val matches = q230FuzzyJoin(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = false)
+    val nonmatches = attrs.select(col("id").as("id_a"))
+      .join(attrs.select(col("id").as("id_b")),
+        col("id_b") === col("id_a") + 1L)
+      .join(matches, Seq("id_a", "id_b"), "left_anti")
+    agreeCounts(matches, "m").crossJoin(agreeCounts(nonmatches, "u"))
+      .select(explode(array(
+          struct(lit("bal_band").as("field"), col("band_m").as("agree_m"),
+            col("band_u").as("agree_u")),
+          struct(lit("nation").as("field"), col("nat_m").as("agree_m"),
+            col("nat_u").as("agree_u")),
+          struct(lit("segment").as("field"), col("seg_m").as("agree_m"),
+            col("seg_u").as("agree_u")))).as("f"),
+        col("n_m"), col("n_u"))
+      .select(col("f.field").as("field"),
+        col("n_m").as("n_match_pairs"), col("f.agree_m").as("agree_match"),
+        col("n_u").as("n_nonmatch_pairs"),
+        col("f.agree_u").as("agree_nonmatch"))
+      .withColumn("m_prob",
+        round((col("agree_match") + 1L).cast("double") /
+          (col("n_match_pairs") + 2L).cast("double"), 9))
+      .withColumn("u_prob",
+        round((col("agree_nonmatch") + 1L).cast("double") /
+          (col("n_nonmatch_pairs") + 2L).cast("double"), 9))
+      .withColumn("weight", round(log2(col("m_prob") / col("u_prob")), 9))
+      .orderBy(col("field"))
+  }
+
   /** q266: l-diversity audit — the companion check to q265's
     * k-anonymity. A class can be large (k-anonymous) yet still leak:
     * if every row in it shares the same SENSITIVE value, membership

@@ -92,6 +92,56 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q274: embedding dimension-ablation certificate — the retrieval-
+    * quality report behind a Matryoshka-style truncation decision:
+    * score exact cosine top-10 with only the first 16 / 32 of the 64
+    * dims and measure recall against the full-dimension top-10 anchor
+    * (20 probe queries). Both sides are EXACT brute force, so the
+    * recall numbers are properties of the embedding geometry, not of
+    * an index — this is the study a team runs before halving its
+    * vector storage and bandwidth, and the certificate that makes the
+    * saving auditable.
+    *
+    * Scale shape: the same broadcast-probe scan as q27 run three
+    * times (once per dim variant) — candidates stream once per
+    * variant, no shuffle beyond the per-probe top-k; recall joins and
+    * the final 2-row report are metadata-sized. Mean/min recall stay
+    * integer (intersection counts) until the final division. */
+  def q274DimAblation(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    def topk(d: Int): DataFrame = {
+      def sliced(c: Column): Column = if (d == 64) c else slice(c, 1, d)
+      val q = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), sliced(col("embedding")).as("q_emb"))
+        .withColumn("q_norm", dot(col("q_emb"), col("q_emb")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+      emb.select(col("vec_id"), sliced(col("embedding")).as("emb"))
+        .withColumn("c_norm", dot(col("emb"), col("emb")))
+        .join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          (dot(col("q_emb"), col("emb")) /
+            sqrt(col("q_norm") * col("c_norm"))).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val full = topk(64).localCheckpoint(eager = false)
+    Seq(16, 32).map { d =>
+      val inter = topk(d).join(full, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+      full.select(col("q_id")).distinct()
+        .join(inter, Seq("q_id"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("hits")).as("total_hits"),
+          min(col("hits")).as("min_hits"))
+        .select(lit(d).as("dim"), col("n_queries"), col("total_hits"),
+          round(col("total_hits").cast("double") /
+            (col("n_queries") * 10L).cast("double"), 9).as("mean_recall"),
+          round(col("min_hits").cast("double") / 10.0d, 9).as("min_recall"))
+    }.reduce(_ unionByName _).orderBy(col("dim"))
+  }
+
   /** Deterministic random hyperplanes: 4 tables × 4 planes × 64 dims. */
   private[operators] val planes: Seq[Seq[Seq[Double]]] = {
     val rng = new scala.util.Random(42)

@@ -550,4 +550,40 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[Boolean]("clustered") &&
       r.getAs[String]("split_before") != r.getAs[String]("split_after")))
   }
+
+  test("effective mixture: downweighting only removes mass and shares " +
+      "still sum to one") {
+    val rows = operators.Dedup
+      .q275EffectiveMixture(TestSpark.spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // 1/k weighting can never create tokens
+      assert(r.getAs[Double]("eff_tokens") <=
+        r.getAs[Long]("raw_tokens").toDouble + 1e-6)
+      assert(math.abs(r.getAs[Double]("share_shift") -
+        (r.getAs[Double]("eff_share") - r.getAs[Double]("raw_share")))
+        < 1e-8)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("raw_share")).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(_.getAs[Double]("eff_share")).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(_.getAs[Double]("share_shift")).sum) < 1e-6)
+  }
+
+  test("linkage weights are finite, smoothed into (0,1), and " +
+      "consistent with their counts") {
+    val rows = operators.Quality
+      .q276LinkageWeights(TestSpark.spark, TestSpark.sf).collect()
+    assert(rows.map(_.getAs[String]("field")).toSet ==
+      Set("bal_band", "nation", "segment"))
+    rows.foreach { r =>
+      val (m, u) = (r.getAs[Double]("m_prob"), r.getAs[Double]("u_prob"))
+      // add-one smoothing keeps both probabilities strictly interior
+      assert(m > 0.0 && m < 1.0 && u > 0.0 && u < 1.0)
+      assert(r.getAs[Long]("agree_match") <= r.getAs[Long]("n_match_pairs"))
+      assert(r.getAs[Long]("agree_nonmatch") <=
+        r.getAs[Long]("n_nonmatch_pairs"))
+      val w = r.getAs[Double]("weight")
+      assert(math.abs(w - math.log(m / u) / math.log(2.0)) < 1e-6)
+    }
+  }
 }

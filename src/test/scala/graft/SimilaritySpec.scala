@@ -251,4 +251,22 @@ class SimilaritySpec extends AnyFunSuite {
         assert(maxErr <= scale / 2 + 1e-9, s"vec ${r.getLong(0)}")
       }
   }
+
+  test("dimension ablation: recall grows with kept dims and stays a " +
+      "valid fraction") {
+    val rows = operators.Similarity
+      .q274DimAblation(TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("n_queries"),
+        r.getAs[Double]("mean_recall"), r.getAs[Double]("min_recall")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(16, 32))
+    rows.foreach { case (_, nq, mean, mn) =>
+      assert(nq == 20L)
+      assert(mean >= 0.0 && mean <= 1.0)
+      assert(mn >= 0.0 && mn <= mean)
+    }
+    // more dimensions can only sharpen the exact ranking toward the
+    // full-dim anchor on this geometry
+    assert(rows(1)._3 >= rows(0)._3)
+  }
 }
