@@ -305,6 +305,9 @@ object SparkEntry {
     "q274_dim_ablation"    -> (Similarity.q274DimAblation _),
     "q275_effective_mixture" -> (Dedup.q275EffectiveMixture _),
     "q276_linkage_weights" -> (Quality.q276LinkageWeights _),
+    "q277_stream_cusum"    -> (Events.q277StreamCusum _),
+    "q278_theil_sen"       -> (Events.q278TheilSen _),
+    "q279_deletion_propagation" -> (Dedup.q279DeletionPropagation _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5362,38 +5365,42 @@ object SparkEntry {
 
     // same integer scaling; argmax tie-break (|S| desc, earliest day)
     // mirrors the Spark struct-max exactly
-    "q273_cusum" -> """
+    "q273_cusum" -> cusumOracle,
+
+    // stream-batch equivalence: the streamed daily aggregate feeds the
+    // identical finishing math, so q273's oracle pins the stream too
+    "q277_stream_cusum" -> cusumOracle,
+
+    // all day-pair slopes of the daily aggregate; quantile_cont is
+    // Spark's exact interpolating percentile
+    "q278_theil_sen" -> """
       WITH daily AS (
-        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        SELECT event_type,
+          CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+            - DATE '1970-01-01' AS BIGINT) AS d,
           CAST(COUNT(*) AS BIGINT) AS x
-        FROM events GROUP BY event_type, day),
-      tot AS (
-        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-          CAST(SUM(x) AS BIGINT) AS s
-        FROM daily GROUP BY event_type),
-      w AS (
-        SELECT d.event_type, d.day, t.n, t.s,
-          CAST(ROW_NUMBER() OVER pw AS BIGINT) AS t_idx,
-          CAST(SUM(d.x) OVER pw AS BIGINT) AS cum
-        FROM daily d JOIN tot t ON t.event_type = d.event_type
-        WINDOW pw AS (PARTITION BY d.event_type ORDER BY d.day
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-      sc AS (
-        SELECT event_type, day, n, s, t_idx, cum,
-          n * cum - t_idx * s AS ss
-        FROM w),
-      best AS (
-        SELECT * FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
-            ORDER BY ABS(ss) DESC, t_idx ASC) AS rn
-          FROM sc) q WHERE rn = 1)
-      SELECT event_type, n AS n_days, CAST(day AS VARCHAR) AS cp_day,
-        ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 9) AS cusum,
-        ROUND(CAST(cum AS DOUBLE) / CAST(t_idx AS DOUBLE), 9) AS pre_mean,
-        CASE WHEN n > t_idx THEN
-          ROUND(CAST(s - cum AS DOUBLE) / CAST(n - t_idx AS DOUBLE), 9)
-        END AS post_mean
-      FROM best ORDER BY event_type""",
+        FROM events GROUP BY event_type, d),
+      sl AS (
+        SELECT a.event_type,
+          ROUND(CAST(b.x - a.x AS DOUBLE) / CAST(b.d - a.d AS DOUBLE), 9)
+            AS slope
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.d > a.d),
+      med AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          ROUND(quantile_cont(slope, 0.5), 9) AS slope_med
+        FROM sl GROUP BY event_type),
+      b0 AS (
+        SELECT d.event_type, m.n_pairs, m.slope_med,
+          ROUND(CAST(d.x AS DOUBLE) - m.slope_med * CAST(d.d AS DOUBLE),
+            9) AS b0
+        FROM daily d JOIN med m ON m.event_type = d.event_type)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, n_pairs,
+        slope_med AS slope, ROUND(quantile_cont(b0, 0.5), 9) AS intercept
+      FROM b0 GROUP BY event_type, n_pairs, slope_med
+      ORDER BY event_type""",
+
+    "q279_deletion_propagation" -> deletionPropagationOracle,
 
     "q274_dim_ablation" -> dimAblationOracle,
 
@@ -5785,6 +5792,101 @@ object SparkEntry {
       labels AS (
         SELECT src AS id, LEAST(src, MIN(dst)) AS label
         FROM reach GROUP BY src)"""
+
+  /** Shared by q273 (batch) and q277 (streamed aggregate, identical
+    * finishing math): integer-scaled CUSUM with the deterministic
+    * argmax tie-break. */
+  private val cusumOracle: String = """
+      WITH daily AS (
+        SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, day),
+      tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(x) AS BIGINT) AS s
+        FROM daily GROUP BY event_type),
+      w AS (
+        SELECT d.event_type, d.day, t.n, t.s,
+          CAST(ROW_NUMBER() OVER pw AS BIGINT) AS t_idx,
+          CAST(SUM(d.x) OVER pw AS BIGINT) AS cum
+        FROM daily d JOIN tot t ON t.event_type = d.event_type
+        WINDOW pw AS (PARTITION BY d.event_type ORDER BY d.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sc AS (
+        SELECT event_type, day, n, s, t_idx, cum,
+          n * cum - t_idx * s AS ss
+        FROM w),
+      best AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY ABS(ss) DESC, t_idx ASC) AS rn
+          FROM sc) q WHERE rn = 1)
+      SELECT event_type, n AS n_days, CAST(day AS VARCHAR) AS cp_day,
+        ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 9) AS cusum,
+        ROUND(CAST(cum AS DOUBLE) / CAST(t_idx AS DOUBLE), 9) AS pre_mean,
+        CASE WHEN n > t_idx THEN
+          ROUND(CAST(s - cum AS DOUBLE) / CAST(n - t_idx AS DOUBLE), 9)
+        END AS post_mean
+      FROM best ORDER BY event_type"""
+
+  /** q279's oracle: the CC chain supplies bands and labels; chunk
+    * counts reuse q263's per-doc chunk-grid formula; every artifact's
+    * deleted/after/residual counts recompute from the kept rows. */
+  private def deletionPropagationOracle: String =
+    ccLabelCtes + """,
+      dl AS (SELECT doc_id FROM documents WHERE doc_id % 101 = 0),
+      chk AS (
+        SELECT doc_id,
+          CAST(1 + (greatest(CAST(len(string_split(trim(regexp_replace(
+            lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) - 64, 0)
+            + 47) // 48 AS BIGINT) AS n_chunks
+        FROM documents),
+      kb AS (SELECT doc_id FROM bands
+             WHERE doc_id NOT IN (SELECT doc_id FROM dl)),
+      kc AS (SELECT doc_id, n_chunks FROM chk
+             WHERE doc_id NOT IN (SELECT doc_id FROM dl)),
+      kd AS (SELECT doc_id FROM documents
+             WHERE doc_id NOT IN (SELECT doc_id FROM dl)),
+      kl AS (SELECT id, label FROM labels
+             WHERE id NOT IN (SELECT doc_id FROM dl))
+      SELECT * FROM (
+        SELECT 'bands' AS artifact,
+          CAST((SELECT COUNT(*) FROM bands) AS BIGINT) AS rows_before,
+          CAST((SELECT COUNT(*) FROM bands)
+            - (SELECT COUNT(*) FROM kb) AS BIGINT) AS rows_deleted,
+          CAST((SELECT COUNT(*) FROM kb) AS BIGINT) AS rows_after,
+          CAST((SELECT COUNT(*) FROM kb JOIN dl
+            ON kb.doc_id = dl.doc_id) AS BIGINT) AS residual_refs,
+          CAST(0 AS BIGINT) AS n_stale
+        UNION ALL
+        SELECT 'chunks',
+          CAST((SELECT SUM(n_chunks) FROM chk) AS BIGINT),
+          CAST((SELECT SUM(n_chunks) FROM chk)
+            - (SELECT SUM(n_chunks) FROM kc) AS BIGINT),
+          CAST((SELECT SUM(n_chunks) FROM kc) AS BIGINT),
+          CAST((SELECT COUNT(*) FROM kc JOIN dl
+            ON kc.doc_id = dl.doc_id) AS BIGINT),
+          CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'corpus',
+          CAST((SELECT COUNT(*) FROM documents) AS BIGINT),
+          CAST((SELECT COUNT(*) FROM documents)
+            - (SELECT COUNT(*) FROM kd) AS BIGINT),
+          CAST((SELECT COUNT(*) FROM kd) AS BIGINT),
+          CAST((SELECT COUNT(*) FROM kd JOIN dl
+            ON kd.doc_id = dl.doc_id) AS BIGINT),
+          CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'labels',
+          CAST((SELECT COUNT(*) FROM labels) AS BIGINT),
+          CAST((SELECT COUNT(*) FROM labels)
+            - (SELECT COUNT(*) FROM kl) AS BIGINT),
+          CAST((SELECT COUNT(*) FROM kl) AS BIGINT),
+          CAST((SELECT COUNT(*) FROM kl JOIN dl
+            ON kl.id = dl.doc_id) AS BIGINT),
+          CAST((SELECT COUNT(*) FROM kl JOIN dl
+            ON kl.label = dl.doc_id) AS BIGINT)) u
+      ORDER BY artifact"""
 
   /** q274's oracle: the q27 cosine CTE template instantiated per dim
     * variant (the dot/norm folds range only over the first d dims =

@@ -1532,6 +1532,56 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** q279: deletion propagation with residual certificates — the
+    * GDPR/takedown operation a lake owner actually runs: a deletion
+    * set (here the deterministic doc_id % 101 slice) must vanish not
+    * just from the corpus but from every DERIVED artifact — the
+    * MinHash band index (q211's shape), the chunk table (q263), and
+    * the near-dup cluster labels. Per artifact the report carries
+    * rows before/deleted/after, `residual_refs` — a RE-SCAN of the
+    * propagated artifact for references to the deletion set, pinned
+    * to zero by the oracle (the q227 discipline: certify the result,
+    * don't trust the plan) — and `n_stale`, the label rows whose
+    * cluster REPRESENTATIVE was deleted: propagation can drop the
+    * deleted doc's rows but cannot fix a min-label naming a dead doc,
+    * so those clusters are flagged for the next incremental CC run
+    * (q242) rather than silently kept.
+    *
+    * Scale shape: each artifact pays one broadcast anti-join against
+    * the (tiny) deletion set and one count aggregate; nothing
+    * recomputes pairs or clusters. */
+  def q279DeletionPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val del = docs.filter(col("doc_id") % 101L === 0L)
+      .select(col("doc_id")).localCheckpoint(eager = false)
+    def audit(name: String, df: DataFrame, stale: DataFrame): DataFrame = {
+      val kept = df.join(broadcast(del), Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = false)
+      val residual = kept.join(broadcast(del), Seq("doc_id"))
+      df.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(kept.agg(count(lit(1)).as("rows_after")))
+        .crossJoin(residual.agg(count(lit(1)).as("residual_refs")))
+        .crossJoin(stale.agg(count(lit(1)).as("n_stale")))
+        .select(lit(name).as("artifact"), col("rows_before"),
+          (col("rows_before") - col("rows_after")).as("rows_deleted"),
+          col("rows_after"), col("residual_refs"), col("n_stale"))
+    }
+    val none = docs.limit(0).select(col("doc_id"))
+    val labels = connectedComponents(
+      minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label"))
+    // stale = kept label rows whose representative (min-label) is dead
+    val staleLabels = labels
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .join(broadcast(del.withColumnRenamed("doc_id", "label")),
+        Seq("label"))
+    audit("bands", bandTable(shingled(docs)), none)
+      .unionByName(audit("chunks", Sampling.q263DocChunks(spark, dir), none))
+      .unionByName(audit("corpus", docs, none))
+      .unionByName(audit("labels", labels, staleLabels))
+      .orderBy(col("artifact"))
+  }
+
   /** The ROUND REPORT — the single artifact a curation run publishes,
     * composing three proven reports into one union-tagged frame (the
     * q209 counter discipline applied at the report level):

@@ -434,10 +434,15 @@ object Events {
     * at the end. The cumulative window runs per event type over the
     * DAILY aggregate — days-sized, never corpus rows (the q225
     * discipline: unpartitioned-ish windows only above aggregates). */
-  def q273Cusum(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
+  def q273Cusum(spark: SparkSession, dir: String): DataFrame =
+    cusumFrom(Tables.events(spark, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"))
-      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x")))
+
+  /** q273's statistic over a prepared (event_type, day, x) daily
+    * aggregate — split out so the streaming twin (q277) can feed the
+    * SAME finishing math from a streamed aggregate. */
+  private[graft] def cusumFrom(daily: DataFrame): DataFrame = {
     val tot = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
     val wCum = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -464,6 +469,83 @@ object Events {
           round((col("b.s") - col("b.cum")).cast("double") /
             (col("b.n") + col("b.nt")).cast("double"), 9))
           .as("post_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q277: the ONLINE twin of q273 — a streaming level-shift monitor.
+    * The stream maintains the per-(event_type, day) count aggregate
+    * (complete mode, AvailableNow drain here; an unbounded feed keeps
+    * the same aggregate under a watermark); the CUSUM statistic then
+    * runs over the streamed aggregate — a days×types-sized frame, so
+    * the monitor recomputes an EXACT changepoint on every trigger
+    * without touching raw history. That split (stream owns the
+    * aggregate, monitor owns the statistic) is the production
+    * architecture for drift alarms: state is bounded by the calendar,
+    * not the event volume.
+    *
+    * Correctness is pinned by stream–batch equivalence: the memory-
+    * sink aggregate feeds the SAME `cusumFrom` finishing math as
+    * q273, and the oracle is q273's SQL verbatim. */
+  def q277StreamCusum(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingWindows.withStreamPartitions(spark) {
+      val daily = graft.streaming.StreamingWindows.eventsStream(spark, dir)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      val name = "graft_stream_cusum_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = daily.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      // materialize the days×types aggregate before the statistic:
+      // cusumFrom self-joins its input, and a memory-sink view cannot
+      // be self-joined (conflicting attribute references); a monitor
+      // would hold this state locally per trigger anyway
+      val snap = graft.streaming.StreamingWindows.materializeAndDrop(
+        spark, name, spark.table(name))
+      cusumFrom(snap)
+    }
+
+  /** q278: Theil–Sen robust trend per event type — the median of all
+    * pairwise day-slopes, the trend estimator that shrugs off the
+    * outlier days a least-squares fit (q93/q191) chases. Intercept is
+    * the median of per-day residual intercepts under the chosen
+    * slope, the standard completion.
+    *
+    * Scale shape: the corpus reduces to the (type, day) aggregate
+    * first; the "all pairs" are day-pairs of that CALENDAR-bounded
+    * series (30 days → 435 pairs per type), never event pairs, and
+    * the per-type exact percentile sorts a pairs-sized group. Slopes
+    * are exact integer differences divided once and rounded to 9, so
+    * the medians are engine-portable. */
+  def q278TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), unix_date(to_date(col("ts"))).as("d"))
+      .groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("x"))
+      .localCheckpoint(eager = false)
+    val slopes = daily.select(col("event_type"), col("d").as("d1"),
+        col("x").as("x1"))
+      .join(daily.select(col("event_type"), col("d").as("d2"),
+        col("x").as("x2")), Seq("event_type"))
+      .filter(col("d2") > col("d1"))
+      .select(col("event_type"),
+        round((col("x2") - col("x1")).cast("double") /
+          (col("d2") - col("d1")).cast("double"), 9).as("slope"))
+    val med = slopes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5d)"), 9).as("slope_med"))
+    daily.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("n_pairs"), col("slope_med"),
+        round(col("x").cast("double") -
+          col("slope_med") * col("d").cast("double"), 9).as("b0"))
+      .groupBy(col("event_type"), col("n_pairs"), col("slope_med"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("percentile(b0, 0.5d)"), 9).as("intercept"))
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("slope_med").as("slope"), col("intercept"))
       .orderBy(col("event_type"))
   }
 }

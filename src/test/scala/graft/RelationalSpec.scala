@@ -193,6 +193,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("Theil-Sen: every day-pair contributes one slope and the fit " +
+      "is finite") {
+    val rows = operators.Events.q278TheilSen(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      assert(r.getAs[Long]("n_pairs") == n * (n - 1) / 2)
+      assert(!r.getAs[Double]("slope").isNaN)
+      assert(!r.getAs[Double]("intercept").isNaN)
+      // a ~constant-rate synthetic feed can't have a steep robust trend
+      assert(math.abs(r.getAs[Double]("slope")) < 100.0)
+    }
+  }
+
+  test("deletion propagation: counts reconcile, zero residual " +
+      "references, staleness only in labels") {
+    val rows = operators.Dedup.q279DeletionPropagation(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("artifact")).toSet ==
+      Set("bands", "chunks", "corpus", "labels"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_before") -
+        r.getAs[Long]("rows_deleted") == r.getAs[Long]("rows_after"))
+      // the certificate: the propagated artifact holds NO reference
+      // to the deletion set
+      assert(r.getAs[Long]("residual_refs") == 0L)
+      if (r.getAs[String]("artifact") != "labels")
+        assert(r.getAs[Long]("n_stale") == 0L)
+    }
+    val corpus = rows.find(_.getAs[String]("artifact") == "corpus").get
+    val expected = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 101 === 0)
+      .count()
+    assert(corpus.getAs[Long]("rows_deleted") == expected)
+  }
+
   test("CUSUM changepoint: peak sign agrees with the segment-mean " +
       "ordering") {
     val rows = operators.Events.q273Cusum(spark, sf).collect()

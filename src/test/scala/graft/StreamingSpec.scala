@@ -262,4 +262,14 @@ class StreamingSpec extends AnyFunSuite {
       "spark.sql.streaming.stateStore.providerClass")
       .exists(_.contains("RocksDB")))
   }
+
+  test("streaming CUSUM monitor equals the batch changepoint query " +
+      "row for row") {
+    val stream = operators.Events
+      .q277StreamCusum(TestSpark.spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    val batch = operators.Events.q273Cusum(TestSpark.spark, TestSpark.sf)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
 }
