@@ -308,6 +308,9 @@ object SparkEntry {
     "q277_stream_cusum"    -> (Events.q277StreamCusum _),
     "q278_theil_sen"       -> (Events.q278TheilSen _),
     "q279_deletion_propagation" -> (Dedup.q279DeletionPropagation _),
+    "q280_rank_fusion"     -> (Similarity.q280RankFusion _),
+    "q281_ndcg_ablation"   -> (Similarity.q281NdcgAblation _),
+    "q282_jackknife_se"    -> (Quality.q282JackknifeSe _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -2563,40 +2566,10 @@ object SparkEntry {
 
     // identical operator grouping and per-term 9-decimal rounding,
     // summed as exact decimals (order-independent)
-    "q151_bm25" -> """
-      WITH w2 AS (
-        SELECT doc_id, word FROM (
-          SELECT doc_id,
-            unnest(string_split(trim(regexp_replace(lower(text), '\s+',
-              ' ', 'g')), ' ')) AS word
-          FROM documents) u
-        WHERE word <> ''),
-      dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY doc_id),
-      st AS (SELECT COUNT(*) AS n_docs,
-               CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
-      tf AS (
-        SELECT doc_id, word, COUNT(*) AS tf FROM w2
-        WHERE word IN ('the', 'data', 'model')
-        GROUP BY doc_id, word),
-      df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
-      sc AS (
-        SELECT tf.doc_id,
-          CAST(ROUND(
-            ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
-               / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
-            * (CAST(tf AS DOUBLE) * 2.2)
-            / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-               * CAST(dl AS DOUBLE)
-               / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
-            9) AS DECIMAL(18,9)) AS s
-        FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
-        CROSS JOIN st)
-      SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25,
-        COUNT(*) AS n_terms_hit
-      FROM sc
-      GROUP BY doc_id
+    "q151_bm25" -> (bm25Ctes + """
+      SELECT doc_id, bm25, n_terms_hit FROM lexs
       ORDER BY bm25 DESC, doc_id
-      LIMIT 20""",
+      LIMIT 20"""),
 
     // the WHILE loop's fixpoint derived set-based: smallest 50k step
     // leaving <= 1000 orders above it
@@ -5402,6 +5375,64 @@ object SparkEntry {
 
     "q279_deletion_propagation" -> deletionPropagationOracle,
 
+    "q280_rank_fusion" -> rankFusionOracle,
+
+    "q281_ndcg_ablation" -> ndcgAblationOracle,
+
+    // q268's score CTEs + the grouped-jackknife arithmetic, every
+    // intermediate rounded to 9 before its decimal sum
+    "q282_jackknife_se" -> """
+      WITH wrd AS (
+        SELECT doc_id, source,
+          unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ')) AS word
+        FROM documents),
+      wt AS (
+        SELECT doc_id, source,
+          (CAST(concat('0x', substr(md5(concat('w', CAST(
+             (CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT)
+               % 4096)
+           AS VARCHAR))), 1, 8)) AS BIGINT) % 2001) - 1000 AS wt
+        FROM wrd),
+      s AS (
+        SELECT doc_id, source,
+          ROUND(CAST(CAST(SUM(wt) AS BIGINT) AS DOUBLE)
+            / CAST(COUNT(*) * 1000 AS DOUBLE), 9) AS score
+        FROM wt GROUP BY doc_id, source),
+      sh2 AS (
+        SELECT source,
+          CAST(concat('0x', substr(md5(concat('jk',
+            CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 16 AS j,
+          CAST(COUNT(*) AS BIGINT) AS nj,
+          SUM(CAST(score AS DECIMAL(28,9))) AS sj
+        FROM s GROUP BY source, j),
+      tot AS (
+        SELECT source, CAST(SUM(nj) AS BIGINT) AS n, SUM(sj) AS stot,
+          CAST(COUNT(*) AS BIGINT) AS g
+        FROM sh2 GROUP BY source HAVING COUNT(*) >= 2),
+      mj AS (
+        SELECT s2.source, t.g, t.n, t.stot,
+          ROUND(CAST(t.stot - s2.sj AS DOUBLE)
+            / CAST(t.n - s2.nj AS DOUBLE), 9) AS mj
+        FROM sh2 s2 JOIN tot t ON t.source = s2.source),
+      mb AS (
+        SELECT source, ROUND(CAST(SUM(CAST(mj AS DECIMAL(28,9)))
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS mbar
+        FROM mj GROUP BY source),
+      d2 AS (
+        SELECT m.source, m.g, m.n, m.stot,
+          CAST(ROUND((m.mj - b.mbar) * (m.mj - b.mbar), 9)
+            AS DECIMAL(28,9)) AS d2
+        FROM mj m JOIN mb b ON b.source = m.source),
+      fin AS (
+        SELECT source, g, n, stot, SUM(d2) AS ssd
+        FROM d2 GROUP BY source, g, n, stot)
+      SELECT source, n AS n_docs, g AS n_shards,
+        ROUND(CAST(stot AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_score,
+        ROUND(sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE)
+          * CAST(ssd AS DOUBLE)), 9) AS se_jack
+      FROM fin ORDER BY source""",
+
     "q274_dim_ablation" -> dimAblationOracle,
 
     "q275_effective_mixture" -> effectiveMixtureOracle,
@@ -5793,6 +5824,41 @@ object SparkEntry {
         SELECT src AS id, LEAST(src, MIN(dst)) AS label
         FROM reach GROUP BY src)"""
 
+  /** q151's BM25 scoring chain ending in `lexs(doc_id, bm25,
+    * n_terms_hit)` — shared with the hybrid rank fusion (q280). */
+  private val bm25Ctes: String = """
+      WITH w2 AS (
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+            unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+              ' ', 'g')), ' ')) AS word
+          FROM documents) u
+        WHERE word <> ''),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM w2 GROUP BY doc_id),
+      st AS (SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+      tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM w2
+        WHERE word IN ('the', 'data', 'model')
+        GROUP BY doc_id, word),
+      df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+      sc AS (
+        SELECT tf.doc_id,
+          CAST(ROUND(
+            ln((CAST(n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+               / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+               * CAST(dl AS DOUBLE)
+               / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))),
+            9) AS DECIMAL(18,9)) AS s
+        FROM tf JOIN df USING (word) JOIN dl USING (doc_id)
+        CROSS JOIN st),
+      lexs AS (
+        SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25,
+          COUNT(*) AS n_terms_hit
+        FROM sc GROUP BY doc_id)"""
+
   /** Shared by q273 (batch) and q277 (streamed aggregate, identical
     * finishing math): integer-scaled CUSUM with the deterministic
     * argmax tie-break. */
@@ -5887,6 +5953,102 @@ object SparkEntry {
           CAST((SELECT COUNT(*) FROM kl JOIN dl
             ON kl.label = dl.doc_id) AS BIGINT)) u
       ORDER BY artifact"""
+
+  /** q280's oracle: BM25 arm (shared CTEs), exact-cosine arm against
+    * probe vector 0, reciprocal-rank fusion with the same rounding. */
+  private def rankFusionOracle: String = {
+    def dotSql(a: String, b: String): String =
+      s"""list_reduce(list_transform(range(1, 65),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+            (x, y) -> x + y)"""
+    bm25Ctes + s""",
+      lex AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC,
+          doc_id) AS INT) AS rank_lex
+        FROM (SELECT doc_id, bm25 FROM lexs
+              ORDER BY bm25 DESC, doc_id LIMIT 20) t),
+      pr AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+      semsc AS (
+        SELECT e.vec_id AS doc_id,
+          ${dotSql("q_emb", "e.embedding")}
+          / sqrt(${dotSql("q_emb", "q_emb")}
+            * ${dotSql("e.embedding", "e.embedding")}) AS cos
+        FROM embeddings e CROSS JOIN pr
+        WHERE e.vec_id <> 0),
+      sem AS (
+        SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC,
+          doc_id) AS INT) AS rank_sem
+        FROM (SELECT doc_id, cos FROM semsc
+              ORDER BY cos DESC, doc_id LIMIT 20) t),
+      fused AS (
+        SELECT COALESCE(l.doc_id, s2.doc_id) AS doc_id,
+          l.rank_lex, s2.rank_sem,
+          ROUND(COALESCE(ROUND(1.0 / (60.0 + l.rank_lex), 9), 0.0)
+            + COALESCE(ROUND(1.0 / (60.0 + s2.rank_sem), 9), 0.0), 9)
+            AS rrf
+        FROM lex l FULL OUTER JOIN sem s2 ON s2.doc_id = l.doc_id)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT)
+          AS fused_rank,
+        doc_id, rank_lex, rank_sem, rrf
+      FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10) t
+      ORDER BY fused_rank"""
+  }
+
+  /** q281's oracle: the q274 CTE template with ranks kept, DCG@10
+    * against the full-dim anchor, the ideal DCG derived by the same
+    * formula from a 10-row range. */
+  private def ndcgAblationOracle: String = {
+    def dotSql(a: String, b: String, d: Int): String =
+      s"""list_reduce(list_transform(range(1, ${d + 1}),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+            (x, y) -> x + y)"""
+    val variants = Seq(16, 32, 64).map { d =>
+      s"""      s$d AS (
+        SELECT q_id, e.vec_id,
+          ${dotSql("q_emb", "e.embedding", d)}
+          / sqrt(${dotSql("q_emb", "q_emb", d)}
+            * ${dotSql("e.embedding", "e.embedding", d)}) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.q_id),
+      t$d AS (
+        SELECT q_id, vec_id, CAST(rn AS INT) AS rank FROM (
+          SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, vec_id ASC) AS rn
+          FROM s$d) z WHERE rn <= 10)"""
+    }.mkString(",\n")
+    val per = Seq(16, 32).map { d =>
+      s"""      dcg$d AS (
+        SELECT t$d.q_id,
+          CAST(SUM(CAST(ROUND(1.0 / log2(CAST(t$d.rank AS DOUBLE) + 1.0),
+            9) AS DECIMAL(28,9))) AS DOUBLE) AS dcg
+        FROM t$d JOIN t64 ON t64.q_id = t$d.q_id
+          AND t64.vec_id = t$d.vec_id
+        GROUP BY t$d.q_id),
+      nd$d AS (
+        SELECT qq.q_id, ROUND(COALESCE(dd.dcg, 0.0) / i.idcg, 9) AS ndcg
+        FROM (SELECT DISTINCT q_id FROM t64) qq
+        LEFT JOIN dcg$d dd ON dd.q_id = qq.q_id
+        CROSS JOIN idcg i),
+      a$d AS (
+        SELECT $d AS dim, CAST(COUNT(*) AS BIGINT) AS n_queries,
+          ROUND(CAST(SUM(CAST(ndcg AS DECIMAL(28,9))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE), 9) AS mean_ndcg,
+          MIN(ndcg) AS min_ndcg
+        FROM nd$d)"""
+    }.mkString(",\n")
+    s"""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 20),
+$variants,
+      idcg AS (
+        SELECT CAST(SUM(CAST(ROUND(1.0 / log2(CAST(i AS DOUBLE) + 1.0),
+          9) AS DECIMAL(28,9))) AS DOUBLE) AS idcg
+        FROM (SELECT unnest(range(1, 11)) AS i) r),
+$per
+      SELECT CAST(dim AS INT) AS dim, n_queries, mean_ndcg, min_ndcg
+      FROM (SELECT * FROM a16 UNION ALL SELECT * FROM a32) u
+      ORDER BY dim"""
+  }
 
   /** q274's oracle: the q27 cosine CTE template instantiated per dim
     * variant (the dot/norm folds range only over the first d dims =

@@ -538,6 +538,61 @@ object Quality {
       .orderBy(col("field"))
   }
 
+  /** q282: delete-one-shard jackknife standard error of the mean
+    * quality score per source — the uncertainty a monitoring report
+    * should attach before anyone reacts to a mean shifting (q262/q268
+    * flag distribution changes; this says how much wobble the mean
+    * itself carries). The corpus is split into g=16 deterministic
+    * hash shards; each delete-one-shard mean m_j is computed from the
+    * complement, and SE² = (g−1)/g · Σ_j (m_j − m̄)² — the grouped
+    * jackknife, the resampling scheme that needs NO replication of
+    * the data (a bootstrap would explode the corpus ×B).
+    *
+    * Scale shape: ONE corpus aggregate to (source, shard) — 16 rows
+    * per source — and everything after runs on that metadata frame.
+    * Score sums stay DECIMAL(28,9)-exact; each m_j and each squared
+    * deviation rounds to 9 before the decimal sum, so the SE is
+    * engine-portable; sqrt of identical doubles is bitwise identical. */
+  def q282JackknifeSe(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextStats.hashedScores(spark, dir)
+      .select(col("source"), col("doc_id"), col("score"))
+    // md5-keyed shard, not doc_id % 16: doc ids are assigned round-
+    // robin by source in this corpus, so a modulus shard would
+    // correlate with the grouping key and collapse g
+    val shard = s.withColumn("j",
+      pmod(conv(substring(md5(concat(lit("jk"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(16L)))
+      .groupBy(col("source"), col("j"))
+      .agg(count(lit(1)).as("nj"),
+        sum(col("score").cast("decimal(28,9)")).as("sj"))
+    val tot = shard.groupBy(col("source"))
+      .agg(sum(col("nj")).as("n"), sum(col("sj")).as("stot"),
+        count(lit(1)).as("g"))
+      .filter(col("g") >= 2)
+    val mj = shard.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("g"), col("n"), col("stot"),
+        round((col("stot") - col("sj")).cast("double") /
+          (col("n") - col("nj")).cast("double"), 9).as("mj"))
+    val mb = mj.groupBy(col("source"))
+      .agg(round(sum(col("mj").cast("decimal(28,9)")).cast("double") /
+        count(lit(1)).cast("double"), 9).as("mbar"))
+    mj.join(broadcast(mb), Seq("source"))
+      .select(col("source"), col("g"), col("n"), col("stot"),
+        round((col("mj") - col("mbar")) * (col("mj") - col("mbar")), 9)
+          .cast("decimal(28,9)").as("d2"))
+      .groupBy(col("source"), col("g"), col("n"), col("stot"))
+      .agg(sum(col("d2")).as("ssd"))
+      .select(col("source"), col("n").as("n_docs"),
+        col("g").as("n_shards"),
+        round(col("stot").cast("double") / col("n").cast("double"), 9)
+          .as("mean_score"),
+        round(sqrt((col("g") - 1L).cast("double") /
+          col("g").cast("double") * col("ssd").cast("double")), 9)
+          .as("se_jack"))
+      .orderBy(col("source"))
+  }
+
   /** q266: l-diversity audit — the companion check to q265's
     * k-anonymity. A class can be large (k-anonymous) yet still leak:
     * if every row in it shares the same SENSITIVE value, membership

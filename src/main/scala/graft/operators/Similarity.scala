@@ -107,25 +107,32 @@ object Similarity {
     * variant, no shuffle beyond the per-probe top-k; recall joins and
     * the final 2-row report are metadata-sized. Mean/min recall stay
     * integer (intersection counts) until the final division. */
-  def q274DimAblation(spark: SparkSession, dir: String): DataFrame = {
+  /** Exact cosine top-10 per probe (vec_id < 20) using only the first
+    * `d` dims — (q_id, vec_id, rank). Shared by the recall (q274) and
+    * nDCG (q281) ablation reports. */
+  private def truncatedTopK(spark: SparkSession, dir: String,
+      d: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    def topk(d: Int): DataFrame = {
-      def sliced(c: Column): Column = if (d == 64) c else slice(c, 1, d)
-      val q = emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), sliced(col("embedding")).as("q_emb"))
-        .withColumn("q_norm", dot(col("q_emb"), col("q_emb")))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-      emb.select(col("vec_id"), sliced(col("embedding")).as("emb"))
-        .withColumn("c_norm", dot(col("emb"), col("emb")))
-        .join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (dot(col("q_emb"), col("emb")) /
-            sqrt(col("q_norm") * col("c_norm"))).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"))
-    }
+    def sliced(c: Column): Column = if (d == 64) c else slice(c, 1, d)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), sliced(col("embedding")).as("q_emb"))
+      .withColumn("q_norm", dot(col("q_emb"), col("q_emb")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    emb.select(col("vec_id"), sliced(col("embedding")).as("emb"))
+      .withColumn("c_norm", dot(col("emb"), col("emb")))
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("q_emb"), col("emb")) /
+          sqrt(col("q_norm") * col("c_norm"))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+  }
+
+  def q274DimAblation(spark: SparkSession, dir: String): DataFrame = {
+    def topk(d: Int): DataFrame =
+      truncatedTopK(spark, dir, d).select(col("q_id"), col("vec_id"))
     val full = topk(64).localCheckpoint(eager = false)
     Seq(16, 32).map { d =>
       val inter = topk(d).join(full, Seq("q_id", "vec_id"))
@@ -140,6 +147,89 @@ object Similarity {
             (col("n_queries") * 10L).cast("double"), 9).as("mean_recall"),
           round(col("min_hits").cast("double") / 10.0d, 9).as("min_recall"))
     }.reduce(_ unionByName _).orderBy(col("dim"))
+  }
+
+  /** q281: nDCG ablation — the graded companion to q274's recall.
+    * Relevance is binary membership in the full-dimension top-10; the
+    * truncated ranking's DCG@10 (Σ rel_i / log2(i+1)) is divided by
+    * the ideal DCG (all ten relevant up front), so the metric rewards
+    * putting the true neighbors EARLY, which recall@10 cannot see.
+    * Per-rank gain terms round to 9 and decimal-sum (order-free); the
+    * ideal DCG is computed by the same formula from a 10-row range so
+    * both engines derive the identical constant.
+    *
+    * Scale shape: identical to q274 (three broadcast-probe scans);
+    * everything after the top-10s is metadata-sized. */
+  def q281NdcgAblation(spark: SparkSession, dir: String): DataFrame = {
+    val full = truncatedTopK(spark, dir, 64)
+      .select(col("q_id"), col("vec_id")).localCheckpoint(eager = false)
+    val idcg = spark.range(1L, 11L)
+      .agg(sum(round(lit(1.0d) /
+        log2(col("id").cast("double") + 1.0d), 9).cast("decimal(28,9)"))
+        .cast("double").as("idcg"))
+    Seq(16, 32).map { d =>
+      val dcg = truncatedTopK(spark, dir, d)
+        .join(full, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id"))
+        .agg(sum(round(lit(1.0d) /
+          log2(col("rank").cast("double") + 1.0d), 9)
+          .cast("decimal(28,9)")).cast("double").as("dcg"))
+      full.select(col("q_id")).distinct()
+        .join(dcg, Seq("q_id"), "left")
+        .crossJoin(broadcast(idcg))
+        .select(round(coalesce(col("dcg"), lit(0.0d)) / col("idcg"), 9)
+          .as("ndcg"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(sum(col("ndcg").cast("decimal(28,9)")).cast("double") /
+            count(lit(1)).cast("double"), 9).as("mean_ndcg"),
+          min(col("ndcg")).as("min_ndcg"))
+        .select(lit(d).as("dim"), col("n_queries"), col("mean_ndcg"),
+          col("min_ndcg"))
+    }.reduce(_ unionByName _).orderBy(col("dim"))
+  }
+
+  /** q280: hybrid retrieval via reciprocal rank fusion — the standard
+    * way a serving stack combines a lexical arm (q151's BM25 over the
+    * fixed text query) with a semantic arm (exact cosine against probe
+    * vector 0, vec_id ≡ doc_id in this fixture) without calibrating
+    * their incomparable scores: each arm contributes 1/(60+rank) for
+    * its top-20, fused top-10 wins. Rank-based fusion is score-scale-
+    * free, which is exactly why production engines default to it.
+    *
+    * Scale shape: each arm is an existing proven plan ending in
+    * TakeOrderedAndProject(20); ranking windows run ON the 20-row
+    * results, the fusion is a 20∪20 full-outer join. Reciprocal terms
+    * round to 9 before summing. */
+  def q280RankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = TextStats.bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      .withColumn("rank_lex", row_number().over(wLex))
+      .select(col("doc_id"), col("rank_lex"))
+    val emb = Tables.embeddings(spark, dir)
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
+    val sem = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        cosine(col("embedding"), col("q_emb")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      .withColumn("rank_sem", row_number().over(wSem))
+      .select(col("doc_id"), col("rank_sem"))
+    val wF = Window.orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(round(lit(1.0d) /
+          (lit(60.0d) + col("rank_lex").cast("double")), 9), lit(0.0d)) +
+        coalesce(round(lit(1.0d) /
+          (lit(60.0d) + col("rank_sem").cast("double")), 9), lit(0.0d)),
+        9))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .withColumn("fused_rank", row_number().over(wF))
+      .select(col("fused_rank"), col("doc_id"), col("rank_lex"),
+        col("rank_sem"), col("rrf"))
+      .orderBy(col("fused_rank"))
   }
 
   /** Deterministic random hyperplanes: 4 tables × 4 planes × 64 dims. */

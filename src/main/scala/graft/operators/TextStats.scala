@@ -381,7 +381,15 @@ object TextStats {
     * decimals, then summed per doc as exact DECIMALs — the same
     * order-independence discipline as q145, so ranking is
     * deterministic and hash-checkable. Top-20 by (score, doc_id). */
-  def q151Bm25(spark: SparkSession, dir: String): DataFrame = {
+  def q151Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** q151's scored frame before the top-20 cut — shared with the
+    * hybrid rank fusion (q280), which needs the same lexical arm. */
+  private[graft] def bm25Scores(spark: SparkSession,
+      dir: String): DataFrame = {
     val query = Seq("the", "data", "model")
     val docs = Tables.documents(spark, dir)
     val words = docs
@@ -411,8 +419,6 @@ object TextStats {
       .groupBy(col("doc_id"))
       .agg(sum(col("s")).cast("double").as("bm25"),
         count(lit(1)).as("n_terms_hit"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
   /** Sentence segmentation statistics: split on terminal punctuation

@@ -269,4 +269,52 @@ class SimilaritySpec extends AnyFunSuite {
     // full-dim anchor on this geometry
     assert(rows(1)._3 >= rows(0)._3)
   }
+
+  test("nDCG ablation is a valid graded metric bounded by recall " +
+      "behavior") {
+    val rows = operators.Similarity
+      .q281NdcgAblation(TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Double]("mean_ndcg"),
+        r.getAs[Double]("min_ndcg")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(16, 32))
+    rows.foreach { case (_, mean, mn) =>
+      assert(mean >= 0.0 && mean <= 1.0)
+      assert(mn >= 0.0 && mn <= mean)
+    }
+    assert(rows(1)._2 >= rows(0)._2)
+  }
+
+  test("reciprocal rank fusion: rrf recomputes from the arm ranks and " +
+      "dual-arm hits dominate") {
+    val rows = operators.Similarity
+      .q280RankFusion(TestSpark.spark, TestSpark.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(_.getAs[Int]("fused_rank")).toSeq ==
+      (1 to rows.length))
+    var prev = Double.MaxValue
+    rows.foreach { r =>
+      def rankTerm(c: String): Double =
+        if (r.isNullAt(r.fieldIndex(c))) 0.0
+        else {
+          val k = r.getAs[Int](c)
+          assert(k >= 1 && k <= 20)
+          BigDecimal(1.0 / (60.0 + k))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      val expect = rankTerm("rank_lex") + rankTerm("rank_sem")
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-8)
+      assert(r.getAs[Double]("rrf") <= prev + 1e-12)
+      prev = r.getAs[Double]("rrf")
+    }
+    // a doc in BOTH top-20s scores at least 2/80, beating any
+    // single-arm doc (max 1/61) — RRF's defining property
+    val dual = rows.filter(r => !r.isNullAt(r.fieldIndex("rank_lex")) &&
+      !r.isNullAt(r.fieldIndex("rank_sem")))
+    val single = rows.filter(r => r.isNullAt(r.fieldIndex("rank_lex")) ||
+      r.isNullAt(r.fieldIndex("rank_sem")))
+    if (dual.nonEmpty && single.nonEmpty)
+      assert(dual.map(_.getAs[Double]("rrf")).min >
+        single.map(_.getAs[Double]("rrf")).max)
+  }
 }

@@ -331,6 +331,29 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("jackknife SE: positive-finite wobble, shards partition each " +
+      "source, mean matches the direct mean") {
+    val rows = operators.Quality.q282JackknifeSe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val direct = operators.TextStats.hashedScores(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("source"))
+      .agg(org.apache.spark.sql.functions.avg("score").as("m"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("m"), r.getAs[Long]("n"))).toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      assert(r.getAs[Long]("n_shards") >= 2 &&
+        r.getAs[Long]("n_shards") <= 16)
+      assert(r.getAs[Long]("n_docs") == direct(src)._2)
+      assert(math.abs(r.getAs[Double]("mean_score") - direct(src)._1)
+        < 1e-6)
+      val se = r.getAs[Double]("se_jack")
+      assert(se >= 0.0 && se < 1.0 && !se.isNaN)
+    }
+  }
+
   test("robust clip leaves zero residuals outside the band and moves " +
       "only tail mass") {
     val rows = operators.Quality.q269RobustClip(spark, sf).collect()
