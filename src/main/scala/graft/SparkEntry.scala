@@ -311,6 +311,9 @@ object SparkEntry {
     "q280_rank_fusion"     -> (Similarity.q280RankFusion _),
     "q281_ndcg_ablation"   -> (Similarity.q281NdcgAblation _),
     "q282_jackknife_se"    -> (Quality.q282JackknifeSe _),
+    "q283_window_funnel"   -> (Events.q283WindowFunnel _),
+    "q284_attribution"     -> (Events.q284Attribution _),
+    "q285_seasonality"     -> (Events.q285SeasonalityProfile _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5432,6 +5435,97 @@ object SparkEntry {
         ROUND(sqrt(CAST(g - 1 AS DOUBLE) / CAST(g AS DOUBLE)
           * CAST(ssd AS DOUBLE)), 9) AS se_jack
       FROM fin ORDER BY source""",
+
+    // floor(epoch()) mirrors Spark's second-truncating unix_timestamp
+    // on the microsecond event times; greedy-from-earliest chaining
+    "q283_window_funnel" -> """
+      WITH e AS (SELECT user_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS ts FROM events),
+      s AS (SELECT user_id, MIN(ts) AS s_ts FROM e
+            WHERE event_type = 'signup' GROUP BY user_id),
+      c AS (SELECT e.user_id, MIN(e.ts) AS c_ts, MIN(s.s_ts) AS s_ts
+            FROM e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+              AND CAST(floor(epoch(e.ts)) AS BIGINT)
+                <= CAST(floor(epoch(s.s_ts)) AS BIGINT) + 86400
+            GROUP BY e.user_id),
+      p AS (SELECT e.user_id, MIN(e.ts) AS p_ts, MIN(c.s_ts) AS s_ts
+            FROM e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+              AND CAST(floor(epoch(e.ts)) AS BIGINT)
+                <= CAST(floor(epoch(c.c_ts)) AS BIGINT) + 86400
+            GROUP BY e.user_id)
+      SELECT * FROM (
+        SELECT '1_signup' AS step, CAST(COUNT(*) AS BIGINT) AS n_users,
+          ROUND(quantile_cont(CAST(floor(epoch(s_ts))
+            - floor(epoch(s_ts)) AS DOUBLE) / 3600.0, 0.5), 9)
+            AS median_hours_from_signup
+        FROM s
+        UNION ALL
+        SELECT '2_click_24h', CAST(COUNT(*) AS BIGINT),
+          ROUND(quantile_cont(CAST(floor(epoch(c_ts))
+            - floor(epoch(s_ts)) AS DOUBLE) / 3600.0, 0.5), 9)
+        FROM c
+        UNION ALL
+        SELECT '3_purchase_24h', CAST(COUNT(*) AS BIGINT),
+          ROUND(quantile_cont(CAST(floor(epoch(p_ts))
+            - floor(epoch(s_ts)) AS DOUBLE) / 3600.0, 0.5), 9)
+        FROM p) u
+      ORDER BY step""",
+
+    // argmin/argmax by (ts, event_id) mirrors the Spark struct min/max
+    "q284_attribution" -> """
+      WITH e AS (SELECT user_id, event_type,
+                   CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+      conv AS (SELECT user_id, MIN(ts) AS conv_ts FROM e
+               WHERE event_type = 'purchase' GROUP BY user_id),
+      t AS (SELECT e.user_id, e.event_type, e.ts, e.event_id
+            FROM e JOIN conv ON conv.user_id = e.user_id
+            WHERE e.event_type <> 'purchase' AND e.ts < conv.conv_ts),
+      ft AS (SELECT user_id, event_type FROM (
+               SELECT user_id, event_type, ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM t) z WHERE rn = 1),
+      lt AS (SELECT user_id, event_type FROM (
+               SELECT user_id, event_type, ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+                 AS rn
+               FROM t) z WHERE rn = 1),
+      f AS (SELECT event_type AS channel,
+              CAST(COUNT(*) AS BIGINT) AS n_first_touch
+            FROM ft GROUP BY 1),
+      l AS (SELECT event_type AS channel,
+              CAST(COUNT(*) AS BIGINT) AS n_last_touch
+            FROM lt GROUP BY 1)
+      SELECT COALESCE(f.channel, l.channel) AS channel,
+        COALESCE(f.n_first_touch, 0) AS n_first_touch,
+        COALESCE(l.n_last_touch, 0) AS n_last_touch
+      FROM f FULL OUTER JOIN l ON l.channel = f.channel
+      ORDER BY channel""",
+
+    // epoch-day dow arithmetic ((d+4) mod 7), independence-model
+    // expected counts, residuals on the rounded expected value
+    "q285_seasonality" -> """
+      WITH c AS (
+        SELECT CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE)
+            - DATE '1970-01-01' + 4) % 7 AS INT) AS dow,
+          CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hr,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY dow, hr),
+      r AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS row_n
+            FROM c GROUP BY dow),
+      co AS (SELECT hr, CAST(SUM(n) AS BIGINT) AS col_n
+             FROM c GROUP BY hr),
+      g AS (SELECT CAST(SUM(n) AS BIGINT) AS grand FROM c),
+      x AS (
+        SELECT c.dow, c.hr, c.n,
+          ROUND(CAST(r.row_n * co.col_n AS DOUBLE)
+            / CAST(g.grand AS DOUBLE), 9) AS expected
+        FROM c JOIN r USING (dow) JOIN co USING (hr) CROSS JOIN g)
+      SELECT dow, hr, n, expected,
+        ROUND((CAST(n AS DOUBLE) - expected) / sqrt(expected), 9)
+          AS pearson_resid
+      FROM x ORDER BY dow, hr""",
 
     "q274_dim_ablation" -> dimAblationOracle,
 

@@ -548,4 +548,121 @@ object Events {
         col("slope_med").as("slope"), col("intercept"))
       .orderBy(col("event_type"))
   }
+
+  /** q283: time-window funnel — q117's ordered steps with the bound
+    * real funnels have: each step must land within 24 HOURS of the
+    * previous one (ClickHouse's windowFunnel semantics, greedy from
+    * the user's earliest signup). The unbounded q117 counts a
+    * purchase weeks later as a conversion; this one doesn't, and the
+    * per-step drop between the two queries measures exactly the
+    * time-dispersion of the funnel.
+    *
+    * Scale shape: identical to q117 — three user-keyed min-aggregates
+    * chained by broadcast-sized step frames; the added window bound
+    * is a filter on the same join, no new shuffle. The completers'
+    * signup→purchase latency is summarized with an exact per-group
+    * percentile over the completers frame (user-bounded). */
+  def q283WindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val lim = 24L * 3600L
+    val s = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .join(s, "user_id")
+      .filter(col("ts") >= col("s_ts") &&
+        unix_timestamp(col("ts")) <= unix_timestamp(col("s_ts")) + lim)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"),
+        min(col("s_ts")).as("s_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") >= col("c_ts") &&
+        unix_timestamp(col("ts")) <= unix_timestamp(col("c_ts")) + lim)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"),
+        min(col("s_ts")).as("s_ts"))
+    // per step: reached-user count + median hours from signup to the
+    // step's own event (0 for the signup step itself)
+    def step(name: String, df: DataFrame, stepTs: String) =
+      df.agg(count(lit(1)).as("n_users"),
+        round(expr(
+          s"percentile(CAST(unix_timestamp($stepTs) - " +
+            "unix_timestamp(s_ts) AS DOUBLE) / 3600.0D, 0.5D)"), 9)
+          .as("median_hours_from_signup"))
+        .select(lit(name).as("step"), col("n_users"),
+          col("median_hours_from_signup"))
+    step("1_signup", s, "s_ts")
+      .unionByName(step("2_click_24h", c, "c_ts"))
+      .unionByName(step("3_purchase_24h", p, "p_ts"))
+      .orderBy(col("step"))
+  }
+
+  /** q284: conversion attribution — for every user's FIRST purchase,
+    * credit the first-touch and last-touch non-purchase event
+    * preceding it (ties broken by event_id, so credit assignment is
+    * deterministic). The two models book the same conversions to
+    * different channels; the per-channel report is the side-by-side a
+    * marketing-analytics stack publishes.
+    *
+    * Scale shape: one user-keyed min-aggregate (first purchase,
+    * broadcast back), then ONE pass over pre-purchase events with two
+    * argmin/argmax struct-aggregates per user — no window over raw
+    * events, no second scan — and a channels-sized double aggregate. */
+  def q284Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("conv_ts"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .join(broadcast(conv), "user_id")
+      .filter(col("ts") < col("conv_ts"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("first"),
+        max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("last"))
+    val first = touches.groupBy(col("first.event_type").as("channel"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    val last = touches.groupBy(col("last.event_type").as("channel"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    first.join(last, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
+      .orderBy(col("channel"))
+  }
+
+  /** q285: weekly seasonality profile — the (day-of-week × hour) grid
+    * of event counts with the expected count under the independence
+    * model (row total × column total / grand total) and the Pearson
+    * residual (n − e)/√e that flags which cells actually carry the
+    * weekly rhythm. Day-of-week comes from epoch-day arithmetic
+    * ((d+4) mod 7, 0 = Sunday) — the q155 discipline: no
+    * locale-dependent `dayofweek` so the oracle is engine-portable.
+    *
+    * Scale shape: ONE corpus aggregate to the 168-cell grid; margins
+    * and residuals are grid-side arithmetic. Counts stay integers;
+    * expected/residual round at 9. */
+  def q285SeasonalityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(
+        pmod(unix_date(to_date(col("ts"))) + 4, lit(7)).cast("int")
+          .as("dow"),
+        hour(col("ts")).cast("int").as("hr"))
+      .groupBy(col("dow"), col("hr")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val rowTot = cells.groupBy(col("dow")).agg(sum(col("n")).as("row_n"))
+    val colTot = cells.groupBy(col("hr")).agg(sum(col("n")).as("col_n"))
+    val grand = cells.agg(sum(col("n")).as("grand"))
+    cells.join(broadcast(rowTot), "dow")
+      .join(broadcast(colTot), "hr")
+      .crossJoin(broadcast(grand))
+      .withColumn("expected",
+        round((col("row_n") * col("col_n")).cast("double") /
+          col("grand").cast("double"), 9))
+      .select(col("dow"), col("hr"), col("n"), col("expected"),
+        round((col("n").cast("double") - col("expected")) /
+          sqrt(col("expected")), 9).as("pearson_resid"))
+      .orderBy(col("dow"), col("hr"))
+  }
 }

@@ -228,6 +228,65 @@ class RelationalSpec extends AnyFunSuite {
     assert(corpus.getAs[Long]("rows_deleted") == expected)
   }
 
+  test("window funnel: monotone steps, bounded by the unbounded " +
+      "funnel, latencies inside the chained windows") {
+    val rows = operators.Events.q283WindowFunnel(spark, sf).collect()
+      .map(r => r.getAs[String]("step") -> r).toMap
+    val n1 = rows("1_signup").getAs[Long]("n_users")
+    val n2 = rows("2_click_24h").getAs[Long]("n_users")
+    val n3 = rows("3_purchase_24h").getAs[Long]("n_users")
+    assert(n1 >= n2 && n2 >= n3)
+    assert(rows("1_signup").getAs[Double]("median_hours_from_signup")
+      == 0.0)
+    if (n2 > 0)
+      assert(rows("2_click_24h")
+        .getAs[Double]("median_hours_from_signup") <= 24.0)
+    if (n3 > 0)
+      assert(rows("3_purchase_24h")
+        .getAs[Double]("median_hours_from_signup") <= 48.0)
+    // the 24h bound can only lose conversions vs the unbounded q117
+    val unbounded = operators.Events.q117Funnel(spark, sf).collect()
+      .map(r => r.getAs[String]("step") -> r.getAs[Long]("n_users"))
+      .toMap
+    assert(n3 <= unbounded("3_purchase_after"))
+    assert(n1 == unbounded("1_signup"))
+  }
+
+  test("attribution: both models book the same conversion total") {
+    val rows = operators.Events.q284Attribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ft = rows.map(_.getAs[Long]("n_first_touch")).sum
+    val lt = rows.map(_.getAs[Long]("n_last_touch")).sum
+    // every attributed user gets exactly one first and one last touch
+    assert(ft == lt && ft > 0)
+    // purchase can never credit itself
+    assert(!rows.exists(_.getAs[String]("channel") == "purchase"))
+  }
+
+  test("seasonality grid: cells partition the events and expected " +
+      "mass reproduces the margins") {
+    val rows = operators.Events.q285SeasonalityProfile(spark, sf).collect()
+    val total = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") <= 6)
+      assert(r.getAs[Int]("hr") >= 0 && r.getAs[Int]("hr") <= 23)
+      assert(r.getAs[Double]("expected") > 0.0)
+    }
+    // expected = row margin x col margin / grand, recomputed from the
+    // emitted cells themselves (conservation needs a FULL grid, which
+    // a sparse fixture doesn't have — margins are the real invariant)
+    val rowTot = rows.groupBy(_.getAs[Int]("dow"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("n")).sum }
+    val colTot = rows.groupBy(_.getAs[Int]("hr"))
+      .map { case (k, v) => k -> v.map(_.getAs[Long]("n")).sum }
+    rows.foreach { r =>
+      val e = rowTot(r.getAs[Int]("dow")).toDouble *
+        colTot(r.getAs[Int]("hr")).toDouble / total.toDouble
+      assert(math.abs(r.getAs[Double]("expected") - e) < 1e-6)
+    }
+  }
+
   test("CUSUM changepoint: peak sign agrees with the segment-mean " +
       "ordering") {
     val rows = operators.Events.q273Cusum(spark, sf).collect()
