@@ -314,6 +314,9 @@ object SparkEntry {
     "q283_window_funnel"   -> (Events.q283WindowFunnel _),
     "q284_attribution"     -> (Events.q284Attribution _),
     "q285_seasonality"     -> (Events.q285SeasonalityProfile _),
+    "q286_transition_matrix" -> (Events.q286TransitionMatrix _),
+    "q287_kaplan_meier"    -> (Events.q287KaplanMeier _),
+    "q288_top_paths"       -> (Events.q288TopPaths _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5526,6 +5529,85 @@ object SparkEntry {
         ROUND((CAST(n AS DOUBLE) - expected) / sqrt(expected), 9)
           AS pearson_resid
       FROM x ORDER BY dow, hr""",
+
+    // LEAD over (ts, event_id) mirrors the Spark window; entropy terms
+    // round at 9 then decimal-sum
+    "q286_transition_matrix" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   event_type AS cur FROM events),
+      pr AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM (
+               SELECT cur, LEAD(cur) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS nxt
+               FROM e) z
+             WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      r AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS row_n
+            FROM pr GROUP BY cur),
+      wp AS (SELECT pr.cur, pr.nxt, pr.n,
+               ROUND(CAST(pr.n AS DOUBLE) / CAST(r.row_n AS DOUBLE), 9)
+                 AS p
+             FROM pr JOIN r USING (cur)),
+      en AS (SELECT cur,
+               ROUND(CAST(SUM(CAST(ROUND(-p * ln(p), 9)
+                 AS DECIMAL(28,9))) AS DOUBLE), 9) AS row_entropy
+             FROM wp GROUP BY cur)
+      SELECT wp.cur, wp.nxt, wp.n, wp.p, en.row_entropy
+      FROM wp JOIN en USING (cur) ORDER BY wp.cur, wp.nxt""",
+
+    // survival as exp of the running decimal sum of 9-rounded log
+    // factors — an order-independent cumulative product
+    "q287_kaplan_meier" -> """
+      WITH u AS (SELECT user_id,
+          CAST(CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE)
+            - DATE '1970-01-01' AS BIGINT) AS d0,
+          CAST(CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE)
+            - DATE '1970-01-01' AS BIGINT) AS d1
+        FROM events GROUP BY user_id),
+      h AS (SELECT MAX(d1) AS dmax FROM u),
+      lv AS (SELECT d1 - d0 AS t,
+               CASE WHEN d1 < h.dmax - 3 THEN 1 ELSE 0 END AS death
+             FROM u CROSS JOIN h),
+      bt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_leaving,
+               CAST(SUM(death) AS BIGINT) AS d
+             FROM lv GROUP BY t),
+      w AS (SELECT t, n_leaving, d,
+              CAST(SUM(n_leaving) OVER (ORDER BY t ROWS BETWEEN
+                CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                AS n_at_risk
+            FROM bt),
+      l AS (SELECT *, CASE WHEN d > 0 THEN
+              ROUND(ln(1.0 - CAST(d AS DOUBLE)
+                / CAST(n_at_risk AS DOUBLE)), 9)
+              ELSE 0.0 END AS lnf FROM w)
+      SELECT t AS t_days, n_at_risk, d AS n_deaths,
+        n_leaving - d AS n_censored,
+        ROUND(exp(CAST(SUM(CAST(lnf AS DECIMAL(28,9))) OVER (
+          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS DOUBLE)), 9) AS survival
+      FROM l ORDER BY t_days""",
+
+    // q38's 30-minute gap rule inline; ordered string_agg mirrors the
+    // Spark rank-filtered sorted-struct join
+    "q288_top_paths" -> """
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                   event_type FROM events),
+      s AS (SELECT *, CASE WHEN prev_ts IS NULL
+              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+            FROM (SELECT *, LAG(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev_ts FROM e) z),
+      sid AS (SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS session_id
+              FROM s),
+      rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id,
+               session_id ORDER BY ts, event_id) AS rn
+             FROM sid),
+      p AS (SELECT user_id, session_id,
+              string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM rn WHERE rn <= 3 GROUP BY user_id, session_id)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM p GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 10""",
 
     "q274_dim_ablation" -> dimAblationOracle,
 

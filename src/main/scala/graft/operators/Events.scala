@@ -665,4 +665,125 @@ object Events {
           sqrt(col("expected")), 9).as("pearson_resid"))
       .orderBy(col("dow"), col("hr"))
   }
+
+  /** q286: first-order Markov transition matrix over each user's
+    * event stream — P(next | current) with per-state transition
+    * entropy, the sequential-behavior profile behind next-event
+    * prediction and anomaly scoring (a transition with near-zero
+    * probability IS the anomaly).
+    *
+    * Scale shape: one user-keyed window pass builds the (cur, next)
+    * pairs — per-user ordered scan, the q71 SCD-2 shape — then one
+    * aggregate to the |types|² matrix; probabilities and entropy are
+    * matrix-side arithmetic on a 25-row frame. Entropy terms round at
+    * 9 and decimal-sum so the report is engine-portable. */
+  def q286TransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("nxt", lead(col("cur"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("cur"), col("nxt")).agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy(col("cur"))
+      .agg(sum(col("n")).as("row_n"))
+    val withP = pairs.join(broadcast(rowTot), "cur")
+      .withColumn("p",
+        round(col("n").cast("double") / col("row_n").cast("double"), 9))
+    val ent = withP
+      .groupBy(col("cur"))
+      .agg(round(sum(round(-col("p") * log(col("p")), 9)
+        .cast("decimal(28,9)")).cast("double"), 9).as("row_entropy"))
+    withP.join(broadcast(ent), "cur")
+      .select(col("cur"), col("nxt"), col("n"), col("p"),
+        col("row_entropy"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  /** q287: Kaplan–Meier survival of user lifetimes — the churn curve.
+    * Lifetime = days between a user's first and last event; a user
+    * whose last event falls within 3 days of the corpus end is
+    * CENSORED (still alive when observation stopped) and leaves the
+    * risk set without counting as a death — the estimator exists
+    * precisely because dropping censored users (naive mean lifetime)
+    * biases churn down. S(t) = Π_{u≤t} (1 − d_u/n_u) over death
+    * times, computed as exp of the running decimal sum of 9-rounded
+    * log factors — a cumulative PRODUCT done order-independently.
+    *
+    * Scale shape: one user-keyed aggregate (first/last event) — the
+    * only corpus pass — then the whole estimator runs on the
+    * distinct-lifetime table (≤ observation-window days, calendar-
+    * bounded); the risk-set counts come from one descending cumsum
+    * window over that tiny frame. */
+  def q287KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(unix_date(to_date(min(col("ts")))).as("d0"),
+        unix_date(to_date(max(col("ts")))).as("d1"))
+    val horizon = users.agg(max(col("d1")).as("dmax"))
+    val lives = users.crossJoin(broadcast(horizon))
+      .select((col("d1") - col("d0")).cast("long").as("t"),
+        (col("d1") < col("dmax") - 3L).cast("long").as("death"))
+    val byT = lives.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_leaving"), sum(col("death")).as("d"))
+    val wRisk = Window.orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_at_risk", sum(col("n_leaving")).over(wRisk))
+      .withColumn("lnf",
+        when(col("d") > 0, round(log(lit(1.0d) -
+          col("d").cast("double") / col("n_at_risk").cast("double")), 9))
+          .otherwise(lit(0.0d)))
+      .withColumn("survival",
+        round(exp(sum(col("lnf").cast("decimal(28,9)")).over(wCum)
+          .cast("double")), 9))
+      .select(col("t").as("t_days"), col("n_at_risk"),
+        col("d").as("n_deaths"),
+        (col("n_leaving") - col("d")).as("n_censored"),
+        col("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  /** q288: top session paths — the first three event types of every
+    * session (30-minute gap rule, q38's definition inline) joined
+    * into a path string, counted, top 10. The entry-path inventory a
+    * product team reads next to the funnel (q117/q283): funnels ask
+    * "did they reach X", paths ask "what do they actually do first".
+    *
+    * Scale shape: the session id is the q38 gap cumsum (one user-
+    * keyed window pass); the path digest aggregates per session with
+    * min(struct)-style smallest-3 selection via a ranked filter — no
+    * collect_list of whole sessions, only ranks ≤ 3 survive the
+    * aggregate; the path table is sessions-sized and the final
+    * TakeOrdered(10) is driver-trivial. */
+  def q288TopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val sessioned = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val paths = sessioned
+      .withColumn("rn", row_number().over(bySession))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          s => s.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
 }

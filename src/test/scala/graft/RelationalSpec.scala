@@ -287,6 +287,54 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("transition matrix: rows are probability distributions and " +
+      "transitions account for every non-final event") {
+    val rows = operators.Events.q286TransitionMatrix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byCur = rows.groupBy(_.getAs[String]("cur"))
+    byCur.foreach { case (_, rs) =>
+      val pSum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-6)
+      val h = rs.head.getAs[Double]("row_entropy")
+      assert(rs.forall(_.getAs[Double]("row_entropy") == h))
+      assert(h >= 0.0 && h <= math.log(5.0) + 1e-9)
+    }
+    val nUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == nEvents - nUsers)
+  }
+
+  test("Kaplan-Meier: survival is a non-increasing (0,1] curve and " +
+      "risk sets shrink") {
+    val rows = operators.Events.q287KaplanMeier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var prevS = 1.0
+    var prevRisk = Long.MaxValue
+    rows.foreach { r =>
+      val s = r.getAs[Double]("survival")
+      assert(s > 0.0 && s <= 1.0 && s <= prevS + 1e-12)
+      prevS = s
+      val risk = r.getAs[Long]("n_at_risk")
+      assert(risk <= prevRisk)
+      prevRisk = risk
+      assert(r.getAs[Long]("n_deaths") + r.getAs[Long]("n_censored")
+        <= risk)
+    }
+  }
+
+  test("top paths: at most 3 steps per path, counts ranked") {
+    val rows = operators.Events.q288TopPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      assert(r.getAs[String]("path").split(">").length <= 3)
+      val n = r.getAs[Long]("n_sessions")
+      assert(n <= prev && n > 0)
+      prev = n
+    }
+  }
+
   test("CUSUM changepoint: peak sign agrees with the segment-mean " +
       "ordering") {
     val rows = operators.Events.q273Cusum(spark, sf).collect()
