@@ -317,6 +317,8 @@ object SparkEntry {
     "q286_transition_matrix" -> (Events.q286TransitionMatrix _),
     "q287_kaplan_meier"    -> (Events.q287KaplanMeier _),
     "q288_top_paths"       -> (Events.q288TopPaths _),
+    "q289_prefix_jaccard"  -> (Dedup.q289PrefixJaccardJoin _),
+    "q290_band_recall"     -> (Dedup.q290BandRecallMeasured _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5609,6 +5611,30 @@ object SparkEntry {
       FROM p GROUP BY path
       ORDER BY n_sessions DESC, path LIMIT 10""",
 
+    // prefix filtering is recall-complete, so the oracle is the naive
+    // all-pairs Jaccard definition the engine never runs
+    "q289_prefix_jaccard" -> """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      j AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          ROUND(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(a.shl || b.shl)) AS DOUBLE), 9)
+            AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM j
+      WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
+
+    "q290_band_recall" -> bandRecallOracle,
+
     "q274_dim_ablation" -> dimAblationOracle,
 
     "q275_effective_mixture" -> effectiveMixtureOracle,
@@ -6315,6 +6341,32 @@ $recalls
           - ROUND(CAST(raw_tokens AS DOUBLE) / CAST(raw_total AS DOUBLE),
               9), 9) AS share_shift
       FROM pl CROSS JOIN tt ORDER BY lang"""
+
+  /** q290's oracle: the exact all-pairs J ≥ 0.8 relation banded into
+    * 0.05-wide cells, left-joined against the CC chain's verified
+    * banded `edges` (= q25's pair set). */
+  private def bandRecallOracle: String =
+    ccLabelCtes + """,
+      ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          ROUND(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(a.shl || b.shl)) AS DOUBLE), 9)
+            AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      exf AS (
+        SELECT doc_a, doc_b,
+          LEAST(CAST(floor(jaccard * 20.0) AS BIGINT), 19) AS band
+        FROM ex WHERE jaccard >= 0.8),
+      bd AS (SELECT doc_a, doc_b FROM edges)
+      SELECT CAST(band AS DOUBLE) / 20.0 AS band_lo,
+        CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(SUM(CASE WHEN bd.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_found,
+        ROUND(CAST(SUM(CASE WHEN bd.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS recall
+      FROM exf LEFT JOIN bd ON bd.doc_a = exf.doc_a
+        AND bd.doc_b = exf.doc_b
+      GROUP BY band ORDER BY band_lo"""
 
   /** q270's oracle: majority-split repair over the q69 labels. The
     * row_number tie-break (cnt desc, then train < val < test) mirrors

@@ -1582,6 +1582,95 @@ object Dedup {
       .orderBy(col("artifact"))
   }
 
+  /** q289: EXACT set-similarity self-join via prefix filtering (the
+    * AllPairs/PPJoin family) — every document pair with shingle
+    * Jaccard ≥ 0.8, with NO probabilistic recall loss. This is the
+    * deterministic alternative to MinHash banding: order the
+    * vocabulary rarest-first (df asc, shingle asc — a global total
+    * order), give each doc a PREFIX of its first |sh| − ⌈0.8·|sh|⌉ +
+    * 1 tokens under that order, and join prefix-to-prefix. The
+    * smallest common token of any qualifying pair provably lands in
+    * BOTH prefixes (o ≥ ⌈t·|A|⌉ common tokens, and at most o−1 follow
+    * it in either set), so candidate generation is recall-COMPLETE —
+    * the oracle is the naive all-pairs definition and the result
+    * EQUALS it.
+    *
+    * Scale shape: one token-keyed exchange attaches df, one per-doc
+    * sort builds the prefix (array_sort over the doc's own tokens,
+    * bounded by doc length), and the candidate join keys on prefix
+    * tokens — the rarest tokens in the corpus, so bucket fan-out is
+    * df-bounded exactly where df is smallest. Exact verify prunes the
+    * survivors. Candidate volume vs the banded tier is the measured
+    * trade q290 reports. */
+  def q289PrefixJaccardJoin(spark: SparkSession, dir: String): DataFrame =
+    exactJaccardPairs(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The prefix-filtered exact J ≥ 0.8 pair set (doc_a < doc_b,
+    * jaccard) — shared by q289 and the recall measurement (q290). */
+  private[graft] def exactJaccardPairs(documents: DataFrame): DataFrame = {
+    val docs = shingled(documents)
+    val dfTab = docs.select(explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = docs
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s"))
+      .join(dfTab, "s")
+      .groupBy(col("doc_id"), col("n"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s"))))
+        .as("ord"))
+      // ceil(0.8·n) = (4n+4) div 5 in pure integer arithmetic
+      .select(col("doc_id"),
+        explode(expr("slice(ord, 1, n - ((4 * n + 4) div 5) + 1)"))
+          .as("p"))
+      .select(col("doc_id"), col("p.s").as("s"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.TextExprs.jaccard(col("sh_a"), col("sh_b")),
+          9).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** q290: MEASURED banding recall — the empirical S-curve. q226
+    * calibrates the MinHash estimator and q213 certifies banded
+    * retrieval against a cosine anchor; this closes the loop on the
+    * dedup tier itself: with q289's exact J ≥ 0.8 relation as ground
+    * truth, count per Jaccard band (0.05-wide) how many true pairs
+    * the 16-sig/4-band MinHash pipeline (q25) actually surfaced.
+    * Banding theory says P(candidate) = 1−(1−s⁴)⁴ ≈ 0.93 at s = 0.8
+    * and → 1 as s → 1; the measured per-band recall is the number a
+    * dedup owner quotes when asked "what does the banded tier miss".
+    *
+    * Scale shape: both pair sets are banded/prefix-bounded joins
+    * (nothing quadratic); the comparison is a pair-keyed left join
+    * aggregated to ≤ 4 band rows. */
+  def q290BandRecallMeasured(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = exactJaccardPairs(docs)
+      .withColumn("band",
+        least(floor(col("jaccard") * 20.0d).cast("long"), lit(19L)))
+    val banded = minhashPairs(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
+    exact.join(broadcast(banded), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .select((col("band").cast("double") / 20.0d).as("band_lo"),
+        col("n_exact"), col("n_found"),
+        round(col("n_found").cast("double") /
+          col("n_exact").cast("double"), 9).as("recall"))
+      .orderBy(col("band_lo"))
+  }
+
   /** The ROUND REPORT — the single artifact a curation run publishes,
     * composing three proven reports into one union-tagged frame (the
     * q209 counter discipline applied at the report level):

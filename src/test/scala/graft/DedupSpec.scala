@@ -551,6 +551,40 @@ class DedupSpec extends AnyFunSuite {
       r.getAs[String]("split_before") != r.getAs[String]("split_after")))
   }
 
+  test("prefix-filtered exact Jaccard join equals brute force and " +
+      "banding recall is measured against it") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(TestSpark.spark, TestSpark.sf)
+    val got = operators.Dedup.q289PrefixJaccardJoin(
+      TestSpark.spark, TestSpark.sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force on the sf0.001 fixture, driver-side
+    val sets = docs.select(col("doc_id"), col("text")).collect().map { r =>
+      val w = r.getString(1).toLowerCase.replaceAll("\\s+", " ")
+        .trim.split(" ")
+      r.getLong(0) -> w.sliding(2).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    // iterate as Seq: a for-comprehension over a Map would yield a
+    // Map and silently collapse pairs sharing the left doc id
+    val expected = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      inter = (sa & sb).size
+      if sa.nonEmpty && sb.nonEmpty
+      j = inter.toDouble / (sa | sb).size
+      if j >= 0.8
+    } yield (a, b)).toSet
+    assert(got == expected)
+    // measured recall: found is a subset of exact, per band
+    val recall = operators.Dedup.q290BandRecallMeasured(
+      TestSpark.spark, TestSpark.sf).collect()
+    assert(recall.map(_.getAs[Long]("n_exact")).sum == got.size)
+    recall.foreach { r =>
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_exact"))
+      val rc = r.getAs[Double]("recall")
+      assert(rc >= 0.0 && rc <= 1.0)
+    }
+  }
+
   test("effective mixture: downweighting only removes mass and shares " +
       "still sum to one") {
     val rows = operators.Dedup
