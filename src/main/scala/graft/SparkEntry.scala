@@ -319,6 +319,8 @@ object SparkEntry {
     "q288_top_paths"       -> (Events.q288TopPaths _),
     "q289_prefix_jaccard"  -> (Dedup.q289PrefixJaccardJoin _),
     "q290_band_recall"     -> (Dedup.q290BandRecallMeasured _),
+    "q291_pmi_collocations" -> (TextStats.q291PmiCollocations _),
+    "q292_market_basket"   -> (Relational.q292MarketBasket _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5634,6 +5636,59 @@ object SparkEntry {
       WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""",
 
     "q290_band_recall" -> bandRecallOracle,
+
+    // PMI marginals counted over the bigram event space on BOTH sides
+    // (left-position / right-position counts), min-support 5
+    "q291_pmi_collocations" -> """
+      WITH wrd AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+          'g')), ' ') AS w
+        FROM documents),
+      d2 AS (SELECT w FROM wrd WHERE len(w) >= 2),
+      bg AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+          unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        FROM d2),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+      c2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY w2),
+      n AS (SELECT COUNT(*) AS n_bg FROM bg)
+      SELECT p.w1, p.w2, CAST(p.c12 AS BIGINT) AS c12,
+        ROUND(ln(CAST(p.c12 AS DOUBLE) * CAST(n.n_bg AS DOUBLE) /
+          (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))), 9) AS pmi
+      FROM c12 p
+      JOIN c1 ON c1.w1 = p.w1
+      JOIN c2 ON c2.w2 = p.w2
+      CROSS JOIN n
+      WHERE p.c12 >= 5
+      ORDER BY pmi DESC, p.w1, p.w2 LIMIT 20""",
+
+    // basket = distinct parts of one order; min-support 3 co-orders
+    "q292_market_basket" -> """
+      WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b),
+      it AS (SELECT l_partkey, COUNT(*) AS c_item FROM b
+             GROUP BY l_partkey),
+      p AS (
+        SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+          COUNT(*) AS c_ab
+        FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+          AND a.l_partkey < b2.l_partkey
+        GROUP BY 1, 2)
+      SELECT part_a, part_b, CAST(c_ab AS BIGINT) AS c_ab,
+        ROUND(CAST(c_ab AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 9)
+          AS support,
+        ROUND(CAST(c_ab AS DOUBLE) / CAST(ia.c_item AS DOUBLE), 9)
+          AS confidence,
+        ROUND(CAST(c_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE) /
+          (CAST(ia.c_item AS DOUBLE) * CAST(ib.c_item AS DOUBLE)), 9)
+          AS lift
+      FROM p
+      JOIN it ia ON ia.l_partkey = p.part_a
+      JOIN it ib ON ib.l_partkey = p.part_b
+      CROSS JOIN n
+      WHERE c_ab >= 3
+      ORDER BY lift DESC, part_a, part_b LIMIT 20""",
 
     "q274_dim_ablation" -> dimAblationOracle,
 

@@ -1098,4 +1098,51 @@ object Relational {
       LEFT JOIN without_orders wo ON w.c_mktsegment = wo.c_mktsegment
       ORDER BY w.c_mktsegment""")
   }
+
+  /** q292: market-basket association rules — the top-20 part pairs
+    * co-purchased within an order, by lift, with support and
+    * confidence (the A-priori/frequent-itemset report at the pair
+    * level; reference-side this is the "what sells together" BI
+    * query its DWH serves). Basket = the distinct parts of one
+    * order; lift = P(a,b) / (P(a)·P(b)) over the order population,
+    * reported above min-support 3 co-orders.
+    *
+    * Scale shape: pair generation is a self-equi-join on the order
+    * key — both sides hash to the SAME orderkey exchange (reused, not
+    * recomputed, via the staged basket frame), and fan-out per order
+    * is (basket choose 2), bounded by TPC-H's ≤7 items/order. The
+    * per-item marginals and the scalar order count broadcast back
+    * onto the min-support-pruned pair table; the report ends in
+    * TakeOrdered(20). Nothing is quadratic in parts or orders. */
+  def q292MarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(eager = false) // feeds pairs (twice) + marginals
+    val n = baskets.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val item = baskets.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c_item"))
+    baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+      .join(broadcast(item.select(col("l_partkey").as("part_a"),
+        col("c_item").as("c_a"))), "part_a")
+      .join(broadcast(item.select(col("l_partkey").as("part_b"),
+        col("c_item").as("c_b"))), "part_b")
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("c_ab"),
+        round(col("c_ab").cast("double") /
+          col("n_orders").cast("double"), 9).as("support"),
+        round(col("c_ab").cast("double") /
+          col("c_a").cast("double"), 9).as("confidence"),
+        round(col("c_ab").cast("double") * col("n_orders").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double")), 9)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
 }

@@ -1419,4 +1419,46 @@ object TextStats {
           (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("beta"))
       .orderBy(col("prefix"))
   }
+
+  /** q291: PMI collocation mining — the top-20 adjacent word pairs by
+    * pointwise mutual information, the classic corpus-linguistics
+    * "which words belong together" report (and the statistic behind
+    * phrase-merging tokenizer passes). One event per adjacent bigram;
+    * the marginals are counted over the SAME event space — c1(w) =
+    * bigrams with w on the left, c2(w) = bigrams with w on the right
+    * (the q235 lesson: mismatched event spaces make ratios exceed 1).
+    * PMI = ln(c12·N / (c1·c2)), reported only above min-support 5 so
+    * the statistic is stable.
+    *
+    * Scale shape: one explode pass feeds three gram-keyed partial
+    * aggregates and one scalar count (the explode is staged once via
+    * localCheckpoint); the final report joins the count tables on
+    * their gram keys and ends in TakeOrdered(20) — no corpus-wide
+    * sort, no window. */
+  def q291PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(spark, dir)
+      .select(toks(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(" +
+          "element_at(w, i) as w1, element_at(w, i + 1) as w2))"))
+        .as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .localCheckpoint(eager = false) // feeds all three counts + N
+    val c12 = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val n = bg.agg(count(lit(1)).as("n_bg"))
+    c12.filter(col("c12") >= 5)
+      .join(c1, "w1")
+      .join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("n_bg").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))), 9)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
 }

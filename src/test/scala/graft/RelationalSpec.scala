@@ -351,4 +351,41 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("market basket equals the brute-force pair relation and its " +
+      "rule arithmetic is internally consistent") {
+    import org.apache.spark.sql.functions.col
+    val got = operators.Relational.q292MarketBasket(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    // brute force on the fixture, driver-side
+    val baskets = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).sorted }
+    val nOrders = byOrder.size.toDouble
+    val cItem = baskets.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val cAb = byOrder.values.flatMap { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = cAb.toSeq.filter(_._2 >= 3).map { case ((a, b), c) =>
+      val lift = r9(c.toDouble * nOrders /
+        (cItem(a).toDouble * cItem(b).toDouble))
+      (a, b, c.toLong, lift)
+    }.sortBy { case (a, b, _, lift) => (-lift, a, b) }.take(20)
+    assert(got.map(r => (r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+      r.getAs[Long]("c_ab"), r.getAs[Double]("lift"))).toSeq == expected)
+    got.foreach { r =>
+      val (cab, sup, conf, lift) = (r.getAs[Long]("c_ab"),
+        r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+        r.getAs[Double]("lift"))
+      assert(cab >= 3 && sup > 0.0 && sup <= conf && conf <= 1.0)
+      // lift = confidence / P(b)  (within rounding)
+      val pb = cItem(r.getAs[Long]("part_b")).toDouble / nOrders
+      assert(math.abs(lift - conf / pb) < 1e-6)
+    }
+  }
 }

@@ -372,4 +372,37 @@ class TextStatsSpec extends AnyFunSuite {
       if (clipped == 0) assert(r.getAs[Double]("mass_moved") == 0.0)
     }
   }
+
+  test("PMI collocations equal the brute-force top-20 on the fixture") {
+    import org.apache.spark.sql.functions.col
+    val got = TextStats.q291PmiCollocations(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    // sorted by pmi desc with (w1, w2) tie-break
+    got.sliding(2).foreach { case Array(a, b) =>
+      val (pa, pb) = (a.getAs[Double]("pmi"), b.getAs[Double]("pmi"))
+      assert(pa > pb || (pa == pb &&
+        (a.getAs[String]("w1") < b.getAs[String]("w1") ||
+          (a.getAs[String]("w1") == b.getAs[String]("w1") &&
+            a.getAs[String]("w2") < b.getAs[String]("w2")))))
+    case _ => ()
+    }
+    // brute force, driver-side, over the same event space
+    val bigrams = graft.Tables.documents(spark, sf)
+      .select(col("text")).collect().flatMap { r =>
+        val w = r.getString(0).toLowerCase.replaceAll("\\s+", " ")
+          .trim.split(" ")
+        if (w.length >= 2) w.sliding(2).map(p => (p(0), p(1))) else Nil
+      }
+    val n = bigrams.length.toDouble
+    val c12 = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+    val c1 = bigrams.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val c2 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val expected = c12.toSeq.filter(_._2 >= 5).map { case ((a, b), c) =>
+      val pmi = math.log(c.toDouble * n / (c1(a).toDouble * c2(b).toDouble))
+      (a, b, c.toLong, BigDecimal(pmi).setScale(9,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (a, b, _, pmi) => (-pmi, a, b) }.take(20)
+    assert(got.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+      r.getAs[Long]("c12"), r.getAs[Double]("pmi"))).toSeq == expected)
+  }
 }
