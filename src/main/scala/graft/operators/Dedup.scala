@@ -1620,13 +1620,19 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("df"), col("s"))))
         .as("ord"))
       // ceil(0.8·n) = (4n+4) div 5 in pure integer arithmetic
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("n"),
         explode(expr("slice(ord, 1, n - ((4 * n + 4) div 5) + 1)"))
           .as("p"))
-      .select(col("doc_id"), col("p.s").as("s"))
+      .select(col("doc_id"), col("n"), col("p.s").as("s"))
+    // size filter (also recall-complete): J ≥ t forces |A∩B| ≥
+    // t·max(|A|,|B|) ≤ min(|A|,|B|), so min/max ≥ t — prune any
+    // candidate whose set sizes differ by more than 1/t before the
+    // exact verify. Integer form of 0.8 ≤ n_a/n_b ≤ 1.25.
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * 5 >= col("a.n") * 4 &&
+          col("a.n") * 5 >= col("b.n") * 4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
