@@ -603,8 +603,11 @@ object Events {
     * different channels; the per-channel report is the side-by-side a
     * marketing-analytics stack publishes.
     *
-    * Scale shape: one user-keyed min-aggregate (first purchase,
-    * broadcast back), then ONE pass over pre-purchase events with two
+    * Scale shape: one user-keyed min-aggregate (first purchase),
+    * joined back on the SAME user key (no broadcast hint — the
+    * converter frame is one row per converting user, unbounded at
+    * corpus scale; AQE may still broadcast it when it measures
+    * small), then ONE pass over pre-purchase events with two
     * argmin/argmax struct-aggregates per user — no window over raw
     * events, no second scan — and a channels-sized double aggregate. */
   def q284Attribution(spark: SparkSession, dir: String): DataFrame = {
@@ -613,7 +616,7 @@ object Events {
     val conv = e.filter(col("event_type") === "purchase")
       .groupBy(col("user_id")).agg(min(col("ts")).as("conv_ts"))
     val touches = e.filter(col("event_type") =!= "purchase")
-      .join(broadcast(conv), "user_id")
+      .join(conv, "user_id")
       .filter(col("ts") < col("conv_ts"))
       .groupBy(col("user_id"))
       .agg(
