@@ -321,6 +321,7 @@ object SparkEntry {
     "q290_band_recall"     -> (Dedup.q290BandRecallMeasured _),
     "q291_pmi_collocations" -> (TextStats.q291PmiCollocations _),
     "q292_market_basket"   -> (Relational.q292MarketBasket _),
+    "q293_bot_profile"     -> (Events.q293BotProfile _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5689,6 +5690,33 @@ object SparkEntry {
       CROSS JOIN n
       WHERE c_ab >= 3
       ORDER BY lift DESC, part_a, part_b LIMIT 20""",
+
+    // spread/median rounds at 9 BEFORE the 0.5 compare on both sides
+    // so boundary classification is engine-portable
+    "q293_bot_profile" -> """
+      WITH g AS (
+        SELECT user_id,
+          CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE)
+            / 1000000.0 AS gap
+        FROM events),
+      s AS (
+        SELECT user_id, COUNT(gap) AS n_gaps,
+          quantile_cont(gap, 0.5) AS med,
+          quantile_cont(gap, 0.9) - quantile_cont(gap, 0.1) AS spread
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING COUNT(gap) >= 4),
+      c AS (
+        SELECT n_gaps + 1 AS n_events, med,
+          CASE WHEN med <= 0 THEN 'burst'
+               WHEN ROUND(spread / med, 9) < 0.5 THEN 'regular'
+               ELSE 'organic' END AS behavior
+        FROM s)
+      SELECT behavior, COUNT(*) AS n_users,
+        CAST(SUM(n_events) AS BIGINT) AS n_events,
+        ROUND(quantile_cont(med, 0.5), 9) AS median_of_median_gap_s
+      FROM c GROUP BY behavior ORDER BY behavior""",
 
     "q274_dim_ablation" -> dimAblationOracle,
 

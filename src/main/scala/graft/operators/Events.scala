@@ -789,4 +789,55 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(10)
   }
+
+  /** q293: bot/automation profile — traffic-quality triage by
+    * inter-event-gap REGULARITY. Humans are bursty; schedulers are
+    * metronomes. Per user with ≥ 5 events: the exact median gap and
+    * the p90−p10 spread; behavior = 'burst' (median gap 0 —
+    * replay/batch injection), 'regular' (spread/median < 0.5 —
+    * machine-like cadence), else 'organic'. Reported as the
+    * 3-bucket inventory a data-quality owner reads before deciding
+    * which traffic feeds training. The spread/median ratio rounds at
+    * 9 BEFORE the threshold compare so classification is
+    * engine-portable at the boundary.
+    *
+    * Scale shape: one user-keyed window pass (the q38 sessionize
+    * exchange) computes gaps, one per-user aggregate (exact
+    * percentiles over each user's own gaps — user-bounded, never
+    * corpus-wide), and the report is a 3-row aggregate. */
+  def q293BotProfile(spark: SparkSession, dir: String): DataFrame =
+    botProfileFrom(Tables.events(spark, dir))
+
+  /** q293's core over any (user_id, ts, event_id) frame — split out so
+    * the spec can pin all three behavior branches on a constructed
+    * fixture (the driver's corpus is uniformly organic, which
+    * exercises only one). */
+  private[graft] def botProfileFrom(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        (unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser))).cast("double")
+          / 1000000.0d)
+      .filter(col("gap").isNotNull)
+    val stats = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap, 0.5d)").as("med"),
+        (expr("percentile(gap, 0.9d)") - expr("percentile(gap, 0.1d)"))
+          .as("spread"))
+      .filter(col("n_gaps") >= 4)
+    stats
+      .select((col("n_gaps") + 1L).as("n_events"), col("med"),
+        when(col("med") <= 0.0d, "burst")
+          .when(round(col("spread") / col("med"), 9) < 0.5d, "regular")
+          .otherwise("organic").as("behavior"))
+      .groupBy(col("behavior"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"),
+        round(expr("percentile(med, 0.5d)"), 9)
+          .as("median_of_median_gap_s"))
+      .orderBy(col("behavior"))
+  }
 }

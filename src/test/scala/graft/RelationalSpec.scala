@@ -388,4 +388,33 @@ class RelationalSpec extends AnyFunSuite {
       assert(math.abs(lift - conf / pb) < 1e-6)
     }
   }
+
+  test("bot profile classifies metronome, burst, and organic users " +
+      "and excludes short histories") {
+    import java.sql.Timestamp
+    import java.time.Instant
+    import spark.implicits._
+    def t(s: Long) = Timestamp.from(Instant.ofEpochSecond(1700000000L + s))
+    val rows =
+      // user 1: 6 events exactly 60s apart — machine cadence
+      (0 until 6).map(i => (1L, t(60L * i), i.toLong)) ++
+      // user 2: 5 events on one timestamp — replay burst
+      (0 until 5).map(i => (2L, t(0), 10L + i)) ++
+      // user 3: bursty-human gaps 10,50,100,1000,10000s (cumulative)
+      Seq(0L, 10L, 60L, 160L, 1160L, 11160L).zipWithIndex
+        .map { case (s, i) => (3L, t(s), 20L + i) } ++
+      // user 4: only 3 events — under the >=5 floor, excluded
+      (0 until 3).map(i => (4L, t(7L * i), 30L + i))
+    val got = operators.Events.botProfileFrom(
+      rows.toDF("user_id", "ts", "event_id")).collect()
+      .map(r => r.getAs[String]("behavior") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("median_of_median_gap_s"))).toMap
+    assert(got.keySet == Set("burst", "regular", "organic"))
+    assert(got("regular") == ((1L, 6L, 60.0)))
+    assert(got("burst") == ((1L, 5L, 0.0)))
+    // user 3 gaps sorted [10,50,100,1000,10000]: median 100, p90 6400,
+    // p10 26 — spread/median 63.74 is organic by a wide margin
+    assert(got("organic") == ((1L, 6L, 100.0)))
+  }
 }
