@@ -66,6 +66,9 @@ object TextExprs {
   def simhash64(tokens: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
 
+  def simhashMd5(tokens: Column): Column =
+    GraftSqlBridge.column(SimHashMd5(GraftSqlBridge.expression(tokens)))
+
   def minShingleMd5(text: Column, shingleLen: Int): Column =
     GraftSqlBridge.column(
       MinShingleMd5(GraftSqlBridge.expression(text), shingleLen))
@@ -167,6 +170,58 @@ case class SimHash64(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+/** ENGINE-PORTABLE 64-bit SimHash: identical sign-of-weighted-sum
+  * construction to [[SimHash64]], but the per-token hash is the first
+  * 8 bytes of md5(token) read big-endian instead of xxhash64 — md5 is
+  * the one hash both Spark and DuckDB expose bit-identically (the
+  * MinHash tier's choice, MinHashMd5Sigs above), which is what lets
+  * the SimHash recall certificate (q297) be hash-checked end-to-end:
+  * bit j of the hex rendering lives in nibble `15 - j/4` (0-based
+  * from the left) at in-nibble position `j % 4`, exactly the
+  * arithmetic the oracle mirrors. xxhash64 stays the production
+  * default (q26) — one 64-bit mix vs a full digest per token — this
+  * variant exists so the certificate's pair set is oracle-derivable. */
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextExprs.requireStringArray(prettyName, child.dataType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    val md = TextExprs.md5ThreadLocal
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val h0 = md.digest(arr.getUTF8String(i).getBytes)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (h0(b) & 0xffL); b += 1 }
+        var j = 0
+        while (j < 64) {
+          counts(j) += (((h >>> j) & 1L).toInt * 2) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashMd5 = copy(child = newChild)
 }
 
 /** Set Jaccard similarity of two string arrays in ONE pass —

@@ -1458,7 +1458,9 @@ object Dedup {
     * reuse them across report sections. */
   private[graft] def clusterDownweightFrom(toks: DataFrame,
       labels: DataFrame): DataFrame = {
-    val labeled = toks.join(broadcast(labels), Seq("doc_id"), "left")
+    // no broadcast hint on the label frame: on a duplication-heavy
+    // corpus it approaches corpus size (the q275/q284 rule); AQE decides
+    val labeled = toks.join(labels, Seq("doc_id"), "left")
     val paired = labeled.filter(col("label").isNotNull)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("k"), sum(col("tokens")).as("cluster_tokens"),
@@ -1491,10 +1493,8 @@ object Dedup {
     * and re-weighting (q142/q251) must start from the EFFECTIVE
     * shares, not the raw ones.
     *
-    * Scale shape: q229's discipline verbatim — the CC label table is
-    * pair-bounded and broadcast, cluster sizes are a metadata frame,
-    * singletons never enter a cluster shuffle; the corpus reduces in
-    * ONE (lang, k) aggregate. Per-(lang,k) masses stay exact BIGINTs;
+    * Scale shape: singletons never enter a cluster shuffle; the
+    * corpus reduces in ONE (lang, k) aggregate. Per-(lang,k) masses stay exact BIGINTs;
     * tokens/k rounds to 9 and decimal-sums, so effective mass is
     * order-independent; totals attach as a broadcast 1-row frame. */
   def q275EffectiveMixture(spark: SparkSession, dir: String): DataFrame = {
@@ -1506,9 +1506,12 @@ object Dedup {
       minhashPairs(docs).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("label"))
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("k"))
+    // no broadcast hints: on a duplication-heavy corpus the labeled-doc
+    // set is a large fraction of the corpus, not "pair-bounded" — the
+    // q284 rule applies and AQE decides (it still broadcasts at test SF)
     val byLangK = toks
-      .join(broadcast(labels), Seq("doc_id"), "left")
-      .join(broadcast(sizes), Seq("label"), "left")
+      .join(labels, Seq("doc_id"), "left")
+      .join(sizes, Seq("label"), "left")
       .withColumn("k", coalesce(col("k"), lit(1L)))
       .groupBy(col("lang"), col("k"))
       .agg(count(lit(1)).as("n"), sum(col("tokens")).as("tok"))
@@ -1538,26 +1541,43 @@ object Dedup {
     * just from the corpus but from every DERIVED artifact — the
     * MinHash band index (q211's shape), the chunk table (q263), and
     * the near-dup cluster labels. Per artifact the report carries
-    * rows before/deleted/after, `residual_refs` — a RE-SCAN of the
-    * propagated artifact for references to the deletion set, pinned
-    * to zero by the oracle (the q227 discipline: certify the result,
-    * don't trust the plan) — and `n_stale`, the label rows whose
-    * cluster REPRESENTATIVE was deleted: propagation can drop the
-    * deleted doc's rows but cannot fix a min-label naming a dead doc,
-    * so those clusters are flagged for the next incremental CC run
-    * (q242) rather than silently kept.
+    * rows before/deleted/after, `residual_refs` — for the REBUILDABLE
+    * artifacts (bands, chunks) this is a genuine independence check:
+    * the propagated artifact is diffed row-by-row (symmetric
+    * exceptAll) against the same artifact RE-DERIVED from the kept
+    * corpus text, so a propagation bug that dropped too little, too
+    * much, or corrupted surviving rows would surface as a nonzero
+    * count — the certificate can actually fail (the q227 discipline:
+    * certify the result, don't trust the plan). For `corpus` the diff
+    * target is the kept corpus itself (the check is definitionally
+    * zero — documented tautology); for `labels` a re-derivation would
+    * be the full CC recompute q242 exists to avoid, so its real check
+    * is `n_stale`: kept label rows whose cluster REPRESENTATIVE was
+    * deleted — propagation can drop the deleted doc's rows but cannot
+    * fix a min-label naming a dead doc, so those clusters are flagged
+    * for the next incremental CC run (q242) rather than silently kept.
     *
     * Scale shape: each artifact pays one broadcast anti-join against
-    * the (tiny) deletion set and one count aggregate; nothing
+    * the (tiny) deletion set and one count aggregate; the band/chunk
+    * re-derivations add one narrow pass over the kept corpus each and
+    * an artifact-keyed exceptAll exchange — the price of a
+    * certificate that is evidence, not tautology (run it as the
+    * post-deletion validation pass, not on the serving path). Nothing
     * recomputes pairs or clusters. */
   def q279DeletionPropagation(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val del = docs.filter(col("doc_id") % 101L === 0L)
       .select(col("doc_id")).localCheckpoint(eager = false)
-    def audit(name: String, df: DataFrame, stale: DataFrame): DataFrame = {
+    val keptDocs = docs.join(broadcast(del), Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false) // feeds corpus audit + rebuilds
+    // rebuilt = the artifact re-derived from kept corpus text; the
+    // certificate is |kept ∆ rebuilt| == 0, counted via both exceptAlls
+    def audit(name: String, df: DataFrame, rebuilt: DataFrame,
+        stale: DataFrame): DataFrame = {
       val kept = df.join(broadcast(del), Seq("doc_id"), "left_anti")
         .localCheckpoint(eager = false)
-      val residual = kept.join(broadcast(del), Seq("doc_id"))
+      val residual = kept.exceptAll(rebuilt).select(col("doc_id"))
+        .unionAll(rebuilt.exceptAll(kept).select(col("doc_id")))
       df.agg(count(lit(1)).as("rows_before"))
         .crossJoin(kept.agg(count(lit(1)).as("rows_after")))
         .crossJoin(residual.agg(count(lit(1)).as("residual_refs")))
@@ -1570,15 +1590,21 @@ object Dedup {
     val labels = connectedComponents(
       minhashPairs(docs).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("label"))
+      .localCheckpoint(eager = false) // audited AND diff-targeted below
     // stale = kept label rows whose representative (min-label) is dead
     val staleLabels = labels
       .join(broadcast(del), Seq("doc_id"), "left_anti")
       .join(broadcast(del.withColumnRenamed("doc_id", "label")),
         Seq("label"))
-    audit("bands", bandTable(shingled(docs)), none)
-      .unionByName(audit("chunks", Sampling.q263DocChunks(spark, dir), none))
-      .unionByName(audit("corpus", docs, none))
-      .unionByName(audit("labels", labels, staleLabels))
+    // labels' diff target is the kept rows themselves (see scaladoc);
+    // bands/chunks re-derive from keptDocs — the non-trivial checks
+    val keptLabels = labels.join(broadcast(del), Seq("doc_id"), "left_anti")
+    audit("bands", bandTable(shingled(docs)),
+        bandTable(shingled(keptDocs)), none)
+      .unionByName(audit("chunks", Sampling.docChunks(docs),
+        Sampling.docChunks(keptDocs), none))
+      .unionByName(audit("corpus", docs, keptDocs, none))
+      .unionByName(audit("labels", labels, keptLabels, staleLabels))
       .orderBy(col("artifact"))
   }
 
@@ -1619,20 +1645,38 @@ object Dedup {
       .groupBy(col("doc_id"), col("n"))
       .agg(array_sort(collect_list(struct(col("df"), col("s"))))
         .as("ord"))
-      // ceil(0.8·n) = (4n+4) div 5 in pure integer arithmetic
+      // ceil(0.8·n) = (4n+4) div 5 in pure integer arithmetic;
+      // posexplode keeps each prefix token's 1-based POSITION in the
+      // doc's global (df asc, shingle asc) token order — the extra
+      // column the positional filter below needs
       .select(col("doc_id"), col("n"),
-        explode(expr("slice(ord, 1, n - ((4 * n + 4) div 5) + 1)"))
-          .as("p"))
-      .select(col("doc_id"), col("n"), col("p.s").as("s"))
-    // size filter (also recall-complete): J ≥ t forces |A∩B| ≥
-    // t·max(|A|,|B|) ≤ min(|A|,|B|), so min/max ≥ t — prune any
-    // candidate whose set sizes differ by more than 1/t before the
-    // exact verify. Integer form of 0.8 ≤ n_a/n_b ≤ 1.25.
+        posexplode(expr("slice(ord, 1, n - ((4 * n + 4) div 5) + 1)")))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"),
+        col("col.s").as("s"))
+    // Two more recall-complete prunes inside the join predicate, both
+    // pure integer arithmetic:
+    //  - size filter: J ≥ t forces min(n_a,n_b)/max(n_a,n_b) ≥ t —
+    //    integer form of 0.8 ≤ n_a/n_b ≤ 1.25;
+    //  - positional filter (PPJoin): J ≥ t ⟺ o ≥ t/(1+t)·(n_a+n_b)
+    //    (= 4(n_a+n_b)/9 at t = 0.8), and a common token at positions
+    //    (i, j) of the two ordered sets bounds the overlap by
+    //    1 + min(n_a−i, n_b−j) (everything shared beyond this token
+    //    sits in BOTH suffixes). For a qualifying pair the FIRST
+    //    common token under the global order meets the bound (all o
+    //    common tokens sit at or after it in both sets), so keeping a
+    //    pair when ANY matching prefix token meets it loses nothing —
+    //    but kills the candidates that only share deep-prefix tokens
+    //    with short suffixes, BEFORE the distinct + exact verify pay
+    //    for them. Integer form: 9·(1 + min(n_a−i, n_b−j)) ≥
+    //    4·(n_a+n_b).
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n") * 5 >= col("a.n") * 4 &&
-          col("a.n") * 5 >= col("b.n") * 4)
+          col("a.n") * 5 >= col("b.n") * 4 &&
+          (lit(1) + least(col("a.n") - col("a.pos"),
+            col("b.n") - col("b.pos"))) * 9 >=
+            (col("a.n") + col("b.n")) * 4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -1658,7 +1702,12 @@ object Dedup {
     *
     * Scale shape: both pair sets are banded/prefix-bounded joins
     * (nothing quadratic); the comparison is a pair-keyed left join
-    * aggregated to ≤ 4 band rows. */
+    * aggregated to ≤ 4 band rows. The banded relation joins WITHOUT a
+    * broadcast hint: candidate-pair frames grow quadratically in
+    * cluster size on a duplication-heavy corpus — the one frame class
+    * the repo's broadcast convention excludes — so the pair-keyed
+    * shuffle join (one exchange of each side) is the scale-safe shape
+    * and AQE still broadcasts at small SF. */
   def q290BandRecallMeasured(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val exact = exactJaccardPairs(docs)
@@ -1666,13 +1715,83 @@ object Dedup {
         least(floor(col("jaccard") * 20.0d).cast("long"), lit(19L)))
     val banded = minhashPairs(docs)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
-    exact.join(broadcast(banded), Seq("doc_a", "doc_b"), "left")
+    exact.join(banded, Seq("doc_a", "doc_b"), "left")
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("found"), lit(0L))).as("n_found"))
       .select((col("band").cast("double") / 20.0d).as("band_lo"),
         col("n_exact"), col("n_found"),
         round(col("n_found").cast("double") /
+          col("n_exact").cast("double"), 9).as("recall"))
+      .orderBy(col("band_lo"))
+  }
+
+  /** The md5-portable SimHash pair set — [[simhashPairs]]' exact
+    * structure (4×16-bit-chunk pigeonhole candidates, hamming ≤ 3
+    * verify) with the per-token hash swapped to
+    * [[graft.functions.TextExprs.simhashMd5]] so every bit of the
+    * sketch, every chunk key, and every hamming distance is derivable
+    * by the DuckDB oracle. Shared by the recall certificate (q297). */
+  private[graft] def simhashMd5Pairs(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .repartition(documents.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 1)
+    val sketched = docs.select(col("doc_id"),
+      graft.functions.TextExprs.simhashMd5(col("w")).as("simhash"))
+    val chunks = sketched.select(col("doc_id"), col("simhash"), expr(
+      "explode(transform(sequence(0, 3), c -> struct(" +
+        "cast(c as int) as chunk, " +
+        "shiftright(simhash, c * 16) & 65535L as chunk_val)))").as("ck"))
+      .select(col("doc_id"), col("simhash"), col("ck.chunk"),
+        col("ck.chunk_val"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** q297: MEASURED SimHash recall — the q290 pattern applied to the
+    * SimHash tier, closing the last no-oracle dedup row that had an
+    * exact twin but no measured certificate: with q289's exact
+    * J ≥ 0.8 relation as ground truth, count per Jaccard band
+    * (0.05-wide) how many true near-dup pairs the 64-bit
+    * SimHash + hamming ≤ 3 tier surfaces. SimHash detects ANGULAR
+    * closeness of token-frequency vectors, not set overlap, so its
+    * S-curve against a Jaccard anchor is structurally weaker than
+    * MinHash banding's (q290) — THAT gap, quantified per band, is
+    * exactly the number a curation owner needs before substituting
+    * the cheaper sketch (1 long/doc vs 16 md5 mins/doc) for the
+    * banded tier. The sketch here is the md5-portable variant
+    * ([[simhashMd5Pairs]]), so BOTH sides of the recall fraction are
+    * hash-verified — a sketch regression fails CORRECTNESS, not just
+    * a spec floor; q26's xxhash64 sketch remains the production tier.
+    *
+    * Scale shape: the exact side is the prefix-filtered join (never
+    * all-pairs), the SimHash side is one narrow sketch pass + the
+    * pigeonhole join (bucket-population-bounded), and the comparison
+    * is a pair-keyed left join aggregated to ≤ 4 band rows — no
+    * broadcast hints on either pair relation (the q290 rule). */
+  def q297SimhashRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = exactJaccardPairs(docs)
+      .withColumn("band",
+        least(floor(col("jaccard") * 20.0d).cast("long"), lit(19L)))
+    val sh = simhashMd5Pairs(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
+    exact.join(sh, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_simhash"))
+      .select((col("band").cast("double") / 20.0d).as("band_lo"),
+        col("n_exact"), col("n_simhash"),
+        round(col("n_simhash").cast("double") /
           col("n_exact").cast("double"), 9).as("recall"))
       .orderBy(col("band_lo"))
   }

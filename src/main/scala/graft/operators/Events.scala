@@ -394,8 +394,13 @@ object Events {
     * after (grid, centering, 24 lag self-joins) runs on the
     * hours-sized series, metadata at any corpus size. */
   def q272Acf(spark: SparkSession, dir: String): DataFrame = {
+    // floor(), not double-divide-and-cast: cast truncates toward zero
+    // while the oracle's `//` floors — they diverge on pre-1970
+    // (negative-epoch) timestamps, and the bucket rule must not depend
+    // on the fixture containing none
     val hourly = Tables.events(spark, dir)
-      .select((unix_timestamp(date_trunc("hour", col("ts"))) / 3600L)
+      .select(floor(unix_timestamp(date_trunc("hour", col("ts")))
+          / 3600.0d)
         .cast("long").as("hr"))
       .groupBy(col("hr")).agg(count(lit(1)).as("x"))
     val bounds = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
@@ -706,7 +711,9 @@ object Events {
 
   /** q287: Kaplan–Meier survival of user lifetimes — the churn curve.
     * Lifetime = days between a user's first and last event; a user
-    * whose last event falls within 3 days of the corpus end is
+    * whose last event falls within 3 days INCLUSIVE of the last corpus
+    * day (d1 ∈ {dmax−3..dmax}, a 4-day window — the predicate is
+    * `d1 < dmax − 3`) is
     * CENSORED (still alive when observation stopped) and leaves the
     * risk set without counting as a death — the estimator exists
     * precisely because dropping censored users (naive mean lifetime)

@@ -490,7 +490,11 @@ object Quality {
     * all-pairs anywhere); both pair sets reduce in ONE aggregate each
     * (three boolean-sum columns); the field unpivot and the weight
     * arithmetic run on two 1-row frames. Counts stay integers until
-    * the smoothed divisions, which consume already-rounded inputs. */
+    * the smoothed divisions, which consume already-rounded inputs.
+    * The attribute join-backs carry NO broadcast hint: `side()` is one
+    * row per entity — unbounded at corpus scale (the q284 rule) — so
+    * AQE picks the join strategy; the pair sets are the small side
+    * when anything is. */
   def q276LinkageWeights(spark: SparkSession, dir: String): DataFrame = {
     val attrs = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_nationkey").as("nat"),
@@ -500,8 +504,8 @@ object Quality {
       col("nat").as(s"nat_$s"), col("seg").as(s"seg_$s"),
       col("band").as(s"band_$s"))
     def agreeCounts(pairs: DataFrame, p: String): DataFrame = pairs
-      .join(broadcast(side("a")), Seq("id_a"))
-      .join(broadcast(side("b")), Seq("id_b"))
+      .join(side("a"), Seq("id_a"))
+      .join(side("b"), Seq("id_b"))
       .agg(count(lit(1)).as(s"n_$p"),
         sum(when(col("nat_a") === col("nat_b"), 1L).otherwise(0L))
           .as(s"nat_$p"),

@@ -389,10 +389,18 @@ object Sampling {
     * amplification from the overlap is paid in the output, never in
     * an exchange. All arithmetic is integer (no float `ceil`), so the
     * chunk grid is bitwise portable across engines. */
-  def q263DocChunks(spark: SparkSession, dir: String): DataFrame = {
+  def q263DocChunks(spark: SparkSession, dir: String): DataFrame =
+    docChunks(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Unordered chunk grid over any (doc_id, text) frame — split out so
+    * the deletion-propagation certificate (q279) can RE-DERIVE the
+    * chunk artifact from the kept corpus and diff it against the
+    * propagated one. */
+  private[graft] def docChunks(documents: DataFrame): DataFrame = {
     val W = 64
     val S = 48
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"),
         split(graft.functions.Cols.normText(col("text")), " ").as("w"))
       .withColumn("n", size(col("w")).cast("long"))
@@ -403,6 +411,5 @@ object Sampling {
         least(lit(W.toLong), col("n") - col("k") * S).as("chunk_len"),
         array_join(slice(col("w"), (col("k") * S + 1).cast("int"),
           lit(W)), " ").as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 }

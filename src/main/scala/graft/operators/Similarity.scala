@@ -688,12 +688,12 @@ object Similarity {
     * left folds from 0.0, bitwise-matching the oracle's list_reduce
     * (0.0 + x == x exactly for the non-negative squares, and the two
     * engines then add identical doubles in identical order). */
-  private def sqDist(v: Column, c: Column): Column =
+  private[graft] def sqDist(v: Column, c: Column): Column =
     aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
       lit(0.0d), (a, x) => a + x)
-  private def dotD(a: Column, b: Column): Column =
+  private[graft] def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (x, y) => x + y)
-  private def normD(a: Column): Column =
+  private[graft] def normD(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (x, y) => x + y))
 
   /** One Lloyd assignment pass against a BROADCAST center set: the
@@ -720,7 +720,7 @@ object Similarity {
     * metadata-sized by construction (k×dim doubles), and pulling them
     * to the driver is what lets the next assignment pass be a
     * broadcast literal instead of a corpus-wide join. */
-  private def recomputeCenters(assigned: DataFrame): Seq[Seq[Double]] = {
+  private[graft] def recomputeCenters(assigned: DataFrame): Seq[Seq[Double]] = {
     val rows = assigned
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos"))
@@ -740,21 +740,26 @@ object Similarity {
     rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
   }
 
-  private def embDouble(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def embDouble(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
 
-  /** The trained model state: centers after one Lloyd refinement of
-    * the k-lowest-vec_id seed (deterministic, engine-portable) —
-    * metadata-sized, loadable into any consumer as a literal. */
-  private[graft] def finalCenters(spark: SparkSession, dir: String,
-      k: Int = 8): Seq[Seq[Double]] = {
-    val e = embDouble(spark, dir)
+  /** Trained model state over any (vec_id, v) frame: centers after one
+    * Lloyd refinement of the k-lowest-vec_id seed (deterministic,
+    * engine-portable) — metadata-sized, loadable into any consumer as
+    * a literal. Shared by q248's in-query chain and the persisted IVF
+    * index build ([[VectorIndex]]). */
+  private[graft] def centersOf(e: DataFrame, k: Int): Seq[Seq[Double]] = {
     val seed = e.orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     recomputeCenters(lloydAssign(e, seed))
   }
+
+  /** The trained model state over the full embedding corpus. */
+  private[graft] def finalCenters(spark: SparkSession, dir: String,
+      k: Int = 8): Seq[Seq[Double]] =
+    centersOf(embDouble(spark, dir), k)
 
   /** Two Lloyd rounds over the embedding corpus, k=8. Returns the
     * final per-vector assignment (vec_id, v, cid, dist). */
