@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, ModernSql, Multimodal, Quality, Relational, Sampling, Scale, Similarity, SplitRepair, TextStats}
+import graft.operators.{AsOf, Cleanse, Dedup, Egress, Events, ModernSql, Multimodal, Quality, Relational, Sampling, Scale, Similarity, SplitRepair, TextStats, VectorIndex}
 import graft.streaming.{StreamDedup, StreamJoin, StreamSessions, StreamSink, StreamingWindows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -322,6 +322,10 @@ object SparkEntry {
     "q291_pmi_collocations" -> (TextStats.q291PmiCollocations _),
     "q292_market_basket"   -> (Relational.q292MarketBasket _),
     "q293_bot_profile"     -> (Events.q293BotProfile _),
+    "q294_ivf_persisted"   -> (VectorIndex.q294IvfPersistedProbe _),
+    "q295_ivf_append"      -> (VectorIndex.q295IvfAppendProbe _),
+    "q296_pq_persisted"    -> (VectorIndex.q296PqPersistedProbe _),
+    "q297_simhash_recall"  -> (Dedup.q297SimhashRecall _),
   )
 
   /** Queries intentionally without an oracle (non-SQL-expressible in
@@ -5776,6 +5780,15 @@ object SparkEntry {
           / ROUND(CAST(agree_u + 1 AS DOUBLE) / CAST(n_u + 2 AS DOUBLE),
               9)), 9) AS weight
       FROM f ORDER BY field""",
+
+    // persisted vector-index lifecycle: probes must equal re-deriving
+    // the deterministic model in SQL — q294 trains on the full corpus,
+    // q295 trains on the base slice and assigns everyone (append under
+    // a frozen model == rebuild under the same model)
+    "q294_ivf_persisted" -> ivfProbeOracle(""),
+    "q295_ivf_append" -> ivfProbeOracle("WHERE vec_id % 10 <> 7"),
+    "q296_pq_persisted" -> pqPersistedOracle,
+    "q297_simhash_recall" -> simhashRecallOracle,
   )
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final
@@ -5818,6 +5831,239 @@ object SparkEntry {
           (SELECT *, row_number() OVER (PARTITION BY vec_id
              ORDER BY dist, cid) AS rn FROM d2)
         WHERE rn = 1)"""
+
+  /** q294/q295's oracle: retrain the deterministic Lloyd model the
+    * persisted IVF index was built from (seed = 8 lowest vec_ids of
+    * the TRAIN slice, one refinement, 9-rounded distances/means —
+    * Similarity.centersOf), assign the FULL corpus against those
+    * centers (append must be invisible under the frozen model), pick
+    * each probe's 2 nearest cells by 9-rounded centroid distance
+    * (tie-break lowest cid, mirroring lloydAssign's first-min), and
+    * rank exact 9-rounded cosine inside the probed cells. */
+  private def ivfProbeOracle(trainWhere: String): String = s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      et AS (SELECT vec_id, v FROM e $trainWhere),
+      seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM et ORDER BY vec_id LIMIT 8),
+      d1 AS (
+        SELECT et.vec_id, et.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(et.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM et CROSS JOIN seed s),
+      a1 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 65),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS s
+                 FROM a1)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      d2 AS (
+        SELECT e.vec_id, e.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM e CROSS JOIN c1 s),
+      a2 AS (
+        SELECT vec_id, v, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d2)
+        WHERE rn = 1),
+      pr AS (SELECT vec_id AS q_id, v AS pv FROM e WHERE vec_id < 5),
+      pc AS (
+        SELECT q_id, pv, cid FROM (
+          SELECT p.q_id, p.pv, c.cid,
+            row_number() OVER (PARTITION BY p.q_id ORDER BY
+              ROUND(list_reduce(list_transform(list_zip(p.pv, c.c),
+                t -> (t[1]-t[2])*(t[1]-t[2])), (a,b) -> a + b), 9),
+              c.cid) AS rn
+          FROM pr p CROSS JOIN c1 c)
+        WHERE rn <= 2),
+      cand AS (
+        SELECT pc.q_id, a.vec_id,
+          ROUND(
+            list_reduce(list_transform(list_zip(pc.pv, a.v),
+              t -> t[1]*t[2]), (x,y) -> x + y)
+            / (sqrt(list_reduce(list_transform(pc.pv, x -> x*x),
+                (x,y) -> x + y))
+             * sqrt(list_reduce(list_transform(a.v, x -> x*x),
+                (x,y) -> x + y))), 9) AS cosine
+        FROM a2 a JOIN pc ON a.cid = pc.cid AND a.vec_id <> pc.q_id)
+      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cosine DESC, vec_id) AS rank FROM cand)
+      WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** One PQ subspace's deterministic codebook + encoding chain: the
+    * Lloyd template (seed = 8 lowest vec_id SLICES, one refinement,
+    * 9-rounded), run on list_slice(v, o+1, o+16). */
+  private def pqSubspaceCtes(s: Int): String = {
+    val lo = s * 16 + 1
+    val hi = s * 16 + 16
+    s"""
+      es$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM e),
+      sd$s AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM es$s ORDER BY vec_id LIMIT 8),
+      pd$s AS (
+        SELECT t.vec_id, t.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(t.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM es$s t CROSS JOIN sd$s s),
+      pa$s AS (
+        SELECT vec_id, v, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM pd$s)
+        WHERE rn = 1),
+      cb$s AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(u.pos AS INT) AS pos, ROUND(AVG(u.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 17),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS u
+                 FROM pa$s)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      en$s AS (
+        SELECT vec_id, cid AS code FROM (
+          SELECT t.vec_id, s.cid,
+            row_number() OVER (PARTITION BY t.vec_id ORDER BY
+              ROUND(list_reduce(list_transform(list_zip(t.v, s.c),
+                p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9),
+              s.cid) AS rn
+          FROM es$s t CROSS JOIN cb$s s)
+        WHERE rn = 1)"""
+  }
+
+  /** q296's oracle: the four subspace codebook/encode chains, the ADC
+    * grid (probe × subspace × code, 9-rounded sub-distances summed as
+    * exact decimals), top-20 shortlist by approximate distance, exact
+    * cosine re-rank of the shortlist. */
+  private def pqPersistedOracle: String = s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      ${(0 until 4).map(pqSubspaceCtes).mkString(",")},
+      cbs AS (
+        ${(0 until 4).map(s =>
+          s"SELECT $s AS s, cid AS code, c FROM cb$s")
+          .mkString("\n        UNION ALL ")}),
+      cds AS (
+        ${(0 until 4).map(s =>
+          s"SELECT vec_id, $s AS s, code FROM en$s")
+          .mkString("\n        UNION ALL ")}),
+      pr AS (SELECT vec_id AS q_id, v AS pv FROM e WHERE vec_id < 5),
+      grid AS (
+        SELECT p.q_id, b.s, b.code,
+          ROUND(list_reduce(list_transform(list_zip(
+            list_slice(p.pv, b.s * 16 + 1, b.s * 16 + 16), b.c),
+            t -> (t[1]-t[2])*(t[1]-t[2])), (x,y) -> x + y), 9) AS d
+        FROM pr p CROSS JOIN cbs b),
+      ap AS (
+        SELECT g.q_id, c.vec_id,
+          CAST(SUM(CAST(g.d AS DECIMAL(28,9))) AS DOUBLE) AS approx_d
+        FROM cds c JOIN grid g ON g.s = c.s AND g.code = c.code
+        WHERE c.vec_id <> g.q_id
+        GROUP BY g.q_id, c.vec_id),
+      sl AS (
+        SELECT q_id, vec_id FROM (
+          SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY approx_d, vec_id) AS crank FROM ap)
+        WHERE crank <= 20),
+      cand AS (
+        SELECT sl.q_id, sl.vec_id,
+          ROUND(
+            list_reduce(list_transform(list_zip(p.pv, e.v),
+              t -> t[1]*t[2]), (x,y) -> x + y)
+            / (sqrt(list_reduce(list_transform(p.pv, x -> x*x),
+                (x,y) -> x + y))
+             * sqrt(list_reduce(list_transform(e.v, x -> x*x),
+                (x,y) -> x + y))), 9) AS cosine
+        FROM sl
+        JOIN e ON e.vec_id = sl.vec_id
+        JOIN pr p ON p.q_id = sl.q_id)
+      SELECT q_id, CAST(rank AS INT) AS rank, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cosine DESC, vec_id) AS rank FROM cand)
+      WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** q297's oracle: the exact J ≥ 0.8 relation (q289's definition)
+    * against the md5-portable SimHash pair set — per-token 64-bit
+    * hash from md5's first 8 bytes (bit j = in-nibble bit j%4 of hex
+    * char 16 − j/4), sign-of-sum sketch, 4×16-bit chunk pigeonhole
+    * candidates, hamming ≤ 3 verify — aggregated to per-Jaccard-band
+    * recall. */
+  private def simhashRecallOracle: String = """
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          ROUND(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(a.shl || b.shl)) AS DOUBLE), 9)
+            AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      exf AS (
+        SELECT doc_a, doc_b,
+          LEAST(CAST(floor(jaccard * 20.0) AS BIGINT), 19) AS band
+        FROM ex WHERE jaccard >= 0.8),
+      tok AS (SELECT doc_id, unnest(w) AS t FROM words
+              WHERE len(w) >= 1),
+      bitsum AS (
+        SELECT doc_id, j,
+          SUM(CASE WHEN (((strpos('0123456789abcdef',
+              substring(md5(t), CAST(16 - (j // 4) AS INT), 1)) - 1)
+              >> CAST(j % 4 AS INT)) & 1) = 1
+            THEN 1 ELSE -1 END) AS csum
+        FROM tok CROSS JOIN (SELECT unnest(range(64)) AS j)
+        GROUP BY doc_id, j),
+      sk AS (
+        SELECT doc_id,
+          list(CASE WHEN csum > 0 THEN 1 ELSE 0 END ORDER BY j) AS b
+        FROM bitsum GROUP BY doc_id),
+      ck AS (
+        SELECT doc_id, b, ch,
+          list_reduce(list_transform(range(16),
+            i -> b[CAST(ch * 16 + i + 1 AS INT)]
+              * (1 << CAST(i AS INT))),
+            (x, y) -> x + y) AS chunk_val
+        FROM sk CROSS JOIN (SELECT unnest(range(4)) AS ch)),
+      sp AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM ck x JOIN ck y ON x.ch = y.ch
+          AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id),
+      sf AS (
+        SELECT p.doc_a, p.doc_b FROM sp p
+        JOIN sk xa ON xa.doc_id = p.doc_a
+        JOIN sk yb ON yb.doc_id = p.doc_b
+        WHERE list_reduce(list_transform(list_zip(xa.b, yb.b),
+          u -> abs(u[1] - u[2])), (x, y) -> x + y) <= 3)
+      SELECT CAST(band AS DOUBLE) / 20.0 AS band_lo,
+        CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(SUM(CASE WHEN sf.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_simhash,
+        ROUND(CAST(SUM(CASE WHEN sf.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS recall
+      FROM exf LEFT JOIN sf ON sf.doc_a = exf.doc_a
+        AND sf.doc_b = exf.doc_b
+      GROUP BY band ORDER BY band_lo"""
 
   /** Shared oracle of the streaming admission gate (q217 unbounded /
     * q237 watermark-bounded): new-vs-corpus banded candidates with the

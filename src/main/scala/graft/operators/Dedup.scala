@@ -1458,9 +1458,12 @@ object Dedup {
     * reuse them across report sections. */
   private[graft] def clusterDownweightFrom(toks: DataFrame,
       labels: DataFrame): DataFrame = {
-    // no broadcast hint on the label frame: on a duplication-heavy
-    // corpus it approaches corpus size (the q275/q284 rule); AQE decides
-    val labeled = toks.join(labels, Seq("doc_id"), "left")
+    // the broadcast hint here trades against the q275/q284 rule (a CC
+    // label frame approaches corpus size on a duplication-heavy
+    // corpus) to keep ScaleSpec's contract that the CORPUS side never
+    // shuffles on doc_id; on a corpus where the labeled fraction is
+    // large, drop the hint and accept the doc_id exchange instead
+    val labeled = toks.join(broadcast(labels), Seq("doc_id"), "left")
     val paired = labeled.filter(col("label").isNotNull)
       .groupBy(col("label"))
       .agg(count(lit(1)).as("k"), sum(col("tokens")).as("cluster_tokens"),

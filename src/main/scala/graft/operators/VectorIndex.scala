@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The PERSISTED vector-index lifecycle — the embedding tier's
+  * counterpart of the MinHash band-index artifact chain (q211 build /
+  * q238 append / q241 compaction in [[Dedup]]). The in-query ANN
+  * variants (q29 LSH, q53 IVF, q98 PQ in [[Similarity]]) retrain their
+  * model on every run; a production similarity stack trains ONCE,
+  * persists centroids / codebooks / assignments as catalog tables,
+  * appends newly-arriving vectors against the frozen model, and probes
+  * the standing artifact with no retraining. These queries make that
+  * lifecycle real and — unlike q53/q98, whose MLlib k-means is
+  * engine-specific and therefore rows-only in the driver gate — build
+  * on the DETERMINISTIC Lloyd chain of q248 (k-lowest-vec_id seed, one
+  * refinement, 9-rounded distances/means), so every result here is
+  * hash-checked against a DuckDB oracle that mirrors the training run.
+  *
+  * Layout choices, argued for 100 TB:
+  *
+  *  - the IVF index table is PARTITIONED BY CELL (`partitionBy(cid)`),
+  *    not bucketed: pruning is the entire point of an inverted-file
+  *    index — a probe visits nprobe of k cells, and cell-partitioning
+  *    plus a static probed-cell predicate turns that into partition
+  *    pruning at file LISTING, so a 1000-executor probe lists and
+  *    reads only the probed cells' files. Appends land as new files
+  *    inside existing cell directories (`insertInto` routes rows by
+  *    partition value) — history is never rewritten.
+  *  - the centroid table is k×dim — metadata-sized model state, the
+  *    piece every consumer (probe cell-selection, online assignment)
+  *    broadcasts or collects.
+  *  - the PQ artifact is the code table (one 4-byte code word per
+  *    vector — the 64× RAM compression that is PQ's reason to exist)
+  *    plus per-subspace codebooks; codes are bucketed by vec_id, the
+  *    key downstream re-rank/lookup joins use.
+  *
+  * 8 cells / 8 codes here are the sf-scale stand-ins for the thousands
+  * a real corpus gets; every plan shape below is invariant in k.
+  */
+object VectorIndex {
+
+  // ---------------------------------------------------------- IVF
+
+  /** Persist the IVF model: centroids → `centroidsTable` (cid, c),
+    * per-vector assignments → `indexTable` (vec_id, v) partitioned by
+    * cid. Returns the centers so build-time callers skip a re-read. */
+  private def buildIvf(spark: SparkSession, e: DataFrame, k: Int,
+      centroidsTable: String, indexTable: String): Seq[Seq[Double]] = {
+    import spark.implicits._
+    Scale.dropManaged(spark, centroidsTable)
+    Scale.dropManaged(spark, indexTable)
+    val centers = Similarity.centersOf(e, k)
+    centers.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cid", "c")
+      .write.mode(SaveMode.Overwrite).saveAsTable(centroidsTable)
+    Similarity.lloydAssign(e, centers)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .write.partitionBy("cid")
+      .mode(SaveMode.Overwrite).saveAsTable(indexTable)
+    centers
+  }
+
+  /** Probe the PERSISTED index: select each probe's `nprobe` nearest
+    * cells from the centroid TABLE (a k-row scan — no retraining),
+    * then score exact cosine only inside those cells. The probed-cell
+    * set is |probes| × nprobe ints — MODEL-STATE-sized by
+    * construction — so it is collected and inlined as a STATIC
+    * partition predicate on the cell-partitioned index: pruning is
+    * then a file-listing guarantee (spec-asserted partitions-read ==
+    * probed cells), not an optimizer courtesy (the DPP alternative
+    * hinges on broadcast-reuse heuristics that fall back to
+    * scan-everything when the probe-cell subplan contains its own
+    * exchange — measured, not theorized). After the pruned scan the index side flows
+    * exchange-free into the broadcast probe join; the only shuffle is
+    * the per-probe top-k window. Distances and cosines round to 9
+    * before every rank so the cell choice and the final order are
+    * engine-portable. */
+  private def probeIvf(spark: SparkSession, probes: DataFrame,
+      centroidsTable: String, indexTable: String,
+      nprobe: Int): DataFrame = {
+    val cents = spark.table(centroidsTable)
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("d"), col("cid"))
+    val probeCells = probes.crossJoin(cents)
+      .withColumn("d", round(Similarity.sqDist(col("pv"), col("c")), 9))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("pv"), col("cid"))
+    val cells = probeCells.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    spark.table(indexTable)
+      .filter(col("cid").isin(cells: _*))
+      .join(broadcast(probeCells), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.dotD(col("pv"), col("v")) /
+          (Similarity.normD(col("pv")) * Similarity.normD(col("v"))), 9)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The probe set (vec_id < 5) as (q_id, pv) double vectors. */
+  private def probesD(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embDouble(spark, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"))
+
+  /** q294: IVF index build + probe-from-persisted. Train the
+    * deterministic k=8 Lloyd model, persist centroids + cell-
+    * partitioned assignments as catalog tables, then answer the probe
+    * ENTIRELY from the persisted artifact — the query never touches
+    * the in-memory training frames after the write (the q211
+    * provenance discipline). nprobe = 2 of 8 cells; approximate BY
+    * DESIGN vs the exact q27 anchor, but — unlike q53 — fully
+    * hash-checked, because the oracle retrains the same deterministic
+    * model and probes the same two cells. */
+  def q294IvfPersistedProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embDouble(spark, dir)
+    buildIvf(spark, e, 8, "graft_ivf_centroids", "graft_ivf_index")
+    probeIvf(spark, probesD(spark, dir),
+      "graft_ivf_centroids", "graft_ivf_index", nprobe = 2)
+  }
+
+  /** q295: IVF APPEND maintenance — the daily-ingest half of the
+    * lifecycle. Day 0 trains on the base corpus (vec_id % 10 ≠ 7) and
+    * persists the model; day 1's batch (% 10 = 7) is assigned ONLINE
+    * against the PERSISTED centroids — the k-row model table is
+    * collected (model state, metadata-sized by construction, the q260
+    * online-assignment contract) and rides into the assignment map as
+    * a literal; the batch `insertInto`s the index, landing one new
+    * file inside each touched cell directory. History is never
+    * rewritten and the model is never retrained — which is exactly
+    * what the oracle checks: the probe over the appended index must
+    * equal assigning the FULL corpus against the base-trained centers
+    * (append must be semantically invisible vs a rebuild UNDER THE
+    * FROZEN MODEL). Cell-population drift under a frozen quantizer is
+    * the standing operational trade; the q255-style OOD report is the
+    * monitor that schedules retraining. */
+  def q295IvfAppendProbe(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embDouble(spark, dir)
+    val isNew = col("vec_id") % 10 === 7
+    buildIvf(spark, e.filter(!isNew), 8,
+      "graft_ivf_centroids_app", "graft_ivf_index_app")
+    // ONLINE assignment of the new batch against the persisted model:
+    // read the centroid TABLE (not the build-time values) so the
+    // append path is exactly what a separate ingest job would run
+    val persisted = spark.table("graft_ivf_centroids_app")
+      .orderBy(col("cid")).collect()
+    require(persisted.map(_.getInt(0)).toSeq == persisted.indices,
+      "persisted centroid ids must be dense")
+    val centers = persisted.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    Similarity.lloydAssign(e.filter(isNew), centers)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .write.mode(SaveMode.Append)
+      .insertInto("graft_ivf_index_app")
+    probeIvf(spark, probesD(spark, dir),
+      "graft_ivf_centroids_app", "graft_ivf_index_app", nprobe = 2)
+  }
+
+  // ----------------------------------------------------------- PQ
+
+  private val nSub = 4
+  private val subDim = 16
+  private val pqK = 8
+
+  /** q296: product-quantization codebooks + codes as PERSISTED tables,
+    * probe via ADC from the persisted artifact. Per 16-dim subspace a
+    * deterministic k=8 Lloyd codebook is trained (the q248 chain run
+    * on the vector SLICES) and saved to `graft_pq_codebooks`
+    * (s, code, c); every vector's 4 nearest-centroid codes collapse
+    * to ONE row in `graft_pq_codes` (vec_id, codes) — the 64×-
+    * compressed representation that is the artifact's point —
+    * bucketed by vec_id, the key downstream lookups join on.
+    *
+    * The probe consumes ONLY the two tables: the ADC distance grid
+    * (probe × subspace × centroid = 5×4×8 rows) is a crossjoin of the
+    * probe set with the codebook TABLE, approximate distance is a sum
+    * of 4 grid lookups per candidate (posexplode(codes) ⋈ broadcast
+    * grid — the scan streams once, no retraining, no full-vector
+    * reads), the top-20 shortlist re-ranks with exact cosine against
+    * the corpus (20 = 2× q98's shortlist: the deterministic k=8
+    * codebooks are coarser than q98's k=16, so the re-rank pool buys
+    * the recall back — measured in VectorIndexSpec). Every distance is 9-rounded and the per-candidate
+    * sum is an exact decimal of rounded terms, so shortlist
+    * membership, tie-breaks, and the final order are engine-portable
+    * — the oracle mirrors all four subspace codebooks and the ADC
+    * arithmetic, making this the hash-checked twin the in-query q98
+    * (MLlib codebooks, rows-only) never had. */
+  def q296PqPersistedProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Scale.dropManaged(spark, "graft_pq_codebooks")
+    Scale.dropManaged(spark, "graft_pq_codes")
+    val e = Similarity.embDouble(spark, dir)
+    // one deterministic Lloyd codebook per subspace, over the slices
+    val codebooks: Seq[(Int, Seq[Seq[Double]])] = (0 until nSub).map { s =>
+      val es = e.select(col("vec_id"),
+        slice(col("v"), s * subDim + 1, subDim).as("v"))
+      (s, Similarity.centersOf(es, pqK))
+    }
+    codebooks.flatMap { case (s, cb) =>
+      cb.zipWithIndex.map { case (c, code) => (s, code, c) }
+    }.toDF("s", "code", "c")
+      .write.mode(SaveMode.Overwrite).saveAsTable("graft_pq_codebooks")
+    // encode: per subspace, nearest codebook entry (9-rounded argmin,
+    // lowest code on ties — lloydAssign's rule), collapsed to one
+    // codes-array row per vector
+    val encoded = codebooks.map { case (s, cb) =>
+      Similarity.lloydAssign(
+          e.select(col("vec_id"),
+            slice(col("v"), s * subDim + 1, subDim).as("v")), cb)
+        .select(col("vec_id"), lit(s).as("s"), col("cid").as("code"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(s, code))), " +
+        "p -> p.code)").as("codes"))
+    encoded.write.bucketBy(8, "vec_id").sortBy("vec_id")
+      .mode(SaveMode.Overwrite).saveAsTable("graft_pq_codes")
+    // ---- probe from the persisted artifact only ----
+    val probes = probesD(spark, dir)
+    val grid = probes.crossJoin(spark.table("graft_pq_codebooks"))
+      .select(col("q_id"), col("s"), col("code"),
+        round(Similarity.sqDist(
+          slice(col("pv"), col("s") * subDim + 1, lit(subDim)),
+          col("c")), 9).as("d"))
+    val approx = spark.table("graft_pq_codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("s", "code")))
+      .join(broadcast(grid), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d").cast("decimal(28,9)")).cast("double")
+        .as("approx_d"))
+    val wApprox = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_d").asc, col("vec_id").asc)
+    val shortlist = approx
+      .withColumn("crank", row_number().over(wApprox))
+      .filter(col("crank") <= 20)
+      .select(col("q_id"), col("vec_id"))
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    shortlist
+      .join(Similarity.embDouble(spark, dir), "vec_id")
+      .join(broadcast(probes), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.dotD(col("pv"), col("v")) /
+          (Similarity.normD(col("pv")) * Similarity.normD(col("v"))), 9)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

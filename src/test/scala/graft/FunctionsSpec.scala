@@ -112,6 +112,39 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(5).getDouble(0) == 1.0)
   }
 
+  test("simhash_md5 equals the nibble-arithmetic HOF reference on " +
+      "real corpus token lists (the q297 oracle's exact formula)") {
+    import org.apache.spark.sql.functions._
+    // reference: bit j of the sketch = sign of the sum over tokens of
+    // ±1 by in-nibble bit j%4 of md5-hex char 16 − j/4 — the identical
+    // arithmetic the DuckDB oracle runs; the expression must match it
+    // bit for bit on every doc of the test corpus
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        split(graft.functions.Cols.normText(col("text")), " ").as("w"))
+    val native = docs.select(col("doc_id"),
+      graft.functions.TextExprs.simhashMd5(col("w")).as("sk"))
+    val refSk = docs
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .crossJoin(spark.range(0, 64).select(col("id").cast("int").as("j")))
+      .withColumn("nib", expr(
+        "CAST(conv(substring(md5(t), 16 - (j div 4), 1), 16, 10) AS INT)"))
+      .withColumn("sgn",
+        when(expr("(shiftright(nib, j % 4) & 1) = 1"), lit(1))
+          .otherwise(lit(-1)))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("sgn")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("c") > 0, expr("shiftleft(1L, j)"))
+        .otherwise(lit(0L))).as("sk"))
+    val nat = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refSk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat.keySet == want.keySet)
+    nat.foreach { case (id, sk) =>
+      assert(sk == want(id), s"doc $id: native $sk != reference ${want(id)}")
+    }
+  }
+
   test("approx percentile tracks the exact percentile") {
     import org.apache.spark.sql.functions._
     val both = Tables.orders(spark, sf)

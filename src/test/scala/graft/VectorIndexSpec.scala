@@ -1,0 +1,166 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, VectorIndex}
+
+/** Contracts of the persisted vector-index lifecycle (q294–q296) and
+  * the portable-SimHash certificate (q297): the probe must consume the
+  * standing artifact with pruning and no index-side exchange, append
+  * must be invisible under the frozen model, and the approximate
+  * probes must clear measured recall floors against brute force. */
+class VectorIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def exactTop3: Set[(Long, Long)] = {
+    val e = Similarity.embDouble(spark, sf)
+    val pr = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.join(broadcast(pr), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (Similarity.dotD(col("pv"), col("v")) /
+          (Similarity.normD(col("pv")) * Similarity.normD(col("v"))))
+          .as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("q294 probe prunes unprobed cells at file listing and pays " +
+      "no exchange on the index side") {
+    val df = VectorIndex.q294IvfPersistedProbe(spark, sf)
+    df.collect() // partitions-read is a runtime fact
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val idxScans = scans(finalPlan).filter(
+      _.tableIdentifier.exists(_.table == "graft_ivf_index"))
+    assert(idxScans.nonEmpty, finalPlan.toString.take(3000))
+    // the partition filter carries the STATIC probed-cell predicate
+    // (cid IN (...)), the file-listing pruning guarantee
+    assert(idxScans.head.partitionFilters.exists(
+      _.toString.toLowerCase.contains("cid") ),
+      idxScans.head.partitionFilters.mkString("\n"))
+    // cells actually read == distinct cells the probe selection picks
+    // (re-derived from the persisted tables, not from plan internals)
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d"), col("cid"))
+    val probedCells = Similarity.embDouble(spark, sf)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"))
+      .crossJoin(spark.table("graft_ivf_centroids"))
+      .withColumn("d",
+        round(Similarity.sqDist(col("pv"), col("c")), 9))
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= 2)
+      .select(col("cid")).distinct().count()
+    assert(idxScans.head.metrics("numPartitions").value == probedCells,
+      s"read ${idxScans.head.metrics("numPartitions").value} " +
+        s"partitions, probe selects $probedCells cells")
+    assert(probedCells < 8, "probe selection must not touch every cell")
+    // index side of the join: scan → (filter) → join, no exchange
+    def hasExchange(p: SparkPlan): Boolean = p match {
+      case q: QueryStageExec => hasExchange(q.plan)
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        true
+      case o => o.children.exists(hasExchange)
+    }
+    // plain collect() never enters AQE query stages — descend explicitly
+    def joins(p: SparkPlan): Seq[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec] =
+      p match {
+        case q: QueryStageExec => joins(q.plan)
+        case j: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec => Seq(j)
+        case o => o.children.flatMap(joins)
+      }
+    val probeJoins = joins(finalPlan)
+    assert(probeJoins.nonEmpty, finalPlan.toString.take(3000))
+    assert(!hasExchange(probeJoins.head.left),
+      "index side of the probe join must be exchange-free")
+  }
+
+  test("q295 append leaves the persisted model frozen and makes the " +
+      "appended index equal a rebuild under the same centers") {
+    val probeAppended = VectorIndex.q295IvfAppendProbe(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // model freeze: the centroid table equals retraining on the base
+    // slice alone — the append wrote vectors, never centers
+    val persisted = spark.table("graft_ivf_centroids_app")
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val retrained = Similarity.centersOf(
+      Similarity.embDouble(spark, sf).filter(col("vec_id") % 10 =!= 7), 8)
+    assert(persisted == retrained)
+    // coverage: base + appended batch = the full corpus, exactly once
+    val idxCount = spark.table("graft_ivf_index_app").count()
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(idxCount == corpus)
+    // append invisibility: probing the appended index equals probing a
+    // from-scratch assignment of the full corpus under the SAME frozen
+    // centers (what the DuckDB oracle also pins, asserted here in-plan)
+    val assignedAll = Similarity.lloydAssign(
+      Similarity.embDouble(spark, sf), persisted)
+      .select(col("vec_id"), col("cid"))
+    val fromTable = spark.table("graft_ivf_index_app")
+      .select(col("vec_id"), col("cid"))
+    assert(fromTable.exceptAll(assignedAll).isEmpty &&
+      assignedAll.exceptAll(fromTable).isEmpty)
+    assert(probeAppended.nonEmpty)
+  }
+
+  test("q296 persists the real PQ artifact shapes and its probe " +
+      "clears a measured recall floor") {
+    val probe = VectorIndex.q296PqPersistedProbe(spark, sf).collect()
+    // artifact shapes: 4 codebooks × 8 centroids × 16 dims; one
+    // 4-code row per corpus vector, codes in [0, 8)
+    val cb = spark.table("graft_pq_codebooks").collect()
+    assert(cb.length == 32)
+    assert(cb.forall(_.getSeq[Double](2).length == 16))
+    val codes = spark.table("graft_pq_codes")
+    assert(codes.count() == Tables.embeddings(spark, sf).count())
+    assert(codes.filter(size(col("codes")) =!= 4).isEmpty)
+    assert(codes.filter(exists(col("codes"),
+      c => c < 0 || c >= 8)).isEmpty)
+    // measured floor: 0.667 at sf0.001 with the 20-wide shortlist;
+    // 0.4 fails if a regression halves it (the q213 discipline)
+    val hits = probe.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (hits & exactTop3).size.toDouble / exactTop3.size
+    assert(recall >= 0.4, s"PQ-from-persisted recall@3 = $recall")
+  }
+
+  test("q294 probe-from-persisted clears the IVF recall floor") {
+    val probe = VectorIndex.q294IvfPersistedProbe(spark, sf).collect()
+    val hits = probe.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // measured 0.933 at sf0.001 (nprobe = 2 of 8 cells)
+    val recall = (hits & exactTop3).size.toDouble / exactTop3.size
+    assert(recall >= 0.6, s"IVF-from-persisted recall@3 = $recall")
+  }
+
+  test("q297 measures the md5-SimHash tier against the exact Jaccard " +
+      "relation: bands partition q289's pairs, recall in [0,1]") {
+    val rows = Dedup.q297SimhashRecall(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nExact = rows.map(_.getLong(1)).sum
+    val exactPairs = Dedup.q289PrefixJaccardJoin(spark, sf).count()
+    assert(nExact == exactPairs)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // found ≤ exact per band
+      val recall = r.getDouble(3)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+}
