@@ -1,0 +1,434 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.streaming._
+import graft.registry.OracleDefs._
+
+/** CoreEtl family: catalog entries + DuckDB oracle SQL
+  * (mechanical split of SparkEntry; content verbatim). */
+object CoreEtlRegistry {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_cleanse_country"  -> (Cleanse.qCleanseCountry _),
+    "q20_cleanse_pipeline" -> (Cleanse.qCleansePipeline _),
+    "q41_csv_roundtrip"    -> (Egress.q41CsvRoundtrip _),
+    "q42_catalog_table"    -> (Egress.q42CatalogTable _),
+    "q45_bucketed_join"    -> (Scale.q45BucketedJoin _),
+    "q46_partition_pruning" -> (Scale.q46PartitionPruning _),
+    "q47_salted_agg"       -> (Scale.q47SaltedAgg _),
+    "q58_latest_wins"      -> (Egress.q58LatestWins _),
+    "q59_json_roundtrip"   -> (Egress.q59JsonRoundtrip _),
+    "q60_orc_roundtrip"    -> (Egress.q60OrcRoundtrip _),
+    "q74_merge_apply"      -> (Egress.q74MergeApply _),
+    "q75_compaction"       -> (Egress.q75Compaction _),
+    "q80_salted_join"      -> (Scale.q80SaltedJoin _),
+    "q84_pipeline_staged"  -> (graft.Pipeline.q84PipelineStaged _),
+    "q85_global_index"     -> (Scale.q85GlobalIndex _),
+    "q96_incremental_rollup" -> (Egress.q96IncrementalRollup _),
+    "q111_dynamic_overwrite" -> (Egress.q111DynamicOverwrite _),
+    "q131_zorder_layout"   -> (Scale.q131ZorderLayout _),
+    "q132_bloom_prefilter" -> (Scale.q132BloomPrefilter _),
+    "q134_custom_source"   -> (Egress.q134CustomSource _),
+    "q137_default_columns" -> (Egress.q137DefaultColumns _),
+    "q143_writer_v2"       -> (Egress.q143WriterV2 _),
+    "q164_corpus_diff"     -> (Egress.q164CorpusDiff _),
+    "q182_reused_exchange" -> (Scale.q182ReusedExchange _),
+    "q183_join_hints"      -> (Scale.q183JoinHints _),
+    "q186_schema_contract" -> (Egress.q186SchemaContract _),
+    "q187_partition_audit" -> (Egress.q187PartitionAudit _),
+    "q195_source_agg_pushdown" -> (Egress.q195SourceAggPushdown _),
+    "q196_jdbc_roundtrip"  -> (Egress.q196JdbcRoundtrip _),
+    "q202_dwh_load"        -> (graft.Pipeline.q202DwhLoad _),
+    "q233_dpp_join"        -> (Scale.q233DppJoin _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q19_cleanse_country" -> """
+      SELECT c_custkey,
+        CASE hit WHEN 'England' THEN 'United Kingdom'
+                 WHEN 'Scotland' THEN 'United Kingdom'
+                 WHEN 'Wales' THEN 'United Kingdom'
+                 WHEN 'West Germany' THEN 'Germany'
+                 ELSE hit END AS country_eu
+      FROM (
+        SELECT c_custkey,
+          (list_filter(
+             list_filter(
+               list_transform(
+                 string_split(
+                   replace((['France, United Kingdom', '"England"', 'Peru',
+                             '', ' West Germany , Spain '])
+                           [CAST(c_custkey % 5 AS INTEGER) + 1], '"', ''),
+                   ','),
+                 x -> trim(x)),
+               x -> x <> ''),
+             x -> list_contains(
+               ['United Kingdom','England','Scotland','Wales','Ireland',
+                'Spain','France','Germany','West Germany','Italy','Portugal',
+                'Netherlands','Belgium','Sweden','Norway','Denmark','Finland',
+                'Poland','Czech Republic','Austria','Switzerland','Luxembourg',
+                'Russia','Ukraine','Belarus','Turkey','Greece','Cyprus',
+                'Iceland'], x)))[1] AS hit
+        FROM customer) t
+      WHERE hit IS NOT NULL
+      ORDER BY c_custkey""",
+    "q20_cleanse_pipeline" -> """
+      SELECT doc_id,
+        TRIM(replace(replace(substring(text, 1, 40), '"', ''), ',', ' -'))
+          AS title,
+        CASE WHEN lang IN ('en','fr','de','es') THEN lang
+             ELSE 'UNKNOWN' END AS lang,
+        CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INTEGER) AS src_num,
+        CASE lang WHEN 'en' THEN 'English' WHEN 'fr' THEN 'French'
+                  WHEN 'de' THEN 'German' WHEN 'es' THEN 'Spanish'
+                  ELSE 'Desconocido' END AS lang_meaning,
+        string_split(text, ' ')[1] AS first_word,
+        CASE WHEN string_split(text, ' ')[1] LIKE '%join%' THEN 'Join'
+             WHEN string_split(text, ' ')[1] LIKE '%merge%' THEN 'Join'
+             WHEN string_split(text, ' ')[1] LIKE '%scan%' THEN 'Scan'
+             WHEN string_split(text, ' ')[1] LIKE '%filter%' THEN 'Scan'
+             WHEN string_split(text, ' ')[1] LIKE '%sort%' THEN 'Sort'
+             WHEN string_split(text, ' ')[1] LIKE '%order%' THEN 'Sort'
+             WHEN string_split(text, ' ')[1] LIKE '%group%' THEN 'Agg'
+             WHEN string_split(text, ' ')[1] LIKE '%window%' THEN 'Agg'
+             ELSE 'Other' END AS topic_group
+      FROM documents
+      WHERE n_chars >= 100
+        AND regexp_replace(source, '[^0-9]', '', 'g') <> ''
+        AND lang IN ('en','fr','de','es')
+      ORDER BY doc_id""",
+    "q41_csv_roundtrip" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_acctbal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "q42_catalog_table" -> """
+      SELECT n_regionkey, COUNT(*) AS n_nations,
+        MIN(n_name) AS first_nation
+      FROM nation
+      GROUP BY n_regionkey
+      ORDER BY n_regionkey""",
+    "q45_bucketed_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    "q46_partition_pruning" -> """
+      SELECT CAST(MONTH(o_orderdate) AS INTEGER) AS mon,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE YEAR(o_orderdate) = 1997
+      GROUP BY 1
+      ORDER BY mon""",
+    "q47_salted_agg" -> """
+      SELECT o_orderpriority, COUNT(*) AS n
+      FROM orders
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+    "q58_latest_wins" -> """
+      SELECT user_id, event_id, tsx AS ts, event_type, value FROM (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+               event_type, value,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events) t
+      WHERE rn = 1
+      ORDER BY user_id""",
+
+    // oracle on the original parquet: the jsonl cycle must reproduce it
+    "q59_json_roundtrip" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+    "q60_orc_roundtrip" -> """
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""",
+    "q74_merge_apply" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type, value
+        FROM events WHERE event_id < 1500),
+      base AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+      chg AS (
+        SELECT event_id, user_id, event_type, value + 1000 AS value,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM ev WHERE event_id % 3 = 0)
+      SELECT COALESCE(c.event_id, b.event_id) AS event_id,
+        COALESCE(c.user_id, b.user_id) AS user_id,
+        COALESCE(c.event_type, b.event_type) AS event_type,
+        COALESCE(c.value, b.value) AS value,
+        CASE WHEN c.event_id IS NOT NULL THEN 'chg' ELSE 'base' END AS src
+      FROM base b FULL OUTER JOIN chg c ON b.event_id = c.event_id
+      WHERE COALESCE(c.op, '') <> 'D'
+      ORDER BY event_id""",
+
+    // oracle on the original parquet: the small-file + compaction
+    // cycle must preserve every row exactly
+    "q75_compaction" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        COUNT(DISTINCT doc_id) AS n_distinct_docs
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang""",
+
+    // identical semantics to q51, executed by the custom
+    // AsOfJoinExec physical operator instead of the union+window plan
+    "q84_pipeline_staged" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_customers,
+        COUNT(DISTINCT c_nationkey) AS n_nations,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_acctbal
+      FROM customer
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    // distributed two-phase ranking must equal the single-sequence
+    // ROW_NUMBER over the same total order
+    "q85_global_index" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+          AS rank
+      FROM orders
+      ORDER BY rank""",
+    "q111_dynamic_overwrite" -> """
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1997
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+                      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END)
+          AS DOUBLE) AS total
+      FROM orders
+      GROUP BY 1
+      ORDER BY o_year""",
+
+    // same sequential fold: list_reduce over the ts-ordered values
+    // seeds with the first element exactly like the mapGroups loop
+    "q96_incremental_rollup" -> """
+      SELECT o_orderpriority, CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY o_orderpriority, yr""",
+
+    // fully spelled-out equivalent of the GROUP BY ALL / ORDER BY ALL
+    // / lateral-alias sugar: sugar must not change semantics
+    "q131_zorder_layout" -> """
+      WITH base AS (
+        SELECT p_partkey, CAST(p_size AS INTEGER) AS x,
+          LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS INTEGER), 63)
+            AS y
+        FROM part),
+      zv AS (
+        SELECT p_partkey, x, y,
+          (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) +
+          (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) +
+          (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) +
+          (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) +
+          (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) +
+          (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) AS z
+        FROM base),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY z, p_partkey) AS rk
+        FROM zv)
+      SELECT CAST((rk - 1) // 64 AS INTEGER) AS file_id,
+        COUNT(*) AS n_parts,
+        MIN(x) AS min_size, MAX(x) AS max_size,
+        MIN(y) AS min_priceb, MAX(y) AS max_priceb,
+        MIN(z) AS min_z, MAX(z) AS max_z
+      FROM ranked
+      GROUP BY 1
+      ORDER BY 1""",
+
+    // plain join: bloom false positives must all be removed by the
+    // real join, so the prefiltered plan is value-identical to this
+    "q132_bloom_prefilter" -> """
+      SELECT s_nationkey, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey < 5
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""",
+
+    // the originating rows: byte counts + digests must survive the
+    // file write → binaryFile read cycle (strlen = UTF-8 bytes, the
+    // same bytes Spark writes; DuckDB md5 hashes those bytes)
+    "q134_custom_source" -> """
+      WITH src AS (
+        SELECT i AS id, CAST(i % 16 AS INTEGER) AS bucket,
+          md5(CAST(i AS VARCHAR)) AS fp
+        FROM range(0, 5000) t(i)
+        WHERE i >= 1000 AND i < 4000)
+      SELECT bucket, COUNT(*) AS n_rows,
+        MIN(fp) AS min_fp, MAX(fp) AS max_fp
+      FROM src
+      GROUP BY bucket
+      ORDER BY bucket""",
+
+    // the batch GROUP BY the cross-batch named state must converge to
+    "q137_default_columns" -> """
+      SELECT n_nationkey AS id, 'new' AS status, 10 AS score
+      FROM nation
+      UNION ALL SELECT 1000, 'new', 5
+      ORDER BY id""",
+
+    // by-name union with a nulled missing column, repaired downstream
+    "q143_writer_v2" -> """
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_usd
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+
+    // same float→double widening, same floor(x/scale + 0.5) rule;
+    // the error term recomputes the code inline (identical value)
+    "q164_corpus_diff" -> """
+      WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+      v2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0
+               THEN md5(text || ' [amended v2]')
+               ELSE md5(text) END AS h2
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, md5('new:' || text)
+        FROM documents WHERE doc_id < 100)
+      SELECT CASE WHEN h1 IS NULL THEN 'added'
+                  WHEN h2 IS NULL THEN 'removed'
+                  WHEN h1 = h2 THEN 'unchanged'
+                  ELSE 'changed' END AS change,
+        COUNT(*) AS n_docs
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      GROUP BY 1
+      ORDER BY 1""",
+
+    // single data batch: update mode emits each window exactly once
+    "q80_salted_join" -> """
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+
+    // the nested-SELECT form the pipe syntax de-sugars to
+    "q182_reused_exchange" -> """
+      WITH t AS (
+        SELECT o_orderpriority AS priority, COUNT(*) AS n_orders,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total
+        FROM orders GROUP BY o_orderpriority)
+      SELECT t.priority, t.n_orders, t.total,
+        CAST(round(t.total / m.max_total, 9) AS DOUBLE) AS share_of_max,
+        m.max_orders
+      FROM t CROSS JOIN (SELECT MAX(total) AS max_total,
+        MAX(n_orders) AS max_orders FROM t) m
+      ORDER BY t.priority""",
+
+    // all interval matches + non-matching clicks whose join window
+    // closed strictly before the drain's final watermark (min of the
+    // two sides' max event time, minus the 30-minute delay)
+    "q186_schema_contract" -> """
+      SELECT * FROM (VALUES
+        ('doc_id',  'bigint', 'bigint', 'ok'),
+        ('lang',    'string', 'string', 'ok'),
+        ('n_chars', 'bigint', 'int',    'type_mismatch'),
+        ('quality', 'double', NULL,     'missing'),
+        ('source',  'string', NULL,     'missing'),
+        ('src',     NULL,     'string', 'unexpected'),
+        ('text',    'string', 'string', 'ok'))
+        AS t(field, expected, actual, status)
+      ORDER BY field""",
+
+    // same spine, same deliberate June-1995 hole
+    "q187_partition_audit" -> """
+      WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+          COUNT(*) AS n
+        FROM orders GROUP BY 1),
+      spine AS (
+        SELECT unnest(generate_series((SELECT MIN(mo) FROM m),
+          (SELECT MAX(mo) FROM m), INTERVAL 1 MONTH)) AS mo)
+      SELECT strftime(CAST(s.mo AS DATE), '%Y-%m-%d') AS o_month,
+        CASE WHEN m.mo IS NULL OR s.mo = DATE '1995-06-01'
+          THEN 'missing' ELSE 'present' END AS status,
+        CAST(CASE WHEN m.mo IS NULL OR s.mo = DATE '1995-06-01'
+          THEN 0 ELSE m.n END AS BIGINT) AS n_rows
+      FROM spine s LEFT JOIN m ON CAST(s.mo AS DATE) = m.mo
+      ORDER BY o_month""",
+
+    // ANSI ntile: the first (n mod 10) deciles take the extra row
+    "q195_source_agg_pushdown" -> """
+      SELECT CAST(i % 16 AS INT) AS bucket, COUNT(*) AS n_rows,
+        CAST(SUM(i) AS BIGINT) AS id_sum,
+        MIN(i) AS id_min, MAX(i) AS id_max
+      FROM range(100000, 1000000) t(i)
+      GROUP BY 1
+      ORDER BY 1""",
+
+    // the JDBC cycle must be lossless: oracle on the original parquet
+    "q196_jdbc_roundtrip" -> """
+      SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_acctbal,
+        MIN(s_name) AS first_name
+      FROM supplier
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey""",
+
+    // recovery must be invisible: two checkpointed incarnations emit
+    // exactly the single-run append-mode window set (q136's oracle)
+    "q202_dwh_load" -> """
+      SELECT p_brand, COUNT(*) AS n_parts,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_retail,
+        MIN(p_type) AS min_type
+      FROM part
+      WHERE p_size IS NOT NULL
+      GROUP BY p_brand
+      ORDER BY p_brand""",
+
+    // add-one bigram LM trained on the train split, held-out docs
+    // scored by mean nll; parallel unnests zip into aligned bigrams
+    "q183_join_hints" -> """
+      SELECT r_name, COUNT(*) AS n_customers,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          AS total_bal
+      FROM customer c
+      JOIN nation n ON c_nationkey = n_nationkey
+      JOIN region r ON n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name""",
+
+    // the media perceptual-hash tier, recomputed all-pairs: the 8-chunk
+    // pigeonhole makes the Spark banded result EXACTLY the hamming<=7
+    // pair set, so a brute-force oracle pins it bit-for-bit. Char
+    // arithmetic here == the Spark side's payload-byte arithmetic
+    // because the fixture is ASCII (documents are synthesized from an
+    // ASCII vocabulary; q133's md5 round-trip would catch drift).
+    "q233_dpp_join" -> """
+      SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      WHERE YEAR(o_orderdate) >= 1999
+      GROUP BY 1
+      ORDER BY o_year""",
+
+    // HLL certificate: the oracle owns the exact side and asserts the
+    // within-bound flag as literal TRUE — a sketch drifting past 3×rsd
+    // hash-mismatches the round (the estimate itself is engine-specific
+    // and deliberately not in the output)
+  )
+}

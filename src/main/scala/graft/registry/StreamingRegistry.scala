@@ -1,0 +1,256 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+import graft.streaming._
+import graft.registry.OracleDefs._
+
+/** Streaming family: catalog entries + DuckDB oracle SQL
+  * (mechanical split of SparkEntry; content verbatim). */
+object StreamingRegistry {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_stream_windows"   -> (StreamingWindows.q39StreamWindows _),
+    "q54_stream_stream_join" -> (StreamJoin.q54StreamStreamJoin _),
+    "q81_stream_dedup"     -> (StreamDedup.q81StreamDedup _),
+    "q82_stream_sessions"  -> (StreamSessions.q82StreamSessions _),
+    "q83_stream_sink"      -> (StreamSink.q83StreamSinkRoundtrip _),
+    "q116_stream_multibatch" -> (StreamingWindows.q116StreamMultibatch _),
+    "q135_transform_with_state" ->
+      (graft.streaming.StreamTransformState.q135TransformWithState _),
+    "q136_stream_append_windows" ->
+      (StreamingWindows.q136StreamAppendWindows _),
+    "q139_stream_static_enrich" ->
+      (graft.streaming.StreamJoin.q139StreamStaticEnrich _),
+    "q149_tws_timers" ->
+      (graft.streaming.StreamTransformState.q149TwsTimers _),
+    "q165_stream_update_windows" ->
+      (StreamingWindows.q165StreamUpdateWindows _),
+    "q184_stream_outer_join" ->
+      (graft.streaming.StreamJoin.q184StreamOuterJoin _),
+    "q197_stream_recovery" ->
+      (graft.streaming.StreamRecovery.q197StreamRecovery _),
+    "q217_stream_index_dedup" ->
+      (graft.streaming.StreamDedup.q217StreamIndexDedup _),
+    "q237_stream_gate_bounded" ->
+      (graft.streaming.StreamDedup.q237StreamGateBounded _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q39_stream_windows" -> """
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+    "q54_stream_stream_join" -> """
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+                        event_id AS click_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id AS p_user_id, CAST(ts AS TIMESTAMP) AS buy_ts,
+                   event_id AS buy_id
+            FROM events WHERE event_type = 'purchase')
+      SELECT click_id, buy_id, user_id, click_ts, buy_ts
+      FROM c JOIN p ON user_id = p_user_id
+        AND buy_ts >= click_ts
+        AND buy_ts <= click_ts + INTERVAL 10 MINUTE
+      ORDER BY click_id, buy_id""",
+    "q81_stream_dedup" -> """
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ',
+        'g'))) AS fp
+      FROM documents
+      ORDER BY fp""",
+
+    // sessions CLOSED during the AvailableNow drain: every non-final
+    // session per user (closed inline by gap exceedance) plus final
+    // sessions old enough that the post-drain watermark (max_ts - 30m
+    // delay) passed last_event + 30m gap and fired the event-time
+    // timeout. Validated as an exact set match against the stream.
+    // identical closed-session set as q82 — the state-v2 timer
+    // path must reproduce the flatMapGroupsWithState semantics
+    "q149_tws_timers" -> """
+      WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+          lag(CAST(ts AS TIMESTAMP)) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, tsx,
+          CASE WHEN prev_ts IS NULL
+                    OR epoch_us(tsx) - epoch_us(prev_ts) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM ordered),
+      sess AS (
+        SELECT user_id, tsx,
+          SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY tsx, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      agg AS (
+        SELECT user_id, sid, COUNT(*) AS n_events,
+          epoch_us(MIN(tsx)) AS session_start_us,
+          epoch_us(MAX(tsx)) AS last_us,
+          CAST(epoch_us(MAX(tsx)) - epoch_us(MIN(tsx)) AS DOUBLE)
+            / 1000000.0 AS duration_sec,
+          sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
+        FROM sess GROUP BY user_id, sid),
+      mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS m FROM events)
+      SELECT user_id, session_start_us, n_events, duration_sec
+      FROM agg, mx
+      WHERE (NOT is_last)
+         OR ((last_us + 1800000000) // 1000 < (m // 1000) - 1800000)
+      ORDER BY user_id, session_start_us""",
+    "q82_stream_sessions" -> """
+      WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsx,
+          lag(CAST(ts AS TIMESTAMP)) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+            AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, tsx,
+          CASE WHEN prev_ts IS NULL
+                    OR epoch_us(tsx) - epoch_us(prev_ts) > 1800000000
+               THEN 1 ELSE 0 END AS new_session
+        FROM ordered),
+      sess AS (
+        SELECT user_id, tsx,
+          SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY tsx, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged),
+      agg AS (
+        SELECT user_id, sid, COUNT(*) AS n_events,
+          epoch_us(MIN(tsx)) AS session_start_us,
+          epoch_us(MAX(tsx)) AS last_us,
+          CAST(epoch_us(MAX(tsx)) - epoch_us(MIN(tsx)) AS DOUBLE)
+            / 1000000.0 AS duration_sec,
+          sid = MAX(sid) OVER (PARTITION BY user_id) AS is_last
+        FROM sess GROUP BY user_id, sid),
+      mx AS (SELECT epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS m FROM events)
+      SELECT user_id, session_start_us, n_events, duration_sec
+      FROM agg, mx
+      WHERE (NOT is_last)
+         OR ((last_us + 1800000000) // 1000 < (m // 1000) - 1800000)
+      ORDER BY user_id, session_start_us""",
+
+    // foreachBatch parquet landing must equal the batch window counts
+    "q83_stream_sink" -> """
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    // oracle on the ORIGINAL parquet: the staged extract→transform→
+    // load cycle (latest-file pick included) must reproduce it
+    "q116_stream_multibatch" -> """
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+    "q135_transform_with_state" -> """
+      SELECT user_id, COUNT(*) AS n_events,
+        MAX(event_id) AS max_event_id
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""",
+
+    // append mode emits exactly the windows the final watermark
+    // (global max event time - 10 min) has passed: end <= watermark
+    "q136_stream_append_windows" -> """
+      WITH wm AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        FROM events)
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events, wm
+      WHERE time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+              + INTERVAL 5 MINUTE <= w
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    // defaults recomputed explicitly: partial INSERT fills both,
+    // VALUES(..., DEFAULT, 5) fills only status
+    "q139_stream_static_enrich" -> """
+      SELECT n_name, event_type, COUNT(*) AS n_events
+      FROM events JOIN nation ON user_id % 25 = n_nationkey
+      GROUP BY 1, 2
+      ORDER BY 1, 2""",
+
+    // the stubs have closed forms on byte counts: resize = ceil(n/2),
+    // frames = min(64, ceil(n / 4096)); payload bytes = strlen(text)
+    "q165_stream_update_windows" -> """
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    // boolean folds are associative: FILTER-style aggregates mirror
+    "q184_stream_outer_join" -> """
+      WITH c AS (
+        SELECT event_id AS click_id, user_id,
+          CAST(ts AS TIMESTAMP) AS click_ts
+        FROM events WHERE event_type = 'click'),
+      p AS (
+        SELECT event_id AS buy_id, user_id AS p_user,
+          CAST(ts AS TIMESTAMP) AS buy_ts
+        FROM events WHERE event_type = 'purchase'),
+      wm AS (
+        SELECT least(
+          (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+            WHERE event_type = 'click'),
+          (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events
+            WHERE event_type = 'purchase')) - INTERVAL 30 MINUTE AS w),
+      matched AS (
+        SELECT c.click_id, c.user_id, c.click_ts, p.buy_id, p.buy_ts
+        FROM c JOIN p ON c.user_id = p.p_user
+          AND p.buy_ts >= c.click_ts
+          AND p.buy_ts <= c.click_ts + INTERVAL 10 MINUTE),
+      unmatched AS (
+        SELECT c.click_id, c.user_id, c.click_ts,
+          CAST(NULL AS BIGINT) AS buy_id,
+          CAST(NULL AS TIMESTAMP) AS buy_ts
+        FROM c
+        WHERE NOT EXISTS (SELECT 1 FROM p
+            WHERE p.p_user = c.user_id AND p.buy_ts >= c.click_ts
+              AND p.buy_ts <= c.click_ts + INTERVAL 10 MINUTE)
+          AND c.click_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm))
+      SELECT * FROM matched
+      UNION ALL SELECT * FROM unmatched
+      ORDER BY click_id, buy_id""",
+
+    // the theta join the banded equi-join must reproduce exactly
+    "q197_stream_recovery" -> """
+      WITH wm AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w
+        FROM events)
+      SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               AS win_start,
+             event_type, COUNT(*) AS n_events
+      FROM events, wm
+      WHERE time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+              + INTERVAL 5 MINUTE <= w
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type""",
+
+    // corpus-vs-itself 8-gram duplication ratio per document
+    "q217_stream_index_dedup" -> streamGateOracle,
+
+    // q237 = q217 with watermark-bounded pair-dedup state; identical
+    // admitted pairs on the fixture by construction, so one oracle
+    // pins both (see StreamDedup.q237StreamGateBounded)
+    "q237_stream_gate_bounded" -> streamGateOracle,
+
+    // q216's positional-gram + islands CTEs with the candidate source
+    // swapped: grams occurring in more than one DISTINCT document
+  )
+}
