@@ -41,8 +41,24 @@ object ScaleUp {
 
     def tbl(name: String): DataFrame =
       spark.read.parquet(s"$src/$name.parquet")
-    def save(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // the driver's testdata tables are SINGLE FILES named
+    // <table>.parquet (not directories) and the streaming sources
+    // pathGlobFilter on that filename — mirror the layout exactly:
+    // write one part file to a temp dir, then move it into place
+    // (coalesce(1) is fine here: this is stress-data tooling, the
+    // biggest table is tens of MB per replica batch)
+    def save(df: DataFrame, name: String): Unit = {
+      val tmp = s"$dst/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+      val target = new org.apache.hadoop.fs.Path(s"$dst/$name.parquet")
+      fs.delete(target, true)
+      fs.rename(part, target)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head().getLong(0) + 1L
 
