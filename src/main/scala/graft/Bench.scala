@@ -55,6 +55,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // stress-sweep knob (SPARK_GRAFT_MAXPART): with the 1 MB-row-
+      // group ScaleUp data, a matching split size parallelizes scans
+      // the way a real many-split input would; the committed sf0.1
+      // protocol leaves the Spark default untouched
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

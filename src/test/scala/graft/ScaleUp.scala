@@ -49,7 +49,15 @@ object ScaleUp {
     // biggest table is tens of MB per replica batch)
     def save(df: DataFrame, name: String): Unit = {
       val tmp = s"$dst/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // 1 MB row groups: a single small file with ONE row group cannot
+      // split, which serializes every narrow-heavy chain downstream —
+      // an artifact real inputs (many ≥128 MB splits) don't have. Row-
+      // group-sized blocks make the stress file splittable, so the
+      // sweep (with spark.sql.files.maxPartitionBytes set to match)
+      // measures the ALGORITHM's scaling, not a tiny-file accident.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (1024 * 1024).toString)
+        .parquet(tmp)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         spark.sparkContext.hadoopConfiguration)
       val part = fs.globStatus(
