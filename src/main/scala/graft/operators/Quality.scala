@@ -162,14 +162,29 @@ object Quality {
         "transform(sequence(1, length(name)), " +
         "i -> concat(substring(name, 1, i - 1), " +
         "substring(name, i + 1, length(name))))))"
-    val blocked = c.select(col("id"), col("name"),
-      explode(expr(variantsSql)).as("k"))
-    blocked.as("a")
+    // block rows carry ONLY (id, key): near-dist pairs share many keys
+    // (a dist-0/1 pair of length-L names collides on up to L+1 of
+    // them), so the key join emits one row per SHARED KEY per pair —
+    // dedup that stream on the two 8-byte ids FIRST, then join names
+    // back once per DISTINCT pair for the exact verify (the
+    // minhashPairs candidate discipline). Carrying names through the
+    // key join paid string-width × collision-multiplicity in the
+    // exchange and ran levenshtein per collision row instead of per
+    // pair — measured 9.1 → 2.5 s at sf0.1, 159 → ~25 s at the 5×
+    // stress scale, identical result. Name join-backs carry no
+    // broadcast hint (per-entity frames — the q284 rule; AQE
+    // broadcasts at test SF).
+    val blocked = c.select(col("id"), explode(expr(variantsSql)).as("k"))
+    val cand = blocked.as("a")
       .join(blocked.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
-        col("b.id").as("id_b"), col("b.name").as("name_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    cand
+      .join(c.select(col("id").as("id_a"), col("name").as("name_a")),
+        "id_a")
+      .join(c.select(col("id").as("id_b"), col("name").as("name_b")),
+        "id_b")
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 1)
       .select(col("id_a"), col("id_b"), col("dist"))
@@ -231,14 +246,23 @@ object Quality {
     val c = Tables.customer(spark, dir)
       .filter(col("c_custkey") % 7 === 3)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    val blocked = c.select(col("id"), col("name"),
+    // same candidate discipline as q230: key rows carry only (id, k)
+    // — at dist ≤ 2 the collision multiplicity is worse (a near pair
+    // shares up to ~L²/2 delete-≤2 keys), so deduping on the id pair
+    // BEFORE the name join-back and the levenshtein verify matters
+    // even more here (7.3 → ~2 s at sf0.1)
+    val blocked = c.select(col("id"),
       explode(expr(delete2VariantsSql)).as("k"))
-    blocked.as("a")
+    val cand = blocked.as("a")
       .join(blocked.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
-        col("b.id").as("id_b"), col("b.name").as("name_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    cand
+      .join(c.select(col("id").as("id_a"), col("name").as("name_a")),
+        "id_a")
+      .join(c.select(col("id").as("id_b"), col("name").as("name_b")),
+        "id_b")
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 2)
       .select(col("id_a"), col("id_b"), col("dist"))
