@@ -152,16 +152,19 @@ object Quality {
     * key. At 100 TB-side cardinalities this is the standard
     * entity-resolution join; q107 stays as the tiny-dimension
     * all-pairs baseline. */
+  /** the name itself + every delete-1 variant, deduped (repeated
+    * characters make identical deletions) — shared by q230 and the
+    * block-health report (q299) */
+  private[graft] val delete1VariantsSql =
+    "array_distinct(concat(array(name), " +
+      "transform(sequence(1, length(name)), " +
+      "i -> concat(substring(name, 1, i - 1), " +
+      "substring(name, i + 1, length(name))))))"
+
   def q230FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    // the name itself + every delete-1 variant, deduped (repeated
-    // characters make identical deletions)
-    val variantsSql =
-      "array_distinct(concat(array(name), " +
-        "transform(sequence(1, length(name)), " +
-        "i -> concat(substring(name, 1, i - 1), " +
-        "substring(name, i + 1, length(name))))))"
+    val variantsSql = delete1VariantsSql
     // block rows carry ONLY (id, key): near-dist pairs share many keys
     // (a dist-0/1 pair of length-L names collides on up to L+1 of
     // them), so the key join emits one row per SHARED KEY per pair —
@@ -267,6 +270,42 @@ object Quality {
       .filter(col("dist") <= 2)
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q299: blocking-health report for the fuzzy tier — the q239
+    * scaladoc names block population and candidate volume as "the
+    * job's health metrics"; DedupSpec pins them at test scale; this
+    * publishes them as a CATALOG ARTIFACT, the way the sketch tiers
+    * publish error certificates (q234/q245/…): per block-population
+    * bucket over the delete-1 key space, how many blocks exist, how
+    * many key rows they hold, and how many candidate pairs
+    * (Σ C(p,2)) they would feed the verify. A bucket histogram
+    * drifting toward fat blocks is the production signal to switch
+    * the key family to position/prefix-qualified keys BEFORE the
+    * verify bill arrives — this query is what a scheduler would
+    * watch.
+    *
+    * Scale shape: one explode + one (key) aggregate + one 6-row
+    * bucket aggregate — strictly cheaper than the join it guards
+    * (the whole point of a health probe). All counts exact integers;
+    * bucket boundaries are powers of two. */
+  def q299BlockHealth(spark: SparkSession, dir: String): DataFrame = {
+    val p = col("p")
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      .select(col("id"), explode(expr(delete1VariantsSql)).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("p"))
+      .withColumn("bucket_rank",
+        when(p <= 1, 1).when(p <= 2, 2).when(p <= 4, 3)
+          .when(p <= 8, 4).when(p <= 16, 5).otherwise(6))
+      .withColumn("bucket",
+        when(p <= 1, "1").when(p <= 2, "2").when(p <= 4, "3-4")
+          .when(p <= 8, "5-8").when(p <= 16, "9-16").otherwise("17+"))
+      .groupBy(col("bucket_rank"), col("bucket"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(p).as("n_key_rows"),
+        sum(expr("p * (p - 1) div 2")).as("n_cand_pairs"))
+      .orderBy(col("bucket_rank"))
   }
 
   /** PII detection report — the scan an LLM corpus runs before the

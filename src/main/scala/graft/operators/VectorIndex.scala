@@ -165,6 +165,54 @@ object VectorIndex {
       "graft_ivf_centroids_app", "graft_ivf_index_app", nprobe = 2)
   }
 
+  /** q298: IVF frozen-model DRIFT MONITOR — the query q295's scaladoc
+    * promises ("the q255-style OOD report is the monitor that
+    * schedules retraining"): under append maintenance the quantizer
+    * is frozen, so newly-arriving vectors can silently land far from
+    * every centroid or pile into a few cells. Per cell, against the
+    * base-trained model: base vs appended population, the appended
+    * share, and the 9-rounded mean assignment distance of each
+    * population — `drift_flag` fires when the appended batch's mean
+    * distance exceeds 1.5× the base's (the new data no longer looks
+    * like what the model was trained on) and is what a scheduler
+    * watches to trigger the retrain + rebuild cycle.
+    *
+    * Scale shape: one narrow assignment map over the corpus (centers
+    * ride as literals — the q248 contract, zero corpus shuffle) and
+    * ONE k-row aggregate; distance means sum 9-rounded dists as
+    * exact decimals, so every reported number is engine-portable and
+    * the monitor itself is hash-checked — a drift threshold that
+    * silently stops firing fails CORRECTNESS. */
+  def q298IvfDriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embDouble(spark, dir)
+    val isNew = col("vec_id") % 10 === 7
+    val centers = Similarity.centersOf(e.filter(!isNew), 8)
+    val dec = "decimal(28,9)"
+    Similarity.lloydAssign(e, centers)
+      .withColumn("is_new", isNew)
+      .groupBy(col("cid"))
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"), col("dist").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("base_dec"),
+        sum(when(col("is_new"), col("dist").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("new_dec"))
+      .select(col("cid"), col("n_base"), col("n_new"),
+        round(col("n_new").cast("double") /
+          (col("n_base") + col("n_new")).cast("double"), 9)
+          .as("share_new"),
+        round(col("base_dec").cast("double") /
+          col("n_base").cast("double"), 9).as("mean_dist_base"),
+        when(col("n_new") > 0,
+          round(col("new_dec").cast("double") /
+            col("n_new").cast("double"), 9)).as("mean_dist_new"))
+      .withColumn("drift_flag",
+        coalesce(col("mean_dist_new") > col("mean_dist_base") * 1.5d,
+          lit(false)))
+      .orderBy(col("cid"))
+  }
+
   // ----------------------------------------------------------- PQ
 
   private val nSub = 4
@@ -256,5 +304,38 @@ object VectorIndex {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cosine"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q300: PQ reconstruction-error certificate — the compression
+    * tier's counterpart of the sketch error certificates
+    * (q234/q245/q246): per 16-dim subspace, the quantization error
+    * the 64× compression actually costs — vector count, mean and max
+    * squared distance between each slice and its assigned codebook
+    * centroid (the quantity PQ training minimizes and ADC distances
+    * approximate through). This is the number a vector-store owner
+    * reads before trusting ADC shortlists: a subspace whose error
+    * distribution degrades (new data off-manifold for its codebook)
+    * is the retraining signal, exactly as q298 is for the IVF cells.
+    *
+    * Scale shape: per subspace one narrow assignment map (codebooks
+    * ride as literals) + ONE k-free aggregate row; per-vector errors
+    * are the 9-rounded lloydAssign distances summed as exact
+    * decimals, so mean and max are engine-portable and the
+    * certificate is hash-checked. */
+  def q300PqReconstruction(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embDouble(spark, dir)
+    val dec = "decimal(28,9)"
+    (0 until nSub).map { s =>
+      val es = e.select(col("vec_id"),
+        slice(col("v"), s * subDim + 1, subDim).as("v"))
+      Similarity.lloydAssign(es, Similarity.centersOf(es, pqK))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("dist").cast(dec)).as("err_dec"),
+          max(col("dist")).as("max_sq_err"))
+        .select(lit(s).as("s"), col("n_vecs"),
+          round(col("err_dec").cast("double") /
+            col("n_vecs").cast("double"), 9).as("mean_sq_err"),
+          col("max_sq_err"))
+    }.reduce(_ unionByName _).orderBy(col("s"))
   }
 }

@@ -229,6 +229,164 @@ object OracleDefs {
   /** One PQ subspace's deterministic codebook + encoding chain: the
     * Lloyd template (seed = 8 lowest vec_id SLICES, one refinement,
     * 9-rounded), run on list_slice(v, o+1, o+16). */
+  /** q298's oracle: retrain the base-slice Lloyd model, assign the
+    * FULL corpus (with distances), and aggregate per cell into the
+    * drift report — base/appended populations, decimal-exact mean
+    * distances, and the 1.5× drift flag (NULL-safe like Spark's
+    * coalesce). */
+  private[registry] def ivfDriftOracle: String = s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      et AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
+      seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM et ORDER BY vec_id LIMIT 8),
+      d1 AS (
+        SELECT et.vec_id, et.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(et.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM et CROSS JOIN seed s),
+      a1 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 65),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS s
+                 FROM a1)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      d2 AS (
+        SELECT e.vec_id, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM e CROSS JOIN c1 s),
+      a2 AS (
+        SELECT vec_id, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d2)
+        WHERE rn = 1),
+      g AS (
+        SELECT CAST(cid AS INT) AS cid,
+          CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_base,
+          CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+          ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS share_new,
+          ROUND(CAST(SUM(CASE WHEN vec_id % 10 <> 7
+              THEN CAST(dist AS DECIMAL(28,9))
+              ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+              AS DOUBLE), 9) AS mean_dist_base,
+          CASE WHEN SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7
+                THEN CAST(dist AS DECIMAL(28,9))
+                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+                AS DOUBLE), 9) END AS mean_dist_new
+        FROM a2 GROUP BY cid)
+      SELECT cid, n_base, n_new, share_new, mean_dist_base,
+        mean_dist_new,
+        COALESCE(mean_dist_new > mean_dist_base * 1.5, FALSE)
+          AS drift_flag
+      FROM g ORDER BY cid"""
+
+  /** One PQ subspace's codebook chain with the assignment DISTANCE
+    * kept — the q300 reconstruction-error variant of pqSubspaceCtes. */
+  private[registry] def pqErrSubspaceCtes(s: Int): String = {
+    val lo = s * 16 + 1
+    val hi = s * 16 + 16
+    s"""
+      es$s AS (SELECT vec_id, list_slice(v, $lo, $hi) AS v FROM e),
+      sd$s AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM es$s ORDER BY vec_id LIMIT 8),
+      pd$s AS (
+        SELECT t.vec_id, t.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(t.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM es$s t CROSS JOIN sd$s s),
+      pa$s AS (
+        SELECT vec_id, v, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM pd$s)
+        WHERE rn = 1),
+      cb$s AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(u.pos AS INT) AS pos, ROUND(AVG(u.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 17),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS u
+                 FROM pa$s)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      er$s AS (
+        SELECT vec_id, dist FROM (
+          SELECT t.vec_id,
+            ROUND(list_reduce(list_transform(list_zip(t.v, s.c),
+              p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist,
+            row_number() OVER (PARTITION BY t.vec_id ORDER BY
+              ROUND(list_reduce(list_transform(list_zip(t.v, s.c),
+                p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9),
+              s.cid) AS rn
+          FROM es$s t CROSS JOIN cb$s s)
+        WHERE rn = 1)"""
+  }
+
+  /** q300's oracle: the four distance-keeping subspace chains,
+    * aggregated to one reconstruction-error row per subspace. */
+  private[registry] def pqReconstructionOracle: String = s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      ${(0 until 4).map(pqErrSubspaceCtes).mkString(",")}
+      SELECT CAST(s AS INT) AS s, n_vecs, mean_sq_err, max_sq_err FROM (
+        ${(0 until 4).map(s =>
+          s"""SELECT $s AS s, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            ROUND(CAST(SUM(CAST(dist AS DECIMAL(28,9))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 9) AS mean_sq_err,
+            MAX(dist) AS max_sq_err FROM er$s""")
+          .mkString("\n        UNION ALL ")})
+      ORDER BY s"""
+
+  /** q299's oracle: the delete-1 key space's block-population
+    * histogram — mirrors Spark's variant generation (substring
+    * semantics are identical in both engines) and the power-of-two
+    * bucket rule. */
+  private[registry] def blockHealthOracle: String = """
+      WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+      ks AS (
+        SELECT id, unnest(list_distinct(
+          [name] || list_transform(range(1, length(name) + 1),
+            i -> substring(name, 1, CAST(i - 1 AS INT)) ||
+                 substring(name, CAST(i + 1 AS INT), length(name)))))
+          AS k
+        FROM c),
+      blocks AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS p
+                 FROM ks GROUP BY k),
+      b AS (
+        SELECT p,
+          CASE WHEN p <= 1 THEN 1 WHEN p <= 2 THEN 2 WHEN p <= 4 THEN 3
+               WHEN p <= 8 THEN 4 WHEN p <= 16 THEN 5 ELSE 6 END
+            AS bucket_rank,
+          CASE WHEN p <= 1 THEN '1' WHEN p <= 2 THEN '2'
+               WHEN p <= 4 THEN '3-4' WHEN p <= 8 THEN '5-8'
+               WHEN p <= 16 THEN '9-16' ELSE '17+' END AS bucket
+        FROM blocks)
+      SELECT CAST(bucket_rank AS INT) AS bucket_rank, bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        CAST(SUM(p) AS BIGINT) AS n_key_rows,
+        CAST(SUM(p * (p - 1) // 2) AS BIGINT) AS n_cand_pairs
+      FROM b GROUP BY bucket_rank, bucket ORDER BY bucket_rank"""
+
   private[registry] def pqSubspaceCtes(s: Int): String = {
     val lo = s * 16 + 1
     val hi = s * 16 + 16

@@ -31,6 +31,7 @@ object QualityRegistry {
     "q271_skyline"         -> (Quality.q271Skyline _),
     "q276_linkage_weights" -> (Quality.q276LinkageWeights _),
     "q282_jackknife_se"    -> (Quality.q282JackknifeSe _),
+    "q299_block_health"    -> (Quality.q299BlockHealth _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -542,5 +543,6 @@ object QualityRegistry {
     // the deterministic model in SQL — q294 trains on the full corpus,
     // q295 trains on the base slice and assigns everyone (append under
     // a frozen model == rebuild under the same model)
+    "q299_block_health" -> blockHealthOracle,
   )
 }

@@ -36,6 +36,8 @@ object SimilarityRegistry {
     "q294_ivf_persisted"   -> (VectorIndex.q294IvfPersistedProbe _),
     "q295_ivf_append"      -> (VectorIndex.q295IvfAppendProbe _),
     "q296_pq_persisted"    -> (VectorIndex.q296PqPersistedProbe _),
+    "q298_ivf_drift"       -> (VectorIndex.q298IvfDriftMonitor _),
+    "q300_pq_reconstruction" -> (VectorIndex.q300PqReconstruction _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -534,5 +536,7 @@ object SimilarityRegistry {
     "q294_ivf_persisted" -> ivfProbeOracle(""),
     "q295_ivf_append" -> ivfProbeOracle("WHERE vec_id % 10 <> 7"),
     "q296_pq_persisted" -> pqPersistedOracle,
+    "q298_ivf_drift" -> ivfDriftOracle,
+    "q300_pq_reconstruction" -> pqReconstructionOracle,
   )
 }
