@@ -39,8 +39,14 @@ object Bench {
     * query, not the absolute median, and one pass keeps the sweep
     * inside a round. Output path override (SPARK_GRAFT_BENCH_OUT)
     * keeps the stress record from clobbering bench_full.json. */
-  private val BasePasses =
-    sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+  private val BasePasses = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3")
+    raw.toIntOption.filter(_ > 0).getOrElse {
+      System.err.println(
+        s"[bench] ignoring invalid SPARK_GRAFT_PASSES='$raw', using 3")
+      3
+    }
+  }
   private val BenchOut =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
   private val SpreadThreshold = 2.0

@@ -753,7 +753,16 @@ object Similarity {
   private[graft] def centersOf(e: DataFrame, k: Int): Seq[Seq[Double]] = {
     val seed = e.orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    recomputeCenters(lloydAssign(e, seed))
+    val cs = recomputeCenters(lloydAssign(e, seed))
+    // recomputeCenters rejects interior holes, but a TRAILING empty
+    // cell (e.g. duplicate vectors among the k lowest-vec_id seeds)
+    // would slip through as a dense-but-short center list and silently
+    // desync cid labels from every oracle that trains with k cells —
+    // fail loudly instead (cf. the same require on the persisted read
+    // path in [[VectorIndex]]).
+    require(cs.size == k,
+      s"k-means trained ${cs.size} non-empty cells, expected $k")
+    cs
   }
 
   /** The trained model state over the full embedding corpus. */
@@ -833,25 +842,42 @@ object Similarity {
 
   /** q254: 1-NN label coherence — the embedding-quality probe run
     * before trusting a vector space for semantic dedup or retrieval:
-    * for a deterministic 10% probe sample (vec_id % 10 == 0), find
-    * each probe's nearest OTHER vector by cosine and check whether the
-    * neighbor carries the probe's label; report per-label probe count,
-    * hit count, accuracy, and the mean neighbor cosine. A space where
-    * 1-NN accuracy is high clusters by meaning; one where it is at
-    * chance makes semantic dedup thresholds meaningless.
+    * for a fixed deterministic probe PANEL, find each probe's nearest
+    * OTHER vector by cosine and check whether the neighbor carries
+    * the probe's label; report per-label probe count, hit count,
+    * accuracy, and the mean neighbor cosine. A space where 1-NN
+    * accuracy is high clusters by meaning; one where it is at chance
+    * makes semantic dedup thresholds meaningless.
     *
-    * Scale shape: the PROBE side broadcasts (it is the sample — at
-    * 100 TB you bound it by sampling harder or routing through the
-    * q53 IVF index; the corpus side never materializes pairs beyond
-    * the streamed scan), vectors pre-normalize once so each candidate
-    * costs one dot product, and the per-probe argmax is a partial
-    * aggregation over (cos, -cand_id) structs — k rows per partition
-    * through the shuffle, never the candidate stream. Cosines round
-    * to 9 before the argmax so the neighbor choice (and its
-    * tie-break: lowest candidate id) is engine-portable. */
+    * Scale shape: the probe side is an ABSOLUTE-bounded panel (see
+    * [[probeCands]]), so its broadcast is O(1) in the corpus and the
+    * candidate stream is O(panel × n) — linear; the corpus side never
+    * materializes pairs beyond the streamed scan. Vectors
+    * pre-normalize once so each candidate costs one dot product, and
+    * the per-probe argmax is a partial aggregation over
+    * (cos, -cand_id) structs — panel-many rows per partition through
+    * the shuffle, never the candidate stream. Cosines round to 9
+    * before the argmax so the neighbor choice (and its tie-break:
+    * lowest candidate id) is engine-portable. */
+  /** The probe panel size: an ABSOLUTE budget, not a corpus fraction.
+    * The r7 sweep measured why this matters: a `% 10` sample made the
+    * probe broadcast grow with the corpus and the pair stream grow
+    * quadratically (7.6–9.7× under 5× data); a fixed panel pins the
+    * report's cost envelope at any scale. 128 probes cover all 10
+    * labels on every test corpus; statistical width is a panel-size
+    * knob, not a complexity class. */
+  private val ProbePanel = 128
+
   /** The shared probe-candidate stream of q254/q257: unit-normalized
-    * vectors, 10% probe sample broadcast against the corpus, one
-    * 9-rounded dot per (probe, candidate) pair, self excluded. */
+    * vectors, the fixed [[ProbePanel]]-vector panel (`vec_id <
+    * ProbePanel` — a pushed-down scan predicate, and the SAME vectors
+    * at every corpus size, so reports stay comparable across scales)
+    * broadcast against the corpus, one 9-rounded dot per
+    * (probe, candidate) pair, self excluded. When the panel must
+    * instead cover a corpus FRACTION (recall studies), route the
+    * probes through the persisted IVF index ([[VectorIndex]] q294)
+    * rather than re-widening this broadcast — nprobe cells per probe
+    * keeps the pair stream sub-linear per probe. */
   private def probeCands(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
@@ -859,7 +885,7 @@ object Similarity {
       .withColumn("nv", normD(col("v")))
       .select(col("vec_id"), col("label"),
         transform(col("v"), x => x / col("nv")).as("vn"))
-    val probes = e.filter(col("vec_id") % 10 === 0)
+    val probes = e.filter(col("vec_id") < ProbePanel)
       .select(col("vec_id").as("p_id"), col("label").as("p_label"),
         col("vn").as("pv"))
     e.join(broadcast(probes), col("vec_id") =!= col("p_id"))

@@ -280,11 +280,12 @@ object OracleDefs {
             AS BIGINT) AS n_new,
           ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS share_new,
-          ROUND(CAST(SUM(CASE WHEN vec_id % 10 <> 7
-              THEN CAST(dist AS DECIMAL(28,9))
-              ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
-            / CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
-              AS DOUBLE), 9) AS mean_dist_base,
+          CASE WHEN SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 <> 7
+                THEN CAST(dist AS DECIMAL(28,9))
+                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+                AS DOUBLE), 9) END AS mean_dist_base,
           CASE WHEN SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) > 0
             THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7
                 THEN CAST(dist AS DECIMAL(28,9))
@@ -294,8 +295,8 @@ object OracleDefs {
         FROM a2 GROUP BY cid)
       SELECT cid, n_base, n_new, share_new, mean_dist_base,
         mean_dist_new,
-        COALESCE(mean_dist_new > mean_dist_base * 1.5, FALSE)
-          AS drift_flag
+        (n_new > 0 AND (n_base = 0
+           OR mean_dist_new > mean_dist_base * 1.5)) AS drift_flag
       FROM g ORDER BY cid"""
 
   /** One PQ subspace's codebook chain with the assignment DISTANCE

@@ -393,7 +393,7 @@ object SimilarityRegistry {
             list_transform(v, y -> y*y), (p,q) -> p + q))) AS vn
         FROM e),
       pr AS (SELECT vec_id AS p_id, label AS p_label, vn AS pv
-             FROM n WHERE vec_id % 10 = 0),
+             FROM n WHERE vec_id < 128),
       cand AS (
         SELECT p.p_id, p.p_label, c.label AS n_label, c.vec_id,
           ROUND(list_reduce(list_transform(list_zip(c.vn, p.pv),
@@ -440,7 +440,7 @@ object SimilarityRegistry {
             list_transform(v, y -> y*y), (p,q) -> p + q))) AS vn
         FROM e),
       pr AS (SELECT vec_id AS p_id, label AS p_label, vn AS pv
-             FROM n WHERE vec_id % 10 = 0),
+             FROM n WHERE vec_id < 128),
       cand AS (
         SELECT p.p_id, p.p_label, c.label AS c_label,
           ROUND(list_reduce(list_transform(list_zip(c.vn, p.pv),
