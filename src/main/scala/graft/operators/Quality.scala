@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -136,88 +136,110 @@ object Quality {
   /** Scalable fuzzy join — the blocking-bucket upgrade q107's scaladoc
     * promises: customer-name pairs within levenshtein distance 1,
     * found WITHOUT an all-pairs comparison. Blocking is the symmetric
-    * delete-1 scheme (SymSpell): every name emits itself plus each
-    * string with one character removed as block keys; any two names
-    * within edit distance 1 necessarily share a key (equal-length
-    * substitution pairs share the variant deleting the differing
-    * position; an insert/delete pair shares the shorter string
-    * itself). So blocking is recall-COMPLETE for dist <= 1 — unlike
-    * the banded dedup tiers there is no recall contract, the result
-    * EQUALS the all-pairs answer, which is exactly what the oracle
-    * computes (naive n² cross join: fine for an oracle, not for an
-    * engine). Cost shape: ~len(name)+1 keys per row through one
-    * exchange, candidate work bounded by block population (names
-    * agreeing everywhere but one position), then an exact
-    * levenshtein verify kills the distance-2 survivors that share a
-    * key. At 100 TB-side cardinalities this is the standard
-    * entity-resolution join; q107 stays as the tiny-dimension
-    * all-pairs baseline. */
-  /** the name itself + every delete-1 variant, deduped (repeated
-    * characters make identical deletions) — shared by q230 and the
-    * block-health report (q299) */
+    * delete-1 scheme (SymSpell), escalated (r8) to the
+    * POSITION-QUALIFIED key family the q239 scaladoc names as the
+    * fat-block escape hatch. The plain scheme keys on the variant
+    * STRING alone; under this generator's constant "Customer#000…"
+    * prefix a single variant collects a corpus-fraction block
+    * (population ~linear in n, candidate volume Σ C(p,2) quadratic —
+    * the 12.7× ratio in the r7 stress sweep). Splitting the lev ≤ 1
+    * relation by edit type makes every block absolutely bounded:
+    *
+    *  - SUBSTITUTION pairs (equal length, one differing position p):
+    *    del_p(a) = del_p(b) — they share a delete-1 variant AT THE
+    *    SAME POSITION. Keying on (variant, position) shrinks a block
+    *    to "names agreeing everywhere but position i" — at most
+    *    |alphabet| names, INDEPENDENT of n. (Identical names share
+    *    every positional key, so dist-0 pairs are covered too.)
+    *  - INDEL pairs (length differs by 1): the shorter name IS a
+    *    delete-1 variant of the longer — an equi-join of the variant
+    *    stream against the name column itself; block population =
+    *    name multiplicity (~1 on real entity data).
+    *
+    * Both classes are recall-COMPLETE by the same argument as plain
+    * SymSpell, so the result still EQUALS the all-pairs answer — the
+    * oracle stays the naive n² definition. Candidate volume drops
+    * from quadratic to O(n · len · |alphabet|); the r7 id-pair dedup
+    * before the name join-back (the minhashPairs discipline) stays,
+    * killing the collision-multiplicity term. Name join-backs carry
+    * no broadcast hint (per-entity frames — the q284 rule; AQE
+    * broadcasts at test SF). */
+  /** the name itself + every delete-1 variant, deduped — the PLAIN
+    * (unqualified) SymSpell key family. Kept for DedupSpec's
+    * pathology probe (it asserts this family's fat block exists on
+    * the fixture, i.e. that the positional escalation is load-
+    * bearing); the production joins below use the positional family. */
   private[graft] val delete1VariantsSql =
     "array_distinct(concat(array(name), " +
       "transform(sequence(1, length(name)), " +
       "i -> concat(substring(name, 1, i - 1), " +
       "substring(name, i + 1, length(name))))))"
 
-  def q230FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    val variantsSql = delete1VariantsSql
-    // block rows carry ONLY (id, key): near-dist pairs share many keys
-    // (a dist-0/1 pair of length-L names collides on up to L+1 of
-    // them), so the key join emits one row per SHARED KEY per pair —
-    // dedup that stream on the two 8-byte ids FIRST, then join names
-    // back once per DISTINCT pair for the exact verify (the
-    // minhashPairs candidate discipline). Carrying names through the
-    // key join paid string-width × collision-multiplicity in the
-    // exchange and ran levenshtein per collision row instead of per
-    // pair — measured 9.1 → 2.5 s at sf0.1, 159 → ~25 s at the 5×
-    // stress scale, identical result. Name join-backs carry no
-    // broadcast hint (per-entity frames — the q284 rule; AQE
-    // broadcasts at test SF).
-    val blocked = c.select(col("id"), explode(expr(variantsSql)).as("k"))
-    val cand = blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+  /** POSITION-QUALIFIED delete-1 variants: (i, v) structs, one per
+    * deleted position 1..len — the q230 substitution-class key
+    * family, shared with q239's shift class and q299's health
+    * report. No array_distinct: equal variants from different
+    * positions are DIFFERENT keys now (that is the point). */
+  private[graft] val delete1PosVariantsSql = """
+    CASE WHEN length(name) >= 1 THEN
+      transform(sequence(1, length(name)),
+        i -> named_struct('i', i, 'v',
+          concat(substring(name, 1, i - 1),
+                 substring(name, i + 1, length(name)))))
+    ELSE CAST(array() AS ARRAY<STRUCT<i: INT, v: STRING>>) END"""
+
+  /** POSITION-QUALIFIED delete-2 variants: (i, j, v) for every
+    * deleted position pair i < j (positions in the ORIGINAL string) —
+    * q239's substitution-class key family. */
+  private[graft] val delete2PosVariantsSql = """
+    CASE WHEN length(name) >= 2 THEN
+      flatten(transform(sequence(1, length(name) - 1),
+        i -> transform(sequence(i + 1, length(name)),
+          j -> named_struct('i', i, 'j', j, 'v',
+            concat(substring(name, 1, i - 1),
+                   substring(name, i + 1, j - i - 1),
+                   substring(name, j + 1, length(name) - j))))))
+    ELSE CAST(array() AS ARRAY<STRUCT<i: INT, j: INT, v: STRING>>) END"""
+
+  /** Exact verify + canonical ordering shared by q230/q239: join the
+    * deduped candidate id pairs back to names ONCE, keep pairs within
+    * `maxDist`. */
+  private def verifyPairs(c: DataFrame, cand: DataFrame,
+      maxDist: Int): DataFrame =
     cand
       .join(c.select(col("id").as("id_a"), col("name").as("name_a")),
         "id_a")
       .join(c.select(col("id").as("id_b"), col("name").as("name_b")),
         "id_b")
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 1)
+      .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy(col("id_a"), col("id_b"))
+
+  def q230FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // key rows carry ONLY (id, i, k) — the r7 candidate discipline
+    val k1 = c.select(col("id"),
+        explode(expr(delete1PosVariantsSql)).as("kv"))
+      .select(col("id"), col("kv.i").as("i"), col("kv.v").as("k"))
+    // substitution class: same variant at the SAME position
+    val subs = k1.as("a")
+      .join(k1.as("b"),
+        col("a.k") === col("b.k") && col("a.i") === col("b.i") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // indel class: one name IS a delete-1 variant of the other
+    val byName = c.select(col("id").as("n_id"), col("name").as("k"))
+    val indel = k1.join(byName, "k")
+      .filter(col("id") =!= col("n_id"))
+      .select(least(col("id"), col("n_id")).as("id_a"),
+        greatest(col("id"), col("n_id")).as("id_b"))
+    verifyPairs(c, subs.unionByName(indel).distinct(), maxDist = 1)
   }
 
   /** Delete-2 SymSpell tier — q230 at the distance real entity
-    * resolution runs (dist ≤ 2). Block keys are every variant of a
-    * name with AT MOST two characters deleted; SymSpell's theorem
-    * makes this recall-COMPLETE for lev ≤ 2 (if lev(a,b) ≤ 2 the
-    * deletions on each side that mirror the edit script produce a
-    * shared key), so like q230 the result EQUALS the all-pairs oracle
-    * — no recall contract needed.
-    *
-    * Key-explosion math: a length-L name emits 1 + L + C(L,2) keys
-    * (L=18 here → 172/row, ~len²/2 growth — the reason dist ≤ 3
-    * SymSpell tiers switch to prefix-aware keys). The cost guard is
-    * block population, not key count: a shared key admits names whose
-    * edit distance is up to 4 (2 deletions each side), so candidate
-    * volume is Σ_blocks C(|block|,2). This fixture IS the pathology
-    * the guard watches for — the constant "Customer#000…" prefix lets
-    * one key collect ~8-20% of all names (294 of 1500 at sf0.01) —
-    * yet the measured candidate volume stays ≤ 2.4× the result size
-    * (0.44× all-pairs at sf0.01, improving with n as digit diversity
-    * grows), because fat-block candidates are also near-matches here.
-    * DedupSpec pins the candidate:result ratio — the verify-work
-    * budget — at test scale; in production that ratio and the max
-    * block population are the job's health metrics, and a block
-    * population trending toward corpus scale is the signal to switch
-    * that key family to position/prefix-qualified keys.
+    * resolution runs (dist ≤ 2).
     *
     * Input is the deterministic `c_custkey % 7 = 3` qualification
     * slice, and that is a finding, not a dodge: on this generator's
@@ -230,8 +252,13 @@ object Quality {
     * whose relation is sparse, runs the full table in q230. */
   /** delete-≤2 variants of `name`: the name, every delete-1, and
     * delete-1 of every delete-1 (= delete-2), deduped (repeated
-    * characters make identical deletions). Shared with the spec's
-    * block-population audit. */
+    * characters make identical deletions) — the PLAIN key family,
+    * kept (like delete1VariantsSql) for DedupSpec's pathology probe:
+    * under the constant "Customer#000…" prefix one of these keys
+    * collects ~8-20% of all names (population ~linear in n,
+    * candidate volume quadratic — the r7 stress sweep's only >10×
+    * ratio), which is exactly what the positional family used by
+    * q239 itself avoids. */
   private[graft] val delete2VariantsSql = """array_distinct(concat(
         array(name),
         transform(sequence(1, length(name)),
@@ -245,45 +272,103 @@ object Quality {
             k -> concat(substring(v, 1, k - 1),
                         substring(v, k + 1, length(v))))))))"""
 
+  /** r8 escalation — the position-qualified key family, applied at
+    * dist ≤ 2 by splitting the relation into edit-type classes, each
+    * recall-complete for its class and each with absolutely bounded
+    * blocks (the lev ≤ 2 edit scripts, by length difference):
+    *
+    *  - EQUAL LENGTH, ≤2 substitutions at positions p1 < p2:
+    *    del_{p1,p2}(a) = del_{p1,p2}(b) — shared (variant, i, j) key
+    *    at the SAME position pair. Block = names agreeing everywhere
+    *    but positions (i, j): ≤ |alphabet|², independent of n.
+    *  - EQUAL LENGTH, 1 delete + 1 insert (shift pairs, e.g.
+    *    …012 / …120): deleting the moved char from each side leaves
+    *    equal strings — shared delete-1 STRING at (generally)
+    *    DIFFERENT positions, so this class joins the positional
+    *    delete-1 stream on the string alone. Block = names equal to
+    *    the variant plus one inserted char: ≤ len × |alphabet|
+    *    pattern capacity, independent of n.
+    *  - LENGTH DIFF 1: pure insert (lev 1) — the shorter name IS a
+    *    delete-1 of the longer (names ⋈ delete-1); insert + sub
+    *    (lev 2) — a delete-1 of the shorter equals a delete-2 of the
+    *    longer (delete-1 ⋈ delete-2 on the string).
+    *  - LENGTH DIFF 2: two inserts — the shorter name IS a delete-2
+    *    of the longer (names ⋈ delete-2).
+    *
+    * The union of the five classes covers every lev ≤ 2 edit script,
+    * so the result still EQUALS the all-pairs oracle. On equal-width
+    * corpora (this generator) the three cross-length joins match
+    * nothing — their streams carry different string lengths — and
+    * cost only their exchanges; the work lives in the two bounded
+    * equal-length classes. Measured: the r7 unqualified family was
+    * the stress sweep's only >10× ratio (fat blocks under the
+    * constant prefix); this family's blocks cap at the alphabet
+    * bound, making candidate volume O(n · len²) with constants set
+    * by |alphabet|, not by n. */
   def q239FuzzyJoinD2(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .filter(col("c_custkey") % 7 === 3)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    // same candidate discipline as q230: key rows carry only (id, k)
-    // — at dist ≤ 2 the collision multiplicity is worse (a near pair
-    // shares up to ~L²/2 delete-≤2 keys), so deduping on the id pair
-    // BEFORE the name join-back and the levenshtein verify matters
-    // even more here (7.3 → ~2 s at sf0.1)
-    val blocked = c.select(col("id"),
-      explode(expr(delete2VariantsSql)).as("k"))
-    val cand = blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
-      .join(c.select(col("id").as("id_a"), col("name").as("name_a")),
-        "id_a")
-      .join(c.select(col("id").as("id_b"), col("name").as("name_b")),
-        "id_b")
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 2)
-      .select(col("id_a"), col("id_b"), col("dist"))
-      .orderBy(col("id_a"), col("id_b"))
+    verifyPairs(c, fuzzyCandidatesD2(c), maxDist = 2)
   }
 
-  /** q299: blocking-health report for the fuzzy tier — the q239
-    * scaladoc names block population and candidate volume as "the
-    * job's health metrics"; DedupSpec pins them at test scale; this
+  /** q239's deduped candidate id pairs — the five-class positional
+    * blocking union. Split out so DedupSpec can pin the
+    * candidate:result ratio (the verify-work budget) directly on the
+    * stream the join actually pays for. */
+  private[graft] def fuzzyCandidatesD2(c: DataFrame): DataFrame = {
+    val k0 = c.select(col("id").as("n_id"), col("name").as("k"))
+    val k1 = c.select(col("id"),
+        explode(expr(delete1PosVariantsSql)).as("kv"))
+      .select(col("id"), col("kv.i").as("i"), col("kv.v").as("k"))
+    val k2 = c.select(col("id"),
+        explode(expr(delete2PosVariantsSql)).as("kv"))
+      .select(col("id"), col("kv.i").as("i"), col("kv.j").as("j"),
+        col("kv.v").as("k"))
+    def lg(a: Column, b: Column) =
+      Seq(least(a, b).as("id_a"), greatest(a, b).as("id_b"))
+    // substitutions: same delete-2 variant at the SAME position pair
+    val subs = k2.as("a")
+      .join(k2.as("b"),
+        col("a.k") === col("b.k") && col("a.i") === col("b.i") &&
+          col("a.j") === col("b.j") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // equal-length shift pairs: shared delete-1 string, any positions
+    val shifts = k1.as("a")
+      .join(k1.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // cross-length classes (string-keyed; empty on equal-width data)
+    val ins1 = k1.join(k0, "k").filter(col("id") =!= col("n_id"))
+      .select(lg(col("id"), col("n_id")): _*)
+    val ins2 = k2.join(k0, "k").filter(col("id") =!= col("n_id"))
+      .select(lg(col("id"), col("n_id")): _*)
+    val insSub = k1.as("a")
+      .join(k2.as("b"), col("a.k") === col("b.k") &&
+        col("a.id") =!= col("b.id"))
+      .select(lg(col("a.id"), col("b.id")): _*)
+    subs.unionByName(shifts).unionByName(ins1)
+      .unionByName(ins2).unionByName(insSub).distinct()
+  }
+
+  /** q299: blocking-health report for the fuzzy tier — block
+    * population and candidate volume are the entity-resolution job's
+    * health metrics; DedupSpec pins them at test scale; this
     * publishes them as a CATALOG ARTIFACT, the way the sketch tiers
     * publish error certificates (q234/q245/…): per block-population
-    * bucket over the delete-1 key space, how many blocks exist, how
-    * many key rows they hold, and how many candidate pairs
-    * (Σ C(p,2)) they would feed the verify. A bucket histogram
-    * drifting toward fat blocks is the production signal to switch
-    * the key family to position/prefix-qualified keys BEFORE the
-    * verify bill arrives — this query is what a scheduler would
-    * watch.
+    * bucket over the key space q230 actually joins on — the
+    * POSITION-QUALIFIED delete-1 family (r8; keys are
+    * "pos:variant") — how many blocks exist, how many key rows they
+    * hold, and how many candidate pairs (Σ C(p,2)) they would feed
+    * the verify. The r7 report over the UNQUALIFIED family measured
+    * the pathology this family removes (a 17+ bucket carrying
+    * corpus-fraction blocks); with positional keys every block is
+    * capped by the alphabet, so a 17+ bucket REAPPEARING in this
+    * histogram means the data outgrew the alphabet bound — the
+    * production signal to escalate again (prefix-qualified keys)
+    * BEFORE the verify bill arrives. The indel class (name ⋈
+    * variant) needs no histogram: its block population is name
+    * multiplicity, ~1 on real entity data.
     *
     * Scale shape: one explode + one (key) aggregate + one 6-row
     * bucket aggregate — strictly cheaper than the join it guards
@@ -293,7 +378,9 @@ object Quality {
     val p = col("p")
     Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      .select(col("id"), explode(expr(delete1VariantsSql)).as("k"))
+      .select(col("id"), explode(expr(delete1PosVariantsSql)).as("kv"))
+      .select(concat(col("kv.i").cast("string"), lit(":"), col("kv.v"))
+        .as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("p"))
       .withColumn("bucket_rank",
         when(p <= 1, 1).when(p <= 2, 2).when(p <= 4, 3)

@@ -765,16 +765,34 @@ object Similarity {
     cs
   }
 
-  /** The trained model state over the full embedding corpus. */
-  private[graft] def finalCenters(spark: SparkSession, dir: String,
-      k: Int = 8): Seq[Seq[Double]] =
-    centersOf(embDouble(spark, dir), k)
+  /** Cluster count for the ANALYSIS k-means family (q248/q249/q255/
+    * q259/q260): k grows with the corpus to hold cluster population
+    * roughly constant (target 250 vectors/cell), floored at 8 so
+    * every test-scale result is unchanged. This makes the q249
+    * scaladoc's "at 100 TB k scales with the corpus" contract REAL:
+    * SemDeDup's within-cluster pair work is k · (n/k)² = n · pop, so
+    * constant population keeps the quadratic stage linear in n — the
+    * r7 stress sweep measured 15× on the composed report with k
+    * pinned at 8. The corpus count is one columnar scan (metadata-
+    * cheap next to the Lloyd passes). The persisted-index tier
+    * ([[VectorIndex]]) deliberately keeps a FIXED cell count: an
+    * index's layout is a frozen design parameter re-chosen at
+    * rebuild, not per query. */
+  private[graft] def adaptiveK(e: DataFrame): Int =
+    math.max(8, math.ceil(e.count() / 250.0).toInt)
 
-  /** Two Lloyd rounds over the embedding corpus, k=8. Returns the
-    * final per-vector assignment (vec_id, v, cid, dist). */
-  private[graft] def kmeansAssigned(spark: SparkSession, dir: String,
-      k: Int = 8): DataFrame =
-    lloydAssign(embDouble(spark, dir), finalCenters(spark, dir, k))
+  /** The trained model state over the full embedding corpus. */
+  private[graft] def finalCenters(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
+    val e = embDouble(spark, dir)
+    centersOf(e, adaptiveK(e))
+  }
+
+  /** Two Lloyd rounds over the embedding corpus, adaptive k. Returns
+    * the final per-vector assignment (vec_id, v, cid, dist). */
+  private[graft] def kmeansAssigned(spark: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(spark, dir)
+    lloydAssign(e, centersOf(e, adaptiveK(e)))
+  }
 
   /** q248: distributed k-means (Lloyd's) — the clustering pass under
     * semantic dedup, mixture balancing, and diversity sampling at
@@ -813,7 +831,11 @@ object Similarity {
     * oracle mirrors the same normalize-then-dot order, so the floats
     * stay bitwise-aligned. */
   def q249SemDedup(spark: SparkSession, dir: String): DataFrame =
-    semDedupFrom(kmeansAssigned(spark, dir))
+    // the assignment feeds both join sides AND the totals — stage it
+    // once (the q209/q259 discipline) so the Lloyd map doesn't re-run
+    // per consumer (at the 5x stress scale the k·n assignment pass is
+    // the dominant term: 29 → ~13 s measured)
+    semDedupFrom(kmeansAssigned(spark, dir).localCheckpoint())
 
   /** q249's report over a prepared assignment — split out so the
     * composed report (q259) can stage the Lloyd chain once and feed
@@ -931,7 +953,9 @@ object Similarity {
     * report with bounded memory; the exact form stays here because it
     * is what the oracle can check bit-for-bit. */
   def q255OodReport(spark: SparkSession, dir: String): DataFrame =
-    oodFrom(kmeansAssigned(spark, dir))
+    // staged once: the percentile aggregate and the outlier join-back
+    // both read the assignment (see q249)
+    oodFrom(kmeansAssigned(spark, dir).localCheckpoint())
 
   /** q255's report over a prepared assignment (see semDedupFrom). */
   private def oodFrom(assigned: DataFrame): DataFrame = {

@@ -116,7 +116,10 @@ object OracleDefs {
 
   /** The shared two-round Lloyd CTE chain of q248/q249 (`a2` = final
     * assignment). Kept as one string so both oracles iterate from the
-    * same seed and rounding discipline as `Similarity.kmeansAssigned`. */
+    * same seed and rounding discipline as `Similarity.kmeansAssigned`
+    * — including the ADAPTIVE cluster count (max(8, ceil(n/250)),
+    * mirroring `Similarity.adaptiveK`; 8 at every committed test
+    * scale). */
   private[registry] val kmeansCtes: String = """
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -125,7 +128,9 @@ object OracleDefs {
       seed AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
           AS cid, v AS c
-        FROM e ORDER BY vec_id LIMIT 8),
+        FROM e ORDER BY vec_id
+        LIMIT (SELECT GREATEST(8,
+          CAST(CEIL(COUNT(*) / 250.0) AS BIGINT)) FROM e)),
       d1 AS (
         SELECT e.vec_id, e.v, s.cid,
           ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
@@ -358,17 +363,19 @@ object OracleDefs {
           .mkString("\n        UNION ALL ")})
       ORDER BY s"""
 
-  /** q299's oracle: the delete-1 key space's block-population
-    * histogram — mirrors Spark's variant generation (substring
+  /** q299's oracle: the POSITION-QUALIFIED delete-1 key space's
+    * block-population histogram (r8 — the family q230 joins on) —
+    * mirrors Spark's "pos:variant" key generation (substring
     * semantics are identical in both engines) and the power-of-two
     * bucket rule. */
   private[registry] def blockHealthOracle: String = """
       WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
       ks AS (
-        SELECT id, unnest(list_distinct(
-          [name] || list_transform(range(1, length(name) + 1),
-            i -> substring(name, 1, CAST(i - 1 AS INT)) ||
-                 substring(name, CAST(i + 1 AS INT), length(name)))))
+        SELECT id, unnest(
+          list_transform(range(1, length(name) + 1),
+            i -> CAST(i AS VARCHAR) || ':' ||
+                 substring(name, 1, CAST(i - 1 AS INT)) ||
+                 substring(name, CAST(i + 1 AS INT), length(name))))
           AS k
         FROM c),
       blocks AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS p

@@ -283,12 +283,10 @@ class DedupSpec extends AnyFunSuite {
     // all-pairs result, not an approximation of it
     assert(got == want)
     assert(got.nonEmpty)
-    // candidate-volume guard: the verify-work budget from the q239
-    // scaladoc. The constant "Customer#" prefix makes single blocks
-    // collect a large share of names (114 of 150 here — the observed
-    // pathology, asserted so a fixture change resurfaces it), but the
-    // DISTINCT candidate pair volume must stay within 2x the result —
-    // blocked verify work proportional to output, not to n².
+    // pathology probe: the PLAIN (unqualified) key family's fat block
+    // must exist on this fixture (114 of 150 here) — it is what makes
+    // the positional escalation load-bearing; a fixture change that
+    // removes it should resurface here
     val blocked = c.select(col("id"),
       explode(expr(operators.Quality.delete2VariantsSql)).as("k"))
     val maxBlock = blocked
@@ -296,10 +294,20 @@ class DedupSpec extends AnyFunSuite {
       .agg(max(col("count"))).collect()(0).getLong(0)
     assert(maxBlock > nNames / 2, // the fixture IS the pathology
       s"max block $maxBlock of $nNames names")
-    val candidates = blocked.as("a")
-      .join(blocked.as("b"),
-        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
-      .select(col("a.id"), col("b.id")).distinct().count()
+    // the POSITIONAL family q239 actually joins on: every block is
+    // capped by the alphabet bound (names agreeing everywhere but the
+    // qualified positions), NOT by a corpus fraction...
+    val posBlocked = c.select(col("id"),
+      explode(expr(operators.Quality.delete2PosVariantsSql)).as("kv"))
+    val maxPosBlock = posBlocked
+      .groupBy(col("kv.i"), col("kv.j"), col("kv.v")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxPosBlock <= 100, // |alphabet|^2 with digit alphabets
+      s"positional max block $maxPosBlock of $nNames names")
+    // ...and the DISTINCT candidate pair volume the five-class union
+    // feeds the verify stays within 2x the result — verify work
+    // proportional to output, not to n²
+    val candidates = operators.Quality.fuzzyCandidatesD2(c).count()
     assert(candidates <= 2L * got.size,
       s"$candidates candidates for ${got.size} results")
   }
