@@ -248,6 +248,195 @@ object VectorIndex {
       .orderBy(col("cid"))
   }
 
+  /** q301: IVF cell COMPACTION — the q241 analog for the vector
+    * index, completing lifecycle parity with the band index (build
+    * q294 / append q295 / monitor q298 / compact HERE). q295-style
+    * appends land one file per touched cell per batch; after enough
+    * batches a cell directory is a pile of small files and the probe
+    * pays per-file open cost exactly where pruning should make it
+    * cheapest. Compaction rewrites ONLY the cells the append batch
+    * touched: the touched-cell set is collected from the (staged)
+    * batch assignment — model-state-sized, like the probe's cell
+    * set — the pruned read lists only those cells' files (the same
+    * file-listing guarantee the probe gets), `repartition(|touched|,
+    * cid)` lays exactly one file per cell, and a DYNAMIC partition
+    * overwrite replaces just those directories. Untouched cells are
+    * never read, never rewritten — at 100 TB compaction cost tracks
+    * the append rate, not the index size. Compaction must be
+    * INVISIBLE to the probe: the oracle is the same
+    * rebuild-under-the-frozen-model SQL as q295's. */
+  def q301IvfCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embDouble(spark, dir)
+    val isNew = col("vec_id") % 10 === 7
+    buildIvf(spark, e.filter(!isNew), 8,
+      "graft_ivf_centroids_cpt", "graft_ivf_index_cpt")
+    val centers = readCenters(spark, "graft_ivf_centroids_cpt", 8)
+    val newAssigned = Similarity.lloydAssign(e.filter(isNew), centers)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .localCheckpoint() // feeds the append AND the touched-cell set
+    newAssigned.write.mode(SaveMode.Append)
+      .insertInto("graft_ivf_index_cpt")
+    val touched = newAssigned.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    // pruned read of the touched cells only, one output file per cell;
+    // localCheckpoint breaks lineage so the overwrite below does not
+    // read the table it rewrites
+    val compacted = spark.table("graft_ivf_index_cpt")
+      .filter(col("cid").isin(touched: _*))
+      .repartition(touched.size, col("cid"))
+      .localCheckpoint()
+    val pom = "spark.sql.sources.partitionOverwriteMode"
+    val oldPom = spark.conf.get(pom, "static")
+    spark.conf.set(pom, "dynamic")
+    try compacted.write.mode(SaveMode.Overwrite)
+      .insertInto("graft_ivf_index_cpt")
+    finally spark.conf.set(pom, oldPom)
+    probeIvf(spark, probesD(spark, dir),
+      "graft_ivf_centroids_cpt", "graft_ivf_index_cpt", nprobe = 2)
+  }
+
+  /** q302: drift-triggered INCREMENTAL REBUILD — the consumer that
+    * closes q298's monitor→action loop (its scaladoc promises a
+    * scheduler that "triggers the retrain + rebuild cycle"; this is
+    * that cycle, scoped the q242 way: touch only what drifted). The
+    * day-1 batch carries a deterministic drift injection (+1.5 on
+    * the first 8 dimensions — a directional covariate shift, so the
+    * drifted mass CONCENTRATES in the few cells facing that corner
+    * and the monitor flags a strict subset: 4 of 8 cells at sf0.01).
+    * Then, against the PERSISTED artifacts only:
+    *
+    *  1. monitor — q298's per-cell rule over the index table, with
+    *     distances recomputed to each row's ASSIGNED centroid from
+    *     the persisted model (a narrow map; centers ride as a
+    *     literal);
+    *  2. retrain flagged cells — one recenter step over the rows
+    *     currently in those cells (partition-pruned scan, k×dim
+    *     result), and the updated centroids REPLACE the model table
+    *     (a version bump; unflagged centers are byte-identical);
+    *  3. reassign ONLY the flagged cells' vectors against the
+    *     updated model (read back through [[readCenters]] — the
+    *     provenance discipline), then rewrite exactly the affected
+    *     cell directories via dynamic partition overwrite: flagged
+    *     cells get their surviving members, unflagged cells that
+    *     RECEIVE migrants get old rows + migrants, every other cell
+    *     directory is untouched (a flagged cell emptied by migration
+    *     is dropped explicitly — dynamic overwrite cannot write an
+    *     empty partition).
+    *
+    * The report (per cell: flagged, population before/after, the
+    * 9-rounded squared centroid shift) reads the POST-maintenance
+    * artifact; the oracle re-derives the whole chain — drift
+    * injection, frozen-model assignment, flags, recenter,
+    * reassignment — from the base tables, so incremental maintenance
+    * must be exactly equal to the from-scratch derivation on the
+    * flagged subset. At 100 TB the cost is the monitor's one narrow
+    * pass plus work proportional to the DRIFTED cells' population,
+    * never the index size. */
+  def q302IvfDriftRebuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cent = "graft_ivf_centroids_rb"
+    val idxT = "graft_ivf_index_rb"
+    val e = Similarity.embDouble(spark, dir)
+    val isNew = col("vec_id") % 10 === 7
+    val drifted = e.withColumn("v",
+      when(isNew, transform(col("v"),
+        (x, i) => when(i < 8, x + 1.5d).otherwise(x)))
+        .otherwise(col("v")))
+    buildIvf(spark, drifted.filter(!isNew), 8, cent, idxT)
+    val centers = readCenters(spark, cent, 8)
+    Similarity.lloydAssign(drifted.filter(isNew), centers)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .write.mode(SaveMode.Append).insertInto(idxT)
+    // ---- 1. monitor, from the persisted artifacts ----
+    val centersLit = typedlit(centers)
+    val dec = "decimal(28,9)"
+    val monitored = spark.table(idxT)
+      .withColumn("dist", round(Similarity.sqDist(col("v"),
+        element_at(centersLit, col("cid") + 1)), 9))
+      .withColumn("is_new", col("vec_id") % 10 === 7)
+      .groupBy(col("cid"))
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"), col("dist").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("base_dec"),
+        sum(when(col("is_new"), col("dist").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("new_dec"))
+      .select(col("cid"), col("n_base"), col("n_new"),
+        when(col("n_base") > 0,
+          round(col("base_dec").cast("double") /
+            col("n_base").cast("double"), 9)).as("mb"),
+        when(col("n_new") > 0,
+          round(col("new_dec").cast("double") /
+            col("n_new").cast("double"), 9)).as("mn"))
+      .withColumn("drift_flag",
+        col("n_new") > 0 && (col("n_base") === 0 ||
+          col("mn") > col("mb") * 1.5d))
+      .localCheckpoint() // k rows: feeds the flag set AND the report
+    val flagged = monitored.filter(col("drift_flag"))
+      .select(col("cid")).collect().map(_.getInt(0)).toSet
+    if (flagged.isEmpty)
+      return monitored.select(col("cid"),
+        col("drift_flag").as("flagged"),
+        (col("n_base") + col("n_new")).as("n_before"),
+        (col("n_base") + col("n_new")).as("n_after"),
+        lit(0.0d).as("center_shift"))
+        .orderBy(col("cid"))
+    val fl = flagged.toSeq.sorted
+    // ---- 2. retrain flagged cells (pruned scan, k×dim result) ----
+    val retrained = spark.table(idxT)
+      .filter(col("cid").isin(fl: _*))
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "s -> s.m)").as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    val updated = centers.zipWithIndex.map { case (c, i) =>
+      retrained.getOrElse(i, c) }
+    updated.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
+      .write.mode(SaveMode.Overwrite).saveAsTable(cent)
+    val centers2 = readCenters(spark, cent, 8)
+    // ---- 3. reassign flagged cells' vectors, rewrite affected ----
+    val reassigned = Similarity.lloydAssign(
+        spark.table(idxT).filter(col("cid").isin(fl: _*))
+          .select(col("vec_id"), col("v")), centers2)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .localCheckpoint()
+    val targets = reassigned.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val receivers = (targets -- flagged).toSeq.sorted
+    val newContents =
+      if (receivers.isEmpty) reassigned
+      else reassigned.unionByName(
+        spark.table(idxT).filter(col("cid").isin(receivers: _*))
+          .select(col("vec_id"), col("v"), col("cid"))
+          .localCheckpoint())
+    val pom = "spark.sql.sources.partitionOverwriteMode"
+    val oldPom = spark.conf.get(pom, "static")
+    spark.conf.set(pom, "dynamic")
+    try newContents.write.mode(SaveMode.Overwrite).insertInto(idxT)
+    finally spark.conf.set(pom, oldPom)
+    (flagged -- targets).toSeq.sorted.foreach { c =>
+      spark.sql(s"ALTER TABLE $idxT DROP IF EXISTS PARTITION (cid=$c)")
+    }
+    // ---- report, from the post-maintenance artifact ----
+    val after = spark.table(idxT).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_after"))
+    val c2Lit = typedlit(updated)
+    monitored.join(after, Seq("cid"), "left")
+      .select(col("cid"), col("drift_flag").as("flagged"),
+        (col("n_base") + col("n_new")).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        when(col("drift_flag"),
+          round(Similarity.sqDist(element_at(centersLit, col("cid") + 1),
+            element_at(c2Lit, col("cid") + 1)), 9))
+          .otherwise(lit(0.0d)).as("center_shift"))
+      .orderBy(col("cid"))
+  }
+
   // ----------------------------------------------------------- PQ
 
   private val nSub = 4

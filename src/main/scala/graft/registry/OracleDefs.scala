@@ -304,6 +304,129 @@ object OracleDefs {
            OR mean_dist_new > mean_dist_base * 1.5)) AS drift_flag
       FROM g ORDER BY cid"""
 
+  /** q302's oracle: re-derive the whole incremental-maintenance chain
+    * from the base tables — drift-inject the day-1 batch (+1.5 on the
+    * first 8 dims; DuckDB index lambdas are 1-based where Spark's are
+    * 0-based, so `i <= 8` here IS Spark's `i < 8`), train the frozen
+    * model on the base slice, assign the full drifted corpus, fire
+    * the q298 flag rule per cell, recenter the FLAGGED cells from
+    * their members (9-rounded per-dim means), reassign only those
+    * cells' vectors against the updated center set, and report
+    * before/after populations plus the 9-rounded squared centroid
+    * shift. Incremental maintenance must equal this from-scratch
+    * derivation exactly. */
+  private[registry] def ivfRebuildOracle: String = s"""
+      WITH e0 AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      e AS (
+        SELECT vec_id,
+          CASE WHEN vec_id % 10 = 7
+            THEN list_transform(v, (x, i) ->
+              CASE WHEN i <= 8 THEN x + 1.5 ELSE x END)
+            ELSE v END AS v
+        FROM e0),
+      et AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
+      seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM et ORDER BY vec_id LIMIT 8),
+      d1 AS (
+        SELECT et.vec_id, et.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(et.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM et CROSS JOIN seed s),
+      a1 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 65),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS s
+                 FROM a1)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      d2 AS (
+        SELECT e.vec_id, e.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM e CROSS JOIN c1 s),
+      a2 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d2)
+        WHERE rn = 1),
+      g AS (
+        SELECT CAST(cid AS INT) AS cid,
+          CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_base,
+          CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+          CASE WHEN SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 <> 7
+                THEN CAST(dist AS DECIMAL(28,9))
+                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+                AS DOUBLE), 9) END AS mb,
+          CASE WHEN SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7
+                THEN CAST(dist AS DECIMAL(28,9))
+                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+                AS DOUBLE), 9) END AS mn
+        FROM a2 GROUP BY cid),
+      gf AS (
+        SELECT *, (n_new > 0 AND (n_base = 0 OR mn > mb * 1.5))
+          AS drift_flag
+        FROM g),
+      fl AS (SELECT cid FROM gf WHERE drift_flag),
+      nc AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 65),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS s
+                 FROM a2 WHERE cid IN (SELECT cid FROM fl))
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      c2 AS (
+        SELECT c1.cid,
+          CASE WHEN nc.cid IS NOT NULL THEN nc.c ELSE c1.c END AS c
+        FROM c1 LEFT JOIN nc ON c1.cid = nc.cid),
+      rd AS (
+        SELECT a.vec_id, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(a.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a2_,b2_) -> a2_ + b2_), 9)
+            AS dist
+        FROM (SELECT * FROM a2 WHERE cid IN (SELECT cid FROM fl)) a
+        CROSS JOIN c2 s),
+      ra AS (
+        SELECT vec_id, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM rd)
+        WHERE rn = 1),
+      fin AS (
+        SELECT vec_id, cid FROM a2
+        WHERE cid NOT IN (SELECT cid FROM fl)
+        UNION ALL SELECT vec_id, cid FROM ra),
+      aft AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_after
+              FROM fin GROUP BY cid),
+      sh AS (
+        SELECT c1.cid,
+          ROUND(list_reduce(list_transform(list_zip(c1.c, c2.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (x,y) -> x + y), 9) AS s
+        FROM c1 JOIN c2 ON c1.cid = c2.cid)
+      SELECT gf.cid, gf.drift_flag AS flagged,
+        (gf.n_base + gf.n_new) AS n_before,
+        COALESCE(aft.n_after, 0) AS n_after,
+        CASE WHEN gf.drift_flag THEN sh.s ELSE 0.0 END AS center_shift
+      FROM gf LEFT JOIN aft ON gf.cid = aft.cid
+      JOIN sh ON gf.cid = sh.cid
+      ORDER BY gf.cid"""
+
   /** One PQ subspace's codebook chain with the assignment DISTANCE
     * kept — the q300 reconstruction-error variant of pqSubspaceCtes. */
   private[registry] def pqErrSubspaceCtes(s: Int): String = {

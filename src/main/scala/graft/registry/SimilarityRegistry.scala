@@ -38,6 +38,8 @@ object SimilarityRegistry {
     "q296_pq_persisted"    -> (VectorIndex.q296PqPersistedProbe _),
     "q298_ivf_drift"       -> (VectorIndex.q298IvfDriftMonitor _),
     "q300_pq_reconstruction" -> (VectorIndex.q300PqReconstruction _),
+    "q301_ivf_compaction"  -> (VectorIndex.q301IvfCompaction _),
+    "q302_ivf_drift_rebuild" -> (VectorIndex.q302IvfDriftRebuild _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -538,5 +540,9 @@ object SimilarityRegistry {
     "q296_pq_persisted" -> pqPersistedOracle,
     "q298_ivf_drift" -> ivfDriftOracle,
     "q300_pq_reconstruction" -> pqReconstructionOracle,
+    // compaction must be invisible to the probe: same
+    // rebuild-under-the-frozen-model oracle as q295
+    "q301_ivf_compaction" -> ivfProbeOracle("WHERE vec_id % 10 <> 7"),
+    "q302_ivf_drift_rebuild" -> ivfRebuildOracle,
   )
 }

@@ -312,6 +312,36 @@ class DedupSpec extends AnyFunSuite {
       s"$candidates candidates for ${got.size} results")
   }
 
+  test("the production xxhash SimHash tier tracks the oracled md5 " +
+      "tier: q297's measured recall transfers to q26") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val xx = Dedup.simhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5 = Dedup.simhashMd5Pairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xx.nonEmpty && md5.nonEmpty)
+    // the two sketches differ only in the per-token hash; on the same
+    // corpus their hamming<=3 pair sets must largely agree or q297's
+    // hash-verified recall says nothing about the xxhash tier users
+    // actually run (measured 0.667 pair-set Jaccard at sf0.001 —
+    // borderline hamming-4 pairs flip with the hash; 0.45 fails if a
+    // regression halves the agreement)
+    val j = (xx & md5).size.toDouble / (xx | md5).size
+    info(f"xxhash-vs-md5 pair-set Jaccard = $j%.3f " +
+      s"(|xx|=${xx.size}, |md5|=${md5.size})")
+    assert(j >= 0.45, f"pair-set Jaccard $j%.3f")
+    // and the tiers' recall against the exact J>=0.8 relation must
+    // agree within 10 points in aggregate
+    val exact = Dedup.q289PrefixJaccardJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rXx = (exact & xx).size.toDouble / exact.size
+    val rMd5 = (exact & md5).size.toDouble / exact.size
+    info(f"recall vs exact: xxhash $rXx%.3f, md5 $rMd5%.3f")
+    assert(math.abs(rXx - rMd5) <= 0.10,
+      f"tier recalls diverge: xxhash $rXx%.3f vs md5 $rMd5%.3f")
+  }
+
   test("ngram jaccard inverted index finds the near-dup pairs") {
     val out = operators.Dedup.q68NgramJaccard(spark, sf).collect()
     assert(out.nonEmpty)

@@ -163,8 +163,10 @@ class SimilaritySpec extends AnyFunSuite {
   test("1-NN label coherence covers exactly the probe sample and the " +
       "neighbor choice matches a brute-force recomputation") {
     val rows = Similarity.q254LabelKnn(spark, sf).collect()
+    // the probe panel is the ABSOLUTE 128-vector budget (r8), not a
+    // corpus fraction — its broadcast must not grow with the corpus
     val nProbes = graft.Tables.embeddings(spark, sf)
-      .filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 0)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 128)
       .count()
     assert(rows.map(_.getAs[Long]("n_probes")).sum == nProbes)
     rows.foreach { r =>

@@ -150,6 +150,70 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF-from-persisted recall@3 = $recall")
   }
 
+  test("q301 compaction leaves exactly one file in every touched cell " +
+      "and is invisible to the probe") {
+    val probe = VectorIndex.q301IvfCompaction(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // compaction invisibility: identical to the append-path probe
+    val appendProbe = VectorIndex.q295IvfAppendProbe(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(probe == appendProbe)
+    // touched cells, re-derived from the persisted artifacts
+    val centers = spark.table("graft_ivf_centroids_cpt")
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val touched = Similarity.lloydAssign(
+        Similarity.embDouble(spark, sf).filter(col("vec_id") % 10 === 7),
+        centers)
+      .select(col("cid")).distinct().collect().map(_.getInt(0)).toSeq
+    assert(touched.nonEmpty)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("graft_ivf_index_cpt"))
+      .location
+    val fs = org.apache.hadoop.fs.FileSystem.get(loc,
+      spark.sparkContext.hadoopConfiguration)
+    touched.foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(loc), s"cid=$c")
+      val files = fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith("part-"))
+      assert(files.length == 1,
+        s"cell $c has ${files.length} files after compaction")
+    }
+  }
+
+  test("q302 consumes the drift flags: a strict subset of cells is " +
+      "flagged and retrained, unflagged centroids stay frozen, " +
+      "population is conserved") {
+    val rows = VectorIndex.q302IvfDriftRebuild(spark, sf).collect()
+    assert(rows.length == 8)
+    val flagged = rows.filter(_.getBoolean(1)).map(_.getInt(0)).toSet
+    assert(flagged.nonEmpty, "drift injection must flag at least one cell")
+    assert(flagged.size < 8, "only a strict subset may be flagged")
+    // conservation: the affected-cell rewrite loses/duplicates nothing
+    assert(rows.map(_.getLong(2)).sum == rows.map(_.getLong(3)).sum)
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.embeddings(spark, sf).count())
+    assert(spark.table("graft_ivf_index_rb").count() ==
+      Tables.embeddings(spark, sf).count())
+    // flagged cells moved their centroid; unflagged report zero shift
+    rows.foreach { r =>
+      if (r.getBoolean(1)) assert(r.getDouble(4) > 0.0)
+      else assert(r.getDouble(4) == 0.0)
+    }
+    // the model table was version-bumped IN PLACE: unflagged rows
+    // equal the base retrain byte-for-byte, flagged rows moved
+    val base = Similarity.centersOf(
+      Similarity.embDouble(spark, sf).filter(col("vec_id") % 10 =!= 7), 8)
+    val persisted = spark.table("graft_ivf_centroids_rb")
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    (0 until 8).foreach { i =>
+      if (flagged(i)) assert(persisted(i) != base(i))
+      else assert(persisted(i) == base(i))
+    }
+  }
+
   test("q297 measures the md5-SimHash tier against the exact Jaccard " +
       "relation: bands partition q289's pairs, recall in [0,1]") {
     val rows = Dedup.q297SimhashRecall(spark, sf).collect()
