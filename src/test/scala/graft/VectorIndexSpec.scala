@@ -150,6 +150,38 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF-from-persisted recall@3 = $recall")
   }
 
+  test("q298 monitor consumes the persisted model: one narrow corpus " +
+      "pass, no training scans in the monitor's plan") {
+    val df = VectorIndex.q298IvfDriftMonitor(spark, sf)
+    df.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    // the model rides as a LITERAL loaded from the persisted centroid
+    // table (readCenters), so the monitor's plan is exactly one scan —
+    // the embeddings corpus — and touches neither the index table nor
+    // a second (training) pass over the corpus
+    val ss = scans(finalPlan)
+    assert(ss.length == 1, finalPlan.toString.take(3000))
+    assert(ss.head.tableIdentifier.isEmpty &&
+      !ss.head.toString.contains("graft_ivf"),
+      "monitor must scan only the embeddings parquet")
+    // and the literal it carries IS the persisted model, byte-for-byte
+    val persisted = spark.table("graft_ivf_centroids_app")
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    assert(finalPlan.toString.contains(persisted.head.head.toString),
+      "monitor plan must embed the persisted centroid literal")
+  }
+
   test("q301 compaction leaves exactly one file in every touched cell " +
       "and is invisible to the probe") {
     val probe = VectorIndex.q301IvfCompaction(spark, sf)
