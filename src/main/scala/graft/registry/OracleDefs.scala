@@ -315,6 +315,158 @@ object OracleDefs {
     * before/after populations plus the 9-rounded squared centroid
     * shift. Incremental maintenance must equal this from-scratch
     * derivation exactly. */
+  /** q303's oracle: retrain the full-corpus k=8 Lloyd model (the
+    * fixed-cell-count index tier, NOT the adaptive analysis tier),
+    * rank every probe's cells, score each (probe, candidate) cosine
+    * once with its cell rank attached, and read recall@3 per nprobe
+    * level as rank_l ≤ 3 AND rank_exact ≤ 3 on the same row —
+    * mirroring the Spark plan's no-self-join shape. */
+  private[registry] def ivfNprobeCurveOracle: String = s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM e ORDER BY vec_id LIMIT 8),
+      d1 AS (
+        SELECT e.vec_id, e.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM e CROSS JOIN seed s),
+      a1 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 65),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS s
+                 FROM a1)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      d2 AS (
+        SELECT e.vec_id, e.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM e CROSS JOIN c1 s),
+      a2 AS (
+        SELECT vec_id, v, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d2)
+        WHERE rn = 1),
+      pr AS (SELECT vec_id AS q_id, v AS pv FROM e WHERE vec_id < 16),
+      cr AS (
+        SELECT q_id, pv, cid, crank FROM (
+          SELECT p.q_id, p.pv, c.cid,
+            row_number() OVER (PARTITION BY p.q_id ORDER BY
+              ROUND(list_reduce(list_transform(list_zip(p.pv, c.c),
+                t -> (t[1]-t[2])*(t[1]-t[2])), (a,b) -> a + b), 9),
+              c.cid) AS crank
+          FROM pr p CROSS JOIN c1 c)),
+      cand AS (
+        SELECT cr.q_id, a.vec_id, cr.crank,
+          ROUND(
+            list_reduce(list_transform(list_zip(cr.pv, a.v),
+              t -> t[1]*t[2]), (x,y) -> x + y)
+            / (sqrt(list_reduce(list_transform(cr.pv, x -> x*x),
+                (x,y) -> x + y))
+             * sqrt(list_reduce(list_transform(a.v, x -> x*x),
+                (x,y) -> x + y))), 9) AS cosine
+        FROM a2 a JOIN cr ON a.cid = cr.cid AND a.vec_id <> cr.q_id),
+      ce AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cosine DESC, vec_id) AS rank_exact
+        FROM cand),
+      lv AS (
+        SELECT ce.*, l.nprobe FROM ce
+        CROSS JOIN (VALUES (1), (2), (4), (8)) l(nprobe)
+        WHERE ce.crank <= l.nprobe),
+      rl AS (
+        SELECT *, row_number() OVER (PARTITION BY nprobe, q_id
+          ORDER BY cosine DESC, vec_id) AS rank_l
+        FROM lv)
+      SELECT CAST(nprobe AS INT) AS nprobe,
+        COUNT(DISTINCT q_id) AS n_probes,
+        CAST(SUM(CASE WHEN rank_l <= 3 AND rank_exact <= 3
+          THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        COUNT(DISTINCT q_id) * 3 AS possible,
+        ROUND(CAST(SUM(CASE WHEN rank_l <= 3 AND rank_exact <= 3
+            THEN 1 ELSE 0 END) AS DOUBLE)
+          / (COUNT(DISTINCT q_id) * 3), 9) AS recall
+      FROM rl GROUP BY nprobe ORDER BY nprobe"""
+
+  /** q304's oracle: the streaming gate's decisions re-derived in
+    * batch — train the frozen base model, assign the BASE corpus (the
+    * index contents), rank each arriving vector's 2 nearest cells,
+    * and emit every same-probed-cell (new, base) pair at 9-rounded
+    * cosine ≥ 0.45. A base vector lives in exactly one cell, so the
+    * join cannot duplicate a pair — the statelessness the Spark
+    * plan's scaladoc claims is also what makes this oracle a plain
+    * join. */
+  private[registry] def streamIvfGateOracle: String = s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      et AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
+      seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM et ORDER BY vec_id LIMIT 8),
+      d1 AS (
+        SELECT et.vec_id, et.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(et.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM et CROSS JOIN seed s),
+      a1 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 65),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS s
+                 FROM a1)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      base AS (
+        SELECT vec_id, v, cid FROM
+          (SELECT t.vec_id, t.v, s.cid,
+            row_number() OVER (PARTITION BY t.vec_id ORDER BY
+              ROUND(list_reduce(list_transform(list_zip(t.v, s.c),
+                p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9),
+              s.cid) AS rn
+           FROM et t CROSS JOIN c1 s)
+        WHERE rn = 1),
+      nv AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 7),
+      pc AS (
+        SELECT vec_id, v, cid FROM (
+          SELECT n.vec_id, n.v, s.cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              ROUND(list_reduce(list_transform(list_zip(n.v, s.c),
+                p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9),
+              s.cid) AS rn
+          FROM nv n CROSS JOIN c1 s)
+        WHERE rn <= 2)
+      SELECT vec_new, vec_dup, cosine FROM (
+        SELECT p.vec_id AS vec_new, b.vec_id AS vec_dup,
+          ROUND(
+            list_reduce(list_transform(list_zip(p.v, b.v),
+              t -> t[1]*t[2]), (x,y) -> x + y)
+            / (sqrt(list_reduce(list_transform(p.v, x -> x*x),
+                (x,y) -> x + y))
+             * sqrt(list_reduce(list_transform(b.v, x -> x*x),
+                (x,y) -> x + y))), 9) AS cosine
+        FROM pc p JOIN base b ON p.cid = b.cid)
+      WHERE cosine >= 0.45
+      ORDER BY vec_new, vec_dup"""
+
   private[registry] def ivfRebuildOracle: String = s"""
       WITH e0 AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))

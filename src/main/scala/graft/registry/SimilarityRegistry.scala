@@ -40,6 +40,7 @@ object SimilarityRegistry {
     "q300_pq_reconstruction" -> (VectorIndex.q300PqReconstruction _),
     "q301_ivf_compaction"  -> (VectorIndex.q301IvfCompaction _),
     "q302_ivf_drift_rebuild" -> (VectorIndex.q302IvfDriftRebuild _),
+    "q303_ivf_nprobe_curve" -> (VectorIndex.q303IvfNprobeCurve _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -544,5 +545,6 @@ object SimilarityRegistry {
     // rebuild-under-the-frozen-model oracle as q295
     "q301_ivf_compaction" -> ivfProbeOracle("WHERE vec_id % 10 <> 7"),
     "q302_ivf_drift_rebuild" -> ivfRebuildOracle,
+    "q303_ivf_nprobe_curve" -> ivfNprobeCurveOracle,
   )
 }

@@ -34,6 +34,8 @@ object StreamingRegistry {
       (graft.streaming.StreamDedup.q217StreamIndexDedup _),
     "q237_stream_gate_bounded" ->
       (graft.streaming.StreamDedup.q237StreamGateBounded _),
+    "q304_stream_ivf_gate" ->
+      (graft.streaming.StreamVectorGate.q304StreamIvfGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -249,6 +251,10 @@ object StreamingRegistry {
     // admitted pairs on the fixture by construction, so one oracle
     // pins both (see StreamDedup.q237StreamGateBounded)
     "q237_stream_gate_bounded" -> streamGateOracle,
+
+    // the vector tier's admission gate: frozen base model, 2-cell
+    // probe, q30's cosine threshold — re-derived in batch
+    "q304_stream_ivf_gate" -> streamIvfGateOracle,
 
     // q216's positional-gram + islands CTEs with the candidate source
     // swapped: grams occurring in more than one DISTINCT document

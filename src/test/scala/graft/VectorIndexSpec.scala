@@ -259,4 +259,54 @@ class VectorIndexSpec extends AnyFunSuite {
       assert(recall >= 0.0 && recall <= 1.0)
     }
   }
+
+  test("q303 nprobe curve is monotone non-decreasing and exact at " +
+      "nprobe = k") {
+    val rows = VectorIndex.q303IvfNprobeCurve(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8))
+    val recalls = rows.map(_.getDouble(4)).toSeq
+    // visible-cell sets are nested in nprobe, so adding cells can
+    // only add true top-3 members to the shortlist
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b, s"recall curve not monotone: $recalls")
+    }
+    assert(recalls.last == 1.0d,
+      s"probing all k cells must be exact, got ${recalls.last}")
+    // the serving default's point on the curve backs q294's floor
+    assert(recalls(1) >= 0.6, s"recall@3 at nprobe=2 = ${recalls(1)}")
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(1) * 3))
+  }
+
+  test("q304 stream gate is STATELESS and emits true near-dup " +
+      "witnesses: every pair is in the exact cross relation at the " +
+      "q30 threshold") {
+    val (df, stateRows) = graft.streaming.StreamVectorGate.gate(spark, sf)
+    val gate = df.collect()
+    assert(gate.nonEmpty)
+    // one cell per indexed vector ⇒ no duplicate candidate path ⇒ no
+    // pair-dedup state: the streaming query must hold ZERO state rows
+    // (q217's banded gate, by contrast, holds one row per pair seen)
+    assert(stateRows == 0L, s"vector gate held $stateRows state rows")
+    // exact new-vs-base near-dup relation (no cell constraint): the
+    // gate's emissions must be a subset — the 2-cell probe can MISS
+    // a straddling pair but never invent one, and the witness cosine
+    // must be the true cosine
+    val e = Similarity.embDouble(spark, sf)
+    val nv = e.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("vec_new"), col("v").as("nv"))
+    val base = e.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id").as("vec_dup"), col("v").as("bv"))
+    val exact = nv.join(broadcast(base),
+        round(Similarity.dotD(col("nv"), col("bv")) /
+          (Similarity.normD(col("nv")) * Similarity.normD(col("bv"))), 9)
+          >= 0.45)
+      .select(col("vec_new"), col("vec_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emitted = gate.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted.size == gate.length, "gate emitted a duplicate pair")
+    assert(emitted.subsetOf(exact),
+      s"gate invented pairs: ${emitted -- exact}")
+    gate.foreach(r => assert(r.getDouble(2) >= 0.45))
+    info(s"gate recall vs exact relation: ${emitted.size}/${exact.size}")
+  }
 }
