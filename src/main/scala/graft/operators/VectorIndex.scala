@@ -633,4 +633,83 @@ object VectorIndex {
         col("possible"), col("recall"))
       .orderBy(col("nprobe"))
   }
+
+  /** q305: DELETION PROPAGATION into the vector index — the q279
+    * right-to-erasure discipline extended to the last standing
+    * artifact that still remembered everyone: when a deletion request
+    * arrives, the persisted IVF index must forget those vectors
+    * without a rebuild and without touching anyone else's cells.
+    *
+    * The locate step is what makes this cheap at 100 TB: the index is
+    * partitioned by cid, not vec_id, so FINDING the victims by scan
+    * would read everything — instead the deletion set (request-sized,
+    * bounded by contract) is re-assigned against the FROZEN persisted
+    * model (read back through [[readCenters]] — the provenance
+    * discipline), and because the frozen-model assignment is
+    * deterministic this yields each victim's cell without reading the
+    * index at all. Only those cells are then rewritten: a pruned read
+    * (file-listing guarantee, the q294/q301 machinery), a BROADCAST
+    * anti-join against the request set (request-sized by contract —
+    * the q279 convention), one file per rewritten cell, dynamic
+    * partition overwrite; a cell emptied by erasure is dropped
+    * explicitly (the q302 edge). The MODEL stays frozen — erasure
+    * must not leak training signal refresh; a mass deletion that
+    * skews cell populations surfaces in q298's monitor and is q302's
+    * job, not this query's.
+    *
+    * The report is the falsifiable half: `n_before`/`n_deleted` come
+    * from the pre-rewrite artifact and the assignment, but `n_after`
+    * is COUNTED from the post-maintenance table — if the rewrite
+    * drops a bystander or misses a victim, the oracle's
+    * frozen-assignment arithmetic disagrees and the hash fails.
+    * DELETED IDS REMAINING AFTER THE REWRITE WOULD SURFACE AS
+    * n_after > n_before − n_deleted. */
+  def q305IvfDeletion(spark: SparkSession, dir: String): DataFrame = {
+    val cent = "graft_ivf_centroids_del"
+    val idxT = "graft_ivf_index_del"
+    val e = Similarity.embDouble(spark, dir)
+    buildIvf(spark, e, 8, cent, idxT)
+    val isDel = col("vec_id") % 10 === 3
+    // locate victims WITHOUT reading the index: frozen-model
+    // re-assignment of the (bounded) request set
+    val centers = readCenters(spark, cent, 8)
+    val delAssigned = Similarity.lloydAssign(e.filter(isDel), centers)
+      .select(col("vec_id"), col("cid"))
+      .localCheckpoint() // request-sized; feeds counts, cells, and the anti-join
+    val touched = delAssigned.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val before = spark.table(idxT).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_before"))
+      .localCheckpoint() // k rows, pre-rewrite
+    // pruned rewrite of the touched cells only, victims anti-joined out
+    val survivors = spark.table(idxT)
+      .filter(col("cid").isin(touched: _*))
+      .join(broadcast(delAssigned.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+      .repartition(touched.size, col("cid"))
+      .localCheckpoint()
+    val kept = survivors.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val pom = "spark.sql.sources.partitionOverwriteMode"
+    val oldPom = spark.conf.get(pom, "static")
+    spark.conf.set(pom, "dynamic")
+    try survivors.write.mode(SaveMode.Overwrite).insertInto(idxT)
+    finally spark.conf.set(pom, oldPom)
+    touched.filterNot(kept).foreach { c =>
+      spark.sql(s"ALTER TABLE $idxT DROP IF EXISTS PARTITION (cid=$c)")
+    }
+    // report: n_after COUNTED from the post-maintenance artifact
+    val deleted = delAssigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_deleted"))
+    val after = spark.table(idxT).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_after"))
+    before
+      .join(deleted, Seq("cid"), "left")
+      .join(after, Seq("cid"), "left")
+      .select(col("cid"), col("n_before"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        (coalesce(col("n_deleted"), lit(0L)) > 0L).as("touched"))
+      .orderBy(col("cid"))
+  }
 }

@@ -399,6 +399,59 @@ object OracleDefs {
           / (COUNT(DISTINCT q_id) * 3), 9) AS recall
       FROM rl GROUP BY nprobe ORDER BY nprobe"""
 
+  /** q305's oracle: erasure accounting from the frozen full-corpus
+    * model — per cell, the deterministic assignment's population,
+    * the deletion-request members in it, and the arithmetic
+    * survivor count. Spark's n_after is COUNTED from the really
+    * rewritten table, so a rewrite that misses a victim or drops a
+    * bystander hash-fails here. */
+  private[registry] def ivfDeletionOracle: String = s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM e ORDER BY vec_id LIMIT 8),
+      d1 AS (
+        SELECT e.vec_id, e.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM e CROSS JOIN seed s),
+      a1 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 65),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS s
+                 FROM a1)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      d2 AS (
+        SELECT e.vec_id, e.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(e.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM e CROSS JOIN c1 s),
+      a2 AS (
+        SELECT vec_id, cid FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d2)
+        WHERE rn = 1)
+      SELECT cid, n_before, n_deleted,
+        n_before - n_deleted AS n_after,
+        n_deleted > 0 AS touched
+      FROM (
+        SELECT cid, COUNT(*) AS n_before,
+          CAST(SUM(CASE WHEN vec_id % 10 = 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_deleted
+        FROM a2 GROUP BY cid)
+      ORDER BY cid"""
+
   /** q304's oracle: the streaming gate's decisions re-derived in
     * batch — train the frozen base model, assign the BASE corpus (the
     * index contents), rank each arriving vector's 2 nearest cells,

@@ -41,6 +41,7 @@ object SimilarityRegistry {
     "q301_ivf_compaction"  -> (VectorIndex.q301IvfCompaction _),
     "q302_ivf_drift_rebuild" -> (VectorIndex.q302IvfDriftRebuild _),
     "q303_ivf_nprobe_curve" -> (VectorIndex.q303IvfNprobeCurve _),
+    "q305_ivf_deletion"    -> (VectorIndex.q305IvfDeletion _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -546,5 +547,6 @@ object SimilarityRegistry {
     "q301_ivf_compaction" -> ivfProbeOracle("WHERE vec_id % 10 <> 7"),
     "q302_ivf_drift_rebuild" -> ivfRebuildOracle,
     "q303_ivf_nprobe_curve" -> ivfNprobeCurveOracle,
+    "q305_ivf_deletion" -> ivfDeletionOracle,
   )
 }

@@ -309,4 +309,29 @@ class VectorIndexSpec extends AnyFunSuite {
     gate.foreach(r => assert(r.getDouble(2) >= 0.45))
     info(s"gate recall vs exact relation: ${emitted.size}/${exact.size}")
   }
+
+  test("q305 deletion propagates into the index: victims fully " +
+      "erased, bystanders kept, model frozen") {
+    val report = VectorIndex.q305IvfDeletion(spark, sf).collect()
+    assert(report.nonEmpty)
+    assert(report.exists(_.getLong(2) > 0), "request hit no cell")
+    // the reported n_after is COUNTED from the rewritten table, so
+    // this arithmetic holding means no bystander was dropped and no
+    // victim survived
+    report.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2),
+        s"cell ${r.getInt(0)}: ${r.getLong(1)} - ${r.getLong(2)} " +
+          s"!= ${r.getLong(3)}")
+      assert(r.getBoolean(4) == (r.getLong(2) > 0))
+    }
+    // ERASURE: no deleted vec_id remains anywhere in the artifact
+    val residual = spark.table("graft_ivf_index_del")
+      .filter(col("vec_id") % 10 === 3).count()
+    assert(residual == 0L, s"$residual deleted vectors still indexed")
+    // model frozen: erasure must not refresh training signal
+    val persisted =
+      VectorIndex.readCenters(spark, "graft_ivf_centroids_del", 8)
+    val fresh = Similarity.centersOf(Similarity.embDouble(spark, sf), 8)
+    assert(persisted == fresh, "deletion retrained the model")
+  }
 }
