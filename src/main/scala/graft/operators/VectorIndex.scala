@@ -712,4 +712,65 @@ object VectorIndex {
         (coalesce(col("n_deleted"), lit(0L)) > 0L).as("touched"))
       .orderBy(col("cid"))
   }
+
+  /** q306: the GATE RECALL certificate — q290's measured-banding-
+    * recall discipline applied to the streaming vector gate
+    * ([[graft.streaming.StreamVectorGate]] q304), completing the
+    * measurement symmetry between the two dedup families (text:
+    * q213 banding / q290 band / q297 SimHash recall; vectors: q303
+    * probe recall / THIS gate recall). The gate admits a near-dup
+    * whose indexed twin lives outside the arrival's two probed
+    * cells; this query measures how often, against the EXACT
+    * new-vs-base cosine relation at the gate's own threshold
+    * (q30's 0.45), decomposed by which probe rank caught each pair
+    * — the evidence an operator reads before widening nprobe (the
+    * knob q303 prices).
+    *
+    * Certificate-by-role shape (the q30/q213 acceptance): the exact
+    * side is the quadratic new × base scan — off the serving path,
+    * the reference the gate is graded against. The gate side is
+    * re-derived in batch from the SAME persisted artifact the gate
+    * probes: the arrival panel's 2-cell ranking against the
+    * centroid table, matched to each exact pair's indexed cell.
+    * Everything rounds to 9 before compare, so both sides are
+    * engine-portable and the certificate is hash-checked. */
+  def q306GateRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embDouble(spark, dir)
+    val isNew = col("vec_id") % 10 === 7
+    buildIvf(spark, e.filter(!isNew), 8,
+      "graft_ivf_centroids_gr", "graft_ivf_index_gr")
+    val cents = spark.table("graft_ivf_centroids_gr")
+    val newv = e.filter(isNew)
+      .select(col("vec_id").as("vec_new"), col("v").as("nv"))
+    val wCell = Window.partitionBy(col("vec_new"))
+      .orderBy(col("d"), col("cid"))
+    val probed = newv.crossJoin(cents)
+      .withColumn("d", round(Similarity.sqDist(col("nv"), col("c")), 9))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") <= 2)
+      .select(col("vec_new").as("p_new"), col("cid").as("p_cid"),
+        col("crank"))
+    // exact side reads the INDEX's stored vectors (provenance: the
+    // certificate grades the artifact the gate actually probes)
+    val base = spark.table("graft_ivf_index_gr")
+      .select(col("vec_id").as("vec_dup"), col("v").as("bv"),
+        col("cid").as("bcid"))
+    val exact = newv.join(base,
+        round(Similarity.dotD(col("nv"), col("bv")) /
+          (Similarity.normD(col("nv")) * Similarity.normD(col("bv"))), 9)
+          >= 0.45)
+      .select(col("vec_new"), col("vec_dup"), col("bcid"))
+    exact.join(probed,
+        col("vec_new") === col("p_new") && col("bcid") === col("p_cid"),
+        "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("crank").isNotNull, 1L).otherwise(0L))
+          .as("n_caught"),
+        sum(when(col("crank") === 1, 1L).otherwise(0L)).as("n_rank1"),
+        sum(when(col("crank") === 2, 1L).otherwise(0L)).as("n_rank2"))
+      .select(col("n_exact"), col("n_caught"), col("n_rank1"),
+        col("n_rank2"),
+        round(col("n_caught").cast("double") /
+          col("n_exact").cast("double"), 9).as("recall"))
+  }
 }

@@ -452,6 +452,81 @@ object OracleDefs {
         FROM a2 GROUP BY cid)
       ORDER BY cid"""
 
+  /** q306's oracle: the gate-recall certificate re-derived — exact
+    * new-vs-base pairs at the 0.45 threshold, each matched against
+    * the arrival's 2-cell frozen-model probe set, aggregated into
+    * caught/missed counts by probe rank. */
+  private[registry] def gateRecallOracle: String = s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+          AS v
+        FROM embeddings),
+      et AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
+      seed AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+          AS cid, v AS c
+        FROM et ORDER BY vec_id LIMIT 8),
+      d1 AS (
+        SELECT et.vec_id, et.v, s.cid,
+          ROUND(list_reduce(list_transform(list_zip(et.v, s.c),
+            p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9) AS dist
+        FROM et CROSS JOIN seed s),
+      a1 AS (
+        SELECT vec_id, v, cid, dist FROM
+          (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY dist, cid) AS rn FROM d1)
+        WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS c FROM
+          (SELECT cid, CAST(s.pos AS INT) AS pos, ROUND(AVG(s.x), 9) AS m
+           FROM (SELECT cid, unnest(list_transform(range(1, 65),
+                   i -> {'pos': i, 'x': v[CAST(i AS INT)]})) AS s
+                 FROM a1)
+           GROUP BY cid, pos)
+        GROUP BY cid),
+      base AS (
+        SELECT vec_id, v, cid FROM
+          (SELECT t.vec_id, t.v, s.cid,
+            row_number() OVER (PARTITION BY t.vec_id ORDER BY
+              ROUND(list_reduce(list_transform(list_zip(t.v, s.c),
+                p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9),
+              s.cid) AS rn
+           FROM et t CROSS JOIN c1 s)
+        WHERE rn = 1),
+      nv AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 7),
+      pc AS (
+        SELECT vec_id, cid, rn AS crank FROM (
+          SELECT n.vec_id, s.cid,
+            row_number() OVER (PARTITION BY n.vec_id ORDER BY
+              ROUND(list_reduce(list_transform(list_zip(n.v, s.c),
+                p -> (p[1]-p[2])*(p[1]-p[2])), (a,b) -> a + b), 9),
+              s.cid) AS rn
+          FROM nv n CROSS JOIN c1 s)
+        WHERE rn <= 2),
+      ex AS (
+        SELECT n.vec_id AS vn, b.vec_id AS vd, b.cid AS bcid
+        FROM nv n JOIN base b ON
+          ROUND(
+            list_reduce(list_transform(list_zip(n.v, b.v),
+              t -> t[1]*t[2]), (x,y) -> x + y)
+            / (sqrt(list_reduce(list_transform(n.v, x -> x*x),
+                (x,y) -> x + y))
+             * sqrt(list_reduce(list_transform(b.v, x -> x*x),
+                (x,y) -> x + y))), 9) >= 0.45),
+      j AS (
+        SELECT ex.vn, ex.vd, p.crank
+        FROM ex LEFT JOIN pc p ON ex.vn = p.vec_id AND ex.bcid = p.cid)
+      SELECT COUNT(*) AS n_exact,
+        CAST(SUM(CASE WHEN crank IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_caught,
+        CAST(SUM(CASE WHEN crank = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_rank1,
+        CAST(SUM(CASE WHEN crank = 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_rank2,
+        ROUND(CAST(SUM(CASE WHEN crank IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*), 9) AS recall
+      FROM j"""
+
   /** q304's oracle: the streaming gate's decisions re-derived in
     * batch — train the frozen base model, assign the BASE corpus (the
     * index contents), rank each arriving vector's 2 nearest cells,

@@ -42,6 +42,7 @@ object SimilarityRegistry {
     "q302_ivf_drift_rebuild" -> (VectorIndex.q302IvfDriftRebuild _),
     "q303_ivf_nprobe_curve" -> (VectorIndex.q303IvfNprobeCurve _),
     "q305_ivf_deletion"    -> (VectorIndex.q305IvfDeletion _),
+    "q306_gate_recall"     -> (VectorIndex.q306GateRecall _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -548,5 +549,6 @@ object SimilarityRegistry {
     "q302_ivf_drift_rebuild" -> ivfRebuildOracle,
     "q303_ivf_nprobe_curve" -> ivfNprobeCurveOracle,
     "q305_ivf_deletion" -> ivfDeletionOracle,
+    "q306_gate_recall" -> gateRecallOracle,
   )
 }

@@ -334,4 +334,24 @@ class VectorIndexSpec extends AnyFunSuite {
     val fresh = Similarity.centersOf(Similarity.embDouble(spark, sf), 8)
     assert(persisted == fresh, "deletion retrained the model")
   }
+
+  test("q306 gate-recall certificate is consistent with the gate it " +
+      "grades: n_caught equals q304's actual emission count") {
+    val r = VectorIndex.q306GateRecall(spark, sf).collect().head
+    val (nExact, nCaught) = (r.getLong(0), r.getLong(1))
+    assert(nExact > 0)
+    assert(nCaught == r.getLong(2) + r.getLong(3)) // rank1 + rank2
+    assert(nCaught <= nExact)
+    val recall = r.getDouble(4)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // the certificate's caught count must equal what the REAL
+    // streaming gate emits — certificate and gate share the frozen
+    // model, the 2-cell probe and the threshold by construction
+    val emitted = graft.streaming.StreamVectorGate
+      .q304StreamIvfGate(spark, sf).count()
+    assert(nCaught == emitted,
+      s"certificate says $nCaught caught, gate emitted $emitted")
+    info(s"gate recall $recall ($nCaught/$nExact; " +
+      s"rank1 ${r.getLong(2)}, rank2 ${r.getLong(3)})")
+  }
 }
