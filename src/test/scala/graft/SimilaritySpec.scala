@@ -180,6 +180,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("the probe panel bound reaches the parquet scan: q254's plan " +
+      "pushes vec_id < 128 and broadcasts only the panel side") {
+    // the r8 contract in code, pinned against regression: the probe
+    // side is an ABSOLUTE budget whose filter is a pushed-down scan
+    // predicate, so the broadcast can never re-become a corpus
+    // fraction without this spec failing
+    val plan = Similarity.q254LabelKnn(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("LessThan(vec_id,128)"),
+      "panel bound not pushed to the scan:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastExchange"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("OOD report: percentiles are ordered and the outlier rule is " +
       "self-consistent") {
     val rows = Similarity.q255OodReport(spark, sf).collect()
