@@ -730,15 +730,55 @@ object Similarity {
         "s -> s.m)").as("c"))
       .orderBy(col("cid"))
       .collect()
-    // Empty clusters would renumber the center array and silently
-    // desync cid from the oracle's group key — fail loudly instead.
-    // With k=8 seeded from real corpus points this never fires on the
-    // test corpora (spec-asserted); production k-means handles it by
-    // re-seeding from the farthest point.
+    // Empty clusters would renumber the POSITIONAL center array and
+    // silently desync cid from the oracle's group key — fail loudly
+    // instead. This dense path serves the fixed-k INDEX tier, whose
+    // persisted artifacts require dense 0..k-1 cids by design; the
+    // adaptive-k ANALYSIS tier routes through [[recomputeCentersAt]],
+    // which handles an emptied cell the way the oracle does.
     require(rows.map(_.getInt(0)).toSeq == rows.indices,
       s"empty k-means cluster: got cids ${rows.map(_.getInt(0)).toSeq}")
     rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
   }
+
+  /** Center recompute for the ANALYSIS (adaptive-k) tier: the same
+    * mean grid as [[recomputeCenters]], but centers keep their cid
+    * LABEL instead of a positional slot — an emptied cell simply
+    * drops out of the model with every surviving label preserved,
+    * which is exactly what the oracle's recompute CTE does (`c1` in
+    * OracleDefs.kmeansCtes is a GROUP BY over surviving cids). At
+    * adaptive k an empty cell is a NORMAL Lloyd state (two identical
+    * vectors among the k lowest-vec_id seeds suffice: every point
+    * tie-breaks to the lower cid and the higher seed's cell starves),
+    * so the analysis chain handles it instead of crashing — and stays
+    * hash-equal to the oracle when it happens. */
+  private[graft] def recomputeCentersAt(
+      assigned: DataFrame): Seq[(Int, Seq[Double])] =
+    assigned
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "s -> s.m)").as("c"))
+      .orderBy(col("cid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+
+  /** [[lloydAssign]] against a LABELED center set (cid, center) that
+    * may carry holes: per row the (9-rounded distance, cid) struct
+    * minimum picks the nearest center with the lowest-cid tie-break —
+    * bit-identical to the positional path on a dense model, and equal
+    * to the oracle's `row_number() OVER (ORDER BY dist, cid)` on a
+    * sparse one. Still a narrow codegen map, zero shuffle. */
+  private[graft] def lloydAssignAt(e: DataFrame,
+      centers: Seq[(Int, Seq[Double])]): DataFrame =
+    e.withColumn("best", array_min(transform(typedlit(centers),
+        c => struct(round(sqDist(col("v"), c.getField("_2")), 9).as("d"),
+          c.getField("_1").as("cid")))))
+      .withColumn("dist", col("best.d"))
+      .withColumn("cid", col("best.cid"))
+      .drop("best")
 
   private[graft] def embDouble(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -748,8 +788,11 @@ object Similarity {
   /** Trained model state over any (vec_id, v) frame: centers after one
     * Lloyd refinement of the k-lowest-vec_id seed (deterministic,
     * engine-portable) — metadata-sized, loadable into any consumer as
-    * a literal. Shared by q248's in-query chain and the persisted IVF
-    * index build ([[VectorIndex]]). */
+    * a literal. This is the FIXED-K INDEX tier's entry (the persisted
+    * IVF/PQ builds in [[VectorIndex]]): a positional dense model whose
+    * cids must be 0..k-1, enforced below. The adaptive-k analysis
+    * family (q248/q249/q255/q259/q260) uses [[analysisCenters]]
+    * instead, which tolerates emptied cells. */
   private[graft] def centersOf(e: DataFrame, k: Int): Seq[Seq[Double]] = {
     val seed = e.orderBy(col("vec_id")).limit(k).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
@@ -781,17 +824,30 @@ object Similarity {
   private[graft] def adaptiveK(e: DataFrame): Int =
     math.max(8, math.ceil(e.count() / 250.0).toInt)
 
+  /** The analysis tier's trained model over any (vec_id, v) frame:
+    * one Lloyd refinement of the k-lowest-vec_id seed, centers
+    * LABELED by cid (holes allowed — an emptied cell drops out, see
+    * [[recomputeCentersAt]]). The hole-tolerant counterpart of the
+    * index tier's [[centersOf]]. */
+  private[graft] def analysisCenters(e: DataFrame,
+      k: Int): Seq[(Int, Seq[Double])] = {
+    val seed = e.orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    recomputeCentersAt(lloydAssign(e, seed))
+  }
+
   /** The trained model state over the full embedding corpus. */
-  private[graft] def finalCenters(spark: SparkSession, dir: String): Seq[Seq[Double]] = {
+  private[graft] def finalCenters(spark: SparkSession,
+      dir: String): Seq[(Int, Seq[Double])] = {
     val e = embDouble(spark, dir)
-    centersOf(e, adaptiveK(e))
+    analysisCenters(e, adaptiveK(e))
   }
 
   /** Two Lloyd rounds over the embedding corpus, adaptive k. Returns
     * the final per-vector assignment (vec_id, v, cid, dist). */
   private[graft] def kmeansAssigned(spark: SparkSession, dir: String): DataFrame = {
     val e = embDouble(spark, dir)
-    lloydAssign(e, centersOf(e, adaptiveK(e)))
+    lloydAssignAt(e, analysisCenters(e, adaptiveK(e)))
   }
 
   /** q248: distributed k-means (Lloyd's) — the clustering pass under
@@ -1065,14 +1121,19 @@ object Similarity {
   def q260StreamClusterRouter(spark: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamingWindows.withStreamPartitions(spark) {
       import org.apache.spark.sql.types._
-      val centers = finalCenters(spark, dir)
-      val thresholds = kmeansAssigned(spark, dir)
+      // train ONCE: k and centers feed both the threshold pass and the
+      // stream's assignment map (the q249/q255 staged discipline — the
+      // old finalCenters + kmeansAssigned pair re-ran the whole Lloyd
+      // chain, an identical second training per invocation)
+      val eb = embDouble(spark, dir)
+      val centers = analysisCenters(eb, adaptiveK(eb))
+      // thresholds keyed BY cid (a map literal, hole-safe under the
+      // analysis model), not by array position
+      val thresholds = lloydAssignAt(eb, centers)
         .groupBy(col("cid"))
         .agg(round(expr("percentile(dist, 0.5)"), 9).as("p50"))
-        .orderBy(col("cid")).collect()
-      require(thresholds.map(_.getInt(0)).toSeq == thresholds.indices,
-        "cluster ids must be dense for the threshold literal")
-      val thr = typedlit(thresholds.map(_.getDouble(1)).toIndexedSeq)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val thr = typedlit(thresholds)
       val schema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
@@ -1082,9 +1143,9 @@ object Similarity {
         .parquet(dir)
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("v"))
-      val routed = lloydAssign(src, centers)
+      val routed = lloydAssignAt(src, centers)
         .withColumn("flag",
-          col("dist") > element_at(thr, col("cid") + 1) * 2.0d)
+          col("dist") > element_at(thr, col("cid")) * 2.0d)
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_assigned"),
           count_if(col("flag")).as("n_flagged"))

@@ -207,11 +207,14 @@ object VectorIndex {
     *
     * Provenance (r8): the monitor consumes the PERSISTED model —
     * `buildIvf` runs first only so the query is self-contained, and
-    * the monitor's plan then reads `graft_ivf_centroids_app` through
+    * the monitor's plan then reads `graft_ivf_centroids_mon` through
     * [[readCenters]], never the in-memory training chain (the
     * q294/q295 discipline; a real deployment runs the monitor as a
     * separate job against the standing artifact, which is now exactly
-    * the code path exercised). `drift_flag` also fires when a cell's
+    * the code path exercised; the monitor gets its OWN table suffix
+    * like every other lifecycle query — r8's build into q295's `_app`
+    * names silently replaced that query's appended artifact under any
+    * non-sequential run). `drift_flag` also fires when a cell's
     * population is ENTIRELY appended vectors (n_base = 0) — the
     * strongest possible drift signal, which the base-mean ratio alone
     * can never see (its base mean is undefined there). */
@@ -219,12 +222,29 @@ object VectorIndex {
     val e = Similarity.embDouble(spark, dir)
     val isNew = col("vec_id") % 10 === 7
     buildIvf(spark, e.filter(!isNew), 8,
-      "graft_ivf_centroids_app", "graft_ivf_index_app")
-    val centers = readCenters(spark, "graft_ivf_centroids_app", 8)
+      "graft_ivf_centroids_mon", "graft_ivf_index_mon")
+    val centers = readCenters(spark, "graft_ivf_centroids_mon", 8)
+    driftAgg(Similarity.lloydAssign(e, centers).withColumn("is_new", isNew))
+      .select(col("cid"), col("n_base"), col("n_new"),
+        round(col("n_new").cast("double") /
+          (col("n_base") + col("n_new")).cast("double"), 9)
+          .as("share_new"),
+        col("mean_dist_base"), col("mean_dist_new"), col("drift_flag"))
+      .orderBy(col("cid"))
+  }
+
+  /** The per-cell drift rule shared by the monitor (q298) and the
+    * rebuild trigger (q302) — ONE definition so a rule change cannot
+    * desync the monitor from the action it schedules (the oracles
+    * share `OracleDefs.driftCellsSql` the same way). Over an
+    * assignment frame carrying (cid, dist, is_new): base/appended
+    * populations, their 9-rounded mean assignment distances (sums as
+    * exact decimals, so engine-portable), and `drift_flag` — fires
+    * when a cell holds appended vectors whose mean distance exceeds
+    * 1.5× the base's, or whose population is entirely appended. */
+  private def driftAgg(assigned: DataFrame): DataFrame = {
     val dec = "decimal(28,9)"
-    Similarity.lloydAssign(e, centers)
-      .withColumn("is_new", isNew)
-      .groupBy(col("cid"))
+    assigned.groupBy(col("cid"))
       .agg(
         sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
         sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
@@ -233,9 +253,6 @@ object VectorIndex {
         sum(when(col("is_new"), col("dist").cast(dec))
           .otherwise(lit(0).cast(dec))).as("new_dec"))
       .select(col("cid"), col("n_base"), col("n_new"),
-        round(col("n_new").cast("double") /
-          (col("n_base") + col("n_new")).cast("double"), 9)
-          .as("share_new"),
         when(col("n_base") > 0,
           round(col("base_dec").cast("double") /
             col("n_base").cast("double"), 9)).as("mean_dist_base"),
@@ -245,7 +262,6 @@ object VectorIndex {
       .withColumn("drift_flag",
         col("n_new") > 0 && (col("n_base") === 0 ||
           col("mean_dist_new") > col("mean_dist_base") * 1.5d))
-      .orderBy(col("cid"))
   }
 
   /** q301: IVF cell COMPACTION — the q241 analog for the vector
@@ -278,19 +294,23 @@ object VectorIndex {
       .insertInto("graft_ivf_index_cpt")
     val touched = newAssigned.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
-    // pruned read of the touched cells only, one output file per cell;
-    // localCheckpoint breaks lineage so the overwrite below does not
-    // read the table it rewrites
-    val compacted = spark.table("graft_ivf_index_cpt")
-      .filter(col("cid").isin(touched: _*))
-      .repartition(touched.size, col("cid"))
-      .localCheckpoint()
-    val pom = "spark.sql.sources.partitionOverwriteMode"
-    val oldPom = spark.conf.get(pom, "static")
-    spark.conf.set(pom, "dynamic")
-    try compacted.write.mode(SaveMode.Overwrite)
-      .insertInto("graft_ivf_index_cpt")
-    finally spark.conf.set(pom, oldPom)
+    // an empty append batch touches no cell — nothing to compact (and
+    // repartition(0) would throw); the probe below is still exact
+    if (touched.nonEmpty) {
+      // pruned read of the touched cells only, one output file per
+      // cell; localCheckpoint breaks lineage so the overwrite below
+      // does not read the table it rewrites
+      val compacted = spark.table("graft_ivf_index_cpt")
+        .filter(col("cid").isin(touched: _*))
+        .repartition(touched.size, col("cid"))
+        .localCheckpoint()
+      val pom = "spark.sql.sources.partitionOverwriteMode"
+      val oldPom = spark.conf.get(pom, "static")
+      spark.conf.set(pom, "dynamic")
+      try compacted.write.mode(SaveMode.Overwrite)
+        .insertInto("graft_ivf_index_cpt")
+      finally spark.conf.set(pom, oldPom)
+    }
     probeIvf(spark, probesD(spark, dir),
       "graft_ivf_centroids_cpt", "graft_ivf_index_cpt", nprobe = 2)
   }
@@ -348,30 +368,13 @@ object VectorIndex {
       .select(col("vec_id"), col("v"), col("cid"))
       .write.mode(SaveMode.Append).insertInto(idxT)
     // ---- 1. monitor, from the persisted artifacts ----
+    // q298's rule via the SHARED driftAgg — the trigger can never
+    // desync from the monitor it consumes
     val centersLit = typedlit(centers)
-    val dec = "decimal(28,9)"
-    val monitored = spark.table(idxT)
-      .withColumn("dist", round(Similarity.sqDist(col("v"),
-        element_at(centersLit, col("cid") + 1)), 9))
-      .withColumn("is_new", col("vec_id") % 10 === 7)
-      .groupBy(col("cid"))
-      .agg(
-        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
-        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
-        sum(when(!col("is_new"), col("dist").cast(dec))
-          .otherwise(lit(0).cast(dec))).as("base_dec"),
-        sum(when(col("is_new"), col("dist").cast(dec))
-          .otherwise(lit(0).cast(dec))).as("new_dec"))
-      .select(col("cid"), col("n_base"), col("n_new"),
-        when(col("n_base") > 0,
-          round(col("base_dec").cast("double") /
-            col("n_base").cast("double"), 9)).as("mb"),
-        when(col("n_new") > 0,
-          round(col("new_dec").cast("double") /
-            col("n_new").cast("double"), 9)).as("mn"))
-      .withColumn("drift_flag",
-        col("n_new") > 0 && (col("n_base") === 0 ||
-          col("mn") > col("mb") * 1.5d))
+    val monitored = driftAgg(spark.table(idxT)
+        .withColumn("dist", round(Similarity.sqDist(col("v"),
+          element_at(centersLit, col("cid") + 1)), 9))
+        .withColumn("is_new", col("vec_id") % 10 === 7))
       .localCheckpoint() // k rows: feeds the flag set AND the report
     val flagged = monitored.filter(col("drift_flag"))
       .select(col("cid")).collect().map(_.getInt(0)).toSet
@@ -681,22 +684,27 @@ object VectorIndex {
     val before = spark.table(idxT).groupBy(col("cid"))
       .agg(count(lit(1)).as("n_before"))
       .localCheckpoint() // k rows, pre-rewrite
-    // pruned rewrite of the touched cells only, victims anti-joined out
-    val survivors = spark.table(idxT)
-      .filter(col("cid").isin(touched: _*))
-      .join(broadcast(delAssigned.select(col("vec_id"))),
-        Seq("vec_id"), "left_anti")
-      .repartition(touched.size, col("cid"))
-      .localCheckpoint()
-    val kept = survivors.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val pom = "spark.sql.sources.partitionOverwriteMode"
-    val oldPom = spark.conf.get(pom, "static")
-    spark.conf.set(pom, "dynamic")
-    try survivors.write.mode(SaveMode.Overwrite).insertInto(idxT)
-    finally spark.conf.set(pom, oldPom)
-    touched.filterNot(kept).foreach { c =>
-      spark.sql(s"ALTER TABLE $idxT DROP IF EXISTS PARTITION (cid=$c)")
+    // pruned rewrite of the touched cells only, victims anti-joined
+    // out; an EMPTY request set touches no cell — skip the rewrite
+    // entirely (repartition(0) would throw) and the report below
+    // degenerates to per-cell (n_before, 0, n_before, false)
+    if (touched.nonEmpty) {
+      val survivors = spark.table(idxT)
+        .filter(col("cid").isin(touched: _*))
+        .join(broadcast(delAssigned.select(col("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        .repartition(touched.size, col("cid"))
+        .localCheckpoint()
+      val kept = survivors.select(col("cid")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val pom = "spark.sql.sources.partitionOverwriteMode"
+      val oldPom = spark.conf.get(pom, "static")
+      spark.conf.set(pom, "dynamic")
+      try survivors.write.mode(SaveMode.Overwrite).insertInto(idxT)
+      finally spark.conf.set(pom, oldPom)
+      touched.filterNot(kept).foreach { c =>
+        spark.sql(s"ALTER TABLE $idxT DROP IF EXISTS PARTITION (cid=$c)")
+      }
     }
     // report: n_after COUNTED from the post-maintenance artifact
     val deleted = delAssigned.groupBy(col("cid"))

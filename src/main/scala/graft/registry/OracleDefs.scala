@@ -234,11 +234,45 @@ object OracleDefs {
   /** One PQ subspace's deterministic codebook + encoding chain: the
     * Lloyd template (seed = 8 lowest vec_id SLICES, one refinement,
     * 9-rounded), run on list_slice(v, o+1, o+16). */
+  /** The per-cell drift aggregation + flag shared by q298's and
+    * q302's oracles — ONE definition mirroring
+    * `VectorIndex.driftAgg`, so a rule change cannot desync the
+    * monitor's SQL from the rebuild trigger's. Emits CTE bodies `g`
+    * (per-cell populations, appended share, mean distances named
+    * `$mb`/`$mn`) and `gf` (g + drift_flag), reading from an upstream
+    * `a2 (vec_id, cid, dist)`. */
+  private[registry] def driftCellsSql(mb: String, mn: String): String = s"""
+      g AS (
+        SELECT CAST(cid AS INT) AS cid,
+          CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_base,
+          CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+          ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS share_new,
+          CASE WHEN SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 <> 7
+                THEN CAST(dist AS DECIMAL(28,9))
+                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
+                AS DOUBLE), 9) END AS $mb,
+          CASE WHEN SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7
+                THEN CAST(dist AS DECIMAL(28,9))
+                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+              / CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
+                AS DOUBLE), 9) END AS $mn
+        FROM a2 GROUP BY cid),
+      gf AS (
+        SELECT *, (n_new > 0 AND (n_base = 0 OR $mn > $mb * 1.5))
+          AS drift_flag
+        FROM g)"""
+
   /** q298's oracle: retrain the base-slice Lloyd model, assign the
     * FULL corpus (with distances), and aggregate per cell into the
     * drift report — base/appended populations, decimal-exact mean
     * distances, and the 1.5× drift flag (NULL-safe like Spark's
-    * coalesce). */
+    * coalesce) via the shared [[driftCellsSql]] fragment. */
   private[registry] def ivfDriftOracle: String = s"""
       WITH e AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
@@ -277,32 +311,10 @@ object OracleDefs {
           (SELECT *, row_number() OVER (PARTITION BY vec_id
              ORDER BY dist, cid) AS rn FROM d2)
         WHERE rn = 1),
-      g AS (
-        SELECT CAST(cid AS INT) AS cid,
-          CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_base,
-          CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_new,
-          ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
-              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS share_new,
-          CASE WHEN SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) > 0
-            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 <> 7
-                THEN CAST(dist AS DECIMAL(28,9))
-                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
-              / CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
-                AS DOUBLE), 9) END AS mean_dist_base,
-          CASE WHEN SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) > 0
-            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7
-                THEN CAST(dist AS DECIMAL(28,9))
-                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
-              / CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
-                AS DOUBLE), 9) END AS mean_dist_new
-        FROM a2 GROUP BY cid)
+      ${driftCellsSql("mean_dist_base", "mean_dist_new")}
       SELECT cid, n_base, n_new, share_new, mean_dist_base,
-        mean_dist_new,
-        (n_new > 0 AND (n_base = 0
-           OR mean_dist_new > mean_dist_base * 1.5)) AS drift_flag
-      FROM g ORDER BY cid"""
+        mean_dist_new, drift_flag
+      FROM gf ORDER BY cid"""
 
   /** q302's oracle: re-derive the whole incremental-maintenance chain
     * from the base tables — drift-inject the day-1 batch (+1.5 on the
@@ -640,29 +652,7 @@ object OracleDefs {
           (SELECT *, row_number() OVER (PARTITION BY vec_id
              ORDER BY dist, cid) AS rn FROM d2)
         WHERE rn = 1),
-      g AS (
-        SELECT CAST(cid AS INT) AS cid,
-          CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_base,
-          CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_new,
-          CASE WHEN SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END) > 0
-            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 <> 7
-                THEN CAST(dist AS DECIMAL(28,9))
-                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
-              / CAST(SUM(CASE WHEN vec_id % 10 <> 7 THEN 1 ELSE 0 END)
-                AS DOUBLE), 9) END AS mb,
-          CASE WHEN SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) > 0
-            THEN ROUND(CAST(SUM(CASE WHEN vec_id % 10 = 7
-                THEN CAST(dist AS DECIMAL(28,9))
-                ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
-              / CAST(SUM(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END)
-                AS DOUBLE), 9) END AS mn
-        FROM a2 GROUP BY cid),
-      gf AS (
-        SELECT *, (n_new > 0 AND (n_base = 0 OR mn > mb * 1.5))
-          AS drift_flag
-        FROM g),
+      ${driftCellsSql("mb", "mn")},
       fl AS (SELECT cid FROM gf WHERE drift_flag),
       nc AS (
         SELECT cid, list(m ORDER BY pos) AS c FROM

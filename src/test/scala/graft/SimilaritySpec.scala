@@ -145,6 +145,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(n.map(_._3).sum <= sse1 + 1e-6)
   }
 
+  test("analysis k-means tolerates an emptied cell: the cid drops out " +
+      "with every surviving label preserved (the oracle's semantics), " +
+      "and the dense path is unchanged on the real corpus") {
+    import spark.implicits._
+    // duplicate vectors among the k lowest vec_ids: every point ties
+    // to the LOWER seed cid, so seed cell 1 starves in round 1 — the
+    // normal Lloyd state that gets more likely as adaptive k grows
+    val e = Seq(
+      0L -> Seq(0.0, 0.0), 1L -> Seq(0.0, 0.0),
+      2L -> Seq(10.0, 0.0), 3L -> Seq(0.0, 10.0),
+      4L -> Seq(9.0, 1.0), 5L -> Seq(1.0, 9.0)
+    ).toDF("vec_id", "v")
+    val centers = Similarity.analysisCenters(e, 4)
+    assert(centers.map(_._1) == Seq(0, 2, 3),
+      s"expected a hole at cid 1, got ${centers.map(_._1)}")
+    val assigned = Similarity.lloydAssignAt(e, centers)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // labels survive the hole un-renumbered: 2/4 stay with center 2,
+    // 3/5 with center 3, nothing lands in the dropped cell
+    assert(assigned.values.toSet == Set(0, 2, 3))
+    assert(assigned(2L) == 2 && assigned(4L) == 2)
+    assert(assigned(3L) == 3 && assigned(5L) == 3)
+    assert(assigned(0L) == 0 && assigned(1L) == 0)
+    // on the real corpus no cell empties, so the hole-tolerant model
+    // equals the dense index-tier training exactly — every committed
+    // hash is unchanged by the analysis tier's new representation
+    val eb = Similarity.embDouble(spark, sf)
+    val dense = Similarity.centersOf(eb, 8).zipWithIndex
+      .map { case (c, i) => i -> c }
+    assert(Similarity.analysisCenters(eb, 8).map {
+      case (i, c) => i -> c.toIndexedSeq } == dense)
+  }
+
   test("SemDeDup drops are within-cluster and keep lowest-id reps") {
     val rep = Similarity.q249SemDedup(spark, sf).collect()
     assert(rep.length == 8)

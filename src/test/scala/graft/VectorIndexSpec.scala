@@ -175,7 +175,9 @@ class VectorIndexSpec extends AnyFunSuite {
       !ss.head.toString.contains("graft_ivf"),
       "monitor must scan only the embeddings parquet")
     // and the literal it carries IS the persisted model, byte-for-byte
-    val persisted = spark.table("graft_ivf_centroids_app")
+    // (the monitor owns its _mon suffix — it must not clobber q295's
+    // _app artifact)
+    val persisted = spark.table("graft_ivf_centroids_mon")
       .orderBy(col("cid")).collect()
       .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     assert(finalPlan.toString.contains(persisted.head.head.toString),
