@@ -1,0 +1,407 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+
+/** The TABLE-METADATA layer: persisted layout + manifest artifacts
+  * that turn "scan 100 TB and filter" into "list a handful of files".
+  * The reference stores plain parquet under date-named S3 prefixes
+  * (`etl/load.py` writes `s3://…/year=…` style keys) and leans on the
+  * Glue catalog for discovery — metadata-driven pruning is exactly
+  * the capability that layer grows into at scale, and it is the one
+  * every modern table format (Iceberg/Delta/Hudi) exists to provide.
+  * These queries build that layer Spark-first, from parts the engine
+  * already has: partitioned parquet for the data, tiny managed tables
+  * for the metadata, static partition predicates for the pruning
+  * guarantee (the same file-listing contract the vector index proved
+  * in [[VectorIndex]] — pruning asserted from `partitions-read`, not
+  * hoped for from the optimizer).
+  *
+  *  - q307: ZONE-MAP pruned read. The data table is laid out along a
+  *    z-order curve (64-row "files" at test scale; the real analog is
+  *    128 MB files) and a manifest table stores per-file min/max of
+  *    both filter dimensions. A 2-D box probe consults the MANIFEST
+  *    (metadata-sized) to select overlapping files and reads only
+  *    those partitions. The result is layout-independent (oracle is
+  *    the plain predicate scan); the layout's whole value is the
+  *    files-read guarantee, which TableFormatSpec asserts.
+  *  - q308: skip-ratio CERTIFICATE. From manifest arithmetic alone —
+  *    no data read — compare files-scanned under the z-order layout
+  *    vs a single-column linear sort for a grid of probe boxes. This
+  *    is the report a layout owner reads before choosing clustering
+  *    keys; the oracle re-derives both manifests in SQL (bit
+  *    interleave spelled div/mod so both engines compute bit-equal).
+  *  - q309: SNAPSHOT/TIME-TRAVEL reads. Commits are immutable
+  *    partition directories; a manifest row set (version, commit_id)
+  *    defines visibility; per-segment min/max stats locate a
+  *    retention deletion WITHOUT scanning data (only stats-overlapping
+  *    segments rewrite, copy-on-write); old versions stay readable
+  *    because history is never edited in place.
+  *  - q310: snapshot EXPIRY + VACUUM — retire old versions, then
+  *    reclaim segments no live version references; reachability is
+  *    manifest arithmetic, reclaim is a partition drop, and the
+  *    report recounts the post-vacuum table so a wrong delete
+  *    hash-fails.
+  *  - q312: INCREMENTAL changelog between two snapshots from their
+  *    manifests: segments shared by both versions are NEVER READ —
+  *    only retired/fresh segments diff (keyed full-outer join). At
+  *    100 TB this is the difference between a CDC feed that scans two
+  *    full snapshots (the q-content-diff operator in [[Egress]]) and
+  *    one that reads only the day's churn.
+  *
+  * Fixed-name artifacts follow the repo's SINGLE-WRITER convention
+  * (see [[VectorIndex]]): each query owns its table names (`_z` /
+  * `_snap` / `_diff` suffixes) so catalog entries never clobber each
+  * other mid-sweep.
+  */
+object TableFormat {
+
+  // ------------------------------------------------------ z-order
+
+  /** 6-bit × 6-bit Morton interleave written as div/mod arithmetic —
+    * identical text is used in the DuckDB oracles, so the curve is
+    * engine-portable by construction (q131 uses shift/AND, which
+    * Spark codegens the same way; div/mod keeps ONE spelling for
+    * both engines here). */
+  private def mortonSql(x: String, y: String): String =
+    (0 until 6).map { i =>
+      val p = 1L << i
+      s"(($x div $p) % 2) * ${1L << (2 * i)} + " +
+        s"(($y div $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** The probe dimensions of the layout demo: x = p_size (1..50),
+    * y = retail-price bucket (0..49) — the q131 dimensions, reused so
+    * the two layout queries describe the same physical design. */
+  private def partXY(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"), col("p_retailprice"),
+      col("p_size").cast("long").as("x"),
+      least(floor((col("p_retailprice") - 900) / 2), lit(63L))
+        .cast("long").as("y"))
+
+  private val ZRowsPerFile = 64L
+  private[graft] val ZData = "graft_zmap_data_z"
+  private[graft] val ZManifest = "graft_zmap_manifest_z"
+
+  /** Lay `part` out along the z-curve into ZRowsPerFile-row files and
+    * persist data (partitioned by file id) + manifest (per-file
+    * min/max of both dimensions). File assignment reuses
+    * [[Scale.globalIndex]] — range partition + per-partition offsets,
+    * no single-partition exchange — which is exactly how a
+    * distributed writer assigns file ids at 100 TB. */
+  private def buildZonemap(spark: SparkSession, dir: String): Unit = {
+    Scale.dropManaged(spark, ZData)
+    Scale.dropManaged(spark, ZManifest)
+    val laid = Scale.globalIndex(
+      partXY(spark, dir).withColumn("z", expr(mortonSql("x", "y"))),
+      col("z").asc, col("p_partkey").asc)
+      .withColumn("zfile", expr(s"CAST((rank - 1) div $ZRowsPerFile AS INT)"))
+    laid.select(col("p_partkey"), col("p_retailprice"), col("x"),
+        col("y"), col("zfile"))
+      .write.partitionBy("zfile")
+      .mode(SaveMode.Overwrite).saveAsTable(ZData)
+    spark.table(ZData)
+      .groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(ZManifest)
+  }
+
+  /** The q307 probe box, shared with TableFormatSpec's files-read
+    * assertion and q308's box_2d row. The y range sits inside [0, 9]
+    * because the sf0.001 fixture's price span only populates those
+    * buckets — the box must be non-empty at every test scale. */
+  private[graft] val ZBox = (15L, 25L, 3L, 8L)
+
+  /** Zone-map pruned read: consult the manifest for files whose
+    * [min,max] envelope overlaps the probe box, then read ONLY those
+    * partitions of the data table — the file set is collected and
+    * inlined as a static partition predicate, so pruning is a
+    * file-listing guarantee exactly like the IVF probe's (q294). The
+    * residual in-file filter still applies (envelopes overshoot);
+    * the RESULT is layout-independent, which is what makes the plain
+    * predicate scan a valid oracle. At 100 TB the manifest is a few
+    * MB for a million files — the metadata:data ratio that makes
+    * zone maps the first thing every table format ships. */
+  def q307ZonemapPrune(spark: SparkSession, dir: String): DataFrame = {
+    buildZonemap(spark, dir)
+    val (xLo, xHi, yLo, yHi) = ZBox
+    val files = spark.table(ZManifest)
+      .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
+        col("max_y") >= yLo && col("min_y") <= yHi)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq
+    spark.table(ZData)
+      .filter(col("zfile").isin(files: _*))
+      .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+      .groupBy(col("x"))
+      .agg(count(lit(1)).as("n_parts"),
+        dsum(col("p_retailprice")).as("sum_retail"))
+      .orderBy(col("x"))
+  }
+
+  /** The q308 probe-box grid: narrow slices in each single dimension,
+    * the 2-D box both layouts must serve, quadrant boxes, and a point
+    * lookup — the mix a layout owner actually prices. */
+  private[graft] val SkipBoxes: Seq[(Int, String, Long, Long, Long, Long)] =
+    Seq(
+      (1, "slice_x", 15L, 25L, 0L, 63L),
+      (2, "slice_y", 0L, 63L, 3L, 8L),
+      (3, "box_2d", 15L, 25L, 3L, 8L),
+      (4, "quadrant_lo", 0L, 24L, 0L, 24L),
+      (5, "quadrant_hi", 25L, 63L, 25L, 63L),
+      (6, "point", 20L, 20L, 5L, 5L))
+
+  /** Per-layout manifest (file, min/max x, min/max y) derived
+    * in-query for an arbitrary sort key — the z-order manifest
+    * matches what [[buildZonemap]] persists; the linear one is the
+    * single-column-sort strawman. */
+  private def manifestFor(base: DataFrame, sortKey: Column): DataFrame =
+    Scale.globalIndex(base, sortKey.asc, col("p_partkey").asc)
+      .withColumn("f", expr(s"(rank - 1) div $ZRowsPerFile"))
+      .groupBy(col("f"))
+      .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+
+  /** Skip-ratio certificate: for each probe box, how many files would
+    * each layout scan? Pure manifest arithmetic — zero data rows are
+    * read once the manifests exist, which is why this report is
+    * effectively free to publish nightly next to the layout job. The
+    * z-order layout bounds BOTH dimensions per file, so it wins every
+    * mixed/secondary-dimension probe; the linear layout wins only its
+    * own leading column — the exact trade this certificate quantifies
+    * (TableFormatSpec pins the direction, and pins the z-layout's
+    * box_2d file count to q307's ACTUAL partitions-read, tying the
+    * paper number to the physical scan). */
+  def q308ZonemapSkipRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = partXY(spark, dir)
+    val manifests =
+      manifestFor(base.withColumn("zm", expr(mortonSql("x", "y"))),
+        col("zm")).withColumn("layout", lit("zorder"))
+        .unionByName(
+          manifestFor(base, col("x")).withColumn("layout", lit("linear")))
+    val boxes = SkipBoxes
+      .toDF("box_id", "box_name", "x_lo", "x_hi", "y_lo", "y_hi")
+    manifests.crossJoin(broadcast(boxes))
+      .groupBy(col("box_id"), col("box_name"), col("layout"))
+      .agg(count(lit(1)).as("files_total"),
+        sum(when(col("max_x") >= col("x_lo") &&
+          col("min_x") <= col("x_hi") &&
+          col("max_y") >= col("y_lo") &&
+          col("min_y") <= col("y_hi"), 1L).otherwise(0L))
+          .as("files_scanned"))
+      // one IEEE division of small exact integers — bitwise
+      // deterministic across engines, no rounding needed
+      .withColumn("skip_pct",
+        lit(100.0) * (col("files_total") - col("files_scanned")) /
+          col("files_total"))
+      .orderBy(col("box_id"), col("layout"))
+  }
+
+  // ---------------------------------------------------- snapshots
+
+  /** Segment cut points: commits are ingest batches by order date
+    * (time-partitioned arrival, the layout ANY event table has), and
+    * the v3 deletion is a RETENTION expiry — a cutoff predicate whose
+    * victims are located from per-segment min/max stats alone, no
+    * data scan. */
+  private val C0End = "1997-01-01"
+  private val C1End = "1999-01-01"
+  private val RetentionCutoff = "1996-01-01"
+
+  /** Build the versioned table under the given name suffix (q309 and
+    * q312 own separate artifact sets — the round-8 lesson: lifecycle
+    * queries must not share mutable table names).
+    *
+    * Physical layout: one partition directory per commit; commits are
+    * IMMUTABLE — the v3 retention delete rewrites the one
+    * stats-overlapping segment into a NEW commit (`c0_rw`) and only
+    * the manifest changes meaning. Three metadata artifacts:
+    * data (partitioned by commit_id), manifest (version → commit set),
+    * segstats (per-commit min/max order date + row count — the
+    * file-stats half of an Iceberg manifest). */
+  private def buildSnapshots(spark: SparkSession, dir: String,
+      suffix: String): (String, String, String) = {
+    import spark.implicits._
+    val data = s"graft_snap_data$suffix"
+    val manifest = s"graft_snap_manifest$suffix"
+    val segstats = s"graft_snap_segstats$suffix"
+    Seq(data, manifest, segstats).foreach(Scale.dropManaged(spark, _))
+
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val seg = when(col("o_orderdate") < lit(C0End).cast("timestamp"), "c0")
+      .when(col("o_orderdate") < lit(C1End).cast("timestamp"), "c1")
+      .otherwise("c2")
+    // commits c0/c1 arrive first (v1), c2 is the v2 append; physical
+    // placement is commit-keyed, so writing them together is
+    // equivalent — VISIBILITY is the manifest's job, not the file
+    // system's.
+    orders.withColumn("commit_id", seg)
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(data)
+    spark.table(data)
+      .groupBy(col("commit_id"))
+      .agg(min(col("o_orderdate")).as("min_ts"),
+        max(col("o_orderdate")).as("max_ts"),
+        count(lit(1)).as("n_rows"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(segstats)
+
+    // v3 retention delete: victims live in segments whose min_ts is
+    // below the cutoff — located from SEGSTATS (metadata-sized), the
+    // stats-based planning a real table format does before touching
+    // data. Only those segments rewrite (pruned read, copy-on-write).
+    val touched = spark.table(segstats)
+      .filter(col("min_ts") < lit(RetentionCutoff).cast("timestamp"))
+      .filter(col("commit_id").isin("c0", "c1", "c2"))
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq
+    touched.foreach { c =>
+      spark.table(data)
+        .filter(col("commit_id") === c)
+        .filter(col("o_orderdate") >=
+          lit(RetentionCutoff).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), lit(s"${c}_rw").as("commit_id"))
+        .write.insertInto(data)
+    }
+    // refresh segstats for the rewritten commits (append-only too)
+    if (touched.nonEmpty) {
+      spark.table(data)
+        .filter(col("commit_id").isin(touched.map(_ + "_rw"): _*))
+        .groupBy(col("commit_id"))
+        .agg(min(col("o_orderdate")).as("min_ts"),
+          max(col("o_orderdate")).as("max_ts"),
+          count(lit(1)).as("n_rows"))
+        .select(col("commit_id"), col("min_ts"), col("max_ts"),
+          col("n_rows"))
+        .write.insertInto(segstats)
+    }
+
+    val v1 = Seq("c0", "c1")
+    val v2 = Seq("c0", "c1", "c2")
+    val v3 = v2.filterNot(touched.contains) ++ touched.map(_ + "_rw")
+    (v1.map((1, _)) ++ v2.map((2, _)) ++ v3.map((3, _)))
+      .toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(manifest)
+    (data, manifest, segstats)
+  }
+
+  /** Read one snapshot: manifest lookup → static commit predicate →
+    * partition-pruned scan. The commit set is metadata-sized by
+    * construction (a version is a list of segments). */
+  private[graft] def readVersion(spark: SparkSession, data: String,
+      manifest: String, version: Int): DataFrame = {
+    val commits = spark.table(manifest)
+      .filter(col("version") === version)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq
+    spark.table(data).filter(col("commit_id").isin(commits: _*))
+  }
+
+  /** Time travel: the same aggregate at each of the three versions —
+    * v1 (base), v2 (after append), v3 (after the retention delete).
+    * Every read is manifest-pruned; v1 and v2 stay byte-stable after
+    * v3 commits because no commit is ever edited in place
+    * (TableFormatSpec re-reads v2 and asserts the hash). The oracle
+    * re-derives each version from the cut/cutoff predicates. */
+  def q309TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_snap")
+    (1 to 3).map { v =>
+      readVersion(spark, data, manifest, v)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_okey"),
+          max(col("o_orderkey")).as("max_okey"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_price"),
+          col("min_okey"), col("max_okey"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  /** Snapshot EXPIRY + VACUUM: retire all versions but the latest,
+    * then physically reclaim segments no live version references —
+    * the GC half of a snapshot-isolated table, and the reason
+    * time travel has a bounded storage bill. Reachability is pure
+    * MANIFEST arithmetic (live = the latest version's commit set;
+    * on-disk = the segstats ledger; unreachable = the difference) —
+    * no data is read to DECIDE, exactly like the retention locate in
+    * [[buildSnapshots]]. Reclaim is a partition drop per unreachable
+    * commit (immutable segments make GC a directory delete, never a
+    * rewrite). The report is falsifiable the q305 way: `n_rows` per
+    * segment comes from the pre-vacuum ledger, but `n_rows_after` is
+    * COUNTED from the post-vacuum table — a vacuum that deletes a
+    * live segment, or misses a dead one, hash-fails against the
+    * oracle's predicate arithmetic. TableFormatSpec additionally
+    * asserts the latest version re-reads byte-identically after the
+    * vacuum. */
+  def q310SnapshotVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val (data, manifest, segstats) = buildSnapshots(spark, dir, "_gc")
+    val latest = spark.table(manifest).agg(max(col("version")))
+      .collect().head.getInt(0)
+    val live = spark.table(manifest)
+      .filter(col("version") === latest)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    val onDisk = spark.table(segstats)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    // expire: the manifest forgets the old versions first, so a
+    // concurrent reader can no longer pin a segment this vacuum is
+    // about to drop (the expire-then-vacuum two-phase every table
+    // format documents)
+    val keptManifest = spark.table(manifest)
+      .filter(col("version") === latest).localCheckpoint()
+    keptManifest.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
+    val dead = (onDisk -- live).toSeq.sorted
+    dead.foreach { c =>
+      spark.sql(
+        s"ALTER TABLE $data DROP IF EXISTS PARTITION (commit_id='$c')")
+    }
+    val after = spark.table(data).groupBy(col("commit_id"))
+      .agg(count(lit(1)).as("n_rows_after"))
+    spark.table(segstats)
+      .select(col("commit_id"), col("n_rows"))
+      .join(after, Seq("commit_id"), "left")
+      .select(col("commit_id"), col("n_rows"),
+        when(col("commit_id").isin(live.toSeq: _*), "retained")
+          .otherwise("reclaimed").as("status"),
+        coalesce(col("n_rows_after"), lit(0L)).as("n_rows_after"))
+      .orderBy(col("commit_id"))
+  }
+
+  /** Incremental changelog v1 → v3, manifest-planned: segments in
+    * BOTH manifests carry identical rows by immutability and are
+    * never read (TableFormatSpec asserts c1's partition stays
+    * untouched); only retired ∖ fresh segments load into a keyed
+    * full-outer diff — fresh-only keys are '+' (the v2 append),
+    * retired-only keys are '-' (the retention victims), keys present
+    * on both sides are rewrite survivors and emit nothing. Contrast
+    * with the full-snapshot content diff in [[Egress]]: same answer,
+    * but this plan's cost is the CHURN, not the table. */
+  def q312IncrementalDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_diff")
+    val mf = spark.table(manifest)
+    def commits(v: Int): Set[String] = mf.filter(col("version") === v)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    val (from, to) = (commits(1), commits(3))
+    val retired = (from -- to).toSeq
+    val fresh = (to -- from).toSeq
+    def slice(cs: Seq[String]): DataFrame =
+      spark.table(data).filter(col("commit_id").isin(cs: _*))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    slice(fresh).as("f")
+      .join(slice(retired).as("r"),
+        col("f.o_orderkey") === col("r.o_orderkey"), "full_outer")
+      .filter(col("f.o_orderkey").isNull || col("r.o_orderkey").isNull)
+      .select(
+        when(col("r.o_orderkey").isNull, "+").otherwise("-").as("op"),
+        coalesce(col("f.o_orderkey"), col("r.o_orderkey"))
+          .as("o_orderkey"),
+        coalesce(col("f.o_custkey"), col("r.o_custkey")).as("o_custkey"),
+        coalesce(col("f.o_totalprice"), col("r.o_totalprice"))
+          .as("o_totalprice"))
+      .orderBy(col("op"), col("o_orderkey"))
+  }
+}

@@ -41,6 +41,11 @@ object CoreEtlRegistry {
     "q196_jdbc_roundtrip"  -> (Egress.q196JdbcRoundtrip _),
     "q202_dwh_load"        -> (graft.Pipeline.q202DwhLoad _),
     "q233_dpp_join"        -> (Scale.q233DppJoin _),
+    "q307_zonemap_prune"   -> (TableFormat.q307ZonemapPrune _),
+    "q308_zonemap_skipratio" -> (TableFormat.q308ZonemapSkipRatio _),
+    "q309_time_travel"     -> (TableFormat.q309TimeTravel _),
+    "q310_snapshot_vacuum" -> (TableFormat.q310SnapshotVacuum _),
+    "q312_incremental_diff" -> (TableFormat.q312IncrementalDiff _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -430,5 +435,145 @@ object CoreEtlRegistry {
     // within-bound flag as literal TRUE — a sketch drifting past 3×rsd
     // hash-mismatches the round (the estimate itself is engine-specific
     // and deliberately not in the output)
+
+    // the zone-map pruned read is layout-INDEPENDENT by contract: the
+    // oracle is the plain predicate scan; the pruning itself is the
+    // files-read guarantee TableFormatSpec asserts from the plan
+    "q307_zonemap_prune" -> """
+      SELECT CAST(p_size AS BIGINT) AS x, COUNT(*) AS n_parts,
+        CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_retail
+      FROM part
+      WHERE CAST(p_size AS BIGINT) BETWEEN 15 AND 25
+        AND LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS BIGINT), 63)
+              BETWEEN 3 AND 8
+      GROUP BY 1
+      ORDER BY x""",
+
+    // full manifest re-derivation: the same morton curve spelled the
+    // same div/mod way, the same 64-row file assignment (row_number
+    // over the identical total order == globalIndex's rank), the same
+    // overlap arithmetic — so the certificate's every file count is
+    // hash-pinned
+    "q308_zonemap_skipratio" -> s"""
+      WITH base AS (
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+          LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS BIGINT), 63)
+            AS y
+        FROM part),
+      zv AS (
+        SELECT p_partkey, x, y,
+          ${(0 until 6).map { i =>
+            val p = 1L << i
+            s"((x // $p) % 2) * ${1L << (2 * i)} + " +
+              s"((y // $p) % 2) * ${1L << (2 * i + 1)}"
+          }.mkString(" + ")} AS zm
+        FROM base),
+      rz AS (
+        SELECT x, y,
+          (ROW_NUMBER() OVER (ORDER BY zm, p_partkey) - 1) // 64 AS f
+        FROM zv),
+      mz AS (
+        SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
+          MIN(y) AS min_y, MAX(y) AS max_y
+        FROM rz GROUP BY f),
+      rl AS (
+        SELECT x, y,
+          (ROW_NUMBER() OVER (ORDER BY x, p_partkey) - 1) // 64 AS f
+        FROM base),
+      ml AS (
+        SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
+          MIN(y) AS min_y, MAX(y) AS max_y
+        FROM rl GROUP BY f),
+      m AS (
+        SELECT 'zorder' AS layout, * FROM mz
+        UNION ALL
+        SELECT 'linear' AS layout, * FROM ml),
+      boxes(box_id, box_name, x_lo, x_hi, y_lo, y_hi) AS (VALUES
+        (1, 'slice_x', 15, 25, 0, 63),
+        (2, 'slice_y', 0, 63, 3, 8),
+        (3, 'box_2d', 15, 25, 3, 8),
+        (4, 'quadrant_lo', 0, 24, 0, 24),
+        (5, 'quadrant_hi', 25, 63, 25, 63),
+        (6, 'point', 20, 20, 5, 5))
+      SELECT box_id, box_name, layout,
+        CAST(COUNT(*) AS BIGINT) AS files_total,
+        CAST(SUM(CASE WHEN max_x >= x_lo AND min_x <= x_hi
+          AND max_y >= y_lo AND min_y <= y_hi THEN 1 ELSE 0 END)
+          AS BIGINT) AS files_scanned,
+        (CAST(100 AS DOUBLE) *
+          (CAST(COUNT(*) AS BIGINT) -
+           CAST(SUM(CASE WHEN max_x >= x_lo AND min_x <= x_hi
+             AND max_y >= y_lo AND min_y <= y_hi THEN 1 ELSE 0 END)
+             AS BIGINT)))
+          / CAST(COUNT(*) AS BIGINT) AS skip_pct
+      FROM m CROSS JOIN boxes
+      GROUP BY box_id, box_name, layout
+      ORDER BY box_id, layout""",
+
+    // each version re-derived from the segment-cut / retention-cutoff
+    // predicates: v1 = commits c0+c1 (orderdate < 1999), v2 = +c2
+    // (everything), v3 = v2 minus the retention victims (< 1996)
+    "q309_time_travel" -> """
+      WITH v1 AS (SELECT * FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+      v3 AS (SELECT * FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+      SELECT 1 AS version, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        MIN(o_orderkey) AS min_okey, MAX(o_orderkey) AS max_okey
+      FROM v1
+      UNION ALL
+      SELECT 2, COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        MIN(o_orderkey), MAX(o_orderkey)
+      FROM orders
+      UNION ALL
+      SELECT 3, COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        MIN(o_orderkey), MAX(o_orderkey)
+      FROM v3
+      ORDER BY version""",
+
+    // reachability re-derived from the cut/cutoff predicates: c0
+    // (orderdate < 1997) is the one segment the retention rewrite
+    // retired, so it is the one the vacuum must reclaim; n_rows_after
+    // is recounted from the post-vacuum table on the Spark side, so a
+    // vacuum that deletes a live segment (or misses c0) hash-fails
+    "q310_snapshot_vacuum" -> """
+      WITH segs(commit_id, status) AS (VALUES
+        ('c0', 'reclaimed'), ('c0_rw', 'retained'),
+        ('c1', 'retained'), ('c2', 'retained')),
+      counts AS (
+        SELECT 'c0' AS cid, COUNT(*) AS n FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT 'c0_rw', COUNT(*) FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        UNION ALL
+        SELECT 'c1', COUNT(*) FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+        UNION ALL
+        SELECT 'c2', COUNT(*) FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+      SELECT s.commit_id, c.n AS n_rows, s.status,
+        CASE WHEN s.status = 'retained' THEN c.n ELSE 0 END
+          AS n_rows_after
+      FROM segs s JOIN counts c ON c.cid = s.commit_id
+      ORDER BY s.commit_id""",
+
+    // the v1→v3 changelog from first principles: '+' rows are the v2
+    // append (commit c2, orderdate >= 1999), '-' rows the retention
+    // victims (< 1996); rewrite survivors appear in neither
+    "q312_incremental_diff" -> """
+      SELECT '+' AS op, o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      UNION ALL
+      SELECT '-' AS op, o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      ORDER BY op, o_orderkey""",
   )
 }

@@ -48,6 +48,7 @@ object DedupRegistry {
     "q289_prefix_jaccard"  -> (Dedup.q289PrefixJaccardJoin _),
     "q290_band_recall"     -> (Dedup.q290BandRecallMeasured _),
     "q297_simhash_recall"  -> (Dedup.q297SimhashRecall _),
+    "q311_label_prop"      -> (GraphOps.q311LabelProp _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -853,5 +854,9 @@ object DedupRegistry {
     // all-pairs match relation (= q230's blocked join), adjacent-key
     // non-match sample, add-one smoothing, log2 on the rounded probs
     "q297_simhash_recall" -> simhashRecallOracle,
+
+    // three unrolled propagation rounds over q68's exact-Jaccard
+    // edges, integer evidence weights, argmax with label-asc tie-break
+    "q311_label_prop" -> labelPropOracle,
   )
 }

@@ -1789,4 +1789,72 @@ $iters
       ORDER BY rank_units DESC, doc_id
       LIMIT 50"""
   }
+
+  /** q311: three synchronous label-propagation rounds unrolled — the
+    * edge relation is q68's exact n-gram-Jaccard join (same df-capped
+    * candidate CTE, same ≥ 0.6 verification) carrying the INTEGER
+    * shared-shingle count as evidence weight; per round each non-seed
+    * doc takes the argmax-evidence neighbor label (tie-break label
+    * asc) or keeps its previous one; seeds are pinned. */
+  private[registry] def labelPropOracle: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""      sc$k AS (
+        SELECT e.a, l.label AS nl, SUM(e.w) AS s
+        FROM e JOIN lab${k - 1} l ON e.b = l.doc_id
+        WHERE l.label IS NOT NULL
+        GROUP BY e.a, l.label),
+      b$k AS (
+        SELECT a, nl FROM (
+          SELECT a, nl,
+            ROW_NUMBER() OVER (PARTITION BY a ORDER BY s DESC, nl) AS rn
+          FROM sc$k) WHERE rn = 1),
+      lab$k AS (
+        SELECT d.doc_id,
+          CASE WHEN d.doc_id % 5 = 0 THEN d.lang
+               ELSE COALESCE(b.nl, p.label) END AS label
+        FROM documents d
+        LEFT JOIN b$k b ON b.a = d.doc_id
+        JOIN lab${k - 1} p ON p.doc_id = d.doc_id)"""
+    }.mkString(",\n")
+    s"""
+      WITH words AS (
+        SELECT doc_id,
+          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                       ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          list_distinct(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS shl
+        FROM words WHERE len(w) >= 2),
+      ix AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+      rare AS (SELECT s FROM ix GROUP BY s HAVING COUNT(*) <= 20),
+      pruned AS (SELECT ix.doc_id, ix.s FROM ix JOIN rare USING (s)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pruned a
+        JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id),
+      pe AS (
+        SELECT doc_a, doc_b,
+          CAST(len(list_intersect(x.shl, y.shl)) AS BIGINT) AS w
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE)
+            / CAST(len(list_distinct(x.shl || y.shl)) AS DOUBLE) >= 0.6),
+      e AS (SELECT doc_a AS a, doc_b AS b, w FROM pe
+            UNION ALL SELECT doc_b, doc_a, w FROM pe),
+      lab0 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN lang END AS label
+        FROM documents),
+$rounds
+      SELECT d.doc_id, l.label,
+        CASE WHEN d.doc_id % 5 = 0 THEN 'seed'
+             WHEN l.label IS NOT NULL THEN 'prop'
+             ELSE 'none' END AS origin
+      FROM documents d
+      JOIN lab3 l ON l.doc_id = d.doc_id
+      ORDER BY d.doc_id"""
+  }
 }

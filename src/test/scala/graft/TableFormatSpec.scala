@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraphOps, TableFormat}
+
+/** Contracts of the table-metadata layer (q307–q310, q312) and the
+  * label-propagation tier (q311). The RESULTS are hash-checked by the
+  * driver's DuckDB gate; what lives here are the properties the
+  * oracle cannot see — that pruning really happens at file listing,
+  * that snapshots stay stable after later commits, that the vacuum
+  * deletes exactly the unreachable segments, and that propagation
+  * coverage behaves like the scaladoc promises. */
+class TableFormatSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // the layout/graph tests need the wider sf0.01 value ranges (the
+  // sf0.001 fixture only populates price buckets 0..9 and has too few
+  // files for the z-curve to separate dimensions)
+  private val sf01 = "/root/testdata/sf0.01"
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private def scansOf(df: DataFrame, table: String)
+      : Seq[FileSourceScanExec] = {
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def go(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case q: QueryStageExec => go(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(go)
+    }
+    go(finalPlan).filter(_.tableIdentifier.exists(_.table == table))
+  }
+
+  test("q307 reads exactly the manifest-selected zone files — " +
+      "pruning is a file-listing guarantee") {
+    val df = TableFormat.q307ZonemapPrune(spark, sf01)
+    df.collect() // partitions-read is a runtime fact
+    val scans = scansOf(df, TableFormat.ZData)
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(
+      _.toString.toLowerCase.contains("zfile")),
+      scans.head.partitionFilters.mkString("\n"))
+    val (xLo, xHi, yLo, yHi) = TableFormat.ZBox
+    val overlap = spark.table(TableFormat.ZManifest)
+      .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
+        col("max_y") >= yLo && col("min_y") <= yHi).count()
+    val total = spark.table(TableFormat.ZManifest).count()
+    assert(scans.head.metrics("numPartitions").value == overlap,
+      s"read ${scans.head.metrics("numPartitions").value} of $total, " +
+        s"manifest says $overlap overlap")
+  }
+
+  test("q308 certificate matches physics: the z-layout's box_2d file " +
+      "count equals q307's actual partitions-read, and the z-order " +
+      "layout skips where the linear layout cannot") {
+    // q307 first: builds the persisted layout AND gives the physical
+    // partitions-read number the certificate must reproduce
+    val pruned = TableFormat.q307ZonemapPrune(spark, sf01)
+    pruned.collect()
+    val physical =
+      scansOf(pruned, TableFormat.ZData).head.metrics("numPartitions").value
+    val cert = TableFormat.q308ZonemapSkipRatio(spark, sf01).collect()
+      .map(r => (r.getInt(0), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    // box_2d (box_id 3) == q307's probe box, zorder layout == the
+    // persisted layout: the paper number IS the physical scan
+    assert(cert((3, "zorder"))._2 == physical,
+      s"certificate says ${cert((3, "zorder"))._2}, scan read $physical")
+    // the trade the certificate exists to show: on the SECONDARY
+    // dimension the linear layout scans everything, z-order skips
+    val (linTot, linHit) = cert((2, "linear"))
+    val (zTot, zHit) = cert((2, "zorder"))
+    assert(linHit == linTot, "linear layout cannot skip on y")
+    assert(zHit < zTot, "z-order must skip on y")
+    // and every layout prunes SOMETHING on the 2-D box
+    assert(cert((3, "linear"))._2 < cert((3, "linear"))._1)
+    assert(cert((3, "zorder"))._2 < cert((3, "zorder"))._1)
+  }
+
+  test("q309 snapshots are immutable: v1/v2 re-read byte-stable " +
+      "after the v3 delete commits, and every read is " +
+      "commit-pruned") {
+    TableFormat.q309TimeTravel(spark, sf).collect() // full lifecycle
+    val data = "graft_snap_data_snap"
+    val manifest = "graft_snap_manifest_snap"
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    // v2 == the full base table, row for row, AFTER v3 exists
+    val v2 = TableFormat.readVersion(spark, data, manifest, 2)
+      .select(orders.columns.map(col): _*)
+    assert(v2.exceptAll(orders).isEmpty && orders.exceptAll(v2).isEmpty,
+      "v2 drifted after the v3 commit")
+    // v1 == the pre-append prefix
+    val v1 = TableFormat.readVersion(spark, data, manifest, 1)
+    val expectV1 = orders
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .count()
+    assert(v1.count() == expectV1)
+    // pruning: the v1 read lists exactly its two commits
+    v1.collect()
+    val scans = scansOf(v1, data)
+    assert(scans.head.partitionFilters.exists(
+      _.toString.toLowerCase.contains("commit_id")))
+    assert(scans.head.metrics("numPartitions").value == 2)
+  }
+
+  test("q310 vacuum reclaims exactly the unreachable segment and the " +
+      "survivor version still reads whole") {
+    TableFormat.q310SnapshotVacuum(spark, sf).collect()
+    val parts = spark.sql("SHOW PARTITIONS graft_snap_data_gc")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("commit_id=c0_rw", "commit_id=c1",
+      "commit_id=c2"), parts.toString)
+    // the manifest forgot the expired versions
+    val versions = spark.table("graft_snap_manifest_gc")
+      .select(col("version")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(versions == Set(3))
+    // the live version reads whole: everything except the retention
+    // victims
+    val expect = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .count()
+    assert(TableFormat.readVersion(spark, "graft_snap_data_gc",
+      "graft_snap_manifest_gc", 3).count() == expect)
+  }
+
+  test("q312 incremental diff never reads the shared segment") {
+    val df = TableFormat.q312IncrementalDiff(spark, sf)
+    df.collect()
+    val scans = scansOf(df, "graft_snap_data_diff")
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val pf = s.partitionFilters.mkString(";")
+      assert(pf.toLowerCase.contains("commit_id"), pf)
+      // churn only: c0 (retired) + c0_rw/c2 (fresh); the shared c1 is
+      // planned away by manifest arithmetic before any IO
+      assert(!pf.contains("c1"), s"shared segment read: $pf")
+      assert(s.metrics("numPartitions").value <= 2)
+    }
+  }
+
+  test("q311 seeds stay pinned and coverage is monotone in rounds") {
+    val byRounds = (1 to 3).map { r =>
+      val out = GraphOps.labelPropagate(spark, sf01, r).collect()
+      out.foreach { row =>
+        if (row.getLong(0) % 5 == 0)
+          assert(row.getString(2) == "seed", row.toString)
+      }
+      out.count(r => r.getString(2) == "prop")
+    }
+    assert(byRounds(0) <= byRounds(1) && byRounds(1) <= byRounds(2),
+      byRounds.toString)
+  }
+}
