@@ -87,30 +87,35 @@ object TableFormat {
   private[graft] val ZData = "graft_zmap_data_z"
   private[graft] val ZManifest = "graft_zmap_manifest_z"
 
-  /** Lay `part` out along the z-curve into ZRowsPerFile-row files and
-    * persist data (partitioned by file id) + manifest (per-file
+  /** Lay the frame out along `sortKey` into ZRowsPerFile-row files
+    * and persist data (partitioned by file id) + manifest (per-file
     * min/max of both dimensions). File assignment reuses
     * [[Scale.globalIndex]] — range partition + per-partition offsets,
     * no single-partition exchange — which is exactly how a
     * distributed writer assigns file ids at 100 TB. */
-  private def buildZonemap(spark: SparkSession, dir: String): Unit = {
-    Scale.dropManaged(spark, ZData)
-    Scale.dropManaged(spark, ZManifest)
+  private def writeLayout(spark: SparkSession, base: DataFrame,
+      sortKey: Column, dataT: String, manifestT: String): Unit = {
+    Scale.dropManaged(spark, dataT)
+    Scale.dropManaged(spark, manifestT)
     val laid = Scale.globalIndex(
-      partXY(spark, dir).withColumn("z", expr(mortonSql("x", "y"))),
-      col("z").asc, col("p_partkey").asc)
+      base.withColumn("skey", sortKey),
+      col("skey").asc, col("p_partkey").asc)
       .withColumn("zfile", expr(s"CAST((rank - 1) div $ZRowsPerFile AS INT)"))
     laid.select(col("p_partkey"), col("p_retailprice"), col("x"),
         col("y"), col("zfile"))
       .write.partitionBy("zfile")
-      .mode(SaveMode.Overwrite).saveAsTable(ZData)
-    spark.table(ZData)
+      .mode(SaveMode.Overwrite).saveAsTable(dataT)
+    spark.table(dataT)
       .groupBy(col("zfile"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
-      .write.mode(SaveMode.Overwrite).saveAsTable(ZManifest)
+      .write.mode(SaveMode.Overwrite).saveAsTable(manifestT)
   }
+
+  private def buildZonemap(spark: SparkSession, dir: String): Unit =
+    writeLayout(spark, partXY(spark, dir), expr(mortonSql("x", "y")),
+      ZData, ZManifest)
 
   /** The q307 probe box, shared with TableFormatSpec's files-read
     * assertion and q308's box_2d row. The y range sits inside [0, 9]
@@ -201,6 +206,61 @@ object TableFormat {
         lit(100.0) * (col("files_total") - col("files_scanned")) /
           col("files_total"))
       .orderBy(col("box_id"), col("layout"))
+  }
+
+  private[graft] val LinData = "graft_zmap_data_lin"
+  private[graft] val LinManifest = "graft_zmap_manifest_lin"
+  private[graft] val OptData = "graft_zmap_data_opt"
+  private[graft] val OptManifest = "graft_zmap_manifest_opt"
+
+  /** Probe one persisted layout with the standard box: manifest
+    * overlap decides the file set, the pruned read aggregates the
+    * slice — so `n_parts`/`sum_retail` are falsifiable physics (a
+    * rewrite that dropped rows would change them), not metadata. */
+  private def probeStats(spark: SparkSession, dataT: String,
+      manifestT: String, phase: String): DataFrame = {
+    val (xLo, xHi, yLo, yHi) = ZBox
+    val mf = spark.table(manifestT)
+    val total = mf.count()
+    val files = mf
+      .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
+        col("max_y") >= yLo && col("min_y") <= yHi)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq
+    spark.table(dataT)
+      .filter(col("zfile").isin(files: _*))
+      .filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+      .agg(count(lit(1)).as("n_parts"),
+        dsum(col("p_retailprice")).as("sum_retail"))
+      .select(lit(phase).as("phase"), lit(total).as("files_total"),
+        lit(files.size.toLong).as("files_scanned"),
+        col("n_parts"), col("sum_retail"))
+  }
+
+  /** RE-CLUSTER (the `OPTIMIZE ZORDER` maintenance move): the table
+    * starts in the layout ingestion naturally produces — sorted by
+    * its leading column — and is rewritten along the z-curve; the
+    * SAME box probe runs against both layouts through their
+    * manifests, and both pruned reads must return the identical
+    * slice (`n_parts`/`sum_retail` equal across phases — content
+    * preservation is part of the hash), while `files_scanned` drops.
+    * The rewrite reads the PERSISTED linear table, not the source —
+    * re-clustering is maintenance on the artifact, with no upstream
+    * dependency. At 100 TB this runs partition-by-partition (each
+    * date partition re-sorts independently — the same incremental
+    * shape as q301's cell compaction); the single-pass rewrite here
+    * is the per-partition unit of that job. TableFormatSpec asserts
+    * the after-probe's partitions-read equals the optimized
+    * manifest's overlap count. */
+  def q313Recluster(spark: SparkSession, dir: String): DataFrame = {
+    writeLayout(spark, partXY(spark, dir), col("x"), LinData,
+      LinManifest)
+    val before = probeStats(spark, LinData, LinManifest, "before")
+    writeLayout(spark,
+      spark.table(LinData).select(col("p_partkey"),
+        col("p_retailprice"), col("x"), col("y")),
+      expr(mortonSql("x", "y")), OptData, OptManifest)
+    val after = probeStats(spark, OptData, OptManifest, "after")
+    before.unionByName(after).orderBy(col("phase"))
   }
 
   // ---------------------------------------------------- snapshots

@@ -46,6 +46,7 @@ object CoreEtlRegistry {
     "q309_time_travel"     -> (TableFormat.q309TimeTravel _),
     "q310_snapshot_vacuum" -> (TableFormat.q310SnapshotVacuum _),
     "q312_incremental_diff" -> (TableFormat.q312IncrementalDiff _),
+    "q313_recluster"       -> (TableFormat.q313Recluster _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -450,66 +451,14 @@ object CoreEtlRegistry {
       GROUP BY 1
       ORDER BY x""",
 
-    // full manifest re-derivation: the same morton curve spelled the
-    // same div/mod way, the same 64-row file assignment (row_number
-    // over the identical total order == globalIndex's rank), the same
-    // overlap arithmetic — so the certificate's every file count is
-    // hash-pinned
-    "q308_zonemap_skipratio" -> s"""
-      WITH base AS (
-        SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
-          LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS BIGINT), 63)
-            AS y
-        FROM part),
-      zv AS (
-        SELECT p_partkey, x, y,
-          ${(0 until 6).map { i =>
-            val p = 1L << i
-            s"((x // $p) % 2) * ${1L << (2 * i)} + " +
-              s"((y // $p) % 2) * ${1L << (2 * i + 1)}"
-          }.mkString(" + ")} AS zm
-        FROM base),
-      rz AS (
-        SELECT x, y,
-          (ROW_NUMBER() OVER (ORDER BY zm, p_partkey) - 1) // 64 AS f
-        FROM zv),
-      mz AS (
-        SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
-          MIN(y) AS min_y, MAX(y) AS max_y
-        FROM rz GROUP BY f),
-      rl AS (
-        SELECT x, y,
-          (ROW_NUMBER() OVER (ORDER BY x, p_partkey) - 1) // 64 AS f
-        FROM base),
-      ml AS (
-        SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
-          MIN(y) AS min_y, MAX(y) AS max_y
-        FROM rl GROUP BY f),
-      m AS (
-        SELECT 'zorder' AS layout, * FROM mz
-        UNION ALL
-        SELECT 'linear' AS layout, * FROM ml),
-      boxes(box_id, box_name, x_lo, x_hi, y_lo, y_hi) AS (VALUES
-        (1, 'slice_x', 15, 25, 0, 63),
-        (2, 'slice_y', 0, 63, 3, 8),
-        (3, 'box_2d', 15, 25, 3, 8),
-        (4, 'quadrant_lo', 0, 24, 0, 24),
-        (5, 'quadrant_hi', 25, 63, 25, 63),
-        (6, 'point', 20, 20, 5, 5))
-      SELECT box_id, box_name, layout,
-        CAST(COUNT(*) AS BIGINT) AS files_total,
-        CAST(SUM(CASE WHEN max_x >= x_lo AND min_x <= x_hi
-          AND max_y >= y_lo AND min_y <= y_hi THEN 1 ELSE 0 END)
-          AS BIGINT) AS files_scanned,
-        (CAST(100 AS DOUBLE) *
-          (CAST(COUNT(*) AS BIGINT) -
-           CAST(SUM(CASE WHEN max_x >= x_lo AND min_x <= x_hi
-             AND max_y >= y_lo AND min_y <= y_hi THEN 1 ELSE 0 END)
-             AS BIGINT)))
-          / CAST(COUNT(*) AS BIGINT) AS skip_pct
-      FROM m CROSS JOIN boxes
-      GROUP BY box_id, box_name, layout
-      ORDER BY box_id, layout""",
+    // full manifest re-derivation: shared CTEs in OracleDefs
+    // (zmapManifestCtes) — same curve, same file assignment, same
+    // overlap arithmetic, so every file count is hash-pinned
+    "q308_zonemap_skipratio" -> zmapSkipRatioOracle,
+
+    // re-cluster certificate: slice aggregate layout-independent,
+    // file counts re-derived per layout from the shared CTEs
+    "q313_recluster" -> zmapReclusterOracle,
 
     // each version re-derived from the segment-cut / retention-cutoff
     // predicates: v1 = commits c0+c1 (orderdate < 1999), v2 = +c2

@@ -1790,6 +1790,100 @@ $iters
       LIMIT 50"""
   }
 
+  /** Shared zone-map manifest derivation (q308 / q313): the same
+    * morton curve spelled the same div/mod way as the Spark side, the
+    * same 64-row file assignment (ROW_NUMBER over the identical total
+    * order == globalIndex's rank), per-file min/max for both filter
+    * dimensions, under BOTH layouts (z-order and leading-column
+    * linear). */
+  private[registry] def zmapManifestCtes: String = s"""
+      base AS (
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+          LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS BIGINT), 63)
+            AS y,
+          p_retailprice
+        FROM part),
+      zv AS (
+        SELECT p_partkey, x, y,
+          ${(0 until 6).map { i =>
+            val p = 1L << i
+            s"((x // $p) % 2) * ${1L << (2 * i)} + " +
+              s"((y // $p) % 2) * ${1L << (2 * i + 1)}"
+          }.mkString(" + ")} AS zm
+        FROM base),
+      rz AS (
+        SELECT x, y,
+          (ROW_NUMBER() OVER (ORDER BY zm, p_partkey) - 1) // 64 AS f
+        FROM zv),
+      mz AS (
+        SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
+          MIN(y) AS min_y, MAX(y) AS max_y
+        FROM rz GROUP BY f),
+      rl AS (
+        SELECT x, y,
+          (ROW_NUMBER() OVER (ORDER BY x, p_partkey) - 1) // 64 AS f
+        FROM base),
+      ml AS (
+        SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
+          MIN(y) AS min_y, MAX(y) AS max_y
+        FROM rl GROUP BY f)"""
+
+  private[registry] def zmapSkipRatioOracle: String = s"""
+      WITH $zmapManifestCtes,
+      m AS (
+        SELECT 'zorder' AS layout, * FROM mz
+        UNION ALL
+        SELECT 'linear' AS layout, * FROM ml),
+      boxes(box_id, box_name, x_lo, x_hi, y_lo, y_hi) AS (VALUES
+        (1, 'slice_x', 15, 25, 0, 63),
+        (2, 'slice_y', 0, 63, 3, 8),
+        (3, 'box_2d', 15, 25, 3, 8),
+        (4, 'quadrant_lo', 0, 24, 0, 24),
+        (5, 'quadrant_hi', 25, 63, 25, 63),
+        (6, 'point', 20, 20, 5, 5))
+      SELECT box_id, box_name, layout,
+        CAST(COUNT(*) AS BIGINT) AS files_total,
+        CAST(SUM(CASE WHEN max_x >= x_lo AND min_x <= x_hi
+          AND max_y >= y_lo AND min_y <= y_hi THEN 1 ELSE 0 END)
+          AS BIGINT) AS files_scanned,
+        (CAST(100 AS DOUBLE) *
+          (CAST(COUNT(*) AS BIGINT) -
+           CAST(SUM(CASE WHEN max_x >= x_lo AND min_x <= x_hi
+             AND max_y >= y_lo AND min_y <= y_hi THEN 1 ELSE 0 END)
+             AS BIGINT)))
+          / CAST(COUNT(*) AS BIGINT) AS skip_pct
+      FROM m CROSS JOIN boxes
+      GROUP BY box_id, box_name, layout
+      ORDER BY box_id, layout"""
+
+  /** q313: the slice aggregate is layout-independent (content
+    * preservation — equal across phases in the hash); only the file
+    * counts move, re-derived per layout from the shared CTEs. */
+  private[registry] def zmapReclusterOracle: String = s"""
+      WITH $zmapManifestCtes,
+      agg AS (
+        SELECT COUNT(*) AS n_parts,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_retail
+        FROM base
+        WHERE x BETWEEN 15 AND 25 AND y BETWEEN 3 AND 8)
+      SELECT 'after' AS phase,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM mz) AS files_total,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM mz
+         WHERE max_x >= 15 AND min_x <= 25
+           AND max_y >= 3 AND min_y <= 8) AS files_scanned,
+        n_parts, sum_retail
+      FROM agg
+      UNION ALL
+      SELECT 'before',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ml),
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ml
+         WHERE max_x >= 15 AND min_x <= 25
+           AND max_y >= 3 AND min_y <= 8),
+        n_parts, sum_retail
+      FROM agg
+      ORDER BY phase"""
+
   /** q311: three synchronous label-propagation rounds unrolled — the
     * edge relation is q68's exact n-gram-Jaccard join (same df-capped
     * candidate CTE, same ≥ 0.6 verification) carrying the INTEGER

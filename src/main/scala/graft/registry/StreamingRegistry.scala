@@ -36,9 +36,22 @@ object StreamingRegistry {
       (graft.streaming.StreamDedup.q237StreamGateBounded _),
     "q304_stream_ivf_gate" ->
       (graft.streaming.StreamVectorGate.q304StreamIvfGate _),
+    "q314_stream_commits" ->
+      (graft.streaming.StreamSnapshotIngest.q314StreamCommitIngest _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // version v = arrival ticks 0..v-1 by the staged-commit contract
+    // (batch k ingests the o_orderkey%4==k slice as commit b<k>)
+    "q314_stream_commits" -> """
+      SELECT v AS version, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        MIN(o_orderkey) AS min_okey, MAX(o_orderkey) AS max_okey
+      FROM orders CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS v) t
+      WHERE o_orderkey % 4 < v
+      GROUP BY v
+      ORDER BY version""",
     "q39_stream_windows" -> """
       SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
                AS win_start,

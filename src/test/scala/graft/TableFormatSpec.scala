@@ -85,6 +85,31 @@ class TableFormatSpec extends AnyFunSuite {
     assert(cert((3, "zorder"))._2 < cert((3, "zorder"))._1)
   }
 
+  test("q313 re-cluster shrinks the probe's file set without moving " +
+      "a row, and the optimized probe is physically pruned") {
+    val rows = TableFormat.q313Recluster(spark, sf01).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (before, after) = (rows("before"), rows("after"))
+    // content preservation: identical slice through both layouts
+    assert(before.getLong(3) == after.getLong(3))
+    assert(before.getDouble(4) == after.getDouble(4))
+    // the rewrite is worth running: fewer files under the same box
+    assert(after.getLong(2) < before.getLong(2),
+      s"optimize did not help: $before vs $after")
+    // physical check: a fresh probe of the optimized layout reads
+    // exactly the manifest-selected partitions
+    val (xLo, xHi, yLo, yHi) = TableFormat.ZBox
+    val probe = spark.table(TableFormat.OptData)
+      .filter(col("zfile").isin(
+        spark.table(TableFormat.OptManifest)
+          .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
+            col("max_y") >= yLo && col("min_y") <= yHi)
+          .select(col("zfile")).collect().map(_.getInt(0)).toSeq: _*))
+    probe.collect()
+    val scans = scansOf(probe, TableFormat.OptData)
+    assert(scans.head.metrics("numPartitions").value == after.getLong(2))
+  }
+
   test("q309 snapshots are immutable: v1/v2 re-read byte-stable " +
       "after the v3 delete commits, and every read is " +
       "commit-pruned") {
@@ -147,6 +172,24 @@ class TableFormatSpec extends AnyFunSuite {
       assert(!pf.contains("c1"), s"shared segment read: $pf")
       assert(s.metrics("numPartitions").value <= 2)
     }
+  }
+
+  test("q314 streaming ingest lands one immutable commit per tick " +
+      "and every version reads pruned to its commit set") {
+    graft.streaming.StreamSnapshotIngest
+      .q314StreamCommitIngest(spark, sf).collect()
+    val parts = spark.sql("SHOW PARTITIONS graft_snap_data_si")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == (0 to 3).map(k => s"commit_id=b$k").toSet, parts)
+    // version 2 = ticks 0..1, read through exactly two partitions
+    val v2 = TableFormat.readVersion(spark, "graft_snap_data_si",
+      "graft_snap_manifest_si", 2)
+    val expect = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") % 4 < 2).count()
+    assert(v2.count() == expect)
+    v2.collect()
+    val scans = scansOf(v2, "graft_snap_data_si")
+    assert(scans.head.metrics("numPartitions").value == 2)
   }
 
   test("q311 seeds stay pinned and coverage is monotone in rounds") {
