@@ -83,7 +83,17 @@ object TableFormat {
       least(floor((col("p_retailprice") - 900) / 2), lit(63L))
         .cast("long").as("y"))
 
-  private val ZRowsPerFile = 64L
+  /** Rows per layout file: 64 at gate scale, growing so the FILE
+    * COUNT stays ≤ 64 as the fixture scales. A real writer targets a
+    * fixed file SIZE (128 MB) and lets the manifest grow linearly —
+    * that is the correct 100 TB shape; what this cap models is that
+    * test-scale "files" are partition DIRECTORIES on a local FS,
+    * whose per-directory cost a real object-store writer amortizes.
+    * The gate scales (sf0.001/sf0.01) stay at exactly 64 rows/file,
+    * so oracle hashes are unchanged; the DuckDB side computes the
+    * same expression (GREATEST(64, ceil(n/64))). */
+  private def zRowsPerFile(n: Long): Long = math.max(64L, (n + 63L) / 64L)
+
   private[graft] val ZData = "graft_zmap_data_z"
   private[graft] val ZManifest = "graft_zmap_manifest_z"
 
@@ -97,10 +107,11 @@ object TableFormat {
       sortKey: Column, dataT: String, manifestT: String): Unit = {
     Scale.dropManaged(spark, dataT)
     Scale.dropManaged(spark, manifestT)
+    val rpf = zRowsPerFile(base.count())
     val laid = Scale.globalIndex(
       base.withColumn("skey", sortKey),
       col("skey").asc, col("p_partkey").asc)
-      .withColumn("zfile", expr(s"CAST((rank - 1) div $ZRowsPerFile AS INT)"))
+      .withColumn("zfile", expr(s"CAST((rank - 1) div $rpf AS INT)"))
     laid.select(col("p_partkey"), col("p_retailprice"), col("x"),
         col("y"), col("zfile"))
       .write.partitionBy("zfile")
@@ -165,9 +176,10 @@ object TableFormat {
     * in-query for an arbitrary sort key — the z-order manifest
     * matches what [[buildZonemap]] persists; the linear one is the
     * single-column-sort strawman. */
-  private def manifestFor(base: DataFrame, sortKey: Column): DataFrame =
+  private def manifestFor(base: DataFrame, sortKey: Column,
+      rpf: Long): DataFrame =
     Scale.globalIndex(base, sortKey.asc, col("p_partkey").asc)
-      .withColumn("f", expr(s"(rank - 1) div $ZRowsPerFile"))
+      .withColumn("f", expr(s"(rank - 1) div $rpf"))
       .groupBy(col("f"))
       .agg(min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
@@ -185,11 +197,12 @@ object TableFormat {
   def q308ZonemapSkipRatio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = partXY(spark, dir)
+    val rpf = zRowsPerFile(base.count())
     val manifests =
       manifestFor(base.withColumn("zm", expr(mortonSql("x", "y"))),
-        col("zm")).withColumn("layout", lit("zorder"))
+        col("zm"), rpf).withColumn("layout", lit("zorder"))
         .unionByName(
-          manifestFor(base, col("x")).withColumn("layout", lit("linear")))
+          manifestFor(base, col("x"), rpf).withColumn("layout", lit("linear")))
     val boxes = SkipBoxes
       .toDF("box_id", "box_name", "x_lo", "x_hi", "y_lo", "y_hi")
     manifests.crossJoin(broadcast(boxes))

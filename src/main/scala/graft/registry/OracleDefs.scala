@@ -1797,6 +1797,8 @@ $iters
     * dimensions, under BOTH layouts (z-order and leading-column
     * linear). */
   private[registry] def zmapManifestCtes: String = s"""
+      rpf AS (
+        SELECT GREATEST(64, (COUNT(*) + 63) // 64) AS r FROM part),
       base AS (
         SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
           LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS BIGINT), 63)
@@ -1813,7 +1815,8 @@ $iters
         FROM base),
       rz AS (
         SELECT x, y,
-          (ROW_NUMBER() OVER (ORDER BY zm, p_partkey) - 1) // 64 AS f
+          (ROW_NUMBER() OVER (ORDER BY zm, p_partkey) - 1)
+            // (SELECT r FROM rpf) AS f
         FROM zv),
       mz AS (
         SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
@@ -1821,7 +1824,8 @@ $iters
         FROM rz GROUP BY f),
       rl AS (
         SELECT x, y,
-          (ROW_NUMBER() OVER (ORDER BY x, p_partkey) - 1) // 64 AS f
+          (ROW_NUMBER() OVER (ORDER BY x, p_partkey) - 1)
+            // (SELECT r FROM rpf) AS f
         FROM base),
       ml AS (
         SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
