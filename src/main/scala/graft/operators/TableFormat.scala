@@ -51,6 +51,13 @@ import graft.functions.Cols._
   *    100 TB this is the difference between a CDC feed that scans two
   *    full snapshots (the q-content-diff operator in [[Egress]]) and
   *    one that reads only the day's churn.
+  *  - q313: RE-CLUSTER (OPTIMIZE ZORDER) — rewrite the persisted
+  *    linear layout along the z-curve and certify, through both
+  *    manifests, that the same probe returns the identical slice
+  *    from fewer files.
+  *  - q314 (in [[graft.streaming.StreamSnapshotIngest]]): STREAMING
+  *    commit ingest — each micro-batch lands as one immutable commit
+  *    + one manifest version, the online half of this tier.
   *
   * Fixed-name artifacts follow the repo's SINGLE-WRITER convention
   * (see [[VectorIndex]]): each query owns its table names (`_z` /
