@@ -451,6 +451,141 @@ object TableFormat {
       .orderBy(col("commit_id"))
   }
 
+  /** MERGE INTO the versioned table (the CRUD move that makes a
+    * snapshot table a TABLE): a CDC change batch — updates, deletes,
+    * and inserts — applies to the latest version and produces a NEW
+    * version, copy-on-write. The part that matters at 100 TB is the
+    * ROUTING: matched changes (U/D) carry the same date the segments
+    * are cut by, so the touched-segment set comes from joining the
+    * change batch's date span against SEGMENT STATS — metadata only,
+    * no data read to plan. Here the correction batch targets 1997-H1,
+    * so exactly one of three segments rewrites (`c1` → `c1_mg`);
+    * inserts carry out-of-range dates and land as a brand-new commit
+    * (`c3`); untouched segments are CARRIED by manifest reference —
+    * zero IO. Every prior version stays readable (immutable commits;
+    * TableFormatSpec asserts v3 re-reads byte-stable across the
+    * merge and that the rewrite scan lists only the touched
+    * partition). The report is falsifiable the q305/q310 way:
+    * per-segment `n_rows`/`sum_price` are COUNTED from the
+    * post-merge table, so a lost update, an unapplied delete, or a
+    * dropped bystander hash-fails against the oracle's predicate
+    * arithmetic (updates add 1000.00 to the price — the sum moves
+    * with every applied update). */
+  def q315SnapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val (data, manifest, segstats) = buildSnapshots(spark, dir, "_mg")
+    val updLo = lit("1997-01-01").cast("timestamp")
+    val updHi = lit("1997-07-01").cast("timestamp")
+    val isUpd = col("o_orderkey") % 100 === 7 &&
+      col("o_orderdate") >= updLo && col("o_orderdate") < updHi
+    val isDel = col("o_orderkey") % 100 === 29 &&
+      col("o_orderdate") >= updLo && col("o_orderdate") < updHi
+
+    // plan from metadata: latest version's segments whose stats range
+    // overlaps the change batch's date span
+    val latest = spark.table(manifest).agg(max(col("version")))
+      .collect().head.getInt(0)
+    val live = spark.table(manifest).filter(col("version") === latest)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    val touched = spark.table(segstats)
+      .filter(col("commit_id").isin(live.toSeq: _*))
+      .filter(col("min_ts") < updHi && col("max_ts") >= updLo)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq.sorted
+
+    // copy-on-write of the touched segments only: deletes anti-filter,
+    // updates rewrite in place, everyone else carries through
+    touched.foreach { c =>
+      spark.table(data)
+        .filter(col("commit_id") === c)
+        .filter(!isDel)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(isUpd, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderdate"), lit(s"${c}_mg").as("commit_id"))
+        .write.insertInto(data)
+    }
+    // inserts: out-of-range dates → a brand-new commit, never a rewrite
+    val inserts = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 100 === 13)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        lit("2002-01-15").cast("timestamp").as("o_orderdate"),
+        lit("c3").as("commit_id"))
+    inserts.write.insertInto(data)
+
+    import spark.implicits._
+    val v4 = (live -- touched).toSeq ++ touched.map(_ + "_mg") :+ "c3"
+    v4.sorted.map((latest + 1, _)).toDF("version", "commit_id")
+      .write.insertInto(manifest)
+
+    val rewritten = touched.map(_ + "_mg").toSet
+    readVersion(spark, data, manifest, latest + 1)
+      .groupBy(col("commit_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(col("commit_id"), col("n_rows"), col("sum_price"),
+        when(col("commit_id").isin(rewritten.toSeq: _*), "rewritten")
+          .when(col("commit_id") === "c3", "appended")
+          .otherwise("carried").as("status"))
+      .orderBy(col("commit_id"))
+  }
+
+  /** PARTITION EVOLUTION: the segment-cut rule changes mid-history —
+    * early commits are YEAR-grained (c0 = [1995,1997), c1 =
+    * [1997,1999), the coarse cuts a young table starts with), newer
+    * commits HALF-YEAR-grained (h0..h5 over [1999,2002), the finer
+    * grain the table tightened to as it grew) — and READS DO NOT
+    * CARE, because routing is per-segment min/max STATS, never a
+    * path-naming convention. That indifference is the distinguishing
+    * move of a stats-based metadata layer over Hive-style directory
+    * partitioning, where a layout change historically meant rewriting
+    * the whole table (or running two tables). The probe here spans
+    * the generation boundary ([1998-06-01, 2000-06-01)) and touches
+    * one coarse segment + three fine ones; TableFormatSpec asserts
+    * the scan lists exactly the stats-overlapping partitions of BOTH
+    * grains and none of the other four. Per-segment counts are taken
+    * from the pruned read, so the routing is in the hash. */
+  def q316PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val data = "graft_snap_data_pe"
+    val segstats = "graft_snap_segstats_pe"
+    Seq(data, segstats).foreach(Scale.dropManaged(spark, _))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val d = col("o_orderdate")
+    def ts(s: String) = lit(s).cast("timestamp")
+    val seg = when(d < ts("1997-01-01"), "c0")
+      .when(d < ts("1999-01-01"), "c1")
+      .when(d < ts("1999-07-01"), "h0")
+      .when(d < ts("2000-01-01"), "h1")
+      .when(d < ts("2000-07-01"), "h2")
+      .when(d < ts("2001-01-01"), "h3")
+      .when(d < ts("2001-07-01"), "h4")
+      .otherwise("h5")
+    orders.withColumn("commit_id", seg)
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(data)
+    spark.table(data).groupBy(col("commit_id"))
+      .agg(min(col("o_orderdate")).as("min_ts"),
+        max(col("o_orderdate")).as("max_ts"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(segstats)
+
+    val (pLo, pHi) = (ts("1998-06-01"), ts("2000-06-01"))
+    val hit = spark.table(segstats)
+      .filter(col("min_ts") < pHi && col("max_ts") >= pLo)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq
+    spark.table(data)
+      .filter(col("commit_id").isin(hit: _*))
+      .filter(d >= pLo && d < pHi)
+      .groupBy(col("commit_id"))
+      .agg(count(lit(1)).as("n_in_range"),
+        dsum(col("o_totalprice")).as("sum_in_range"))
+      .select(col("commit_id"),
+        when(col("commit_id").startsWith("c"), "year")
+          .otherwise("half_year").as("grain"),
+        col("n_in_range"), col("sum_in_range"))
+      .orderBy(col("commit_id"))
+  }
+
   /** Incremental changelog v1 → v3, manifest-planned: segments in
     * BOTH manifests carry identical rows by immutability and are
     * never read (TableFormatSpec asserts c1's partition stays

@@ -47,6 +47,8 @@ object CoreEtlRegistry {
     "q310_snapshot_vacuum" -> (TableFormat.q310SnapshotVacuum _),
     "q312_incremental_diff" -> (TableFormat.q312IncrementalDiff _),
     "q313_recluster"       -> (TableFormat.q313Recluster _),
+    "q315_snapshot_merge"  -> (TableFormat.q315SnapshotMerge _),
+    "q316_partition_evolution" -> (TableFormat.q316PartitionEvolution _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -513,6 +515,69 @@ object CoreEtlRegistry {
           AS n_rows_after
       FROM segs s JOIN counts c ON c.cid = s.commit_id
       ORDER BY s.commit_id""",
+
+    // the merged version from first principles: c1_mg applies the
+    // 1997-H1 corrections (+1000.00 per updated row, deletes removed)
+    // to the [1997,1999) segment; c0_rw/c2 carry; c3 is the insert
+    // batch — n_rows/sum_price are counted from the REAL post-merge
+    // table on the Spark side, so any mis-applied change hash-fails
+    "q315_snapshot_merge" -> """
+      SELECT 'c0_rw' AS commit_id, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        'carried' AS status
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT 'c1_mg', COUNT(*),
+        CAST(SUM(CAST(CASE WHEN o_orderkey % 100 = 7
+            AND o_orderdate < TIMESTAMP '1997-07-01'
+          THEN o_totalprice + CAST(1000 AS DOUBLE)
+          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE),
+        'rewritten'
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+        AND NOT (o_orderkey % 100 = 29
+          AND o_orderdate < TIMESTAMP '1997-07-01')
+      UNION ALL
+      SELECT 'c2', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        'carried'
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      UNION ALL
+      SELECT 'c3', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        'appended'
+      FROM orders WHERE o_orderkey % 100 = 13
+      ORDER BY commit_id""",
+
+    // the probe range [1998-06-01, 2000-06-01) re-cut by the two
+    // partition-grain generations: one coarse year segment (c1) and
+    // three fine half-year segments (h0..h2) overlap it; counts come
+    // from the pruned read on the Spark side so routing is in the hash
+    "q316_partition_evolution" -> """
+      WITH probe AS (
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+          AND o_orderdate < TIMESTAMP '2000-06-01')
+      SELECT commit_id,
+        CASE WHEN commit_id LIKE 'c%' THEN 'year'
+             ELSE 'half_year' END AS grain,
+        COUNT(*) AS n_in_range,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_in_range
+      FROM (
+        SELECT o_orderkey, o_totalprice,
+          CASE WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 'c1'
+               WHEN o_orderdate < TIMESTAMP '1999-07-01' THEN 'h0'
+               WHEN o_orderdate < TIMESTAMP '2000-01-01' THEN 'h1'
+               ELSE 'h2' END AS commit_id
+        FROM probe) t
+      GROUP BY commit_id
+      ORDER BY commit_id""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

@@ -159,6 +159,56 @@ class TableFormatSpec extends AnyFunSuite {
       "graft_snap_manifest_gc", 3).count() == expect)
   }
 
+  test("q315 merge preserves time travel and the new version reads " +
+      "pruned to its four commits") {
+    val report = TableFormat.q315SnapshotMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(report.keySet == Set("c0_rw", "c1_mg", "c2", "c3"))
+    assert(report("c1_mg").getString(3) == "rewritten")
+    assert(report("c3").getString(3) == "appended")
+    // v3 (pre-merge latest) still reads whole AFTER the merge: the
+    // rewrite created c1_mg, it did not touch c1
+    val v3 = TableFormat.readVersion(spark, "graft_snap_data_mg",
+      "graft_snap_manifest_mg", 3)
+    val expectV3 = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .count()
+    assert(v3.count() == expectV3, "v3 drifted across the merge")
+    // v4 reads exactly its manifest commits
+    val v4 = TableFormat.readVersion(spark, "graft_snap_data_mg",
+      "graft_snap_manifest_mg", 4)
+    v4.collect()
+    val scans = scansOf(v4, "graft_snap_data_mg")
+    assert(scans.head.metrics("numPartitions").value == 4)
+    // deletes applied: the rewritten segment lost exactly the 1997-H1
+    // delete keys relative to its predecessor
+    val c1n = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val dels = c1n.filter(col("o_orderkey") % 100 === 29 &&
+      col("o_orderdate") < lit("1997-07-01").cast("timestamp")).count()
+    assert(report("c1_mg").getLong(1) == c1n.count() - dels)
+  }
+
+  test("q316 stats routing prunes across both partition-grain " +
+      "generations") {
+    val df = TableFormat.q316PartitionEvolution(spark, sf)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSet == Set("c1", "h0", "h1", "h2"),
+      rows.mkString(";"))
+    assert(rows.map(r => r.getString(0) -> r.getString(1)).toMap ==
+      Map("c1" -> "year", "h0" -> "half_year", "h1" -> "half_year",
+        "h2" -> "half_year"))
+    val scans = scansOf(df, "graft_snap_data_pe")
+    assert(scans.nonEmpty)
+    // four of eight segments stats-overlap the probe; the scan lists
+    // exactly those, across BOTH grains
+    assert(scans.head.metrics("numPartitions").value == 4)
+    val pf = scans.head.partitionFilters.mkString(";")
+    Seq("c0", "h3", "h4", "h5").foreach(c =>
+      assert(!pf.contains(c), s"pruned-away segment in filter: $pf"))
+  }
+
   test("q312 incremental diff never reads the shared segment") {
     val df = TableFormat.q312IncrementalDiff(spark, sf)
     df.collect()
