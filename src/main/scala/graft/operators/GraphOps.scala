@@ -52,8 +52,12 @@ object GraphOps {
     * so GraphSpec can assert coverage is monotone in rounds. */
   private[graft] def labelPropagate(spark: SparkSession, dir: String,
       rounds: Int): DataFrame = {
+    // checkpointed like edges/lab: docs feeds two joins per round plus
+    // the final projection — without this the documents scan re-runs
+    // ~2·rounds+2 times
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"))
+      .localCheckpoint()
     val sh = Dedup.shingled(Tables.documents(spark, dir))
     val scored = Dedup.invertedIndexCandidates(sh, dfCap = 20)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),

@@ -171,12 +171,21 @@ object Scale {
     * per-partition offsets — no single-partition exchange), exactly how
     * a distributed z-order writer lays out 100 TB. ScaleSpec asserts
     * the per-file ranges actually shrink vs the global range. */
-  def q131ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.part(spark, dir).select(
-      col("p_partkey"),
+  /** The layout demo's filter dimensions — x = p_size, y = 2-unit
+    * retail-price bucket capped at 63 — defined ONCE and shared by
+    * q131 and the [[TableFormat]] zone-map family (q307/q308/q313),
+    * so "the same physical design" is pinned in code rather than
+    * retyped: a change here moves every layout query and its oracle
+    * together or fails their gates together. */
+  private[graft] def layoutDims(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"), col("p_retailprice"),
       col("p_size").cast("int").as("x"),
       least(floor((col("p_retailprice") - 900) / 2).cast("int"), lit(63))
         .as("y"))
+
+  def q131ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val base = layoutDims(Tables.part(spark, dir))
     // 6-bit × 6-bit Morton interleave: z = Σ ((x>>i)&1)<<2i | ((y>>i)&1)<<2i+1
     val z = (0 until 6).map { i =>
       shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1)), 2 * i) +

@@ -81,14 +81,13 @@ object TableFormat {
     }.mkString(" + ")
 
   /** The probe dimensions of the layout demo: x = p_size (1..50),
-    * y = retail-price bucket (0..49) — the q131 dimensions, reused so
-    * the two layout queries describe the same physical design. */
+    * y = retail-price bucket (0..49) — [[Scale.layoutDims]], the one
+    * shared definition with q131, widened to long for the manifest
+    * arithmetic. */
   private def partXY(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir).select(
-      col("p_partkey"), col("p_retailprice"),
-      col("p_size").cast("long").as("x"),
-      least(floor((col("p_retailprice") - 900) / 2), lit(63L))
-        .cast("long").as("y"))
+    Scale.layoutDims(Tables.part(spark, dir))
+      .withColumn("x", col("x").cast("long"))
+      .withColumn("y", col("y").cast("long"))
 
   /** Rows per layout file: 64 at gate scale, growing so the FILE
     * COUNT stays ≤ 64 as the fixture scales. A real writer targets a
@@ -103,6 +102,18 @@ object TableFormat {
 
   private[graft] val ZData = "graft_zmap_data_z"
   private[graft] val ZManifest = "graft_zmap_manifest_z"
+
+  /** Files whose [min,max] envelope overlaps a probe box — THE
+    * pruning-correctness invariant of the zone-map layer, defined
+    * once and shared by every pruned read here and by
+    * TableFormatSpec's partitions-read assertions (so the spec
+    * certifies the same predicate production runs). */
+  private[graft] def overlappingFiles(manifest: DataFrame,
+      box: (Long, Long, Long, Long)): DataFrame = {
+    val (xLo, xHi, yLo, yHi) = box
+    manifest.filter(col("max_x") >= xLo && col("min_x") <= xHi &&
+      col("max_y") >= yLo && col("min_y") <= yHi)
+  }
 
   /** Lay the frame out along `sortKey` into ZRowsPerFile-row files
     * and persist data (partitioned by file id) + manifest (per-file
@@ -154,9 +165,7 @@ object TableFormat {
   def q307ZonemapPrune(spark: SparkSession, dir: String): DataFrame = {
     buildZonemap(spark, dir)
     val (xLo, xHi, yLo, yHi) = ZBox
-    val files = spark.table(ZManifest)
-      .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
-        col("max_y") >= yLo && col("min_y") <= yHi)
+    val files = overlappingFiles(spark.table(ZManifest), ZBox)
       .select(col("zfile")).collect().map(_.getInt(0)).toSeq
     spark.table(ZData)
       .filter(col("zfile").isin(files: _*))
@@ -242,9 +251,7 @@ object TableFormat {
     val (xLo, xHi, yLo, yHi) = ZBox
     val mf = spark.table(manifestT)
     val total = mf.count()
-    val files = mf
-      .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
-        col("max_y") >= yLo && col("min_y") <= yHi)
+    val files = overlappingFiles(mf, ZBox)
       .select(col("zfile")).collect().map(_.getInt(0)).toSeq
     spark.table(dataT)
       .filter(col("zfile").isin(files: _*))

@@ -14,11 +14,25 @@ import graft.operators.{Scale, TableFormat}
   * vectors q294/q304 ↔ batch snapshots q309/q310/q312 + THIS).
   *
   * Shape: arrivals drain through `foreachBatch`; every micro-batch
-  * lands as ONE immutable commit partition (`b<batchId>` — the
-  * checkpointed batchId makes a replayed batch overwrite its own
-  * commit, the exactly-once contract [[StreamSink]] documents), and
-  * the manifest gains one VERSION row set per batch, so every batch
-  * boundary is a time-travelable snapshot the moment it commits.
+  * lands as ONE immutable commit partition, and the manifest gains
+  * one VERSION row set per batch, so every batch boundary is a
+  * time-travelable snapshot the moment it commits. Two disciplines
+  * make the pipeline REPLAY-SAFE and ORDER-SAFE, because neither the
+  * streaming commit log nor file-listing order is a contract worth
+  * betting an oracle on (the q136 lesson):
+  *
+  *  - commit identity is CONTENT-derived, not batchId-derived: every
+  *    arrival row carries the ingest tick that produced it, and the
+  *    batch's single tick value names its commit (`b<tick>`) and its
+  *    version (`tick + 1`, listing commits `b0..b<tick>`). Any
+  *    processing order yields byte-identical artifacts.
+  *  - both writes are IDEMPOTENT: data and manifest are partitioned
+  *    by their commit/version key and written through dynamic
+  *    partition overwrite, so a batch replayed after a crash
+  *    overwrites its own partition instead of appending a duplicate
+  *    (the exactly-once contract [[StreamSink]] documents, here
+  *    actually implemented for an append-shaped sink).
+  *
   * Readers never block on the writer: a version, once written, is an
   * immutable file set (the q309 contract) — this is exactly how
   * Delta/Iceberg streaming sinks turn micro-batches into table
@@ -32,9 +46,10 @@ object StreamSnapshotIngest {
   private val ManifestT = "graft_snap_manifest_si"
 
   /** Stage the arrival stream as four deterministic single-file
-    * slices (o_orderkey mod 4) with strictly increasing modification
-    * times, so `maxFilesPerTrigger=1` yields batch k == slice k — the
-    * fixture analog of four ingest ticks arriving in order. */
+    * slices (o_orderkey mod 4), each row tagged with its ingest
+    * tick — the fixture analog of four ingest ticks. Modification
+    * times are spaced so the drain SEES them in order, but
+    * correctness never depends on it: the tick rides IN the data. */
   private def stageArrivals(spark: SparkSession, dir: String): String = {
     val zone = graft.Scratch.dir("q314_commits")
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -48,6 +63,7 @@ object StreamSnapshotIngest {
     (0 until 4).foreach { k =>
       val tmp = s"$zone/_stage_$k"
       orders.filter(col("o_orderkey") % 4 === k)
+        .withColumn("tick", lit(k))
         .coalesce(1).write.parquet(tmp)
       val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
         .map(_.getPath).find(_.getName.startsWith("part-")).get
@@ -61,10 +77,12 @@ object StreamSnapshotIngest {
 
   /** q314: drain four arrival ticks into four commits + four
     * versions, then time-travel-read every version through the
-    * manifest. Version v's content is ticks 0..v-1 by construction,
-    * which is what the oracle re-derives (`o_orderkey % 4 < v`). The
-    * spec asserts the physical half: four commit partitions, each
-    * version's read pruned to exactly its commit set. */
+    * manifest. Version v's content is ticks 0..v-1 by the
+    * content-derived commit contract, which is what the oracle
+    * re-derives (`o_orderkey % 4 < v`) — valid under ANY file
+    * processing order. The spec asserts the physical half: four
+    * commit partitions, each version's read pruned to exactly its
+    * commit set. */
   def q314StreamCommitIngest(spark: SparkSession,
       dir: String): DataFrame =
     StreamingWindows.withStreamPartitions(spark) {
@@ -75,24 +93,37 @@ object StreamSnapshotIngest {
       val orders = Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderdate"))
-      // empty shells: commits/manifest rows only ever APPEND
+      // empty shells, both partitioned by their idempotency key
       orders.filter(lit(false)).withColumn("commit_id", lit("seed"))
         .write.partitionBy("commit_id")
         .mode(SaveMode.Overwrite).saveAsTable(DataT)
-      Seq.empty[(Int, String)].toDF("version", "commit_id")
-        .write.mode(SaveMode.Overwrite).saveAsTable(ManifestT)
+      Seq.empty[(String, Int)].toDF("commit_id", "version")
+        .write.partitionBy("version")
+        .mode(SaveMode.Overwrite).saveAsTable(ManifestT)
 
-      val src = spark.readStream.schema(orders.schema)
+      val src = spark.readStream
+        .schema(orders.schema.add("tick", "int"))
         .option("maxFilesPerTrigger", "1").parquet(zone)
-      val ingestBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val ingestBatch: (DataFrame, Long) => Unit = (batch, _) => {
         val s = batch.sparkSession
         import s.implicits._
-        batch.withColumn("commit_id", lit(s"b$batchId"))
-          .write.insertInto(DataT)
-        // the new version lists its full commit set (b0..b<batchId>):
-        // snapshot visibility is one manifest filter, no chain walk
-        (0 to batchId.toInt).map(i => (batchId.toInt + 1, s"b$i"))
-          .toDF("version", "commit_id").write.insertInto(ManifestT)
+        val ticks = batch.select(col("tick")).distinct()
+          .collect().map(_.getInt(0))
+        require(ticks.length == 1,
+          s"one staged tick per micro-batch, got ${ticks.toSeq}")
+        val tick = ticks.head
+        val pom = "spark.sql.sources.partitionOverwriteMode"
+        val oldPom = s.conf.get(pom, "static")
+        s.conf.set(pom, "dynamic")
+        try {
+          // idempotent: a replayed batch overwrites ITS partitions
+          batch.drop("tick")
+            .withColumn("commit_id", lit(s"b$tick"))
+            .write.mode(SaveMode.Overwrite).insertInto(DataT)
+          (0 to tick).map(i => (s"b$i", tick + 1))
+            .toDF("commit_id", "version")
+            .write.mode(SaveMode.Overwrite).insertInto(ManifestT)
+        } finally s.conf.set(pom, oldPom)
       }
       val query = src.writeStream
         .option("checkpointLocation", s"$zone/_checkpoint")

@@ -48,10 +48,8 @@ class TableFormatSpec extends AnyFunSuite {
     assert(scans.head.partitionFilters.exists(
       _.toString.toLowerCase.contains("zfile")),
       scans.head.partitionFilters.mkString("\n"))
-    val (xLo, xHi, yLo, yHi) = TableFormat.ZBox
-    val overlap = spark.table(TableFormat.ZManifest)
-      .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
-        col("max_y") >= yLo && col("min_y") <= yHi).count()
+    val overlap = TableFormat.overlappingFiles(
+      spark.table(TableFormat.ZManifest), TableFormat.ZBox).count()
     val total = spark.table(TableFormat.ZManifest).count()
     assert(scans.head.metrics("numPartitions").value == overlap,
       s"read ${scans.head.metrics("numPartitions").value} of $total, " +
@@ -98,12 +96,10 @@ class TableFormatSpec extends AnyFunSuite {
       s"optimize did not help: $before vs $after")
     // physical check: a fresh probe of the optimized layout reads
     // exactly the manifest-selected partitions
-    val (xLo, xHi, yLo, yHi) = TableFormat.ZBox
     val probe = spark.table(TableFormat.OptData)
       .filter(col("zfile").isin(
-        spark.table(TableFormat.OptManifest)
-          .filter(col("max_x") >= xLo && col("min_x") <= xHi &&
-            col("max_y") >= yLo && col("min_y") <= yHi)
+        TableFormat.overlappingFiles(
+          spark.table(TableFormat.OptManifest), TableFormat.ZBox)
           .select(col("zfile")).collect().map(_.getInt(0)).toSeq: _*))
     probe.collect()
     val scans = scansOf(probe, TableFormat.OptData)
