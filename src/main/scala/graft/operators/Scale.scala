@@ -181,8 +181,14 @@ object Scale {
     part.select(
       col("p_partkey"), col("p_retailprice"),
       col("p_size").cast("int").as("x"),
-      least(floor((col("p_retailprice") - 900) / 2).cast("int"), lit(63))
-        .as("y"))
+      // clamped to [0, 63] on BOTH ends: without the lower clamp a
+      // price below 900 would go negative, where Spark's `div`
+      // (truncates toward zero) and DuckDB's `//` (floors) diverge in
+      // the Morton interleave — TPC-H prices start at 901, but the
+      // invariant belongs in the definition, not in the data
+      greatest(
+        least(floor((col("p_retailprice") - 900) / 2).cast("int"), lit(63)),
+        lit(0)).as("y"))
 
   def q131ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
     val base = layoutDims(Tables.part(spark, dir))

@@ -836,13 +836,6 @@ object Similarity {
     recomputeCentersAt(lloydAssign(e, seed))
   }
 
-  /** The trained model state over the full embedding corpus. */
-  private[graft] def finalCenters(spark: SparkSession,
-      dir: String): Seq[(Int, Seq[Double])] = {
-    val e = embDouble(spark, dir)
-    analysisCenters(e, adaptiveK(e))
-  }
-
   /** Two Lloyd rounds over the embedding corpus, adaptive k. Returns
     * the final per-vector assignment (vec_id, v, cid, dist). */
   private[graft] def kmeansAssigned(spark: SparkSession, dir: String): DataFrame = {

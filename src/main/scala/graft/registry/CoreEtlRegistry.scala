@@ -234,8 +234,8 @@ object CoreEtlRegistry {
     "q131_zorder_layout" -> """
       WITH base AS (
         SELECT p_partkey, CAST(p_size AS INTEGER) AS x,
-          LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS INTEGER), 63)
-            AS y
+          GREATEST(LEAST(CAST(FLOOR((p_retailprice - 900) / 2)
+            AS INTEGER), 63), 0) AS y
         FROM part),
       zv AS (
         SELECT p_partkey, x, y,
@@ -448,8 +448,8 @@ object CoreEtlRegistry {
           AS sum_retail
       FROM part
       WHERE CAST(p_size AS BIGINT) BETWEEN 15 AND 25
-        AND LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS BIGINT), 63)
-              BETWEEN 3 AND 8
+        AND GREATEST(LEAST(CAST(FLOOR((p_retailprice - 900) / 2)
+              AS BIGINT), 63), 0) BETWEEN 3 AND 8
       GROUP BY 1
       ORDER BY x""",
 

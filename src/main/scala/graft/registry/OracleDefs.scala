@@ -1801,8 +1801,8 @@ $iters
         SELECT GREATEST(64, (COUNT(*) + 63) // 64) AS r FROM part),
       base AS (
         SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
-          LEAST(CAST(FLOOR((p_retailprice - 900) / 2) AS BIGINT), 63)
-            AS y,
+          GREATEST(LEAST(CAST(FLOOR((p_retailprice - 900) / 2)
+            AS BIGINT), 63), 0) AS y,
           p_retailprice
         FROM part),
       zv AS (

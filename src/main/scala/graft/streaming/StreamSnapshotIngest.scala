@@ -34,7 +34,13 @@ import graft.operators.{Scale, TableFormat}
   *    actually implemented for an append-shaped sink).
   *
   * Readers never block on the writer: a version, once written, is an
-  * immutable file set (the q309 contract) — this is exactly how
+  * immutable file set (the q309 contract). That claim needs one more
+  * discipline MID-drain: version t+1's manifest lists commits
+  * b0..b<tick>, so it may only publish once those commits physically
+  * exist — the batch asserts exactly that (metadata-only SHOW
+  * PARTITIONS) before writing its manifest row, failing loudly on
+  * out-of-order delivery rather than publishing a version that
+  * resolves to an unwritten commit. This is exactly how
   * Delta/Iceberg streaming sinks turn micro-batches into table
   * versions. At 100 TB the manifest-per-version listing becomes a
   * manifest-LIST plus per-commit manifests; the arithmetic is the
@@ -112,6 +118,24 @@ object StreamSnapshotIngest {
         require(ticks.length == 1,
           s"one staged tick per micro-batch, got ${ticks.toSeq}")
         val tick = ticks.head
+        // MONOTONE-DELIVERY assertion: version tick+1's manifest lists
+        // commits b0..b<tick>, which is only sound if those commits
+        // exist the moment the manifest row lands — otherwise a
+        // mid-drain reader could resolve a version to a commit whose
+        // partition isn't written yet. The check is metadata-only
+        // (SHOW PARTITIONS) and replay-safe: a replayed batch finds
+        // its OWN commit already present and every predecessor too,
+        // so it passes and idempotently overwrites. Out-of-order
+        // delivery (which AvailableNow over mtime-ordered single-file
+        // triggers never produces, but nothing here may silently bet
+        // on that) fails loudly instead of publishing a dangling
+        // manifest.
+        val written = s.sql(s"SHOW PARTITIONS $DataT").collect()
+          .map(_.getString(0).stripPrefix("commit_id=")).toSet
+        require((0 until tick).forall(i => written.contains(s"b$i")),
+          s"tick $tick arrived before ${(0 until tick).map("b" + _)
+            .filterNot(written.contains).mkString(",")} committed — " +
+            "manifest would reference unwritten commits")
         val pom = "spark.sql.sources.partitionOverwriteMode"
         val oldPom = s.conf.get(pom, "static")
         s.conf.set(pom, "dynamic")
