@@ -593,6 +593,184 @@ object TableFormat {
       .orderBy(col("commit_id"))
   }
 
+  // ------------------------------------- merge-on-read deletion vectors
+
+  private[graft] val MorData = "graft_snap_data_mor"
+  private[graft] val MorManifest = "graft_snap_manifest_mor"
+  private[graft] val MorSegstats = "graft_snap_segstats_mor"
+  private[graft] val MorDeletes = "graft_snap_deletes_mor"
+  private[graft] val MorDManifest = "graft_snap_dmanifest_mor"
+
+  /** Fold a segment's deletes into a copy-on-write rewrite once its
+    * delete density crosses this fraction — below it, a read-time
+    * anti-join is cheaper than rewriting the segment. The classic
+    * Iceberg/Delta maintenance trigger, spec-asserted to fire for
+    * exactly the segments past it. */
+  private[graft] val MorFoldThreshold = 0.05
+
+  /** Route a key-delete batch to its target segments through SEGMENT
+    * STATS: every CDC delete row carries the record's date, live
+    * segments' [min,max] date spans are disjoint, so the broadcast
+    * inner join assigns each key its one target commit — and drops
+    * takedowns referencing rows no live segment holds (already
+    * expired), which is exactly what applying them would do anyway.
+    * No base data is read to plan a delete. */
+  private def routeDeletes(spark: SparkSession, segstats: String,
+      live: Seq[String], batch: DataFrame, dbatch: String): DataFrame =
+    batch.join(
+      broadcast(spark.table(segstats)
+        .filter(col("commit_id").isin(live: _*))
+        .select(col("commit_id").as("target_commit"),
+          col("min_ts"), col("max_ts"))),
+      col("o_orderdate") >= col("min_ts") &&
+        col("o_orderdate") <= col("max_ts"))
+      .select(col("o_orderkey").as("del_key"), col("target_commit"),
+        lit(dbatch).as("dbatch"))
+
+  /** The two branches of a merge-on-read version read, plus the
+    * delete rows in scope. A version resolves to (commit set, delete
+    * batch set) from the two manifests; delete rows apply only where
+    * their target commit is LIVE in that version (a folded segment's
+    * artifacts go inert without being rewritten — file-scoped
+    * deletes, the Iceberg contract). Segments no scoped delete
+    * targets are read DIRECTLY — no join at all — and only touched
+    * segments pay the broadcast anti-join; at 100 TB the delete
+    * relation is the recent churn (bounded, metadata-adjacent), never
+    * the corpus. TableFormatSpec asserts both branches' partition
+    * pruning separately, which is why they are exposed unpacked. */
+  private[graft] def morBranches(spark: SparkSession,
+      version: Int): (DataFrame, DataFrame, DataFrame) = {
+    val commits = spark.table(MorManifest)
+      .filter(col("version") === version)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq
+    val dbs = spark.table(MorDManifest)
+      .filter(col("version") === version)
+      .select(col("dbatch")).collect().map(_.getString(0)).toSeq
+    val scoped = spark.table(MorDeletes)
+      .filter(col("dbatch").isin(dbs: _*))
+      .filter(col("target_commit").isin(commits: _*))
+    val touched = scoped.select(col("target_commit")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val direct = spark.table(MorData)
+      .filter(col("commit_id").isin(commits.filterNot(touched.contains): _*))
+    val anti = spark.table(MorData)
+      .filter(col("commit_id").isin(touched: _*))
+      .join(broadcast(scoped),
+        col("o_orderkey") === col("del_key") &&
+          col("commit_id") === col("target_commit"), "left_anti")
+    (direct, anti, scoped)
+  }
+
+  /** MERGE-ON-READ deletion vectors — the other half of q315's MERGE.
+    * q315 is copy-on-write only: one corrected row rewrites its whole
+    * segment, the wrong trade for the write shape LLM curation
+    * actually produces (frequent SMALL takedown/correction batches).
+    * Here a delete batch lands as a key-delete ARTIFACT plus a new
+    * version — zero base-data IO — and reads apply it as a broadcast
+    * anti-join over only the touched segments; a density trigger
+    * later folds a heavily-deleted segment into a CoW rewrite
+    * (reusing q315's per-segment rewrite shape) while light segments
+    * keep their artifacts.
+    *
+    * Lifecycle, all planned from metadata + artifacts:
+    *  - v3: the base snapshot table ([[buildSnapshots]]).
+    *  - v4: takedown batch d1 (keys %1000==41, dates anywhere) routes
+    *    through segment stats — a few keys per live segment, far
+    *    under threshold; takedowns for already-expired rows drop at
+    *    routing, like the no-op deletes they are.
+    *  - v5: correction batch d2 (keys %10==3 inside c1's span) — ~10%
+    *    of c1, all routed to that one segment.
+    *  - fold: per-segment density = |scoped deletes| / ledger row
+    *    count (artifact ÷ metadata, no data read to DECIDE); only c1
+    *    crosses [[MorFoldThreshold]], rewrites to `c1_f` with its
+    *    deletes applied, and v6 swaps it in. d1's rows targeting the
+    *    other segments stay live artifacts; d2's go inert because
+    *    their target commit left the manifest.
+    *
+    * Every prior version stays readable and byte-stable (immutable
+    * commits + append-only artifacts); v5 read through artifacts and
+    * v6 read through the fold must agree row-for-row, which
+    * TableFormatSpec asserts directly — and the report's per-version
+    * `n_rows`/`sum_price` are COUNTED from the real reads, so an
+    * unapplied delete, a double-applied delete, or a fold that drops
+    * a bystander hash-fails against the oracle's predicate
+    * arithmetic. `n_live_deletes` counts the scoped artifact rows —
+    * the "how much MoR debt is this version carrying" number a
+    * maintenance scheduler reads. */
+  def q317MergeOnReadDeletes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest, segstats) = buildSnapshots(spark, dir, "_mor")
+    Seq(MorDeletes, MorDManifest).foreach(Scale.dropManaged(spark, _))
+    val latest = spark.table(manifest).agg(max(col("version")))
+      .collect().head.getInt(0)
+    val live = spark.table(manifest).filter(col("version") === latest)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq.sorted
+
+    // v4: takedown batch d1 — artifact + manifest rows, no data IO
+    val orders = Tables.orders(spark, dir)
+    routeDeletes(spark, segstats, live,
+      orders.filter(col("o_orderkey") % 1000 === 41)
+        .select(col("o_orderkey"), col("o_orderdate")), "d1")
+      .write.partitionBy("dbatch")
+      .mode(SaveMode.Overwrite).saveAsTable(MorDeletes)
+    live.map((latest + 1, _)).toDF("version", "commit_id")
+      .write.insertInto(manifest)
+    Seq((latest + 1, "d1")).toDF("version", "dbatch")
+      .write.mode(SaveMode.Overwrite).saveAsTable(MorDManifest)
+
+    // v5: correction batch d2, same discipline
+    routeDeletes(spark, segstats, live,
+      orders.filter(col("o_orderkey") % 10 === 3 &&
+          col("o_orderdate") >= lit(C0End).cast("timestamp") &&
+          col("o_orderdate") < lit(C1End).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate")), "d2")
+      .write.insertInto(MorDeletes)
+    live.map((latest + 2, _)).toDF("version", "commit_id")
+      .write.insertInto(manifest)
+    Seq((latest + 2, "d1"), (latest + 2, "d2")).toDF("version", "dbatch")
+      .write.insertInto(MorDManifest)
+
+    // density-triggered fold: artifact count ÷ ledger count per
+    // segment — only segments past the threshold rewrite (CoW,
+    // pruned to that one partition); the rest keep their artifacts
+    val (_, _, scoped5) = morBranches(spark, latest + 2)
+    val folded = scoped5.groupBy(col("target_commit"))
+      .agg(count(lit(1)).as("n_del"))
+      .join(spark.table(segstats)
+        .select(col("commit_id").as("target_commit"), col("n_rows")),
+        "target_commit")
+      .filter(col("n_del") >= col("n_rows") * MorFoldThreshold)
+      .select(col("target_commit")).collect().map(_.getString(0))
+      .toSeq.sorted
+    folded.foreach { c =>
+      spark.table(data).filter(col("commit_id") === c)
+        .join(broadcast(scoped5.filter(col("target_commit") === c)),
+          col("o_orderkey") === col("del_key"), "left_anti")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), lit(s"${c}_f").as("commit_id"))
+        .write.insertInto(data)
+    }
+    val v6 = (live.filterNot(folded.contains) ++ folded.map(_ + "_f"))
+      .sorted
+    v6.map((latest + 3, _)).toDF("version", "commit_id")
+      .write.insertInto(manifest)
+    Seq((latest + 3, "d1"), (latest + 3, "d2")).toDF("version", "dbatch")
+      .write.insertInto(MorDManifest)
+
+    def versionRow(v: Int, status: String): DataFrame = {
+      val (direct, anti, scoped) = morBranches(spark, v)
+      direct.unionByName(anti)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .crossJoin(scoped.agg(count(lit(1)).as("n_live_deletes")))
+        .select(lit(v).as("version"), lit(status).as("status"),
+          col("n_rows"), col("sum_price"), col("n_live_deletes"))
+    }
+    Seq(versionRow(latest, "base"), versionRow(latest + 1, "mor"),
+      versionRow(latest + 2, "mor"), versionRow(latest + 3, "folded"))
+      .reduce(_ unionByName _).orderBy(col("version"))
+  }
+
   /** Incremental changelog v1 → v3, manifest-planned: segments in
     * BOTH manifests carry identical rows by immutability and are
     * never read (TableFormatSpec asserts c1's partition stays

@@ -49,6 +49,7 @@ object CoreEtlRegistry {
     "q313_recluster"       -> (TableFormat.q313Recluster _),
     "q315_snapshot_merge"  -> (TableFormat.q315SnapshotMerge _),
     "q316_partition_evolution" -> (TableFormat.q316PartitionEvolution _),
+    "q317_mor_deletes"     -> (TableFormat.q317MergeOnReadDeletes _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -578,6 +579,50 @@ object CoreEtlRegistry {
         FROM probe) t
       GROUP BY commit_id
       ORDER BY commit_id""",
+
+    // every version from predicate arithmetic over base + delete
+    // sets: v3 = the live table (>= 1996), v4 = minus takedown keys
+    // (%1000=41), v5 = minus the c1-span correction keys (%10=3 in
+    // [1997,1999)), v6 = identical content to v5 (the fold moves
+    // bytes, never rows). n_live_deletes counts scoped artifact rows:
+    // d1's routed keys at v4, +d2's at v5, and at v6 only d1 rows
+    // whose target segment survived the fold (c1's went inert).
+    // n_rows/sum_price are counted from the REAL MoR/folded reads on
+    // the Spark side, so a mis-applied delete hash-fails here.
+    "q317_mor_deletes" -> """
+      WITH live AS (SELECT * FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+      d1 AS (SELECT * FROM live WHERE o_orderkey % 1000 = 41),
+      d2 AS (SELECT * FROM live WHERE o_orderkey % 10 = 3
+             AND o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1999-01-01'),
+      v4 AS (SELECT * FROM live WHERE NOT o_orderkey % 1000 = 41),
+      v5 AS (SELECT * FROM v4 WHERE NOT (o_orderkey % 10 = 3
+             AND o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1999-01-01'))
+      SELECT 3 AS version, 'base' AS status, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(0 AS BIGINT) AS n_live_deletes
+      FROM live
+      UNION ALL
+      SELECT 4, 'mor', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        (SELECT COUNT(*) FROM d1)
+      FROM v4
+      UNION ALL
+      SELECT 5, 'mor', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        (SELECT COUNT(*) FROM d1) + (SELECT COUNT(*) FROM d2)
+      FROM v5
+      UNION ALL
+      SELECT 6, 'folded', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        (SELECT COUNT(*) FROM d1
+         WHERE o_orderdate < TIMESTAMP '1997-01-01'
+            OR o_orderdate >= TIMESTAMP '1999-01-01')
+      FROM v5
+      ORDER BY version""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

@@ -186,6 +186,73 @@ class TableFormatSpec extends AnyFunSuite {
     assert(report("c1_mg").getLong(1) == c1n.count() - dels)
   }
 
+  test("q317 merge-on-read: the fold fires for exactly the segments " +
+      "past the density threshold, both read branches prune to their " +
+      "partitions, and the MoR read equals the folded read " +
+      "row-for-row") {
+    // sf0.01: the takedown batch d1 reaches segment c2, so v6 still
+    // carries live artifacts and the anti-join branch is non-empty
+    TableFormat.q317MergeOnReadDeletes(spark, sf01).collect()
+
+    // threshold honesty: folded == exactly the segments whose
+    // artifact density crossed MorFoldThreshold (c1 via d2); segments
+    // with light deletes (c2 via d1) kept their artifacts
+    val density = spark.table(TableFormat.MorDeletes)
+      .groupBy(col("target_commit")).agg(count(lit(1)).as("nd"))
+      .join(spark.table(TableFormat.MorSegstats)
+        .select(col("commit_id").as("target_commit"), col("n_rows")),
+        "target_commit")
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getLong(1).toDouble / r.getLong(2).toDouble).toMap
+    val shouldFold = density.collect {
+      case (c, d) if d >= TableFormat.MorFoldThreshold => c
+    }.toSet
+    assert(shouldFold == Set("c1"), density.toString)
+    val parts = spark.sql(s"SHOW PARTITIONS ${TableFormat.MorData}")
+      .collect().map(_.getString(0).stripPrefix("commit_id=")).toSet
+    assert(parts.filter(_.endsWith("_f")) == shouldFold.map(_ + "_f"),
+      parts.toString)
+
+    // v6 branch pruning: the direct branch lists exactly the
+    // untargeted partitions, the anti branch exactly the targeted
+    // ones — deletes never tax segments they don't touch
+    val commits6 = spark.table(TableFormat.MorManifest)
+      .filter(col("version") === 6)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    val (direct6, anti6, scoped6) = TableFormat.morBranches(spark, 6)
+    val touched6 = scoped6.select(col("target_commit")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(touched6.nonEmpty && touched6.subsetOf(commits6))
+    direct6.collect(); anti6.collect()
+    assert(scansOf(direct6, TableFormat.MorData).head
+      .metrics("numPartitions").value == (commits6 -- touched6).size)
+    assert(scansOf(anti6, TableFormat.MorData).head
+      .metrics("numPartitions").value == touched6.size)
+
+    // the fold moved bytes, not rows: v5 (read through artifacts) and
+    // v6 (read through the rewrite) agree row-for-row
+    val keep = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderdate").map(col)
+    val (d5, a5, _) = TableFormat.morBranches(spark, 5)
+    val v5 = d5.unionByName(a5).select(keep: _*)
+    val v6df = direct6.unionByName(anti6).select(keep: _*)
+    assert(v5.exceptAll(v6df).isEmpty && v6df.exceptAll(v5).isEmpty,
+      "MoR and folded reads disagree")
+
+    // a deleted key is gone from v4 but still present at v3 — delete
+    // artifacts never edit history
+    val k = spark.table(TableFormat.MorDeletes)
+      .filter(col("dbatch") === "d1")
+      .agg(min(col("del_key"))).collect().head.getLong(0)
+    val (d3, a3, _) = TableFormat.morBranches(spark, 3)
+    val (d4, a4, _) = TableFormat.morBranches(spark, 4)
+    assert(d3.unionByName(a3)
+      .filter(col("o_orderkey") === k).count() == 1)
+    assert(d4.unionByName(a4)
+      .filter(col("o_orderkey") === k).count() == 0)
+  }
+
   test("q316 stats routing prunes across both partition-grain " +
       "generations") {
     val df = TableFormat.q316PartitionEvolution(spark, sf)
