@@ -593,6 +593,127 @@ object TableFormat {
       .orderBy(col("commit_id"))
   }
 
+  // ------------------------------------------ small-commit compaction
+
+  private[graft] val CpData = "graft_snap_data_cp"
+  private[graft] val CpManifest = "graft_snap_manifest_cp"
+  private[graft] val CpSegstats = "graft_snap_segstats_cp"
+
+  /** Adjacent small commits per consolidated segment. At production
+    * file sizes the knob is a byte target (128 MB–1 GB); grouping a
+    * FIXED COUNT of time-adjacent commits is the same bin-pack with
+    * the fixture's uniform commit sizes. */
+  private[graft] val CpPackSize = 4
+
+  /** The q318 probe window — two years spanning several half-year
+    * commits, the report-query shape a consolidated table serves. */
+  private[graft] val CpProbe = ("1997-03-01", "1999-03-01")
+
+  /** Stats-routed date probe of one version: overlap against the
+    * segment ledger picks the file set (metadata arithmetic), the
+    * pruned read aggregates the slice — `n_rows`/`sum_price` are
+    * layout-independent physics, `files_scanned` is the layout's
+    * whole value. The q313 probe, date-keyed. */
+  private def dateProbe(spark: SparkSession, data: String,
+      segstats: String, live: Seq[String], phase: String): DataFrame = {
+    val (lo, hi) =
+      (lit(CpProbe._1).cast("timestamp"), lit(CpProbe._2).cast("timestamp"))
+    val hit = spark.table(segstats)
+      .filter(col("commit_id").isin(live: _*))
+      .filter(col("min_ts") < hi && col("max_ts") >= lo)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq
+    spark.table(data)
+      .filter(col("commit_id").isin(hit: _*))
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(lit(phase).as("phase"), lit(live.size.toLong).as("files_total"),
+        lit(hit.size.toLong).as("files_scanned"), col("n_rows"),
+        col("sum_price"))
+  }
+
+  /** SMALL-COMMIT COMPACTION for the snapshot tier — the maintenance
+    * move q314's streaming ingest makes necessary: one commit per
+    * micro-batch is thousands of tiny segments at production cadence
+    * (the band index already has this move in q241, the IVF cells in
+    * q301; this is the snapshot tier's). The table arrives as
+    * half-year ingest commits (14 at this fixture — the q314 shape,
+    * batch-built), one version per commit, and the compactor
+    * BIN-PACKS [[CpPackSize]] time-adjacent commits into each
+    * consolidated segment:
+    *
+    *  - the rewrite reads ONLY small segments (here: all of them; in
+    *    production only the small tail — the bin-packer plans from
+    *    the ledger's per-segment row counts, metadata arithmetic);
+    *  - consolidated segment STATS come from folding the small
+    *    segments' ledger rows — no data read to derive them;
+    *  - the new version references only packed segments via a
+    *    manifest APPEND; every historical version keeps referencing
+    *    the small commits, which stay on disk untouched (reclaiming
+    *    them once the old versions expire is q310's vacuum, a
+    *    separate move) — so compaction never breaks time travel,
+    *    which TableFormatSpec asserts by diffing the last small-built
+    *    version against the packed version row-for-row.
+    *
+    * The report prices the move: the same two-year probe through both
+    * layouts returns the identical slice (`n_rows`/`sum_price` in the
+    * hash) from ~4× fewer files — at 100 TB with object-store
+    * listing/open latency per file, that factor is the difference
+    * between a planner that spends its time reading and one that
+    * spends it listing. */
+  def q318CommitCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(CpData, CpManifest, CpSegstats).foreach(Scale.dropManaged(spark, _))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    // half-year ingest commits: s00, s01, … in arrival order
+    val bucket = (year(col("o_orderdate")) - 1995) * 2 +
+      when(month(col("o_orderdate")) > 6, 1).otherwise(0)
+    orders.withColumn("commit_id", format_string("s%02d", bucket))
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(CpData)
+    spark.table(CpData).groupBy(col("commit_id"))
+      .agg(min(col("o_orderdate")).as("min_ts"),
+        max(col("o_orderdate")).as("max_ts"),
+        count(lit(1)).as("n_rows"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(CpSegstats)
+    val smalls = spark.table(CpSegstats).select(col("commit_id"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    // one version per ingest commit — the q314 manifest shape
+    (1 to smalls.size).flatMap(v => smalls.take(v).map((v, _)))
+      .toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(CpManifest)
+
+    val before = dateProbe(spark, CpData, CpSegstats, smalls, "before")
+
+    // bin-pack: CpPackSize adjacent smalls per consolidated segment;
+    // ONE pass over the small segments rewrites them all (each file
+    // is read exactly once), routed by a broadcast pack map
+    val packOf = smalls.zipWithIndex
+      .map { case (s, i) => (s, s"p${i / CpPackSize}") }
+    val packs = packOf.map(_._2).distinct.sorted
+    spark.table(CpData)
+      .join(broadcast(packOf.toDF("commit_id", "pack")), "commit_id")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), col("pack").as("commit_id"))
+      .write.insertInto(CpData)
+    // consolidated stats fold from the LEDGER, not from data
+    spark.table(CpSegstats)
+      .join(broadcast(packOf.toDF("commit_id", "pack")), "commit_id")
+      .groupBy(col("pack"))
+      .agg(min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(col("pack").as("commit_id"), col("min_ts"), col("max_ts"),
+        col("n_rows"))
+      .write.insertInto(CpSegstats)
+    packs.map((smalls.size + 1, _)).toDF("version", "commit_id")
+      .write.insertInto(CpManifest)
+
+    val after = dateProbe(spark, CpData, CpSegstats, packs, "after")
+    before.unionByName(after).orderBy(col("phase"))
+  }
+
   // ------------------------------------- merge-on-read deletion vectors
 
   private[graft] val MorData = "graft_snap_data_mor"

@@ -50,6 +50,7 @@ object CoreEtlRegistry {
     "q315_snapshot_merge"  -> (TableFormat.q315SnapshotMerge _),
     "q316_partition_evolution" -> (TableFormat.q316PartitionEvolution _),
     "q317_mor_deletes"     -> (TableFormat.q317MergeOnReadDeletes _),
+    "q318_commit_compaction" -> (TableFormat.q318CommitCompaction _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -623,6 +624,47 @@ object CoreEtlRegistry {
             OR o_orderdate >= TIMESTAMP '1999-01-01')
       FROM v5
       ORDER BY version""",
+
+    // both layouts re-derived from the half-year cut: per-bucket
+    // min/max stats decide files_scanned under the before layout,
+    // folded pack stats (bucket // 4) under the after layout; the
+    // probe slice itself is layout-independent and counted from the
+    // real pruned reads on the Spark side
+    "q318_commit_compaction" -> """
+      WITH b AS (
+        SELECT o_totalprice, o_orderdate,
+          (CAST(YEAR(o_orderdate) AS INTEGER) - 1995) * 2 +
+          CASE WHEN MONTH(o_orderdate) > 6 THEN 1 ELSE 0 END AS bk
+        FROM orders),
+      stats AS (
+        SELECT bk, bk // 4 AS pk, MIN(o_orderdate) AS mn,
+          MAX(o_orderdate) AS mx
+        FROM b GROUP BY bk),
+      pstats AS (
+        SELECT pk, MIN(mn) AS mn, MAX(mx) AS mx FROM stats GROUP BY pk),
+      probe AS (
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM b
+        WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+          AND o_orderdate < TIMESTAMP '1999-03-01')
+      SELECT 'after' AS phase,
+        (SELECT COUNT(*) FROM pstats) AS files_total,
+        (SELECT COUNT(*) FROM pstats
+         WHERE mn < TIMESTAMP '1999-03-01'
+           AND mx >= TIMESTAMP '1997-03-01') AS files_scanned,
+        n_rows, sum_price
+      FROM probe
+      UNION ALL
+      SELECT 'before',
+        (SELECT COUNT(*) FROM stats),
+        (SELECT COUNT(*) FROM stats
+         WHERE mn < TIMESTAMP '1999-03-01'
+           AND mx >= TIMESTAMP '1997-03-01'),
+        n_rows, sum_price
+      FROM probe
+      ORDER BY phase""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

@@ -186,6 +186,41 @@ class TableFormatSpec extends AnyFunSuite {
     assert(report("c1_mg").getLong(1) == c1n.count() - dels)
   }
 
+  test("q318 compaction bin-packs to the target, keeps every " +
+      "historical version readable row-for-row, and the probe's file " +
+      "set shrinks") {
+    val report = TableFormat.q318CommitCompaction(spark, sf01).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (before, after) = (report("before"), report("after"))
+    // the slice is layout-independent; the file bill is not
+    assert(before.getLong(3) == after.getLong(3))
+    assert(before.getDouble(4) == after.getDouble(4))
+    assert(after.getLong(2) < before.getLong(2),
+      s"probe file set did not shrink: $before vs $after")
+    // post-compaction segment count == the bin-pack target
+    val nSmall = before.getLong(1)
+    val target = (nSmall + TableFormat.CpPackSize - 1) / TableFormat.CpPackSize
+    assert(after.getLong(1) == target, s"${after.getLong(1)} vs $target")
+    // the packed version and the last small-built version agree
+    // row-for-row: compaction moved bytes, never rows
+    val keep = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderdate").map(col)
+    val lastSmall = TableFormat.readVersion(spark, TableFormat.CpData,
+      TableFormat.CpManifest, nSmall.toInt).select(keep: _*)
+    val packed = TableFormat.readVersion(spark, TableFormat.CpData,
+      TableFormat.CpManifest, nSmall.toInt + 1).select(keep: _*)
+    assert(lastSmall.exceptAll(packed).isEmpty &&
+      packed.exceptAll(lastSmall).isEmpty,
+      "compaction changed version content")
+    // historical versions still resolve to their ORIGINAL small
+    // commits, partition-pruned — the small files were not touched
+    val v3 = TableFormat.readVersion(spark, TableFormat.CpData,
+      TableFormat.CpManifest, 3)
+    v3.collect()
+    val scans = scansOf(v3, TableFormat.CpData)
+    assert(scans.head.metrics("numPartitions").value == 3)
+  }
+
   test("q317 merge-on-read: the fold fires for exactly the segments " +
       "past the density threshold, both read branches prune to their " +
       "partitions, and the MoR read equals the folded read " +
