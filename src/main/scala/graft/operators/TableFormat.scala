@@ -892,6 +892,126 @@ object TableFormat {
       .reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  // ----------------------------------------------- schema evolution
+
+  private[graft] val SeManifest = "graft_snap_manifest_se"
+  private[graft] val SeFields = "graft_snap_fields_se"
+  private[graft] val SeSchema = "graft_snap_schema_se"
+  private[graft] def seZone: String = graft.Scratch.dir("q319_schema_evo")
+
+  /** Read one version of the schema-evolving table: commits from the
+    * manifest, the version's LOGICAL schema (field_id → name, type)
+    * from the schema ledger, each commit's PHYSICAL mapping
+    * (field_id → column name actually in its files) from the field
+    * ledger. Every commit's files are read with their own schema and
+    * projected onto the version's logical one BY FIELD ID — a field
+    * the commit predates resolves to NULL, a renamed field resolves
+    * through whatever physical name the commit's files carry. Names
+    * are display strings; field ids are identity — the Iceberg rule
+    * that makes rename metadata-only and add backward-compatible. */
+  private[graft] def readVersionSe(spark: SparkSession,
+      version: Int): DataFrame = {
+    val commits = spark.table(SeManifest)
+      .filter(col("version") === version)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq.sorted
+    val logical = spark.table(SeSchema)
+      .filter(col("version") === version)
+      .select(col("field_id"), col("logical_name"), col("field_type"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val phys = spark.table(SeFields)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1)
+      .map { case (c, rs) => c -> rs.map(t => t._2 -> t._3).toMap }
+    commits.map { c =>
+      val m = phys(c)
+      spark.read.parquet(s"$seZone/$c")
+        .select(logical.map { case (fid, lname, ltype) =>
+          m.get(fid).map(p => col(p).cast(ltype).as(lname))
+            .getOrElse(lit(null).cast(ltype).as(lname))
+        } :+ lit(c).as("commit_id"): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** SCHEMA EVOLUTION in the versioned table — the snapshot tier so
+    * far pins one schema for all history; a real table's schema
+    * evolves mid-history and old files are never rewritten for it.
+    * Three schema generations, tracked per commit in a field ledger:
+    *
+    *  - v1: commit c0 (the young table) — two fields
+    *    {1: o_orderkey, 2: o_totalprice}.
+    *  - v2: commit c1 arrives with field 3 ADDED as `o_custkey`;
+    *    c0's files predate it and resolve field 3 to NULL.
+    *  - v3: field 3 RENAMED to `cust_id` — a METADATA-ONLY commit:
+    *    same commit set as v2, zero files written, and c1's files
+    *    keep their `o_custkey` physical column, reached through the
+    *    field-id mapping (TableFormatSpec asserts the v2 and v3
+    *    reads carry identical values under the two names, and that
+    *    no data moved).
+    *  - v4: commit c2 writes field 3 under the NEW physical name —
+    *    a cross-generation read now resolves three different
+    *    physical layouts onto one logical schema.
+    *
+    * The report reads v4 and aggregates per commit, so the hash
+    * covers exactly the resolution rules: c0's NULL-fill
+    * (`n_cust_null` = its row count), c1's rename-mapped values
+    * (`sum_cust` over the OLD physical column), c2's native ones.
+    * At 100 TB this is the difference between `ALTER TABLE` as a
+    * catalog write and a full-table rewrite — the same
+    * stats-not-paths indifference q316 shows for partition grain,
+    * applied to columns. */
+  def q319SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(SeManifest, SeFields, SeSchema).foreach(Scale.dropManaged(spark, _))
+    graft.Scratch.deleteRecursively(java.nio.file.Paths.get(seZone))
+    val orders = Tables.orders(spark, dir)
+    def ts(s: String) = lit(s).cast("timestamp")
+    // three physical generations, written with their own schemas
+    orders.filter(col("o_orderdate") < ts(C0End))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.parquet(s"$seZone/c0")
+    orders.filter(col("o_orderdate") >= ts(C0End) &&
+        col("o_orderdate") < ts(C1End))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"))
+      .write.parquet(s"$seZone/c1")
+    orders.filter(col("o_orderdate") >= ts(C1End))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").as("cust_id"))
+      .write.parquet(s"$seZone/c2")
+    // ledgers: per-commit physical mapping, per-version logical schema
+    Seq(("c0", 1, "o_orderkey"), ("c0", 2, "o_totalprice"),
+      ("c1", 1, "o_orderkey"), ("c1", 2, "o_totalprice"),
+      ("c1", 3, "o_custkey"),
+      ("c2", 1, "o_orderkey"), ("c2", 2, "o_totalprice"),
+      ("c2", 3, "cust_id"))
+      .toDF("commit_id", "field_id", "phys_name")
+      .write.mode(SaveMode.Overwrite).saveAsTable(SeFields)
+    val base = Seq((1, "o_orderkey", "bigint"), (2, "o_totalprice", "double"))
+    val gens = Seq(
+      1 -> base,
+      2 -> (base :+ ((3, "o_custkey", "bigint"))),
+      3 -> (base :+ ((3, "cust_id", "bigint"))),
+      4 -> (base :+ ((3, "cust_id", "bigint"))))
+    gens.flatMap { case (v, fs) =>
+      fs.map { case (fid, n, t) => (v, fid, n, t) }
+    }.toDF("version", "field_id", "logical_name", "field_type")
+      .write.mode(SaveMode.Overwrite).saveAsTable(SeSchema)
+    Seq((1, "c0"), (2, "c0"), (2, "c1"), (3, "c0"), (3, "c1"),
+      (4, "c0"), (4, "c1"), (4, "c2"))
+      .toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(SeManifest)
+
+    readVersionSe(spark, 4)
+      .groupBy(col("commit_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("cust_id").isNull, 1L).otherwise(0L))
+          .as("n_cust_null"),
+        coalesce(sum(col("cust_id")), lit(0L)).as("sum_cust"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("commit_id"))
+  }
+
   /** Incremental changelog v1 → v3, manifest-planned: segments in
     * BOTH manifests carry identical rows by immutability and are
     * never read (TableFormatSpec asserts c1's partition stays

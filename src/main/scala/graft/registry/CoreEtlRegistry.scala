@@ -51,6 +51,7 @@ object CoreEtlRegistry {
     "q316_partition_evolution" -> (TableFormat.q316PartitionEvolution _),
     "q317_mor_deletes"     -> (TableFormat.q317MergeOnReadDeletes _),
     "q318_commit_compaction" -> (TableFormat.q318CommitCompaction _),
+    "q319_schema_evolution" -> (TableFormat.q319SchemaEvolution _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -665,6 +666,31 @@ object CoreEtlRegistry {
         n_rows, sum_price
       FROM probe
       ORDER BY phase""",
+
+    // the three resolution rules from first principles: c0 predates
+    // field 3 (cust NULL-filled), c1 reaches it through the rename
+    // mapping (values from the OLD physical column), c2 writes it
+    // natively — a wrong field-id mapping moves sum_cust or
+    // n_cust_null and hash-fails
+    "q319_schema_evolution" -> """
+      SELECT 'c0' AS commit_id, COUNT(*) AS n_rows,
+        COUNT(*) AS n_cust_null, CAST(0 AS BIGINT) AS sum_cust,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT 'c1', COUNT(*), CAST(0 AS BIGINT),
+        CAST(SUM(o_custkey) AS BIGINT),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      UNION ALL
+      SELECT 'c2', COUNT(*), CAST(0 AS BIGINT),
+        CAST(SUM(o_custkey) AS BIGINT),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      ORDER BY commit_id""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

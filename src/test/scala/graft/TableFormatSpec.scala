@@ -221,6 +221,51 @@ class TableFormatSpec extends AnyFunSuite {
     assert(scans.head.metrics("numPartitions").value == 3)
   }
 
+  test("q319 schema evolution: rename is metadata-only (v2 and v3 " +
+      "carry identical values under the two names), old versions " +
+      "re-read byte-stable, and the cross-generation read resolves " +
+      "every physical layout") {
+    TableFormat.q319SchemaEvolution(spark, sf).collect()
+    // v2 exposes the field under its old name, v3 under the new one —
+    // same field id, same files, same values
+    val v2 = TableFormat.readVersionSe(spark, 2)
+    val v3 = TableFormat.readVersionSe(spark, 3)
+    assert(v2.columns.contains("o_custkey") &&
+      !v2.columns.contains("cust_id"))
+    assert(v3.columns.contains("cust_id") &&
+      !v3.columns.contains("o_custkey"))
+    val a = v2.select(col("o_orderkey"), col("o_custkey").as("c"))
+    val b = v3.select(col("o_orderkey"), col("cust_id").as("c"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "rename changed values")
+    // v1 re-reads byte-stable after the whole history
+    val orders = Tables.orders(spark, sf)
+    val expectV1 = orders
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey").cast("bigint"),
+        col("o_totalprice").cast("double"))
+    val v1 = TableFormat.readVersionSe(spark, 1)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    assert(v1.exceptAll(expectV1).isEmpty &&
+      expectV1.exceptAll(v1).isEmpty, "v1 drifted")
+    // cross-generation resolution: pre-evolution rows NULL-fill, the
+    // renamed generation maps its old physical column through
+    val v4 = TableFormat.readVersionSe(spark, 4)
+    assert(v4.filter(col("commit_id") === "c0" &&
+      col("cust_id").isNotNull).count() == 0)
+    assert(v4.filter(col("commit_id") === "c1" &&
+      col("cust_id").isNull).count() == 0)
+    val expectC1 = orders
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      .select(col("o_orderkey").cast("bigint"),
+        col("o_custkey").cast("bigint").as("cust_id"))
+    val gotC1 = v4.filter(col("commit_id") === "c1")
+      .select(col("o_orderkey"), col("cust_id"))
+    assert(gotC1.exceptAll(expectC1).isEmpty &&
+      expectC1.exceptAll(gotC1).isEmpty)
+  }
+
   test("q317 merge-on-read: the fold fires for exactly the segments " +
       "past the density threshold, both read branches prune to their " +
       "partitions, and the MoR read equals the folded read " +
