@@ -962,6 +962,98 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --------------------------- changelog-planned incremental dedup
+
+  private[graft] val CdData = "graft_snap_docs_cd"
+  private[graft] val CdManifest = "graft_snap_manifest_cd"
+  private[graft] val CdIndex = "graft_band_index_cd"
+  private[graft] val CdShingles = "graft_shingles_cd"
+
+  /** Today's incremental-dedup plan over the versioned corpus,
+    * reconstructed purely from standing artifacts — split out so
+    * TableFormatSpec can assert its scan contract: the corpus table
+    * is touched ONLY at the fresh partitions the manifest diff names
+    * (shared segments are never scanned — not for shingling, not for
+    * banding, not for the verify join, whose old side reads the
+    * persisted shingle table). */
+  /** The churn read of the versioned corpus — fresh segments named by
+    * the v1→v2 manifest diff (metadata arithmetic, the q312 move),
+    * partition-pruned. ONE definition consumed by the production plan
+    * and by TableFormatSpec's partitions-read assertion, so the spec
+    * certifies the same read the job runs. */
+  private[graft] def cdChurn(spark: SparkSession): DataFrame = {
+    val mf = spark.table(CdManifest)
+    def commits(v: Int): Set[String] = mf.filter(col("version") === v)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    val fresh = (commits(2) -- commits(1)).toSeq.sorted
+    spark.table(CdData)
+      .filter(col("commit_id").isin(fresh: _*))
+      .select(col("doc_id"), col("text"))
+  }
+
+  private[graft] def changelogDedupPlan(spark: SparkSession): DataFrame = {
+    val churnSh = shingled(cdChurn(spark))
+    probeBandIndex(
+      spark.table(CdShingles).unionByName(churnSh),
+      spark.table(CdIndex), churnSh, newMod = 7)
+  }
+
+  /** CHANGELOG-PLANNED incremental dedup — the table-format tier and
+    * the dedup tier COMPOSED into the actual nightly job of a 100 TB
+    * curation pipeline. q206/q211 demonstrate incremental pairing but
+    * learn "what is new" from a fixture predicate; q312 demonstrates
+    * manifest-diff changelog planning but feeds nothing. Here the
+    * corpus is a snapshot-versioned table (v1 = the standing corpus
+    * in three hash segments, v2 = v1 + today's ingest commit), and
+    * the dedup job plans its INPUT from the manifest diff:
+    *
+    *  - yesterday (v1 publish time): the band index and the shingle
+    *    table are built from a v1 manifest-pruned read and persisted
+    *    — the standing artifacts the dedup service owns (q211's
+    *    bucketed layout, so today's probe join is exchange-free on
+    *    the index side).
+    *  - today (v2): fresh segments = v2 ∖ v1 commits — METADATA
+    *    arithmetic; only those partitions of the corpus table are
+    *    read, shingled, and banded. Shared segments are never
+    *    scanned: the verify join's old side comes from the persisted
+    *    shingle table, not the corpus (TableFormatSpec asserts the
+    *    corpus scans list exactly the fresh partition).
+    *
+    * Output and oracle are exactly q206's (the full recompute on the
+    * same new/old split): composition must be invisible in the
+    * answer — the plan's cost moved from O(corpus) to O(churn), the
+    * pair set did not move at all. */
+  def q320ChangelogDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(CdData, CdManifest, CdIndex, CdShingles)
+      .foreach(Scale.dropManaged(spark, _))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    // versioned corpus: the standing segments hash-cut (d0..d2), the
+    // ingest batch its own commit (d3) — visibility is the manifest's
+    val seg = when(col("doc_id") % 10 === 7, lit("d3"))
+      .otherwise(concat(lit("d"), (col("doc_id") % 3).cast("string")))
+    docs.withColumn("commit_id", seg)
+      .write.partitionBy("commit_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(CdData)
+    Seq((1, "d0"), (1, "d1"), (1, "d2"),
+      (2, "d0"), (2, "d1"), (2, "d2"), (2, "d3"))
+      .toDF("version", "commit_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(CdManifest)
+    // yesterday's artifacts from the v1-pruned read
+    val v1docs = graft.operators.TableFormat.readVersion(spark,
+      CdData, CdManifest, 1).select(col("doc_id"), col("text"))
+    val oldSh = shingled(v1docs)
+    oldSh.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(CdShingles)
+    bandTable(spark.table(CdShingles))
+      .write.bucketBy(8, "band", "band_key").sortBy("band", "band_key")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(CdIndex)
+    changelogDedupPlan(spark)
+  }
+
   /** Band-index COMPACTION — the periodic half of the maintenance
     * cycle (q238 is the append half): after appends accumulate small
     * per-bucket files, the standing index is rewritten into its next

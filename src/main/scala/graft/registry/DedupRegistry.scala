@@ -39,6 +39,7 @@ object DedupRegistry {
     "q238_index_append"    -> (Dedup.q238IndexAppendMaintenance _),
     "q240_round_report"    -> (Dedup.q240RoundReport _),
     "q241_index_compaction" -> (Dedup.q241IndexCompaction _),
+    "q320_changelog_dedup" -> (Dedup.q320ChangelogDedup _),
     "q242_incremental_cc"  -> (Dedup.q242IncrementalCC _),
     "q253_winnowing"       -> (Dedup.q253Winnowing _),
     "q256_prefix_dup"      -> (Dedup.q256PrefixDup _),
@@ -357,6 +358,13 @@ object DedupRegistry {
     // index table instead of a recompute), which must be invisible in
     // the result; one oracle pins both
     "q211_persisted_index_dedup" -> incrementalDedupOracle,
+
+    // q320 computes the SAME pair set again, but its input planning
+    // is the manifest diff of the versioned corpus (fresh segments
+    // only) and its old side reads yesterday's persisted artifacts —
+    // composition with the table-format tier must be invisible in
+    // the result; the full-recompute oracle pins it
+    "q320_changelog_dedup" -> incrementalDedupOracle,
 
     // q238 probes the base-plus-appended index with the %10==8 batch;
     // the oracle is the FROM-SCRATCH rebuild semantics (banded

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GraphOps, TableFormat}
+import graft.operators.{Dedup, GraphOps, TableFormat}
 
 /** Contracts of the table-metadata layer (q307–q310, q312) and the
   * label-propagation tier (q311). The RESULTS are hash-checked by the
@@ -331,6 +331,30 @@ class TableFormatSpec extends AnyFunSuite {
       .filter(col("o_orderkey") === k).count() == 1)
     assert(d4.unionByName(a4)
       .filter(col("o_orderkey") === k).count() == 0)
+  }
+
+  test("q320 changelog-planned dedup scans the corpus only at the " +
+      "fresh partition and returns exactly the full recompute's " +
+      "pair set") {
+    val composed = Dedup.q320ChangelogDedup(spark, sf)
+    val got = composed.collect()
+    // shared segments never scanned: the churn read (the one
+    // production definition) lists exactly the manifest-diff
+    // partition, out of the table's four
+    val churn = Dedup.cdChurn(spark)
+    churn.collect()
+    val scans = scansOf(churn, Dedup.CdData)
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numPartitions").value == 1,
+      s"churn read touched ${scans.head.metrics("numPartitions").value}")
+    val parts = spark.sql(s"SHOW PARTITIONS ${Dedup.CdData}").count()
+    assert(parts == 4)
+    // composition is invisible in the answer: same pairs as the
+    // from-scratch incremental recompute (q206)
+    val full = Dedup.q206IncrementalDedup(spark, sf)
+    assert(composed.exceptAll(full).isEmpty &&
+      full.exceptAll(composed).isEmpty,
+      s"pair sets diverged (${got.length} composed rows)")
   }
 
   test("q316 stats routing prunes across both partition-grain " +
