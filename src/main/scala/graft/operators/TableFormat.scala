@@ -62,7 +62,10 @@ import graft.functions.Cols._
   * Fixed-name artifacts follow the repo's SINGLE-WRITER convention
   * (see [[VectorIndex]]): each query owns its table names (`_z` /
   * `_snap` / `_diff` suffixes) so catalog entries never clobber each
-  * other mid-sweep.
+  * other mid-sweep. The convention is a fixture simplification, not a
+  * design limit — [[q321CommitConflict]] demonstrates the optimistic
+  * commit protocol (stage data → CAS the version pointer → rebase or
+  * abort on conflict) that lets multiple writers share one table.
   */
 object TableFormat {
 
@@ -890,6 +893,121 @@ object TableFormat {
     Seq(versionRow(latest, "base"), versionRow(latest + 1, "mor"),
       versionRow(latest + 2, "mor"), versionRow(latest + 3, "folded"))
       .reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  // ------------------------------------- optimistic writer concurrency
+
+  private[graft] val CcData = "graft_snap_data_cc"
+  private[graft] val CcManifest = "graft_snap_manifest_cc"
+
+  /** WRITER-CONCURRENCY conflict protocol — the demonstration that
+    * relaxes the repo's single-writer convention (documented at the
+    * top of this file) into the optimistic contract every table
+    * format actually ships: writers stage their DATA first (immutable
+    * new segments — safe, invisible until referenced), then publish
+    * through a COMPARE-AND-SWAP on the version pointer. The local
+    * fixture serializes the committers deliberately (one JVM, no
+    * catalog lock service), so what this query certifies is the
+    * DECISION TABLE, with every consequence counted from the real
+    * table:
+    *
+    *  - writer A (append, base v3): CAS sees latest == base →
+    *    fast-path COMMIT (v4).
+    *  - writer B (append, base v3): CAS fails (latest moved to v4),
+    *    but an append removes nothing — its intent cannot conflict
+    *    with ANY interleaved history → REBASE onto v4 and publish v5.
+    *    This is why ingest writers almost never abort.
+    *  - writer C (rewrite of segment c1, base v3): CAS fails; its
+    *    removed set {c1} is still live at v5 (A/B only appended) →
+    *    rebase holds the rewrite's premise → publish v6 swapping
+    *    c1 → c1_cc.
+    *  - writer D (rewrite of the same c1, base v3): CAS fails; c1 is
+    *    NO LONGER live at v6 — its premise was invalidated by C →
+    *    ABORT: publish nothing, drop its staged orphan segment (the
+    *    q310 reclaim move on a segment no manifest ever referenced).
+    *
+    * The report counts each writer's segment from the post-race
+    * table — an abort that leaked data shows up as n_rows > 0 on the
+    * `d` row, a lost append as 0 on `a`/`b`, a rebase that dropped
+    * the rewrite's content moves the final sum — and the oracle pins
+    * all of it with predicate arithmetic. TableFormatSpec asserts the
+    * protocol half the hash can't see: versions 1–6 exist and no
+    * more, D's orphan partition is gone, v3 re-reads whole after the
+    * race, and v6 equals v5 row-for-row (C's compaction moved bytes,
+    * not rows). */
+  def q321CommitConflict(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_cc")
+    val base = spark.table(manifest).agg(max(col("version")))
+      .collect().head.getInt(0) // v3: every writer's snapshot
+    def commitsOf(v: Int): Set[String] = spark.table(manifest)
+      .filter(col("version") === v)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    def latestVersion: Int = spark.table(manifest)
+      .agg(max(col("version"))).collect().head.getInt(0)
+    def publish(v: Int, cs: Set[String]): Unit =
+      cs.toSeq.sorted.map((v, _)).toDF("version", "commit_id")
+        .write.insertInto(manifest)
+    /** The decision table: data is already staged; only the version
+      * pointer moves here. A real catalog runs this inside its atomic
+      * swap; the rules are what this fixture certifies. */
+    def attemptCommit(baseV: Int, removes: Set[String],
+        adds: Set[String]): String = {
+      val latest = latestVersion
+      if (latest == baseV) {
+        publish(latest + 1, commitsOf(latest) -- removes ++ adds)
+        "committed"
+      } else if (removes.forall(commitsOf(latest).contains)) {
+        publish(latest + 1, commitsOf(latest) -- removes ++ adds)
+        "rebased"
+      } else "aborted"
+    }
+
+    val orders = Tables.orders(spark, dir)
+    def stageAppend(mod: Int, shift: Long, date: String,
+        commit: String): Unit =
+      orders.filter(col("o_orderkey") % 100 === mod)
+        .select((col("o_orderkey") + shift).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit(date).cast("timestamp").as("o_orderdate"),
+          lit(commit).as("commit_id"))
+        .write.insertInto(data)
+    def stageRewrite(from: String, to: String): Unit =
+      spark.table(data).filter(col("commit_id") === from)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), lit(to).as("commit_id"))
+        .write.insertInto(data)
+
+    // all four writers stage from the SAME base snapshot, then race
+    stageAppend(17, 20000000L, "2002-02-15", "wa")
+    val oA = attemptCommit(base, Set.empty, Set("wa"))
+    stageAppend(23, 30000000L, "2002-08-15", "wb")
+    val oB = attemptCommit(base, Set.empty, Set("wb"))
+    stageRewrite("c1", "c1_cc")
+    val oC = attemptCommit(base, Set("c1"), Set("c1_cc"))
+    stageRewrite("c1", "c1_d")
+    val oD = attemptCommit(base, Set("c1"), Set("c1_d"))
+    if (oD == "aborted") spark.sql(
+      s"ALTER TABLE $data DROP IF EXISTS PARTITION (commit_id='c1_d')")
+
+    val finalV = latestVersion
+    def segRow(entity: String, intent: String, outcome: String,
+        commit: String): DataFrame =
+      spark.table(data).filter(col("commit_id") === commit)
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_price"))
+        .select(lit(entity).as("entity"), lit(intent).as("intent"),
+          lit(outcome).as("outcome"), col("n_rows"), col("sum_price"))
+    val writers = segRow("a", "append", oA, "wa")
+      .unionByName(segRow("b", "append", oB, "wb"))
+      .unionByName(segRow("c", "rewrite", oC, "c1_cc"))
+      .unionByName(segRow("d", "rewrite", oD, "c1_d"))
+    val fin = readVersion(spark, data, manifest, finalV)
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(lit("final").as("entity"), lit("read").as("intent"),
+        lit(s"v$finalV").as("outcome"), col("n_rows"), col("sum_price"))
+    writers.unionByName(fin).orderBy(col("entity"))
   }
 
   // ----------------------------------------------- schema evolution

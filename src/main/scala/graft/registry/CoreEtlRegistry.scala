@@ -52,6 +52,7 @@ object CoreEtlRegistry {
     "q317_mor_deletes"     -> (TableFormat.q317MergeOnReadDeletes _),
     "q318_commit_compaction" -> (TableFormat.q318CommitCompaction _),
     "q319_schema_evolution" -> (TableFormat.q319SchemaEvolution _),
+    "q321_commit_conflict" -> (TableFormat.q321CommitConflict _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -691,6 +692,44 @@ object CoreEtlRegistry {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
       ORDER BY commit_id""",
+
+    // the race's outcome from first principles: appends always land
+    // (a/b), the first rewrite of c1 lands by rebase (c), the second
+    // aborts with zero residue (d — a leak makes its n_rows nonzero
+    // and hash-fails), and the final version carries base + both
+    // appends with c1 swapped for its content-identical rewrite
+    "q321_commit_conflict" -> """
+      WITH live AS (SELECT * FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+      wa AS (SELECT * FROM orders WHERE o_orderkey % 100 = 17),
+      wb AS (SELECT * FROM orders WHERE o_orderkey % 100 = 23)
+      SELECT 'a' AS entity, 'append' AS intent, 'committed' AS outcome,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM wa
+      UNION ALL
+      SELECT 'b', 'append', 'rebased', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM wb
+      UNION ALL
+      SELECT 'c', 'rewrite', 'rebased', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      UNION ALL
+      SELECT 'd', 'rewrite', 'aborted', CAST(0 AS BIGINT),
+        CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT 'final', 'read', 'v6',
+        (SELECT COUNT(*) FROM live) + (SELECT COUNT(*) FROM wa)
+          + (SELECT COUNT(*) FROM wb),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live)
+          + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM wa)
+          + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM wb)
+          AS DOUBLE)
+      ORDER BY entity""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

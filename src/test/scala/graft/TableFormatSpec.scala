@@ -333,6 +333,44 @@ class TableFormatSpec extends AnyFunSuite {
       .filter(col("o_orderkey") === k).count() == 0)
   }
 
+  test("q321 optimistic concurrency: the loser aborts with zero " +
+      "residue, history survives the race, and the rebased rewrite " +
+      "moved bytes not rows") {
+    TableFormat.q321CommitConflict(spark, sf).collect()
+    val manifest = TableFormat.CcManifest
+    val data = TableFormat.CcData
+    // exactly versions 1..6 exist: D published nothing
+    val versions = spark.table(manifest).select(col("version"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(versions == (1 to 6).toSet, versions.toString)
+    // D's premise was truly invalid at its CAS point: its removed
+    // segment is not live in the final version
+    val live6 = spark.table(manifest).filter(col("version") === 6)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    assert(!live6.contains("c1") && live6.contains("c1_cc"))
+    // the orphan is gone from disk, not just unreferenced
+    val parts = spark.sql(s"SHOW PARTITIONS $data")
+      .collect().map(_.getString(0)).toSet
+    assert(!parts.contains("commit_id=c1_d"), parts.toString)
+    // the race never edits history: the shared base version re-reads
+    // whole afterwards
+    val expectV3 = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .count()
+    assert(TableFormat.readVersion(spark, data, manifest, 3)
+      .count() == expectV3, "base version drifted across the race")
+    // C's rewrite is a compaction: v6 == v5 with c1 swapped for
+    // c1_cc, row for row
+    val keep = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderdate").map(col)
+    val v5 = TableFormat.readVersion(spark, data, manifest, 5)
+      .select(keep: _*)
+    val v6 = TableFormat.readVersion(spark, data, manifest, 6)
+      .select(keep: _*)
+    assert(v5.exceptAll(v6).isEmpty && v6.exceptAll(v5).isEmpty,
+      "the rebase changed table content")
+  }
+
   test("q320 changelog-planned dedup scans the corpus only at the " +
       "fresh partition and returns exactly the full recompute's " +
       "pair set") {
