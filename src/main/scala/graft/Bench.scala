@@ -115,6 +115,33 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case scala.util.control.NonFatal(_) => () }
 
+    /** Machine-epoch CALIBRATION probe (r10): a fixed synthetic
+      * workload — 50M-row range → hash+mod projection → 997-key
+      * shuffle agg, always 32 input partitions — timed median-of-3
+      * under the same clean-room discipline as the catalog queries.
+      * It touches no input data, so identical code + identical config
+      * must measure identical work: any drift in `calibration_sec`
+      * across sessions is the MACHINE, not the catalog. r9's
+      * identical-code sweeps drifted 453→485s total (PERF_r09 epoch
+      * note), which made round-over-round totals uninterpretable
+      * without prose; this number, committed with every record, is
+      * the normalizer (see BASELINE.md "Calibration"). Comparable
+      * only between records with the same local_threads. */
+    def calibrateOnce(): Double = {
+      cleanRoom()
+      val t0 = System.nanoTime()
+      spark.range(0L, 50000000L, 1, 32)
+        .selectExpr("id % 997 AS k", "xxhash64(id) % 1000003 AS h")
+        .groupBy("k").agg(Map("h" -> "sum"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // one untimed run first: the probe's own codegen/warmup would
+    // otherwise contaminate sample 1 (measured ~4.8s vs ~0.5s steady)
+    calibrateOnce()
+    val calibSamples = (1 to 3).map(_ => calibrateOnce())
+    val calibration = calibSamples.sorted.apply(1)
+
     // NonFatal only: an OOM/LinkageError must crash the run (rc != 0),
     // not masquerade as a slow query. A failed query reports -1 and
     // lands in "failed" so it can't pass as a fast success.
@@ -183,7 +210,7 @@ object Bench {
         .toIntOption.exists(_ <= 20) => v
     }.sum
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","n_queries":${results.size},"core20_sec":${f3(core20)},"value":${f3(total)}}"""
+      s"""{"queries":$qs,"sf":"$sfDir","failed":$failed,"metric":"total","unit":"sec","n_queries":${results.size},"calibration_sec":${f3(calibration)},"core20_sec":${f3(core20)},"value":${f3(total)}}"""
     println(line)
     // the committed full record: the one-line summary (medians), every
     // raw sample, and the environment the samples were taken in — so a
@@ -200,7 +227,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(BenchOut),
       line + "\n" +
-        s"""{"base_passes":$BasePasses,"stat":"median","order":"per-pass seeded permutation","topup_spread_threshold":$SpreadThreshold,"env":$env,"raw":$raw}""" + "\n")
+        s"""{"base_passes":$BasePasses,"stat":"median","order":"per-pass seeded permutation","topup_spread_threshold":$SpreadThreshold,"calibration_samples":${calibSamples.map(f3).mkString("[", ",", "]")},"env":$env,"raw":$raw}""" + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
