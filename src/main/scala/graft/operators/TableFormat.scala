@@ -895,6 +895,94 @@ object TableFormat {
       .reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  // ------------------------------------------- two-level metadata
+
+  private[graft] val MlData = "graft_snap_data_ml"
+  private[graft] val MlList = "graft_manifest_list_ml"
+  private[graft] val MlManifests = "graft_manifests_ml"
+
+  /** The q322 probe window: five months crossing one commit boundary,
+    * so both metadata levels have something to prune. */
+  private[graft] val MlProbe = ("1997-03-01", "1997-08-01")
+
+  /** TWO-LEVEL METADATA — the manifest-LIST layer the q314 scaladoc
+    * names as the 100 TB shape, implemented: at a million data files,
+    * even the MANIFEST no longer fits one read, so every real format
+    * splits it into per-commit manifest files (file-level stats)
+    * indexed by a manifest list (one envelope row per manifest). A
+    * probe then plans in two pruning hops:
+    *
+    *  1. manifest list (one row per COMMIT — metadata of metadata):
+    *     envelope overlap names the commits worth opening;
+    *  2. only those commits' manifest FILES are read (the manifest
+    *     table is partitioned by commit, so this hop is itself a
+    *     partition-pruned scan — TableFormatSpec asserts its
+    *     partitions-read equals the list-level hit count): file-level
+    *     stats name the data files;
+    *  3. the data read lists exactly those files.
+    *
+    * Planning IO is list size + |overlapping commits| manifest files
+    * — proportional to the probe's CHURN, not the table's file count;
+    * a flat manifest pays a full metadata scan per probe, which at a
+    * 200k-file table is the planner's whole budget (PERF_r10 measures
+    * exactly this at 1×/5×/25× metadata scale). Layout: half-year
+    * ingest commits, bimonthly files within each (the q318 cut one
+    * level deeper); all four counters are re-derived by the oracle
+    * from the cut arithmetic, and the probe slice is counted from the
+    * real doubly-pruned read. */
+  def q322ManifestList(spark: SparkSession, dir: String): DataFrame = {
+    Seq(MlData, MlList, MlManifests).foreach(Scale.dropManaged(spark, _))
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val ck = (year(col("o_orderdate")) - 1995) * 2 +
+      when(month(col("o_orderdate")) > 6, 1).otherwise(0)
+    val fk = ((month(col("o_orderdate")) - 1) / 2).cast("int") % 3
+    orders
+      .withColumn("commit_id", format_string("s%02d", ck))
+      .withColumn("seg_file", format_string("s%02d_f%d", ck, fk))
+      .write.partitionBy("seg_file")
+      .mode(SaveMode.Overwrite).saveAsTable(MlData)
+    // per-commit manifests: file-level stats, PARTITIONED BY COMMIT —
+    // each partition is one manifest file; reading it is hop 2
+    spark.table(MlData)
+      .groupBy(col("commit_id"), col("seg_file"))
+      .agg(min(col("o_orderdate")).as("min_ts"),
+        max(col("o_orderdate")).as("max_ts"),
+        count(lit(1)).as("n_rows"))
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(MlManifests)
+    // manifest list: one envelope row per manifest — hop 1's input,
+    // folded from the manifests (metadata of metadata)
+    spark.table(MlManifests)
+      .groupBy(col("commit_id"))
+      .agg(min(col("min_ts")).as("min_ts"), max(col("max_ts")).as("max_ts"),
+        count(lit(1)).as("n_files"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(MlList)
+
+    val (lo, hi) =
+      (lit(MlProbe._1).cast("timestamp"), lit(MlProbe._2).cast("timestamp"))
+    val mfTotal = spark.table(MlList).count()
+    val hitCommits = spark.table(MlList)
+      .filter(col("min_ts") < hi && col("max_ts") >= lo)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq.sorted
+    val filesTotal = spark.table(MlManifests).count()
+    val hitFiles = spark.table(MlManifests)
+      .filter(col("commit_id").isin(hitCommits: _*))
+      .filter(col("min_ts") < hi && col("max_ts") >= lo)
+      .select(col("seg_file")).collect().map(_.getString(0)).toSeq.sorted
+    spark.table(MlData)
+      .filter(col("seg_file").isin(hitFiles: _*))
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(lit(mfTotal).as("manifests_total"),
+        lit(hitCommits.size.toLong).as("manifests_read"),
+        lit(filesTotal).as("files_total"),
+        lit(hitFiles.size.toLong).as("files_selected"),
+        col("n_rows"), col("sum_price"))
+  }
+
   // ------------------------------------- optimistic writer concurrency
 
   private[graft] val CcData = "graft_snap_data_cc"

@@ -53,6 +53,7 @@ object CoreEtlRegistry {
     "q318_commit_compaction" -> (TableFormat.q318CommitCompaction _),
     "q319_schema_evolution" -> (TableFormat.q319SchemaEvolution _),
     "q321_commit_conflict" -> (TableFormat.q321CommitConflict _),
+    "q322_manifest_list"   -> (TableFormat.q322ManifestList _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -692,6 +693,42 @@ object CoreEtlRegistry {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
       FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
       ORDER BY commit_id""",
+
+    // both metadata levels re-derived from the half-year/bimonthly
+    // cut: commit envelopes decide manifests_read, file stats within
+    // the surviving commits decide files_selected; the probe slice is
+    // counted from the real doubly-pruned read on the Spark side
+    "q322_manifest_list" -> """
+      WITH b AS (
+        SELECT o_totalprice, o_orderdate,
+          (CAST(YEAR(o_orderdate) AS INTEGER) - 1995) * 2 +
+          CASE WHEN MONTH(o_orderdate) > 6 THEN 1 ELSE 0 END AS ck,
+          ((CAST(MONTH(o_orderdate) AS INTEGER) - 1) // 2) % 3 AS fk
+        FROM orders),
+      fstats AS (
+        SELECT ck, fk, MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx
+        FROM b GROUP BY ck, fk),
+      cstats AS (
+        SELECT ck, MIN(mn) AS mn, MAX(mx) AS mx FROM fstats GROUP BY ck),
+      hitc AS (
+        SELECT ck FROM cstats
+        WHERE mn < TIMESTAMP '1997-08-01' AND mx >= TIMESTAMP '1997-03-01'),
+      hitf AS (
+        SELECT ck, fk FROM fstats
+        WHERE ck IN (SELECT ck FROM hitc)
+          AND mn < TIMESTAMP '1997-08-01'
+          AND mx >= TIMESTAMP '1997-03-01')
+      SELECT
+        (SELECT COUNT(*) FROM cstats) AS manifests_total,
+        (SELECT COUNT(*) FROM hitc) AS manifests_read,
+        (SELECT COUNT(*) FROM fstats) AS files_total,
+        (SELECT COUNT(*) FROM hitf) AS files_selected,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM b
+      WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        AND o_orderdate < TIMESTAMP '1997-08-01'""",
 
     // the race's outcome from first principles: appends always land
     // (a/b), the first rewrite of c1 lands by rebase (c), the second

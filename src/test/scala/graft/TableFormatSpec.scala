@@ -333,6 +333,38 @@ class TableFormatSpec extends AnyFunSuite {
       .filter(col("o_orderkey") === k).count() == 0)
   }
 
+  test("q322 two-level metadata: the manifest read is itself " +
+      "partition-pruned to the list-level hits and the data read " +
+      "lists exactly the file-level hits") {
+    val row = TableFormat.q322ManifestList(spark, sf01).collect().head
+    val (mfTotal, mfRead) = (row.getLong(0), row.getLong(1))
+    val (filesTotal, filesSel) = (row.getLong(2), row.getLong(3))
+    // both levels actually prune
+    assert(mfRead < mfTotal, s"$mfRead of $mfTotal manifests")
+    assert(filesSel < filesTotal, s"$filesSel of $filesTotal files")
+    val (lo, hi) = (lit("1997-03-01").cast("timestamp"),
+      lit("1997-08-01").cast("timestamp"))
+    // hop 2: the per-commit manifest scan lists only the commits the
+    // manifest LIST named — planning IO ∝ churn, not table size
+    val hitCommits = spark.table(TableFormat.MlList)
+      .filter(col("min_ts") < hi && col("max_ts") >= lo)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq
+    val mfScan = spark.table(TableFormat.MlManifests)
+      .filter(col("commit_id").isin(hitCommits: _*))
+    mfScan.collect()
+    assert(scansOf(mfScan, TableFormat.MlManifests).head
+      .metrics("numPartitions").value == mfRead)
+    // hop 3: the data scan lists exactly the file-level survivors
+    val hitFiles = mfScan
+      .filter(col("min_ts") < hi && col("max_ts") >= lo)
+      .select(col("seg_file")).collect().map(_.getString(0)).toSeq
+    val dataScan = spark.table(TableFormat.MlData)
+      .filter(col("seg_file").isin(hitFiles: _*))
+    dataScan.collect()
+    assert(scansOf(dataScan, TableFormat.MlData).head
+      .metrics("numPartitions").value == filesSel)
+  }
+
   test("q321 optimistic concurrency: the loser aborts with zero " +
       "residue, history survives the race, and the rebased rewrite " +
       "moved bytes not rows") {
