@@ -923,9 +923,12 @@ object TableFormat {
     *
     * Planning IO is list size + |overlapping commits| manifest files
     * — proportional to the probe's CHURN, not the table's file count;
-    * a flat manifest pays a full metadata scan per probe, which at a
-    * 200k-file table is the planner's whole budget (PERF_r10 measures
-    * exactly this at 1×/5×/25× metadata scale). Layout: half-year
+    * a flat manifest pays metadata IO proportional to the TABLE per
+    * probe. Measured honestly (ManifestListProbe, PERF_r10): on local
+    * NVMe the flat scan's wall time stays trivial out to ~800k files,
+    * so the two-level win at that scale is the 32×-smaller metadata
+    * read (the quantity an object store bills per probe and a busy
+    * planner serializes), not local latency. Layout: half-year
     * ingest commits, bimonthly files within each (the q318 cut one
     * level deeper); all four counters are re-derived by the oracle
     * from the cut arithmetic, and the probe slice is counted from the
