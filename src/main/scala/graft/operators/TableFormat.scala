@@ -1101,6 +1101,210 @@ object TableFormat {
     writers.unionByName(fin).orderBy(col("entity"))
   }
 
+  // ---------------------------------- incremental view maintenance
+
+  private[graft] val MvData = "graft_snap_data_mv"
+  private[graft] val MvManifest = "graft_snap_manifest_mv"
+  private[graft] val MvTable = "graft_mv_cust_orders"
+
+  /** The signed-delta input of the MV refresh: fresh segments
+    * contribute +1 rows, retired segments −1, BOTH named by the
+    * manifest diff — one definition shared by production and by
+    * TableFormatSpec's partitions-read assertion, so the spec
+    * certifies the same churn-only read the refresh runs. Shared
+    * segments contribute nothing and are never scanned. */
+  private[graft] def mvDeltaInput(spark: SparkSession): DataFrame = {
+    val mf = spark.table(MvManifest)
+    def commits(v: Int): Set[String] = mf.filter(col("version") === v)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    val (from, to) = (commits(1), commits(3))
+    val retired = (from -- to).toSeq.sorted
+    val fresh = (to -- from).toSeq.sorted
+    spark.table(MvData).filter(col("commit_id").isin(fresh: _*))
+      .select(col("o_custkey"), lit(1L).as("s"),
+        dec(col("o_totalprice")).as("p"))
+      .unionByName(
+        spark.table(MvData).filter(col("commit_id").isin(retired: _*))
+          .select(col("o_custkey"), lit(-1L).as("s"),
+            (-dec(col("o_totalprice"))).as("p")))
+  }
+
+  /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the changelog —
+    * what the q312 diff is FOR: a standing per-customer aggregate
+    * (the MV every BI layer keeps over the orders table) is built
+    * once at v1 and then REFRESHED to v3 by folding signed deltas
+    * from only the churn segments:
+    *
+    *  - delta plan: fresh segments (+) and retired segments (−) come
+    *    from the v1→v3 manifest diff — metadata arithmetic; the
+    *    shared segment (c1, the majority of a real table) is NEVER
+    *    scanned, spec-asserted through the one shared
+    *    [[mvDeltaInput]] definition.
+    *  - merge: deltas aggregate per key (map-side combine, one
+    *    shuffle of churn-sized data) and full-outer-join the MV on
+    *    its key; keys whose count falls to zero leave the view, new
+    *    keys enter, untouched keys carry through unrecomputed.
+    *  - exactness: counts are longs, sums stay DECIMAL through the
+    *    +/− arithmetic (associative, order-independent), cast to
+    *    double only at the output — so the refreshed MV is
+    *    BIT-EQUAL to the full v3 recompute, which is exactly what
+    *    the oracle checks. A dropped delta, a double-applied
+    *    segment, or a key leak hash-fails.
+    *
+    * At 100 TB this is the nightly MV job: cost follows the day's
+    * churn, not the view or the table — the same O(churn) contract
+    * as q320's dedup, now for aggregation state. */
+  def q324IncrementalMvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_mv")
+    Scale.dropManaged(spark, MvTable)
+    readVersion(spark, data, manifest, 1)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("sum_price"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(MvTable)
+
+    val delta = mvDeltaInput(spark)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("s")).as("dn"), sum(col("p")).as("dp"))
+    val refreshed = spark.table(MvTable)
+      .join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("sum_price"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("dp"), lit(0).cast("decimal(28,2)")))
+          .as("sum_price"))
+      .filter(col("n_orders") > 0)
+      .localCheckpoint()
+    refreshed.write.mode(SaveMode.Overwrite).saveAsTable(MvTable)
+    spark.table(MvTable)
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_price").cast("double").as("sum_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ------------------------------------------- write-audit-publish
+
+  private[graft] val WapData = "graft_snap_data_wap"
+  private[graft] val WapManifest = "graft_snap_manifest_wap"
+  private[graft] val WapRefs = "graft_snap_refs_wap"
+
+  /** WRITE-AUDIT-PUBLISH — the branch/ref layer that turns the
+    * version history into a safe ingestion contract (Iceberg's WAP /
+    * Delta's staged commits): a NAMED REF is just a (ref → version)
+    * row, `main` is the one readers follow, and an ingest batch
+    * lands on an AUDIT branch first — a real manifest version,
+    * readable through the normal pruned path, but invisible to
+    * `main` until an audit query passes:
+    *
+    *  - batch w1 stages on branch `audit_w1` (version 4 = v3 + w1);
+    *    the audit (null keys, non-positive prices — counted from the
+    *    REAL branch read) finds zero violations → PUBLISH is a
+    *    fast-forward of the `main` ref row to version 4: pure
+    *    metadata, nothing moves.
+    *  - batch w2 arrives CORRUPT (an upstream sign flip on every
+    *    third row); it stages on `audit_w2` (version 5 = v4 + w2),
+    *    the same audit counts the violations → REJECT: `main` never
+    *    moves, the branch ref is deleted, and the staged segment is
+    *    dropped (the q321 orphan-reclaim move). Readers of `main`
+    *    never saw a corrupt row at ANY point — that is the
+    *    guarantee this pattern exists for, and TableFormatSpec
+    *    asserts it (main == v4 content after the whole run, no w2
+    *    partition on disk, no surviving audit refs).
+    *
+    * The report is falsifiable end to end: per-batch `n_rows` and
+    * `n_violations` are counted from the real branch reads, the
+    * `final_main` row from the real post-run `main` read — a publish
+    * of the corrupt batch, a lost clean batch, or an audit that
+    * under-counts hash-fails against the oracle's predicate
+    * arithmetic. */
+  def q323WriteAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_wap")
+    Scale.dropManaged(spark, WapRefs)
+    val base = spark.table(manifest).agg(max(col("version")))
+      .collect().head.getInt(0)
+    Seq(("main", base)).toDF("ref", "version")
+      .write.mode(SaveMode.Overwrite).saveAsTable(WapRefs)
+
+    def refVersion(ref: String): Int = spark.table(WapRefs)
+      .filter(col("ref") === ref).agg(max(col("version")))
+      .collect().head.getInt(0)
+    def setRef(ref: String, v: Int): Unit = {
+      val kept = spark.table(WapRefs).filter(col("ref") =!= ref)
+        .localCheckpoint()
+      kept.unionByName(Seq((ref, v)).toDF("ref", "version"))
+        .write.mode(SaveMode.Overwrite).saveAsTable(WapRefs)
+    }
+    def dropRef(ref: String): Unit = {
+      val kept = spark.table(WapRefs).filter(col("ref") =!= ref)
+        .localCheckpoint()
+      kept.write.mode(SaveMode.Overwrite).saveAsTable(WapRefs)
+    }
+    val orders = Tables.orders(spark, dir)
+
+    /** Stage one ingest batch on an audit branch, audit it from the
+      * BRANCH read, publish or reject. Returns the report row. */
+    def wapBatch(mod: Int, shift: Long, commit: String,
+        corrupt: Boolean): DataFrame = {
+      val price = if (corrupt)
+        when(col("o_orderkey") % 3 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice"))
+      else col("o_totalprice")
+      orders.filter(col("o_orderkey") % 100 === mod)
+        .select((col("o_orderkey") + shift).as("o_orderkey"),
+          col("o_custkey"), price.as("o_totalprice"),
+          lit("2002-03-01").cast("timestamp").as("o_orderdate"),
+          lit(commit).as("commit_id"))
+        .write.insertInto(data)
+      val mainV = refVersion("main")
+      val branchV = spark.table(manifest).agg(max(col("version")))
+        .collect().head.getInt(0) + 1
+      val branch = s"audit_$commit"
+      spark.table(manifest).filter(col("version") === mainV)
+        .select(lit(branchV).as("version"), col("commit_id"))
+        .unionByName(Seq((branchV, commit)).toDF("version", "commit_id"))
+        .localCheckpoint().write.insertInto(manifest)
+      setRef(branch, branchV)
+      // the audit reads the BRANCH through the normal pruned path,
+      // restricted to the staged segment (the delta an auditor
+      // actually checks) — violations counted from real rows
+      val audit = readVersion(spark, data, manifest, refVersion(branch))
+        .filter(col("commit_id") === commit)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull ||
+            col("o_totalprice") <= 0, 1L).otherwise(0L))
+            .as("n_violations"))
+        .collect().head
+      val (nRows, nViol) = (audit.getLong(0), audit.getLong(1))
+      val action = if (nViol == 0) {
+        setRef("main", branchV); "published"
+      } else {
+        // reject leaves NOTHING behind: staged segment dropped (the
+        // q321 orphan-reclaim move) and the branch's manifest version
+        // expunged — a rejected snapshot never becomes history
+        spark.sql(s"ALTER TABLE $data DROP IF EXISTS " +
+          s"PARTITION (commit_id='$commit')")
+        val keptM = spark.table(manifest)
+          .filter(col("version") =!= branchV).localCheckpoint()
+        keptM.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
+        "rejected"
+      }
+      dropRef(branch)
+      Seq((commit, nRows, nViol, action))
+        .toDF("entity", "n_rows", "n_violations", "action")
+    }
+
+    val r1 = wapBatch(31, 40000000L, "w1", corrupt = false)
+    val r2 = wapBatch(37, 50000000L, "w2", corrupt = true)
+    val finalMain = readVersion(spark, data, manifest, refVersion("main"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("final_main").as("entity"), col("n_rows"),
+        lit(0L).as("n_violations"),
+        lit(s"v${refVersion("main")}").as("action"))
+    r1.unionByName(r2).unionByName(finalMain).orderBy(col("entity"))
+  }
+
   // ----------------------------------------------- schema evolution
 
   private[graft] val SeManifest = "graft_snap_manifest_se"

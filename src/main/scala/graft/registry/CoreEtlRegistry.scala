@@ -54,6 +54,8 @@ object CoreEtlRegistry {
     "q319_schema_evolution" -> (TableFormat.q319SchemaEvolution _),
     "q321_commit_conflict" -> (TableFormat.q321CommitConflict _),
     "q322_manifest_list"   -> (TableFormat.q322ManifestList _),
+    "q323_write_audit_publish" -> (TableFormat.q323WriteAuditPublish _),
+    "q324_incremental_mv"  -> (TableFormat.q324IncrementalMvRefresh _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -729,6 +731,41 @@ object CoreEtlRegistry {
       FROM b
       WHERE o_orderdate >= TIMESTAMP '1997-03-01'
         AND o_orderdate < TIMESTAMP '1997-08-01'""",
+
+    // the refreshed MV must be BIT-EQUAL to the full v3 recompute —
+    // the whole claim of delta maintenance; exact decimal +/-
+    // arithmetic on both sides makes the comparison exact, and a
+    // dropped delta / double-applied segment / key leak hash-fails
+    "q324_incremental_mv" -> """
+      SELECT o_custkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+      ORDER BY o_custkey""",
+
+    // both audits from first principles: w1 is clean (zero
+    // violations, published), w2's upstream sign flip corrupts every
+    // third row (counted, rejected), and main ends at base + w1 only
+    // — a published corrupt batch or a lost clean one hash-fails
+    "q323_write_audit_publish" -> """
+      WITH live AS (SELECT * FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+      w1 AS (SELECT * FROM orders WHERE o_orderkey % 100 = 31),
+      w2 AS (SELECT * FROM orders WHERE o_orderkey % 100 = 37)
+      SELECT 'final_main' AS entity,
+        (SELECT COUNT(*) FROM live) + (SELECT COUNT(*) FROM w1)
+          AS n_rows,
+        CAST(0 AS BIGINT) AS n_violations, 'v4' AS action
+      UNION ALL
+      SELECT 'w1', COUNT(*), CAST(0 AS BIGINT), 'published' FROM w1
+      UNION ALL
+      SELECT 'w2', COUNT(*),
+        (SELECT COUNT(*) FROM w2 WHERE o_orderkey % 3 = 0),
+        'rejected'
+      FROM w2
+      ORDER BY entity""",
 
     // the race's outcome from first principles: appends always land
     // (a/b), the first rewrite of c1 lands by rebase (c), the second

@@ -365,6 +365,53 @@ class TableFormatSpec extends AnyFunSuite {
       .metrics("numPartitions").value == filesSel)
   }
 
+  test("q323 write-audit-publish: main never saw the corrupt batch, " +
+      "the rejected snapshot left nothing behind, and the published " +
+      "batch is fully visible") {
+    TableFormat.q323WriteAuditPublish(spark, sf).collect()
+    val data = TableFormat.WapData
+    val manifest = TableFormat.WapManifest
+    // main fast-forwarded to the clean batch's version and no audit
+    // refs survive the run
+    val refs = spark.table(TableFormat.WapRefs)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(refs == Map("main" -> 4), refs.toString)
+    // the rejected snapshot is expunged: no v5 in the manifest, no
+    // staged partition on disk
+    assert(spark.table(manifest).agg(max(col("version")))
+      .collect().head.getInt(0) == 4)
+    val parts = spark.sql(s"SHOW PARTITIONS $data")
+      .collect().map(_.getString(0)).toSet
+    assert(parts.contains("commit_id=w1") &&
+      !parts.contains("commit_id=w2"), parts.toString)
+    // main's content: base + the clean batch, zero audit violations
+    val main = TableFormat.readVersion(spark, data, manifest, 4)
+    assert(main.filter(col("o_totalprice") <= 0).count() == 0,
+      "a corrupt row reached main")
+    val expect = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .count() +
+      Tables.orders(spark, sf)
+        .filter(col("o_orderkey") % 100 === 31).count()
+    assert(main.count() == expect)
+  }
+
+  test("q324 incremental MV refresh reads only the churn segments — " +
+      "the shared segment never scans") {
+    TableFormat.q324IncrementalMvRefresh(spark, sf).collect()
+    val delta = TableFormat.mvDeltaInput(spark)
+    delta.collect()
+    // the union has one scan per side: fresh {c0_rw, c2} and retired
+    // {c0}; the shared segment c1 appears in neither
+    val scans = scansOf(delta, TableFormat.MvData)
+    assert(scans.size == 2, s"${scans.size} scans")
+    assert(scans.map(_.metrics("numPartitions").value).sorted == Seq(1L, 2L),
+      scans.map(_.metrics("numPartitions").value).toString)
+    val totalParts = spark.sql(
+      s"SHOW PARTITIONS ${TableFormat.MvData}").count()
+    assert(totalParts == 4)
+  }
+
   test("q321 optimistic concurrency: the loser aborts with zero " +
       "residue, history survives the race, and the rebased rewrite " +
       "moved bytes not rows") {
