@@ -1101,6 +1101,125 @@ object TableFormat {
     writers.unionByName(fin).orderBy(col("entity"))
   }
 
+  // ------------------------------------------ as-of-timestamp reads
+
+  private[graft] val TsData = "graft_snap_data_ts"
+  private[graft] val TsManifest = "graft_snap_manifest_ts"
+  private[graft] val TsLog = "graft_snap_commitlog_ts"
+
+  /** TIME TRAVEL BY TIMESTAMP — q309 reads versions by NUMBER; the
+    * API users actually reach for is `AS OF <timestamp>` ("what did
+    * the table say when the model trained?"). The missing piece is a
+    * COMMIT LOG: one (version, committed_at) row per publish, and
+    * resolution is pure metadata arithmetic — the highest version
+    * whose commit time is ≤ the asked instant (deterministic fixture
+    * commit times stand in for the writer's wall clock; the rule is
+    * the thing). Three probes — one inside each version's validity
+    * window — must resolve to the three versions and return exactly
+    * q309's per-version aggregates, which is what the oracle pins.
+    * An off-by-one in the resolution rule (< vs ≤, wrong max) moves
+    * a whole version's content into the wrong row and hash-fails. */
+  /** `AS OF` resolution: the highest version committed at or before
+    * the instant; None before the table's first commit. ONE
+    * definition, used by q325 and boundary-tested by
+    * TableFormatSpec. */
+  private[graft] def resolveAsOf(spark: SparkSession,
+      asOf: String): Option[Int] = {
+    val r = spark.table(TsLog)
+      .filter(col("committed_at") <= lit(asOf).cast("timestamp"))
+      .agg(max(col("version"))).collect().head
+    if (r.isNullAt(0)) None else Some(r.getInt(0))
+  }
+
+  def q325AsOfTimestamp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_ts")
+    Scale.dropManaged(spark, TsLog)
+    Seq((1, "2000-01-01 00:00:00"), (2, "2000-02-01 00:00:00"),
+      (3, "2000-03-01 00:00:00"))
+      .toDF("version", "committed_at_s")
+      .select(col("version"),
+        col("committed_at_s").cast("timestamp").as("committed_at"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(TsLog)
+    Seq("2000-01-15 12:00:00", "2000-02-15 12:00:00",
+      "2000-03-15 12:00:00").map { asOf =>
+      val v = resolveAsOf(spark, asOf).get
+      readVersion(spark, data, manifest, v)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(lit(asOf.take(10)).as("as_of"),
+          lit(v).as("resolved_version"), col("n_rows"), col("sum_price"))
+    }.reduce(_ unionByName _).orderBy(col("as_of"))
+  }
+
+  // ------------------------------------------------ zero-copy clone
+
+  private[graft] val ClData = "graft_snap_data_cl"
+  private[graft] val ClManifest = "graft_snap_manifest_cl"
+  private[graft] val CloneManifest = "graft_snap_manifest_cl2"
+
+  /** ZERO-COPY (shallow) CLONE — the dev/test move every modern
+    * format ships: a clone is a NEW MANIFEST whose version 1 lists
+    * the SOURCE's live commit set — no data moves, because segments
+    * are immutable and visibility is the manifest's job (the
+    * invariant this whole tier runs on, here paying off directly).
+    * After cloning, the two tables diverge independently in the
+    * shared segment store:
+    *
+    *  - the clone appends experiment commit `x0` → clone v2; the
+    *    source's manifests never list it, so source reads are
+    *    untouched;
+    *  - the source appends production commit `y0` → source v4; the
+    *    clone, pinned to its cloned set + its own writes, never sees
+    *    it.
+    *
+    * The report reads all four (table, version) states from the real
+    * manifests — a clone that copied data (diverging hashes), leaked
+    * a write across the boundary, or failed to share segments would
+    * hash-fail; TableFormatSpec additionally asserts the clone's v1
+    * read lists the SAME physical partitions as the source's v3 read
+    * (sharing is physical, not a copy that happens to be equal). */
+  def q326ShallowClone(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_cl")
+    Scale.dropManaged(spark, CloneManifest)
+    val srcV = spark.table(manifest).agg(max(col("version")))
+      .collect().head.getInt(0)
+    val live = spark.table(manifest).filter(col("version") === srcV)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSeq.sorted
+    // the clone: one manifest write, zero data IO
+    live.map((1, _)).toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(CloneManifest)
+
+    val orders = Tables.orders(spark, dir)
+    def stage(mod: Int, shift: Long, commit: String): Unit =
+      orders.filter(col("o_orderkey") % 100 === mod)
+        .select((col("o_orderkey") + shift).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("2002-04-01").cast("timestamp").as("o_orderdate"),
+          lit(commit).as("commit_id"))
+        .write.insertInto(data)
+    // divergence: the clone experiments, the source keeps producing
+    stage(43, 60000000L, "x0")
+    (live :+ "x0").sorted.map((2, _)).toDF("version", "commit_id")
+      .write.insertInto(CloneManifest)
+    stage(47, 70000000L, "y0")
+    (live :+ "y0").sorted.map((srcV + 1, _)).toDF("version", "commit_id")
+      .write.insertInto(manifest)
+
+    def report(table: String, mf: String, v: Int): DataFrame =
+      readVersion(spark, data, mf, v)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(lit(table).as("tbl"), lit(v).as("version"),
+          col("n_rows"), col("sum_price"))
+    report("clone", CloneManifest, 1)
+      .unionByName(report("clone", CloneManifest, 2))
+      .unionByName(report("source", manifest, srcV))
+      .unionByName(report("source", manifest, srcV + 1))
+      .orderBy(col("tbl"), col("version"))
+  }
+
   // ---------------------------------- incremental view maintenance
 
   private[graft] val MvData = "graft_snap_data_mv"

@@ -56,6 +56,8 @@ object CoreEtlRegistry {
     "q322_manifest_list"   -> (TableFormat.q322ManifestList _),
     "q323_write_audit_publish" -> (TableFormat.q323WriteAuditPublish _),
     "q324_incremental_mv"  -> (TableFormat.q324IncrementalMvRefresh _),
+    "q325_asof_timestamp"  -> (TableFormat.q325AsOfTimestamp _),
+    "q326_shallow_clone"   -> (TableFormat.q326ShallowClone _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -731,6 +733,62 @@ object CoreEtlRegistry {
       FROM b
       WHERE o_orderdate >= TIMESTAMP '1997-03-01'
         AND o_orderdate < TIMESTAMP '1997-08-01'""",
+
+    // the resolution rule from first principles: each probe instant
+    // falls inside one version's validity window, and the aggregates
+    // are q309's per-version maths — an off-by-one in max(version
+    // WHERE committed_at <= t) moves whole versions between rows
+    "q325_asof_timestamp" -> """
+      WITH v1 AS (SELECT * FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+      v3 AS (SELECT * FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+      SELECT '2000-01-15' AS as_of, 1 AS resolved_version,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM v1
+      UNION ALL
+      SELECT '2000-02-15', 2, COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT '2000-03-15', 3, COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM v3
+      ORDER BY as_of""",
+
+    // all four (table, version) states from predicate arithmetic:
+    // the clone starts as the source's live set, each side sees its
+    // own append and never the other's — a leak across the boundary
+    // moves a row count and hash-fails
+    "q326_shallow_clone" -> """
+      WITH live AS (SELECT * FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+      x0 AS (SELECT * FROM orders WHERE o_orderkey % 100 = 43),
+      y0 AS (SELECT * FROM orders WHERE o_orderkey % 100 = 47)
+      SELECT 'clone' AS tbl, 1 AS version,
+        (SELECT COUNT(*) FROM live) AS n_rows,
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live)
+          AS DOUBLE) AS sum_price
+      UNION ALL
+      SELECT 'clone', 2,
+        (SELECT COUNT(*) FROM live) + (SELECT COUNT(*) FROM x0),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live)
+          + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM x0)
+          AS DOUBLE)
+      UNION ALL
+      SELECT 'source', 3,
+        (SELECT COUNT(*) FROM live),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live)
+          AS DOUBLE)
+      UNION ALL
+      SELECT 'source', 4,
+        (SELECT COUNT(*) FROM live) + (SELECT COUNT(*) FROM y0),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM live)
+          + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM y0)
+          AS DOUBLE)
+      ORDER BY tbl, version""",
 
     // the refreshed MV must be BIT-EQUAL to the full v3 recompute —
     // the whole claim of delta maintenance; exact decimal +/-

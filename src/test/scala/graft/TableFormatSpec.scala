@@ -412,6 +412,49 @@ class TableFormatSpec extends AnyFunSuite {
     assert(totalParts == 4)
   }
 
+  test("q325 as-of resolution: an instant exactly at a commit " +
+      "resolves to that version, and pre-history resolves to None") {
+    TableFormat.q325AsOfTimestamp(spark, sf).collect()
+    // boundary: <= rule, not <
+    assert(TableFormat.resolveAsOf(spark, "2000-02-01 00:00:00")
+      .contains(2))
+    assert(TableFormat.resolveAsOf(spark, "2000-01-31 23:59:59")
+      .contains(1))
+    assert(TableFormat.resolveAsOf(spark, "1999-12-31 23:59:59").isEmpty)
+    assert(TableFormat.resolveAsOf(spark, "2010-01-01 00:00:00")
+      .contains(3))
+  }
+
+  test("q326 shallow clone shares segments physically and writes " +
+      "never leak across the table boundary") {
+    TableFormat.q326ShallowClone(spark, sf).collect()
+    val data = TableFormat.ClData
+    // clone v1 and source v3 resolve to the SAME commit set — the
+    // zero-copy claim: one manifest write, shared segments
+    def commitsOf(mf: String, v: Int): Set[String] =
+      spark.table(mf).filter(col("version") === v)
+        .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    val srcV3 = commitsOf(TableFormat.ClManifest, 3)
+    assert(commitsOf(TableFormat.CloneManifest, 1) == srcV3)
+    // both reads list the same physical partitions
+    val a = TableFormat.readVersion(spark, data,
+      TableFormat.CloneManifest, 1)
+    val b = TableFormat.readVersion(spark, data,
+      TableFormat.ClManifest, 3)
+    a.collect(); b.collect()
+    assert(scansOf(a, data).head.metrics("numPartitions").value ==
+      scansOf(b, data).head.metrics("numPartitions").value)
+    // divergent writes stay on their side: the clone never sees the
+    // source's y0 keys (>= 70M), the source never sees x0's (60–70M)
+    val cloneV2 = TableFormat.readVersion(spark, data,
+      TableFormat.CloneManifest, 2)
+    assert(cloneV2.filter(col("o_orderkey") >= 70000000L).count() == 0)
+    val srcV4 = TableFormat.readVersion(spark, data,
+      TableFormat.ClManifest, 4)
+    assert(srcV4.filter(col("o_orderkey") >= 60000000L &&
+      col("o_orderkey") < 70000000L).count() == 0)
+  }
+
   test("q321 optimistic concurrency: the loser aborts with zero " +
       "residue, history survives the race, and the rebased rewrite " +
       "moved bytes not rows") {
