@@ -982,10 +982,9 @@ object Dedup {
     * and by TableFormatSpec's partitions-read assertion, so the spec
     * certifies the same read the job runs. */
   private[graft] def cdChurn(spark: SparkSession): DataFrame = {
-    val mf = spark.table(CdManifest)
-    def commits(v: Int): Set[String] = mf.filter(col("version") === v)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSet
-    val fresh = (commits(2) -- commits(1)).toSeq.sorted
+    import graft.operators.TableFormat.commitsOf
+    val fresh = (commitsOf(spark, CdManifest, 2) --
+      commitsOf(spark, CdManifest, 1)).toSeq.sorted
     spark.table(CdData)
       .filter(col("commit_id").isin(fresh: _*))
       .select(col("doc_id"), col("text"))

@@ -382,14 +382,38 @@ object TableFormat {
     (data, manifest, segstats)
   }
 
+  /** Stage a synthetic append commit — the fixture's stand-in for an
+    * arriving ingest batch: keys from one mod class, shifted out of
+    * the base keyspace, a fixed arrival date, an optional price
+    * transform (q323's corruption hook; evaluated against the
+    * PRE-shift key, like any upstream defect would be). One
+    * definition for q321, q323, and q326's staged writers. */
+  private def stageCommit(spark: SparkSession, dir: String,
+      data: String, mod: Int, shift: Long, date: String, commit: String,
+      price: Column => Column = identity): Unit =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 100 === mod)
+      .select((col("o_orderkey") + shift).as("o_orderkey"),
+        col("o_custkey"), price(col("o_totalprice")).as("o_totalprice"),
+        lit(date).cast("timestamp").as("o_orderdate"),
+        lit(commit).as("commit_id"))
+      .write.insertInto(data)
+
+  /** Commits of one manifest version — THE manifest lookup of this
+    * tier, defined once for every reader and planner (readVersion,
+    * the q312/q324 changelog plans, q321's CAS, q326's clone,
+    * [[Dedup.cdChurn]]); metadata-sized by construction (a version
+    * is a list of segments). */
+  private[graft] def commitsOf(spark: SparkSession, manifest: String,
+      version: Int): Set[String] =
+    spark.table(manifest).filter(col("version") === version)
+      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+
   /** Read one snapshot: manifest lookup → static commit predicate →
-    * partition-pruned scan. The commit set is metadata-sized by
-    * construction (a version is a list of segments). */
+    * partition-pruned scan. */
   private[graft] def readVersion(spark: SparkSession, data: String,
       manifest: String, version: Int): DataFrame = {
-    val commits = spark.table(manifest)
-      .filter(col("version") === version)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSeq
+    val commits = commitsOf(spark, manifest, version).toSeq
     spark.table(data).filter(col("commit_id").isin(commits: _*))
   }
 
@@ -432,9 +456,7 @@ object TableFormat {
     val (data, manifest, segstats) = buildSnapshots(spark, dir, "_gc")
     val latest = spark.table(manifest).agg(max(col("version")))
       .collect().head.getInt(0)
-    val live = spark.table(manifest)
-      .filter(col("version") === latest)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    val live = commitsOf(spark, manifest, latest)
     val onDisk = spark.table(segstats)
       .select(col("commit_id")).collect().map(_.getString(0)).toSet
     // expire: the manifest forgets the old versions first, so a
@@ -494,8 +516,7 @@ object TableFormat {
     // overlaps the change batch's date span
     val latest = spark.table(manifest).agg(max(col("version")))
       .collect().head.getInt(0)
-    val live = spark.table(manifest).filter(col("version") === latest)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    val live = commitsOf(spark, manifest, latest)
     val touched = spark.table(segstats)
       .filter(col("commit_id").isin(live.toSeq: _*))
       .filter(col("min_ts") < updHi && col("max_ts") >= updLo)
@@ -692,9 +713,16 @@ object TableFormat {
 
     // bin-pack: CpPackSize adjacent smalls per consolidated segment;
     // ONE pass over the small segments rewrites them all (each file
-    // is read exactly once), routed by a broadcast pack map
-    val packOf = smalls.zipWithIndex
-      .map { case (s, i) => (s, s"p${i / CpPackSize}") }
+    // is read exactly once), routed by a broadcast pack map. Pack
+    // membership is BY BUCKET VALUE (floorDiv(bucket, packSize)) —
+    // the same arithmetic the oracle's `bk // 4` computes — so the
+    // two engines agree even if a half-year bucket were empty;
+    // rank-based packing would silently shift membership on sparse
+    // fixtures (the r9 layoutDims lesson: the invariant lives in the
+    // arithmetic, not in the data happening to be dense).
+    val packOf = smalls.map { s =>
+      (s, s"p${Math.floorDiv(s.stripPrefix("s").toInt, CpPackSize)}")
+    }
     val packs = packOf.map(_._2).distinct.sorted
     spark.table(CpData)
       .join(broadcast(packOf.toDF("commit_id", "pack")), "commit_id")
@@ -764,9 +792,7 @@ object TableFormat {
     * pruning separately, which is why they are exposed unpacked. */
   private[graft] def morBranches(spark: SparkSession,
       version: Int): (DataFrame, DataFrame, DataFrame) = {
-    val commits = spark.table(MorManifest)
-      .filter(col("version") === version)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSeq
+    val commits = commitsOf(spark, MorManifest, version).toSeq
     val dbs = spark.table(MorDManifest)
       .filter(col("version") === version)
       .select(col("dbatch")).collect().map(_.getString(0)).toSeq
@@ -827,8 +853,7 @@ object TableFormat {
     Seq(MorDeletes, MorDManifest).foreach(Scale.dropManaged(spark, _))
     val latest = spark.table(manifest).agg(max(col("version")))
       .collect().head.getInt(0)
-    val live = spark.table(manifest).filter(col("version") === latest)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSeq.sorted
+    val live = commitsOf(spark, manifest, latest).toSeq.sorted
 
     // v4: takedown batch d1 — artifact + manifest rows, no data IO
     val orders = Tables.orders(spark, dir)
@@ -1031,9 +1056,7 @@ object TableFormat {
     val (data, manifest, _) = buildSnapshots(spark, dir, "_cc")
     val base = spark.table(manifest).agg(max(col("version")))
       .collect().head.getInt(0) // v3: every writer's snapshot
-    def commitsOf(v: Int): Set[String] = spark.table(manifest)
-      .filter(col("version") === v)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSet
+    def commitsAt(v: Int): Set[String] = commitsOf(spark, manifest, v)
     def latestVersion: Int = spark.table(manifest)
       .agg(max(col("version"))).collect().head.getInt(0)
     def publish(v: Int, cs: Set[String]): Unit =
@@ -1046,23 +1069,17 @@ object TableFormat {
         adds: Set[String]): String = {
       val latest = latestVersion
       if (latest == baseV) {
-        publish(latest + 1, commitsOf(latest) -- removes ++ adds)
+        publish(latest + 1, commitsAt(latest) -- removes ++ adds)
         "committed"
-      } else if (removes.forall(commitsOf(latest).contains)) {
-        publish(latest + 1, commitsOf(latest) -- removes ++ adds)
+      } else if (removes.forall(commitsAt(latest).contains)) {
+        publish(latest + 1, commitsAt(latest) -- removes ++ adds)
         "rebased"
       } else "aborted"
     }
 
-    val orders = Tables.orders(spark, dir)
     def stageAppend(mod: Int, shift: Long, date: String,
         commit: String): Unit =
-      orders.filter(col("o_orderkey") % 100 === mod)
-        .select((col("o_orderkey") + shift).as("o_orderkey"),
-          col("o_custkey"), col("o_totalprice"),
-          lit(date).cast("timestamp").as("o_orderdate"),
-          lit(commit).as("commit_id"))
-        .write.insertInto(data)
+      stageCommit(spark, dir, data, mod, shift, date, commit)
     def stageRewrite(from: String, to: String): Unit =
       spark.table(data).filter(col("commit_id") === from)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -1103,8 +1120,6 @@ object TableFormat {
 
   // ------------------------------------------ as-of-timestamp reads
 
-  private[graft] val TsData = "graft_snap_data_ts"
-  private[graft] val TsManifest = "graft_snap_manifest_ts"
   private[graft] val TsLog = "graft_snap_commitlog_ts"
 
   /** TIME TRAVEL BY TIMESTAMP — q309 reads versions by NUMBER; the
@@ -1185,20 +1200,13 @@ object TableFormat {
     Scale.dropManaged(spark, CloneManifest)
     val srcV = spark.table(manifest).agg(max(col("version")))
       .collect().head.getInt(0)
-    val live = spark.table(manifest).filter(col("version") === srcV)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSeq.sorted
+    val live = commitsOf(spark, manifest, srcV).toSeq.sorted
     // the clone: one manifest write, zero data IO
     live.map((1, _)).toDF("version", "commit_id")
       .write.mode(SaveMode.Overwrite).saveAsTable(CloneManifest)
 
-    val orders = Tables.orders(spark, dir)
     def stage(mod: Int, shift: Long, commit: String): Unit =
-      orders.filter(col("o_orderkey") % 100 === mod)
-        .select((col("o_orderkey") + shift).as("o_orderkey"),
-          col("o_custkey"), col("o_totalprice"),
-          lit("2002-04-01").cast("timestamp").as("o_orderdate"),
-          lit(commit).as("commit_id"))
-        .write.insertInto(data)
+      stageCommit(spark, dir, data, mod, shift, "2002-04-01", commit)
     // divergence: the clone experiments, the source keeps producing
     stage(43, 60000000L, "x0")
     (live :+ "x0").sorted.map((2, _)).toDF("version", "commit_id")
@@ -1233,10 +1241,8 @@ object TableFormat {
     * certifies the same churn-only read the refresh runs. Shared
     * segments contribute nothing and are never scanned. */
   private[graft] def mvDeltaInput(spark: SparkSession): DataFrame = {
-    val mf = spark.table(MvManifest)
-    def commits(v: Int): Set[String] = mf.filter(col("version") === v)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSet
-    val (from, to) = (commits(1), commits(3))
+    val (from, to) = (commitsOf(spark, MvManifest, 1),
+      commitsOf(spark, MvManifest, 3))
     val retired = (from -- to).toSeq.sorted
     val fresh = (to -- from).toSeq.sorted
     spark.table(MvData).filter(col("commit_id").isin(fresh: _*))
@@ -1360,22 +1366,16 @@ object TableFormat {
         .localCheckpoint()
       kept.write.mode(SaveMode.Overwrite).saveAsTable(WapRefs)
     }
-    val orders = Tables.orders(spark, dir)
 
     /** Stage one ingest batch on an audit branch, audit it from the
       * BRANCH read, publish or reject. Returns the report row. */
     def wapBatch(mod: Int, shift: Long, commit: String,
         corrupt: Boolean): DataFrame = {
-      val price = if (corrupt)
-        when(col("o_orderkey") % 3 === 0, -col("o_totalprice"))
-          .otherwise(col("o_totalprice"))
-      else col("o_totalprice")
-      orders.filter(col("o_orderkey") % 100 === mod)
-        .select((col("o_orderkey") + shift).as("o_orderkey"),
-          col("o_custkey"), price.as("o_totalprice"),
-          lit("2002-03-01").cast("timestamp").as("o_orderdate"),
-          lit(commit).as("commit_id"))
-        .write.insertInto(data)
+      val price: Column => Column =
+        if (corrupt) p => when(col("o_orderkey") % 3 === 0, -p).otherwise(p)
+        else identity
+      stageCommit(spark, dir, data, mod, shift, "2002-03-01", commit,
+        price)
       val mainV = refVersion("main")
       val branchV = spark.table(manifest).agg(max(col("version")))
         .collect().head.getInt(0) + 1
@@ -1443,9 +1443,7 @@ object TableFormat {
     * that makes rename metadata-only and add backward-compatible. */
   private[graft] def readVersionSe(spark: SparkSession,
       version: Int): DataFrame = {
-    val commits = spark.table(SeManifest)
-      .filter(col("version") === version)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSeq.sorted
+    val commits = commitsOf(spark, SeManifest, version).toSeq.sorted
     val logical = spark.table(SeSchema)
       .filter(col("version") === version)
       .select(col("field_id"), col("logical_name"), col("field_type"))
@@ -1555,10 +1553,8 @@ object TableFormat {
     * but this plan's cost is the CHURN, not the table. */
   def q312IncrementalDiff(spark: SparkSession, dir: String): DataFrame = {
     val (data, manifest, _) = buildSnapshots(spark, dir, "_diff")
-    val mf = spark.table(manifest)
-    def commits(v: Int): Set[String] = mf.filter(col("version") === v)
-      .select(col("commit_id")).collect().map(_.getString(0)).toSet
-    val (from, to) = (commits(1), commits(3))
+    val (from, to) = (commitsOf(spark, manifest, 1),
+      commitsOf(spark, manifest, 3))
     val retired = (from -- to).toSeq
     val fresh = (to -- from).toSeq
     def slice(cs: Seq[String]): DataFrame =

@@ -76,7 +76,8 @@ object ManifestListProbe {
         overlap(spark.table(mfT).filter(col("commit_id").isin(hit: _*)))
           .select(col("file_id")).collect().map(_.getLong(0)).toSeq.sorted
       }
-      require(planFlat() == planTwoLevel(), "plans disagree on file set")
+      val selected = planFlat()
+      require(selected == planTwoLevel(), "plans disagree on file set")
       val hitCommits = overlap(spark.table(listT)).count()
 
       def med3(f: () => Seq[Long]): Double = {
@@ -92,7 +93,7 @@ object ManifestListProbe {
       val rowsTwo = commits + hitCommits * FilesPerCommit
       println(f"MLPROBE $scaleName%-4s files=$n%7d flat_s=$tFlat%.3f " +
         f"two_s=$tTwo%.3f flat_rows_read=$rowsFlat%7d " +
-        f"two_rows_read=$rowsTwo%6d selected=${planFlat().size}")
+        f"two_rows_read=$rowsTwo%6d selected=${selected.size}")
     }
 
     buildAndProbe("1x", 256)

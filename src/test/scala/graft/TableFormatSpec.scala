@@ -431,11 +431,9 @@ class TableFormatSpec extends AnyFunSuite {
     val data = TableFormat.ClData
     // clone v1 and source v3 resolve to the SAME commit set — the
     // zero-copy claim: one manifest write, shared segments
-    def commitsOf(mf: String, v: Int): Set[String] =
-      spark.table(mf).filter(col("version") === v)
-        .select(col("commit_id")).collect().map(_.getString(0)).toSet
-    val srcV3 = commitsOf(TableFormat.ClManifest, 3)
-    assert(commitsOf(TableFormat.CloneManifest, 1) == srcV3)
+    val srcV3 = TableFormat.commitsOf(spark, TableFormat.ClManifest, 3)
+    assert(TableFormat.commitsOf(spark,
+      TableFormat.CloneManifest, 1) == srcV3)
     // both reads list the same physical partitions
     val a = TableFormat.readVersion(spark, data,
       TableFormat.CloneManifest, 1)
