@@ -125,10 +125,11 @@ object TableFormat {
     * no single-partition exchange — which is exactly how a
     * distributed writer assigns file ids at 100 TB. */
   private def writeLayout(spark: SparkSession, base: DataFrame,
-      sortKey: Column, dataT: String, manifestT: String): Unit = {
+      sortKey: Column, dataT: String, manifestT: String,
+      rpfOverride: Option[Long] = None): Unit = {
     Scale.dropManaged(spark, dataT)
     Scale.dropManaged(spark, manifestT)
-    val rpf = zRowsPerFile(base.count())
+    val rpf = rpfOverride.getOrElse(zRowsPerFile(base.count()))
     val laid = Scale.globalIndex(
       base.withColumn("skey", sortKey),
       col("skey").asc, col("p_partkey").asc)
@@ -137,13 +138,22 @@ object TableFormat {
         col("y"), col("zfile"))
       .write.partitionBy("zfile")
       .mode(SaveMode.Overwrite).saveAsTable(dataT)
+    writeManifest(spark, dataT, manifestT)
+  }
+
+  /** Per-file (row count, min/max of both dimensions) manifest of a
+    * laid-out data table — ONE definition for every layout writer
+    * here (zone-map build, re-cluster, q332's pack compactor), so
+    * the stats every pruned read trusts are produced by a single
+    * code path. */
+  private def writeManifest(spark: SparkSession, dataT: String,
+      manifestT: String): Unit =
     spark.table(dataT)
       .groupBy(col("zfile"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
       .write.mode(SaveMode.Overwrite).saveAsTable(manifestT)
-  }
 
   private def buildZonemap(spark: SparkSession, dir: String): Unit =
     writeLayout(spark, partXY(spark, dir), expr(mortonSql("x", "y")),
@@ -293,6 +303,172 @@ object TableFormat {
     before.unionByName(after).orderBy(col("phase"))
   }
 
+  // ------------------------------------------- bloom point lookup
+
+  private[graft] val BfManifest = "graft_zmap_bloom_z"
+
+  /** k=3 bloom hash multipliers (the 32-bit xxhash/Knuth primes) —
+    * bit position i of key K is (K * A_i) mod m, pure integer
+    * arithmetic both engines compute bit-identically (no engine hash
+    * functions, the q131/q308 portability rule; products stay far
+    * below 2^63 for any realistic key space). */
+  private[graft] val BloomHashA = Seq(2654435761L, 2246822519L, 3266489917L)
+
+  /** Bloom width: ~10 bits per key at the layout's rows-per-file,
+    * stored as 32-bit words in BIGINT columns — shift amounts stay in
+    * 0..31, where `<<` is portable (DuckDB errors past bit 62, and
+    * the sign bit would differ anyway). With k=3 hashes this prices
+    * the false-positive rate at (1−e^(−3/10))³ ≈ 1.7% per file. */
+  private[graft] def bloomWords(rpf: Long): Long =
+    math.max(1L, (rpf * 10 + 31) / 32)
+
+  /** The q331 probe key — present at every fixture scale (part keys
+    * start at 0; the smallest fixture has 200). */
+  private[graft] val BloomProbeKey = 97L
+
+  private[graft] def bloomBitPositions(key: Long, m: Long): Seq[Long] =
+    BloomHashA.map(a => (key * a) % m)
+
+  /** NON-SORT-KEY POINT LOOKUP through a per-file key bloom — the one
+    * common read the zone-map manifest cannot prune: `p_partkey = K`
+    * is uncorrelated with the z-curve's (x, y), so every file's
+    * envelope admits it and q307's pruning degenerates to a full
+    * scan. The fix every real format ships is a per-file key
+    * fingerprint IN the manifest: here a bloom filter of ~10
+    * bits/key (k=3 integer-arithmetic hashes), persisted as
+    * (file, word, bits) rows next to the min/max manifest.
+    *
+    * The probe is metadata arithmetic end to end: the key's 3 bit
+    * positions are computed driver-side (no data read), the
+    * candidate set is `files whose bloom has ALL 3 bits set` — a
+    * broadcast join against the metadata-sized bloom table — and
+    * only those files' partitions are read (the q307 static-
+    * predicate file-listing guarantee, spec-asserted). The residual
+    * key filter still applies, so the ANSWER is bloom-independent —
+    * what the bloom buys is `files_selected ≪ files_total`, and the
+    * report prices its honesty: `files_with_key` is counted from the
+    * real pruned read, `fp_files` is the bloom's overshoot, and the
+    * oracle re-derives the whole filter — a wrong bit position, a
+    * saturated width, or a missed file moves `files_selected` or
+    * zeroes `n_rows` and hash-fails. At 100 TB the bloom column is
+    * the difference between a key lookup that opens ~2% of a
+    * million files and one that opens all of them; the bloom table
+    * itself is metadata (files × words rows), maintained per new
+    * file exactly like the min/max rows. */
+  def q331BloomPointLookup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buildZonemap(spark, dir)
+    Scale.dropManaged(spark, BfManifest)
+    val rpf = zRowsPerFile(partXY(spark, dir).count())
+    val m = bloomWords(rpf) * 32
+    // build: per (file, word), OR every key's three hash bits — one
+    // narrow pass over the laid-out table, appendable per new file
+    spark.table(ZData)
+      .select(col("zfile"),
+        explode(array(BloomHashA.map(a =>
+          (col("p_partkey").cast("long") * a) % m): _*)).as("p"))
+      .select(col("zfile"), expr("p div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("bit"))
+      .groupBy(col("zfile"), col("word"))
+      .agg(expr("bit_or(bit)").as("bits"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(BfManifest)
+
+    // probe: driver-side bit arithmetic → candidate files must match
+    // EVERY distinct (word, mask) pair — metadata join, no data read
+    val probeBits = bloomBitPositions(BloomProbeKey, m)
+      .map(p => (p / 32, 1L << (p % 32).toInt)).distinct
+    val files = spark.table(BfManifest)
+      .join(broadcast(probeBits.toDF("word", "mask")), Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) =!= lit(0L))
+      .groupBy(col("zfile")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === probeBits.size)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq.sorted
+    val filesTotal = spark.table(ZManifest).count()
+    spark.table(ZData)
+      .filter(col("zfile").isin(files: _*))
+      .filter(col("p_partkey") === BloomProbeKey)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("zfile")).as("files_with_key"),
+        dsum(col("p_retailprice")).as("sum_retail"))
+      .select(lit(filesTotal).as("files_total"),
+        lit(files.size.toLong).as("files_selected"),
+        col("files_with_key"),
+        (lit(files.size.toLong) - col("files_with_key")).as("fp_files"),
+        ((lit(files.size.toLong) - col("files_with_key"))
+          .cast("double") / lit(filesTotal).cast("double")).as("fp_rate"),
+        col("n_rows"), col("sum_retail"))
+  }
+
+  // --------------------------------------- compaction × clustering
+
+  private[graft] val OcData = "graft_zmap_data_oc"
+  private[graft] val OcManifest = "graft_zmap_manifest_oc"
+  private[graft] val OcOptData = "graft_zmap_data_oc2"
+  private[graft] val OcOptManifest = "graft_zmap_manifest_oc2"
+
+  /** Small ingest files consolidated per pack — by FILE-ID VALUE
+    * (`zfile div 32`), the same value-based membership rule as
+    * q318's (the r9 layoutDims lesson: the invariant lives in the
+    * arithmetic, not in the data being dense). */
+  private[graft] val OcPackFiles = 32
+
+  /** COMPACTION × CLUSTERING — the two maintenance moves in ONE
+    * rewrite, which is what a real `OPTIMIZE ... ZORDER BY` does:
+    * q318 bin-packs small commits but keeps arrival order (envelopes
+    * stay wide), q313 restores the z-curve but as a whole-table
+    * rewrite. The realistic unit is this one: the table arrives as
+    * arrival-ordered small files (half the target size, the arrival
+    * sequence a key-hash scramble — the fixture's stand-in for
+    * "ingest lands in no dimension-correlated order", so the
+    * before-layout's envelopes admit every 2-D probe; p_partkey
+    * itself would not do: the synthetic price column tracks it
+    * linearly, which would smuggle a y-sort into the strawman), and
+    * the
+    * optimizer packs [[OcPackFiles]] adjacent files per pack, sorts
+    * each pack along the z-curve, and recuts at the full target file
+    * size. Each pack is an independent rewrite unit (the window is
+    * partitioned by pack — a production compactor schedules packs
+    * separately, the q301/q313 incremental shape); one linear pass
+    * total, no global sort.
+    *
+    * The certificate is the q313 probe through both manifests: the
+    * slice (`n_parts`/`sum_retail`) is layout-independent and in the
+    * hash, `files_total` halves (packing), and `files_scanned`
+    * collapses (clustering) — the before-layout can prune (almost)
+    * nothing on the box because arrival order bounds neither
+    * dimension. TableFormatSpec asserts the physical half: the
+    * after-probe's partitions-read equals the optimized manifest's
+    * overlap count, and both gains actually happened. */
+  def q332CompactCluster(spark: SparkSession, dir: String): DataFrame = {
+    val base = partXY(spark, dir)
+    val rpf = zRowsPerFile(base.count())
+    val rpfS = math.max(1L, rpf / 2)
+    // BEFORE: arrival-ordered ingest files at half the target size
+    // — what a streaming writer leaves behind
+    writeLayout(spark, base,
+      (col("p_partkey").cast("long") * 2654435761L) % 1000003L, OcData,
+      OcManifest, Some(rpfS))
+    val before = probeStats(spark, OcData, OcManifest, "before")
+
+    // OPTIMIZE: pack, z-sort within pack, recut at full size
+    Scale.dropManaged(spark, OcOptData)
+    Scale.dropManaged(spark, OcOptManifest)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack")).orderBy(col("zm"), col("p_partkey"))
+    spark.table(OcData)
+      .withColumn("pack", expr(s"zfile div $OcPackFiles"))
+      .withColumn("zm", expr(mortonSql("x", "y")))
+      .withColumn("rk", row_number().over(w))
+      .select(col("p_partkey"), col("p_retailprice"), col("x"), col("y"),
+        expr(s"CAST(pack * 100000 + (rk - 1) div $rpf AS INT)")
+          .as("zfile"))
+      .write.partitionBy("zfile")
+      .mode(SaveMode.Overwrite).saveAsTable(OcOptData)
+    writeManifest(spark, OcOptData, OcOptManifest)
+    val after = probeStats(spark, OcOptData, OcOptManifest, "after")
+    before.unionByName(after).orderBy(col("phase"))
+  }
+
   // ---------------------------------------------------- snapshots
 
   /** Segment cut points: commits are ingest batches by order date
@@ -315,7 +491,7 @@ object TableFormat {
     * data (partitioned by commit_id), manifest (version → commit set),
     * segstats (per-commit min/max order date + row count — the
     * file-stats half of an Iceberg manifest). */
-  private def buildSnapshots(spark: SparkSession, dir: String,
+  private[graft] def buildSnapshots(spark: SparkSession, dir: String,
       suffix: String): (String, String, String) = {
     import spark.implicits._
     val data = s"graft_snap_data$suffix"
@@ -790,26 +966,32 @@ object TableFormat {
     * relation is the recent churn (bounded, metadata-adjacent), never
     * the corpus. TableFormatSpec asserts both branches' partition
     * pruning separately, which is why they are exposed unpacked. */
-  private[graft] def morBranches(spark: SparkSession,
+  private[graft] def morBranchesAt(spark: SparkSession, data: String,
+      manifest: String, deletes: String, dmanifest: String,
       version: Int): (DataFrame, DataFrame, DataFrame) = {
-    val commits = commitsOf(spark, MorManifest, version).toSeq
-    val dbs = spark.table(MorDManifest)
+    val commits = commitsOf(spark, manifest, version).toSeq
+    val dbs = spark.table(dmanifest)
       .filter(col("version") === version)
       .select(col("dbatch")).collect().map(_.getString(0)).toSeq
-    val scoped = spark.table(MorDeletes)
+    val scoped = spark.table(deletes)
       .filter(col("dbatch").isin(dbs: _*))
       .filter(col("target_commit").isin(commits: _*))
     val touched = scoped.select(col("target_commit")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    val direct = spark.table(MorData)
+    val direct = spark.table(data)
       .filter(col("commit_id").isin(commits.filterNot(touched.contains): _*))
-    val anti = spark.table(MorData)
+    val anti = spark.table(data)
       .filter(col("commit_id").isin(touched: _*))
       .join(broadcast(scoped),
         col("o_orderkey") === col("del_key") &&
           col("commit_id") === col("target_commit"), "left_anti")
     (direct, anti, scoped)
   }
+
+  private[graft] def morBranches(spark: SparkSession,
+      version: Int): (DataFrame, DataFrame, DataFrame) =
+    morBranchesAt(spark, MorData, MorManifest, MorDeletes, MorDManifest,
+      version)
 
   /** MERGE-ON-READ deletion vectors — the other half of q315's MERGE.
     * q315 is copy-on-write only: one corrected row rewrites its whole
@@ -847,10 +1029,20 @@ object TableFormat {
     * arithmetic. `n_live_deletes` counts the scoped artifact rows —
     * the "how much MoR debt is this version carrying" number a
     * maintenance scheduler reads. */
-  def q317MergeOnReadDeletes(spark: SparkSession, dir: String): DataFrame = {
+  /** Replay the full MoR lifecycle under the given table-name
+    * suffix — v3 base snapshots, v4 takedown batch d1, v5 correction
+    * batch d2, density-triggered fold, v6 — and return every
+    * artifact name plus the base version. ONE definition shared by
+    * q317 (which reports on it) and q329 (which compacts the delete
+    * debt it leaves behind); the lifecycle mechanics are documented
+    * on [[q317MergeOnReadDeletes]]. */
+  private[graft] def buildMorLifecycle(spark: SparkSession, dir: String,
+      suffix: String): (String, String, String, String, String, Int) = {
     import spark.implicits._
-    val (data, manifest, segstats) = buildSnapshots(spark, dir, "_mor")
-    Seq(MorDeletes, MorDManifest).foreach(Scale.dropManaged(spark, _))
+    val (data, manifest, segstats) = buildSnapshots(spark, dir, suffix)
+    val deletes = s"graft_snap_deletes$suffix"
+    val dmanifest = s"graft_snap_dmanifest$suffix"
+    Seq(deletes, dmanifest).foreach(Scale.dropManaged(spark, _))
     val latest = spark.table(manifest).agg(max(col("version")))
       .collect().head.getInt(0)
     val live = commitsOf(spark, manifest, latest).toSeq.sorted
@@ -861,11 +1053,11 @@ object TableFormat {
       orders.filter(col("o_orderkey") % 1000 === 41)
         .select(col("o_orderkey"), col("o_orderdate")), "d1")
       .write.partitionBy("dbatch")
-      .mode(SaveMode.Overwrite).saveAsTable(MorDeletes)
+      .mode(SaveMode.Overwrite).saveAsTable(deletes)
     live.map((latest + 1, _)).toDF("version", "commit_id")
       .write.insertInto(manifest)
     Seq((latest + 1, "d1")).toDF("version", "dbatch")
-      .write.mode(SaveMode.Overwrite).saveAsTable(MorDManifest)
+      .write.mode(SaveMode.Overwrite).saveAsTable(dmanifest)
 
     // v5: correction batch d2, same discipline
     routeDeletes(spark, segstats, live,
@@ -873,16 +1065,17 @@ object TableFormat {
           col("o_orderdate") >= lit(C0End).cast("timestamp") &&
           col("o_orderdate") < lit(C1End).cast("timestamp"))
         .select(col("o_orderkey"), col("o_orderdate")), "d2")
-      .write.insertInto(MorDeletes)
+      .write.insertInto(deletes)
     live.map((latest + 2, _)).toDF("version", "commit_id")
       .write.insertInto(manifest)
     Seq((latest + 2, "d1"), (latest + 2, "d2")).toDF("version", "dbatch")
-      .write.insertInto(MorDManifest)
+      .write.insertInto(dmanifest)
 
     // density-triggered fold: artifact count ÷ ledger count per
     // segment — only segments past the threshold rewrite (CoW,
     // pruned to that one partition); the rest keep their artifacts
-    val (_, _, scoped5) = morBranches(spark, latest + 2)
+    val (_, _, scoped5) = morBranchesAt(spark, data, manifest, deletes,
+      dmanifest, latest + 2)
     val folded = scoped5.groupBy(col("target_commit"))
       .agg(count(lit(1)).as("n_del"))
       .join(spark.table(segstats)
@@ -904,7 +1097,12 @@ object TableFormat {
     v6.map((latest + 3, _)).toDF("version", "commit_id")
       .write.insertInto(manifest)
     Seq((latest + 3, "d1"), (latest + 3, "d2")).toDF("version", "dbatch")
-      .write.insertInto(MorDManifest)
+      .write.insertInto(dmanifest)
+    (data, manifest, segstats, deletes, dmanifest, latest)
+  }
+
+  def q317MergeOnReadDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, _, _, latest) = buildMorLifecycle(spark, dir, "_mor")
 
     def versionRow(v: Int, status: String): DataFrame = {
       val (direct, anti, scoped) = morBranches(spark, v)
@@ -918,6 +1116,117 @@ object TableFormat {
     Seq(versionRow(latest, "base"), versionRow(latest + 1, "mor"),
       versionRow(latest + 2, "mor"), versionRow(latest + 3, "folded"))
       .reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  // ------------------------------------- delete-artifact compaction
+
+  private[graft] val DmData = "graft_snap_data_dm"
+  private[graft] val DmManifest = "graft_snap_manifest_dm"
+  private[graft] val DmDeletes = "graft_snap_deletes_dm"
+  private[graft] val DmDManifest = "graft_snap_dmanifest_dm"
+
+  /** DELETE-ARTIFACT MAINTENANCE — the q318 move for the MoR delete
+    * side, closing the debt q317 leaves open: light segments keep
+    * their artifacts forever and the delete manifest re-lists every
+    * batch per version, so at production takedown cadence both grow
+    * without bound. The compactor is pure artifact/metadata work —
+    * base data is never read OR written:
+    *
+    *  1. CONSOLIDATE: the delete rows in scope at the latest version
+    *     (the one shared [[morBranchesAt]] scope rule) rewrite into a
+    *     single batch `dc0`. Rows whose target commit left every live
+    *     manifest drop RIGHT HERE — d2's rows (their segment folded
+    *     to `c1_f` in the lifecycle) and d1's c1-targeted rows are
+    *     inert: no read can ever apply them again, so carrying them
+    *     is pure debt. The scope rule does the dropping; inertness is
+    *     not a second code path that could disagree with the reader.
+    *  2. PUBLISH: version v+1 references the same commit set with
+    *     delete scope {dc0} — manifest + delete-manifest APPENDS,
+    *     the tier's standard publish shape.
+    *  3. EXPIRE + VACUUM: old versions retire (the q310 two-phase),
+    *     then batch partitions no surviving delete-manifest row
+    *     references drop, as do data segments no surviving version
+    *     lists — the same reclaim move, now running on the ARTIFACT
+    *     table too.
+    *
+    * The report is falsifiable end to end: `n_rows`/`sum_price` are
+    * counted from the REAL reads before and after (byte-stability of
+    * the read through compacted artifacts is in the hash), the
+    * artifact/manifest counters come from the real tables, and the
+    * oracle re-derives every number — including the inert-row drop —
+    * from predicate arithmetic. At 100 TB this caps MoR read cost:
+    * the per-version delete relation becomes one bounded batch
+    * instead of every takedown since the last rewrite. */
+  def q329DeleteArtifactCompaction(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest, _, deletes, dmanifest, latest) =
+      buildMorLifecycle(spark, dir, "_dm")
+    val v6 = latest + 3
+
+    def stateRow(phase: String, v: Int): DataFrame = {
+      val (direct, anti, _) = morBranchesAt(spark, data, manifest,
+        deletes, dmanifest, v)
+      val nVersions = spark.table(manifest).select(col("version"))
+        .distinct().count()
+      val nBatches = spark.table(deletes).select(col("dbatch"))
+        .distinct().count()
+      val nArtifact = spark.table(deletes).count()
+      val nDmRows = spark.table(dmanifest).count()
+      direct.unionByName(anti)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(lit(phase).as("phase"), lit(nVersions).as("n_versions"),
+          lit(nBatches).as("n_dbatches"),
+          lit(nArtifact).as("n_artifact_rows"),
+          lit(nDmRows).as("n_dmanifest_rows"),
+          col("n_rows"), col("sum_price"))
+    }
+    // pin the before-physics: the read must execute against the
+    // UNCOMPACTED artifacts, not lazily after they are vacuumed
+    val before = stateRow("before", v6).localCheckpoint()
+
+    // 1. consolidate the in-scope rows into one batch (inert rows
+    // drop by the scope rule itself); churn-sized by contract
+    val (_, _, scoped6) = morBranchesAt(spark, data, manifest, deletes,
+      dmanifest, v6)
+    val consolidated = scoped6
+      .select(col("del_key"), col("target_commit"),
+        lit("dc0").as("dbatch"))
+      .localCheckpoint() // break lineage: appends into its own source
+    consolidated.write.insertInto(deletes)
+    // 2. publish v7: same commits, delete scope = the one batch
+    commitsOf(spark, manifest, v6).toSeq.sorted.map((v6 + 1, _))
+      .toDF("version", "commit_id").write.insertInto(manifest)
+    Seq((v6 + 1, "dc0")).toDF("version", "dbatch")
+      .write.insertInto(dmanifest)
+    // 3. expire everything but v7, then vacuum unreferenced batch
+    // partitions AND unreferenced data segments
+    val keptM = spark.table(manifest).filter(col("version") === v6 + 1)
+      .localCheckpoint()
+    keptM.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
+    val keptD = spark.table(dmanifest).filter(col("version") === v6 + 1)
+      .localCheckpoint()
+    keptD.write.mode(SaveMode.Overwrite).saveAsTable(dmanifest)
+    val liveBatches = spark.table(dmanifest).select(col("dbatch"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val onDiskB = spark.sql(s"SHOW PARTITIONS $deletes")
+      .collect().map(_.getString(0).stripPrefix("dbatch=")).toSet
+    (onDiskB -- liveBatches).toSeq.sorted.foreach { b =>
+      spark.sql(
+        s"ALTER TABLE $deletes DROP IF EXISTS PARTITION (dbatch='$b')")
+    }
+    val reachable = spark.table(manifest).select(col("commit_id"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val onDiskC = spark.sql(s"SHOW PARTITIONS $data")
+      .collect().map(_.getString(0).stripPrefix("commit_id=")).toSet
+    (onDiskC -- reachable).toSeq.sorted.foreach { c =>
+      spark.sql(
+        s"ALTER TABLE $data DROP IF EXISTS PARTITION (commit_id='$c')")
+    }
+
+    val after = stateRow("after", v6 + 1)
+    before.unionByName(after).orderBy(col("phase"))
   }
 
   // ------------------------------------------- two-level metadata
@@ -1240,18 +1549,51 @@ object TableFormat {
     * TableFormatSpec's partitions-read assertion, so the spec
     * certifies the same churn-only read the refresh runs. Shared
     * segments contribute nothing and are never scanned. */
-  private[graft] def mvDeltaInput(spark: SparkSession): DataFrame = {
-    val (from, to) = (commitsOf(spark, MvManifest, 1),
-      commitsOf(spark, MvManifest, 3))
+  private[graft] def mvDeltaInput(spark: SparkSession): DataFrame =
+    mvSignedDelta(spark, MvData, MvManifest, 1, 3)
+
+  /** The signed-delta input between ANY two versions of a snapshot
+    * table — the generalization q328's streaming consumer folds one
+    * commit at a time: fresh segments (+), retired segments (−),
+    * both named by the manifest diff; shared segments contribute
+    * nothing and are never scanned. `fromV = 0` (no commits) makes
+    * the initial MV build just the first refresh. */
+  private[graft] def mvSignedDelta(spark: SparkSession, data: String,
+      manifest: String, fromV: Int, toV: Int): DataFrame = {
+    val (from, to) = (commitsOf(spark, manifest, fromV),
+      commitsOf(spark, manifest, toV))
     val retired = (from -- to).toSeq.sorted
     val fresh = (to -- from).toSeq.sorted
-    spark.table(MvData).filter(col("commit_id").isin(fresh: _*))
+    spark.table(data).filter(col("commit_id").isin(fresh: _*))
       .select(col("o_custkey"), lit(1L).as("s"),
         dec(col("o_totalprice")).as("p"))
       .unionByName(
-        spark.table(MvData).filter(col("commit_id").isin(retired: _*))
+        spark.table(data).filter(col("commit_id").isin(retired: _*))
           .select(col("o_custkey"), lit(-1L).as("s"),
             (-dec(col("o_totalprice"))).as("p")))
+  }
+
+  /** Fold a signed delta into an MV state frame (o_custkey,
+    * n_orders, sum_price): deltas aggregate per key (map-side
+    * combine, one churn-sized shuffle) and full-outer-join the view
+    * on its key; keys whose count falls to zero leave, new keys
+    * enter, untouched keys carry through unrecomputed. Counts are
+    * longs and sums stay DECIMAL through the +/− arithmetic, so the
+    * refreshed view is BIT-EQUAL to a full recompute — ONE
+    * definition shared by q324's batch refresh and q328's
+    * per-commit streaming refresh. */
+  private[graft] def mvApplyDelta(prev: DataFrame,
+      deltaInput: DataFrame): DataFrame = {
+    val delta = deltaInput.groupBy(col("o_custkey"))
+      .agg(sum(col("s")).as("dn"), sum(col("p")).as("dp"))
+    prev.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("sum_price"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("dp"), lit(0).cast("decimal(28,2)")))
+          .cast("decimal(28,2)").as("sum_price"))
+      .filter(col("n_orders") > 0)
   }
 
   /** INCREMENTAL MATERIALIZED-VIEW MAINTENANCE from the changelog —
@@ -1288,25 +1630,86 @@ object TableFormat {
         sum(dec(col("o_totalprice"))).as("sum_price"))
       .write.mode(SaveMode.Overwrite).saveAsTable(MvTable)
 
-    val delta = mvDeltaInput(spark)
-      .groupBy(col("o_custkey"))
-      .agg(sum(col("s")).as("dn"), sum(col("p")).as("dp"))
-    val refreshed = spark.table(MvTable)
-      .join(delta, Seq("o_custkey"), "full_outer")
-      .select(col("o_custkey"),
-        (coalesce(col("n_orders"), lit(0L)) +
-          coalesce(col("dn"), lit(0L))).as("n_orders"),
-        (coalesce(col("sum_price"), lit(0).cast("decimal(28,2)")) +
-          coalesce(col("dp"), lit(0).cast("decimal(28,2)")))
-          .as("sum_price"))
-      .filter(col("n_orders") > 0)
-      .localCheckpoint()
+    val refreshed =
+      mvApplyDelta(spark.table(MvTable), mvDeltaInput(spark))
+        .localCheckpoint()
     refreshed.write.mode(SaveMode.Overwrite).saveAsTable(MvTable)
     spark.table(MvTable)
       .select(col("o_custkey"), col("n_orders"),
         col("sum_price").cast("double").as("sum_price"))
       .orderBy(col("o_custkey"))
   }
+
+  // ------------------------------------------------------ ref log
+
+  /** Append-only REF LOG — the (ref → version) layer shared by the
+    * WAP branches (q323) and the branch-aware vacuum (q330). A ref's
+    * live value is its HIGHEST-seq row; an update appends a live row,
+    * a drop appends a tombstone (`live = false`) — nothing is ever
+    * rewritten in place, so the refs table keeps the tier's
+    * append-only metadata discipline (the r10 review finding:
+    * setRef/dropRef as whole-table rewrites were O(history)
+    * read-modify-writes, safe only under the single-writer
+    * convention; appends compose with it the same way the manifest's
+    * version appends do). The log is metadata-sized by construction
+    * (one row per ref UPDATE, never per data row); the sanctioned
+    * compaction point is snapshot expiry, exactly as for the
+    * manifest itself. */
+  private[graft] def initRefs(spark: SparkSession, refsT: String,
+      refs: Seq[(String, Int)]): Unit = {
+    import spark.implicits._
+    Scale.dropManaged(spark, refsT)
+    refs.zipWithIndex.map { case ((r, v), i) => (i + 1, r, v, true) }
+      .toDF("seq", "ref", "version", "live")
+      .write.mode(SaveMode.Overwrite).saveAsTable(refsT)
+  }
+
+  /** Latest log row per ref — (version, live) at the highest seq.
+    * FAILS LOUDLY if two rows share a ref's max seq (a duplicated
+    * append): the r10 review's ask — an invariant violation must
+    * surface like the stream-ingest monotone-delivery check does,
+    * not be masked by a max() lookup. */
+  private def refLogLatest(spark: SparkSession,
+      refsT: String): Map[String, (Int, Boolean)] = {
+    val rows = spark.table(refsT)
+      .select(col("seq"), col("ref"), col("version"), col("live"))
+      .collect()
+    rows.groupBy(_.getString(1)).map { case (r, rs) =>
+      val mx = rs.map(_.getInt(0)).max
+      val at = rs.filter(_.getInt(0) == mx)
+      require(at.length == 1,
+        s"ref log corrupt: ${at.length} rows at seq $mx for ref '$r'")
+      r -> (at.head.getInt(2), at.head.getBoolean(3))
+    }
+  }
+
+  private def nextSeq(spark: SparkSession, refsT: String): Int =
+    spark.table(refsT).agg(coalesce(max(col("seq")), lit(0)))
+      .collect().head.getInt(0) + 1
+
+  private[graft] def setRef(spark: SparkSession, refsT: String,
+      ref: String, v: Int): Unit = {
+    import spark.implicits._
+    Seq((nextSeq(spark, refsT), ref, v, true))
+      .toDF("seq", "ref", "version", "live")
+      .write.insertInto(refsT)
+  }
+
+  private[graft] def dropRef(spark: SparkSession, refsT: String,
+      ref: String): Unit = {
+    import spark.implicits._
+    Seq((nextSeq(spark, refsT), ref, 0, false))
+      .toDF("seq", "ref", "version", "live")
+      .write.insertInto(refsT)
+  }
+
+  private[graft] def refVersion(spark: SparkSession, refsT: String,
+      ref: String): Option[Int] =
+    refLogLatest(spark, refsT).get(ref).collect { case (v, true) => v }
+
+  private[graft] def liveRefVersions(spark: SparkSession,
+      refsT: String): Map[String, Int] =
+    refLogLatest(spark, refsT).collect { case (r, (v, true)) => r -> v }
 
   // ------------------------------------------- write-audit-publish
 
@@ -1330,12 +1733,22 @@ object TableFormat {
     *  - batch w2 arrives CORRUPT (an upstream sign flip on every
     *    third row); it stages on `audit_w2` (version 5 = v4 + w2),
     *    the same audit counts the violations → REJECT: `main` never
-    *    moves, the branch ref is deleted, and the staged segment is
-    *    dropped (the q321 orphan-reclaim move). Readers of `main`
-    *    never saw a corrupt row at ANY point — that is the
-    *    guarantee this pattern exists for, and TableFormatSpec
-    *    asserts it (main == v4 content after the whole run, no w2
-    *    partition on disk, no surviving audit refs).
+    *    moves and the branch ref gets a tombstone. The rejected
+    *    snapshot stays in history until the post-run ORPHAN EXPIRY
+    *    (the Iceberg rule — a reject is a ref decision, not a
+    *    history edit; r10's immediate manifest expunge was an
+    *    in-place rewrite mid-protocol), and the expiry's vacuum then
+    *    reclaims the staged segment (the q310 move on a segment no
+    *    surviving version references). Readers of `main` never saw a
+    *    corrupt row at ANY point — the guarantee this pattern exists
+    *    for, and TableFormatSpec asserts it (main == v4 content
+    *    after the whole run, no w2 partition on disk after expiry,
+    *    no surviving audit refs).
+    *
+    * All ref movement goes through the append-only REF LOG above —
+    * publish and reject are both one appended row, never a rewrite;
+    * the only manifest rewrite is the end-of-run expiry, the
+    * sanctioned compaction point.
     *
     * The report is falsifiable end to end: per-batch `n_rows` and
     * `n_violations` are counted from the real branch reads, the
@@ -1346,26 +1759,9 @@ object TableFormat {
   def q323WriteAuditPublish(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (data, manifest, _) = buildSnapshots(spark, dir, "_wap")
-    Scale.dropManaged(spark, WapRefs)
     val base = spark.table(manifest).agg(max(col("version")))
       .collect().head.getInt(0)
-    Seq(("main", base)).toDF("ref", "version")
-      .write.mode(SaveMode.Overwrite).saveAsTable(WapRefs)
-
-    def refVersion(ref: String): Int = spark.table(WapRefs)
-      .filter(col("ref") === ref).agg(max(col("version")))
-      .collect().head.getInt(0)
-    def setRef(ref: String, v: Int): Unit = {
-      val kept = spark.table(WapRefs).filter(col("ref") =!= ref)
-        .localCheckpoint()
-      kept.unionByName(Seq((ref, v)).toDF("ref", "version"))
-        .write.mode(SaveMode.Overwrite).saveAsTable(WapRefs)
-    }
-    def dropRef(ref: String): Unit = {
-      val kept = spark.table(WapRefs).filter(col("ref") =!= ref)
-        .localCheckpoint()
-      kept.write.mode(SaveMode.Overwrite).saveAsTable(WapRefs)
-    }
+    initRefs(spark, WapRefs, Seq(("main", base)))
 
     /** Stage one ingest batch on an audit branch, audit it from the
       * BRANCH read, publish or reject. Returns the report row. */
@@ -1376,7 +1772,7 @@ object TableFormat {
         else identity
       stageCommit(spark, dir, data, mod, shift, "2002-03-01", commit,
         price)
-      val mainV = refVersion("main")
+      val mainV = refVersion(spark, WapRefs, "main").get
       val branchV = spark.table(manifest).agg(max(col("version")))
         .collect().head.getInt(0) + 1
       val branch = s"audit_$commit"
@@ -1384,11 +1780,12 @@ object TableFormat {
         .select(lit(branchV).as("version"), col("commit_id"))
         .unionByName(Seq((branchV, commit)).toDF("version", "commit_id"))
         .localCheckpoint().write.insertInto(manifest)
-      setRef(branch, branchV)
+      setRef(spark, WapRefs, branch, branchV)
       // the audit reads the BRANCH through the normal pruned path,
       // restricted to the staged segment (the delta an auditor
       // actually checks) — violations counted from real rows
-      val audit = readVersion(spark, data, manifest, refVersion(branch))
+      val audit = readVersion(spark, data, manifest,
+          refVersion(spark, WapRefs, branch).get)
         .filter(col("commit_id") === commit)
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("o_orderkey").isNull ||
@@ -1396,32 +1793,130 @@ object TableFormat {
             .as("n_violations"))
         .collect().head
       val (nRows, nViol) = (audit.getLong(0), audit.getLong(1))
+      // publish and reject are the same ref-log shape: publish
+      // fast-forwards main (one appended row), reject appends
+      // nothing to main; either way the audit branch tombstones
       val action = if (nViol == 0) {
-        setRef("main", branchV); "published"
-      } else {
-        // reject leaves NOTHING behind: staged segment dropped (the
-        // q321 orphan-reclaim move) and the branch's manifest version
-        // expunged — a rejected snapshot never becomes history
-        spark.sql(s"ALTER TABLE $data DROP IF EXISTS " +
-          s"PARTITION (commit_id='$commit')")
-        val keptM = spark.table(manifest)
-          .filter(col("version") =!= branchV).localCheckpoint()
-        keptM.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
-        "rejected"
-      }
-      dropRef(branch)
+        setRef(spark, WapRefs, "main", branchV); "published"
+      } else "rejected"
+      dropRef(spark, WapRefs, branch)
       Seq((commit, nRows, nViol, action))
         .toDF("entity", "n_rows", "n_violations", "action")
     }
 
     val r1 = wapBatch(31, 40000000L, "w1", corrupt = false)
     val r2 = wapBatch(37, 50000000L, "w2", corrupt = true)
-    val finalMain = readVersion(spark, data, manifest, refVersion("main"))
+    // ORPHAN EXPIRY + VACUUM — the end-of-run maintenance pass: a
+    // rejected snapshot is a version above every live ref that no
+    // ref ever fast-forwarded to; expiry expunges those manifest
+    // rows (the one sanctioned rewrite, same as q310's), and the
+    // vacuum reclaims segments no surviving version references
+    // (w2's staged partition). History at or below main stays for
+    // time travel — retiring THAT is q310's retention job.
+    val maxLive = liveRefVersions(spark, WapRefs).values.max
+    val keptM = spark.table(manifest)
+      .filter(col("version") <= maxLive).localCheckpoint()
+    keptM.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
+    val reachable = spark.table(manifest).select(col("commit_id"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val onDisk = spark.sql(s"SHOW PARTITIONS $data")
+      .collect().map(_.getString(0).stripPrefix("commit_id=")).toSet
+    (onDisk -- reachable).toSeq.sorted.foreach { c =>
+      spark.sql(
+        s"ALTER TABLE $data DROP IF EXISTS PARTITION (commit_id='$c')")
+    }
+    val mainV = refVersion(spark, WapRefs, "main").get
+    val finalMain = readVersion(spark, data, manifest, mainV)
       .agg(count(lit(1)).as("n_rows"))
       .select(lit("final_main").as("entity"), col("n_rows"),
         lit(0L).as("n_violations"),
-        lit(s"v${refVersion("main")}").as("action"))
+        lit(s"v$mainV").as("action"))
     r1.unionByName(r2).unionByName(finalMain).orderBy(col("entity"))
+  }
+
+  // ------------------------------------------ branch-aware vacuum
+
+  private[graft] val BvData = "graft_snap_data_bv"
+  private[graft] val BvManifest = "graft_snap_manifest_bv"
+  private[graft] val BvSegstats = "graft_snap_segstats_bv"
+  private[graft] val BvRefs = "graft_snap_refs_bv"
+
+  /** Ref-aware snapshot expiry + vacuum, on the named table: retire
+    * manifest versions no live ref references, then reclaim segments
+    * no SURVIVING version lists — q310's two-phase with the ref log
+    * as the reachability root set. ONE definition used by both of
+    * q330's phases, so "the branch pins it" and "the branch dropped"
+    * run the identical maintenance code path. */
+  private def expireAndVacuum(spark: SparkSession, data: String,
+      manifest: String, refsT: String): Unit = {
+    val live = liveRefVersions(spark, refsT).values.toSet.toSeq.sorted
+    val kept = spark.table(manifest)
+      .filter(col("version").isin(live: _*)).localCheckpoint()
+    kept.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
+    val reachable = spark.table(manifest).select(col("commit_id"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val onDisk = spark.sql(s"SHOW PARTITIONS $data")
+      .collect().map(_.getString(0).stripPrefix("commit_id=")).toSet
+    (onDisk -- reachable).toSeq.sorted.foreach { c =>
+      spark.sql(
+        s"ALTER TABLE $data DROP IF EXISTS PARTITION (commit_id='$c')")
+    }
+  }
+
+  /** BRANCH-AWARE VACUUM — the composition the r10 verdict named:
+    * q310's reachability must honor q323's refs, or expiry under a
+    * live audit/experiment branch silently deletes segments the
+    * branch still reads. One table instance carries both hazards at
+    * once: `main` → v3 and a long-lived audit branch `hold` → v2
+    * (pinning segment c0, which v3's retention rewrite replaced with
+    * c0_rw — c0 is reachable ONLY through the branch).
+    *
+    *  - phase 1 (branch live): expiry retires v1 (no ref reaches it)
+    *    but KEEPS v2 — the branch pins it — and the vacuum reclaims
+    *    nothing: every on-disk segment is listed by a surviving
+    *    version. A ref-blind vacuum (q310's rule verbatim) would
+    *    have dropped c0 here and broken every branch read — the
+    *    failure this query exists to demonstrate cannot happen.
+    *  - phase 2 (branch dropped): the ref tombstones (one appended
+    *    row), the SAME maintenance pass runs again, v2 expires, and
+    *    c0 — now truly unreachable — reclaims.
+    *
+    * Reachability is metadata arithmetic end to end (ref log →
+    * versions → commit sets); the report is falsifiable the q310
+    * way: `n_rows` per segment comes from the pre-vacuum ledger,
+    * `n_rows_after` is COUNTED from the post-pass table at each
+    * phase, and status comes from the manifest/ref arithmetic — a
+    * vacuum that drops a branch-pinned segment zeroes phase 1's c0
+    * row and hash-fails. */
+  def q330BranchAwareVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val (data, manifest, segstats) = buildSnapshots(spark, dir, "_bv")
+    initRefs(spark, BvRefs, Seq(("main", 3), ("hold", 2)))
+    val ledger = spark.table(segstats)
+      .select(col("commit_id"), col("n_rows")).localCheckpoint()
+
+    def phaseReport(phase: String): DataFrame = {
+      val refs = liveRefVersions(spark, BvRefs)
+      val mainSet = commitsOf(spark, manifest, refs("main"))
+      val branchOnly = refs.view.filterKeys(_ != "main").values
+        .flatMap(v => commitsOf(spark, manifest, v)).toSet -- mainSet
+      val after = spark.table(data).groupBy(col("commit_id"))
+        .agg(count(lit(1)).as("n_rows_after"))
+      ledger.join(after, Seq("commit_id"), "left")
+        .select(lit(phase).as("phase"), col("commit_id"), col("n_rows"),
+          when(col("commit_id").isin(mainSet.toSeq: _*), "retained")
+            .when(col("commit_id").isin(branchOnly.toSeq: _*),
+              "retained_by_branch")
+            .otherwise("reclaimed").as("status"),
+          coalesce(col("n_rows_after"), lit(0L)).as("n_rows_after"))
+    }
+
+    expireAndVacuum(spark, data, manifest, BvRefs)
+    val p1 = phaseReport("p1_branch_live")
+      .localCheckpoint() // pin phase-1 physics before phase 2 mutates
+    dropRef(spark, BvRefs, "hold")
+    expireAndVacuum(spark, data, manifest, BvRefs)
+    val p2 = phaseReport("p2_branch_dropped")
+    p1.unionByName(p2).orderBy(col("phase"), col("commit_id"))
   }
 
   // ----------------------------------------------- schema evolution

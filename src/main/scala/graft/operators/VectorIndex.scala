@@ -781,4 +781,192 @@ object VectorIndex {
         round(col("n_caught").cast("double") /
           col("n_exact").cast("double"), 9).as("recall"))
   }
+
+  // --------------------- changelog-planned index maintenance (q327)
+
+  private[graft] val VdData = "graft_snap_emb_vd"
+  private[graft] val VdManifest = "graft_snap_manifest_vd"
+  private[graft] val VdCentroids = "graft_ivf_centroids_vd"
+  private[graft] val VdIndex = "graft_ivf_index_vd"
+
+  /** Fresh segments of the versioned embedding corpus — the v1→v2
+    * manifest diff (metadata arithmetic, the q312/q320 move). */
+  private[graft] def vdFresh(spark: SparkSession): Seq[String] =
+    (graft.operators.TableFormat.commitsOf(spark, VdManifest, 2) --
+      graft.operators.TableFormat.commitsOf(spark, VdManifest, 1))
+      .toSeq.sorted
+
+  /** The churn read of the versioned embedding corpus: ONLY the
+    * fresh partitions the manifest diff names — ONE definition
+    * consumed by the nightly job and by VectorIndexSpec's
+    * partitions-read assertion, so the spec certifies the same read
+    * the job runs (the q320/cdChurn discipline, one tier over). */
+  private[graft] def vdChurn(spark: SparkSession): DataFrame = {
+    val fresh = vdFresh(spark)
+    spark.table(VdData)
+      .filter(col("commit_id").isin(fresh: _*))
+      .select(col("vec_id"), col("v"), col("commit_id"))
+  }
+
+  /** CHANGELOG-PLANNED incremental VECTOR-INDEX maintenance — q320's
+    * composition applied one tier over, closing the r10 verdict's #1
+    * residual: q295/q302 maintain the IVF artifact correctly but
+    * learn "what is new" from a fixture predicate; a 100 TB
+    * embedding corpus is versioned exactly like the text corpus, so
+    * the nightly job must plan from the corpus's v(n)→v(n+1)
+    * manifest diff instead. Here the embedding corpus is a
+    * snapshot-versioned table (v1 = the standing corpus in three
+    * hash segments e0–e2, v2 = v1 + today's ingest commit e3 — which
+    * carries q302's deterministic drift injection, so the new data
+    * is off-manifold by construction), and the whole maintenance
+    * cycle runs from standing artifacts plus the diff:
+    *
+    *  - yesterday (v1 publish time): the IVF model + cell-
+    *    partitioned index build from a v1 manifest-pruned read and
+    *    persist; every index row carries its SOURCE COMMIT — the
+    *    provenance column that later makes "which rows are new"
+    *    artifact arithmetic instead of a corpus predicate.
+    *  - today (v2): fresh segments = v2 ∖ v1 — METADATA arithmetic;
+    *    the corpus table is scanned ONLY at those partitions
+    *    (spec-asserted through the one shared [[vdChurn]]
+    *    definition), assigned ONLINE under the frozen persisted
+    *    model (q295's append path), and appended into the index.
+    *  - monitor: q298's per-cell rule (the shared [[driftAgg]]) over
+    *    the index artifact, with `is_new` = src_commit ∈ fresh — the
+    *    corpus is never re-read.
+    *  - rebuild: q302's scoped cycle for the flagged cells — retrain
+    *    from the pruned index read, version-bump the model table,
+    *    reassign only the flagged cells' vectors, dynamic-overwrite
+    *    only the affected cell directories.
+    *
+    * Output and oracle are exactly q302's (the from-scratch
+    * derivation on the same split): the planning composition must be
+    * invisible in the answer — what moved is the INPUT cost, from
+    * O(corpus) to O(churn), the same contract q320 proved for the
+    * text family. At 100 TB this is the recurring job of an
+    * embedding pipeline: serving cost follows the day's ingest, and
+    * the drift loop runs without ever scanning the standing
+    * corpus. */
+  def q327ChangelogIvfMaintenance(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(VdData, VdManifest, VdCentroids, VdIndex)
+      .foreach(Scale.dropManaged(spark, _))
+    val e = Similarity.embDouble(spark, dir)
+    val isNew = col("vec_id") % 10 === 7
+    val drifted = e.withColumn("v",
+      when(isNew, transform(col("v"),
+        (x, i) => when(i < 8, x + 1.5d).otherwise(x)))
+        .otherwise(col("v")))
+    // versioned corpus: standing segments hash-cut (e0..e2), the
+    // ingest batch its own commit (e3) — visibility is the manifest's
+    val seg = when(isNew, lit("e3"))
+      .otherwise(concat(lit("e"), (col("vec_id") % 3).cast("string")))
+    drifted.withColumn("commit_id", seg)
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(VdData)
+    Seq((1, "e0"), (1, "e1"), (1, "e2"),
+      (2, "e0"), (2, "e1"), (2, "e2"), (2, "e3"))
+      .toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(VdManifest)
+
+    // yesterday: model + index from the v1-pruned read, rows
+    // stamped with their source commit
+    val v1 = graft.operators.TableFormat
+      .readVersion(spark, VdData, VdManifest, 1)
+      .select(col("vec_id"), col("v"), col("commit_id"))
+    val centers0 = Similarity.centersOf(
+      v1.select(col("vec_id"), col("v")), 8)
+    centers0.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
+      .write.mode(SaveMode.Overwrite).saveAsTable(VdCentroids)
+    Similarity.lloydAssign(v1, centers0)
+      .select(col("vec_id"), col("v"),
+        col("commit_id").as("src_commit"), col("cid"))
+      .write.partitionBy("cid")
+      .mode(SaveMode.Overwrite).saveAsTable(VdIndex)
+
+    // today: churn-only corpus read (manifest diff), online
+    // assignment under the FROZEN persisted model, index append
+    val fresh = vdFresh(spark)
+    val centers = readCenters(spark, VdCentroids, 8)
+    Similarity.lloydAssign(vdChurn(spark), centers)
+      .select(col("vec_id"), col("v"),
+        col("commit_id").as("src_commit"), col("cid"))
+      .write.mode(SaveMode.Append).insertInto(VdIndex)
+
+    // monitor from the standing artifacts only: is_new is ARTIFACT
+    // arithmetic (src_commit ∈ fresh) — the corpus is not re-read
+    val centersLit = typedlit(centers)
+    val monitored = driftAgg(spark.table(VdIndex)
+        .withColumn("dist", round(Similarity.sqDist(col("v"),
+          element_at(centersLit, col("cid") + 1)), 9))
+        .withColumn("is_new", col("src_commit").isin(fresh: _*)))
+      .localCheckpoint() // k rows: feeds the flag set AND the report
+    val flagged = monitored.filter(col("drift_flag"))
+      .select(col("cid")).collect().map(_.getInt(0)).toSet
+    if (flagged.isEmpty)
+      return monitored.select(col("cid"),
+        col("drift_flag").as("flagged"),
+        (col("n_base") + col("n_new")).as("n_before"),
+        (col("n_base") + col("n_new")).as("n_after"),
+        lit(0.0d).as("center_shift"))
+        .orderBy(col("cid"))
+    val fl = flagged.toSeq.sorted
+    // retrain flagged cells (pruned index scan, k×dim result) and
+    // version-bump the model table — q302's step 2
+    val retrained = spark.table(VdIndex)
+      .filter(col("cid").isin(fl: _*))
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(round(avg(col("x")), 9).as("m"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+        "s -> s.m)").as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    val updated = centers.zipWithIndex.map { case (c, i) =>
+      retrained.getOrElse(i, c) }
+    updated.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "c")
+      .write.mode(SaveMode.Overwrite).saveAsTable(VdCentroids)
+    val centers2 = readCenters(spark, VdCentroids, 8)
+    // reassign ONLY the flagged cells' vectors (src_commit rides
+    // through — provenance survives maintenance), rewrite affected
+    // cell directories — q302's step 3
+    val reassigned = Similarity.lloydAssign(
+        spark.table(VdIndex).filter(col("cid").isin(fl: _*))
+          .select(col("vec_id"), col("v"), col("src_commit")), centers2)
+      .select(col("vec_id"), col("v"), col("src_commit"), col("cid"))
+      .localCheckpoint()
+    val targets = reassigned.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val receivers = (targets -- flagged).toSeq.sorted
+    val newContents =
+      if (receivers.isEmpty) reassigned
+      else reassigned.unionByName(
+        spark.table(VdIndex).filter(col("cid").isin(receivers: _*))
+          .select(col("vec_id"), col("v"), col("src_commit"), col("cid"))
+          .localCheckpoint())
+    val pom = "spark.sql.sources.partitionOverwriteMode"
+    val oldPom = spark.conf.get(pom, "static")
+    spark.conf.set(pom, "dynamic")
+    try newContents.write.mode(SaveMode.Overwrite).insertInto(VdIndex)
+    finally spark.conf.set(pom, oldPom)
+    (flagged -- targets).toSeq.sorted.foreach { c =>
+      spark.sql(s"ALTER TABLE $VdIndex DROP IF EXISTS PARTITION (cid=$c)")
+    }
+    // report, from the post-maintenance artifact — q302's shape,
+    // q302's oracle: composition must be invisible in the answer
+    val after = spark.table(VdIndex).groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_after"))
+    val c2Lit = typedlit(updated)
+    monitored.join(after, Seq("cid"), "left")
+      .select(col("cid"), col("drift_flag").as("flagged"),
+        (col("n_base") + col("n_new")).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        when(col("drift_flag"),
+          round(Similarity.sqDist(element_at(centersLit, col("cid") + 1),
+            element_at(c2Lit, col("cid") + 1)), 9))
+          .otherwise(lit(0.0d)).as("center_shift"))
+      .orderBy(col("cid"))
+  }
 }

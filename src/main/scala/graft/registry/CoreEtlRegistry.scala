@@ -58,6 +58,10 @@ object CoreEtlRegistry {
     "q324_incremental_mv"  -> (TableFormat.q324IncrementalMvRefresh _),
     "q325_asof_timestamp"  -> (TableFormat.q325AsOfTimestamp _),
     "q326_shallow_clone"   -> (TableFormat.q326ShallowClone _),
+    "q329_delete_compaction" -> (TableFormat.q329DeleteArtifactCompaction _),
+    "q330_branch_vacuum"   -> (TableFormat.q330BranchAwareVacuum _),
+    "q331_bloom_lookup"    -> (TableFormat.q331BloomPointLookup _),
+    "q332_compact_cluster" -> (TableFormat.q332CompactCluster _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -862,6 +866,83 @@ object CoreEtlRegistry {
           + (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM wb)
           AS DOUBLE)
       ORDER BY entity""",
+
+    // the compactor's whole effect from predicate arithmetic: the
+    // read is byte-stable (n_rows/sum_price equal across phases —
+    // counted from the REAL reads on the Spark side), the artifact
+    // rows drop by exactly the inert set (d2 entirely + d1's
+    // c1-targeted rows, whose segment folded away), and the
+    // version/batch/manifest counters collapse to one each
+    "q329_delete_compaction" -> """
+      WITH live AS (SELECT * FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+      d1 AS (SELECT * FROM live WHERE o_orderkey % 1000 = 41),
+      d2 AS (SELECT * FROM live WHERE o_orderkey % 10 = 3
+             AND o_orderdate >= TIMESTAMP '1997-01-01'
+             AND o_orderdate < TIMESTAMP '1999-01-01'),
+      v5 AS (SELECT * FROM live
+             WHERE NOT o_orderkey % 1000 = 41
+               AND NOT (o_orderkey % 10 = 3
+                 AND o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1999-01-01')),
+      keep AS (SELECT * FROM d1
+               WHERE o_orderdate < TIMESTAMP '1997-01-01'
+                  OR o_orderdate >= TIMESTAMP '1999-01-01')
+      SELECT 'after' AS phase, CAST(1 AS BIGINT) AS n_versions,
+        CAST(1 AS BIGINT) AS n_dbatches,
+        (SELECT COUNT(*) FROM keep) AS n_artifact_rows,
+        CAST(1 AS BIGINT) AS n_dmanifest_rows,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM v5
+      UNION ALL
+      SELECT 'before', CAST(6 AS BIGINT), CAST(2 AS BIGINT),
+        (SELECT COUNT(*) FROM d1) + (SELECT COUNT(*) FROM d2),
+        CAST(5 AS BIGINT),
+        COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      FROM v5
+      ORDER BY phase""",
+
+    // both phases from reachability arithmetic: while the branch
+    // lives, c0 is pinned (retained_by_branch, still counted on
+    // disk); once it drops, the SAME maintenance pass reclaims
+    // exactly c0 — a ref-blind vacuum zeroes phase 1's c0 row and
+    // hash-fails
+    "q330_branch_vacuum" -> """
+      WITH c0 AS (SELECT COUNT(*) AS n FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+      c0rw AS (SELECT COUNT(*) AS n FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                 AND o_orderdate < TIMESTAMP '1997-01-01'),
+      c1 AS (SELECT COUNT(*) AS n FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+               AND o_orderdate < TIMESTAMP '1999-01-01'),
+      c2 AS (SELECT COUNT(*) AS n FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+      SELECT 'p1_branch_live' AS phase, 'c0' AS commit_id,
+        (SELECT n FROM c0) AS n_rows,
+        'retained_by_branch' AS status,
+        (SELECT n FROM c0) AS n_rows_after
+      UNION ALL SELECT 'p1_branch_live', 'c0_rw',
+        (SELECT n FROM c0rw), 'retained', (SELECT n FROM c0rw)
+      UNION ALL SELECT 'p1_branch_live', 'c1',
+        (SELECT n FROM c1), 'retained', (SELECT n FROM c1)
+      UNION ALL SELECT 'p1_branch_live', 'c2',
+        (SELECT n FROM c2), 'retained', (SELECT n FROM c2)
+      UNION ALL SELECT 'p2_branch_dropped', 'c0',
+        (SELECT n FROM c0), 'reclaimed', CAST(0 AS BIGINT)
+      UNION ALL SELECT 'p2_branch_dropped', 'c0_rw',
+        (SELECT n FROM c0rw), 'retained', (SELECT n FROM c0rw)
+      UNION ALL SELECT 'p2_branch_dropped', 'c1',
+        (SELECT n FROM c1), 'retained', (SELECT n FROM c1)
+      UNION ALL SELECT 'p2_branch_dropped', 'c2',
+        (SELECT n FROM c2), 'retained', (SELECT n FROM c2)
+      ORDER BY phase, commit_id""",
+
+    "q331_bloom_lookup" -> bloomPointLookupOracle,
+    "q332_compact_cluster" -> compactClusterOracle,
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

@@ -1814,7 +1814,7 @@ $iters
           }.mkString(" + ")} AS zm
         FROM base),
       rz AS (
-        SELECT x, y,
+        SELECT p_partkey, x, y,
           (ROW_NUMBER() OVER (ORDER BY zm, p_partkey) - 1)
             // (SELECT r FROM rpf) AS f
         FROM zv),
@@ -1859,6 +1859,108 @@ $iters
       FROM m CROSS JOIN boxes
       GROUP BY box_id, box_name, layout
       ORDER BY box_id, layout"""
+
+  /** q331: the whole bloom filter re-derived from integer
+    * arithmetic — file assignment from the shared z-curve CTEs, bit
+    * positions from the same three multipliers mod the same width,
+    * per-file words by bit_or, the candidate set by the same
+    * all-bits-set rule — so a wrong bit position, a wrong width, or
+    * a missed candidate moves `files_selected` and hash-fails; the
+    * found row itself comes from the base predicate. */
+  private[registry] def bloomPointLookupOracle: String = {
+    val probes = Seq(2654435761L, 2246822519L, 3266489917L)
+    def posList(key: String) = probes.map(a =>
+      s"($key * $a) % (SELECT m FROM mw)").mkString("[", ",\n          ", "]")
+    s"""
+      WITH $zmapManifestCtes,
+      mw AS (
+        SELECT GREATEST(1, ((SELECT r FROM rpf) * 10 + 31) // 32) * 32
+          AS m),
+      pos AS (
+        SELECT f, unnest(${posList("p_partkey")}) AS p
+        FROM rz),
+      bl AS (
+        SELECT f, p // 32 AS word,
+          bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+        FROM pos GROUP BY f, word),
+      pbp AS (
+        SELECT DISTINCT p // 32 AS word,
+          CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER) AS mask
+        FROM (SELECT unnest(${posList("97")}) AS p)),
+      sel AS (
+        SELECT bl.f FROM bl JOIN pbp ON bl.word = pbp.word
+          AND (bl.bits & pbp.mask) <> 0
+        GROUP BY bl.f
+        HAVING COUNT(*) = (SELECT COUNT(*) FROM pbp)),
+      act AS (SELECT COUNT(DISTINCT f) AS nf FROM rz WHERE p_partkey = 97),
+      res AS (
+        SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_retail
+        FROM base WHERE p_partkey = 97)
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mz) AS files_total,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sel) AS files_selected,
+        (SELECT nf FROM act) AS files_with_key,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sel) - (SELECT nf FROM act)
+          AS fp_files,
+        CAST((SELECT COUNT(*) FROM sel) - (SELECT nf FROM act) AS DOUBLE)
+          / CAST((SELECT COUNT(*) FROM mz) AS DOUBLE) AS fp_rate,
+        n_rows, sum_retail
+      FROM res"""
+  }
+
+  /** q332: both layouts re-derived — the before manifest from the
+    * arrival-order (p_partkey) cut at half file size, the after
+    * manifest from the pack-then-z-sort-then-recut arithmetic
+    * (pack = small-file id // 32 BY VALUE, within-pack rank over the
+    * shared Morton key); the probe slice is layout-independent and
+    * counted from the real pruned reads on the Spark side. */
+  private[registry] def compactClusterOracle: String = s"""
+      WITH $zmapManifestCtes,
+      rps AS (SELECT GREATEST(1, (SELECT r FROM rpf) // 2) AS r),
+      sb AS (
+        SELECT p_partkey, x, y,
+          (ROW_NUMBER() OVER (
+             ORDER BY (p_partkey * 2654435761) % 1000003, p_partkey) - 1)
+            // (SELECT r FROM rps) AS sf
+        FROM base),
+      mb AS (
+        SELECT sf, MIN(x) AS min_x, MAX(x) AS max_x,
+          MIN(y) AS min_y, MAX(y) AS max_y
+        FROM sb GROUP BY sf),
+      pr AS (
+        SELECT s.x, s.y,
+          (s.sf // 32) * 100000 +
+          (ROW_NUMBER() OVER (PARTITION BY s.sf // 32
+             ORDER BY z.zm, s.p_partkey) - 1)
+            // (SELECT r FROM rpf) AS f
+        FROM sb s JOIN zv z ON s.p_partkey = z.p_partkey),
+      ma AS (
+        SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
+          MIN(y) AS min_y, MAX(y) AS max_y
+        FROM pr GROUP BY f),
+      agg AS (
+        SELECT COUNT(*) AS n_parts,
+          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_retail
+        FROM base
+        WHERE x BETWEEN 15 AND 25 AND y BETWEEN 3 AND 8)
+      SELECT 'after' AS phase,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ma) AS files_total,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ma
+         WHERE max_x >= 15 AND min_x <= 25
+           AND max_y >= 3 AND min_y <= 8) AS files_scanned,
+        n_parts, sum_retail
+      FROM agg
+      UNION ALL
+      SELECT 'before',
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM mb),
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM mb
+         WHERE max_x >= 15 AND min_x <= 25
+           AND max_y >= 3 AND min_y <= 8),
+        n_parts, sum_retail
+      FROM agg
+      ORDER BY phase"""
 
   /** q313: the slice aggregate is layout-independent (content
     * preservation — equal across phases in the hash); only the file

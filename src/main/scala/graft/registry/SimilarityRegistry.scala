@@ -43,6 +43,7 @@ object SimilarityRegistry {
     "q303_ivf_nprobe_curve" -> (VectorIndex.q303IvfNprobeCurve _),
     "q305_ivf_deletion"    -> (VectorIndex.q305IvfDeletion _),
     "q306_gate_recall"     -> (VectorIndex.q306GateRecall _),
+    "q327_changelog_ivf"   -> (VectorIndex.q327ChangelogIvfMaintenance _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -550,5 +551,9 @@ object SimilarityRegistry {
     "q303_ivf_nprobe_curve" -> ivfNprobeCurveOracle,
     "q305_ivf_deletion" -> ivfDeletionOracle,
     "q306_gate_recall" -> gateRecallOracle,
+    // the composition must be invisible in the answer: q327 plans its
+    // input from the corpus manifest diff but computes exactly q302's
+    // maintenance cycle, so it shares q302's from-scratch oracle
+    "q327_changelog_ivf" -> ivfRebuildOracle,
   )
 }

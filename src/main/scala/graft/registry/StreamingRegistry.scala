@@ -38,9 +38,26 @@ object StreamingRegistry {
       (graft.streaming.StreamVectorGate.q304StreamIvfGate _),
     "q314_stream_commits" ->
       (graft.streaming.StreamSnapshotIngest.q314StreamCommitIngest _),
+    "q328_stream_mv_tail" ->
+      (graft.streaming.StreamChangelogTail.q328StreamMvMaintenance _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every MV version from the version predicates: v1 = the
+    // pre-append prefix, v2 = everything, v3 = post-retention — a
+    // dropped delta, a double-applied replay, or a refresh that read
+    // the wrong segments moves a total and hash-fails
+    "q328_stream_mv_tail" -> """
+      SELECT v AS version, COUNT(DISTINCT o_custkey) AS n_keys,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM orders CROSS JOIN (SELECT unnest([1, 2, 3]) AS v) t
+      WHERE (v = 1 AND o_orderdate < TIMESTAMP '1999-01-01')
+         OR v = 2
+         OR (v = 3 AND o_orderdate >= TIMESTAMP '1996-01-01')
+      GROUP BY v
+      ORDER BY version""",
     // version v = arrival ticks 0..v-1 by the staged-commit contract
     // (batch k ingests the o_orderkey%4==k slice as commit b<k>)
     "q314_stream_commits" -> """
