@@ -372,10 +372,11 @@ class TableFormatSpec extends AnyFunSuite {
     val data = TableFormat.WapData
     val manifest = TableFormat.WapManifest
     // main fast-forwarded to the clean batch's version and no audit
-    // refs survive the run
-    val refs = spark.table(TableFormat.WapRefs)
-      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // refs survive the run — read through the append-only ref log
+    // (drops are tombstone rows, not rewrites: 6 log rows total)
+    val refs = TableFormat.liveRefVersions(spark, TableFormat.WapRefs)
     assert(refs == Map("main" -> 4), refs.toString)
+    assert(spark.table(TableFormat.WapRefs).count() == 6)
     // the rejected snapshot is expunged: no v5 in the manifest, no
     // staged partition on disk
     assert(spark.table(manifest).agg(max(col("version")))
@@ -565,6 +566,161 @@ class TableFormatSpec extends AnyFunSuite {
     v2.collect()
     val scans = scansOf(v2, "graft_snap_data_si")
     assert(scans.head.metrics("numPartitions").value == 2)
+  }
+
+  test("q328 streaming MV maintenance: every refresh is bit-equal to " +
+      "the full recompute at its version, and the per-commit delta " +
+      "reads only churn segments") {
+    import graft.streaming.StreamChangelogTail
+    StreamChangelogTail.q328StreamMvMaintenance(spark, sf).collect()
+    (1 to 3).foreach { v =>
+      val got = spark.table(StreamChangelogTail.MvT)
+        .filter(col("mv_version") === v)
+        .select(col("o_custkey"), col("n_orders"),
+          col("sum_price").cast("double").as("sp"))
+      val want = TableFormat.readVersion(spark, StreamChangelogTail.DataT,
+          StreamChangelogTail.ManifestT, v)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(28,2)").cast("double").as("sp"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"MV state at version $v is not the full recompute")
+    }
+    // the v2→v3 refresh's delta reads one fresh + one retired
+    // partition and never the shared segments — asserted through the
+    // SAME shared definition the consumer folds
+    val delta = TableFormat.mvSignedDelta(spark,
+      StreamChangelogTail.DataT, StreamChangelogTail.ManifestT, 2, 3)
+    delta.collect()
+    val scans = scansOf(delta, StreamChangelogTail.DataT)
+    assert(scans.size == 2, s"${scans.size} scans")
+    assert(scans.map(_.metrics("numPartitions").value).sorted ==
+      Seq(1L, 1L), scans.map(_.metrics("numPartitions").value).toString)
+  }
+
+  test("q329 delete compaction: the read is byte-stable through the " +
+      "compacted artifacts, inert rows drop exactly, and both the " +
+      "artifact and data tables end vacuumed") {
+    // sf0.01 like q317's spec: at sf0.001 the post-fold live scope is
+    // EMPTY (zero d1 rows outside c1's span), so the consolidated
+    // batch writes no partition — correct, but nothing to assert on
+    val report = TableFormat.q329DeleteArtifactCompaction(spark, sf01)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (before, after) = (report("before"), report("after"))
+    // byte-stability of the read is also in the hash; pin it here
+    assert(before.getLong(5) == after.getLong(5))
+    assert(before.getDouble(6) == after.getDouble(6))
+    // exactly one consolidated batch partition remains on disk
+    val bparts = spark.sql(s"SHOW PARTITIONS ${TableFormat.DmDeletes}")
+      .collect().map(_.getString(0)).toSet
+    assert(bparts == Set("dbatch=dc0"), bparts.toString)
+    // manifests collapsed to the compacted version only
+    assert(spark.table(TableFormat.DmDManifest).count() == 1)
+    assert(spark.table(TableFormat.DmManifest).select(col("version"))
+      .distinct().collect().map(_.getInt(0)).toSet == Set(7))
+    // inert-row accounting: surviving artifact rows == d1 rows whose
+    // target segment is still live (re-derived from predicates)
+    val live = Tables.orders(spark, sf01)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+    val keep = live.filter(col("o_orderkey") % 1000 === 41 &&
+      (col("o_orderdate") < lit("1997-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("1999-01-01").cast("timestamp")))
+      .count()
+    assert(after.getLong(3) == keep,
+      s"artifact rows ${after.getLong(3)} vs live-scope $keep")
+    assert(spark.table(TableFormat.DmDeletes).count() == keep)
+    // the data-side vacuum reclaimed the expired versions' segments
+    val dparts = spark.sql(s"SHOW PARTITIONS ${TableFormat.DmData}")
+      .collect().map(_.getString(0).stripPrefix("commit_id=")).toSet
+    assert(dparts == Set("c0_rw", "c1_f", "c2"), dparts.toString)
+  }
+
+  test("q330 branch-aware vacuum: the branch pins its segment through " +
+      "expiry, dropping the ref reclaims exactly it, and the ref log " +
+      "stays append-only") {
+    val rows = TableFormat.q330BranchAwareVacuum(spark, sf).collect()
+    val p1 = rows.filter(_.getString(0) == "p1_branch_live")
+      .map(r => r.getString(1) -> r).toMap
+    assert(p1("c0").getString(3) == "retained_by_branch")
+    assert(p1("c0").getLong(4) == p1("c0").getLong(2),
+      "phase 1 must leave the branch-pinned segment on disk, whole")
+    val p2 = rows.filter(_.getString(0) == "p2_branch_dropped")
+      .map(r => r.getString(1) -> r).toMap
+    assert(p2("c0").getString(3) == "reclaimed")
+    assert(p2("c0").getLong(4) == 0L)
+    val parts = spark.sql(s"SHOW PARTITIONS ${TableFormat.BvData}")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("commit_id=c0_rw", "commit_id=c1",
+      "commit_id=c2"), parts.toString)
+    // drop was a tombstone APPEND: 2 init rows + 1 tombstone
+    assert(TableFormat.liveRefVersions(spark, TableFormat.BvRefs) ==
+      Map("main" -> 3))
+    assert(spark.table(TableFormat.BvRefs).count() == 3)
+    // main still reads whole after both passes
+    val expect = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .count()
+    assert(TableFormat.readVersion(spark, TableFormat.BvData,
+      TableFormat.BvManifest, 3).count() == expect)
+  }
+
+  test("q331 bloom lookup: the pruned read lists exactly the " +
+      "bloom-selected files, far fewer than all") {
+    val row = TableFormat.q331BloomPointLookup(spark, sf01)
+      .collect().head
+    val (total, selected) = (row.getLong(0), row.getLong(1))
+    assert(selected < total, s"bloom selected $selected of $total")
+    assert(row.getLong(2) == 1L, "the key lives in exactly one file")
+    assert(row.getLong(5) == 1L, "the point row must be found")
+    // physical half: re-derive the candidate set from the PERSISTED
+    // bloom artifact and assert the scan lists exactly those files
+    val rpf = spark.table(TableFormat.ZManifest)
+      .agg(max(col("n_rows"))).collect().head.getLong(0)
+    val m = TableFormat.bloomWords(rpf) * 32
+    val bits = TableFormat
+      .bloomBitPositions(TableFormat.BloomProbeKey, m)
+      .map(p => (p / 32, 1L << (p % 32).toInt)).distinct
+    import spark.implicits._
+    val cands = spark.table(TableFormat.BfManifest)
+      .join(broadcast(bits.toDF("word", "mask")), Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) =!= lit(0L))
+      .groupBy(col("zfile")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === bits.size)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq
+    assert(cands.size.toLong == selected)
+    val probe = spark.table(TableFormat.ZData)
+      .filter(col("zfile").isin(cands: _*))
+    probe.collect()
+    assert(scansOf(probe, TableFormat.ZData).head
+      .metrics("numPartitions").value == selected)
+  }
+
+  test("q332 optimize packs and clusters in one rewrite: the file " +
+      "count shrinks, the probe collapses from scan-everything, the " +
+      "slice is unmoved, and the optimized probe is physically " +
+      "pruned") {
+    val rows = TableFormat.q332CompactCluster(spark, sf01).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (b, a) = (rows("before"), rows("after"))
+    assert(b.getLong(3) == a.getLong(3))
+    assert(b.getDouble(4) == a.getDouble(4))
+    assert(a.getLong(1) < b.getLong(1), "packing must shrink files_total")
+    assert(a.getLong(2) < b.getLong(2), "clustering must shrink the probe")
+    // the strawman is honest: hash-scrambled arrival order bounds
+    // neither dimension, so the before-layout prunes nothing
+    assert(b.getLong(2) == b.getLong(1),
+      s"before-layout pruned ${b.getLong(1) - b.getLong(2)} files")
+    // physical: a fresh probe of the optimized layout lists exactly
+    // the manifest-overlap set
+    val probe = spark.table(TableFormat.OcOptData)
+      .filter(col("zfile").isin(
+        TableFormat.overlappingFiles(
+          spark.table(TableFormat.OcOptManifest), TableFormat.ZBox)
+          .select(col("zfile")).collect().map(_.getInt(0)).toSeq: _*))
+    probe.collect()
+    assert(scansOf(probe, TableFormat.OcOptData).head
+      .metrics("numPartitions").value == a.getLong(2))
   }
 
   test("q311 seeds stay pinned and coverage is monotone in rounds") {

@@ -356,4 +356,45 @@ class VectorIndexSpec extends AnyFunSuite {
     info(s"gate recall $recall ($nCaught/$nExact; " +
       s"rank1 ${r.getLong(2)}, rank2 ${r.getLong(3)})")
   }
+
+  test("q327 plans from the manifest diff: the corpus is scanned only " +
+      "at the fresh partition, provenance rides through maintenance, " +
+      "and the composed cycle equals q302's from-scratch derivation") {
+    val got = VectorIndex.q327ChangelogIvfMaintenance(spark, sf)
+      .collect()
+    // churn-only corpus read: the ONE production definition lists
+    // exactly the manifest-diff partition, of the table's four
+    val churn = VectorIndex.vdChurn(spark)
+    churn.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val plan = churn.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val cs = scans(plan).filter(
+      _.tableIdentifier.exists(_.table == VectorIndex.VdData))
+    assert(cs.nonEmpty)
+    assert(cs.head.metrics("numPartitions").value == 1,
+      s"churn read touched ${cs.head.metrics("numPartitions").value}")
+    assert(spark.sql(s"SHOW PARTITIONS ${VectorIndex.VdData}")
+      .count() == 4)
+    // provenance: the appended rows carry the fresh commit id, and
+    // it survives the drift rebuild's cell rewrites
+    val newCount = spark.table(VectorIndex.VdIndex)
+      .filter(col("src_commit") === "e3").count()
+    assert(newCount ==
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 10 === 7)
+        .count())
+    // composition invisible: identical report to the
+    // fixture-predicate cycle (same split, same maintenance)
+    val direct = VectorIndex.q302IvfDriftRebuild(spark, sf).collect()
+    assert(got.toSeq.map(_.toSeq) == direct.toSeq.map(_.toSeq),
+      "changelog-planned maintenance diverged from the from-scratch cycle")
+  }
 }
