@@ -1542,6 +1542,7 @@ object TableFormat {
   private[graft] val MvData = "graft_snap_data_mv"
   private[graft] val MvManifest = "graft_snap_manifest_mv"
   private[graft] val MvTable = "graft_mv_cust_orders"
+  private[graft] val MvBindings = "graft_artifact_bindings_mv"
 
   /** The signed-delta input of the MV refresh: fresh segments
     * contribute +1 rows, retired segments −1, BOTH named by the
@@ -1624,16 +1625,22 @@ object TableFormat {
   def q324IncrementalMvRefresh(spark: SparkSession, dir: String): DataFrame = {
     val (data, manifest, _) = buildSnapshots(spark, dir, "_mv")
     Scale.dropManaged(spark, MvTable)
+    initBindings(spark, MvBindings)
     readVersion(spark, data, manifest, 1)
       .groupBy(col("o_custkey"))
       .agg(count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).as("sum_price"))
       .write.mode(SaveMode.Overwrite).saveAsTable(MvTable)
+    bindArtifact(spark, MvBindings, MvTable, manifest, 1)
 
     val refreshed =
       mvApplyDelta(spark.table(MvTable), mvDeltaInput(spark))
         .localCheckpoint()
     refreshed.write.mode(SaveMode.Overwrite).saveAsTable(MvTable)
+    // version-binding stamp (q333's contract): the MV now reflects
+    // v3; the serving gate must agree before the state is readable
+    bindArtifact(spark, MvBindings, MvTable, manifest, 3)
+    requireFresh(spark, MvBindings, MvTable)
     spark.table(MvTable)
       .select(col("o_custkey"), col("n_orders"),
         col("sum_price").cast("double").as("sum_price"))
@@ -2067,5 +2074,196 @@ object TableFormat {
         coalesce(col("f.o_totalprice"), col("r.o_totalprice"))
           .as("o_totalprice"))
       .orderBy(col("op"), col("o_orderkey"))
+  }
+
+  // ------------------ derived-artifact version binding (q333)
+
+  private[graft] val VbBindings = "graft_artifact_bindings_vb"
+  private[graft] val VbMv = "graft_mv_cust_orders_vb"
+  private[graft] val VbStats = "graft_segstats_art_vb"
+
+  /** Append-only BINDING LOG for derived artifacts — the consistency
+    * layer that makes changelog-maintained serving artifacts (the
+    * q324 MV, q327's IVF index, q320's shingle/band tables) SAFE to
+    * serve when maintenance lags ingest: every build or refresh of a
+    * derived artifact appends (artifact, manifest_table,
+    * bound_version) — the exact source-table version the artifact's
+    * state now reflects. The log is metadata-sized (one row per
+    * REFRESH, never per data row), append-only like the ref log, and
+    * its latest-row lookup fails loudly on a duplicated seq. Without
+    * this stamp an incremental artifact is a cache with no validity
+    * token: a reader cannot tell "refreshed through yesterday's
+    * commit" from "current", and a maintenance job cannot know which
+    * changelog window to fold next without re-deriving it from
+    * content. The reference serves its curated table with no such
+    * contract because its pipeline is single-writer single-version
+    * (ref `dags/etl_csv_to_dwh.py:36` — one run, one output); a
+    * versioned 100 TB table needs the token. */
+  private[graft] def initBindings(spark: SparkSession,
+      bindingsT: String): Unit = {
+    import spark.implicits._
+    Scale.dropManaged(spark, bindingsT)
+    spark.emptyDataset[(Int, String, String, Int)]
+      .toDF("seq", "artifact", "manifest_table", "bound_version")
+      .write.mode(SaveMode.Overwrite).saveAsTable(bindingsT)
+  }
+
+  private[graft] def bindArtifact(spark: SparkSession, bindingsT: String,
+      artifact: String, manifestT: String, version: Int): Unit = {
+    import spark.implicits._
+    val seq = spark.table(bindingsT)
+      .agg(coalesce(max(col("seq")), lit(0)))
+      .collect().head.getInt(0) + 1
+    Seq((seq, artifact, manifestT, version))
+      .toDF("seq", "artifact", "manifest_table", "bound_version")
+      .write.insertInto(bindingsT)
+  }
+
+  /** Latest binding per artifact — (manifest_table, bound_version)
+    * at the highest seq; loud on a duplicated seq (the refLogLatest
+    * discipline). */
+  private[graft] def latestBindings(spark: SparkSession,
+      bindingsT: String): Map[String, (String, Int)] = {
+    val rows = spark.table(bindingsT)
+      .select(col("seq"), col("artifact"), col("manifest_table"),
+        col("bound_version")).collect()
+    rows.groupBy(_.getString(1)).map { case (a, rs) =>
+      val mx = rs.map(_.getInt(0)).max
+      val at = rs.filter(_.getInt(0) == mx)
+      require(at.length == 1, s"binding log corrupt: ${at.length} " +
+        s"rows at seq $mx for artifact '$a'")
+      a -> (at.head.getString(2), at.head.getInt(3))
+    }
+  }
+
+  private[graft] case class ArtifactCert(artifact: String,
+      boundVersion: Int, headVersion: Int, nFresh: Long,
+      nRetired: Long) {
+    def isFresh: Boolean = nFresh == 0 && nRetired == 0
+  }
+
+  /** STALENESS CERTIFICATE: each artifact's latest binding joined
+    * against its source manifest's head — freshness is COMMIT-SET
+    * equality between the bound and head versions, not version-number
+    * equality, so a metadata-only version bump (q319's rename, a ref
+    * move) does NOT spuriously invalidate an artifact, while any
+    * version that added or retired a data segment does. Pure
+    * metadata arithmetic: two manifest lookups per artifact, the
+    * data is never touched. */
+  private[graft] def certifyArtifacts(spark: SparkSession,
+      bindingsT: String): Seq[ArtifactCert] =
+    latestBindings(spark, bindingsT).toSeq.sortBy(_._1).map {
+      case (a, (manifestT, bound)) =>
+        val head = spark.table(manifestT)
+          .agg(max(col("version"))).collect().head.getInt(0)
+        val (b, h) = (commitsOf(spark, manifestT, bound),
+          commitsOf(spark, manifestT, head))
+        ArtifactCert(a, bound, head, (h -- b).size.toLong,
+          (b -- h).size.toLong)
+    }
+
+  /** The SERVING GATE: throws if the artifact's certificate is stale
+    * (or missing) — the one-line guard a query layer puts in front
+    * of any read that substitutes a derived artifact for its source
+    * table. TableFormatSpec asserts both directions: a stale MV
+    * refuses to serve, the refreshed one passes. */
+  private[graft] def requireFresh(spark: SparkSession,
+      bindingsT: String, artifact: String): Unit = {
+    val cert = certifyArtifacts(spark, bindingsT)
+      .find(_.artifact == artifact)
+      .getOrElse(throw new IllegalStateException(
+        s"no binding recorded for artifact '$artifact'"))
+    if (!cert.isFresh)
+      throw new IllegalStateException(s"artifact '$artifact' is " +
+        s"STALE: bound v${cert.boundVersion}, head " +
+        s"v${cert.headVersion} (+${cert.nFresh} fresh / " +
+        s"-${cert.nRetired} retired commits); refresh before serving")
+  }
+
+  /** DERIVED-ARTIFACT VERSION BINDING end-to-end — the lifecycle the
+    * binding log exists for, on the standard snapshot fixture
+    * (v2 = full table, v3 = after the retention rewrite):
+    *
+    *  - two artifacts with different maintenance cadences: the
+    *    customer MV was last refreshed when v2 was head (maintenance
+    *    lags ingest — the normal state of a nightly job), the
+    *    per-segment stats index was built at today's head v3.
+    *  - phase p1: the certificate flags the MV stale with the exact
+    *    lag (+1 fresh / −1 retired commit — the v2→v3 rewrite), the
+    *    stats index fresh; the serving gate REFUSES the stale MV
+    *    (asserted in-query: serving it would silently include the
+    *    retention victims — and the p1 checksum row proves exactly
+    *    that, it still sums the full-table prices).
+    *  - refresh: the MV folds the v2→v3 signed delta (the shared
+    *    q324 arithmetic — O(churn), bit-equal to recompute), rebinds
+    *    at v3; the gate now passes.
+    *  - phase p2: both certificates fresh; the MV's n_keys/checksum
+    *    now equal the v3 recompute, which is what the oracle checks.
+    *
+    * At 100 TB the certificate is two metadata lookups per artifact
+    * per serve — the cost of NOT having it is wrong answers with no
+    * failure, the one outcome a lagging maintenance job must never
+    * produce. */
+  def q333ArtifactVersionBinding(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_vb")
+    Seq(VbMv, VbStats).foreach(Scale.dropManaged(spark, _))
+    initBindings(spark, VbBindings)
+
+    // the customer MV, last refreshed when v2 was head
+    readVersion(spark, data, manifest, 2)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("sum_price"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(VbMv)
+    bindArtifact(spark, VbBindings, VbMv, manifest, 2)
+
+    // the per-segment stats index, built at today's head v3
+    readVersion(spark, data, manifest, 3)
+      .groupBy(col("commit_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(VbStats)
+    bindArtifact(spark, VbBindings, VbStats, manifest, 3)
+
+    val label = Map(VbMv -> "customer_mv", VbStats -> "segstats")
+    // certificate + artifact-state proof, captured EAGERLY per phase
+    // (the MV is overwritten between phases; a lazy plan would
+    // re-read post-refresh state under the p1 label)
+    def phaseRows(phase: String): Seq[(String, String, Int, Int,
+        Long, Long, Boolean, Long, Double)] =
+      certifyArtifacts(spark, VbBindings).map { c =>
+        val proof =
+          if (c.artifact == VbMv)
+            spark.table(VbMv).agg(count(lit(1)).as("n"),
+              sum(col("sum_price")).cast("double").as("s"))
+          else
+            spark.table(VbStats).agg(count(lit(1)).as("n"),
+              sum(col("n_rows")).cast("double").as("s"))
+        val r = proof.collect().head
+        (phase, label(c.artifact), c.boundVersion, c.headVersion,
+          c.nFresh, c.nRetired, c.isFresh, r.getLong(0), r.getDouble(1))
+      }
+
+    val p1 = phaseRows("p1_stale")
+    // the gate fires on the stale MV — serving it would be the
+    // silent-wrong-answer failure this tier exists to prevent
+    val gateBlocked =
+      try { requireFresh(spark, VbBindings, VbMv); false }
+      catch { case _: IllegalStateException => true }
+    require(gateBlocked, "serving gate failed to block a stale MV")
+
+    // refresh from the changelog (shared q324 arithmetic) + rebind
+    val refreshed = mvApplyDelta(spark.table(VbMv),
+      mvSignedDelta(spark, data, manifest, 2, 3)).localCheckpoint()
+    refreshed.write.mode(SaveMode.Overwrite).saveAsTable(VbMv)
+    bindArtifact(spark, VbBindings, VbMv, manifest, 3)
+    requireFresh(spark, VbBindings, VbMv)
+    val p2 = phaseRows("p2_refreshed")
+
+    (p1 ++ p2).toDF("phase", "artifact", "bound_version",
+        "head_version", "n_fresh_commits", "n_retired_commits",
+        "is_fresh", "n_keys", "checksum")
+      .orderBy(col("phase"), col("artifact"))
   }
 }

@@ -788,6 +788,7 @@ object VectorIndex {
   private[graft] val VdManifest = "graft_snap_manifest_vd"
   private[graft] val VdCentroids = "graft_ivf_centroids_vd"
   private[graft] val VdIndex = "graft_ivf_index_vd"
+  private[graft] val VdBindings = "graft_artifact_bindings_vd"
 
   /** Fresh segments of the versioned embedding corpus — the v1→v2
     * manifest diff (metadata arithmetic, the q312/q320 move). */
@@ -852,6 +853,7 @@ object VectorIndex {
     import spark.implicits._
     Seq(VdData, VdManifest, VdCentroids, VdIndex)
       .foreach(Scale.dropManaged(spark, _))
+    graft.operators.TableFormat.initBindings(spark, VdBindings)
     val e = Similarity.embDouble(spark, dir)
     val isNew = col("vec_id") % 10 === 7
     val drifted = e.withColumn("v",
@@ -884,6 +886,8 @@ object VectorIndex {
         col("commit_id").as("src_commit"), col("cid"))
       .write.partitionBy("cid")
       .mode(SaveMode.Overwrite).saveAsTable(VdIndex)
+    graft.operators.TableFormat.bindArtifact(spark, VdBindings,
+      VdIndex, VdManifest, 1)
 
     // today: churn-only corpus read (manifest diff), online
     // assignment under the FROZEN persisted model, index append
@@ -893,6 +897,12 @@ object VectorIndex {
       .select(col("vec_id"), col("v"),
         col("commit_id").as("src_commit"), col("cid"))
       .write.mode(SaveMode.Append).insertInto(VdIndex)
+    // version-binding stamp (q333's contract): the index now covers
+    // v2 of the corpus — the monitor/rebuild below are artifact-
+    // internal maintenance at the SAME bound version
+    graft.operators.TableFormat.bindArtifact(spark, VdBindings,
+      VdIndex, VdManifest, 2)
+    graft.operators.TableFormat.requireFresh(spark, VdBindings, VdIndex)
 
     // monitor from the standing artifacts only: is_new is ARTIFACT
     // arithmetic (src_commit ∈ fresh) — the corpus is not re-read

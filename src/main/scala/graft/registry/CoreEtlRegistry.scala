@@ -62,6 +62,7 @@ object CoreEtlRegistry {
     "q330_branch_vacuum"   -> (TableFormat.q330BranchAwareVacuum _),
     "q331_bloom_lookup"    -> (TableFormat.q331BloomPointLookup _),
     "q332_compact_cluster" -> (TableFormat.q332CompactCluster _),
+    "q333_artifact_binding" -> (TableFormat.q333ArtifactVersionBinding _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -943,6 +944,40 @@ object CoreEtlRegistry {
 
     "q331_bloom_lookup" -> bloomPointLookupOracle,
     "q332_compact_cluster" -> compactClusterOracle,
+
+    // the whole binding lifecycle from predicate arithmetic: the MV
+    // bound at v2 still sums the FULL table in p1 (the wrong answer
+    // the gate blocks) with lag +1/-1 (the c0->c0_rw rewrite), and
+    // equals the v3 recompute in p2; the stats index is fresh in
+    // both phases. A certificate that misses the staleness, a
+    // refresh that drops/double-applies a delta, or a rebind at the
+    // wrong version all hash-fail
+    "q333_artifact_binding" -> """
+      WITH v3 AS (SELECT * FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+      SELECT 'p1_stale' AS phase, 'customer_mv' AS artifact,
+        CAST(2 AS INTEGER) AS bound_version,
+        CAST(3 AS INTEGER) AS head_version,
+        CAST(1 AS BIGINT) AS n_fresh_commits,
+        CAST(1 AS BIGINT) AS n_retired_commits,
+        FALSE AS is_fresh,
+        (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_keys,
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM orders) AS DOUBLE) AS checksum
+      UNION ALL
+      SELECT 'p1_stale', 'segstats', 3, 3, 0, 0, TRUE,
+        CAST(3 AS BIGINT),
+        CAST((SELECT COUNT(*) FROM v3) AS DOUBLE)
+      UNION ALL
+      SELECT 'p2_refreshed', 'customer_mv', 3, 3, 0, 0, TRUE,
+        (SELECT COUNT(DISTINCT o_custkey) FROM v3),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM v3) AS DOUBLE)
+      UNION ALL
+      SELECT 'p2_refreshed', 'segstats', 3, 3, 0, 0, TRUE,
+        CAST(3 AS BIGINT),
+        CAST((SELECT COUNT(*) FROM v3) AS DOUBLE)
+      ORDER BY phase, artifact""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

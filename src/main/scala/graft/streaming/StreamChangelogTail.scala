@@ -53,6 +53,7 @@ object StreamChangelogTail {
   private[graft] val DataT = "graft_snap_data_cdc"
   private[graft] val ManifestT = "graft_snap_manifest_cdc"
   private[graft] val MvT = "graft_mv_cdc"
+  private[graft] val BindingsT = "graft_artifact_bindings_cdc"
 
   /** Stage the commit log as three deterministic single-file
     * arrivals (one per published version), mtime-spaced. */
@@ -86,6 +87,7 @@ object StreamChangelogTail {
     StreamingWindows.withStreamPartitions(spark) {
       TableFormat.buildSnapshots(spark, dir, "_cdc")
       Scale.dropManaged(spark, MvT)
+      TableFormat.initBindings(spark, BindingsT)
       // empty MV shell, partitioned by its idempotency key — the
       // exact decimal state type the delta arithmetic preserves
       Tables.orders(spark, dir).filter(lit(false))
@@ -134,6 +136,9 @@ object StreamChangelogTail {
           s.conf.set(pom, "dynamic")
           try refreshed.write.mode(SaveMode.Overwrite).insertInto(MvT)
           finally s.conf.set(pom, oldPom)
+          // version-binding stamp (q333's contract), one per landed
+          // refresh — the log keeps the full cadence history
+          TableFormat.bindArtifact(s, BindingsT, MvT, ManifestT, v)
         }
       }
       val query = src.writeStream

@@ -411,6 +411,11 @@ class TableFormatSpec extends AnyFunSuite {
     val totalParts = spark.sql(
       s"SHOW PARTITIONS ${TableFormat.MvData}").count()
     assert(totalParts == 4)
+    // version-binding stamps: build bound v1, refresh re-bound v3
+    // (head), and the log keeps both
+    assert(TableFormat.latestBindings(spark, TableFormat.MvBindings) ==
+      Map(TableFormat.MvTable -> ("graft_snap_manifest_mv", 3)))
+    assert(spark.table(TableFormat.MvBindings).count() == 2)
   }
 
   test("q325 as-of resolution: an instant exactly at a commit " +
@@ -597,6 +602,14 @@ class TableFormatSpec extends AnyFunSuite {
     assert(scans.size == 2, s"${scans.size} scans")
     assert(scans.map(_.metrics("numPartitions").value).sorted ==
       Seq(1L, 1L), scans.map(_.metrics("numPartitions").value).toString)
+    // version-binding stamps: one per landed refresh (the full
+    // cadence history), latest at the manifest head
+    val binds = spark.table(StreamChangelogTail.BindingsT)
+      .select(col("bound_version")).collect().map(_.getInt(0)).sorted
+    assert(binds.toSeq == Seq(1, 2, 3), binds.mkString(","))
+    assert(TableFormat.latestBindings(spark,
+      StreamChangelogTail.BindingsT) ==
+      Map(StreamChangelogTail.MvT -> (StreamChangelogTail.ManifestT, 3)))
   }
 
   test("q329 delete compaction: the read is byte-stable through the " +
@@ -721,6 +734,62 @@ class TableFormatSpec extends AnyFunSuite {
     probe.collect()
     assert(scansOf(probe, TableFormat.OcOptData).head
       .metrics("numPartitions").value == a.getLong(2))
+  }
+
+  test("q333 version binding: the serving gate actually fails on a " +
+      "stale artifact, freshness is commit-set (not version-number) " +
+      "equality, and the binding log fails loudly when corrupt") {
+    val out = TableFormat.q333ArtifactVersionBinding(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // the query's own record of the lag: +1 fresh / −1 retired
+    val p1mv = out(("p1_stale", "customer_mv"))
+    assert(!p1mv.getBoolean(6) && p1mv.getLong(4) == 1L &&
+      p1mv.getLong(5) == 1L, p1mv.toString)
+    assert(out(("p2_refreshed", "customer_mv")).getBoolean(6))
+
+    val (bt, mf) = (TableFormat.VbBindings, "graft_snap_manifest_vb")
+    // the gate, both directions, independent of the in-query check:
+    // rebinding the MV at v2 makes it refuse; at v3 it serves
+    TableFormat.bindArtifact(spark, bt, TableFormat.VbMv, mf, 2)
+    val ex = intercept[IllegalStateException] {
+      TableFormat.requireFresh(spark, bt, TableFormat.VbMv)
+    }
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    TableFormat.bindArtifact(spark, bt, TableFormat.VbMv, mf, 3)
+    TableFormat.requireFresh(spark, bt, TableFormat.VbMv)
+
+    // commit-set freshness: a metadata-only version bump (same
+    // segments, new version number) must NOT invalidate the artifact
+    import spark.implicits._
+    TableFormat.commitsOf(spark, mf, 3).toSeq.sorted.map((4, _))
+      .toDF("version", "commit_id").write.insertInto(mf)
+    TableFormat.requireFresh(spark, bt, TableFormat.VbMv)
+    val meta = TableFormat.certifyArtifacts(spark, bt)
+      .find(_.artifact == TableFormat.VbMv).get
+    assert(meta.boundVersion == 3 && meta.headVersion == 4 &&
+      meta.isFresh, meta.toString)
+    // ...while a version that adds a segment DOES invalidate it
+    (TableFormat.commitsOf(spark, mf, 4).toSeq.sorted :+ "c9")
+      .map((5, _)).toDF("version", "commit_id").write.insertInto(mf)
+    intercept[IllegalStateException] {
+      TableFormat.requireFresh(spark, bt, TableFormat.VbMv)
+    }
+
+    // a duplicated seq is a corrupt log and must surface, not be
+    // masked by a max() lookup
+    val dupSeq = spark.table(bt).agg(max(col("seq")))
+      .collect().head.getInt(0)
+    Seq((dupSeq, TableFormat.VbMv, mf, 5))
+      .toDF("seq", "artifact", "manifest_table", "bound_version")
+      .write.insertInto(bt)
+    intercept[IllegalArgumentException] {
+      TableFormat.latestBindings(spark, bt)
+    }
+    // an unbound artifact refuses to serve too
+    TableFormat.initBindings(spark, bt)
+    intercept[IllegalStateException] {
+      TableFormat.requireFresh(spark, bt, TableFormat.VbMv)
+    }
   }
 
   test("q311 seeds stay pinned and coverage is monotone in rounds") {

@@ -396,5 +396,12 @@ class VectorIndexSpec extends AnyFunSuite {
     val direct = VectorIndex.q302IvfDriftRebuild(spark, sf).collect()
     assert(got.toSeq.map(_.toSeq) == direct.toSeq.map(_.toSeq),
       "changelog-planned maintenance diverged from the from-scratch cycle")
+    // version-binding stamps: the index bound v1 at build, re-bound
+    // v2 after the churn append (the drift rebuild is artifact-
+    // internal maintenance at the same bound version)
+    assert(graft.operators.TableFormat.latestBindings(spark,
+      VectorIndex.VdBindings) ==
+      Map(VectorIndex.VdIndex -> (VectorIndex.VdManifest, 2)))
+    assert(spark.table(VectorIndex.VdBindings).count() == 2)
   }
 }
