@@ -359,7 +359,11 @@ object TableFormat {
     import spark.implicits._
     buildZonemap(spark, dir)
     Scale.dropManaged(spark, BfManifest)
-    val rpf = zRowsPerFile(partXY(spark, dir).count())
+    // rows-per-file re-derived from the just-written manifest
+    // (metadata-sized: sum of per-file counts = the layout's input
+    // count), not a second full scan of the source
+    val rpf = zRowsPerFile(spark.table(ZManifest)
+      .agg(sum(col("n_rows"))).collect().head.getLong(0))
     val m = bloomWords(rpf) * 32
     // build: per (file, word), OR every key's three hash bits — one
     // narrow pass over the laid-out table, appendable per new file
@@ -1164,9 +1168,9 @@ object TableFormat {
       buildMorLifecycle(spark, dir, "_dm")
     val v6 = latest + 3
 
-    def stateRow(phase: String, v: Int): DataFrame = {
-      val (direct, anti, _) = morBranchesAt(spark, data, manifest,
-        deletes, dmanifest, v)
+    def stateRow(phase: String,
+        branches: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+      val (direct, anti, _) = branches
       val nVersions = spark.table(manifest).select(col("version"))
         .distinct().count()
       val nBatches = spark.table(deletes).select(col("dbatch"))
@@ -1182,15 +1186,17 @@ object TableFormat {
           lit(nDmRows).as("n_dmanifest_rows"),
           col("n_rows"), col("sum_price"))
     }
+    // ONE v6 planning pass feeds both the before-report and the
+    // consolidation input
+    val branches6 = morBranchesAt(spark, data, manifest, deletes,
+      dmanifest, v6)
     // pin the before-physics: the read must execute against the
     // UNCOMPACTED artifacts, not lazily after they are vacuumed
-    val before = stateRow("before", v6).localCheckpoint()
+    val before = stateRow("before", branches6).localCheckpoint()
 
     // 1. consolidate the in-scope rows into one batch (inert rows
     // drop by the scope rule itself); churn-sized by contract
-    val (_, _, scoped6) = morBranchesAt(spark, data, manifest, deletes,
-      dmanifest, v6)
-    val consolidated = scoped6
+    val consolidated = branches6._3
       .select(col("del_key"), col("target_commit"),
         lit("dc0").as("dbatch"))
       .localCheckpoint() // break lineage: appends into its own source
@@ -1201,31 +1207,16 @@ object TableFormat {
     Seq((v6 + 1, "dc0")).toDF("version", "dbatch")
       .write.insertInto(dmanifest)
     // 3. expire everything but v7, then vacuum unreferenced batch
-    // partitions AND unreferenced data segments
-    val keptM = spark.table(manifest).filter(col("version") === v6 + 1)
-      .localCheckpoint()
-    keptM.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
-    val keptD = spark.table(dmanifest).filter(col("version") === v6 + 1)
-      .localCheckpoint()
-    keptD.write.mode(SaveMode.Overwrite).saveAsTable(dmanifest)
-    val liveBatches = spark.table(dmanifest).select(col("dbatch"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val onDiskB = spark.sql(s"SHOW PARTITIONS $deletes")
-      .collect().map(_.getString(0).stripPrefix("dbatch=")).toSet
-    (onDiskB -- liveBatches).toSeq.sorted.foreach { b =>
-      spark.sql(
-        s"ALTER TABLE $deletes DROP IF EXISTS PARTITION (dbatch='$b')")
-    }
-    val reachable = spark.table(manifest).select(col("commit_id"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val onDiskC = spark.sql(s"SHOW PARTITIONS $data")
-      .collect().map(_.getString(0).stripPrefix("commit_id=")).toSet
-    (onDiskC -- reachable).toSeq.sorted.foreach { c =>
-      spark.sql(
-        s"ALTER TABLE $data DROP IF EXISTS PARTITION (commit_id='$c')")
-    }
+    // partitions AND unreferenced data segments (shared helpers)
+    expireVersions(spark, manifest, col("version") === v6 + 1)
+    expireVersions(spark, dmanifest, col("version") === v6 + 1)
+    vacuumUnreferenced(spark, deletes, "dbatch",
+      spark.table(dmanifest).select(col("dbatch"))
+        .distinct().collect().map(_.getString(0)).toSet)
+    vacuumData(spark, data, manifest)
 
-    val after = stateRow("after", v6 + 1)
+    val after = stateRow("after", morBranchesAt(spark, data, manifest,
+      deletes, dmanifest, v6 + 1))
     before.unionByName(after).orderBy(col("phase"))
   }
 
@@ -1671,27 +1662,34 @@ object TableFormat {
       .write.mode(SaveMode.Overwrite).saveAsTable(refsT)
   }
 
-  /** Latest log row per ref — (version, live) at the highest seq.
-    * FAILS LOUDLY if two rows share a ref's max seq (a duplicated
-    * append): the r10 review's ask — an invariant violation must
-    * surface like the stream-ingest monotone-delivery check does,
-    * not be masked by a max() lookup. */
-  private def refLogLatest(spark: SparkSession,
-      refsT: String): Map[String, (Int, Boolean)] = {
-    val rows = spark.table(refsT)
-      .select(col("seq"), col("ref"), col("version"), col("live"))
-      .collect()
-    rows.groupBy(_.getString(1)).map { case (r, rs) =>
+  /** Highest-seq row per key of an append-only log whose first
+    * selected column is `seq` and second the key — FAILS LOUDLY if
+    * two rows share a key's max seq (a duplicated append): the r10
+    * review's ask — an invariant violation must surface like the
+    * stream-ingest monotone-delivery check does, not be masked by a
+    * max() lookup. ONE definition for both logs of this tier (the
+    * ref log and q333's binding log). */
+  private def latestBySeq[V](rows: Array[org.apache.spark.sql.Row],
+      what: String)(value: org.apache.spark.sql.Row => V)
+      : Map[String, V] =
+    rows.groupBy(_.getString(1)).map { case (k, rs) =>
       val mx = rs.map(_.getInt(0)).max
       val at = rs.filter(_.getInt(0) == mx)
       require(at.length == 1,
-        s"ref log corrupt: ${at.length} rows at seq $mx for ref '$r'")
-      r -> (at.head.getInt(2), at.head.getBoolean(3))
+        s"$what log corrupt: ${at.length} rows at seq $mx for '$k'")
+      k -> value(at.head)
     }
-  }
 
-  private def nextSeq(spark: SparkSession, refsT: String): Int =
-    spark.table(refsT).agg(coalesce(max(col("seq")), lit(0)))
+  /** Latest log row per ref — (version, live) at the highest seq. */
+  private def refLogLatest(spark: SparkSession,
+      refsT: String): Map[String, (Int, Boolean)] =
+    latestBySeq(spark.table(refsT)
+      .select(col("seq"), col("ref"), col("version"), col("live"))
+      .collect(), "ref")(r => (r.getInt(2), r.getBoolean(3)))
+
+  /** Next append seq of a (ref or binding) log table. */
+  private def nextSeq(spark: SparkSession, logT: String): Int =
+    spark.table(logT).agg(coalesce(max(col("seq")), lit(0)))
       .collect().head.getInt(0) + 1
 
   private[graft] def setRef(spark: SparkSession, refsT: String,
@@ -1813,25 +1811,7 @@ object TableFormat {
 
     val r1 = wapBatch(31, 40000000L, "w1", corrupt = false)
     val r2 = wapBatch(37, 50000000L, "w2", corrupt = true)
-    // ORPHAN EXPIRY + VACUUM — the end-of-run maintenance pass: a
-    // rejected snapshot is a version above every live ref that no
-    // ref ever fast-forwarded to; expiry expunges those manifest
-    // rows (the one sanctioned rewrite, same as q310's), and the
-    // vacuum reclaims segments no surviving version references
-    // (w2's staged partition). History at or below main stays for
-    // time travel — retiring THAT is q310's retention job.
-    val maxLive = liveRefVersions(spark, WapRefs).values.max
-    val keptM = spark.table(manifest)
-      .filter(col("version") <= maxLive).localCheckpoint()
-    keptM.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
-    val reachable = spark.table(manifest).select(col("commit_id"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val onDisk = spark.sql(s"SHOW PARTITIONS $data")
-      .collect().map(_.getString(0).stripPrefix("commit_id=")).toSet
-    (onDisk -- reachable).toSeq.sorted.foreach { c =>
-      spark.sql(
-        s"ALTER TABLE $data DROP IF EXISTS PARTITION (commit_id='$c')")
-    }
+    wapExpireOrphans(spark, data, manifest, WapRefs)
     val mainV = refVersion(spark, WapRefs, "main").get
     val finalMain = readVersion(spark, data, manifest, mainV)
       .agg(count(lit(1)).as("n_rows"))
@@ -1841,12 +1821,73 @@ object TableFormat {
     r1.unionByName(r2).unionByName(finalMain).orderBy(col("entity"))
   }
 
+  /** ORPHAN EXPIRY + VACUUM — q323's end-of-run maintenance pass: a
+    * rejected snapshot is a version some ref ONCE pointed to that no
+    * surviving lineage includes. Reachability comes from the REF
+    * LOG, not a version ceiling: expunged = (versions in the log)
+    * ∖ (main's full fast-forward lineage ∪ live refs' versions) —
+    * the r11 review's fix, since a `<= max(live)` cut would RETAIN a
+    * rejected snapshot whenever a reject precedes a later publish
+    * (the later publish raises the ceiling above the orphan; spec-
+    * asserted on exactly that ordering). Pre-ref history (versions
+    * the log never mentions) stays for time travel — retiring THAT
+    * is q310's retention job. Expiry expunges the orphan manifest
+    * rows (the one sanctioned rewrite) and the vacuum reclaims
+    * segments no surviving version references (the corrupt staged
+    * partition). */
+  private[graft] def wapExpireOrphans(spark: SparkSession,
+      data: String, manifest: String, refsT: String): Unit = {
+    // set-events only (live = true): a tombstone's version field is
+    // a drop marker, not a pointer into the manifest
+    val log = spark.table(refsT).filter(col("live"))
+      .select(col("ref"), col("version")).collect()
+    val logVersions = log.map(_.getInt(1)).toSet
+    val mainLineage =
+      log.filter(_.getString(0) == "main").map(_.getInt(1)).toSet
+    val liveV = liveRefVersions(spark, refsT).values.toSet
+    val expunged = (logVersions -- mainLineage -- liveV).toSeq.sorted
+    if (expunged.nonEmpty)
+      expireVersions(spark, manifest,
+        !col("version").isin(expunged: _*))
+    vacuumData(spark, data, manifest)
+  }
+
   // ------------------------------------------ branch-aware vacuum
 
   private[graft] val BvData = "graft_snap_data_bv"
   private[graft] val BvManifest = "graft_snap_manifest_bv"
   private[graft] val BvSegstats = "graft_snap_segstats_bv"
   private[graft] val BvRefs = "graft_snap_refs_bv"
+
+  /** Retire manifest rows failing `keep` — the one sanctioned
+    * metadata rewrite (q310's). `keep` is the retention POLICY; the
+    * tier's expiry passes differ ONLY there: q323 keeps ref-log-
+    * reachable versions, q329 the single compacted version, q330
+    * live-ref versions. */
+  private def expireVersions(spark: SparkSession, manifest: String,
+      keep: Column): Unit = {
+    val kept = spark.table(manifest).filter(keep).localCheckpoint()
+    kept.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
+  }
+
+  /** Drop partitions of `table` whose `keyCol` value is not in
+    * `referenced` — the physical half of every expiry pass. */
+  private def vacuumUnreferenced(spark: SparkSession, table: String,
+      keyCol: String, referenced: Set[String]): Unit = {
+    val onDisk = spark.sql(s"SHOW PARTITIONS $table")
+      .collect().map(_.getString(0).stripPrefix(s"$keyCol=")).toSet
+    (onDisk -- referenced).toSeq.sorted.foreach { p =>
+      spark.sql(
+        s"ALTER TABLE $table DROP IF EXISTS PARTITION ($keyCol='$p')")
+    }
+  }
+
+  /** Reclaim data segments no surviving manifest version lists. */
+  private def vacuumData(spark: SparkSession, data: String,
+      manifest: String): Unit =
+    vacuumUnreferenced(spark, data, "commit_id",
+      spark.table(manifest).select(col("commit_id"))
+        .distinct().collect().map(_.getString(0)).toSet)
 
   /** Ref-aware snapshot expiry + vacuum, on the named table: retire
     * manifest versions no live ref references, then reclaim segments
@@ -1857,17 +1898,8 @@ object TableFormat {
   private def expireAndVacuum(spark: SparkSession, data: String,
       manifest: String, refsT: String): Unit = {
     val live = liveRefVersions(spark, refsT).values.toSet.toSeq.sorted
-    val kept = spark.table(manifest)
-      .filter(col("version").isin(live: _*)).localCheckpoint()
-    kept.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
-    val reachable = spark.table(manifest).select(col("commit_id"))
-      .distinct().collect().map(_.getString(0)).toSet
-    val onDisk = spark.sql(s"SHOW PARTITIONS $data")
-      .collect().map(_.getString(0).stripPrefix("commit_id=")).toSet
-    (onDisk -- reachable).toSeq.sorted.foreach { c =>
-      spark.sql(
-        s"ALTER TABLE $data DROP IF EXISTS PARTITION (commit_id='$c')")
-    }
+    expireVersions(spark, manifest, col("version").isin(live: _*))
+    vacuumData(spark, data, manifest)
   }
 
   /** BRANCH-AWARE VACUUM — the composition the r10 verdict named:
@@ -2111,30 +2143,20 @@ object TableFormat {
   private[graft] def bindArtifact(spark: SparkSession, bindingsT: String,
       artifact: String, manifestT: String, version: Int): Unit = {
     import spark.implicits._
-    val seq = spark.table(bindingsT)
-      .agg(coalesce(max(col("seq")), lit(0)))
-      .collect().head.getInt(0) + 1
-    Seq((seq, artifact, manifestT, version))
+    Seq((nextSeq(spark, bindingsT), artifact, manifestT, version))
       .toDF("seq", "artifact", "manifest_table", "bound_version")
       .write.insertInto(bindingsT)
   }
 
   /** Latest binding per artifact — (manifest_table, bound_version)
-    * at the highest seq; loud on a duplicated seq (the refLogLatest
-    * discipline). */
+    * at the highest seq; loud on a duplicated seq (shared
+    * [[latestBySeq]] discipline). */
   private[graft] def latestBindings(spark: SparkSession,
-      bindingsT: String): Map[String, (String, Int)] = {
-    val rows = spark.table(bindingsT)
+      bindingsT: String): Map[String, (String, Int)] =
+    latestBySeq(spark.table(bindingsT)
       .select(col("seq"), col("artifact"), col("manifest_table"),
-        col("bound_version")).collect()
-    rows.groupBy(_.getString(1)).map { case (a, rs) =>
-      val mx = rs.map(_.getInt(0)).max
-      val at = rs.filter(_.getInt(0) == mx)
-      require(at.length == 1, s"binding log corrupt: ${at.length} " +
-        s"rows at seq $mx for artifact '$a'")
-      a -> (at.head.getString(2), at.head.getInt(3))
-    }
-  }
+        col("bound_version")).collect(),
+      "binding")(r => (r.getString(2), r.getInt(3)))
 
   private[graft] case class ArtifactCert(artifact: String,
       boundVersion: Int, headVersion: Int, nFresh: Long,

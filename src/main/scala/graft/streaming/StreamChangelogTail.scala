@@ -137,8 +137,17 @@ object StreamChangelogTail {
           try refreshed.write.mode(SaveMode.Overwrite).insertInto(MvT)
           finally s.conf.set(pom, oldPom)
           // version-binding stamp (q333's contract), one per landed
-          // refresh — the log keeps the full cadence history
-          TableFormat.bindArtifact(s, BindingsT, MvT, ManifestT, v)
+          // refresh — the log keeps the full cadence history. Guarded
+          // for REPLAY: a trigger re-run after a crash between the
+          // (idempotent) partition overwrite and the checkpoint
+          // commit must not double-stamp the version — the one
+          // side effect here that appends rather than overwrites
+          val stamped = s.table(BindingsT)
+            .filter(col("artifact") === MvT &&
+              col("bound_version") === v)
+            .limit(1).collect().nonEmpty
+          if (!stamped)
+            TableFormat.bindArtifact(s, BindingsT, MvT, ManifestT, v)
         }
       }
       val query = src.writeStream

@@ -397,6 +397,43 @@ class TableFormatSpec extends AnyFunSuite {
     assert(main.count() == expect)
   }
 
+  test("wap orphan expiry is ref-log reachability, not a version " +
+      "ceiling: a reject that PRECEDES a later publish still " +
+      "expunges, and pre-ref history stays") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val (dataT, manifestT, refsT) = ("graft_wap_rev_data",
+      "graft_wap_rev_manifest", "graft_wap_rev_refs")
+    Seq((1L, "c_a"), (2L, "w1"), (3L, "w2")).toDF("k", "commit_id")
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(dataT)
+    // v1/v2 are pre-ref history (the log never mentions them); the
+    // corrupt w1 stages and REJECTS at v4 BEFORE w2 publishes at v5
+    Seq((1, "c_a"), (2, "c_a"), (3, "c_a"), (4, "c_a"), (4, "w1"),
+        (5, "c_a"), (5, "w2"))
+      .toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(manifestT)
+    TableFormat.initRefs(spark, refsT, Seq(("main", 3)))
+    TableFormat.setRef(spark, refsT, "audit_w1", 4)
+    TableFormat.dropRef(spark, refsT, "audit_w1") // rejected
+    TableFormat.setRef(spark, refsT, "audit_w2", 5)
+    TableFormat.setRef(spark, refsT, "main", 5) // published
+    TableFormat.dropRef(spark, refsT, "audit_w2")
+
+    TableFormat.wapExpireOrphans(spark, dataT, manifestT, refsT)
+    // a <= max(live-ref) ceiling would KEEP v4 here (5 >= 4); the
+    // reachability rule expunges exactly it
+    val versions = spark.table(manifestT).select(col("version"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(versions == Set(1, 2, 3, 5), versions.toString)
+    val parts = spark.sql(s"SHOW PARTITIONS $dataT")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("commit_id=c_a", "commit_id=w2"),
+      parts.toString)
+    assert(TableFormat.readVersion(spark, dataT, manifestT, 5)
+      .count() == 2)
+  }
+
   test("q324 incremental MV refresh reads only the churn segments — " +
       "the shared segment never scans") {
     TableFormat.q324IncrementalMvRefresh(spark, sf).collect()
