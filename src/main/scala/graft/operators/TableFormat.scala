@@ -2288,4 +2288,124 @@ object TableFormat {
         "is_fresh", "n_keys", "checksum")
       .orderBy(col("phase"), col("artifact"))
   }
+
+  // ------------------------ consumer-pinned retention (q334)
+
+  private[graft] val PrBindings = "graft_artifact_bindings_pr"
+  private[graft] val PrMv = "graft_mv_cust_orders_pr"
+
+  /** Binding-aware retention: retained = {manifest head} ∪ {every
+    * artifact's bound version} — an incremental consumer needs BOTH
+    * ends of its next changelog window (bound → head), so its bound
+    * version's manifest rows and segments must survive expiry until
+    * it refreshes. Returns the retained set for the report. */
+  private[graft] def bindingAwareRetention(spark: SparkSession,
+      data: String, manifest: String, bindingsT: String): Seq[Int] = {
+    val head = spark.table(manifest)
+      .agg(max(col("version"))).collect().head.getInt(0)
+    val pinned = latestBindings(spark, bindingsT).values
+      .collect { case (m, v) if m == manifest => v }
+    val retained = (pinned.toSet + head).toSeq.sorted
+    expireVersions(spark, manifest, col("version").isin(retained: _*))
+    vacuumData(spark, data, manifest)
+    retained
+  }
+
+  /** CONSUMER-PINNED RETENTION — the q330×q333 composition, and the
+    * failure mode every real format documents (Iceberg "expire
+    * snapshots breaks incremental consumers", Delta CDF retention
+    * vs streaming reads): snapshot expiry and changelog-maintained
+    * artifacts share the table, and a vacuum that ignores the
+    * binding log destroys the retired-segment rows a lagging
+    * consumer's NEXT delta fold must read — the refresh then
+    * silently drops its '−' side and publishes a WRONG view (the
+    * spec demonstrates exactly that on a binding-blind clone; no
+    * error surfaces without the pin). The binding log already
+    * records every consumer's position (q333), so retention treats
+    * it as the consumer-offset ledger:
+    *
+    *  - p1 (consumer lagging, bound v2, head v3): the maintenance
+    *    pass retains {2, 3} — v1 expires, but v2 is PINNED by the
+    *    MV's binding and segment c0 (reachable only through v2)
+    *    stays on disk, still readable whole.
+    *  - the consumer catches up: folds the v2→v3 signed delta —
+    *    whose '−' side reads the pinned c0 — rebinds at v3, and the
+    *    refreshed view is bit-equal to the v3 recompute (in the
+    *    hash via the mv rows).
+    *  - p2 (consumer current): the SAME pass now retains {3} only;
+    *    v2 expires and the vacuum reclaims exactly c0.
+    *
+    * At 100 TB this is why retention is a fleet-wide contract, not a
+    * per-table cron: the pin costs retaining one version's metadata
+    * plus its not-yet-folded churn segments, and the alternative is
+    * an incremental consumer that corrupts its state with no
+    * failure. */
+  def q334ConsumerPinnedRetention(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_pr")
+    Scale.dropManaged(spark, PrMv)
+    initBindings(spark, PrBindings)
+
+    // the lagging consumer: MV last refreshed when v2 was head
+    readVersion(spark, data, manifest, 2)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("sum_price"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(PrMv)
+    bindArtifact(spark, PrBindings, PrMv, manifest, 2)
+
+    def segRow(phase: String, commit: String): (String, String,
+        String, Long, Double) = {
+      val onDisk = spark.sql(s"SHOW PARTITIONS $data").collect()
+        .map(_.getString(0).stripPrefix("commit_id=")).contains(commit)
+      if (!onDisk) (phase, commit, "reclaimed", 0L, 0.0d)
+      else {
+        val r = spark.table(data)
+          .filter(col("commit_id") === commit)
+          .agg(count(lit(1)), sum(dec(col("o_totalprice")))
+            .cast("double")).collect().head
+        (phase, commit, "on_disk", r.getLong(0), r.getDouble(1))
+      }
+    }
+    def mvRow(phase: String): (String, String, String, Long, Double) = {
+      val bound = latestBindings(spark, PrBindings)(PrMv)._2
+      val r = spark.table(PrMv).agg(count(lit(1)),
+        sum(col("sum_price")).cast("double")).collect().head
+      (phase, "mv", s"bound_v$bound", r.getLong(0), r.getDouble(1))
+    }
+    def phaseRows(phase: String, retained: Seq[Int]): Seq[(String,
+        String, String, Long, Double)] =
+      (1 to 3).map { v =>
+        if (!retained.contains(v)) (phase, s"v$v", "expired", 0L, 0.0d)
+        else {
+          val status = if (v == 3) "retained" else "pinned_by_consumer"
+          val r = readVersion(spark, data, manifest, v)
+            .agg(count(lit(1)), sum(dec(col("o_totalprice")))
+              .cast("double")).collect().head
+          (phase, s"v$v", status, r.getLong(0), r.getDouble(1))
+        }
+      } :+ segRow(phase, "c0") :+ mvRow(phase)
+
+    // p1: maintenance under the lagging consumer — v2 pinned, c0 stays
+    val retained1 = bindingAwareRetention(spark, data, manifest,
+      PrBindings)
+    val p1 = phaseRows("p1_lagging", retained1)
+
+    // the consumer catches up: the '−' side of this fold reads the
+    // PINNED c0 — the read a binding-blind vacuum would have destroyed
+    val refreshed = mvApplyDelta(spark.table(PrMv),
+      mvSignedDelta(spark, data, manifest, 2, 3)).localCheckpoint()
+    refreshed.write.mode(SaveMode.Overwrite).saveAsTable(PrMv)
+    bindArtifact(spark, PrBindings, PrMv, manifest, 3)
+    requireFresh(spark, PrBindings, PrMv)
+
+    // p2: the SAME pass now expires v2 and reclaims exactly c0
+    val retained2 = bindingAwareRetention(spark, data, manifest,
+      PrBindings)
+    val p2 = phaseRows("p2_caught_up", retained2)
+
+    (p1 ++ p2).toDF("phase", "entity", "status", "n_rows", "checksum")
+      .orderBy(col("phase"), col("entity"))
+  }
 }

@@ -63,6 +63,8 @@ object CoreEtlRegistry {
     "q331_bloom_lookup"    -> (TableFormat.q331BloomPointLookup _),
     "q332_compact_cluster" -> (TableFormat.q332CompactCluster _),
     "q333_artifact_binding" -> (TableFormat.q333ArtifactVersionBinding _),
+    "q334_consumer_pinned_retention" ->
+      (TableFormat.q334ConsumerPinnedRetention _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -978,6 +980,61 @@ object CoreEtlRegistry {
         CAST(3 AS BIGINT),
         CAST((SELECT COUNT(*) FROM v3) AS DOUBLE)
       ORDER BY phase, artifact""",
+
+    // both retention passes from predicate arithmetic: while the
+    // consumer lags, v2 is pinned whole (= ALL orders) and c0 stays
+    // on disk; after the catch-up fold, v2/c0 go and the MV equals
+    // the v3 recompute. A vacuum that ignored the pin zeroes p1's
+    // c0 row (and silently breaks the fold — the spec's clone shows
+    // that) and hash-fails here
+    "q334_consumer_pinned_retention" -> """
+      WITH v3 AS (SELECT * FROM orders
+                  WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+      c0 AS (SELECT * FROM orders
+             WHERE o_orderdate < TIMESTAMP '1997-01-01')
+      SELECT 'p1_lagging' AS phase, 'c0' AS entity,
+        'on_disk' AS status,
+        (SELECT COUNT(*) FROM c0) AS n_rows,
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM c0) AS DOUBLE) AS checksum
+      UNION ALL
+      SELECT 'p1_lagging', 'mv', 'bound_v2',
+        (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM orders) AS DOUBLE)
+      UNION ALL
+      SELECT 'p1_lagging', 'v1', 'expired', CAST(0 AS BIGINT),
+        CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT 'p1_lagging', 'v2', 'pinned_by_consumer',
+        (SELECT COUNT(*) FROM orders),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM orders) AS DOUBLE)
+      UNION ALL
+      SELECT 'p1_lagging', 'v3', 'retained',
+        (SELECT COUNT(*) FROM v3),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM v3) AS DOUBLE)
+      UNION ALL
+      SELECT 'p2_caught_up', 'c0', 'reclaimed', CAST(0 AS BIGINT),
+        CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT 'p2_caught_up', 'mv', 'bound_v3',
+        (SELECT COUNT(DISTINCT o_custkey) FROM v3),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM v3) AS DOUBLE)
+      UNION ALL
+      SELECT 'p2_caught_up', 'v1', 'expired', CAST(0 AS BIGINT),
+        CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT 'p2_caught_up', 'v2', 'expired', CAST(0 AS BIGINT),
+        CAST(0 AS DOUBLE)
+      UNION ALL
+      SELECT 'p2_caught_up', 'v3', 'retained',
+        (SELECT COUNT(*) FROM v3),
+        CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              FROM v3) AS DOUBLE)
+      ORDER BY phase, entity""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

@@ -829,6 +829,60 @@ class TableFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("q334 consumer-pinned retention: the pin holds exactly while " +
+      "the consumer lags, and a binding-blind vacuum silently " +
+      "corrupts the consumer's next refresh") {
+    import org.apache.spark.sql.SaveMode
+    val rows = TableFormat.q334ConsumerPinnedRetention(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows(("p1_lagging", "v2")).getString(2) ==
+      "pinned_by_consumer")
+    assert(rows(("p1_lagging", "c0")).getString(2) == "on_disk")
+    assert(rows(("p2_caught_up", "c0")).getString(2) == "reclaimed")
+    // physical end state: only the head survives both passes
+    val data = "graft_snap_data_pr"
+    val parts = spark.sql(s"SHOW PARTITIONS $data")
+      .collect().map(_.getString(0)).toSet
+    assert(parts == Set("commit_id=c0_rw", "commit_id=c1",
+      "commit_id=c2"), parts.toString)
+    assert(spark.table("graft_snap_manifest_pr").select(col("version"))
+      .distinct().collect().map(_.getInt(0)).toSet == Set(3))
+
+    // the counterexample the pin exists for: same fixture, but the
+    // vacuum ignores the binding log and reclaims c0 while the
+    // consumer is still bound at v2 — the next fold's '−' side
+    // silently reads nothing and the refreshed view is WRONG, with
+    // no error raised anywhere
+    import spark.implicits._
+    val (dx, mfx, _) = TableFormat.buildSnapshots(spark, sf, "_prx")
+    val mvx = "graft_mv_cust_orders_prx"
+    graft.operators.Scale.dropManaged(spark, mvx)
+    TableFormat.readVersion(spark, dx, mfx, 2)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(mvx)
+    val headCommits = TableFormat.commitsOf(spark, mfx, 3)
+    val onDisk = spark.sql(s"SHOW PARTITIONS $dx").collect()
+      .map(_.getString(0).stripPrefix("commit_id=")).toSet
+    (onDisk -- headCommits).toSeq.sorted.foreach { c =>
+      spark.sql(
+        s"ALTER TABLE $dx DROP IF EXISTS PARTITION (commit_id='$c')")
+    }
+    val broken = TableFormat.mvApplyDelta(spark.table(mvx),
+      TableFormat.mvSignedDelta(spark, dx, mfx, 2, 3))
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_price").cast("double").as("sp"))
+    val recompute = TableFormat.readVersion(spark, dx, mfx, 3)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").cast("double").as("sp"))
+    assert(broken.exceptAll(recompute).count() > 0,
+      "a binding-blind vacuum should have corrupted the fold — if " +
+        "this ever passes, the pin is no longer load-bearing")
+  }
+
   test("q311 seeds stay pinned and coverage is monotone in rounds") {
     val byRounds = (1 to 3).map { r =>
       val out = GraphOps.labelPropagate(spark, sf01, r).collect()
