@@ -2408,4 +2408,186 @@ object TableFormat {
     (p1 ++ p2).toDF("phase", "entity", "status", "n_rows", "checksum")
       .orderBy(col("phase"), col("entity"))
   }
+
+  // -------------------------- cross-table transaction (q335)
+
+  private[graft] val XtAData = "graft_snap_data_xta"
+  private[graft] val XtAManifest = "graft_snap_manifest_xta"
+  private[graft] val XtBData = "graft_snap_data_xtb"
+  private[graft] val XtBManifest = "graft_snap_manifest_xtb"
+  private[graft] val XtCatalog = "graft_catalog_xt"
+
+  /** Resolve one catalog version to its (table → version) pair. */
+  private[graft] def xtResolve(spark: SparkSession,
+      catV: Int): Map[String, Int] =
+    spark.table(XtCatalog).filter(col("catalog_version") === catV)
+      .select(col("table_name"), col("version")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  private[graft] def xtHead(spark: SparkSession): Int =
+    spark.table(XtCatalog).agg(max(col("catalog_version")))
+      .collect().head.getInt(0)
+
+  /** The catalog CAS: publish (A → aV, B → bV) as catalog version
+    * `expectedHead + 1` — ONE append of both rows, so no reader ever
+    * resolves a catalog version with half a pair; fails loudly if
+    * the head moved (q321's compare-and-swap premise, one level up:
+    * the version pointer being raced on is the CATALOG's, and a
+    * loser re-stages against the new head exactly as q321's writers
+    * do — spec-asserted). */
+  private[graft] def xtCommitPair(spark: SparkSession,
+      expectedHead: Int, aV: Int, bV: Int): Unit = {
+    import spark.implicits._
+    val head = xtHead(spark)
+    require(head == expectedHead,
+      s"catalog CAS failed: expected head $expectedHead, found $head")
+    Seq((head + 1, "A", aV), (head + 1, "B", bV))
+      .toDF("catalog_version", "table_name", "version")
+      .write.insertInto(XtCatalog)
+  }
+
+  /** CROSS-TABLE TRANSACTION — the catalog-level commit that makes a
+    * MULTI-table invariant publishable: orders (A) and their
+    * lineitems (B) are separately-versioned snapshot tables, and the
+    * invariant "no lineitem dangles" only holds across CONSISTENT
+    * version pairs. Single-table snapshots cannot express that — a
+    * reader combining A's new head with B's old one sees phantom
+    * orphans even though each table is internally consistent (the
+    * spec computes exactly that torn pair and shows the invariant
+    * break). So visibility moves one level up:
+    *
+    *  - a CATALOG table maps catalog_version → (table, version) —
+    *    metadata-sized, append-only; readers resolve BOTH tables
+    *    from one catalog row (never a mix), then read each through
+    *    its normal manifest-pruned path.
+    *  - txn1 stages an orders commit AND its lineitems commit (each
+    *    a staged manifest version, invisible — the q323 discipline),
+    *    audits the pair INCLUDING the cross-table rule (every staged
+    *    lineitem's order exists in A's staged version), and
+    *    publishes both with one catalog CAS append.
+    *  - txn2's lineitem batch is corrupt: the audit fails and the
+    *    whole PAIR aborts — both staged versions expunge, both
+    *    staged partitions vacuum (shared expiry/vacuum helpers), the
+    *    catalog never references them, and the committed answer is
+    *    byte-identical before and after (the post_abort row).
+    *
+    * At 100 TB this is the referential-integrity contract of every
+    * fact/dimension pipeline: per-table commits are staged cheaply,
+    * atomicity is ONE metadata append, and a reader's consistency
+    * costs one catalog lookup. */
+  def q335CrossTableTransaction(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(XtAData, XtAManifest, XtBData, XtBManifest, XtCatalog)
+      .foreach(Scale.dropManaged(spark, _))
+
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), lit("a_base").as("commit_id"))
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(XtAData)
+    Seq((1, "a_base")).toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(XtAManifest)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        lit("b_base").as("commit_id"))
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(XtBData)
+    Seq((1, "b_base")).toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(XtBManifest)
+    Seq((1, "A", 1), (1, "B", 1))
+      .toDF("catalog_version", "table_name", "version")
+      .write.mode(SaveMode.Overwrite).saveAsTable(XtCatalog)
+
+    /** Stage a correlated pair: orders keys from one mod class
+      * shifted out of the keyspace, plus THEIR lineitems (same
+      * class, same shift) — so the pair is integral together and
+      * dangling apart. Returns the two staged manifest versions. */
+    def stagePair(mod: Int, shift: Long, tag: String,
+        corruptB: Boolean): (Int, Int) = {
+      stageCommit(spark, dir, XtAData, mod, shift, "2002-03-01",
+        s"a_$tag")
+      val aV = spark.table(XtAManifest).agg(max(col("version")))
+        .collect().head.getInt(0) + 1
+      spark.table(XtAManifest).filter(col("version") === aV - 1)
+        .select(lit(aV).as("version"), col("commit_id"))
+        .unionByName(Seq((aV, s"a_$tag")).toDF("version", "commit_id"))
+        .localCheckpoint().write.insertInto(XtAManifest)
+      val price =
+        if (corruptB) -col("l_extendedprice") else col("l_extendedprice")
+      Tables.lineitem(spark, dir)
+        .filter(col("l_orderkey") % 100 === mod)
+        .select((col("l_orderkey") + shift).as("l_orderkey"),
+          price.as("l_extendedprice"), lit(s"b_$tag").as("commit_id"))
+        .write.insertInto(XtBData)
+      val bV = spark.table(XtBManifest).agg(max(col("version")))
+        .collect().head.getInt(0) + 1
+      spark.table(XtBManifest).filter(col("version") === bV - 1)
+        .select(lit(bV).as("version"), col("commit_id"))
+        .unionByName(Seq((bV, s"b_$tag")).toDF("version", "commit_id"))
+        .localCheckpoint().write.insertInto(XtBManifest)
+      (aV, bV)
+    }
+
+    /** Audit the staged pair: per-row rules on the B batch plus the
+      * CROSS-TABLE rule — every staged lineitem's order must exist
+      * in A's staged version (a broadcast-sized anti-join on the
+      * staged batch only, not the table). */
+    def auditPair(tag: String, aV: Int): Long = {
+      val stagedB = spark.table(XtBData)
+        .filter(col("commit_id") === s"b_$tag")
+      val rowViol = stagedB
+        .filter(col("l_orderkey").isNull ||
+          col("l_extendedprice") <= 0).count()
+      val dangling = stagedB.join(
+        readVersion(spark, XtAData, XtAManifest, aV)
+          .select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti").count()
+      rowViol + dangling
+    }
+
+    def abortPair(aV: Int, bV: Int): Unit = {
+      expireVersions(spark, XtAManifest, col("version") =!= aV)
+      expireVersions(spark, XtBManifest, col("version") =!= bV)
+      vacuumData(spark, XtAData, XtAManifest)
+      vacuumData(spark, XtBData, XtBManifest)
+    }
+
+    // txn1: clean pair — audit passes, one catalog CAS publishes both
+    val (a2, b2) = stagePair(31, 40000000L, "t1", corruptB = false)
+    if (auditPair("t1", a2) == 0) xtCommitPair(spark, xtHead(spark), a2, b2)
+    else abortPair(a2, b2)
+
+    // txn2: corrupt lineitem batch — the PAIR aborts, zero residue
+    val (a3, b3) = stagePair(37, 50000000L, "t2", corruptB = true)
+    if (auditPair("t2", a3) == 0) xtCommitPair(spark, xtHead(spark), a3, b3)
+    else abortPair(a3, b3)
+
+    /** One consistent read: resolve BOTH versions from one catalog
+      * row, then the integrity report over the pair. */
+    def pairRow(entity: String, status: String, catV: Int)
+        : (String, String, Long, Long, Double, Long) = {
+      val pair = xtResolve(spark, catV)
+      val a = readVersion(spark, XtAData, XtAManifest, pair("A"))
+        .select(col("o_orderkey"))
+      val bRows = readVersion(spark, XtBData, XtBManifest, pair("B"))
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val nA = a.count()
+      val agg = bRows.agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("rev"))
+        .collect().head
+      val dangling = bRows.join(
+        a.select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti").count()
+      (entity, status, nA, agg.getLong(0), agg.getDouble(1), dangling)
+    }
+
+    val rows = Seq(
+      pairRow("cat_v1", "base", 1),
+      pairRow("cat_v2", "txn1_committed", 2),
+      pairRow("cat_v2_post_abort", "txn2_aborted", xtHead(spark)))
+    rows.toDF("entity", "status", "n_orders", "n_lineitems",
+        "revenue", "n_dangling")
+      .orderBy(col("entity"))
+  }
 }

@@ -65,6 +65,7 @@ object CoreEtlRegistry {
     "q333_artifact_binding" -> (TableFormat.q333ArtifactVersionBinding _),
     "q334_consumer_pinned_retention" ->
       (TableFormat.q334ConsumerPinnedRetention _),
+    "q335_cross_table_txn" -> (TableFormat.q335CrossTableTransaction _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1035,6 +1036,49 @@ object CoreEtlRegistry {
         CAST((SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
               FROM v3) AS DOUBLE)
       ORDER BY phase, entity""",
+
+    // every consistent pair from first principles: cat_v2 = base +
+    // the mod-31 shifted pair on both tables; the aborted txn2 must
+    // leave cat_v2's numbers byte-identical (the post_abort row);
+    // n_dangling is the cross-table invariant, re-derived by the
+    // same anti-join rule — a torn pair, a leaked abort row, or a
+    // half-published catalog version all hash-fail
+    "q335_cross_table_txn" -> """
+      WITH a2 AS (SELECT o_orderkey + 40000000 AS o_orderkey
+                  FROM orders WHERE o_orderkey % 100 = 31),
+      b2 AS (SELECT l_orderkey + 40000000 AS l_orderkey,
+               l_extendedprice
+             FROM lineitem WHERE l_orderkey % 100 = 31),
+      av1 AS (SELECT o_orderkey FROM orders),
+      av2 AS (SELECT o_orderkey FROM av1
+              UNION ALL SELECT o_orderkey FROM a2),
+      bv1 AS (SELECT l_orderkey, l_extendedprice FROM lineitem),
+      bv2 AS (SELECT * FROM bv1 UNION ALL SELECT * FROM b2)
+      SELECT 'cat_v1' AS entity, 'base' AS status,
+        (SELECT COUNT(*) FROM av1) AS n_orders,
+        (SELECT COUNT(*) FROM bv1) AS n_lineitems,
+        CAST((SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              FROM bv1) AS DOUBLE) AS revenue,
+        (SELECT COUNT(*) FROM bv1 l WHERE NOT EXISTS
+           (SELECT 1 FROM av1 o WHERE o.o_orderkey = l.l_orderkey))
+          AS n_dangling
+      UNION ALL
+      SELECT 'cat_v2', 'txn1_committed',
+        (SELECT COUNT(*) FROM av2),
+        (SELECT COUNT(*) FROM bv2),
+        CAST((SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              FROM bv2) AS DOUBLE),
+        (SELECT COUNT(*) FROM bv2 l WHERE NOT EXISTS
+           (SELECT 1 FROM av2 o WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'cat_v2_post_abort', 'txn2_aborted',
+        (SELECT COUNT(*) FROM av2),
+        (SELECT COUNT(*) FROM bv2),
+        CAST((SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+              FROM bv2) AS DOUBLE),
+        (SELECT COUNT(*) FROM bv2 l WHERE NOT EXISTS
+           (SELECT 1 FROM av2 o WHERE o.o_orderkey = l.l_orderkey))
+      ORDER BY entity""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

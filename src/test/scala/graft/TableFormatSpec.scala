@@ -883,6 +883,52 @@ class TableFormatSpec extends AnyFunSuite {
         "this ever passes, the pin is no longer load-bearing")
   }
 
+  test("q335 cross-table transaction: a torn pair breaks the " +
+      "invariant the catalog protects, the abort leaves zero " +
+      "residue on both tables, and the catalog CAS fails loudly on " +
+      "a stale head") {
+    TableFormat.q335CrossTableTransaction(spark, sf).collect()
+    // the catalog only ever lists consistent pairs — two versions,
+    // two rows each, and no row pairs A@2 with B@1 or A@1 with B@2
+    val cat = spark.table(TableFormat.XtCatalog).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(cat.map(_._1).toSet == Set(1, 2), cat.mkString(","))
+    assert(TableFormat.xtResolve(spark, 1) == Map("A" -> 1, "B" -> 1))
+    assert(TableFormat.xtResolve(spark, 2) == Map("A" -> 2, "B" -> 2))
+    // the TORN pair (A@2, B@1... and A@1, B@2): each table is
+    // internally consistent, but the cross-table invariant breaks —
+    // the orphan count the catalog's atomicity exists to make
+    // impossible
+    val aV1 = TableFormat.readVersion(spark, TableFormat.XtAData,
+      TableFormat.XtAManifest, 1).select(col("o_orderkey"))
+    val bV2 = TableFormat.readVersion(spark, TableFormat.XtBData,
+      TableFormat.XtBManifest, 2).select(col("l_orderkey"))
+    val torn = bV2.join(aV1.select(col("o_orderkey")
+      .as("l_orderkey")), Seq("l_orderkey"), "left_anti").count()
+    assert(torn > 0, "the torn pair should dangle — if this ever " +
+      "passes, the atomicity demonstration is vacuous")
+    // abort residue: txn2's staged commits are gone from disk and
+    // from both manifests
+    val aParts = spark.sql(s"SHOW PARTITIONS ${TableFormat.XtAData}")
+      .collect().map(_.getString(0)).toSet
+    val bParts = spark.sql(s"SHOW PARTITIONS ${TableFormat.XtBData}")
+      .collect().map(_.getString(0)).toSet
+    assert(aParts == Set("commit_id=a_base", "commit_id=a_t1"), aParts)
+    assert(bParts == Set("commit_id=b_base", "commit_id=b_t1"), bParts)
+    assert(spark.table(TableFormat.XtAManifest).select(col("version"))
+      .distinct().collect().map(_.getInt(0)).toSet == Set(1, 2))
+    assert(spark.table(TableFormat.XtBManifest).select(col("version"))
+      .distinct().collect().map(_.getInt(0)).toSet == Set(1, 2))
+    // the CAS premise: publishing against a stale head must fail
+    // loudly, not silently fork the catalog
+    val ex = intercept[IllegalArgumentException] {
+      TableFormat.xtCommitPair(spark, 1, 2, 2)
+    }
+    assert(ex.getMessage.contains("CAS failed"), ex.getMessage)
+    assert(TableFormat.xtHead(spark) == 2,
+      "a failed CAS must not have appended")
+  }
+
   test("q311 seeds stay pinned and coverage is monotone in rounds") {
     val byRounds = (1 to 3).map { r =>
       val out = GraphOps.labelPropagate(spark, sf01, r).collect()
