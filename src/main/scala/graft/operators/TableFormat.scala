@@ -579,6 +579,31 @@ object TableFormat {
         lit(commit).as("commit_id"))
       .write.insertInto(data)
 
+  /** Head (max) version of a manifest table — the other manifest
+    * lookup every writer/maintainer repeats; one definition (the
+    * commitsOf consolidation, r11). */
+  private[graft] def headVersion(spark: SparkSession,
+      manifest: String): Int =
+    spark.table(manifest).agg(max(col("version")))
+      .collect().head.getInt(0)
+
+  /** Stage the NEXT manifest version: clone `baseV`'s commit rows
+    * (default: the current head's) under head+1 and append `commit`
+    * to them — the staging block q323's branches and q335's
+    * transactions share. Returns the staged version. */
+  private[graft] def stageManifestVersion(spark: SparkSession,
+      manifest: String, commit: String,
+      baseV: Option[Int] = None): Int = {
+    import spark.implicits._
+    val head = headVersion(spark, manifest)
+    val v = head + 1
+    spark.table(manifest).filter(col("version") === baseV.getOrElse(head))
+      .select(lit(v).as("version"), col("commit_id"))
+      .unionByName(Seq((v, commit)).toDF("version", "commit_id"))
+      .localCheckpoint().write.insertInto(manifest)
+    v
+  }
+
   /** Commits of one manifest version — THE manifest lookup of this
     * tier, defined once for every reader and planner (readVersion,
     * the q312/q324 changelog plans, q321's CAS, q326's clone,
@@ -1778,13 +1803,9 @@ object TableFormat {
       stageCommit(spark, dir, data, mod, shift, "2002-03-01", commit,
         price)
       val mainV = refVersion(spark, WapRefs, "main").get
-      val branchV = spark.table(manifest).agg(max(col("version")))
-        .collect().head.getInt(0) + 1
       val branch = s"audit_$commit"
-      spark.table(manifest).filter(col("version") === mainV)
-        .select(lit(branchV).as("version"), col("commit_id"))
-        .unionByName(Seq((branchV, commit)).toDF("version", "commit_id"))
-        .localCheckpoint().write.insertInto(manifest)
+      val branchV = stageManifestVersion(spark, manifest, commit,
+        Some(mainV))
       setRef(spark, WapRefs, branch, branchV)
       // the audit reads the BRANCH through the normal pruned path,
       // restricted to the staged segment (the delta an auditor
@@ -2176,8 +2197,7 @@ object TableFormat {
       bindingsT: String): Seq[ArtifactCert] =
     latestBindings(spark, bindingsT).toSeq.sortBy(_._1).map {
       case (a, (manifestT, bound)) =>
-        val head = spark.table(manifestT)
-          .agg(max(col("version"))).collect().head.getInt(0)
+        val head = headVersion(spark, manifestT)
         val (b, h) = (commitsOf(spark, manifestT, bound),
           commitsOf(spark, manifestT, head))
         ArtifactCert(a, bound, head, (h -- b).size.toLong,
@@ -2301,8 +2321,7 @@ object TableFormat {
     * it refreshes. Returns the retained set for the report. */
   private[graft] def bindingAwareRetention(spark: SparkSession,
       data: String, manifest: String, bindingsT: String): Seq[Int] = {
-    val head = spark.table(manifest)
-      .agg(max(col("version"))).collect().head.getInt(0)
+    val head = headVersion(spark, manifest)
     val pinned = latestBindings(spark, bindingsT).values
       .collect { case (m, v) if m == manifest => v }
     val retained = (pinned.toSet + head).toSeq.sorted
@@ -2507,12 +2526,7 @@ object TableFormat {
         corruptB: Boolean): (Int, Int) = {
       stageCommit(spark, dir, XtAData, mod, shift, "2002-03-01",
         s"a_$tag")
-      val aV = spark.table(XtAManifest).agg(max(col("version")))
-        .collect().head.getInt(0) + 1
-      spark.table(XtAManifest).filter(col("version") === aV - 1)
-        .select(lit(aV).as("version"), col("commit_id"))
-        .unionByName(Seq((aV, s"a_$tag")).toDF("version", "commit_id"))
-        .localCheckpoint().write.insertInto(XtAManifest)
+      val aV = stageManifestVersion(spark, XtAManifest, s"a_$tag")
       val price =
         if (corruptB) -col("l_extendedprice") else col("l_extendedprice")
       Tables.lineitem(spark, dir)
@@ -2520,12 +2534,7 @@ object TableFormat {
         .select((col("l_orderkey") + shift).as("l_orderkey"),
           price.as("l_extendedprice"), lit(s"b_$tag").as("commit_id"))
         .write.insertInto(XtBData)
-      val bV = spark.table(XtBManifest).agg(max(col("version")))
-        .collect().head.getInt(0) + 1
-      spark.table(XtBManifest).filter(col("version") === bV - 1)
-        .select(lit(bV).as("version"), col("commit_id"))
-        .unionByName(Seq((bV, s"b_$tag")).toDF("version", "commit_id"))
-        .localCheckpoint().write.insertInto(XtBManifest)
+      val bV = stageManifestVersion(spark, XtBManifest, s"b_$tag")
       (aV, bV)
     }
 
@@ -2539,11 +2548,14 @@ object TableFormat {
       val rowViol = stagedB
         .filter(col("l_orderkey").isNull ||
           col("l_extendedprice") <= 0).count()
-      val dangling = stagedB.join(
+      // per-row violations alone force the abort — skip the
+      // cross-table anti-join (whose build side is the whole staged
+      // A version, not just the batch) when the outcome is decided
+      if (rowViol > 0) return rowViol
+      stagedB.join(
         readVersion(spark, XtAData, XtAManifest, aV)
           .select(col("o_orderkey").as("l_orderkey")),
         Seq("l_orderkey"), "left_anti").count()
-      rowViol + dangling
     }
 
     def abortPair(aV: Int, bV: Int): Unit = {
@@ -2553,15 +2565,22 @@ object TableFormat {
       vacuumData(spark, XtBData, XtBManifest)
     }
 
+    /** One transaction: CAPTURE the catalog head first (the CAS
+      * premise — q321's writers capture their base BEFORE staging;
+      * a head re-read at commit time would make the compare-and-swap
+      * vacuous, the r11 review's finding), then stage, audit, and
+      * commit-or-abort the pair. */
+    def txn(mod: Int, shift: Long, tag: String,
+        corruptB: Boolean): Unit = {
+      val expected = xtHead(spark)
+      val (aV, bV) = stagePair(mod, shift, tag, corruptB)
+      if (auditPair(tag, aV) == 0) xtCommitPair(spark, expected, aV, bV)
+      else abortPair(aV, bV)
+    }
     // txn1: clean pair — audit passes, one catalog CAS publishes both
-    val (a2, b2) = stagePair(31, 40000000L, "t1", corruptB = false)
-    if (auditPair("t1", a2) == 0) xtCommitPair(spark, xtHead(spark), a2, b2)
-    else abortPair(a2, b2)
-
+    txn(31, 40000000L, "t1", corruptB = false)
     // txn2: corrupt lineitem batch — the PAIR aborts, zero residue
-    val (a3, b3) = stagePair(37, 50000000L, "t2", corruptB = true)
-    if (auditPair("t2", a3) == 0) xtCommitPair(spark, xtHead(spark), a3, b3)
-    else abortPair(a3, b3)
+    txn(37, 50000000L, "t2", corruptB = true)
 
     /** One consistent read: resolve BOTH versions from one catalog
       * row, then the integrity report over the pair. */

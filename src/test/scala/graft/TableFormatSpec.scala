@@ -893,6 +893,9 @@ class TableFormatSpec extends AnyFunSuite {
     val cat = spark.table(TableFormat.XtCatalog).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
     assert(cat.map(_._1).toSet == Set(1, 2), cat.mkString(","))
+    // exactly one (table, version) row per table per catalog
+    // version — toSet/toMap dedup, so pin the raw row count too
+    assert(cat.length == 4, cat.mkString(","))
     assert(TableFormat.xtResolve(spark, 1) == Map("A" -> 1, "B" -> 1))
     assert(TableFormat.xtResolve(spark, 2) == Map("A" -> 2, "B" -> 2))
     // the TORN pair (A@2, B@1... and A@1, B@2): each table is
