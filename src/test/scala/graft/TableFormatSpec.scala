@@ -404,6 +404,12 @@ class TableFormatSpec extends AnyFunSuite {
     import org.apache.spark.sql.SaveMode
     val (dataT, manifestT, refsT) = ("graft_wap_rev_data",
       "graft_wap_rev_manifest", "graft_wap_rev_refs")
+    // drop table AND its warehouse location: a stale directory from
+    // a prior JVM (fresh metastore, persistent spark-warehouse)
+    // makes a bare overwrite-saveAsTable fail with
+    // LOCATION_ALREADY_EXISTS
+    Seq(dataT, manifestT, refsT)
+      .foreach(graft.operators.Scale.dropManaged(spark, _))
     Seq((1L, "c_a"), (2L, "w1"), (3L, "w2")).toDF("k", "commit_id")
       .write.partitionBy("commit_id")
       .mode(SaveMode.Overwrite).saveAsTable(dataT)
