@@ -329,6 +329,35 @@ object TableFormat {
   private[graft] def bloomBitPositions(key: Long, m: Long): Seq[Long] =
     BloomHashA.map(a => (key * a) % m)
 
+  /** Per-(file, word) bloom rows of a laid-out frame: OR every key's
+    * three hash bits — one narrow pass, PER-FILE by construction, so
+    * the same definition builds the full table (q331) and the
+    * fresh-files-only increment (q336). */
+  private def bloomRowsOf(df: DataFrame, m: Long): DataFrame =
+    df.select(col("zfile"),
+        explode(array(BloomHashA.map(a =>
+          (col("p_partkey").cast("long") * a) % m): _*)).as("p"))
+      .select(col("zfile"), expr("p div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("bit"))
+      .groupBy(col("zfile"), col("word"))
+      .agg(expr("bit_or(bit)").as("bits"))
+
+  /** Candidate files for a point key: driver-side bit arithmetic →
+    * files whose bloom has EVERY distinct (word, mask) pair set — a
+    * metadata join, no data read. Shared by q331 and q336. */
+  private def bloomCandidates(spark: SparkSession, bloomT: String,
+      key: Long, m: Long): Seq[Int] = {
+    import spark.implicits._
+    val probeBits = bloomBitPositions(key, m)
+      .map(p => (p / 32, 1L << (p % 32).toInt)).distinct
+    spark.table(bloomT)
+      .join(broadcast(probeBits.toDF("word", "mask")), Seq("word"))
+      .filter((col("bits").bitwiseAND(col("mask"))) =!= lit(0L))
+      .groupBy(col("zfile")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === probeBits.size)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq.sorted
+  }
+
   /** NON-SORT-KEY POINT LOOKUP through a per-file key bloom — the one
     * common read the zone-map manifest cannot prune: `p_partkey = K`
     * is uncorrelated with the z-curve's (x, y), so every file's
@@ -365,28 +394,9 @@ object TableFormat {
     val rpf = zRowsPerFile(spark.table(ZManifest)
       .agg(sum(col("n_rows"))).collect().head.getLong(0))
     val m = bloomWords(rpf) * 32
-    // build: per (file, word), OR every key's three hash bits — one
-    // narrow pass over the laid-out table, appendable per new file
-    spark.table(ZData)
-      .select(col("zfile"),
-        explode(array(BloomHashA.map(a =>
-          (col("p_partkey").cast("long") * a) % m): _*)).as("p"))
-      .select(col("zfile"), expr("p div 32").as("word"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("bit"))
-      .groupBy(col("zfile"), col("word"))
-      .agg(expr("bit_or(bit)").as("bits"))
+    bloomRowsOf(spark.table(ZData), m)
       .write.mode(SaveMode.Overwrite).saveAsTable(BfManifest)
-
-    // probe: driver-side bit arithmetic → candidate files must match
-    // EVERY distinct (word, mask) pair — metadata join, no data read
-    val probeBits = bloomBitPositions(BloomProbeKey, m)
-      .map(p => (p / 32, 1L << (p % 32).toInt)).distinct
-    val files = spark.table(BfManifest)
-      .join(broadcast(probeBits.toDF("word", "mask")), Seq("word"))
-      .filter((col("bits").bitwiseAND(col("mask"))) =!= lit(0L))
-      .groupBy(col("zfile")).agg(count(lit(1)).as("nb"))
-      .filter(col("nb") === probeBits.size)
-      .select(col("zfile")).collect().map(_.getInt(0)).toSeq.sorted
+    val files = bloomCandidates(spark, BfManifest, BloomProbeKey, m)
     val filesTotal = spark.table(ZManifest).count()
     spark.table(ZData)
       .filter(col("zfile").isin(files: _*))
@@ -401,6 +411,123 @@ object TableFormat {
         ((lit(files.size.toLong) - col("files_with_key"))
           .cast("double") / lit(filesTotal).cast("double")).as("fp_rate"),
         col("n_rows"), col("sum_retail"))
+  }
+
+  // ---------------------- incremental layout maintenance (q336)
+
+  private[graft] val ImData = "graft_zmap_data_im"
+  private[graft] val ImManifest = "graft_zmap_manifest_im"
+  private[graft] val ImBloom = "graft_zmap_bloom_im"
+
+  /** Fresh-files-only read of the incrementally-maintained layout —
+    * ONE definition shared by the maintenance job and by
+    * TableFormatSpec's partitions-read assertion (the vdChurn /
+    * cdChurn discipline for the layout-metadata tier). */
+  private[graft] def imFreshFiles(spark: SparkSession,
+      firstFresh: Long): DataFrame =
+    spark.table(ImData).filter(col("zfile") >= firstFresh)
+
+  /** INCREMENTAL LAYOUT-METADATA MAINTENANCE — makes q331's claim
+    * ("the bloom table is maintained per new file exactly like the
+    * min/max rows") real and oracled. The standing table is a
+    * z-ordered layout with per-file stats + bloom manifests; an
+    * ingest batch arrives as NEW FILES (z-ordered within itself,
+    * ids past the standing layout — the standing files never
+    * rewrite, which is how a distributed writer lands a batch), and
+    * maintenance derives the new files' stats and bloom rows from
+    * ONLY the fresh partitions (spec-asserted through the shared
+    * [[imFreshFiles]] definition) and APPENDS them:
+    *
+    *  - both manifests are per-file by construction, so incremental
+    *    rows are definitionally independent of the standing ones —
+    *    the in-query certificates assert the maintained manifests
+    *    equal a from-scratch rebuild over the current table,
+    *    row-for-row (a drift here is silent wrong pruning later,
+    *    the failure class the certificate exists to catch).
+    *  - both probe paths then run over the MERGED metadata: the
+    *    q307 box probe prunes by envelope across standing + fresh
+    *    files, and the q331 point lookup finds key 97 — which lives
+    *    in the BATCH — through the incrementally-appended bloom
+    *    rows.
+    *
+    * At 100 TB this is the nightly reality of layout metadata: the
+    * maintenance cost follows the day's ingest (fresh-partition
+    * reads + metadata appends), never the table, and rebuild-equality
+    * is the invariant that makes the cheap path trustworthy. */
+  def q336IncrementalLayoutMaintenance(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(ImData, ImManifest, ImBloom)
+      .foreach(Scale.dropManaged(spark, _))
+    val all = partXY(spark, dir)
+    val standing = all.filter(col("p_partkey") % 10 =!= 7)
+    val batch = all.filter(col("p_partkey") % 10 === 7)
+    // rows-per-file is a TABLE property: fixed at creation, reused
+    // by every later batch (re-deriving it from a grown table would
+    // silently re-cut history)
+    val rpf = zRowsPerFile(standing.count())
+    writeLayout(spark, standing, expr(mortonSql("x", "y")), ImData,
+      ImManifest, Some(rpf))
+    val m = bloomWords(rpf) * 32
+    bloomRowsOf(spark.table(ImData), m)
+      .write.mode(SaveMode.Overwrite).saveAsTable(ImBloom)
+    val filesStanding = spark.table(ImManifest).count()
+
+    // the batch lands as new files: z-ordered within itself, ids
+    // offset past the standing layout
+    Scale.globalIndex(batch.withColumn("skey", expr(mortonSql("x", "y"))),
+        col("skey").asc, col("p_partkey").asc)
+      .withColumn("zfile",
+        expr(s"CAST((rank - 1) div $rpf + $filesStanding AS INT)"))
+      .select(col("p_partkey"), col("p_retailprice"), col("x"),
+        col("y"), col("zfile"))
+      .write.insertInto(ImData)
+
+    // incremental maintenance: stats + bloom rows from ONLY the
+    // fresh partitions, appended
+    val fresh = imFreshFiles(spark, filesStanding).localCheckpoint()
+    fresh.groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .write.insertInto(ImManifest)
+    bloomRowsOf(fresh, m).write.insertInto(ImBloom)
+    val filesBatch = spark.table(ImManifest).count() - filesStanding
+
+    // certificates: the maintained manifests equal a from-scratch
+    // rebuild over the current table, row-for-row
+    val rebuiltM = spark.table(ImData).groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    val mMatch = spark.table(ImManifest).exceptAll(rebuiltM).isEmpty &&
+      rebuiltM.exceptAll(spark.table(ImManifest)).isEmpty
+    val rebuiltB = bloomRowsOf(spark.table(ImData), m)
+    val bMatch = spark.table(ImBloom).exceptAll(rebuiltB).isEmpty &&
+      rebuiltB.exceptAll(spark.table(ImBloom)).isEmpty
+
+    // probes over the MERGED metadata
+    val boxFiles = overlappingFiles(spark.table(ImManifest), ZBox)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq.sorted
+    val (xLo, xHi, yLo, yHi) = ZBox
+    val box = spark.table(ImData).filter(col("zfile").isin(boxFiles: _*))
+      .filter(col("x") >= xLo && col("x") <= xHi &&
+        col("y") >= yLo && col("y") <= yHi)
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("s"))
+      .collect().head
+    val cands = bloomCandidates(spark, ImBloom, BloomProbeKey, m)
+    val key = spark.table(ImData).filter(col("zfile").isin(cands: _*))
+      .filter(col("p_partkey") === BloomProbeKey)
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("s"))
+      .collect().head
+
+    Seq((filesStanding, filesBatch, mMatch, bMatch,
+        boxFiles.size.toLong, box.getLong(0), box.getDouble(1),
+        cands.size.toLong, key.getLong(0), key.getDouble(1)))
+      .toDF("files_standing", "files_batch", "manifest_matches_rebuild",
+        "bloom_matches_rebuild", "box_files_scanned", "box_n_rows",
+        "box_sum_retail", "key_files_selected", "key_n_rows",
+        "key_sum_retail")
   }
 
   // --------------------------------------- compaction × clustering

@@ -66,6 +66,8 @@ object CoreEtlRegistry {
     "q334_consumer_pinned_retention" ->
       (TableFormat.q334ConsumerPinnedRetention _),
     "q335_cross_table_txn" -> (TableFormat.q335CrossTableTransaction _),
+    "q336_incremental_layout" ->
+      (TableFormat.q336IncrementalLayoutMaintenance _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -947,6 +949,7 @@ object CoreEtlRegistry {
 
     "q331_bloom_lookup" -> bloomPointLookupOracle,
     "q332_compact_cluster" -> compactClusterOracle,
+    "q336_incremental_layout" -> incrementalLayoutOracle,
 
     // the whole binding lifecycle from predicate arithmetic: the MV
     // bound at v2 still sums the FULL table in p1 (the wrong answer

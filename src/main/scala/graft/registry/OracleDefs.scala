@@ -1860,6 +1860,98 @@ $iters
       GROUP BY box_id, box_name, layout
       ORDER BY box_id, layout"""
 
+  /** q336: the MERGED layout (standing z-order + batch files offset
+    * past it) re-derived from first principles — same morton spelling,
+    * same rows-per-file (a table property fixed at creation, from the
+    * STANDING count), batch ROW_NUMBER offset by the standing file
+    * count; box and point probes over the merged metadata; the two
+    * rebuild-equality certificates pinned TRUE (an incremental row
+    * that drifts from the rebuild flips them and hash-fails). */
+  private[registry] def incrementalLayoutOracle: String = {
+    val probes = Seq(2654435761L, 2246822519L, 3266489917L)
+    val morton = (0 until 6).map { i =>
+      val p = 1L << i
+      s"((x // $p) % 2) * ${1L << (2 * i)} + " +
+        s"((y // $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    def posList(key: String) = probes.map(a =>
+      s"($key * $a) % (SELECT m FROM mw)").mkString("[", ",\n          ", "]")
+    s"""
+      WITH rpfi AS (
+        SELECT GREATEST(64, (COUNT(*) + 63) // 64) AS r FROM part
+        WHERE p_partkey % 10 <> 7),
+      basei AS (
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+          GREATEST(LEAST(CAST(FLOOR((p_retailprice - 900) / 2)
+            AS BIGINT), 63), 0) AS y,
+          p_retailprice
+        FROM part),
+      rzs AS (
+        SELECT p_partkey, x, y, p_retailprice,
+          (ROW_NUMBER() OVER (ORDER BY zm, p_partkey) - 1)
+            // (SELECT r FROM rpfi) AS f
+        FROM (SELECT *, $morton AS zm FROM basei
+              WHERE p_partkey % 10 <> 7)),
+      nstd AS (SELECT COUNT(DISTINCT f) AS n FROM rzs),
+      rzb AS (
+        SELECT p_partkey, x, y, p_retailprice,
+          (ROW_NUMBER() OVER (ORDER BY zm, p_partkey) - 1)
+            // (SELECT r FROM rpfi) + (SELECT n FROM nstd) AS f
+        FROM (SELECT *, $morton AS zm FROM basei
+              WHERE p_partkey % 10 = 7)),
+      rza AS (SELECT * FROM rzs UNION ALL SELECT * FROM rzb),
+      mza AS (
+        SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
+          MIN(y) AS min_y, MAX(y) AS max_y
+        FROM rza GROUP BY f),
+      boxf AS (
+        SELECT f FROM mza
+        WHERE max_x >= 15 AND min_x <= 25 AND max_y >= 3
+          AND min_y <= 8),
+      boxr AS (
+        SELECT COUNT(*) AS n,
+          SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS s
+        FROM rza
+        WHERE x BETWEEN 15 AND 25 AND y BETWEEN 3 AND 8),
+      mw AS (
+        SELECT GREATEST(1, ((SELECT r FROM rpfi) * 10 + 31) // 32) * 32
+          AS m),
+      pos AS (
+        SELECT f, unnest(${posList("p_partkey")}) AS p
+        FROM rza),
+      bl AS (
+        SELECT f, p // 32 AS word,
+          bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+        FROM pos GROUP BY f, word),
+      pbp AS (
+        SELECT DISTINCT p // 32 AS word,
+          CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER) AS mask
+        FROM (SELECT unnest(${posList("97")}) AS p)),
+      sel AS (
+        SELECT bl.f FROM bl JOIN pbp ON bl.word = pbp.word
+          AND (bl.bits & pbp.mask) <> 0
+        GROUP BY bl.f
+        HAVING COUNT(*) = (SELECT COUNT(*) FROM pbp)),
+      keyr AS (
+        SELECT COUNT(*) AS n,
+          SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS s
+        FROM basei WHERE p_partkey = 97)
+      SELECT
+        (SELECT CAST(n AS BIGINT) FROM nstd) AS files_standing,
+        (SELECT CAST(COUNT(DISTINCT f) AS BIGINT) FROM rzb)
+          AS files_batch,
+        TRUE AS manifest_matches_rebuild,
+        TRUE AS bloom_matches_rebuild,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM boxf)
+          AS box_files_scanned,
+        (SELECT n FROM boxr) AS box_n_rows,
+        CAST((SELECT s FROM boxr) AS DOUBLE) AS box_sum_retail,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sel)
+          AS key_files_selected,
+        (SELECT n FROM keyr) AS key_n_rows,
+        CAST((SELECT s FROM keyr) AS DOUBLE) AS key_sum_retail"""
+  }
+
   /** q331: the whole bloom filter re-derived from integer
     * arithmetic — file assignment from the shared z-curve CTEs, bit
     * positions from the same three multipliers mod the same width,

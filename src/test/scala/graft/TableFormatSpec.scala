@@ -752,6 +752,46 @@ class TableFormatSpec extends AnyFunSuite {
       .metrics("numPartitions").value == selected)
   }
 
+  test("q336 incremental layout maintenance reads only the fresh " +
+      "files, its manifests equal the rebuild, and the point key " +
+      "resolves into a BATCH file through the appended bloom rows") {
+    val row = TableFormat.q336IncrementalLayoutMaintenance(spark, sf01)
+      .collect().head
+    val (nStd, nBat) = (row.getLong(0), row.getLong(1))
+    assert(nBat > 0, "the batch must land as at least one new file")
+    assert(row.getBoolean(2) && row.getBoolean(3),
+      "incremental manifests must equal the from-scratch rebuild")
+    // the maintenance read is fresh-partitions-only — asserted
+    // through the SAME shared definition the job consumed
+    val fresh = TableFormat.imFreshFiles(spark, nStd)
+    fresh.collect()
+    val scans = scansOf(fresh, TableFormat.ImData)
+    assert(scans.nonEmpty)
+    assert(scans.head.metrics("numPartitions").value == nBat,
+      s"fresh read touched ${scans.head.metrics("numPartitions").value}" +
+        s" partitions, batch has $nBat files")
+    assert(spark.sql(s"SHOW PARTITIONS ${TableFormat.ImData}")
+      .count() == nStd + nBat)
+    // the probe key (97, mod-10 class 7) lives in the BATCH — the
+    // lookup that found it went through incrementally-appended rows
+    val keyFiles = spark.table(TableFormat.ImData)
+      .filter(col("p_partkey") === TableFormat.BloomProbeKey)
+      .select(col("zfile")).distinct().collect().map(_.getInt(0))
+    assert(keyFiles.nonEmpty && keyFiles.forall(_ >= nStd),
+      s"key files ${keyFiles.mkString(",")} vs standing count $nStd")
+    assert(row.getLong(8) >= 1, "the point row must be found")
+    // box probe is physically pruned to the merged-manifest overlap
+    val boxFiles = TableFormat.overlappingFiles(
+        spark.table(TableFormat.ImManifest), TableFormat.ZBox)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq
+    assert(boxFiles.size.toLong == row.getLong(4))
+    val probe = spark.table(TableFormat.ImData)
+      .filter(col("zfile").isin(boxFiles: _*))
+    probe.collect()
+    assert(scansOf(probe, TableFormat.ImData).head
+      .metrics("numPartitions").value == boxFiles.size.toLong)
+  }
+
   test("q332 optimize packs and clusters in one rewrite: the file " +
       "count shrinks, the probe collapses from scan-everything, the " +
       "slice is unmoved, and the optimized probe is physically " +
