@@ -1099,7 +1099,7 @@ object TableFormat {
     * takedowns referencing rows no live segment holds (already
     * expired), which is exactly what applying them would do anyway.
     * No base data is read to plan a delete. */
-  private def routeDeletes(spark: SparkSession, segstats: String,
+  private[graft] def routeDeletes(spark: SparkSession, segstats: String,
       live: Seq[String], batch: DataFrame, dbatch: String): DataFrame =
     batch.join(
       broadcast(spark.table(segstats)

@@ -68,6 +68,7 @@ object CoreEtlRegistry {
     "q335_cross_table_txn" -> (TableFormat.q335CrossTableTransaction _),
     "q336_incremental_layout" ->
       (TableFormat.q336IncrementalLayoutMaintenance _),
+    "q338_row_change_feed" -> (CdcUpsert.q338RowChangeFeed _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1082,6 +1083,48 @@ object CoreEtlRegistry {
         (SELECT COUNT(*) FROM bv2 l WHERE NOT EXISTS
            (SELECT 1 FROM av2 o WHERE o.o_orderkey = l.l_orderkey))
       ORDER BY entity""",
+
+    // every row-level change from the tick predicates (the one
+    // shared CdcUpsert.Ticks definition the Spark side stages): an
+    // update emits its pre-image (original row) AND its post-image
+    // (CDC-day date, shifted price), inserts land shifted out of the
+    // keyspace, deletes emit the original row. A feed that drops a
+    // row, mis-classifies an update as delete+insert, or resolves a
+    // pre-image from the wrong segment hash-fails
+    "q338_row_change_feed" -> """
+      SELECT CAST(2 AS INTEGER) AS version, 'insert' AS _change_type,
+        o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        o_totalprice, TIMESTAMP '2002-04-01' AS o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 51
+      UNION ALL
+      SELECT 2, 'update_preimage', o_orderkey, o_custkey,
+        o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 11
+      UNION ALL
+      SELECT 2, 'update_postimage', o_orderkey, o_custkey,
+        o_totalprice + 1000.0, TIMESTAMP '2002-04-01'
+      FROM orders WHERE o_orderkey % 100 = 11
+      UNION ALL
+      SELECT 3, 'insert', o_orderkey + 200000000, o_custkey,
+        o_totalprice, TIMESTAMP '2002-05-01'
+      FROM orders WHERE o_orderkey % 100 = 53
+      UNION ALL
+      SELECT 3, 'delete', o_orderkey, o_custkey, o_totalprice,
+        o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 13
+      UNION ALL
+      SELECT 4, 'update_preimage', o_orderkey, o_custkey,
+        o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 17
+      UNION ALL
+      SELECT 4, 'update_postimage', o_orderkey, o_custkey,
+        o_totalprice + 2000.0, TIMESTAMP '2002-06-01'
+      FROM orders WHERE o_orderkey % 100 = 17
+      UNION ALL
+      SELECT 4, 'delete', o_orderkey, o_custkey, o_totalprice,
+        o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 19
+      ORDER BY version, _change_type, o_orderkey""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

@@ -40,9 +40,64 @@ object StreamingRegistry {
       (graft.streaming.StreamSnapshotIngest.q314StreamCommitIngest _),
     "q328_stream_mv_tail" ->
       (graft.streaming.StreamChangelogTail.q328StreamMvMaintenance _),
+    "q337_stream_cdc_upsert" ->
+      (graft.streaming.StreamCdcUpsert.q337StreamCdcUpsert _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every version boundary from the tick predicates (the shared
+    // CdcUpsert.Ticks definition): t0 inserts %100=51 (+100M) and
+    // updates %100=11 (+1000.0), t1 inserts %100=53 (+200M) and
+    // deletes %100=13, t2 updates %100=17 (+2000.0) and deletes
+    // %100=19; every update/delete adds its pre-image key to the
+    // scoped artifact count. A dropped upsert, an unapplied delete,
+    // a double-applied replay, or a mis-routed artifact moves a
+    // count or a sum and hash-fails
+    "q337_stream_cdc_upsert" -> """
+      WITH agg AS (
+        SELECT COUNT(*) AS n,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 11) AS c11,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 11) AS s11,
+          SUM(CAST(o_totalprice + 1000.0 AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 11) AS s11u,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 13) AS c13,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 13) AS s13,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 17) AS c17,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 17) AS s17,
+          SUM(CAST(o_totalprice + 2000.0 AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 17) AS s17u,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 19) AS c19,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 19) AS s19,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 51) AS c51,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 51) AS s51,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 53) AS c53,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 53) AS s53
+        FROM orders)
+      SELECT CAST(1 AS INTEGER) AS version, n AS n_rows,
+        CAST(s AS DOUBLE) AS sum_price,
+        CAST(0 AS BIGINT) AS n_live_deletes
+      FROM agg
+      UNION ALL
+      SELECT 2, n + c51, CAST(s - s11 + s11u + s51 AS DOUBLE), c11
+      FROM agg
+      UNION ALL
+      SELECT 3, n + c51 + c53 - c13,
+        CAST(s - s11 + s11u + s51 + s53 - s13 AS DOUBLE), c11 + c13
+      FROM agg
+      UNION ALL
+      SELECT 4, n + c51 + c53 - c13 - c19,
+        CAST(s - s11 + s11u - s17 + s17u + s51 + s53 - s13 - s19
+          AS DOUBLE),
+        c11 + c13 + c17 + c19
+      FROM agg
+      ORDER BY version""",
     // every MV version from the version predicates: v1 = the
     // pre-append prefix, v2 = everything, v3 = post-retention — a
     // dropped delta, a double-applied replay, or a refresh that read

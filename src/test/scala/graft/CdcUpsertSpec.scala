@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.CdcUpsert
+
+/** Contracts of the CDC upsert tier (q337/q338) the DuckDB hash gate
+  * cannot see: replay byte-stability of a trigger, loud failure on an
+  * order gap, and the churn-only read discipline of the row-level
+  * change feed. */
+class CdcUpsertSpec extends AnyFunSuite {
+  import TestSpark._
+
+  import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+  private def scansOf(df: DataFrame, table: String)
+      : Seq[FileSourceScanExec] = {
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def go(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case q: QueryStageExec => go(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(go)
+    }
+    go(finalPlan).filter(_.tableIdentifier.exists(_.table == table))
+  }
+
+  private def stateHash(): (Long, Long) = {
+    val rep = CdcUpsert.versionReport(spark).collect()
+    val arts = spark.table(CdcUpsert.CuDeletes)
+      .agg(count(lit(1)), sum(col("del_key"))).collect().head
+    (rep.map(_.toString.hashCode.toLong).sum,
+      arts.getLong(0) * 31 + arts.getLong(1))
+  }
+
+  test("q337 a replayed CDC trigger is byte-identical: re-running a " +
+      "tick leaves every version read and every artifact unchanged") {
+    CdcUpsert.buildLifecycle(spark, sf)
+    val before = stateHash()
+    // replay tick 1 (the crash-recovery path: checkpoint lost after
+    // the writes landed) — every write is a keyed dynamic overwrite
+    CdcUpsert.applyTick(CdcUpsert.tickRows(spark, sf,
+      CdcUpsert.Ticks(1)))
+    assert(stateHash() == before,
+      "replaying tick 1 changed table state")
+    // and replay the LAST tick too (manifest head interaction)
+    CdcUpsert.applyTick(CdcUpsert.tickRows(spark, sf,
+      CdcUpsert.Ticks(2)))
+    assert(stateHash() == before,
+      "replaying tick 2 changed table state")
+  }
+
+  test("q337 an order gap fails loudly instead of publishing a " +
+      "version that references unwritten commits") {
+    CdcUpsert.initBase(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      // tick 1 arrives before tick 0 ever committed
+      CdcUpsert.applyTick(CdcUpsert.tickRows(spark, sf,
+        CdcUpsert.Ticks(1)))
+    }
+    assert(e.getMessage.contains("u0"))
+  }
+
+  test("q338 change-feed reads are churn-sized: the post side reads " +
+      "exactly one commit partition, the pre side only the targeted " +
+      "segments") {
+    CdcUpsert.q338RowChangeFeed(spark, sf).collect()
+    // post side of step t1: one partition (u1)
+    val post = spark.table(CdcUpsert.CuData)
+      .filter(col("commit_id") === "u1")
+    post.collect()
+    val postScan = scansOf(post, CdcUpsert.CuData).head
+    assert(postScan.metrics("numPartitions").value == 1)
+    // pre side of step t1: the artifact targets only b_base, so the
+    // pruned read must touch exactly that one partition of the four
+    // on disk (b_base, u0, u1, u2)
+    val art = spark.table(CdcUpsert.CuDeletes)
+      .filter(col("dbatch") === "cd1")
+    val targeted = art.select(col("target_commit")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(targeted == Seq("b_base"))
+    val pre = spark.table(CdcUpsert.CuData)
+      .filter(col("commit_id").isin(targeted: _*))
+      .join(broadcast(art),
+        col("o_orderkey") === col("del_key") &&
+          col("commit_id") === col("target_commit"), "left_semi")
+    pre.collect()
+    val preScan = scansOf(pre, CdcUpsert.CuData).head
+    assert(preScan.metrics("numPartitions").value == 1,
+      s"pre side read ${preScan.metrics("numPartitions").value} " +
+        "partitions, artifact targets 1")
+  }
+}
