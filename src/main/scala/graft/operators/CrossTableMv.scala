@@ -1,0 +1,274 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Cols._
+
+/** CROSS-TABLE INCREMENTAL MV — the q324×q333×q335 composition the
+  * r11 verdict named #4: real fact/dimension pipelines maintain
+  * derived artifacts over a JOIN (here the per-customer revenue view
+  * over orders⋈lineitems), and the only consistent refresh unit for
+  * such an artifact is a CATALOG version (q335's atomic pair), not
+  * either table's own head — folding one table's delta against the
+  * other's wrong version is exactly the torn state q335's readers are
+  * protected from, reappearing one level up in the maintenance tier.
+  *
+  * The incremental algebra, exact by construction:
+  *
+  *   V(A⊕ΔA ⋈ B⊕ΔB) − V(A ⋈ B) = ΔA ⋈ B_old  +  A_new ⋈ ΔB
+  *
+  * (expand the product; the ΔA⋈ΔB cross term belongs to A_new⋈ΔB
+  * because A_new already contains ΔA). Both terms are churn-sized on
+  * one side: ΔA/ΔB come from the tables' manifest diffs between the
+  * two CATALOG versions' resolved pairs (metadata arithmetic, the
+  * shared q312/q324 rule) and are BROADCAST into their joins, so each
+  * refresh costs one pruned pass over the counterpart table driven by
+  * a churn-sized build side — never a self-recompute of the view.
+  * Signs ride the delta rows (retired segments contribute −1), counts
+  * stay longs and sums DECIMAL through the fold, so every refresh is
+  * BIT-EQUAL to the recompute at its catalog version — the report
+  * carries `matches_recompute` computed by exceptAll in BOTH
+  * directions, and the oracle re-derives every version's summary from
+  * the commit predicates.
+  *
+  * Consistency contract (q333, catalog-aware): the MV's binding log
+  * stamps the CATALOG version; the staleness certificate resolves the
+  * bound and head catalog versions to their (table → version) pairs
+  * and compares COMMIT SETS per table — a metadata-only version bump
+  * never invalidates, any segment churn in EITHER table does. The
+  * serving gate refuses a stale binding, which is also what makes a
+  * TORN refresh harmless: a crashed refresher that folded only ΔA has
+  * not rebound, so the gate still blocks serving (CrossTableMvSpec
+  * demonstrates exactly that state). */
+object CrossTableMv {
+
+  private[graft] val XmAData = "graft_snap_data_xma"
+  private[graft] val XmAManifest = "graft_snap_manifest_xma"
+  private[graft] val XmBData = "graft_snap_data_xmb"
+  private[graft] val XmBManifest = "graft_snap_manifest_xmb"
+  private[graft] val XmCatalog = "graft_catalog_xm"
+  private[graft] val XmBindings = "graft_artifact_bindings_xm"
+  private[graft] val XmMv = "graft_mv_revenue_xm"
+
+  /** Resolve one catalog version to its (table → version) map. */
+  private[graft] def resolve(spark: SparkSession,
+      catV: Int): Map[String, Int] =
+    spark.table(XmCatalog).filter(col("catalog_version") === catV)
+      .select(col("table_name"), col("version")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+
+  private[graft] def catHead(spark: SparkSession): Int =
+    spark.table(XmCatalog).agg(max(col("catalog_version")))
+      .collect().head.getInt(0)
+
+  /** Catalog-aware staleness: the bound catalog version is fresh iff
+    * BOTH tables' commit sets are unchanged between the bound and
+    * head pairs (the q333 commit-set rule, applied per member). */
+  private[graft] def tablesChanged(spark: SparkSession,
+      boundCatV: Int): Seq[String] = {
+    val (bound, head) = (resolve(spark, boundCatV),
+      resolve(spark, catHead(spark)))
+    Seq("A" -> XmAManifest, "B" -> XmBManifest).collect {
+      case (t, m) if TableFormat.commitsOf(spark, m, bound(t)) !=
+        TableFormat.commitsOf(spark, m, head(t)) => t
+    }
+  }
+
+  /** The serving gate: throws unless the MV's latest binding exists
+    * and is commit-set-fresh in BOTH member tables. */
+  private[graft] def requireCatFresh(spark: SparkSession): Unit = {
+    val bound = TableFormat.latestBindings(spark, XmBindings)
+      .get(XmMv).collect { case (m, v) if m == XmCatalog => v }
+      .getOrElse(throw new IllegalStateException(
+        s"no catalog binding recorded for '$XmMv'"))
+    val changed = tablesChanged(spark, bound)
+    if (changed.nonEmpty)
+      throw new IllegalStateException(s"artifact '$XmMv' is STALE: " +
+        s"bound cat_v$bound, head cat_v${catHead(spark)}; changed " +
+        s"tables: ${changed.mkString(",")} — refresh before serving")
+  }
+
+  private[graft] def aAt(spark: SparkSession, v: Int): DataFrame =
+    TableFormat.readVersion(spark, XmAData, XmAManifest, v)
+  private[graft] def bAt(spark: SparkSession, v: Int): DataFrame =
+    TableFormat.readVersion(spark, XmBData, XmBManifest, v)
+
+  /** Signed churn rows of one table between two of its versions:
+    * fresh segments +1, retired segments −1, shared segments never
+    * scanned (the shared mvSignedDelta shape, kept schema-generic). */
+  private[graft] def signedChurn(spark: SparkSession, data: String,
+      manifest: String, fromV: Int, toV: Int): DataFrame = {
+    val (from, to) = (TableFormat.commitsOf(spark, manifest, fromV),
+      TableFormat.commitsOf(spark, manifest, toV))
+    val fresh = (to -- from).toSeq.sorted
+    val retired = (from -- to).toSeq.sorted
+    spark.table(data).filter(col("commit_id").isin(fresh: _*))
+      .withColumn("sgn", lit(1L))
+      .unionByName(spark.table(data)
+        .filter(col("commit_id").isin(retired: _*))
+        .withColumn("sgn", lit(-1L)))
+  }
+
+  /** Recompute the MV at one catalog version (the oracle-side
+    * definition, also the refresh's equality reference). */
+  private[graft] def recomputeAt(spark: SparkSession,
+      catV: Int): DataFrame = {
+    val pair = resolve(spark, catV)
+    aAt(spark, pair("A")).select(col("o_orderkey"), col("o_custkey"))
+      .join(bAt(spark, pair("B"))
+        .select(col("l_orderkey"), col("l_extendedprice")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice"))).as("revenue"))
+  }
+
+  /** One catalog-version refresh step: fold ΔA⋈B_old + A_new⋈ΔB into
+    * the MV state. Both delta sides are broadcast (churn-sized); the
+    * two counterpart reads are manifest-pruned. Returns the refreshed
+    * state (not yet persisted). */
+  private[graft] def foldStep(spark: SparkSession, prev: DataFrame,
+      fromCatV: Int, toCatV: Int): DataFrame = {
+    val (from, to) = (resolve(spark, fromCatV), resolve(spark, toCatV))
+    val dA = signedChurn(spark, XmAData, XmAManifest, from("A"), to("A"))
+      .select(col("o_orderkey"), col("o_custkey"), col("sgn"))
+    val dB = signedChurn(spark, XmBData, XmBManifest, from("B"), to("B"))
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        col("sgn").as("sgnb"))
+    // ΔA ⋈ B_old: the churn side builds the broadcast hash table
+    val term1 = bAt(spark, from("B"))
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(broadcast(dA), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("sgn").as("s"),
+        (col("sgn") * dec(col("l_extendedprice"))).as("p"))
+    // A_new ⋈ ΔB (contains the ΔA⋈ΔB cross term by construction)
+    val term2 = aAt(spark, to("A"))
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(broadcast(dB), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("sgnb").as("s"),
+        (col("sgnb") * dec(col("l_extendedprice"))).as("p"))
+    val delta = term1.unionByName(term2)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("s")).as("dn"), sum(col("p")).as("dp"))
+    prev.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_items"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_items"),
+        (coalesce(col("revenue"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("dp"), lit(0).cast("decimal(28,2)")))
+          .cast("decimal(28,2)").as("revenue"))
+      .filter(col("n_items") > 0)
+  }
+
+  /** Build the two snapshot tables + the catalog: cat_v1 = the base
+    * pair, cat_v2 = a correlated append on BOTH (the q335 txn shape),
+    * cat_v3 = a B-only commit (late lineitems for EXISTING orders —
+    * the asymmetric delta that makes A_new⋈ΔB a real term). */
+  private[graft] def buildCatalog(spark: SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    Seq(XmAData, XmAManifest, XmBData, XmBManifest, XmCatalog)
+      .foreach(Scale.dropManaged(spark, _))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("a_base").as("commit_id"))
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(XmAData)
+    Seq((1, "a_base")).toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(XmAManifest)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        lit("b_base").as("commit_id"))
+      .write.partitionBy("commit_id")
+      .mode(SaveMode.Overwrite).saveAsTable(XmBData)
+    Seq((1, "b_base")).toDF("version", "commit_id")
+      .write.mode(SaveMode.Overwrite).saveAsTable(XmBManifest)
+    Seq((1, "A", 1), (1, "B", 1))
+      .toDF("catalog_version", "table_name", "version")
+      .write.mode(SaveMode.Overwrite).saveAsTable(XmCatalog)
+
+    // cat_v2: correlated pair (orders %100=31 shifted +40M and THEIR
+    // lineitems), one catalog append for both
+    Tables.orders(spark, dir).filter(col("o_orderkey") % 100 === 31)
+      .select((col("o_orderkey") + 40000000L).as("o_orderkey"),
+        col("o_custkey"), lit("a_c2").as("commit_id"))
+      .write.insertInto(XmAData)
+    val aV2 = TableFormat.stageManifestVersion(spark, XmAManifest, "a_c2")
+    Tables.lineitem(spark, dir).filter(col("l_orderkey") % 100 === 31)
+      .select((col("l_orderkey") + 40000000L).as("l_orderkey"),
+        col("l_extendedprice"), lit("b_c2").as("commit_id"))
+      .write.insertInto(XmBData)
+    val bV2 = TableFormat.stageManifestVersion(spark, XmBManifest, "b_c2")
+    Seq((2, "A", aV2), (2, "B", bV2))
+      .toDF("catalog_version", "table_name", "version")
+      .write.insertInto(XmCatalog)
+
+    // cat_v3: B-only — late lineitems (%100=43, unshifted keys) that
+    // attach to base orders
+    Tables.lineitem(spark, dir).filter(col("l_orderkey") % 100 === 43)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        lit("b_c3").as("commit_id"))
+      .write.insertInto(XmBData)
+    val bV3 = TableFormat.stageManifestVersion(spark, XmBManifest, "b_c3")
+    Seq((3, "A", aV2), (3, "B", bV3))
+      .toDF("catalog_version", "table_name", "version")
+      .write.insertInto(XmCatalog)
+  }
+
+  private def persistMv(spark: SparkSession, state: DataFrame,
+      catV: Int): Unit = {
+    state.localCheckpoint()
+      .write.mode(SaveMode.Overwrite).saveAsTable(XmMv)
+    TableFormat.bindArtifact(spark, XmBindings, XmMv, XmCatalog, catV)
+  }
+
+  /** q340: build the MV at cat_v1 (a plain recompute — the one full
+    * pass a derived artifact pays once), then refresh it
+    * catalog-version by catalog-version through [[foldStep]]. Per
+    * version the report carries the MV's summary (keys / items /
+    * revenue, read from the PERSISTED state) and `matches_recompute`
+    * (exceptAll in both directions against [[recomputeAt]]); the
+    * serving gate is exercised in-query in BOTH directions — it must
+    * BLOCK while the binding lags the catalog head (cat_v1, cat_v2)
+    * and pass once the MV reaches it (cat_v3). */
+  def q340CrossTableMv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buildCatalog(spark, dir)
+    Scale.dropManaged(spark, XmMv)
+    TableFormat.initBindings(spark, XmBindings)
+
+    def summary(catV: Int): (Int, Long, Long, Double, Boolean) = {
+      val mv = spark.table(XmMv)
+      val r = mv.agg(count(lit(1)).as("k"), sum(col("n_items")).as("i"),
+        sum(col("revenue")).cast("double").as("rev")).collect().head
+      val rec = recomputeAt(spark, catV)
+      def canon(df: DataFrame): DataFrame =
+        df.select(col("o_custkey"), col("n_items"),
+          col("revenue").cast("decimal(28,2)").as("revenue"))
+      val eq = canon(mv).exceptAll(canon(rec)).isEmpty &&
+        canon(rec).exceptAll(canon(mv)).isEmpty
+      (catV, r.getLong(0), r.getLong(1), r.getDouble(2), eq)
+    }
+    def gateBlocked: Boolean =
+      try { requireCatFresh(spark); false }
+      catch { case _: IllegalStateException => true }
+
+    persistMv(spark, recomputeAt(spark, 1), 1)
+    // the catalog head is already cat_v3: serving the v1-bound MV now
+    // would silently miss two commits' churn — the gate must refuse
+    require(gateBlocked, "gate failed to block the cat_v1-bound MV")
+    val rows = Seq(summary(1)) ++ (2 to 3).map { v =>
+      persistMv(spark,
+        foldStep(spark, spark.table(XmMv), v - 1, v), v)
+      if (v < 3) require(gateBlocked,
+        s"gate failed to block the cat_v$v-bound MV")
+      else requireCatFresh(spark)
+      summary(v)
+    }
+    rows.toDF("cat_version", "n_keys", "n_items", "revenue",
+        "matches_recompute")
+      .orderBy(col("cat_version"))
+  }
+}

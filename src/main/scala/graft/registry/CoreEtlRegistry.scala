@@ -69,6 +69,8 @@ object CoreEtlRegistry {
     "q336_incremental_layout" ->
       (TableFormat.q336IncrementalLayoutMaintenance _),
     "q338_row_change_feed" -> (CdcUpsert.q338RowChangeFeed _),
+    "q339_position_deletes" -> (PositionDeletes.q339PositionDeletes _),
+    "q340_crosstable_mv" -> (CrossTableMv.q340CrossTableMv _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1125,6 +1127,97 @@ object CoreEtlRegistry {
         o_orderdate
       FROM orders WHERE o_orderkey % 100 = 19
       ORDER BY version, _change_type, o_orderkey""",
+
+    // every catalog version's join-MV summary from the commit
+    // predicates: cat_v2 adds the correlated mod-31 pair (shifted
+    // keys join only each other), cat_v3 adds late mod-43 lineitems
+    // that attach to BASE orders (the asymmetric ΔB term); the
+    // matches_recompute flags are pinned TRUE — a refresh that folds
+    // one table's delta only, double-counts the cross term, or joins
+    // the wrong counterpart version flips them (or moves a sum) and
+    // hash-fails
+    "q340_crosstable_mv" -> """
+      WITH j1 AS (
+        SELECT o.o_custkey, l.l_extendedprice
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      j2 AS (
+        SELECT o.o_custkey, l.l_extendedprice
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey % 100 = 31),
+      j3 AS (
+        SELECT o.o_custkey, l.l_extendedprice
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_orderkey % 100 = 43),
+      v2 AS (SELECT * FROM j1 UNION ALL SELECT * FROM j2),
+      v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM j3)
+      SELECT CAST(1 AS INTEGER) AS cat_version,
+        COUNT(DISTINCT o_custkey) AS n_keys, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue,
+        TRUE AS matches_recompute
+      FROM j1
+      UNION ALL
+      SELECT 2, COUNT(DISTINCT o_custkey), COUNT(*),
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        TRUE
+      FROM v2
+      UNION ALL
+      SELECT 3, COUNT(DISTINCT o_custkey), COUNT(*),
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+        TRUE
+      FROM v3
+      ORDER BY cat_version""",
+
+    // the whole mixed-artifact lifecycle from predicate + ordinal
+    // arithmetic: segments from the date cuts, ordinals from the same
+    // rank-within-segment rule, equality victims by key, position
+    // victims by ordinal; v3 and v4 must agree on content (the fold
+    // applied exactly the artifacts — a fold that drops a bystander
+    // or misses a victim splits them and hash-fails) while the live
+    // counts collapse to the non-folded segments' equality rows
+    "q339_position_deletes" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice,
+          CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'c0'
+               WHEN o_orderdate < TIMESTAMP '1999-01-01' THEN 'c1'
+               ELSE 'c2' END AS cmt
+        FROM orders),
+      posd AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cmt
+          ORDER BY o_orderkey) - 1 AS pos
+        FROM base),
+      v2r AS (SELECT * FROM posd WHERE o_orderkey % 1000 <> 41),
+      v3r AS (SELECT * FROM v2r
+              WHERE NOT (cmt = 'c1' AND pos % 20 = 7)),
+      cnt AS (
+        SELECT
+          COUNT(*) FILTER (WHERE o_orderkey % 1000 = 41) AS ceq,
+          COUNT(*) FILTER (WHERE o_orderkey % 1000 = 41
+            AND cmt <> 'c1') AS ceq_nc1,
+          COUNT(*) FILTER (WHERE cmt = 'c1' AND pos % 20 = 7) AS cpos
+        FROM posd)
+      SELECT CAST(1 AS INTEGER) AS version, 'base' AS status,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(0 AS BIGINT) AS n_live_eq, CAST(0 AS BIGINT) AS n_live_pos
+      FROM posd
+      UNION ALL
+      SELECT 2, 'eq', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        (SELECT ceq FROM cnt), 0
+      FROM v2r
+      UNION ALL
+      SELECT 3, 'eq+pos', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        (SELECT ceq FROM cnt), (SELECT cpos FROM cnt)
+      FROM v3r
+      UNION ALL
+      SELECT 4, 'folded', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        (SELECT ceq_nc1 FROM cnt), 0
+      FROM v3r
+      ORDER BY version""",
 
     // the v1→v3 changelog from first principles: '+' rows are the v2
     // append (commit c2, orderdate >= 1999), '-' rows the retention

@@ -978,6 +978,104 @@ class TableFormatSpec extends AnyFunSuite {
       "a failed CAS must not have appended")
   }
 
+  test("q339 the two delete-artifact kinds compose: the fold applied " +
+      "exactly what the artifacts said, rewritten segments get fresh " +
+      "ordinals, and anti-join order is immaterial") {
+    import graft.operators.PositionDeletes
+    PositionDeletes.q339PositionDeletes(spark, sf).collect()
+    // v3 (read through mixed artifacts) ≡ v4 (read through the fold),
+    // row for row — the fold's whole contract
+    val (v3, _, _) = PositionDeletes.pdRead(spark, 3)
+    val (v4, eq4, pos4) = PositionDeletes.pdRead(spark, 4)
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderdate").map(col)
+    assert(v3.select(cols: _*).exceptAll(v4.select(cols: _*)).isEmpty &&
+      v4.select(cols: _*).exceptAll(v3.select(cols: _*)).isEmpty,
+      "fold changed content")
+    // position artifacts go inert with their segment; equality rows
+    // targeting the surviving segments stay live
+    assert(pos4.count() == 0, "old position deletes must be inert " +
+      "after the rewrite — a new file's ordinals are its own")
+    assert(eq4.select(col("target_commit")).distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("c0", "c2")))
+    // fresh ordinals: dense 0..n-1 in the rewritten segment
+    val f = spark.table(PositionDeletes.PdData)
+      .filter(col("commit_id") === "c1_f")
+    val n = f.count()
+    assert(f.agg(min(col("pos")), max(col("pos"))).collect().head
+      .toSeq == Seq(0L, n - 1))
+    assert(f.select(col("pos")).distinct().count() == n)
+    // composition is set-minus: applying pos-then-eq equals the read
+    // path's eq-then-pos
+    val (_, eq3, pos3) = PositionDeletes.pdRead(spark, 3)
+    val flipped = spark.table(PositionDeletes.PdData)
+      .filter(col("commit_id").isin("c0", "c1", "c2"))
+      .join(broadcast(pos3), col("pos") === col("del_pos") &&
+        col("commit_id") === col("target_commit"), "left_anti")
+      .join(broadcast(eq3), col("o_orderkey") === col("del_key") &&
+        col("commit_id") === col("target_commit"), "left_anti")
+    assert(flipped.count() == v3.count())
+  }
+
+  test("q340 a torn refresh (one table's delta only) is wrong AND " +
+      "stays blocked by the binding gate; the full fold passes") {
+    import graft.operators.CrossTableMv
+    CrossTableMv.q340CrossTableMv(spark, sf).collect()
+    // rebuild the lifecycle to the torn point: MV bound at cat_v1
+    CrossTableMv.buildCatalog(spark, sf)
+    graft.operators.Scale.dropManaged(spark, CrossTableMv.XmMv)
+    TableFormat.initBindings(spark, CrossTableMv.XmBindings)
+    CrossTableMv.recomputeAt(spark, 1).localCheckpoint()
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(CrossTableMv.XmMv)
+    TableFormat.bindArtifact(spark, CrossTableMv.XmBindings,
+      CrossTableMv.XmMv, CrossTableMv.XmCatalog, 1)
+    // the torn fold for cat_v1→cat_v2: ΔA⋈B_old ONLY (a refresher
+    // that crashed before — or never implemented — the A_new⋈ΔB term)
+    import graft.functions.Cols.dec
+    val pair1 = CrossTableMv.resolve(spark, 1)
+    val pair2 = CrossTableMv.resolve(spark, 2)
+    val dA = CrossTableMv.signedChurn(spark, CrossTableMv.XmAData,
+      CrossTableMv.XmAManifest, pair1("A"), pair2("A"))
+      .select(col("o_orderkey"), col("o_custkey"), col("sgn"))
+    val term1 = CrossTableMv.bAt(spark, pair1("B"))
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .join(broadcast(dA), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("sgn")).as("dn"),
+        sum(col("sgn") * dec(col("l_extendedprice"))).as("dp"))
+    val torn = spark.table(CrossTableMv.XmMv)
+      .join(term1, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_items"), lit(0L)) +
+          coalesce(col("dn"), lit(0L))).as("n_items"),
+        (coalesce(col("revenue"), lit(0).cast("decimal(28,2)")) +
+          coalesce(col("dp"), lit(0).cast("decimal(28,2)")))
+          .cast("decimal(28,2)").as("revenue"))
+      .filter(col("n_items") > 0).localCheckpoint()
+    // torn state ≠ cat_v2 recompute (ΔA joined B_old, which lacks
+    // the paired b_c2 lineitems — the shifted orders got 0 items)
+    val rec2 = CrossTableMv.recomputeAt(spark, 2)
+    assert(torn.exceptAll(rec2).count() > 0 ||
+      rec2.exceptAll(torn).count() > 0,
+      "the torn fold should be WRONG — if it equals the recompute, " +
+        "the demonstration is vacuous")
+    // and because the crash happened before the rebind, the gate
+    // still refuses to serve — the wrong state is unreachable
+    torn.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(CrossTableMv.XmMv)
+    intercept[IllegalStateException] {
+      CrossTableMv.requireCatFresh(spark)
+    }
+    // a binding for the WRONG source (not the catalog) must also
+    // refuse: the gate demands a catalog-bound stamp
+    TableFormat.bindArtifact(spark, CrossTableMv.XmBindings,
+      CrossTableMv.XmMv, CrossTableMv.XmAManifest, 2)
+    intercept[IllegalStateException] {
+      CrossTableMv.requireCatFresh(spark)
+    }
+  }
+
   test("q311 seeds stay pinned and coverage is monotone in rounds") {
     val byRounds = (1 to 3).map { r =>
       val out = GraphOps.labelPropagate(spark, sf01, r).collect()
