@@ -600,6 +600,144 @@ object TableFormat {
     before.unionByName(after).orderBy(col("phase"))
   }
 
+  // -------------------- layout maintenance under rewrite (q341)
+
+  private[graft] val RmData = "graft_zmap_data_rm"
+  private[graft] val RmManifest = "graft_zmap_manifest_rm"
+  private[graft] val RmBloom = "graft_zmap_bloom_rm"
+
+  /** Rewritten files land past this id — new files are NEW names,
+    * never reused ids (the immutability rule that lets the retire
+    * step be an exact id filter). */
+  private[graft] val RmNewFileBase = 100000
+
+  /** Fresh-files-only read of the post-rewrite layout — the q336
+    * `imFreshFiles` discipline applied to the REWRITE path; one
+    * definition shared by the maintenance job and the spec's
+    * partitions-read assertion. */
+  private[graft] def rmFreshFiles(spark: SparkSession): DataFrame =
+    spark.table(RmData).filter(col("zfile") >= RmNewFileBase)
+
+  /** LAYOUT-METADATA MAINTENANCE UNDER REWRITE — q336 keeps the
+    * stats + bloom manifests incremental under APPEND; this closes
+    * the other half (the r11 verdict's #5): when OPTIMIZE (q332's
+    * pack compactor) rewrites files, the maintained metadata must
+    * retire EXACTLY the rewritten files' rows and derive the new
+    * files' rows from ONLY the rewrite output — never a full-table
+    * re-scan. Lifecycle:
+    *
+    *  - the table starts as q332's strawman: arrival-ordered files at
+    *    half the target size, with per-file stats AND bloom rows
+    *    (bloom width is a TABLE property from the full-target
+    *    rows-per-file, fixed at creation — the q336 rule).
+    *  - OPTIMIZE rewrites ONE pack (files 0..31): reads only those
+    *    partitions (they must be read to rewrite anyway), z-sorts,
+    *    recuts at the full target size, lands the output as NEW file
+    *    ids past [[RmNewFileBase]], then drops the old partitions —
+    *    immutable files make the retire a directory delete. WHICH
+    *    pack to rewrite is the planner's job (q342); the maintenance
+    *    discipline is the subject here.
+    *  - metadata maintenance: both manifests drop exactly the
+    *    rewritten ids and gain rows derived from the fresh partitions
+    *    only ([[rmFreshFiles]], spec-asserted). The manifests
+    *    themselves are metadata-sized, so their rewrite is the cheap
+    *    side; the discipline protects the DATA side.
+    *  - certificates: the maintained stats and bloom manifests equal
+    *    a from-scratch rebuild over the current table, row-for-row —
+    *    pinned in the hash, because a drifted manifest is silent
+    *    wrong pruning later.
+    *  - both probe paths then run over the maintained metadata: the
+    *    q307 box probe (whose file count DROPS — the rewritten pack
+    *    now prunes) and the q331 bloom point lookup.
+    *
+    * At 100 TB this is why OPTIMIZE doesn't cost a metadata rebuild:
+    * the job's metadata bill is (retired ids + stats of what it just
+    * wrote), both already in hand when the rewrite commits. */
+  def q341RewriteLayoutMaintenance(spark: SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    Scale.dropManaged(spark, RmBloom)
+    val base = partXY(spark, dir)
+    val rpf = zRowsPerFile(base.count())
+    val rpfS = math.max(1L, rpf / 2)
+    writeLayout(spark, base,
+      (col("p_partkey").cast("long") * 2654435761L) % 1000003L,
+      RmData, RmManifest, Some(rpfS))
+    val m = bloomWords(rpf) * 32
+    bloomRowsOf(spark.table(RmData), m)
+      .write.mode(SaveMode.Overwrite).saveAsTable(RmBloom)
+    val filesBefore = spark.table(RmManifest).count()
+
+    // OPTIMIZE pack 0: pruned read of exactly its partitions, z-sort,
+    // recut at full size, land as new ids
+    val rewritten = spark.table(RmManifest)
+      .filter(col("zfile") < OcPackFiles)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq.sorted
+    val packRows = spark.table(RmData)
+      .filter(col("zfile").isin(rewritten: _*))
+    Scale.globalIndex(
+        packRows.withColumn("skey", expr(mortonSql("x", "y"))),
+        col("skey").asc, col("p_partkey").asc)
+      .withColumn("zfile",
+        expr(s"CAST((rank - 1) div $rpf + $RmNewFileBase AS INT)"))
+      .select(col("p_partkey"), col("p_retailprice"), col("x"),
+        col("y"), col("zfile"))
+      .write.insertInto(RmData)
+    rewritten.foreach(f => spark.sql(
+      s"ALTER TABLE $RmData DROP IF EXISTS PARTITION (zfile=$f)"))
+
+    // incremental metadata maintenance: retire exactly the rewritten
+    // ids, derive new rows from the fresh partitions ONLY
+    val fresh = rmFreshFiles(spark).localCheckpoint()
+    val keptM = spark.table(RmManifest)
+      .filter(!col("zfile").isin(rewritten: _*)).localCheckpoint()
+    keptM.unionByName(fresh.groupBy(col("zfile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y")))
+      .write.mode(SaveMode.Overwrite).saveAsTable(RmManifest)
+    val keptB = spark.table(RmBloom)
+      .filter(!col("zfile").isin(rewritten: _*)).localCheckpoint()
+    keptB.unionByName(bloomRowsOf(fresh, m))
+      .write.mode(SaveMode.Overwrite).saveAsTable(RmBloom)
+    val filesNew =
+      spark.table(RmManifest).count() - (filesBefore - rewritten.size)
+
+    // certificates: maintained metadata ≡ from-scratch rebuild
+    val rebuiltM = spark.table(RmData).groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    val mMatch = spark.table(RmManifest).exceptAll(rebuiltM).isEmpty &&
+      rebuiltM.exceptAll(spark.table(RmManifest)).isEmpty
+    val rebuiltB = bloomRowsOf(spark.table(RmData), m)
+    val bMatch = spark.table(RmBloom).exceptAll(rebuiltB).isEmpty &&
+      rebuiltB.exceptAll(spark.table(RmBloom)).isEmpty
+
+    // probes over the MAINTAINED metadata
+    val boxFiles = overlappingFiles(spark.table(RmManifest), ZBox)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq.sorted
+    val (xLo, xHi, yLo, yHi) = ZBox
+    val box = spark.table(RmData).filter(col("zfile").isin(boxFiles: _*))
+      .filter(col("x") >= xLo && col("x") <= xHi &&
+        col("y") >= yLo && col("y") <= yHi)
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("s"))
+      .collect().head
+    val cands = bloomCandidates(spark, RmBloom, BloomProbeKey, m)
+    val key = spark.table(RmData).filter(col("zfile").isin(cands: _*))
+      .filter(col("p_partkey") === BloomProbeKey)
+      .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("s"))
+      .collect().head
+
+    Seq((filesBefore, rewritten.size.toLong, filesNew, mMatch, bMatch,
+        boxFiles.size.toLong, box.getLong(0), box.getDouble(1),
+        cands.size.toLong, key.getLong(0), key.getDouble(1)))
+      .toDF("files_before", "files_rewritten", "files_new",
+        "manifest_matches_rebuild", "bloom_matches_rebuild",
+        "box_files_scanned", "box_n_rows", "box_sum_retail",
+        "key_files_selected", "key_n_rows", "key_sum_retail")
+  }
+
   // ---------------------------------------------------- snapshots
 
   /** Segment cut points: commits are ingest batches by order date

@@ -71,6 +71,10 @@ object CoreEtlRegistry {
     "q338_row_change_feed" -> (CdcUpsert.q338RowChangeFeed _),
     "q339_position_deletes" -> (PositionDeletes.q339PositionDeletes _),
     "q340_crosstable_mv" -> (CrossTableMv.q340CrossTableMv _),
+    "q341_rewrite_layout" ->
+      (TableFormat.q341RewriteLayoutMaintenance _),
+    "q342_maintenance_planner" ->
+      (MaintenancePlanner.q342MaintenancePlanner _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -950,9 +954,93 @@ object CoreEtlRegistry {
         (SELECT n FROM c2), 'retained', (SELECT n FROM c2)
       ORDER BY phase, commit_id""",
 
+    // the whole ranked plan from the cut arithmetic: per-segment
+    // file counts from the same rank-div cuts, fill/density/scan
+    // fraction/selectivity from the same integer-over-integer
+    // divisions, verbs from the same published thresholds, ranks by
+    // benefit — a planner that mis-prices a segment, misses a
+    // pathology, or invents work on the healthy segment hash-fails
+    "q342_maintenance_planner" -> """
+      WITH o AS (SELECT o_orderkey,
+          CAST(o_orderkey % 4 AS INTEGER) AS seg FROM orders),
+      n AS (SELECT COUNT(*) AS nn FROM orders),
+      rpf AS (SELECT GREATEST(64, ((SELECT nn FROM n) + 63) // 64)
+        AS r),
+      sml AS (SELECT GREATEST(1, (SELECT r FROM rpf) // 8) AS r),
+      hi AS (SELECT MAX(o_orderkey) // 10 AS h FROM orders),
+      r0 AS (SELECT o_orderkey, (ROW_NUMBER() OVER
+          (ORDER BY o_orderkey) - 1) // (SELECT r FROM sml) AS f
+        FROM o WHERE seg = 0),
+      r1 AS (SELECT o_orderkey, (ROW_NUMBER() OVER
+          (ORDER BY o_orderkey) - 1) // (SELECT r FROM rpf) AS f
+        FROM o WHERE seg = 1),
+      r2 AS (SELECT o_orderkey, (ROW_NUMBER() OVER
+          (ORDER BY (o_orderkey * 2654435761) % 1000003,
+            o_orderkey) - 1) // (SELECT r FROM rpf) AS f
+        FROM o WHERE seg = 2),
+      r3 AS (SELECT o_orderkey, (ROW_NUMBER() OVER
+          (ORDER BY o_orderkey) - 1) // (SELECT r FROM rpf) AS f
+        FROM o WHERE seg = 3),
+      m AS (
+        SELECT 's0' AS segment, f, COUNT(*) AS n_rows,
+          MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+        FROM r0 GROUP BY f
+        UNION ALL SELECT 's1', f, COUNT(*), MIN(o_orderkey),
+          MAX(o_orderkey) FROM r1 GROUP BY f
+        UNION ALL SELECT 's2', f, COUNT(*), MIN(o_orderkey),
+          MAX(o_orderkey) FROM r2 GROUP BY f
+        UNION ALL SELECT 's3', f, COUNT(*), MIN(o_orderkey),
+          MAX(o_orderkey) FROM r3 GROUP BY f),
+      s AS (
+        SELECT segment, COUNT(*) AS files,
+          CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+          MIN(mn) AS mn, MAX(mx) AS mx,
+          CAST(SUM(CASE WHEN mn <= (SELECT h FROM hi) THEN 1
+            ELSE 0 END) AS BIGINT) AS overl
+        FROM m GROUP BY segment),
+      d AS (SELECT COUNT(*) AS nd FROM o
+            WHERE seg = 1 AND o_orderkey % 1000 < 80),
+      met AS (
+        SELECT segment, files, n_rows,
+          CAST(n_rows AS DOUBLE) /
+            CAST(files * (SELECT r FROM rpf) AS DOUBLE) AS fill,
+          CASE WHEN segment = 's1' THEN
+            CAST((SELECT nd FROM d) AS DOUBLE) /
+              CAST(n_rows AS DOUBLE) ELSE 0.0 END AS density,
+          CAST(overl AS DOUBLE) / CAST(files AS DOUBLE) AS scanfrac,
+          CAST((SELECT h FROM hi) - mn + 1 AS DOUBLE) /
+            CAST(mx - mn + 1 AS DOUBLE) AS estsel,
+          (n_rows + (SELECT r FROM rpf) - 1) // (SELECT r FROM rpf)
+            AS ideal
+        FROM s),
+      verbs AS (
+        SELECT segment, 'compact' AS verb, files, n_rows,
+          fill AS metric,
+          1.0 - CAST(ideal AS DOUBLE) / CAST(files AS DOUBLE)
+            AS expected_benefit
+        FROM met WHERE fill < 0.5
+        UNION ALL
+        SELECT segment, 'fold', files, n_rows, density, density
+        FROM met WHERE density >= 0.05
+        UNION ALL
+        SELECT segment, 'recluster', files, n_rows, scanfrac,
+          scanfrac - estsel
+        FROM met WHERE scanfrac >= 0.5
+        UNION ALL
+        SELECT segment, 'none', files, n_rows, 0.0, 0.0
+        FROM met
+        WHERE fill >= 0.5 AND density < 0.05 AND scanfrac < 0.5)
+      SELECT CAST(ROW_NUMBER() OVER
+          (ORDER BY expected_benefit DESC, segment) AS INTEGER)
+          AS rank,
+        segment, verb, files, n_rows, metric, expected_benefit
+      FROM verbs
+      ORDER BY rank""",
+
     "q331_bloom_lookup" -> bloomPointLookupOracle,
     "q332_compact_cluster" -> compactClusterOracle,
     "q336_incremental_layout" -> incrementalLayoutOracle,
+    "q341_rewrite_layout" -> rewriteLayoutOracle,
 
     // the whole binding lifecycle from predicate arithmetic: the MV
     // bound at v2 still sums the FULL table in p1 (the wrong answer

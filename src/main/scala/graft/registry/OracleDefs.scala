@@ -1952,6 +1952,101 @@ $iters
         CAST((SELECT s FROM keyr) AS DOUBLE) AS key_sum_retail"""
   }
 
+  /** q341: the post-rewrite layout re-derived from first principles —
+    * the before-files from the arrival-hash cut at half size, the
+    * rewritten pack (files < 32) re-sorted along the shared Morton
+    * spelling and recut at the full target size under offset ids, the
+    * merged manifest and bloom over (kept ∪ new) files; the two
+    * rebuild-equality certificates pinned TRUE (a retire that misses
+    * a row or an increment that re-reads standing files drifts the
+    * maintained metadata and flips them). */
+  private[registry] def rewriteLayoutOracle: String = {
+    val probes = Seq(2654435761L, 2246822519L, 3266489917L)
+    val morton = (0 until 6).map { i =>
+      val p = 1L << i
+      s"((x // $p) % 2) * ${1L << (2 * i)} + " +
+        s"((y // $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    def posList(key: String) = probes.map(a =>
+      s"($key * $a) % (SELECT m FROM mw)").mkString("[", ",\n          ", "]")
+    s"""
+      WITH rpf AS (
+        SELECT GREATEST(64, (COUNT(*) + 63) // 64) AS r FROM part),
+      rps AS (SELECT GREATEST(1, (SELECT r FROM rpf) // 2) AS r),
+      base AS (
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+          GREATEST(LEAST(CAST(FLOOR((p_retailprice - 900) / 2)
+            AS BIGINT), 63), 0) AS y,
+          p_retailprice
+        FROM part),
+      sb AS (
+        SELECT p_partkey, x, y, p_retailprice,
+          (ROW_NUMBER() OVER (
+             ORDER BY (p_partkey * 2654435761) % 1000003, p_partkey) - 1)
+            // (SELECT r FROM rps) AS f
+        FROM base),
+      rew AS (SELECT * FROM sb WHERE f < 32),
+      zr AS (
+        SELECT p_partkey, x, y, p_retailprice,
+          100000 + (ROW_NUMBER() OVER (ORDER BY zm, p_partkey) - 1)
+            // (SELECT r FROM rpf) AS f
+        FROM (SELECT *, $morton AS zm FROM rew)),
+      merged AS (
+        SELECT p_partkey, x, y, p_retailprice, f FROM sb WHERE f >= 32
+        UNION ALL
+        SELECT p_partkey, x, y, p_retailprice, f FROM zr),
+      mm AS (
+        SELECT f, MIN(x) AS min_x, MAX(x) AS max_x,
+          MIN(y) AS min_y, MAX(y) AS max_y
+        FROM merged GROUP BY f),
+      boxr AS (
+        SELECT COUNT(*) AS n,
+          SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS s
+        FROM base
+        WHERE x BETWEEN 15 AND 25 AND y BETWEEN 3 AND 8),
+      mw AS (
+        SELECT GREATEST(1, ((SELECT r FROM rpf) * 10 + 31) // 32) * 32
+          AS m),
+      pos AS (
+        SELECT f, unnest(${posList("p_partkey")}) AS p
+        FROM merged),
+      bl AS (
+        SELECT f, p // 32 AS word,
+          bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+        FROM pos GROUP BY f, word),
+      pbp AS (
+        SELECT DISTINCT p // 32 AS word,
+          CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER) AS mask
+        FROM (SELECT unnest(${posList("97")}) AS p)),
+      sel AS (
+        SELECT bl.f FROM bl JOIN pbp ON bl.word = pbp.word
+          AND (bl.bits & pbp.mask) <> 0
+        GROUP BY bl.f
+        HAVING COUNT(*) = (SELECT COUNT(*) FROM pbp)),
+      keyr AS (
+        SELECT COUNT(*) AS n,
+          SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS s
+        FROM base WHERE p_partkey = 97)
+      SELECT
+        (SELECT CAST(COUNT(DISTINCT f) AS BIGINT) FROM sb)
+          AS files_before,
+        (SELECT CAST(COUNT(DISTINCT f) AS BIGINT) FROM rew)
+          AS files_rewritten,
+        (SELECT CAST(COUNT(DISTINCT f) AS BIGINT) FROM zr)
+          AS files_new,
+        TRUE AS manifest_matches_rebuild,
+        TRUE AS bloom_matches_rebuild,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM mm
+         WHERE max_x >= 15 AND min_x <= 25
+           AND max_y >= 3 AND min_y <= 8) AS box_files_scanned,
+        (SELECT n FROM boxr) AS box_n_rows,
+        CAST((SELECT s FROM boxr) AS DOUBLE) AS box_sum_retail,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM sel)
+          AS key_files_selected,
+        (SELECT n FROM keyr) AS key_n_rows,
+        CAST((SELECT s FROM keyr) AS DOUBLE) AS key_sum_retail"""
+  }
+
   /** q331: the whole bloom filter re-derived from integer
     * arithmetic — file assignment from the shared z-curve CTEs, bit
     * positions from the same three multipliers mod the same width,

@@ -1076,6 +1076,85 @@ class TableFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("q341 rewrite maintenance is fresh-files-only and the " +
+      "maintained metadata prunes physically") {
+    val rep = TableFormat.q341RewriteLayoutMaintenance(spark, sf01)
+      .collect().head
+    // the rewritten partitions are GONE (retire = directory delete)
+    val parts = spark.sql(s"SHOW PARTITIONS ${TableFormat.RmData}")
+      .collect().map(_.getString(0).stripPrefix("zfile=").toInt)
+    assert(parts.forall(f => f >= 32 && f < 100000 || f >= 100000),
+      s"old pack partitions survive: ${parts.filter(_ < 32).toSeq}")
+    // the increment's input reads exactly the fresh partitions
+    val freshRead = TableFormat.rmFreshFiles(spark)
+    freshRead.collect()
+    val scans = scansOf(freshRead, TableFormat.RmData)
+    assert(scans.head.metrics("numPartitions").value ==
+      rep.getAs[Long]("files_new"))
+    // the optimization was worth running: the box probe scans fewer
+    // files than the table holds (the rewritten pack prunes)
+    val total = spark.table(TableFormat.RmManifest).count()
+    assert(rep.getAs[Long]("box_files_scanned") < total,
+      s"box scans all $total files — rewrite bought nothing")
+    // physical half: a fresh pruned probe reads exactly the
+    // manifest-selected partitions
+    val files = TableFormat.overlappingFiles(
+        spark.table(TableFormat.RmManifest), TableFormat.ZBox)
+      .select(col("zfile")).collect().map(_.getInt(0)).toSeq
+    val probe = spark.table(TableFormat.RmData)
+      .filter(col("zfile").isin(files: _*))
+    probe.collect()
+    assert(scansOf(probe, TableFormat.RmData).head
+      .metrics("numPartitions").value == files.size)
+  }
+
+  test("q342 the planner is metadata-only, and executing its top " +
+      "item moves the certified metric by what it predicted") {
+    import graft.operators.MaintenancePlanner
+    MaintenancePlanner.buildFixture(spark, sf01)
+    val before = MaintenancePlanner.plan(spark).collect()
+    // metadata-only: the plan must be computable with the DATA gone
+    graft.operators.Scale.dropManaged(spark, MaintenancePlanner.MpData)
+    val blind = MaintenancePlanner.plan(spark).collect()
+    assert(blind.map(_.toString).toSeq ==
+      before.map(_.toString).toSeq,
+      "planner output changed when the data table vanished — it " +
+        "must be reading metadata only")
+    // execute the top item: recluster s2 (rebuild the fixture first)
+    MaintenancePlanner.buildFixture(spark, sf01)
+    val top = before.head
+    assert(top.getAs[String]("segment") == "s2" &&
+      top.getAs[String]("verb") == "recluster", top.toString)
+    val predicted = top.getAs[Double]("expected_benefit")
+    val oldFrac = top.getAs[Double]("metric")
+    // the rewrite: s2's rows re-cut along the key (the q341 unit)
+    val mf = spark.table(MaintenancePlanner.MpManifest)
+    val rpf = math.max(64L,
+      (mf.agg(sum(col("n_rows"))).collect().head.getLong(0) + 63) / 64)
+    val hi = mf.agg(max(col("max_k"))).collect().head.getLong(0) / 10
+    val rewritten = graft.operators.Scale.globalIndex(
+        spark.table(MaintenancePlanner.MpData)
+          .filter(col("segment") === "s2")
+          .withColumn("skey", col("o_orderkey")),
+        col("skey").asc, col("o_orderkey").asc)
+      .select(col("o_orderkey"),
+        format_string("s2r_%d", expr(s"(rank - 1) div $rpf"))
+          .as("seg_file"))
+      .groupBy(col("seg_file"))
+      .agg(count(lit(1)).as("n_rows"), min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx"))
+    val after = rewritten.agg(
+      (sum(when(col("mn") <= hi, 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("frac"),
+      count(lit(1)).as("files")).collect().head
+    val newFrac = after.getDouble(0)
+    val files = after.getLong(1)
+    val improvement = oldFrac - newFrac
+    assert(improvement >= predicted - 2.0 / files.toDouble,
+      s"predicted $predicted, delivered $improvement " +
+        s"(old $oldFrac -> new $newFrac over $files files)")
+  }
+
   test("q311 seeds stay pinned and coverage is monotone in rounds") {
     val byRounds = (1 to 3).map { r =>
       val out = GraphOps.labelPropagate(spark, sf01, r).collect()
