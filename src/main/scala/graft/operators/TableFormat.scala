@@ -1757,6 +1757,75 @@ object TableFormat {
     }.reduce(_ unionByName _).orderBy(col("as_of"))
   }
 
+  // ------------------------------------ SQL time-travel surface
+
+  private[graft] val SqView = "graft_snap_versions_sq"
+  private[graft] val SqLog = "graft_snap_log_sq"
+  private[graft] val SqData = "graft_snap_data_sq"
+  private[graft] val SqManifest = "graft_snap_manifest_sq"
+
+  /** SQL TIME TRAVEL — the r11 stretch ask: the versioned tier
+    * reachable from pure SQL text, no Scala calls, so the EP3-parity
+    * SQL surface (ref `README.md:184-199` — the reference's users
+    * query through Athena) extends to snapshots. The Spark-first
+    * answer is not a parser extension but a VERSION-EXPANDED VIEW:
+    *
+    *   CREATE VIEW t_versions AS
+    *     SELECT m.version, d.* FROM data d JOIN manifest m
+    *     ON d.commit_id = m.commit_id
+    *
+    * `VERSION AS OF n` is then `WHERE version = n`, and `TIMESTAMP
+    * AS OF ts` is `WHERE version = (SELECT max(version) FROM log
+    * WHERE committed_at <= ts)` — both plain SQL. The part that
+    * makes this a real reader and not a demo is the PHYSICS: the
+    * manifest side of the join is broadcast-sized, and Catalyst's
+    * dynamic partition pruning turns the version predicate into a
+    * runtime partition filter on the commit-partitioned data scan —
+    * the same pruned read [[readVersion]] produces with its static
+    * predicate, now planned BY THE OPTIMIZER from declarative SQL
+    * (TableFormatSpec asserts the dynamic filter is present and the
+    * partitions-read equals the version's commit count). At 100 TB
+    * the view costs nothing (it is a plan fragment), every version
+    * read stays commit-pruned, and the one table function a SQL user
+    * needs is already in the catalog. */
+  def q343SqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (data, manifest, _) = buildSnapshots(spark, dir, "_sq")
+    Scale.dropManaged(spark, SqLog)
+    Seq((1, "2000-01-01 00:00:00"), (2, "2000-02-01 00:00:00"),
+      (3, "2000-03-01 00:00:00"))
+      .toDF("version", "committed_at_s")
+      .select(col("version"),
+        col("committed_at_s").cast("timestamp").as("committed_at"))
+      .write.mode(SaveMode.Overwrite).saveAsTable(SqLog)
+    spark.sql(s"""CREATE OR REPLACE VIEW $SqView AS
+      SELECT m.version, d.o_orderkey, d.o_custkey, d.o_totalprice,
+        d.o_orderdate
+      FROM $data d JOIN $manifest m ON d.commit_id = m.commit_id""")
+    // from here on: SQL text only — what a BI tool would send
+    val versionReads = spark.sql(s"""
+      SELECT CONCAT('version_as_of_', CAST(version AS STRING)) AS read,
+        version, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        MIN(o_orderkey) AS min_okey, MAX(o_orderkey) AS max_okey
+      FROM $SqView
+      WHERE version IN (1, 2, 3)
+      GROUP BY version""")
+    val tsRead = spark.sql(s"""
+      SELECT 'timestamp_as_of_2000-02-15' AS read, version,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        MIN(o_orderkey) AS min_okey, MAX(o_orderkey) AS max_okey
+      FROM $SqView
+      WHERE version = (SELECT MAX(version) FROM $SqLog
+                       WHERE committed_at <=
+                         TIMESTAMP '2000-02-15 12:00:00')
+      GROUP BY version""")
+    versionReads.unionByName(tsRead).orderBy(col("read"))
+  }
+
   // ------------------------------------------------ zero-copy clone
 
   private[graft] val ClData = "graft_snap_data_cl"
@@ -1982,20 +2051,39 @@ object TableFormat {
     spark.table(logT).agg(coalesce(max(col("seq")), lit(0)))
       .collect().head.getInt(0) + 1
 
+  /** Append one row to a seq-keyed log at a CAPTURED seq, then verify
+    * the allocation won — exactly one row at that seq. This is the
+    * q321 capture-then-check discipline applied to the log appends
+    * (the r11 review's one design nit): seq allocation is still
+    * read-modify-write, but a raced duplicate now fails loudly AT THE
+    * WRITER, at publish time — not just at some later reader's
+    * [[latestBySeq]] — so the losing writer knows to retry from a
+    * fresh head while its intent is still in hand. One extra
+    * metadata read per append. TableFormatSpec constructs the race
+    * and pins both detection points. */
+  private[graft] def appendLogChecked(spark: SparkSession, logT: String,
+      row: DataFrame, seq: Int): Unit = {
+    row.write.insertInto(logT)
+    val n = spark.table(logT).filter(col("seq") === seq).count()
+    if (n != 1) throw new IllegalStateException(
+      s"log '$logT' append race: $n rows at seq $seq — retry from " +
+        "a fresh head")
+  }
+
   private[graft] def setRef(spark: SparkSession, refsT: String,
       ref: String, v: Int): Unit = {
     import spark.implicits._
-    Seq((nextSeq(spark, refsT), ref, v, true))
-      .toDF("seq", "ref", "version", "live")
-      .write.insertInto(refsT)
+    val s = nextSeq(spark, refsT)
+    appendLogChecked(spark, refsT,
+      Seq((s, ref, v, true)).toDF("seq", "ref", "version", "live"), s)
   }
 
   private[graft] def dropRef(spark: SparkSession, refsT: String,
       ref: String): Unit = {
     import spark.implicits._
-    Seq((nextSeq(spark, refsT), ref, 0, false))
-      .toDF("seq", "ref", "version", "live")
-      .write.insertInto(refsT)
+    val s = nextSeq(spark, refsT)
+    appendLogChecked(spark, refsT,
+      Seq((s, ref, 0, false)).toDF("seq", "ref", "version", "live"), s)
   }
 
   private[graft] def refVersion(spark: SparkSession, refsT: String,
@@ -2429,9 +2517,10 @@ object TableFormat {
   private[graft] def bindArtifact(spark: SparkSession, bindingsT: String,
       artifact: String, manifestT: String, version: Int): Unit = {
     import spark.implicits._
-    Seq((nextSeq(spark, bindingsT), artifact, manifestT, version))
-      .toDF("seq", "artifact", "manifest_table", "bound_version")
-      .write.insertInto(bindingsT)
+    val s = nextSeq(spark, bindingsT)
+    appendLogChecked(spark, bindingsT,
+      Seq((s, artifact, manifestT, version))
+        .toDF("seq", "artifact", "manifest_table", "bound_version"), s)
   }
 
   /** Latest binding per artifact — (manifest_table, bound_version)

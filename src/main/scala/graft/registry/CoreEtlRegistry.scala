@@ -75,6 +75,7 @@ object CoreEtlRegistry {
       (TableFormat.q341RewriteLayoutMaintenance _),
     "q342_maintenance_planner" ->
       (MaintenancePlanner.q342MaintenancePlanner _),
+    "q343_sql_time_travel" -> (TableFormat.q343SqlTimeTravel _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1036,6 +1037,31 @@ object CoreEtlRegistry {
         segment, verb, files, n_rows, metric, expected_benefit
       FROM verbs
       ORDER BY rank""",
+
+    // each snapshot from the q309 version predicates (v1 = the
+    // pre-append prefix, v2 = everything, v3 = post-retention); the
+    // timestamp read resolves to v2 by the fixed commit log — a view
+    // that joins the wrong manifest rows, a DPP miss that changes
+    // results, or a mis-resolved timestamp hash-fails
+    "q343_sql_time_travel" -> """
+      WITH v AS (SELECT unnest([1, 2, 3]) AS version)
+      SELECT CONCAT('version_as_of_', CAST(v.version AS VARCHAR))
+          AS read,
+        v.version AS version, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        MIN(o_orderkey) AS min_okey, MAX(o_orderkey) AS max_okey
+      FROM orders CROSS JOIN v
+      WHERE (v.version = 1 AND o_orderdate < TIMESTAMP '1999-01-01')
+         OR v.version = 2
+         OR (v.version = 3 AND o_orderdate >= TIMESTAMP '1996-01-01')
+      GROUP BY v.version
+      UNION ALL
+      SELECT 'timestamp_as_of_2000-02-15', 2, COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        MIN(o_orderkey), MAX(o_orderkey)
+      FROM orders
+      ORDER BY read""",
 
     "q331_bloom_lookup" -> bloomPointLookupOracle,
     "q332_compact_cluster" -> compactClusterOracle,

@@ -1155,6 +1155,55 @@ class TableFormatSpec extends AnyFunSuite {
         s"(old $oldFrac -> new $newFrac over $files files)")
   }
 
+  test("q343 the SQL version read is dynamically partition-pruned: " +
+      "the optimizer turns WHERE version = n into a runtime commit " +
+      "filter on the partitioned scan") {
+    TableFormat.q343SqlTimeTravel(spark, sf).collect()
+    val df = spark.sql(s"SELECT * FROM ${TableFormat.SqView} " +
+      "WHERE version = 1")
+    df.collect()
+    val scans = scansOf(df, TableFormat.SqData)
+    assert(scans.nonEmpty)
+    assert(scans.head.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")),
+      s"no dynamic pruning on the data scan:\n" +
+        scans.head.partitionFilters.mkString("\n"))
+    val commits = TableFormat.commitsOf(spark,
+      TableFormat.SqManifest, 1)
+    assert(scans.head.metrics("numPartitions").value == commits.size,
+      s"read ${scans.head.metrics("numPartitions").value} " +
+        s"partitions, v1 lists ${commits.size} commits")
+  }
+
+  test("a raced log append fails loudly at BOTH ends: the losing " +
+      "writer's post-append check and the reader's latestBySeq") {
+    import spark.implicits._
+    val refsT = "graft_refs_race_spec"
+    TableFormat.initRefs(spark, refsT, Seq(("main", 3)))
+    // the race: a concurrent writer lands a row at the seq this
+    // writer captured, BEFORE this writer's append commits — both
+    // appends land (inserts cannot conflict), seq 2 is duplicated
+    Seq((2, "main", 5, true)).toDF("seq", "ref", "version", "live")
+      .write.insertInto(refsT)
+    val e = intercept[IllegalStateException] {
+      TableFormat.appendLogChecked(spark, refsT,
+        Seq((2, "main", 4, true))
+          .toDF("seq", "ref", "version", "live"), 2)
+    }
+    assert(e.getMessage.contains("append race"), e.getMessage)
+    // and a reader of the corrupted log fails loudly too (the r10
+    // contract) rather than masking the duplicate with a max()
+    val e2 = intercept[IllegalArgumentException] {
+      TableFormat.refVersion(spark, refsT, "main")
+    }
+    assert(e2.getMessage.contains("corrupt"), e2.getMessage)
+    // the normal path through setRef still allocates cleanly on a
+    // healthy log
+    TableFormat.initRefs(spark, refsT, Seq(("main", 3)))
+    TableFormat.setRef(spark, refsT, "main", 4)
+    assert(TableFormat.refVersion(spark, refsT, "main").contains(4))
+  }
+
   test("q311 seeds stay pinned and coverage is monotone in rounds") {
     val byRounds = (1 to 3).map { r =>
       val out = GraphOps.labelPropagate(spark, sf01, r).collect()
