@@ -289,68 +289,90 @@ object CdcUpsert {
     * every change row from the tick predicates. At 100 TB the feed's
     * cost per commit follows that commit's churn — the row-level
     * twin of q328's segment-delta economics. */
+  /** The row-level change feed of ONE version step (tick t, i.e.
+    * version t+1 → t+2) — churn-only by construction: post side is
+    * the step's one append commit, pre side is the step's artifact
+    * keys resolved against only the TARGETED segments. ONE
+    * definition shared by q338's batch feed, q345's streaming
+    * consumer, and the spec's partitions-read assertion. */
+  private[graft] def changeFeedStep(spark: SparkSession,
+      t: Int): DataFrame = {
+    val post = spark.table(CuData)
+      .filter(col("commit_id") === s"u$t")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    // resolve the artifact to pre-image rows: only the targeted
+    // segments are read, keys applied as a broadcast semi-join
+    val art = spark.table(CuDeletes).filter(col("dbatch") === s"cd$t")
+    val targeted = art.select(col("target_commit")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val pre = spark.table(CuData)
+      .filter(col("commit_id").isin(targeted: _*))
+      .join(broadcast(art),
+        col("o_orderkey") === col("del_key") &&
+          col("commit_id") === col("target_commit"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val diff = post.as("f").join(pre.as("r"),
+      col("f.o_orderkey") === col("r.o_orderkey"), "full_outer")
+    val preRows = diff.filter(col("r.o_orderkey").isNotNull)
+      .select(
+        when(col("f.o_orderkey").isNotNull, "update_preimage")
+          .otherwise("delete").as("_change_type"),
+        col("r.o_orderkey").as("o_orderkey"),
+        col("r.o_custkey").as("o_custkey"),
+        col("r.o_totalprice").as("o_totalprice"),
+        col("r.o_orderdate").as("o_orderdate"))
+    val postRows = diff.filter(col("f.o_orderkey").isNotNull)
+      .select(
+        when(col("r.o_orderkey").isNotNull, "update_postimage")
+          .otherwise("insert").as("_change_type"),
+        col("f.o_orderkey").as("o_orderkey"),
+        col("f.o_custkey").as("o_custkey"),
+        col("f.o_totalprice").as("o_totalprice"),
+        col("f.o_orderdate").as("o_orderdate"))
+    preRows.unionByName(postRows)
+      .select(lit(t + 2).as("version"), col("_change_type"),
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+  }
+
+  /** The signed per-customer delta of a change feed — insert /
+    * update_postimage = +, delete / update_preimage = −; the fold
+    * input both q338's certificate and q345's consumer use. */
+  private[graft] def feedSignedDelta(feed: DataFrame): DataFrame = {
+    val sign = when(col("_change_type").isin("insert",
+      "update_postimage"), 1L).otherwise(-1L)
+    feed.select(col("o_custkey"), sign.as("s"),
+      (sign * dec(col("o_totalprice"))).as("p"))
+  }
+
   def q338RowChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     buildLifecycle(spark, dir)
     val steps = Ticks.map { tk =>
-      val t = tk.t
-      val post = spark.table(CuData)
-        .filter(col("commit_id") === s"u$t")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          col("o_orderdate"))
-      // resolve the artifact to pre-image rows: only the targeted
-      // segments are read, keys applied as a broadcast semi-join
-      val art = spark.table(CuDeletes).filter(col("dbatch") === s"cd$t")
-      val targeted = art.select(col("target_commit")).distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-      val pre = spark.table(CuData)
-        .filter(col("commit_id").isin(targeted: _*))
-        .join(broadcast(art),
-          col("o_orderkey") === col("del_key") &&
-            col("commit_id") === col("target_commit"), "left_semi")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          col("o_orderdate"))
-      val diff = post.as("f").join(pre.as("r"),
-        col("f.o_orderkey") === col("r.o_orderkey"), "full_outer")
-      val preRows = diff.filter(col("r.o_orderkey").isNotNull)
-        .select(
-          when(col("f.o_orderkey").isNotNull, "update_preimage")
-            .otherwise("delete").as("_change_type"),
-          col("r.o_orderkey").as("o_orderkey"),
-          col("r.o_custkey").as("o_custkey"),
-          col("r.o_totalprice").as("o_totalprice"),
-          col("r.o_orderdate").as("o_orderdate"))
-      val postRows = diff.filter(col("f.o_orderkey").isNotNull)
-        .select(
-          when(col("r.o_orderkey").isNotNull, "update_postimage")
-            .otherwise("insert").as("_change_type"),
-          col("f.o_orderkey").as("o_orderkey"),
-          col("f.o_custkey").as("o_custkey"),
-          col("f.o_totalprice").as("o_totalprice"),
-          col("f.o_orderdate").as("o_orderdate"))
-      preRows.unionByName(postRows)
-        .select(lit(t + 2).as("version"), col("_change_type"),
-          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          col("o_orderdate"))
-        .localCheckpoint() // pin: feed + certificate share one pass
+      // pin each step: feed + certificate share one pass
+      changeFeedStep(spark, tk.t).localCheckpoint()
     }
     // certificate per step: the feed maintains the per-customer MV —
     // fold its signed rows into state(v) and demand equality with the
-    // recompute at v+1 (bit-equal decimal arithmetic, the q324 rule)
-    Ticks.foreach { tk =>
-      val v = tk.t + 2
-      val feed = steps(tk.t)
-      val sign = when(col("_change_type").isin("insert",
-        "update_postimage"), 1L).otherwise(-1L)
-      val deltaInput = feed.select(col("o_custkey"), sign.as("s"),
-        (sign * dec(col("o_totalprice"))).as("p"))
-      def mvAt(ver: Int): DataFrame = readState(spark, ver)._1
+    // recompute at v+1 (bit-equal decimal arithmetic, the q324 rule).
+    // Each MoR-read MV state is pinned once and reused as both a
+    // step's fold base and the previous step's equality reference —
+    // four reads total, not eight executions through the exceptAll
+    // pairs.
+    val mvAt: Map[Int, DataFrame] = (1 to 1 + Ticks.size).map { v =>
+      v -> readState(spark, v)._1
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"),
           sum(dec(col("o_totalprice"))).as("sum_price"))
-      val folded = TableFormat.mvApplyDelta(mvAt(v - 1), deltaInput)
-      val recomputed = mvAt(v)
-      require(folded.exceptAll(recomputed).isEmpty &&
-        recomputed.exceptAll(folded).isEmpty,
+        .localCheckpoint()
+    }.toMap
+    Ticks.foreach { tk =>
+      val v = tk.t + 2
+      val folded = TableFormat.mvApplyDelta(mvAt(v - 1),
+        feedSignedDelta(steps(tk.t))).localCheckpoint()
+      require(folded.exceptAll(mvAt(v)).isEmpty &&
+        mvAt(v).exceptAll(folded).isEmpty,
         s"change feed for v${v - 1}->v$v does not maintain the MV")
     }
     steps.reduce(_ unionByName _)

@@ -243,12 +243,14 @@ object CrossTableMv {
       val mv = spark.table(XmMv)
       val r = mv.agg(count(lit(1)).as("k"), sum(col("n_items")).as("i"),
         sum(col("revenue")).cast("double").as("rev")).collect().head
-      val rec = recomputeAt(spark, catV)
       def canon(df: DataFrame): DataFrame =
         df.select(col("o_custkey"), col("n_items"),
           col("revenue").cast("decimal(28,2)").as("revenue"))
-      val eq = canon(mv).exceptAll(canon(rec)).isEmpty &&
-        canon(rec).exceptAll(canon(mv)).isEmpty
+      // pin both sides: the recompute is a full join, and exceptAll
+      // in two directions would otherwise execute it twice
+      val recC = canon(recomputeAt(spark, catV)).localCheckpoint()
+      val mvC = canon(mv).localCheckpoint()
+      val eq = mvC.exceptAll(recC).isEmpty && recC.exceptAll(mvC).isEmpty
       (catV, r.getLong(0), r.getLong(1), r.getDouble(2), eq)
     }
     def gateBlocked: Boolean =

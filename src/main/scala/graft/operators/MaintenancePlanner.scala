@@ -100,12 +100,15 @@ object MaintenancePlanner {
       .write.mode(SaveMode.Overwrite).saveAsTable(MpDeletes)
   }
 
-  /** The plan itself — METADATA ONLY: one pass over the stats
-    * manifest plus one over the delete ledger; segment summaries are
-    * collected (4 rows) and the rules run driver-side. Returns
-    * (rank, segment, verb, files, n_rows, metric, expected_benefit). */
-  private[graft] def plan(spark: SparkSession): DataFrame = {
-    import spark.implicits._
+  /** Per-segment metadata metrics — ONE definition consumed by the
+    * plan (before-state) and by q344's delivery certification
+    * (after-state recompute): files, rows, fill fraction, delete
+    * density, probe scan fraction, uniform-selectivity estimate. */
+  private[graft] case class SegMetrics(segment: String, files: Long,
+      rows: Long, fill: Double, density: Double, scanFrac: Double,
+      estSel: Double)
+
+  private[graft] def segMetrics(spark: SparkSession): Seq[SegMetrics] = {
     val mf = spark.table(MpManifest)
     val hi = mf.agg(max(col("max_k"))).collect().head.getLong(0) / 10
     val rpf = rpfOf(mf.agg(sum(col("n_rows")))
@@ -113,30 +116,47 @@ object MaintenancePlanner {
     val dels = spark.table(MpDeletes)
       .groupBy(col("target_segment")).agg(count(lit(1)).as("n_del"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val segs = mf.groupBy(col("segment"))
+    mf.groupBy(col("segment"))
       .agg(count(lit(1)).as("files"), sum(col("n_rows")).as("n_rows"),
         min(col("min_k")).as("mn"), max(col("max_k")).as("mx"),
         sum(when(col("min_k") <= hi, 1L).otherwise(0L)).as("overl"))
-      .collect()
+      .collect().map { r =>
+        val (seg, files, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+        val (mn, mx, overl) = (r.getLong(3), r.getLong(4), r.getLong(5))
+        SegMetrics(seg, files, n,
+          n.toDouble / (files * rpf).toDouble,
+          dels.getOrElse(seg, 0L).toDouble / n.toDouble,
+          overl.toDouble / files.toDouble,
+          (hi - mn + 1).toDouble / (mx - mn + 1).toDouble)
+      }.toSeq.sortBy(_.segment)
+  }
 
-    val rows = segs.flatMap { r =>
-      val (seg, files, n) = (r.getString(0), r.getLong(1), r.getLong(2))
-      val (mn, mx, overl) = (r.getLong(3), r.getLong(4), r.getLong(5))
-      val fill = n.toDouble / (files * rpf).toDouble
-      val density = dels.getOrElse(seg, 0L).toDouble / n.toDouble
-      val scanFrac = overl.toDouble / files.toDouble
-      val estSel = (hi - mn + 1).toDouble / (mx - mn + 1).toDouble
-      val fired = Seq(
-        (fill < FillThreshold) -> (("compact", fill,
-          1.0 - ((n + rpf - 1) / rpf).toDouble / files.toDouble)),
-        (density >= DensityThreshold) -> (("fold", density, density)),
-        (scanFrac >= ScanFracThreshold) -> (("recluster", scanFrac,
-          scanFrac - estSel))
-      ).collect { case (true, v) => v }
-      val verbs = if (fired.nonEmpty) fired
-        else Seq(("none", 0.0, 0.0))
-      verbs.map { case (verb, metric, benefit) =>
-        (seg, verb, files, n, metric, benefit)
+  /** The ranked verb list from a metric snapshot — shared by the
+    * plan report and the executor. */
+  private[graft] def verbsOf(m: SegMetrics,
+      rpf: Long): Seq[(String, Double, Double)] = {
+    val fired = Seq(
+      (m.fill < FillThreshold) -> (("compact", m.fill,
+        1.0 - ((m.rows + rpf - 1) / rpf).toDouble / m.files.toDouble)),
+      (m.density >= DensityThreshold) -> (("fold", m.density,
+        m.density)),
+      (m.scanFrac >= ScanFracThreshold) -> (("recluster", m.scanFrac,
+        m.scanFrac - m.estSel))
+    ).collect { case (true, v) => v }
+    if (fired.nonEmpty) fired else Seq(("none", 0.0, 0.0))
+  }
+
+  /** The plan itself — METADATA ONLY: one pass over the stats
+    * manifest plus one over the delete ledger; segment summaries are
+    * collected (4 rows) and the rules run driver-side. Returns
+    * (rank, segment, verb, files, n_rows, metric, expected_benefit). */
+  private[graft] def plan(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rpf = rpfOf(spark.table(MpManifest).agg(sum(col("n_rows")))
+      .collect().head.getLong(0))
+    val rows = segMetrics(spark).flatMap { m =>
+      verbsOf(m, rpf).map { case (verb, metric, benefit) =>
+        (m.segment, verb, m.files, m.rows, metric, benefit)
       }
     }.sortBy { case (seg, _, _, _, _, benefit) => (-benefit, seg) }
     rows.zipWithIndex.map { case ((seg, verb, files, n, m, b), i) =>
@@ -156,5 +176,112 @@ object MaintenancePlanner {
       dir: String): DataFrame = {
     buildFixture(spark, dir)
     plan(spark)
+  }
+
+  /** Rewrite one segment: manifest names its files (pruned read),
+    * optional artifact application (fold), key-sorted recut at the
+    * table's target size under NEW file names, old partitions
+    * dropped, manifest maintained incrementally (retire exactly the
+    * old files' rows, derive new rows from the rewrite output — the
+    * q341 discipline). */
+  private def rewriteSegment(spark: SparkSession, seg: String,
+      rpf: Long, tag: String, applyDeletes: Boolean): Unit = {
+    val files = spark.table(MpManifest)
+      .filter(col("segment") === seg)
+      .select(col("seg_file")).collect().map(_.getString(0)).toSeq
+    val rows0 = spark.table(MpData)
+      .filter(col("seg_file").isin(files: _*))
+    val rows = if (applyDeletes)
+      rows0.join(broadcast(spark.table(MpDeletes)
+          .filter(col("target_segment") === seg)),
+        col("o_orderkey") === col("del_key"), "left_anti")
+      else rows0
+    Scale.globalIndex(rows.withColumn("skey", col("o_orderkey")),
+        col("skey").asc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), lit(seg).as("segment"),
+        format_string(s"$seg${tag}_%d",
+          expr(s"(rank - 1) div $rpf")).as("seg_file"))
+      .write.insertInto(MpData)
+    files.foreach(f => spark.sql(
+      s"ALTER TABLE $MpData DROP IF EXISTS PARTITION (seg_file='$f')"))
+    if (applyDeletes) {
+      // the fold consumed the artifacts: vacuum the ledger rows
+      val kept = spark.table(MpDeletes)
+        .filter(col("target_segment") =!= seg).localCheckpoint()
+      kept.write.mode(SaveMode.Overwrite).saveAsTable(MpDeletes)
+    }
+    val keptM = spark.table(MpManifest)
+      .filter(!col("seg_file").isin(files: _*)).localCheckpoint()
+    keptM.unionByName(
+        spark.table(MpData)
+          .filter(col("seg_file").startsWith(s"$seg${tag}_"))
+          .groupBy(col("segment"), col("seg_file"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("o_orderkey")).as("min_k"),
+            max(col("o_orderkey")).as("max_k")))
+      .write.mode(SaveMode.Overwrite).saveAsTable(MpManifest)
+  }
+
+  /** q344 — PLANNER-DRIVEN MAINTENANCE EXECUTION: run q342's ranked
+    * plan item by item with the tier's own verbs (recluster and
+    * compact = the q341 rewrite unit; fold = artifact application +
+    * ledger vacuum, the q317/q329 move) and certify DELIVERY — for
+    * every item the report carries the before-metric, the
+    * after-metric RECOMPUTED from the post-maintenance metadata, the
+    * prediction, and the delivered improvement. The target file size
+    * is a TABLE PROPERTY fixed at creation (the q336 rule): the
+    * after-metrics reuse it rather than re-deriving from the shrunk
+    * post-fold table. The oracle re-derives all four numbers per
+    * item from the cut arithmetic — an executor that rewrites the
+    * wrong segment, loses rows, leaves artifacts behind, or a
+    * planner whose promises don't survive execution all hash-fail.
+    * At 100 TB this is the nightly OPTIMIZE job end to end: plan
+    * from metadata, touch only the segments the plan names, and
+    * publish the delivered numbers next to the predictions so the
+    * cost model stays honest. */
+  def q344ExecutePlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    buildFixture(spark, dir)
+    val rpf = rpfOf(spark.table(MpManifest).agg(sum(col("n_rows")))
+      .collect().head.getLong(0))
+    val before = segMetrics(spark)
+    val planned = before.flatMap { m =>
+      verbsOf(m, rpf).map { case (verb, metric, benefit) =>
+        (m.segment, verb, metric, benefit)
+      }
+    }.sortBy { case (seg, _, _, benefit) => (-benefit, seg) }
+
+    planned.foreach {
+      case (seg, "recluster", _, _) =>
+        rewriteSegment(spark, seg, rpf, "r", applyDeletes = false)
+      case (seg, "compact", _, _) =>
+        rewriteSegment(spark, seg, rpf, "c", applyDeletes = false)
+      case (seg, "fold", _, _) =>
+        rewriteSegment(spark, seg, rpf, "f", applyDeletes = true)
+      case _ => ()
+    }
+
+    val after = segMetrics(spark).map(m => m.segment -> m).toMap
+    val beforeMap = before.map(m => m.segment -> m).toMap
+    // fill uses the CREATION-time target size on both sides
+    def fillAt(m: SegMetrics): Double =
+      m.rows.toDouble / (m.files * rpf).toDouble
+    val rows = planned.zipWithIndex.map {
+      case ((seg, verb, metricBefore, benefit), i) =>
+        val (b, a) = (beforeMap(seg), after(seg))
+        val (metricAfter, delivered) = verb match {
+          case "compact" =>
+            (fillAt(a), 1.0 - a.files.toDouble / b.files.toDouble)
+          case "fold" => (a.density, b.density - a.density)
+          case "recluster" =>
+            (a.scanFrac, b.scanFrac - a.scanFrac)
+          case _ => (0.0, 0.0)
+        }
+        (i + 1, seg, verb, metricBefore, metricAfter, benefit,
+          delivered)
+    }
+    rows.toDF("rank", "segment", "verb", "metric_before",
+        "metric_after", "expected_benefit", "delivered")
+      .orderBy(col("rank"))
   }
 }

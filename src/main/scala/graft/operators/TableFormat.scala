@@ -495,14 +495,16 @@ object TableFormat {
     val filesBatch = spark.table(ImManifest).count() - filesStanding
 
     // certificates: the maintained manifests equal a from-scratch
-    // rebuild over the current table, row-for-row
+    // rebuild over the current table, row-for-row (rebuilt frames
+    // pinned once — exceptAll runs each side twice)
     val rebuiltM = spark.table(ImData).groupBy(col("zfile"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .localCheckpoint()
     val mMatch = spark.table(ImManifest).exceptAll(rebuiltM).isEmpty &&
       rebuiltM.exceptAll(spark.table(ImManifest)).isEmpty
-    val rebuiltB = bloomRowsOf(spark.table(ImData), m)
+    val rebuiltB = bloomRowsOf(spark.table(ImData), m).localCheckpoint()
     val bMatch = spark.table(ImBloom).exceptAll(rebuiltB).isEmpty &&
       rebuiltB.exceptAll(spark.table(ImBloom)).isEmpty
 
@@ -704,13 +706,15 @@ object TableFormat {
       spark.table(RmManifest).count() - (filesBefore - rewritten.size)
 
     // certificates: maintained metadata ≡ from-scratch rebuild
+    // (rebuilt frames pinned once — exceptAll runs each side twice)
     val rebuiltM = spark.table(RmData).groupBy(col("zfile"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .localCheckpoint()
     val mMatch = spark.table(RmManifest).exceptAll(rebuiltM).isEmpty &&
       rebuiltM.exceptAll(spark.table(RmManifest)).isEmpty
-    val rebuiltB = bloomRowsOf(spark.table(RmData), m)
+    val rebuiltB = bloomRowsOf(spark.table(RmData), m).localCheckpoint()
     val bMatch = spark.table(RmBloom).exceptAll(rebuiltB).isEmpty &&
       rebuiltB.exceptAll(spark.table(RmBloom)).isEmpty
 

@@ -76,6 +76,8 @@ object CoreEtlRegistry {
     "q342_maintenance_planner" ->
       (MaintenancePlanner.q342MaintenancePlanner _),
     "q343_sql_time_travel" -> (TableFormat.q343SqlTimeTravel _),
+    "q344_maintenance_execute" ->
+      (MaintenancePlanner.q344ExecutePlan _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1062,6 +1064,106 @@ object CoreEtlRegistry {
         MIN(o_orderkey), MAX(o_orderkey)
       FROM orders
       ORDER BY read""",
+
+    // the executed plan's delivery certificate from the same cut
+    // arithmetic as q342 plus the after-states: compact lands exactly
+    // ceil(rows/target) files (delivered == predicted), fold zeroes
+    // the ledger (delivered == the density), recluster's after-scan
+    // comes from the sorted-cut overlap ((k-1)//r + 1 files of the
+    // probe-key prefix; the scalar join is valid because exactly one
+    // segment reclusters in this fixture). An executor that loses
+    // rows, leaves artifacts, or under-delivers hash-fails
+    "q344_maintenance_execute" -> """
+      WITH o AS (SELECT o_orderkey,
+          CAST(o_orderkey % 4 AS INTEGER) AS seg FROM orders),
+      n AS (SELECT COUNT(*) AS nn FROM orders),
+      rpf AS (SELECT GREATEST(64, ((SELECT nn FROM n) + 63) // 64)
+        AS r),
+      sml AS (SELECT GREATEST(1, (SELECT r FROM rpf) // 8) AS r),
+      hi AS (SELECT MAX(o_orderkey) // 10 AS h FROM orders),
+      r0 AS (SELECT o_orderkey, (ROW_NUMBER() OVER
+          (ORDER BY o_orderkey) - 1) // (SELECT r FROM sml) AS f
+        FROM o WHERE seg = 0),
+      r1 AS (SELECT o_orderkey, (ROW_NUMBER() OVER
+          (ORDER BY o_orderkey) - 1) // (SELECT r FROM rpf) AS f
+        FROM o WHERE seg = 1),
+      r2 AS (SELECT o_orderkey, (ROW_NUMBER() OVER
+          (ORDER BY (o_orderkey * 2654435761) % 1000003,
+            o_orderkey) - 1) // (SELECT r FROM rpf) AS f
+        FROM o WHERE seg = 2),
+      r3 AS (SELECT o_orderkey, (ROW_NUMBER() OVER
+          (ORDER BY o_orderkey) - 1) // (SELECT r FROM rpf) AS f
+        FROM o WHERE seg = 3),
+      m AS (
+        SELECT 's0' AS segment, f, COUNT(*) AS n_rows,
+          MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+        FROM r0 GROUP BY f
+        UNION ALL SELECT 's1', f, COUNT(*), MIN(o_orderkey),
+          MAX(o_orderkey) FROM r1 GROUP BY f
+        UNION ALL SELECT 's2', f, COUNT(*), MIN(o_orderkey),
+          MAX(o_orderkey) FROM r2 GROUP BY f
+        UNION ALL SELECT 's3', f, COUNT(*), MIN(o_orderkey),
+          MAX(o_orderkey) FROM r3 GROUP BY f),
+      s AS (
+        SELECT segment, COUNT(*) AS files,
+          CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+          MIN(mn) AS mn, MAX(mx) AS mx,
+          CAST(SUM(CASE WHEN mn <= (SELECT h FROM hi) THEN 1
+            ELSE 0 END) AS BIGINT) AS overl
+        FROM m GROUP BY segment),
+      d AS (SELECT COUNT(*) AS nd FROM o
+            WHERE seg = 1 AND o_orderkey % 1000 < 80),
+      met AS (
+        SELECT segment, files, n_rows,
+          CAST(n_rows AS DOUBLE) /
+            CAST(files * (SELECT r FROM rpf) AS DOUBLE) AS fill,
+          CASE WHEN segment = 's1' THEN
+            CAST((SELECT nd FROM d) AS DOUBLE) /
+              CAST(n_rows AS DOUBLE) ELSE 0.0 END AS density,
+          CAST(overl AS DOUBLE) / CAST(files AS DOUBLE) AS scanfrac,
+          CAST((SELECT h FROM hi) - mn + 1 AS DOUBLE) /
+            CAST(mx - mn + 1 AS DOUBLE) AS estsel,
+          (n_rows + (SELECT r FROM rpf) - 1) // (SELECT r FROM rpf)
+            AS ideal
+        FROM s),
+      k2 AS (SELECT COUNT(*) AS k FROM o
+             WHERE seg = 2 AND o_orderkey <= (SELECT h FROM hi)),
+      s2a AS (
+        SELECT CAST(CASE WHEN (SELECT k FROM k2) = 0 THEN 0
+            ELSE ((SELECT k FROM k2) - 1) // (SELECT r FROM rpf) + 1
+            END AS DOUBLE) /
+          CAST((SELECT ideal FROM met WHERE segment = 's2')
+            AS DOUBLE) AS scan_a),
+      verbs AS (
+        SELECT segment, 'compact' AS verb, fill AS metric_before,
+          CAST(n_rows AS DOUBLE) /
+            CAST(ideal * (SELECT r FROM rpf) AS DOUBLE)
+            AS metric_after,
+          1.0 - CAST(ideal AS DOUBLE) / CAST(files AS DOUBLE)
+            AS expected_benefit,
+          1.0 - CAST(ideal AS DOUBLE) / CAST(files AS DOUBLE)
+            AS delivered
+        FROM met WHERE fill < 0.5
+        UNION ALL
+        SELECT segment, 'fold', density, 0.0, density, density
+        FROM met WHERE density >= 0.05
+        UNION ALL
+        SELECT segment, 'recluster', scanfrac,
+          (SELECT scan_a FROM s2a),
+          scanfrac - estsel,
+          scanfrac - (SELECT scan_a FROM s2a)
+        FROM met WHERE scanfrac >= 0.5
+        UNION ALL
+        SELECT segment, 'none', 0.0, 0.0, 0.0, 0.0
+        FROM met
+        WHERE fill >= 0.5 AND density < 0.05 AND scanfrac < 0.5)
+      SELECT CAST(ROW_NUMBER() OVER
+          (ORDER BY expected_benefit DESC, segment) AS INTEGER)
+          AS rank,
+        segment, verb, metric_before, metric_after,
+        expected_benefit, delivered
+      FROM verbs
+      ORDER BY rank""",
 
     "q331_bloom_lookup" -> bloomPointLookupOracle,
     "q332_compact_cluster" -> compactClusterOracle,

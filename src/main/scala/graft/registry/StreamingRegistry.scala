@@ -42,9 +42,63 @@ object StreamingRegistry {
       (graft.streaming.StreamChangelogTail.q328StreamMvMaintenance _),
     "q337_stream_cdc_upsert" ->
       (graft.streaming.StreamCdcUpsert.q337StreamCdcUpsert _),
+    "q345_stream_cdf_consumer" ->
+      (graft.streaming.StreamCdfConsumer.q345StreamCdfConsumer _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // every MV version from the tick predicates: row counts and
+    // price sums are q337's version arithmetic; n_keys drops only
+    // where a DELETED mod class removes a customer's last order
+    // (updates and inserts preserve/duplicate custkeys of surviving
+    // base rows) — a consumer that drops a change row, folds a
+    // pre-image with the wrong sign, or reads the wrong segments
+    // moves one of these and hash-fails
+    "q345_stream_cdf_consumer" -> """
+      WITH agg AS (
+        SELECT COUNT(*) AS n,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+          COUNT(DISTINCT o_custkey) AS k_all,
+          COUNT(DISTINCT o_custkey)
+            FILTER (WHERE o_orderkey % 100 <> 13) AS k_v3,
+          COUNT(DISTINCT o_custkey)
+            FILTER (WHERE o_orderkey % 100 NOT IN (13, 19)) AS k_v4,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 11) AS c11,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 11) AS s11,
+          SUM(CAST(o_totalprice + 1000.0 AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 11) AS s11u,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 13) AS c13,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 13) AS s13,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 17) AS s17,
+          SUM(CAST(o_totalprice + 2000.0 AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 17) AS s17u,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 19) AS c19,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 19) AS s19,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 51) AS c51,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 51) AS s51,
+          COUNT(*) FILTER (WHERE o_orderkey % 100 = 53) AS c53,
+          SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderkey % 100 = 53) AS s53
+        FROM orders)
+      SELECT CAST(2 AS INTEGER) AS version, k_all AS n_keys,
+        n + c51 AS n_orders,
+        CAST(s - s11 + s11u + s51 AS DOUBLE) AS sum_price
+      FROM agg
+      UNION ALL
+      SELECT 3, k_v3, n + c51 + c53 - c13,
+        CAST(s - s11 + s11u + s51 + s53 - s13 AS DOUBLE)
+      FROM agg
+      UNION ALL
+      SELECT 4, k_v4, n + c51 + c53 - c13 - c19,
+        CAST(s - s11 + s11u - s17 + s17u + s51 + s53 - s13 - s19
+          AS DOUBLE)
+      FROM agg
+      ORDER BY version""",
     // every version boundary from the tick predicates (the shared
     // CdcUpsert.Ticks definition): t0 inserts %100=51 (+100M) and
     // updates %100=11 (+1000.0), t1 inserts %100=53 (+200M) and

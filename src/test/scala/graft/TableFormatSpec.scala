@@ -1204,6 +1204,43 @@ class TableFormatSpec extends AnyFunSuite {
     assert(TableFormat.refVersion(spark, refsT, "main").contains(4))
   }
 
+  test("q344 executing the whole plan leaves no work: a re-plan on " +
+      "the post-maintenance metadata fires no verb") {
+    import graft.operators.MaintenancePlanner
+    MaintenancePlanner.q344ExecutePlan(spark, sf01).collect()
+    val replan = MaintenancePlanner.plan(spark).collect()
+    assert(replan.forall(_.getAs[String]("verb") == "none"),
+      s"planner still finds work after execution:\n" +
+        replan.mkString("\n"))
+    // and the fold really consumed the ledger
+    assert(spark.table(MaintenancePlanner.MpDeletes).count() == 0)
+  }
+
+  test("q345 the CDF consumer stamps each version exactly once " +
+      "(replay-guarded) and its final state matches the merge-on-" +
+      "read recompute bit-for-bit") {
+    import graft.operators.CdcUpsert
+    import graft.streaming.StreamCdfConsumer
+    StreamCdfConsumer.q345StreamCdfConsumer(spark, sf).collect()
+    val stamps = spark.table(StreamCdfConsumer.BindingsT)
+      .filter(col("artifact") === StreamCdfConsumer.MvT)
+      .groupBy(col("bound_version")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stamps == Map(2 -> 1L, 3 -> 1L, 4 -> 1L), stamps.toString)
+    val mv4 = spark.table(StreamCdfConsumer.MvT)
+      .filter(col("mv_version") === 4)
+      .select(col("o_custkey"), col("n_orders"),
+        col("sum_price").cast("decimal(28,2)").as("sum_price"))
+    val rec = CdcUpsert.readState(spark, 4)._1
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(28,2)").as("sum_price"))
+      .localCheckpoint()
+    assert(mv4.exceptAll(rec).isEmpty && rec.exceptAll(mv4).isEmpty,
+      "streaming CDF state diverges from the MoR recompute")
+  }
+
   test("q311 seeds stay pinned and coverage is monotone in rounds") {
     val byRounds = (1 to 3).map { r =>
       val out = GraphOps.labelPropagate(spark, sf01, r).collect()
