@@ -14,6 +14,10 @@ import graft.functions.Cols._
   * either table's own head — folding one table's delta against the
   * other's wrong version is exactly the torn state q335's readers are
   * protected from, reappearing one level up in the maintenance tier.
+  * (The reference sidesteps the problem by having one table and one
+  * version — each DAG run rebuilds the single output whole, ref
+  * `dags/etl_csv_to_dwh.py:36`; a versioned multi-table warehouse
+  * needs the catalog-consistent refresh.)
   *
   * The incremental algebra, exact by construction:
   *

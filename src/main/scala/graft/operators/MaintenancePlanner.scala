@@ -10,6 +10,10 @@ import graft.Tables
   * q329, recluster q313/q341, vacuum q310/q330, rebuild q327) but no
   * brain that decides WHICH segment gets WHICH verb — the
   * OPTIMIZE-scheduling loop every managed table service runs nightly.
+  * (The reference's only maintenance strategy is re-running the whole
+  * pipeline — ref `dags/etl_csv_to_dwh.py:36`, a full
+  * extract→transform→overwrite per run — which is the O(table) cost
+  * this planner's O(metadata) decisions exist to avoid.)
   * The planner here reads ONLY metadata — the per-file stats manifest
   * (file count, rows, key envelopes) and the delete-artifact ledger —
   * and emits a ranked plan; no data row is touched to plan

@@ -12,7 +12,11 @@ import graft.functions.Cols._
   * that just rewrote or merged rows knows exactly WHERE they live and
   * emits (file, row-ordinal) artifacts instead — no key column needed,
   * no key index consulted, O(1) per deleted row. A real table carries
-  * BOTH kinds simultaneously, and its read path must merge them.
+  * BOTH kinds simultaneously, and its read path must merge them. (The
+  * reference cannot express a row delete at all — its load is a whole
+  * `mode("overwrite")` per run, ref `etl/load.py:80-84` — so any
+  * correction rewrites everything; artifact deletes are the 100 TB
+  * replacement for exactly that.)
   *
   * Fixture: the three-commit orders table with an explicit per-segment
   * `pos` ordinal (rank by key within the segment). In a real format
