@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.CdcUpsert
+import graft.operators.{CdcUpsert, TableFormat}
 
 /** Contracts of the CDC upsert tier (q337/q338) the DuckDB hash gate
   * cannot see: replay byte-stability of a trigger, loud failure on an
@@ -65,6 +65,33 @@ class CdcUpsertSpec extends AnyFunSuite {
         CdcUpsert.Ticks(1)))
     }
     assert(e.getMessage.contains("u0"))
+  }
+
+  test("q337 a mid-drain reader never sees a half-applied batch: " +
+      "until the manifest row lands (written LAST), the new version " +
+      "is unresolvable and prior versions are byte-stable") {
+    import org.apache.spark.sql.SaveMode
+    CdcUpsert.initBase(spark, sf)
+    val v1Before = CdcUpsert.readState(spark, 1)._1
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect().head.toSeq
+    // half-apply tick 0 by hand: the data commit lands, the manifests
+    // do NOT (the crash window applyTick's write order creates)
+    CdcUpsert.tickRows(spark, sf, CdcUpsert.Ticks.head)
+      .filter(col("op").isin("I", "U"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), lit("u0").as("commit_id"))
+      .write.mode(SaveMode.Append).insertInto(CdcUpsert.CuData)
+    // version 2 is unresolvable: no manifest row set names it, so its
+    // commit set is empty and the read returns nothing
+    assert(TableFormat.commitsOf(spark, CdcUpsert.CuManifest, 2).isEmpty)
+    assert(TableFormat.readVersion(spark, CdcUpsert.CuData,
+      CdcUpsert.CuManifest, 2).count() == 0)
+    // and version 1 is byte-stable: its read is pruned to its own
+    // commit set, so the orphaned u0 partition is invisible to it
+    val v1After = CdcUpsert.readState(spark, 1)._1
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect().head.toSeq
+    assert(v1After == v1Before,
+      "a half-applied batch changed a published version's read")
   }
 
   test("q338 change-feed reads are churn-sized: the post side reads " +
