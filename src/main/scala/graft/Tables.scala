@@ -104,4 +104,30 @@ object Tables {
 
   private val registered =
     scala.collection.mutable.WeakHashMap[SparkSession, String]()
+
+  /** Max o_orderkey of a scale-factor dir, memoized per dir — one
+    * column-pruned scan per JVM, then free for every fixture guard. */
+  def maxOrderKey(spark: SparkSession, dir: String): Long =
+    maxKeyCache.getOrElseUpdate(dir,
+      orders(spark, dir)
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col("o_orderkey")))
+        .collect().head.getLong(0))
+
+  /** Guard a fixture's synthetic key shift against keyspace collision
+    * (r12 advice): TPC-H o_orderkey reaches ~6M×sf, so a literal
+    * shift that is disjoint at sf0.1 silently collides with real keys
+    * at sf≥~7 and the fixture would produce duplicate keys. Every
+    * shifted-key stager calls this before writing. */
+  def requireKeyHeadroom(spark: SparkSession, dir: String,
+      shift: Long): Unit = {
+    val mx = maxOrderKey(spark, dir)
+    require(shift > mx,
+      s"fixture key shift $shift <= max o_orderkey $mx at $dir — " +
+        "shifted keys would collide with real ones; raise the shift " +
+        "past the table's keyspace")
+  }
+
+  private val maxKeyCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 }

@@ -67,7 +67,19 @@ object CdcUpsert {
     * day (so upsert commits have single-day spans disjoint from the
     * base span — routing never false-positives into them), while
     * update/delete PRE-images carry the row's original date (what a
-    * real CDC feed's before-image carries, and what routes them). */
+    * real CDC feed's before-image carries, and what routes them).
+    *
+    * GENERAL CONTRACT (r12 advice): a before-image date must be the
+    * date of the row's CURRENT segment. In this fixture the mod
+    * classes are disjoint so every pre-image is the base row's
+    * original date; but a key updated at tick t and later deleted at
+    * tick t' > t lives in segment u<t> after the update, so its
+    * delete pre-image must carry tick t's CDC day — exactly what a
+    * log-derived CDC feed emits, since the before-image of a delete
+    * IS the post-image of the preceding update. [[applyTick]]
+    * asserts the consequence (every pre-image key resolves to a live
+    * segment) at the writer, where a violating feed can still be
+    * rejected. */
   private[graft] case class Tick(t: Int, insMod: Option[Int],
       insShift: Long, updMod: Option[Int], updDelta: Double,
       delMod: Option[Int], day: String)
@@ -91,6 +103,7 @@ object CdcUpsert {
         col("o_totalprice"), col("o_orderdate"),
         col("o_orderdate").as("pre_orderdate"))
     val ins = tk.insMod.map { m =>
+      Tables.requireKeyHeadroom(spark, dir, tk.insShift)
       orders.filter(col("o_orderkey") % 100 === m)
         .select(lit("I").as("op"),
           (col("o_orderkey") + tk.insShift).as("o_orderkey"),
@@ -181,14 +194,18 @@ object CdcUpsert {
     require(ticks.length == 1,
       s"one CDC tick per micro-batch, got ${ticks.toSeq}")
     val t = ticks.head
-    // ORDER-SAFETY (q314 discipline): version t+2 lists u0..u<t>;
-    // publishing it requires every predecessor commit on disk. A
-    // replayed tick finds its own commit present too and passes.
-    val written = s.sql(s"SHOW PARTITIONS $CuData").collect()
-      .map(_.getString(0).stripPrefix("commit_id=")).toSet
-    require((0 until t).forall(i => written.contains(s"u$i")),
-      s"tick $t arrived before ${(0 until t).map("u" + _)
-        .filterNot(written.contains).mkString(",")} committed")
+    // ORDER-SAFETY (q314 discipline): tick t publishes version t+2,
+    // so it requires version t+1 PUBLISHED — gated on the MANIFEST,
+    // the authoritative publish point (the mid-drain spec's
+    // invariant), not on the data partition's existence: a tick with
+    // no I/U rows writes no u<t> partition yet still publishes its
+    // version, and a predecessor that crashed after its data write
+    // but before its manifest write must NOT pass this gate (it
+    // would scope an empty delete batch and silently drop deletes).
+    // A replayed tick still passes: version t+1 stays on disk.
+    require(TableFormat.commitsOf(s, CuManifest, t + 1).nonEmpty,
+      s"tick $t arrived before version ${t + 1} was published " +
+        s"(predecessor tick ${t - 1} incomplete)")
 
     val upserts = batch.filter(col("op").isin("I", "U"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -212,9 +229,26 @@ object CdcUpsert {
       // commit stats of version t+1 (the table as of the previous
       // tick — pinned, so replay routes identically)
       val live = TableFormat.commitsOf(s, CuManifest, t + 1).toSeq.sorted
-      TableFormat.routeDeletes(s, CuSegstats, live, routedKeys, s"cd$t")
+      val routed = TableFormat
+        .routeDeletes(s, CuSegstats, live, routedKeys, s"cd$t")
         .select(col("del_key"), col("target_commit"), col("dbatch"))
-        .write.mode(SaveMode.Overwrite).insertInto(CuDeletes)
+        .localCheckpoint()
+      // PRE-IMAGE-DATE CONTRACT (r12 advice): a before-image must
+      // carry the date of the row's CURRENT segment — after an
+      // update, the post-image (CDC-day) date, because that is the
+      // segment the row now lives in. A feed that violates it (e.g.
+      // a delete whose pre-image date predates the row's last
+      // update) routes to no live segment and the delete would be
+      // silently lost; assert resolution completeness here, at the
+      // writer, where the feed can still be rejected. Both counts
+      // are churn-sized.
+      val nKeys = routedKeys.select(col("o_orderkey")).distinct().count()
+      val nRouted = routed.select(col("del_key")).distinct().count()
+      require(nRouted == nKeys,
+        s"tick $t: ${nKeys - nRouted} of $nKeys pre-image keys route " +
+          "to no live segment — before-images must carry the date of " +
+          "the row's current segment (post-update date after an update)")
+      routed.write.mode(SaveMode.Overwrite).insertInto(CuDeletes)
       // 4. both manifests: version t+2, one row set each
       (("b_base" +: (0 to t).map("u" + _)).map((_, t + 2)))
         .toDF("commit_id", "version")

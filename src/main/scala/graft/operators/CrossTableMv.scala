@@ -194,7 +194,10 @@ object CrossTableMv {
       .write.mode(SaveMode.Overwrite).saveAsTable(XmCatalog)
 
     // cat_v2: correlated pair (orders %100=31 shifted +40M and THEIR
-    // lineitems), one catalog append for both
+    // lineitems), one catalog append for both; the shift is guarded
+    // against keyspace collision (r12 advice — a literal safe at
+    // sf0.1 collides once max(o_orderkey) outgrows it)
+    Tables.requireKeyHeadroom(spark, dir, 40000000L)
     Tables.orders(spark, dir).filter(col("o_orderkey") % 100 === 31)
       .select((col("o_orderkey") + 40000000L).as("o_orderkey"),
         col("o_custkey"), lit("a_c2").as("commit_id"))

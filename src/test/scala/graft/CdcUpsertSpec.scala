@@ -57,14 +57,30 @@ class CdcUpsertSpec extends AnyFunSuite {
   }
 
   test("q337 an order gap fails loudly instead of publishing a " +
-      "version that references unwritten commits") {
+      "version that references unwritten commits — and the gate is " +
+      "the MANIFEST, not the data partition (r12 advice)") {
     CdcUpsert.initBase(spark, sf)
     val e = intercept[IllegalArgumentException] {
       // tick 1 arrives before tick 0 ever committed
       CdcUpsert.applyTick(CdcUpsert.tickRows(spark, sf,
         CdcUpsert.Ticks(1)))
     }
-    assert(e.getMessage.contains("u0"))
+    assert(e.getMessage.contains("version 2"), e.getMessage)
+    // the crash window the r12 advice named: tick 0 wrote its DATA
+    // partition but died before its delete-artifact/manifest writes.
+    // A partition-presence gate would wave tick 1 through and
+    // version 3 would scope an empty cd0 batch (tick 0's deletes
+    // silently dropped); the manifest gate still refuses.
+    CdcUpsert.tickRows(spark, sf, CdcUpsert.Ticks(0))
+      .filter(col("op").isin("I", "U"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"), lit("u0").as("commit_id"))
+      .write.insertInto(CdcUpsert.CuData)
+    val e2 = intercept[IllegalArgumentException] {
+      CdcUpsert.applyTick(CdcUpsert.tickRows(spark, sf,
+        CdcUpsert.Ticks(1)))
+    }
+    assert(e2.getMessage.contains("version 2"), e2.getMessage)
   }
 
   test("q337 a mid-drain reader never sees a half-applied batch: " +

@@ -862,8 +862,8 @@ class TableFormatSpec extends AnyFunSuite {
     // masked by a max() lookup
     val dupSeq = spark.table(bt).agg(max(col("seq")))
       .collect().head.getInt(0)
-    Seq((dupSeq, TableFormat.VbMv, mf, 5))
-      .toDF("seq", "artifact", "manifest_table", "bound_version")
+    Seq((TableFormat.VbMv, mf, 5, dupSeq))
+      .toDF("artifact", "manifest_table", "bound_version", "seq")
       .write.insertInto(bt)
     intercept[IllegalArgumentException] {
       TableFormat.latestBindings(spark, bt)
@@ -1175,33 +1175,44 @@ class TableFormatSpec extends AnyFunSuite {
         s"partitions, v1 lists ${commits.size} commits")
   }
 
-  test("a raced log append fails loudly at BOTH ends: the losing " +
-      "writer's post-append check and the reader's latestBySeq") {
+  test("a raced log append RECOVERS (r12 verdict #6): the CAS loser " +
+      "commits nothing, rebases on the fresh head, and both writers " +
+      "land — seq dense, no duplicate, no manual retry") {
     import spark.implicits._
     val refsT = "graft_refs_race_spec"
-    TableFormat.initRefs(spark, refsT, Seq(("main", 3)))
-    // the race: a concurrent writer lands a row at the seq this
-    // writer captured, BEFORE this writer's append commits — both
-    // appends land (inserts cannot conflict), seq 2 is duplicated
-    Seq((2, "main", 5, true)).toDF("seq", "ref", "version", "live")
+    TableFormat.initRefs(spark, refsT, Seq(("main", 3))) // seq 1
+    // the race window: writer A captures seq 2 and stages its row;
+    // BEFORE A publishes, writer B runs a complete append and wins
+    // seq 2. A's partition registration must fail with NOTHING of
+    // A's visible, and A must rebase and land at seq 3.
+    var interleaved = false
+    TableFormat.setRef(spark, refsT, "main", 4, { _ =>
+      if (!interleaved) {
+        interleaved = true
+        TableFormat.setRef(spark, refsT, "exp", 9)
+      }
+    })
+    assert(interleaved, "race window hook never fired")
+    val rows = spark.table(refsT)
+      .select(col("seq"), col("ref"), col("version")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sorted
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3),
+      s"seq not dense after race recovery: ${rows.toSeq}")
+    assert(rows.toSeq == Seq((1, "main", 3), (2, "exp", 9),
+      (3, "main", 4)), rows.toSeq.toString)
+    // both intents are live at their latest seq
+    assert(TableFormat.refVersion(spark, refsT, "main").contains(4))
+    assert(TableFormat.refVersion(spark, refsT, "exp").contains(9))
+    // reader defense in depth: a writer that BYPASSES the CAS and
+    // lands a second file inside an existing seq partition still
+    // fails loudly at latestBySeq (the r10 contract) — corruption
+    // can't silently resolve to a max()
+    Seq(("main", 5, true, 3)).toDF("ref", "version", "live", "seq")
       .write.insertInto(refsT)
-    val e = intercept[IllegalStateException] {
-      TableFormat.appendLogChecked(spark, refsT,
-        Seq((2, "main", 4, true))
-          .toDF("seq", "ref", "version", "live"), 2)
-    }
-    assert(e.getMessage.contains("append race"), e.getMessage)
-    // and a reader of the corrupted log fails loudly too (the r10
-    // contract) rather than masking the duplicate with a max()
     val e2 = intercept[IllegalArgumentException] {
       TableFormat.refVersion(spark, refsT, "main")
     }
     assert(e2.getMessage.contains("corrupt"), e2.getMessage)
-    // the normal path through setRef still allocates cleanly on a
-    // healthy log
-    TableFormat.initRefs(spark, refsT, Seq(("main", 3)))
-    TableFormat.setRef(spark, refsT, "main", 4)
-    assert(TableFormat.refVersion(spark, refsT, "main").contains(4))
   }
 
   test("q344 executing the whole plan leaves no work: a re-plan on " +
