@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.sources.{GraftRloCatalog, RloMeta}
+
+/** SQL write-DML queries over the DSv2 row-level-operations catalog
+  * ([[graft.sources.GraftRloCatalog]]) — q346–q349: `MERGE INTO`,
+  * `DELETE`, `UPDATE`, `INSERT INTO` and `VERSION/TIMESTAMP AS OF`
+  * as PURE SQL TEXT against the versioned, segment-statted table.
+  * The r12 verdict's #1 ask: the write-side twin of q343's SQL time
+  * travel, i.e. the EP3 capability (ref `README.md:184-199` — the
+  * reference's users go through a warehouse SQL engine) for the
+  * engine's own table format.
+  *
+  * Each query is falsifiable through the DuckDB oracle at SEGMENT
+  * granularity: the report groups the post-DML table by the
+  * `_partition` metadata column, so a DML that rewrote a segment it
+  * should have carried (pruning failure), carried one it should have
+  * rewritten (lost update), or leaked rows across segments
+  * hash-fails against the oracle's predicate arithmetic — the
+  * correctness gate doubles as the group-routing assertion.
+  * SqlDmlSpec additionally pins the physical story: carried segment
+  * FILES are untouched across the DML and prior versions re-read
+  * byte-stable. */
+object SqlDml {
+
+  private[graft] val Cat = "graft_rlo"
+  private[graft] val Ns = "db"
+  private[graft] val C0End = "1997-01-01"
+  private[graft] val C1End = "1999-01-01"
+
+  /** Register the DSv2 catalog on this session (idempotent; catalogs
+    * are lazily instantiated on first reference). */
+  private[graft] def ensureCatalog(spark: SparkSession): Unit = {
+    val key = s"spark.sql.catalog.$Cat"
+    if (!spark.conf.getOption(key).contains(
+        classOf[GraftRloCatalog].getName)) {
+      spark.conf.set(key, classOf[GraftRloCatalog].getName)
+      spark.conf.set(s"$key.root", graft.Scratch.dir("rlo_catalog"))
+    }
+  }
+
+  private[graft] def tableRoot(table: String): String =
+    s"${graft.Scratch.dir("rlo_catalog")}/$Ns/$table"
+
+  private def tsMicros(s: String): Long =
+    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+  private[graft] def ordersAsDate(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"),
+      to_date(col("o_orderdate")).as("o_orderdate"))
+
+  /** Build the versioned fixture table: three date-cut segments
+    * (c0 < 1997 <= c1 < 1999 <= c2, the q309 cuts), version 1
+    * committed at 2000-01-01. Segment files are written by Spark's
+    * own parquet writer (the bulk-load path); per-segment stats are
+    * computed from the batch being written, never a table re-scan. */
+  private[graft] def buildTable(spark: SparkSession, dir: String,
+      table: String): String = {
+    ensureCatalog(spark)
+    val conf = new Configuration()
+    val root = tableRoot(table)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", DateType)))
+    RloMeta.initTable(conf, root, schema, "o_orderdate")
+    val orders = ordersAsDate(spark, dir)
+    val d = col("o_orderdate")
+    val segs = Seq(
+      ("c0", d < lit(C0End).cast("date")),
+      ("c1", d >= lit(C0End).cast("date") && d < lit(C1End).cast("date")),
+      ("c2", d >= lit(C1End).cast("date")))
+    segs.foreach { case (c, pred) =>
+      val seg = orders.filter(pred).localCheckpoint()
+      seg.write.mode(SaveMode.Overwrite)
+        .parquet(RloMeta.commitDir(root, c).toString)
+      val st = seg.agg(min(unix_date(d)).as("lo"),
+        max(unix_date(d)).as("hi"), count(lit(1)).as("n"))
+        .collect().head
+      RloMeta.writeStats(conf, root, c, st.getInt(0), st.getInt(1),
+        st.getLong(2))
+    }
+    RloMeta.publishVersion(conf, root, 1,
+      tsMicros("2000-01-01 00:00:00"), segs.map(_._1))
+    root
+  }
+
+  /** Per-segment report of the table's head, from SQL text — the
+    * `_partition` metadata column is the segment id, so the oracle
+    * checks the DML's group routing, not just its row arithmetic. */
+  private def segmentReport(spark: SparkSession, table: String,
+      carried: Seq[String]): DataFrame = {
+    val inList = carried.map(c => s"'$c'").mkString(", ")
+    spark.sql(s"""
+      SELECT _partition AS commit_id, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CASE WHEN _partition IN ($inList) THEN 'carried'
+             ELSE 'rewritten' END AS status
+      FROM $Cat.$Ns.$table
+      GROUP BY _partition
+      ORDER BY commit_id""")
+  }
+
+  /** q346: `MERGE INTO` as SQL — the q315 CDC batch (updates +1000
+    * on 1997-H1 mod-7 keys, deletes of 1997-H1 mod-29 keys, inserts
+    * of shifted mod-13 keys) applied copy-on-write through Spark's
+    * own MERGE rewrite. The join keys aren't a pushable predicate,
+    * so the segment routing here is RUNTIME group filtering: the
+    * matching-row subquery IN-filters the operation scan to the one
+    * segment (c1) that contains matches; c0/c2 carry by manifest
+    * reference and the oracle's per-segment rows prove it. */
+  def q346SqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_cow_mg")
+    runMerge(spark, dir, "orders_cow_mg")
+    segmentReport(spark, "orders_cow_mg", Seq("c0", "c2"))
+  }
+
+  /** The q346 CDC batch + MERGE statement against `table` — shared
+    * with SqlDmlSpec, which snapshots carried-segment files around
+    * this call to pin the physical carry. */
+  private[graft] def runMerge(spark: SparkSession, dir: String,
+      table: String): Unit = {
+    Tables.requireKeyHeadroom(spark, dir, 10000000L)
+    val orders = ordersAsDate(spark, dir)
+    val d = col("o_orderdate")
+    val inH1 = d >= lit("1997-01-01").cast("date") &&
+      d < lit("1997-07-01").cast("date")
+    val upd = orders.filter(col("o_orderkey") % 100 === 7 && inH1)
+      .select(lit("U").as("op"), col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+    val del = orders.filter(col("o_orderkey") % 100 === 29 && inH1)
+      .select(lit("D").as("op"), col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+    val ins = orders.filter(col("o_orderkey") % 100 === 13)
+      .select(lit("I").as("op"),
+        (col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        lit("2002-01-15").cast("date").as("o_orderdate"))
+    upd.unionByName(del).unionByName(ins)
+      .createOrReplaceTempView("merge_src_q346")
+    spark.sql(s"""
+      MERGE INTO $Cat.$Ns.$table t
+      USING merge_src_q346 s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED AND s.op = 'U' THEN
+        UPDATE SET o_totalprice = t.o_totalprice + 1000.0
+      WHEN NOT MATCHED THEN
+        INSERT (o_orderkey, o_custkey, o_totalprice, o_orderdate)
+        VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice,
+          s.o_orderdate)""")
+    ()
+  }
+
+  /** q347: `DELETE FROM ... WHERE o_orderdate < DATE '1996-01-01'`
+    * — the q309 retention delete as SQL. The predicate IS pushable,
+    * so the routing here is STATIC stats pruning: the scan builder
+    * drops c1/c2 from the operation scan before any data is read
+    * (their min stats exceed the cutoff) and only c0 rewrites. */
+  def q347SqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_cow_del")
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_cow_del
+      WHERE o_orderdate < DATE '1996-01-01'""")
+    segmentReport(spark, "orders_cow_del", Seq("c1", "c2"))
+  }
+
+  /** q348: `UPDATE ... SET o_totalprice = o_totalprice + 500.0
+    * WHERE o_orderdate >= DATE '1999-01-01'` — stats-routed to c2
+    * exactly (c0/c1 max stats fall below the predicate). */
+  def q348SqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_cow_upd")
+    spark.sql(s"""UPDATE $Cat.$Ns.orders_cow_upd
+      SET o_totalprice = o_totalprice + 500.0
+      WHERE o_orderdate >= DATE '1999-01-01'""")
+    segmentReport(spark, "orders_cow_upd", Seq("c0", "c1"))
+  }
+
+  /** q349: the full SQL lifecycle with native time travel — UPDATE
+    * (v2), INSERT INTO (v3, a pure append commit), DELETE (v4), then
+    * `VERSION AS OF 1..4` and `TIMESTAMP AS OF` reads, all SQL text.
+    * Version resolution goes through the catalog's
+    * `loadTable(ident, version|timestamp)` — Spark's own time-travel
+    * surface, not a view encoding (the q343 approach it supersedes
+    * stays as the session-catalog variant). Commit timestamps are a
+    * deterministic logical clock (v1 pinned, +1 s per commit), so
+    * the TIMESTAMP AS OF read resolves identically on every run. */
+  def q349SqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_cow_tt")
+    Tables.requireKeyHeadroom(spark, dir, 10000000L)
+    ordersAsDate(spark, dir)
+      .filter(col("o_orderkey") % 100 === 13)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        lit("2002-01-15").cast("date").as("o_orderdate"))
+      .createOrReplaceTempView("ins_src_q349")
+    spark.sql(s"""UPDATE $Cat.$Ns.orders_cow_tt
+      SET o_totalprice = o_totalprice + 500.0
+      WHERE o_orderdate >= DATE '1999-01-01'""")
+    spark.sql(s"""INSERT INTO $Cat.$Ns.orders_cow_tt
+      SELECT * FROM ins_src_q349""")
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_cow_tt
+      WHERE o_orderdate < DATE '1996-01-01'""")
+    spark.sql((1 to 4).map { v =>
+      s"""SELECT 'version_$v' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM $Cat.$Ns.orders_cow_tt VERSION AS OF $v"""
+    }.mkString("\nUNION ALL\n") + s"""
+      UNION ALL
+      SELECT 'ts_asof_00:00:02' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM $Cat.$Ns.orders_cow_tt
+        TIMESTAMP AS OF '2000-01-01 00:00:02'
+      ORDER BY read""")
+  }
+}

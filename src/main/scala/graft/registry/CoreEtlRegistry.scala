@@ -78,6 +78,10 @@ object CoreEtlRegistry {
     "q343_sql_time_travel" -> (TableFormat.q343SqlTimeTravel _),
     "q344_maintenance_execute" ->
       (MaintenancePlanner.q344ExecutePlan _),
+    "q346_sql_merge"       -> (SqlDml.q346SqlMerge _),
+    "q347_sql_delete"      -> (SqlDml.q347SqlDelete _),
+    "q348_sql_update"      -> (SqlDml.q348SqlUpdate _),
+    "q349_sql_version_asof" -> (SqlDml.q349SqlTimeTravel _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1445,5 +1449,122 @@ object CoreEtlRegistry {
       SELECT '-' AS op, o_orderkey, o_custkey, o_totalprice
       FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
       ORDER BY op, o_orderkey""",
+    // q346: per-segment state after the SQL MERGE — carried segments
+    // are the untouched date-cut classes, w2 is c1 rewritten (deletes
+    // applied, updates +1000) plus the inserted mod-13 batch. A MERGE
+    // that rewrote a segment it should have carried (group-routing
+    // failure) or lost an update/delete hash-fails here.
+    "q346_sql_merge" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          CAST(o_orderdate AS DATE) AS d FROM orders),
+      seg AS (
+        SELECT *, CASE WHEN d < DATE '1997-01-01' THEN 'c0'
+                       WHEN d < DATE '1999-01-01' THEN 'c1'
+                       ELSE 'c2' END AS c FROM base)
+      SELECT commit_id, n_rows, sum_price, status FROM (
+        SELECT c AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'carried' AS status
+        FROM seg WHERE c IN ('c0', 'c2') GROUP BY c
+        UNION ALL
+        SELECT 'w2' AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          'rewritten' AS status
+        FROM (
+          SELECT CASE WHEN o_orderkey % 100 = 7
+                       AND d >= DATE '1997-01-01'
+                       AND d < DATE '1997-07-01'
+                 THEN o_totalprice + 1000.0
+                 ELSE o_totalprice END AS p
+          FROM seg
+          WHERE c = 'c1'
+            AND NOT (o_orderkey % 100 = 29
+                     AND d >= DATE '1997-01-01'
+                     AND d < DATE '1997-07-01')
+          UNION ALL
+          SELECT o_totalprice AS p FROM base WHERE o_orderkey % 100 = 13
+        ) t
+      ) r ORDER BY commit_id""",
+    // q347: retention DELETE — c1/c2 carried (stats-pruned out of
+    // the operation scan), w2 = c0's surviving rows.
+    "q347_sql_delete" -> """
+      WITH base AS (
+        SELECT o_totalprice, CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+      seg AS (
+        SELECT *, CASE WHEN d < DATE '1997-01-01' THEN 'c0'
+                       WHEN d < DATE '1999-01-01' THEN 'c1'
+                       ELSE 'c2' END AS c FROM base)
+      SELECT commit_id, n_rows, sum_price, status FROM (
+        SELECT c AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'carried' AS status
+        FROM seg WHERE c IN ('c1', 'c2') GROUP BY c
+        UNION ALL
+        SELECT 'w2' AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'rewritten' AS status
+        FROM seg WHERE c = 'c0' AND d >= DATE '1996-01-01'
+      ) r ORDER BY commit_id""",
+    // q348: date-routed UPDATE — c0/c1 carried, w2 = c2 with +500.
+    "q348_sql_update" -> """
+      WITH base AS (
+        SELECT o_totalprice, CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+      seg AS (
+        SELECT *, CASE WHEN d < DATE '1997-01-01' THEN 'c0'
+                       WHEN d < DATE '1999-01-01' THEN 'c1'
+                       ELSE 'c2' END AS c FROM base)
+      SELECT commit_id, n_rows, sum_price, status FROM (
+        SELECT c AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'carried' AS status
+        FROM seg WHERE c IN ('c0', 'c1') GROUP BY c
+        UNION ALL
+        SELECT 'w2' AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice + 500.0 AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_price,
+          'rewritten' AS status
+        FROM seg WHERE c = 'c2'
+      ) r ORDER BY commit_id""",
+    // q349: the four-version SQL lifecycle (UPDATE, INSERT, DELETE)
+    // re-derived from the predicates; ts_asof resolves to v3.
+    "q349_sql_version_asof" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+      v2 AS (
+        SELECT o_orderkey,
+          CASE WHEN d >= DATE '1999-01-01' THEN o_totalprice + 500.0
+               ELSE o_totalprice END AS p, d
+        FROM base),
+      v3 AS (
+        SELECT * FROM v2
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice AS p,
+          DATE '2002-01-15' AS d
+        FROM base WHERE o_orderkey % 100 = 13),
+      v4 AS (SELECT * FROM v3 WHERE d >= DATE '1996-01-01')
+      SELECT 'version_1' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price FROM base
+      UNION ALL
+      SELECT 'version_2', COUNT(*),
+        CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM v2
+      UNION ALL
+      SELECT 'version_3', COUNT(*),
+        CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM v3
+      UNION ALL
+      SELECT 'version_4', COUNT(*),
+        CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM v4
+      UNION ALL
+      SELECT 'ts_asof_00:00:02', COUNT(*),
+        CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM v3
+      ORDER BY read""",
   )
 }

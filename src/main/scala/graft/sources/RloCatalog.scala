@@ -1,0 +1,618 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL WRITE-DML FOR THE VERSIONED TIER — the r12 verdict's #1 ask:
+  * `MERGE INTO` / `UPDATE` / `DELETE` (and `INSERT INTO`) as pure SQL
+  * text against a snapshot-versioned, segment-statted table, plus
+  * native `VERSION AS OF` / `TIMESTAMP AS OF` reads. The reference's
+  * users write through a warehouse SQL engine (EP3 role, ref
+  * `README.md:184-199`); this is that surface for the engine's own
+  * table format.
+  *
+  * Spark-first shape: a DataSource V2 [[TableCatalog]] whose tables
+  * implement [[SupportsRowLevelOperations]], so Spark's OWN analyzer
+  * rewrites (`RewriteMergeIntoTable` / `RewriteUpdateTable` /
+  * `RewriteDeleteFromTable`) plan the DML as a group-based
+  * copy-on-write [[org.apache.spark.sql.catalyst.plans.logical.ReplaceData]]:
+  * the operation scan reads the affected segment GROUPS, the
+  * rewritten rows replace exactly those groups, and untouched
+  * segments carry by manifest reference — the same q315 semantics,
+  * now reachable from `spark.sql(...)` text with zero custom parsing.
+  *
+  * The 100 TB physics lives in two pruning layers, both asserted in
+  * SqlDmlSpec:
+  *
+  *  - STATIC stats routing: the scan builder receives the DML's
+  *    pushed predicates ([[GroupBasedRowLevelOperationScanPlanning]]
+  *    pushes the command condition precisely so sources can skip
+  *    groups that cannot match) and drops segments whose
+  *    min/max stats-column range can't intersect — the segstats move
+  *    of `TableFormat.buildSnapshots`, planned by Catalyst.
+  *  - RUNTIME group filtering: the scan implements
+  *    [[SupportsRuntimeV2Filtering]] on the `_partition` metadata
+  *    column, so Spark's `RowLevelOperationRuntimeGroupFiltering`
+  *    runs the matching-row subquery first and IN-filters the scan
+  *    to segments that actually contain matches (a MERGE's join
+  *    keys aren't a pushable predicate — this is what routes it).
+  *
+  * Group-scan contract honored throughout: a pushed predicate only
+  * ever ELIMINATES whole groups, never filters rows — every returned
+  * group is returned complete, because copy-on-write must rewrite a
+  * touched group's unmatched rows too (all filters are reported back
+  * to Spark as residuals).
+  *
+  * Commit protocol: the write lands a new immutable segment
+  * `w<version>` plus its stats, then publishes the next manifest
+  * version via [[RloMeta.publishVersion]]'s create-if-absent CAS — a
+  * lost race surfaces loudly with nothing visible, and the DML is
+  * re-run whole against the new head (the Iceberg
+  * CommitFailedException contract; segment files of the loser are
+  * orphans for vacuum).
+  */
+class GraftRloCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var base: String = _
+  private def conf = new Configuration()
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    base = Option(options.get("root"))
+      .getOrElse(graft.Scratch.dir("rlo_catalog"))
+  }
+
+  override def name(): String = catalogName
+
+  private def rootOf(ident: Identifier): String =
+    (base +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = new org.apache.hadoop.fs.Path(
+      (base +: namespace.toSeq).mkString("/"))
+    val f = RloMeta.fs(conf)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => RloMeta.tableExists(conf,
+        (base +: namespace.toSeq :+ n).mkString("/")))
+      .map(Identifier.of(namespace, _))
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (!RloMeta.tableExists(conf, root))
+      throw new NoSuchTableException(ident)
+    new GraftRloTable(root, ident.toString, None)
+  }
+
+  /** `VERSION AS OF n` — a version-pinned, read-only table. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    if (!RloMeta.tableExists(conf, root))
+      throw new NoSuchTableException(ident)
+    new GraftRloTable(root, ident.toString, Some(version.toInt))
+  }
+
+  /** `TIMESTAMP AS OF ts` — Spark hands micros since epoch; resolve
+    * to the newest version committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!RloMeta.tableExists(conf, root))
+      throw new NoSuchTableException(ident)
+    new GraftRloTable(root, ident.toString,
+      Some(RloMeta.versionAsOf(conf, root, timestamp)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val statsCol = Option(properties.get("statscol")).getOrElse(
+      schema.fields.collectFirst {
+        case f if f.dataType == DateType => f.name
+      }.getOrElse(schema.fields.head.name))
+    RloMeta.initTable(conf, rootOf(ident), schema, statsCol)
+    // an empty version 1 so the table is immediately readable
+    RloMeta.publishVersion(conf, rootOf(ident), 1, 0L, Seq.empty)
+    new GraftRloTable(rootOf(ident), ident.toString, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException("ALTER not supported")
+
+  override def dropTable(ident: Identifier): Boolean =
+    RloMeta.fs(conf).delete(
+      new org.apache.hadoop.fs.Path(rootOf(ident)), true)
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME not supported")
+
+  // ---- namespaces: paths under the base dir, nothing more
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val dir = new org.apache.hadoop.fs.Path(base)
+    val f = RloMeta.fs(conf)
+    if (!f.exists(dir)) Array.empty
+    else f.listStatus(dir).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean = true
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] =
+    new util.HashMap[String, String]()
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    RloMeta.fs(conf).mkdirs(new org.apache.hadoop.fs.Path(
+      (base +: namespace.toSeq).mkString("/"))); ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException()
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean =
+    RloMeta.fs(conf).delete(new org.apache.hadoop.fs.Path(
+      (base +: namespace.toSeq).mkString("/")), cascade)
+}
+
+/** The `_partition` metadata column — the segment (commit) a row
+  * lives in; the group identity for runtime group filtering. */
+object RloPartitionCol extends MetadataColumn {
+  override def name(): String = "_partition"
+  override def dataType(): DataType = StringType
+  override def isNullable: Boolean = false
+  override def comment(): String = "segment (commit) id of the row"
+}
+
+class GraftRloTable(val root: String, ident: String,
+    val pinned: Option[Int]) extends Table
+    with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  @transient private lazy val conf = new Configuration()
+  lazy val tableSchema: StructType = RloMeta.readSchema(conf, root)
+  lazy val statsColName: String = RloMeta.statsCol(conf, root)
+
+  def currentVersion: Int =
+    pinned.getOrElse(RloMeta.headVersion(conf, root))
+
+  override def name(): String = ident
+  override def schema(): StructType = tableSchema
+  override def version(): String = currentVersion.toString
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(RloPartitionCol)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new RloScanBuilder(this, null)
+
+  /** Plain `INSERT INTO`: append a new segment commit — base segments
+    * are never read, the manifest gains one entry. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, "cannot write to a version-pinned read")
+    new WriteBuilder {
+      override def build(): Write =
+        new RloWrite(root, info.schema(), statsColName, () => Set.empty)
+    }
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinned.isEmpty, "cannot run DML against a pinned version")
+    () => new RloRowLevelOperation(this, info.command())
+  }
+}
+
+// ------------------------------------------------------------- scans
+
+class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  @transient private val conf = new Configuration()
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = table.tableSchema
+
+  /** Keep every filter as a residual (group scans must return whole
+    * groups — rows are never filtered here); remember the
+    * stats-column conjuncts for segment pruning. */
+  override def pushFilters(
+      filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(f =>
+      RloStatsPruning.usable(f, table.statsColName))
+    filters
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val v = table.currentVersion
+    val live = RloMeta.commitsOf(conf, table.root, v)._2
+    // static stats routing: drop segments whose stats range can't
+    // intersect the pushed predicates (metadata-sized arithmetic)
+    val kept = live.filter { c =>
+      val (lo, hi, _) = RloMeta.stats(conf, table.root, c)
+      pushed.forall(f =>
+        RloStatsPruning.overlaps(f, table.statsColName, lo, hi))
+    }
+    val scan = new RloScan(table.root, required, kept)
+    if (onBuild != null) onBuild(scan)
+    scan
+  }
+}
+
+/** Min/max pruning arithmetic over the declared stats column (date,
+  * stored as epoch days) — the manifest-stats half of an Iceberg
+  * scan plan. Conservative: unknown shapes prune nothing. */
+object RloStatsPruning {
+  private def daysOf(v: Any): Option[Int] = v match {
+    case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toInt)
+    case _ => None
+  }
+
+  def usable(f: sources.Filter, statsCol: String): Boolean = f match {
+    case sources.GreaterThan(c, v) => c == statsCol && daysOf(v).isDefined
+    case sources.GreaterThanOrEqual(c, v) =>
+      c == statsCol && daysOf(v).isDefined
+    case sources.LessThan(c, v) => c == statsCol && daysOf(v).isDefined
+    case sources.LessThanOrEqual(c, v) =>
+      c == statsCol && daysOf(v).isDefined
+    case sources.EqualTo(c, v) => c == statsCol && daysOf(v).isDefined
+    case sources.And(l, r) => usable(l, statsCol) || usable(r, statsCol)
+    case _ => false
+  }
+
+  /** Can a segment with stats range [lo, hi] contain a row matching
+    * `f`? False = prune the whole segment. */
+  def overlaps(f: sources.Filter, statsCol: String, lo: Int,
+      hi: Int): Boolean = f match {
+    case sources.GreaterThan(c, v) if c == statsCol =>
+      daysOf(v).forall(hi > _)
+    case sources.GreaterThanOrEqual(c, v) if c == statsCol =>
+      daysOf(v).forall(hi >= _)
+    case sources.LessThan(c, v) if c == statsCol =>
+      daysOf(v).forall(lo < _)
+    case sources.LessThanOrEqual(c, v) if c == statsCol =>
+      daysOf(v).forall(lo <= _)
+    case sources.EqualTo(c, v) if c == statsCol =>
+      daysOf(v).forall(d => lo <= d && d <= hi)
+    case sources.And(l, r) =>
+      overlaps(l, statsCol, lo, hi) && overlaps(r, statsCol, lo, hi)
+    case _ => true
+  }
+}
+
+case class RloInputPartition(commit: String, file: String)
+  extends InputPartition
+
+class RloScan(root: String, requiredSchema: StructType,
+    staticCommits: Seq[String]) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
+
+  @transient private lazy val conf = new Configuration()
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+
+  /** The groups this scan reads — static stats routing further
+    * narrowed by the runtime group filter; the exact set a
+    * row-level write must replace. */
+  def effectiveCommits: Seq[String] =
+    runtimeKeep.fold(staticCommits)(k => staticCommits.filter(k))
+
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-rlo scan $root commits=${staticCommits.mkString(",")}"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_partition"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keeps = predicates.flatMap(RloScan.partitionInValues)
+    if (keeps.nonEmpty)
+      runtimeKeep = Some(keeps.reduce(_ intersect _))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    effectiveCommits.flatMap(c =>
+      RloMeta.listDataFiles(conf, root, c)
+        .map(f => RloInputPartition(c, f))).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RloReaderFactory(requiredSchema.toDDL)
+}
+
+object RloScan {
+  /** Extract the commit set of an `IN` / `=` runtime predicate on
+    * `_partition`. */
+  private[sources] def partitionInValues(
+      p: Predicate): Option[Set[String]] = {
+    def isPartitionRef(e: Any): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.toSeq == Seq("_partition")
+      case _ => false
+    }
+    def litString(e: Any): Option[String] = e match {
+      case l: V2Literal[_] => Option(l.value).map {
+        case u: UTF8String => u.toString
+        case other => other.toString
+      }
+      case _ => None
+    }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.nonEmpty && isPartitionRef(kids.head) =>
+        Some(kids.tail.flatMap(litString).toSet)
+      case "=" if kids.length == 2 && isPartitionRef(kids.head) =>
+        litString(kids(1)).map(Set(_))
+      case _ => None
+    }
+  }
+}
+
+class RloReaderFactory(outDdl: String) extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val ip = p.asInstanceOf[RloInputPartition]
+    new RloPartitionReader(ip.commit, ip.file, StructType.fromDDL(outDdl))
+  }
+}
+
+/** One parquet segment file → InternalRows of the pruned schema
+  * (plus the constant `_partition` value). Runs in the executor; the
+  * parquet requested-projection does the column pruning, so a
+  * 2-column read never decodes the other columns. */
+class RloPartitionReader(commit: String, file: String, out: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val dataCols = StructType(out.filter(_.name != "_partition"))
+  // an all-metadata projection (e.g. the runtime-filter subquery
+  // reading only _partition) still needs the row COUNT — request the
+  // narrowest real column and ignore its values
+  private val readCols =
+    if (dataCols.nonEmpty) dataCols
+    else StructType(Seq(RloMeta.readSchema(conf,
+      new org.apache.hadoop.fs.Path(file).getParent.getParent.getParent
+        .toString).head))
+
+  conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+    RloMeta.messageTypeFor(readCols, "spark_schema").toString)
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(),
+      new org.apache.hadoop.fs.Path(file)).withConf(conf).build()
+
+  private val fieldIdx: Array[Int] = out.fields.map { f =>
+    if (f.name == "_partition") -1 else readCols.fieldIndex(f.name)
+  }
+  private val partitionValue = UTF8String.fromString(commit)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val g = reader.read()
+    if (g == null) { current = null; false }
+    else {
+      val row = new GenericInternalRow(out.length)
+      var i = 0
+      while (i < out.length) {
+        if (fieldIdx(i) < 0) row.update(i, partitionValue)
+        else {
+          val fi = fieldIdx(i)
+          if (g.getFieldRepetitionCount(fi) == 0) row.setNullAt(i)
+          else out(i).dataType match {
+            case LongType => row.setLong(i, g.getLong(fi, 0))
+            case IntegerType => row.setInt(i, g.getInteger(fi, 0))
+            case DoubleType => row.setDouble(i, g.getDouble(fi, 0))
+            case StringType => row.update(i,
+              UTF8String.fromBytes(g.getBinary(fi, 0).getBytes))
+            case DateType => row.setInt(i, g.getInteger(fi, 0))
+            case dt => throw new IllegalArgumentException(dt.sql)
+          }
+        }
+        i += 1
+      }
+      current = row
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+// ------------------------------------------------------------ writes
+
+/** The copy-on-write row-level operation: ONE instance spans the
+  * scan (which groups are read) and the write (which groups are
+  * replaced) — Spark guarantees both come from this object, so the
+  * replaced set is exactly the scanned set, runtime filter included
+  * (the InMemoryRowLevelOperationTable contract from Spark's own
+  * test harness, re-expressed over real parquet segments). */
+class RloRowLevelOperation(table: GraftRloTable,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  @volatile private var configuredScan: RloScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-rlo $cmd on ${table.name()}"
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new RloScanBuilder(table, s => configuredScan = s)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new RloWrite(table.root, info.schema(), table.statsColName,
+          () => {
+            require(configuredScan != null,
+              "row-level write committed before its scan was planned")
+            configuredScan.effectiveCommits.toSet
+          })
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_partition"))
+}
+
+/** Batch write: land segment `w<nextVersion>`, then publish the next
+  * manifest version = (live − replaced) + the new segment. Shared by
+  * append (replaced = ∅) and copy-on-write DML (replaced = the
+  * operation scan's group set). */
+class RloWrite(root: String, writeSchema: StructType,
+    statsColName: String, replaced: () => Set[String]) extends Write {
+
+  override def description(): String = s"graft-rlo write $root"
+
+  override def toBatch: BatchWrite = {
+    val conf = new Configuration()
+    val head = RloMeta.headVersion(conf, root)
+    val newCommit = s"w${head + 1}"
+    // a previous aborted attempt may have left files under this name;
+    // segment dirs are only ever referenced via the manifest, so a
+    // pre-clean keeps the commit deterministic
+    RloMeta.deleteCommitDir(conf, root, newCommit)
+    val statsIdx = writeSchema.fieldIndex(statsColName)
+    new RloBatchWrite(root, writeSchema.toDDL, statsIdx, head,
+      newCommit, replaced)
+  }
+}
+
+case class RloCommitMessage(minDays: Int, maxDays: Int, n: Long)
+  extends WriterCommitMessage
+
+class RloBatchWrite(root: String, schemaDdl: String, statsIdx: Int,
+    baseVersion: Int, newCommit: String,
+    replaced: () => Set[String]) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    RloWriterFactory(root, newCommit, schemaDdl, statsIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val ms = messages.collect { case m: RloCommitMessage => m }
+    val n = ms.map(_.n).sum
+    val head = RloMeta.headVersion(conf, root)
+    if (head != baseVersion) throw new IllegalStateException(
+      s"concurrent commit: head moved $baseVersion -> $head while " +
+        "this DML ran — re-run the whole operation against the new " +
+        "head (copy-on-write commits retry whole, never splice)")
+    val live = RloMeta.commitsOf(conf, root, head)._2
+    val gone = replaced()
+    require(gone.subsetOf(live.toSet),
+      s"replaced groups $gone not all live in version $head")
+    if (n > 0) {
+      RloMeta.writeStats(conf, root, newCommit,
+        ms.map(_.minDays).min, ms.map(_.maxDays).max, n)
+    } else {
+      RloMeta.deleteCommitDir(conf, root, newCommit)
+    }
+    val next = live.filterNot(gone) ++ (if (n > 0) Seq(newCommit) else Nil)
+    // deterministic logical clock: one second per commit (fixtures
+    // pin version 1's timestamp; TIMESTAMP AS OF stays replayable)
+    val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
+    if (!RloMeta.publishVersion(conf, root, head + 1, ts, next))
+      throw new IllegalStateException(
+        s"concurrent commit: version ${head + 1} already published — " +
+          "re-run the DML against the new head")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    RloMeta.deleteCommitDir(new Configuration(), root, newCommit)
+}
+
+case class RloWriterFactory(root: String, commit: String,
+    schemaDdl: String, statsIdx: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new RloDataWriter(root, commit, schemaDdl, statsIdx, partitionId,
+      taskId)
+}
+
+/** Per-task parquet segment writer (executor-side): standard parquet
+  * via the example Group API, plus running min/max/count on the
+  * stats column so segment stats ride back in the commit message —
+  * stats maintenance is incremental, never a post-hoc table scan
+  * (the q337 discipline). */
+class RloDataWriter(root: String, commit: String, schemaDdl: String,
+    statsIdx: Int, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val schema = StructType.fromDDL(schemaDdl)
+  private val conf = new Configuration()
+  private val path = new org.apache.hadoop.fs.Path(
+    RloMeta.commitDir(root, commit),
+    f"part-$partitionId%05d-$taskId.parquet")
+  private val mt = RloMeta.messageTypeFor(schema, "spark_schema")
+  private val factory = new SimpleGroupFactory(mt)
+  private val writer: ParquetWriter[Group] = {
+    val b = ExampleParquetWriter.builder(
+      HadoopOutputFile.fromPath(path, conf))
+    b.withType(mt).withConf(conf).build()
+  }
+  private var minD = Int.MaxValue
+  private var maxD = Int.MinValue
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    writer.write(RloMeta.rowToGroup(row, schema, factory))
+    if (!row.isNullAt(statsIdx)) {
+      val d = row.getInt(statsIdx)
+      if (d < minD) minD = d
+      if (d > maxD) maxD = d
+    }
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    if (n == 0) { // nothing written: drop the empty file
+      org.apache.hadoop.fs.FileSystem.get(conf).delete(path, false)
+    }
+    RloCommitMessage(minD, maxD, n)
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Throwable => () }
+    org.apache.hadoop.fs.FileSystem.get(conf).delete(path, false); ()
+  }
+
+  override def close(): Unit = ()
+}

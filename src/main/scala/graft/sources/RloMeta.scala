@@ -1,0 +1,246 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Metadata layout + parquet row codec for the graft SQL-DML catalog
+  * ([[GraftRloCatalog]]) — the storage half of the DSv2
+  * SupportsRowLevelOperations table (r12 verdict #1).
+  *
+  * A table is a directory:
+  * {{{
+  *   <root>/meta/schema.ddl          column DDL (StructType.toDDL)
+  *   <root>/meta/statscol.txt        the column segment stats index
+  *   <root>/meta/stats_<commit>.txt  "minDays,maxDays,nRows"
+  *   <root>/meta/v<N>.txt            version N: "ts=<micros>" + commits
+  *   <root>/data/<commit>/<file>.parquet  immutable segment files
+  * }}}
+  *
+  * Same invariants as the catalog-table tier (`TableFormat`):
+  * segments are immutable, visibility is the manifest's job, stats are
+  * metadata-sized. The COMMIT is the atomic creation of the next
+  * version file (`FileSystem.create(path, overwrite = false)`) — the
+  * same CAS primitive the ref log's partition registration uses, so a
+  * raced publisher fails with nothing visible. All IO goes through the
+  * Hadoop FileSystem API, so the layout works unchanged on an object
+  * store (the reference's production sink is s3a://,
+  * ref `etl/load.py:80-84`).
+  *
+  * The row codec covers the five types the engine's fixtures use
+  * (long, int, double, string, date) via the parquet example Group
+  * API — files written by Spark's own parquet writer (fixture bulk
+  * loads) and by [[RloDataWriter]] (DML outputs) are mutually
+  * readable because both are standard parquet primitives.
+  */
+object RloMeta {
+
+  def fs(conf: Configuration): FileSystem = FileSystem.get(conf)
+
+  // ------------------------------------------------------- small IO
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeText(fs: FileSystem, p: Path, text: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ------------------------------------------------ table metadata
+
+  def metaDir(root: String) = new Path(root, "meta")
+  def dataDir(root: String) = new Path(root, "data")
+  def commitDir(root: String, commit: String) =
+    new Path(dataDir(root), commit)
+
+  def initTable(conf: Configuration, root: String, schema: StructType,
+      statsCol: String): Unit = {
+    val f = fs(conf)
+    f.delete(new Path(root), true)
+    f.mkdirs(metaDir(root))
+    f.mkdirs(dataDir(root))
+    writeText(f, new Path(metaDir(root), "schema.ddl"), schema.toDDL,
+      overwrite = true)
+    writeText(f, new Path(metaDir(root), "statscol.txt"), statsCol,
+      overwrite = true)
+  }
+
+  def tableExists(conf: Configuration, root: String): Boolean =
+    fs(conf).exists(new Path(metaDir(root), "schema.ddl"))
+
+  def readSchema(conf: Configuration, root: String): StructType =
+    StructType.fromDDL(readText(fs(conf),
+      new Path(metaDir(root), "schema.ddl")))
+
+  def statsCol(conf: Configuration, root: String): String =
+    readText(fs(conf), new Path(metaDir(root), "statscol.txt")).trim
+
+  // ------------------------------------------------------- versions
+
+  private def versionPath(root: String, v: Int) =
+    new Path(metaDir(root), f"v$v%05d.txt")
+
+  def headVersion(conf: Configuration, root: String): Int = {
+    val vs = fs(conf).listStatus(metaDir(root)).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+    require(vs.nonEmpty, s"no published version under $root")
+    vs.max
+  }
+
+  /** (commit-timestamp micros, commit set) of one version — the
+    * manifest lookup; metadata-sized by construction. */
+  def commitsOf(conf: Configuration, root: String,
+      v: Int): (Long, Seq[String]) = {
+    val lines = readText(fs(conf), versionPath(root, v)).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val ts = lines.head.stripPrefix("ts=").toLong
+    (ts, lines.tail)
+  }
+
+  /** Highest version whose commit timestamp is <= tsMicros. */
+  def versionAsOf(conf: Configuration, root: String,
+      tsMicros: Long): Int = {
+    val vs = (1 to headVersion(conf, root)).filter { v =>
+      commitsOf(conf, root, v)._1 <= tsMicros
+    }
+    require(vs.nonEmpty, s"no version at or before ts $tsMicros")
+    vs.max
+  }
+
+  /** Publish version `v` with the given commit set — ATOMIC via
+    * create-if-absent: of two racing publishers exactly one wins and
+    * the loser sees a clean failure with nothing visible (the q321
+    * CAS discipline; an Iceberg commit is the same rename/create
+    * primitive). Returns false on a lost race. */
+  def publishVersion(conf: Configuration, root: String, v: Int,
+      tsMicros: Long, commits: Seq[String]): Boolean = {
+    val text = (s"ts=$tsMicros" +: commits).mkString("\n")
+    try {
+      writeText(fs(conf), versionPath(root, v), text, overwrite = false)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException
+          if fs(conf).exists(versionPath(root, v)) => false
+    }
+  }
+
+  // ---------------------------------------------------- segment stats
+
+  private def statsPath(root: String, commit: String) =
+    new Path(metaDir(root), s"stats_$commit.txt")
+
+  def writeStats(conf: Configuration, root: String, commit: String,
+      minDays: Int, maxDays: Int, nRows: Long): Unit =
+    writeText(fs(conf), statsPath(root, commit),
+      s"$minDays,$maxDays,$nRows", overwrite = true)
+
+  /** (minDays, maxDays, nRows) of one commit's stats-column range. */
+  def stats(conf: Configuration, root: String,
+      commit: String): (Int, Int, Long) = {
+    val parts = readText(fs(conf), statsPath(root, commit)).trim
+      .split(",")
+    (parts(0).toInt, parts(1).toInt, parts(2).toLong)
+  }
+
+  def listDataFiles(conf: Configuration, root: String,
+      commit: String): Seq[String] = {
+    val dir = commitDir(root, commit)
+    val f = fs(conf)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .map(_.toString).toSeq.sorted
+  }
+
+  def deleteCommitDir(conf: Configuration, root: String,
+      commit: String): Unit = {
+    fs(conf).delete(commitDir(root, commit), true); ()
+  }
+
+  // ------------------------------------------------ parquet row codec
+
+  /** Parquet MessageType for a StructType over the supported types.
+    * All fields optional — nullability is per-value at write time. */
+  def messageTypeFor(schema: StructType, name: String): MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val prim: Types.PrimitiveBuilder[_] = f.dataType match {
+        case LongType => b.optional(PrimitiveTypeName.INT64)
+        case IntegerType => b.optional(PrimitiveTypeName.INT32)
+        case DoubleType => b.optional(PrimitiveTypeName.DOUBLE)
+        case StringType => b.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType())
+        case DateType => b.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType())
+        case dt => throw new IllegalArgumentException(
+          s"unsupported RLO column type ${dt.sql} for ${f.name}")
+      }
+      prim.named(f.name)
+    }
+    b.named(name)
+  }
+
+  /** One parquet Group → InternalRow, positions following `schema`.
+    * Field lookup is BY NAME against the group's own schema, so the
+    * codec is indifferent to on-disk column order (fixture segments
+    * are written by Spark's parquet writer, DML segments by ours). */
+  def groupToRow(g: Group, schema: StructType,
+      fieldIdx: Array[Int]): InternalRow = {
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val fi = fieldIdx(i)
+      if (fi < 0 || g.getFieldRepetitionCount(fi) == 0) row.setNullAt(i)
+      else schema(i).dataType match {
+        case LongType => row.setLong(i, g.getLong(fi, 0))
+        case IntegerType => row.setInt(i, g.getInteger(fi, 0))
+        case DoubleType => row.setDouble(i, g.getDouble(fi, 0))
+        case StringType => row.update(i,
+          UTF8String.fromBytes(g.getBinary(fi, 0).getBytes))
+        case DateType => row.setInt(i, g.getInteger(fi, 0))
+        case dt => throw new IllegalArgumentException(dt.sql)
+      }
+      i += 1
+    }
+    row
+  }
+
+  /** InternalRow → parquet Group (write side of the codec). */
+  def rowToGroup(row: InternalRow, schema: StructType,
+      factory: SimpleGroupFactory): Group = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema(i).dataType match {
+        case LongType => g.add(schema(i).name, row.getLong(i))
+        case IntegerType => g.add(schema(i).name, row.getInt(i))
+        case DoubleType => g.add(schema(i).name, row.getDouble(i))
+        case StringType => g.add(schema(i).name, row.getUTF8String(i).toString)
+        case DateType => g.add(schema(i).name, row.getInt(i))
+        case dt => throw new IllegalArgumentException(dt.sql)
+      }
+      i += 1
+    }
+    g
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SqlDml
+import graft.sources.{RloMeta, RloScan}
+
+/** Physical contracts of the SQL write-DML tier (q346–q349): the
+  * copy-on-write replaces EXACTLY the routed segments, carried
+  * segment files never move, prior versions stay byte-stable, and
+  * both pruning layers (static stats routing, runtime group
+  * filtering) actually fire. The row arithmetic itself is the DuckDB
+  * oracle's job — these tests pin what the oracle can't see: the
+  * file system and the plan. */
+class SqlDmlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val conf = new Configuration()
+
+  private def fileStamps(root: String,
+      commit: String): Seq[(String, Long, Long)] = {
+    val f = RloMeta.fs(conf)
+    RloMeta.listDataFiles(conf, root, commit).map { p =>
+      val st = f.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      (p, st.getLen, st.getModificationTime)
+    }
+  }
+
+  private def rloScans(df: DataFrame): Seq[RloScan] = {
+    def go(p: SparkPlan): Seq[RloScan] = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case q: QueryStageExec => go(q.plan)
+      case b: BatchScanExec => b.scan match {
+        case s: RloScan => Seq(s)
+        case _ => Seq.empty
+      }
+      case o => o.children.flatMap(go)
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
+  test("q346 MERGE INTO replaces exactly the runtime-routed segment: " +
+      "v2 = (v1 - c1) + w2, carried files are PHYSICALLY untouched, " +
+      "and version 1 re-reads byte-stable through VERSION AS OF") {
+    val root = SqlDml.buildTable(spark, sf, "orders_cow_spec")
+    val before = Seq("c0", "c2").map(c => c -> fileStamps(root, c)).toMap
+    val v1 = spark.sql(s"SELECT COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+      s"FROM ${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_spec").collect().head
+
+    SqlDml.runMerge(spark, sf, "orders_cow_spec")
+
+    // manifest arithmetic: only c1 was replaced — the MERGE keys are
+    // not a pushable predicate, so this is the runtime group filter's
+    // doing; had it not fired, every segment would have been
+    // rewritten into w2 and this assertion (and the oracle) fails
+    assert(RloMeta.commitsOf(conf, root, 1)._2.toSet ==
+      Set("c0", "c1", "c2"))
+    assert(RloMeta.commitsOf(conf, root, 2)._2.toSet ==
+      Set("c0", "c2", "w2"))
+    // physical carry: same files, same bytes, same mtimes
+    Seq("c0", "c2").foreach { c =>
+      assert(fileStamps(root, c) == before(c),
+        s"carried segment $c files changed across the MERGE")
+    }
+    // history intact: version 1 still serves its original content
+    val v1After = spark.sql(s"SELECT COUNT(*) AS n, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s " +
+      s"FROM ${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_spec " +
+      "VERSION AS OF 1").collect().head
+    assert(v1 == v1After, s"version 1 drifted: $v1 -> $v1After")
+  }
+
+  test("static stats routing prunes the plain read path too: a " +
+      "date-predicate SELECT plans input partitions from only the " +
+      "stats-overlapping segment") {
+    SqlDml.buildTable(spark, sf, "orders_cow_prune")
+    val df = spark.sql(s"SELECT o_orderkey, o_totalprice " +
+      s"FROM ${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_prune " +
+      "WHERE o_orderdate < DATE '1996-01-01'")
+    df.collect()
+    val scans = rloScans(df)
+    assert(scans.nonEmpty, "no RloScan in plan:\n" +
+      df.queryExecution.executedPlan)
+    assert(scans.head.effectiveCommits == Seq("c0"),
+      s"scan planned ${scans.head.effectiveCommits}, want only c0")
+    // and the pruned read returns exactly the predicate's rows
+    val expect = SqlDml.ordersAsDate(spark, sf)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("date"))
+      .count()
+    assert(df.count() == expect)
+  }
+
+  test("q349 INSERT INTO appends a segment without replacing any: " +
+      "v3 carries every v2 segment plus w3") {
+    graft.operators.SqlDml.q349SqlTimeTravel(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_cow_tt")
+    val v2 = RloMeta.commitsOf(conf, root, 2)._2.toSet
+    val v3 = RloMeta.commitsOf(conf, root, 3)._2.toSet
+    assert(v2.subsetOf(v3), s"append replaced segments: $v2 vs $v3")
+    assert((v3 -- v2) == Set("w3"), s"unexpected appended set: ${v3 -- v2}")
+    // the DELETE (v4) then replaced exactly the one dated segment
+    val v4 = RloMeta.commitsOf(conf, root, 4)._2.toSet
+    assert(v3 -- v4 == Set("c0"), s"DELETE replaced ${v3 -- v4}")
+    assert(v4 -- v3 == Set("w4"), s"DELETE appended ${v4 -- v3}")
+  }
+
+  test("the version-file publish is a CAS: the second publisher of " +
+      "the same version loses cleanly with nothing visible") {
+    val root = SqlDml.buildTable(spark, sf, "orders_cow_cas")
+    assert(!RloMeta.publishVersion(conf, root, 1, 42L, Seq("evil")),
+      "publishVersion overwrote an existing version file")
+    // the loser's content never became visible
+    assert(RloMeta.commitsOf(conf, root, 1)._2.toSet ==
+      Set("c0", "c1", "c2"))
+  }
+
+  test("the DSv2 reader round-trips the fixture exactly: counts and " +
+      "key sums match the source parquet, and column pruning " +
+      "projects without decoding the rest") {
+    SqlDml.buildTable(spark, sf, "orders_cow_rt")
+    val viaCatalog = spark.sql(s"SELECT COUNT(*) AS n, " +
+      s"SUM(o_orderkey) AS k FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_rt").collect().head
+    val src = SqlDml.ordersAsDate(spark, sf)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect().head
+    assert(viaCatalog.getLong(0) == src.getLong(0))
+    assert(viaCatalog.getLong(1) == src.getLong(1))
+  }
+}
