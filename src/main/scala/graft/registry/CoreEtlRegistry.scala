@@ -82,6 +82,7 @@ object CoreEtlRegistry {
     "q347_sql_delete"      -> (SqlDml.q347SqlDelete _),
     "q348_sql_update"      -> (SqlDml.q348SqlUpdate _),
     "q349_sql_version_asof" -> (SqlDml.q349SqlTimeTravel _),
+    "q350_string_zonemap"  -> (StringZonemap.q350StringZonemap _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1566,5 +1567,41 @@ object CoreEtlRegistry {
       SELECT 'ts_asof_00:00:02', COUNT(*),
         CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) FROM v3
       ORDER BY read""",
+    // q350: the pruned string-zone-map reads are layout-independent
+    // by construction (stats route files, the residual predicate
+    // restores exactness), so the oracle is the bare predicates over
+    // the same corpus (base documents + the synthesized fresh feed).
+    "q350_string_zonemap" -> """
+      WITH corpus AS (
+        SELECT doc_id, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, lang, 'zz' || source, n_chars
+        FROM documents WHERE doc_id % 7 = 3)
+      SELECT probe, n_docs, sum_chars, n_sources FROM (
+        SELECT 'eq_source_src7' AS probe, COUNT(*) AS n_docs,
+          CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS sum_chars,
+          COUNT(DISTINCT source) AS n_sources
+        FROM corpus WHERE source = 'src7'
+        UNION ALL
+        SELECT 'eq_source_src12', COUNT(*),
+          CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+          COUNT(DISTINCT source)
+        FROM corpus WHERE source = 'src12'
+        UNION ALL
+        SELECT 'range_source_src2_src4', COUNT(*),
+          CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+          COUNT(DISTINCT source)
+        FROM corpus WHERE source >= 'src2' AND source <= 'src4'
+        UNION ALL
+        SELECT 'eq_source_lang', COUNT(*),
+          CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+          COUNT(DISTINCT source)
+        FROM corpus WHERE source = 'src3' AND lang = 'zh'
+        UNION ALL
+        SELECT 'fresh_prefix_zz', COUNT(*),
+          CAST(COALESCE(SUM(n_chars), 0) AS BIGINT),
+          COUNT(DISTINCT source)
+        FROM corpus WHERE source LIKE 'zz%'
+      ) r ORDER BY probe""",
   )
 }

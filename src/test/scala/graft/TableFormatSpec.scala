@@ -1264,4 +1264,49 @@ class TableFormatSpec extends AnyFunSuite {
     assert(byRounds(0) <= byRounds(1) && byRounds(1) <= byRounds(2),
       byRounds.toString)
   }
+
+  test("q350 string zone-map: a source-equality probe reads exactly " +
+      "the stats-overlapping files (a strict subset), the truncated " +
+      "src12 probe keeps the whole src1* prefix class, and the fresh " +
+      "prefix probe reads only the appended files") {
+    import graft.operators.StringZonemap
+    StringZonemap.build(spark, sf01)
+    val total = spark.table(StringZonemap.SzManifest).count()
+
+    def partsRead(p: StringZonemap.Probe): (Long, Long) = {
+      val df = StringZonemap.prunedRead(spark, p)
+        .agg(count(lit(1)))
+      df.collect()
+      val scans = scansOf(df, StringZonemap.SzData)
+      assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+      (scans.head.metrics("numPartitions").value,
+        StringZonemap.overlappingFiles(spark, p).size.toLong)
+    }
+
+    val bySrc7 = StringZonemap.probes.find(_.label == "eq_source_src7").get
+    val (read7, overlap7) = partsRead(bySrc7)
+    assert(read7 == overlap7, s"read $read7, manifest says $overlap7")
+    assert(read7 < total, s"src7 probe read all $total files - no pruning")
+
+    // truncation is conservative, never wrong: the src12 probe's
+    // file set must contain every file holding any src1* source
+    val by12 = StringZonemap.probes.find(_.label == "eq_source_src12").get
+    val kept12 = StringZonemap.overlappingFiles(spark, by12).toSet
+    val filesWithSrc1Class = spark.table(StringZonemap.SzData)
+      .filter(StringZonemap.truncc(col("source")) === "src1")
+      .select(col("zfile")).distinct().collect().map(_.getInt(0)).toSet
+    assert(filesWithSrc1Class.subsetOf(kept12),
+      s"truncated bound dropped files: ${filesWithSrc1Class -- kept12}")
+
+    // the fresh feed's namespace reads only the appended files
+    val byZz = StringZonemap.probes.find(_.label == "fresh_prefix_zz").get
+    val keptZz = StringZonemap.overlappingFiles(spark, byZz).toSet
+    val freshFiles = spark.table(StringZonemap.SzData)
+      .filter(col("source").startsWith("zz"))
+      .select(col("zfile")).distinct().collect().map(_.getInt(0)).toSet
+    assert(keptZz == freshFiles,
+      s"fresh probe kept $keptZz, fresh files are $freshFiles")
+    val (readZz, overlapZz) = partsRead(byZz)
+    assert(readZz == overlapZz && readZz < total)
+  }
 }
