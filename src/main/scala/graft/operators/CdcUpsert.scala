@@ -412,4 +412,94 @@ object CdcUpsert {
     steps.reduce(_ unionByName _)
       .orderBy(col("version"), col("_change_type"), col("o_orderkey"))
   }
+
+  /** q351: `table_changes(from_v, to_v)` as a SQL TABLE FUNCTION —
+    * the r12 stretch ask (Delta-parity read-side CDC SQL). The q338
+    * derivation, re-expressed declaratively and registered once as a
+    * `CREATE FUNCTION ... RETURNS TABLE`, so a SQL consumer writes
+    * `SELECT ... FROM table_changes(1, 4)` with zero Scala:
+    *
+    *  - `steps` maps each requested version to its append commit
+    *    `u<t>` and delete batch `cd<t>` (version = t + 2, the
+    *    content-derived identity of [[applyTick]]) — manifest rows
+    *    only, metadata-sized;
+    *  - POST side joins the data table on the step's one commit id,
+    *    PRE side resolves the step's artifact keys against their
+    *    TARGETED commits (the same churn-only reads as
+    *    [[changeFeedStep]], now planned by Catalyst: both joins are
+    *    broadcast of step/artifact-sized relations against the
+    *    commit-partitioned table);
+    *  - the keyed full-outer diff classifies insert /
+    *    update_preimage / update_postimage / delete exactly as the
+    *    Scala derivation does.
+    *
+    * The oracle is q338's, byte for byte — the two derivations must
+    * agree row-identically, which is the online/offline parity rule
+    * (q206/q217) applied to SQL vs Scala. */
+  def q351TableChangesSql(spark: SparkSession,
+      dir: String): DataFrame = {
+    buildLifecycle(spark, dir)
+    // the commit-routing joins prune the partitioned data scans via
+    // dynamic partition pruning; Spark's default only inserts the
+    // runtime filter when it can reuse an existing broadcast, which
+    // a fresh TVF invocation doesn't have — allow the standalone
+    // subquery so the base commit is pruned at ANY scale (the spec
+    // asserts the non-trivial dynamicpruning filter and the
+    // partitions-read). The conf is a session knob a deployment
+    // sets once; setting it here keeps the query self-contained.
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+      "false")
+    spark.sql(s"""
+      CREATE OR REPLACE TEMPORARY FUNCTION table_changes(
+        from_v INT, to_v INT)
+      RETURNS TABLE(version INT, _change_type STRING,
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+        o_orderdate TIMESTAMP)
+      RETURN
+      WITH steps AS (
+        SELECT DISTINCT version AS v,
+          CONCAT('u', CAST(version - 2 AS STRING)) AS ucommit,
+          CONCAT('cd', CAST(version - 2 AS STRING)) AS dbatch
+        FROM $CuManifest
+        WHERE version > from_v AND version <= to_v AND version >= 2),
+      post AS (
+        SELECT s.v, d.o_orderkey, d.o_custkey, d.o_totalprice,
+          d.o_orderdate
+        FROM $CuData d JOIN steps s ON d.commit_id = s.ucommit),
+      art AS (
+        SELECT s.v, a.del_key, a.target_commit
+        FROM $CuDeletes a JOIN steps s ON a.dbatch = s.dbatch),
+      pre AS (
+        SELECT art.v, d.o_orderkey, d.o_custkey, d.o_totalprice,
+          d.o_orderdate
+        FROM $CuData d JOIN art
+          ON d.o_orderkey = art.del_key
+          AND d.commit_id = art.target_commit),
+      diff AS (
+        SELECT COALESCE(f.v, r.v) AS v,
+          f.o_orderkey AS fk, f.o_custkey AS fc,
+          f.o_totalprice AS fp, f.o_orderdate AS fd,
+          r.o_orderkey AS rk, r.o_custkey AS rc,
+          r.o_totalprice AS rp, r.o_orderdate AS rd
+        FROM post f FULL OUTER JOIN pre r
+          ON f.v = r.v AND f.o_orderkey = r.o_orderkey)
+      SELECT v AS version,
+        CASE WHEN fk IS NOT NULL THEN 'update_preimage'
+             ELSE 'delete' END AS _change_type,
+        rk AS o_orderkey, rc AS o_custkey, rp AS o_totalprice,
+        rd AS o_orderdate
+      FROM diff WHERE rk IS NOT NULL
+      UNION ALL
+      SELECT v AS version,
+        CASE WHEN rk IS NOT NULL THEN 'update_postimage'
+             ELSE 'insert' END AS _change_type,
+        fk, fc, fp, fd
+      FROM diff WHERE fk IS NOT NULL""")
+    spark.sql("""
+      SELECT version, _change_type, o_orderkey, o_custkey,
+        o_totalprice, o_orderdate
+      FROM table_changes(1, 4)
+      ORDER BY version, _change_type, o_orderkey""")
+  }
 }

@@ -83,6 +83,7 @@ object CoreEtlRegistry {
     "q348_sql_update"      -> (SqlDml.q348SqlUpdate _),
     "q349_sql_version_asof" -> (SqlDml.q349SqlTimeTravel _),
     "q350_string_zonemap"  -> (StringZonemap.q350StringZonemap _),
+    "q351_table_changes"   -> (CdcUpsert.q351TableChangesSql _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1603,5 +1604,41 @@ object CoreEtlRegistry {
           COUNT(DISTINCT source)
         FROM corpus WHERE source LIKE 'zz%'
       ) r ORDER BY probe""",
+    // q351: the SQL table_changes TVF must agree ROW-IDENTICALLY
+    // with the Scala q338 derivation - same oracle text.
+    "q351_table_changes" -> """
+      SELECT CAST(2 AS INTEGER) AS version, 'insert' AS _change_type,
+        o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        o_totalprice, TIMESTAMP '2002-04-01' AS o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 51
+      UNION ALL
+      SELECT 2, 'update_preimage', o_orderkey, o_custkey,
+        o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 11
+      UNION ALL
+      SELECT 2, 'update_postimage', o_orderkey, o_custkey,
+        o_totalprice + 1000.0, TIMESTAMP '2002-04-01'
+      FROM orders WHERE o_orderkey % 100 = 11
+      UNION ALL
+      SELECT 3, 'insert', o_orderkey + 200000000, o_custkey,
+        o_totalprice, TIMESTAMP '2002-05-01'
+      FROM orders WHERE o_orderkey % 100 = 53
+      UNION ALL
+      SELECT 3, 'delete', o_orderkey, o_custkey, o_totalprice,
+        o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 13
+      UNION ALL
+      SELECT 4, 'update_preimage', o_orderkey, o_custkey,
+        o_totalprice, o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 17
+      UNION ALL
+      SELECT 4, 'update_postimage', o_orderkey, o_custkey,
+        o_totalprice + 2000.0, TIMESTAMP '2002-06-01'
+      FROM orders WHERE o_orderkey % 100 = 17
+      UNION ALL
+      SELECT 4, 'delete', o_orderkey, o_custkey, o_totalprice,
+        o_orderdate
+      FROM orders WHERE o_orderkey % 100 = 19
+      ORDER BY version, _change_type, o_orderkey""",
   )
 }

@@ -139,4 +139,23 @@ class CdcUpsertSpec extends AnyFunSuite {
       s"pre side read ${preScan.metrics("numPartitions").value} " +
         "partitions, artifact targets 1")
   }
+
+  test("q351 the SQL table_changes TVF prunes the commit-partitioned " +
+      "data scans at runtime: every scan carries a non-trivial " +
+      "dynamicpruning filter and none reads the base commit") {
+    val df = CdcUpsert.q351TableChangesSql(spark, sf)
+    df.collect()
+    def finalPlan = df.queryExecution.executedPlan
+    val scans = scansOf(df, "graft_cdc_data_cu")
+    assert(scans.nonEmpty, finalPlan.toString)
+    val total = spark.sql(
+      s"SHOW PARTITIONS ${CdcUpsert.CuData}").count()
+    scans.foreach { sc =>
+      val pf = sc.partitionFilters.mkString(";")
+      assert(pf.contains("dynamicpruning#"),
+        s"scan lost its runtime pruning filter: $pf")
+      assert(sc.metrics("numPartitions").value < total,
+        s"scan read all $total commit partitions - base not pruned")
+    }
+  }
 }
