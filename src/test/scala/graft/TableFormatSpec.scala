@@ -1265,6 +1265,27 @@ class TableFormatSpec extends AnyFunSuite {
       byRounds.toString)
   }
 
+  test("q318 bounds the live-commit literal (r12 scale-watch #1): " +
+      "after compaction the head version lists ceil(n/packSize) " +
+      "commits, so the isin literal a reader inlines is bounded by " +
+      "maintenance cadence, not by commit history") {
+    TableFormat.q318CommitCompaction(spark, sf01).collect()
+    val head = TableFormat.headVersion(spark, TableFormat.CpManifest)
+    val packedLive = TableFormat.commitsOf(spark,
+      TableFormat.CpManifest, head)
+    val smallLive = TableFormat.commitsOf(spark,
+      TableFormat.CpManifest, head - 1)
+    assert(smallLive.forall(_.startsWith("s")))
+    assert(packedLive.forall(_.startsWith("p")),
+      s"head still lists small commits: $packedLive")
+    val bound = math.ceil(
+      smallLive.size.toDouble / TableFormat.CpPackSize).toInt
+    assert(packedLive.size == bound,
+      s"live set ${packedLive.size} != ceil(${smallLive.size}/" +
+        s"${TableFormat.CpPackSize}) = $bound")
+    assert(packedLive.size < smallLive.size)
+  }
+
   test("q350 string zone-map: a source-equality probe reads exactly " +
       "the stats-overlapping files (a strict subset), the truncated " +
       "src12 probe keeps the whole src1* prefix class, and the fresh " +
