@@ -218,6 +218,27 @@ object Bench {
       val sorted = s.sorted
       sorted(sorted.size / 2) // odd counts only (3 or 5)
     }
+
+    // certificate-cadence measurement (r12 verdict #5): the three
+    // refresh/feed queries carry inline recompute certificates that
+    // cost a multiple of the serving unit they certify; production
+    // runs certificates on a sampled cadence. Time the serving-only
+    // mode (graft.Certs off) so bench_full.json records BOTH numbers
+    // per round — the full-mode median comes from the main sweep.
+    val certNames = Seq("q338_row_change_feed", "q340_crosstable_mv",
+      "q345_stream_cdf_consumer").filter(names.contains)
+    val servingOnly: Map[String, Double] = {
+      val key = "graft.cert.mode"
+      System.setProperty(key, "off")
+      try certNames.filterNot(failedSet).map { name =>
+        val runs = (1 to 3).flatMap { _ =>
+          try Some(once(name))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }.toVector
+        name -> (if (runs.isEmpty) -1.0 else median(runs))
+      }.toMap
+      finally System.clearProperty(key)
+    }
     val results = names.map { name =>
       if (failedSet(name)) (name, -1.0, false, Vector.empty[Double])
       else (name, median(samples(name)), true, samples(name))
@@ -253,10 +274,15 @@ object Bench {
       s""""available_processors":${rt.availableProcessors},"local_threads":"$cpus",""" +
       s""""max_heap_mb":${rt.maxMemory / (1024 * 1024)},"java":"${sys.props("java.version")}",""" +
       s""""spark":"${spark.version}"}"""
+    val fullOf = results.map { case (k, v, _, _) => k -> v }.toMap
+    val certModes = certNames.map { k =>
+      s"\"" + k + "\":{\"full\":" + f3(fullOf.getOrElse(k, -1.0)) +
+        ",\"serving\":" + f3(servingOnly.getOrElse(k, -1.0)) + "}"
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(BenchOut),
       line + "\n" +
-        s"""{"base_passes":$BasePasses,"stat":"median","order":"per-pass seeded permutation","topup_spread_threshold":$SpreadThreshold,"calibration_samples":${calibSamples.map(f3).mkString("[", ",", "]")},"env":$env,"raw":$raw}""" + "\n")
+        s"""{"base_passes":$BasePasses,"stat":"median","order":"per-pass seeded permutation","topup_spread_threshold":$SpreadThreshold,"calibration_samples":${calibSamples.map(f3).mkString("[", ",", "]")},"cert_modes":$certModes,"env":$env,"raw":$raw}""" + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }

