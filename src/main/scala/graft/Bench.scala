@@ -107,6 +107,19 @@ object Bench {
       }
       Scratch.deleteRecursively(java.nio.file.Paths.get(Scratch.dir("")))
       System.gc()
+      // drain lingering localCheckpoint blocks (r13): clearCache only
+      // unpersists REGISTERED cached frames; localCheckpoint blocks
+      // are reclaimed asynchronously by the ContextCleaner after GC,
+      // so a heavy neighbor's blocks can still occupy storage memory
+      // when the next timed query starts (112 localCheckpoint sites
+      // in the catalog; up to 3 RDDs measured lingering after q338).
+      // Bounded wait: give the cleaner GC'd references and time until
+      // storage is empty, so every timed run starts from zero blocks.
+      var drainTries = 0
+      while (spark.sparkContext.getRDDStorageInfo.nonEmpty &&
+          drainTries < 30) {
+        System.gc(); Thread.sleep(100); drainTries += 1
+      }
     }
 
     // untimed warmup: absorb JVM/codegen/FS-cache startup so the first
