@@ -60,6 +60,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // standalone-subquery DPP (q351 and the partitioned tier rely on
+      // runtime commit pruning without a reusable broadcast) - pinned
+      // at builder time so planning never flips mid-session
+      .config("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       .config("spark.ui.enabled", "false")
       // stress-sweep knob (SPARK_GRAFT_MAXPART): with the 1 MB-row-
       // group ScaleUp data, a matching split size parallelizes scans

@@ -447,8 +447,12 @@ object CdcUpsert {
     // a fresh TVF invocation doesn't have — allow the standalone
     // subquery so the base commit is pruned at ANY scale (the spec
     // asserts the non-trivial dynamicpruning filter and the
-    // partitions-read). The conf is a session knob a deployment
-    // sets once; setting it here keeps the query self-contained.
+    // partitions-read). This is a SESSION-LEVEL deployment default —
+    // every committed entry point (Bench/Verify/TestSpark) pins it
+    // at builder time so no query flips planning mid-session; the
+    // set here is idempotent and only covers ad-hoc sessions. It
+    // cannot be scoped save/restore: the returned frame plans lazily
+    // at the caller's execution point.
     spark.conf.set(
       "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
       "false")
