@@ -64,16 +64,20 @@ object SqlDml {
     * own parquet writer (the bulk-load path); per-segment stats are
     * computed from the batch being written, never a table re-scan. */
   private[graft] def buildTable(spark: SparkSession, dir: String,
-      table: String): String = {
+      table: String, mode: String = "cow"): String = {
     ensureCatalog(spark)
     val conf = new Configuration()
     val root = tableRoot(table)
+    // the key is declared NOT NULL: it is the mor flavor's row id
+    // (Spark rejects nullable row-id attributes), and it is never
+    // null in fact
     val schema = StructType(Seq(
-      StructField("o_orderkey", LongType),
+      StructField("o_orderkey", LongType, nullable = false),
       StructField("o_custkey", LongType),
       StructField("o_totalprice", DoubleType),
       StructField("o_orderdate", DateType)))
     RloMeta.initTable(conf, root, schema, "o_orderdate")
+    if (mode != "cow") RloMeta.setMode(conf, root, mode)
     val orders = ordersAsDate(spark, dir)
     val d = col("o_orderdate")
     val segs = Seq(
@@ -224,5 +228,47 @@ object SqlDml {
       FROM $Cat.$Ns.orders_cow_tt
         TIMESTAMP AS OF '2000-01-01 00:00:02'
       ORDER BY read""")
+  }
+
+  /** q352: the same MERGE, MERGE-ON-READ — the table is built in
+    * "mor" mode, so Spark plans the DML as a WriteDelta against the
+    * [[graft.sources.RloMorOperation]] (SupportsDelta): updates and
+    * deletes land as exact-routed delete artifacts (target segment
+    * from the row's `_partition` metadata), inserts and update
+    * post-images as ONE append commit — the CdcUpsert write shape,
+    * now produced by `spark.sql("MERGE INTO ...")`. No base segment
+    * rewrites (SqlDmlSpec pins the file stamps); the read applies
+    * the scoped artifacts, so the per-segment report shows c1's
+    * live rows shrunk in place while c1's files never moved. */
+  def q352SqlMorMerge(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_mor_mg", mode = "mor")
+    runMerge(spark, dir, "orders_mor_mg")
+    spark.sql(s"""
+      SELECT _partition AS commit_id, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CASE WHEN _partition IN ('c0', 'c1', 'c2') THEN 'base'
+             ELSE 'appended' END AS status
+      FROM $Cat.$Ns.orders_mor_mg
+      GROUP BY _partition
+      ORDER BY commit_id""")
+  }
+
+  /** q353: merge-on-read DELETE as SQL — artifact only, no data
+    * write at all: the one delete batch lands, every base segment
+    * carries, and the pruned-then-artifact-applied read serves the
+    * post-delete view. The write side of q317's read path. */
+  def q353SqlMorDelete(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_mor_del", mode = "mor")
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_mor_del
+      WHERE o_orderdate < DATE '1996-01-01'""")
+    spark.sql(s"""
+      SELECT _partition AS commit_id, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        'base' AS status
+      FROM $Cat.$Ns.orders_mor_del
+      GROUP BY _partition
+      ORDER BY commit_id""")
   }
 }

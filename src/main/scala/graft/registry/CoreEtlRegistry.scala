@@ -84,6 +84,8 @@ object CoreEtlRegistry {
     "q349_sql_version_asof" -> (SqlDml.q349SqlTimeTravel _),
     "q350_string_zonemap"  -> (StringZonemap.q350StringZonemap _),
     "q351_table_changes"   -> (CdcUpsert.q351TableChangesSql _),
+    "q352_sql_mor_merge"   -> (SqlDml.q352SqlMorMerge _),
+    "q353_sql_mor_delete"  -> (SqlDml.q353SqlMorDelete _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1640,5 +1642,57 @@ object CoreEtlRegistry {
         o_orderdate
       FROM orders WHERE o_orderkey % 100 = 19
       ORDER BY version, _change_type, o_orderkey""",
+    // q352: the same MERGE content as q346 but MERGE-ON-READ - every
+    // base segment stays live (c1 shrinks IN PLACE via the applied
+    // artifact), the one appended commit w2 carries update
+    // post-images + inserts. A MoR write that rewrote a base segment
+    // shows up as a changed per-segment row and hash-fails.
+    "q352_sql_mor_merge" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+          CAST(o_orderdate AS DATE) AS d FROM orders),
+      seg AS (
+        SELECT *, CASE WHEN d < DATE '1997-01-01' THEN 'c0'
+                       WHEN d < DATE '1999-01-01' THEN 'c1'
+                       ELSE 'c2' END AS c FROM base),
+      touched AS (
+        SELECT o_orderkey FROM base
+        WHERE (o_orderkey % 100 = 7 OR o_orderkey % 100 = 29)
+          AND d >= DATE '1997-01-01' AND d < DATE '1997-07-01')
+      SELECT commit_id, n_rows, sum_price, status FROM (
+        SELECT c AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'base' AS status
+        FROM seg WHERE o_orderkey NOT IN (SELECT * FROM touched)
+        GROUP BY c
+        UNION ALL
+        SELECT 'w2' AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          'appended' AS status
+        FROM (
+          SELECT o_totalprice + 1000.0 AS p FROM base
+          WHERE o_orderkey % 100 = 7
+            AND d >= DATE '1997-01-01' AND d < DATE '1997-07-01'
+          UNION ALL
+          SELECT o_totalprice AS p FROM base WHERE o_orderkey % 100 = 13
+        ) t
+      ) r ORDER BY commit_id""",
+    // q353: MoR retention delete - artifact only; c0 serves its
+    // surviving rows in place, c1/c2 untouched, no new commit.
+    "q353_sql_mor_delete" -> """
+      WITH base AS (
+        SELECT o_totalprice, CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+      seg AS (
+        SELECT *, CASE WHEN d < DATE '1997-01-01' THEN 'c0'
+                       WHEN d < DATE '1999-01-01' THEN 'c1'
+                       ELSE 'c2' END AS c FROM base)
+      SELECT c AS commit_id, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        'base' AS status
+      FROM seg WHERE d >= DATE '1996-01-01'
+      GROUP BY c ORDER BY commit_id""",
   )
 }

@@ -202,6 +202,11 @@ class GraftRloTable(val root: String, ident: String,
   @transient private lazy val conf = new Configuration()
   lazy val tableSchema: StructType = RloMeta.readSchema(conf, root)
   lazy val statsColName: String = RloMeta.statsCol(conf, root)
+  /** "cow" (ReplaceData) or "mor" (SupportsDelta + read-time
+    * artifact apply); the row id of the mor flavor is the first
+    * schema column by contract. */
+  lazy val tableMode: String = RloMeta.mode(conf, root)
+  lazy val rowIdCol: String = tableSchema.head.name
 
   def currentVersion: Int =
     pinned.getOrElse(RloMeta.headVersion(conf, root))
@@ -232,7 +237,8 @@ class GraftRloTable(val root: String, ident: String,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(pinned.isEmpty, "cannot run DML against a pinned version")
-    () => new RloRowLevelOperation(this, info.command())
+    if (tableMode == "mor") () => new RloMorOperation(this, info.command())
+    else () => new RloRowLevelOperation(this, info.command())
   }
 }
 
@@ -271,7 +277,15 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
       pushed.forall(f =>
         RloStatsPruning.overlaps(f, table.statsColName, lo, hi))
     }
-    val scan = new RloScan(table.root, required, kept)
+    // merge-on-read: the version's scoped delete artifacts, resolved
+    // driver-side (churn-bounded by the MoR contract) and shipped to
+    // each segment's readers — the Iceberg delete-file apply
+    val delKeys =
+      if (table.tableMode == "mor")
+        RloMeta.liveDeleteKeys(conf, table.root, v)
+      else Map.empty[String, Array[Long]]
+    val scan = new RloScan(table.root, required, kept, delKeys,
+      table.rowIdCol)
     if (onBuild != null) onBuild(scan)
     scan
   }
@@ -319,11 +333,13 @@ object RloStatsPruning {
   }
 }
 
-case class RloInputPartition(commit: String, file: String)
-  extends InputPartition
+case class RloInputPartition(commit: String, file: String,
+    deletedKeys: Array[Long], keyCol: String) extends InputPartition
 
 class RloScan(root: String, requiredSchema: StructType,
-    staticCommits: Seq[String]) extends Scan with Batch
+    staticCommits: Seq[String],
+    deleteKeys: Map[String, Array[Long]] = Map.empty,
+    keyCol: String = "") extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   @transient private lazy val conf = new Configuration()
@@ -352,10 +368,13 @@ class RloScan(root: String, requiredSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     effectiveCommits.flatMap(c =>
       RloMeta.listDataFiles(conf, root, c)
-        .map(f => RloInputPartition(c, f))).toArray
+        .map(f => RloInputPartition(c, f,
+          deleteKeys.getOrElse(c, Array.empty[Long]), keyCol))).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new RloReaderFactory(requiredSchema.toDDL)
+    // JSON, not DDL: an all-aggregate projection prunes to an EMPTY
+    // schema, which DDL cannot round-trip
+    new RloReaderFactory(requiredSchema.json)
 }
 
 object RloScan {
@@ -386,31 +405,45 @@ object RloScan {
   }
 }
 
-class RloReaderFactory(outDdl: String) extends PartitionReaderFactory {
+class RloReaderFactory(outJson: String) extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val ip = p.asInstanceOf[RloInputPartition]
-    new RloPartitionReader(ip.commit, ip.file, StructType.fromDDL(outDdl))
+    new RloPartitionReader(ip.commit, ip.file,
+      DataType.fromJson(outJson).asInstanceOf[StructType],
+      ip.deletedKeys, ip.keyCol)
   }
 }
 
 /** One parquet segment file → InternalRows of the pruned schema
   * (plus the constant `_partition` value). Runs in the executor; the
   * parquet requested-projection does the column pruning, so a
-  * 2-column read never decodes the other columns. */
-class RloPartitionReader(commit: String, file: String, out: StructType)
+  * 2-column read never decodes the other columns. For a
+  * merge-on-read segment with scoped delete artifacts, the row-id
+  * column is force-included in the projection and deleted keys are
+  * dropped during the read (binary search in the shipped sorted key
+  * set — the Iceberg delete-file apply, per segment). */
+class RloPartitionReader(commit: String, file: String, out: StructType,
+    deletedKeys: Array[Long], keyCol: String)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
   private val dataCols = StructType(out.filter(_.name != "_partition"))
+  private val hasDeletes = deletedKeys.nonEmpty
+  private def tableSchema = RloMeta.readSchema(conf,
+    new org.apache.hadoop.fs.Path(file).getParent.getParent.getParent
+      .toString)
   // an all-metadata projection (e.g. the runtime-filter subquery
   // reading only _partition) still needs the row COUNT — request the
-  // narrowest real column and ignore its values
-  private val readCols =
-    if (dataCols.nonEmpty) dataCols
-    else StructType(Seq(RloMeta.readSchema(conf,
-      new org.apache.hadoop.fs.Path(file).getParent.getParent.getParent
-        .toString).head))
+  // narrowest real column and ignore its values; with live deletes
+  // the row-id column must ride along regardless of the projection
+  private val readCols: StructType = {
+    val base = if (dataCols.nonEmpty) dataCols
+      else StructType(Seq(tableSchema.head))
+    if (hasDeletes && !base.fieldNames.contains(keyCol))
+      StructType(base.fields :+ tableSchema(keyCol))
+    else base
+  }
 
   conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
     RloMeta.messageTypeFor(readCols, "spark_schema").toString)
@@ -421,11 +454,23 @@ class RloPartitionReader(commit: String, file: String, out: StructType)
   private val fieldIdx: Array[Int] = out.fields.map { f =>
     if (f.name == "_partition") -1 else readCols.fieldIndex(f.name)
   }
+  private val keyIdx: Int =
+    if (hasDeletes) readCols.fieldIndex(keyCol) else -1
   private val partitionValue = UTF8String.fromString(commit)
   private var current: InternalRow = _
 
-  override def next(): Boolean = {
+  @annotation.tailrec
+  private def readLive(): Group = {
     val g = reader.read()
+    if (g == null) null
+    else if (hasDeletes && g.getFieldRepetitionCount(keyIdx) > 0 &&
+        java.util.Arrays.binarySearch(deletedKeys,
+          g.getLong(keyIdx, 0)) >= 0) readLive()
+    else g
+  }
+
+  override def next(): Boolean = {
+    val g = readLive()
     if (g == null) { current = null; false }
     else {
       val row = new GenericInternalRow(out.length)
@@ -509,7 +554,7 @@ class RloWrite(root: String, writeSchema: StructType,
     // pre-clean keeps the commit deterministic
     RloMeta.deleteCommitDir(conf, root, newCommit)
     val statsIdx = writeSchema.fieldIndex(statsColName)
-    new RloBatchWrite(root, writeSchema.toDDL, statsIdx, head,
+    new RloBatchWrite(root, writeSchema.json, statsIdx, head,
       newCommit, replaced)
   }
 }
@@ -517,13 +562,13 @@ class RloWrite(root: String, writeSchema: StructType,
 case class RloCommitMessage(minDays: Int, maxDays: Int, n: Long)
   extends WriterCommitMessage
 
-class RloBatchWrite(root: String, schemaDdl: String, statsIdx: Int,
+class RloBatchWrite(root: String, schemaJson: String, statsIdx: Int,
     baseVersion: Int, newCommit: String,
     replaced: () => Set[String]) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    RloWriterFactory(root, newCommit, schemaDdl, statsIdx)
+    RloWriterFactory(root, newCommit, schemaJson, statsIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
@@ -548,7 +593,11 @@ class RloBatchWrite(root: String, schemaDdl: String, statsIdx: Int,
     // deterministic logical clock: one second per commit (fixtures
     // pin version 1's timestamp; TIMESTAMP AS OF stays replayable)
     val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
-    if (!RloMeta.publishVersion(conf, root, head + 1, ts, next))
+    // carry scoped delete batches forward (merge-on-read appends);
+    // on the cow flavor this is always empty
+    val carriedDeletes = RloMeta.deletesOf(conf, root, head)
+    if (!RloMeta.publishVersion(conf, root, head + 1, ts, next,
+        carriedDeletes))
       throw new IllegalStateException(
         s"concurrent commit: version ${head + 1} already published — " +
           "re-run the DML against the new head")
@@ -559,10 +608,10 @@ class RloBatchWrite(root: String, schemaDdl: String, statsIdx: Int,
 }
 
 case class RloWriterFactory(root: String, commit: String,
-    schemaDdl: String, statsIdx: Int) extends DataWriterFactory {
+    schemaJson: String, statsIdx: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new RloDataWriter(root, commit, schemaDdl, statsIdx, partitionId,
+    new RloDataWriter(root, commit, schemaJson, statsIdx, partitionId,
       taskId)
 }
 
@@ -571,11 +620,11 @@ case class RloWriterFactory(root: String, commit: String,
   * stats column so segment stats ride back in the commit message —
   * stats maintenance is incremental, never a post-hoc table scan
   * (the q337 discipline). */
-class RloDataWriter(root: String, commit: String, schemaDdl: String,
+class RloDataWriter(root: String, commit: String, schemaJson: String,
     statsIdx: Int, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private val schema = StructType.fromDDL(schemaDdl)
+  private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val conf = new Configuration()
   private val path = new org.apache.hadoop.fs.Path(
     RloMeta.commitDir(root, commit),
@@ -612,6 +661,190 @@ class RloDataWriter(root: String, commit: String, schemaDdl: String,
   override def abort(): Unit = {
     try writer.close() catch { case _: Throwable => () }
     org.apache.hadoop.fs.FileSystem.get(conf).delete(path, false); ()
+  }
+
+  override def close(): Unit = ()
+}
+
+// --------------------------------------------- merge-on-read flavor
+
+/** MERGE-ON-READ row-level operation ([[SupportsDelta]]): instead of
+  * rewriting touched groups, the write lands (a) per-row DELETE
+  * artifacts `(del_key, target_commit)` — the target segment comes
+  * from the row's `_partition` metadata, so routing is EXACT, not
+  * stats arithmetic — and (b) one append commit for inserts and
+  * update post-images (`representUpdateAsDeleteAndInsert`, the
+  * CdcUpsert write shape as planned by Spark's own WriteDelta). Base
+  * segments are never rewritten; readers apply the scoped artifacts
+  * ([[RloPartitionReader]]'s binary-search drop), which is the
+  * engine's q317/q339 read path inside the connector. The delete
+  * debt this accumulates is what a q329-style compactor bounds. */
+class RloMorOperation(table: GraftRloTable,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String =
+    s"graft-rlo-mor $cmd on ${table.name()}"
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new RloScanBuilder(table, null) // MoR scan already applies deletes
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(table.rowIdCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column("_partition"))
+
+  override def newWriteBuilder(
+      info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new RloDeltaWrite(table.root, info, table.statsColName)
+    }
+}
+
+class RloDeltaWrite(root: String, info: LogicalWriteInfo,
+    statsColName: String) extends DeltaWrite {
+  override def description(): String = s"graft-rlo-mor write $root"
+  override def toBatch: DeltaBatchWrite = {
+    val conf = new Configuration()
+    val head = RloMeta.headVersion(conf, root)
+    val newCommit = s"w${head + 1}"
+    val newDbatch = s"d${head + 1}"
+    RloMeta.deleteCommitDir(conf, root, newCommit)
+    RloMeta.fs(conf).delete(RloMeta.deleteBatchDir(root, newDbatch),
+      true)
+    // positions of the metadata `_partition` and the row-id column in
+    // the side schemas Spark hands the delta writer
+    val partIdx = info.metadataSchema().get().fieldIndex("_partition")
+    // a pure DELETE plans an EMPTY row schema (no inserts ever reach
+    // the writer) — the stats column only matters when data rows land
+    val statsIdx =
+      if (info.schema().fieldNames.contains(statsColName))
+        info.schema().fieldIndex(statsColName)
+      else -1
+    new RloDeltaBatchWrite(root, info.schema().json, statsIdx,
+      partIdx, head, newCommit, newDbatch)
+  }
+}
+
+case class RloDeltaCommitMessage(minDays: Int, maxDays: Int,
+    nInserts: Long, nDeletes: Long) extends WriterCommitMessage
+
+class RloDeltaBatchWrite(root: String, rowSchemaJson: String,
+    statsIdx: Int, partIdx: Int, baseVersion: Int, newCommit: String,
+    newDbatch: String) extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    RloDeltaWriterFactory(root, newCommit, newDbatch, rowSchemaJson,
+      statsIdx, partIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val ms = messages.collect { case m: RloDeltaCommitMessage => m }
+    val nIns = ms.map(_.nInserts).sum
+    val nDel = ms.map(_.nDeletes).sum
+    val head = RloMeta.headVersion(conf, root)
+    if (head != baseVersion) throw new IllegalStateException(
+      s"concurrent commit: head moved $baseVersion -> $head while " +
+        "this DML ran — re-run the whole operation against the new head")
+    val live = RloMeta.commitsOf(conf, root, head)._2
+    if (nIns > 0)
+      RloMeta.writeStats(conf, root, newCommit,
+        ms.filter(_.nInserts > 0).map(_.minDays).min,
+        ms.filter(_.nInserts > 0).map(_.maxDays).max, nIns)
+    else RloMeta.deleteCommitDir(conf, root, newCommit)
+    val commits = live ++ (if (nIns > 0) Seq(newCommit) else Nil)
+    val deletes = RloMeta.deletesOf(conf, root, head) ++
+      (if (nDel > 0) Seq(newDbatch) else Nil)
+    val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
+    if (!RloMeta.publishVersion(conf, root, head + 1, ts, commits,
+        deletes))
+      throw new IllegalStateException(
+        s"concurrent commit: version ${head + 1} already published — " +
+          "re-run the DML against the new head")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    RloMeta.deleteCommitDir(conf, root, newCommit)
+    RloMeta.fs(conf).delete(RloMeta.deleteBatchDir(root, newDbatch),
+      true); ()
+  }
+}
+
+case class RloDeltaWriterFactory(root: String, commit: String,
+    dbatch: String, rowSchemaJson: String, statsIdx: Int,
+    partIdx: Int) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new RloDeltaWriter(root, commit, dbatch, rowSchemaJson, statsIdx,
+      partIdx, partitionId, taskId)
+}
+
+/** Per-task delta writer: inserts stream to a data segment file,
+  * deletes to an artifact file — both lazily created, so a
+  * delete-only task writes no data file and vice versa. An update is
+  * a delete + an insert (the operation declares
+  * representUpdateAsDeleteAndInsert). */
+class RloDeltaWriter(root: String, commit: String, dbatch: String,
+    rowSchemaJson: String, statsIdx: Int, partIdx: Int,
+    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+
+  private val conf = new Configuration()
+  private var dataW: RloDataWriter = _
+  private var delW: ParquetWriter[Group] = _
+  private lazy val delFactory = new SimpleGroupFactory(
+    RloMeta.messageTypeFor(RloMeta.DeleteSchema, "spark_schema"))
+  private var nDel = 0L
+
+  override def insert(row: InternalRow): Unit = {
+    if (dataW == null)
+      dataW = new RloDataWriter(root, commit, rowSchemaJson, statsIdx,
+        partitionId, taskId)
+    dataW.write(row)
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    if (delW == null) {
+      val p = new org.apache.hadoop.fs.Path(
+        RloMeta.deleteBatchDir(root, dbatch),
+        f"part-$partitionId%05d-$taskId.parquet")
+      delW = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(p, conf))
+        .withType(RloMeta.messageTypeFor(RloMeta.DeleteSchema,
+          "spark_schema"))
+        .withConf(conf).build()
+    }
+    val g = delFactory.newGroup()
+    g.add("del_key", id.getLong(0))
+    g.add("target_commit", metadata.getUTF8String(partIdx).toString)
+    delW.write(g)
+    nDel += 1
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    delete(metadata, id); insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = if (dataW != null)
+      dataW.commit().asInstanceOf[RloCommitMessage]
+    else RloCommitMessage(Int.MaxValue, Int.MinValue, 0L)
+    if (delW != null) delW.close()
+    RloDeltaCommitMessage(dataMsg.minDays, dataMsg.maxDays,
+      dataMsg.n, nDel)
+  }
+
+  override def abort(): Unit = {
+    if (dataW != null) dataW.abort()
+    if (delW != null) { try delW.close() catch { case _: Throwable => () } }
   }
 
   override def close(): Unit = ()

@@ -107,14 +107,23 @@ object RloMeta {
   }
 
   /** (commit-timestamp micros, commit set) of one version — the
-    * manifest lookup; metadata-sized by construction. */
+    * manifest lookup; metadata-sized by construction. Lines prefixed
+    * `d:` are DELETE-BATCH references (the merge-on-read flavor) and
+    * are not commits; [[deletesOf]] reads those. */
   def commitsOf(conf: Configuration, root: String,
       v: Int): (Long, Seq[String]) = {
     val lines = readText(fs(conf), versionPath(root, v)).linesIterator
       .map(_.trim).filter(_.nonEmpty).toSeq
     val ts = lines.head.stripPrefix("ts=").toLong
-    (ts, lines.tail)
+    (ts, lines.tail.filterNot(_.startsWith("d:")))
   }
+
+  /** Delete batches scoped to one version (merge-on-read flavor). */
+  def deletesOf(conf: Configuration, root: String,
+      v: Int): Seq[String] =
+    readText(fs(conf), versionPath(root, v)).linesIterator
+      .map(_.trim).filter(_.startsWith("d:")).map(_.stripPrefix("d:"))
+      .toSeq
 
   /** Highest version whose commit timestamp is <= tsMicros. */
   def versionAsOf(conf: Configuration, root: String,
@@ -130,17 +139,43 @@ object RloMeta {
     * create-if-absent: of two racing publishers exactly one wins and
     * the loser sees a clean failure with nothing visible (the q321
     * CAS discipline; an Iceberg commit is the same rename/create
-    * primitive). Returns false on a lost race. */
+    * primitive). Returns false on a lost race.
+    *
+    * Atomicity source per scheme: on `file://` the Hadoop local FS's
+    * `create(overwrite = false)` is CHECK-then-create (a real race
+    * window between two OS processes), so the local path goes through
+    * POSIX `O_CREAT|O_EXCL` (`Files.createFile` via CREATE_NEW) —
+    * kernel-atomic across processes, which SqlDmlSpec exercises with
+    * two racing JVMs. Remote stores keep the FileSystem call: HDFS
+    * create-no-overwrite is namenode-atomic, and object stores
+    * provide conditional create (S3 If-None-Match) under the same
+    * contract. */
   def publishVersion(conf: Configuration, root: String, v: Int,
-      tsMicros: Long, commits: Seq[String]): Boolean = {
-    val text = (s"ts=$tsMicros" +: commits).mkString("\n")
-    try {
-      writeText(fs(conf), versionPath(root, v), text, overwrite = false)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: java.io.IOException
-          if fs(conf).exists(versionPath(root, v)) => false
+      tsMicros: Long, commits: Seq[String],
+      deletes: Seq[String] = Nil): Boolean = {
+    val text = (s"ts=$tsMicros" +: (commits ++ deletes.map("d:" + _)))
+      .mkString("\n")
+    val p = versionPath(root, v)
+    val isLocal = Option(p.toUri.getScheme).forall(s =>
+      s == "file" || fs(conf).getScheme == "file")
+    if (isLocal) {
+      try {
+        val local = java.nio.file.Paths.get(
+          new Path(fs(conf).makeQualified(p).toUri.getPath).toString)
+        java.nio.file.Files.write(local,
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try { writeText(fs(conf), p, text, overwrite = false); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case _: java.io.IOException if fs(conf).exists(p) => false
+      }
     }
   }
 
@@ -170,6 +205,55 @@ object RloMeta {
     else f.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
+  }
+
+  // -------------------------------- merge-on-read delete artifacts
+
+  def deleteBatchDir(root: String, dbatch: String) =
+    new Path(new Path(root, "deletes"), dbatch)
+
+  /** Table write mode: "cow" (default, copy-on-write ReplaceData) or
+    * "mor" (merge-on-read delta writes + read-time artifact apply). */
+  def mode(conf: Configuration, root: String): String = {
+    val p = new Path(metaDir(root), "mode.txt")
+    if (fs(conf).exists(p)) readText(fs(conf), p).trim else "cow"
+  }
+
+  def setMode(conf: Configuration, root: String, m: String): Unit =
+    writeText(fs(conf), new Path(metaDir(root), "mode.txt"), m,
+      overwrite = true)
+
+  /** The artifact row schema: which key is deleted, in which segment
+    * (the writer knows the exact segment from the row's `_partition`
+    * metadata — exact routing, no stats arithmetic needed). */
+  val DeleteSchema: StructType = StructType(Seq(
+    StructField("del_key", LongType),
+    StructField("target_commit", StringType)))
+
+  /** Read the live delete keys per target commit for one version —
+    * DRIVER-side (the artifact relation is churn-bounded by the MoR
+    * contract; Iceberg ships delete files to readers the same way).
+    * Returns commit -> sorted distinct keys. */
+  def liveDeleteKeys(conf: Configuration, root: String,
+      v: Int): Map[String, Array[Long]] = {
+    val batches = deletesOf(conf, root, v)
+    val rows = batches.flatMap { b =>
+      val dir = deleteBatchDir(root, b)
+      val f = fs(conf)
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).toSeq.flatMap { p =>
+          val reader = org.apache.parquet.hadoop.ParquetReader.builder(
+            new org.apache.parquet.hadoop.example.GroupReadSupport(), p)
+            .withConf(conf).build()
+          try Iterator.continually(reader.read()).takeWhile(_ != null)
+            .map(g => (g.getString("target_commit", 0),
+              g.getLong("del_key", 0))).toVector
+          finally reader.close()
+        }
+    }
+    rows.groupBy(_._1)
+      .map { case (c, ks) => c -> ks.map(_._2).distinct.sorted.toArray }
   }
 
   def deleteCommitDir(conf: Configuration, root: String,

@@ -121,6 +121,92 @@ class SqlDmlSpec extends AnyFunSuite {
       Set("c0", "c1", "c2"))
   }
 
+  test("q352 MERGE-ON-READ MERGE: no base segment is rewritten (all " +
+      "files byte-and-mtime stable), the artifact holds exactly the " +
+      "touched keys with exact segment routing, and version 1 still " +
+      "serves the pre-merge content") {
+    val root = SqlDml.buildTable(spark, sf, "orders_mor_spec",
+      mode = "mor")
+    val before = Seq("c0", "c1", "c2")
+      .map(c => c -> fileStamps(root, c)).toMap
+    val v1Count = spark.sql(s"SELECT COUNT(*) AS n FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_mor_spec").collect()
+      .head.getLong(0)
+
+    SqlDml.runMerge(spark, sf, "orders_mor_spec")
+
+    // every base segment carries; exactly one append commit arrives
+    assert(RloMeta.commitsOf(conf, root, 2)._2.toSet ==
+      Set("c0", "c1", "c2", "w2"))
+    assert(RloMeta.deletesOf(conf, root, 2) == Seq("d2"))
+    Seq("c0", "c1", "c2").foreach { c =>
+      assert(fileStamps(root, c) == before(c),
+        s"MoR merge rewrote base segment $c")
+    }
+    // the artifact holds exactly the matched U/D keys, each routed to
+    // the segment that physically holds its row (exact routing from
+    // the row's _partition metadata, not stats arithmetic)
+    val artifact = RloMeta.liveDeleteKeys(conf, root, 2)
+    val expected = SqlDml.ordersAsDate(spark, sf)
+      .filter((col("o_orderkey") % 100 === 7 ||
+        col("o_orderkey") % 100 === 29) &&
+        col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-07-01").cast("date"))
+      .select(col("o_orderkey")).collect().map(_.getLong(0)).sorted
+    assert(artifact.keySet == Set("c1"),
+      s"artifact targets ${artifact.keySet}, rows live only in c1")
+    assert(artifact("c1").toSeq == expected.toSeq)
+    // time travel unaffected: v1 has no delete batches in scope
+    val v1After = spark.sql(s"SELECT COUNT(*) AS n FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_mor_spec VERSION AS OF 1")
+      .collect().head.getLong(0)
+    assert(v1After == v1Count, s"v1 drifted: $v1Count -> $v1After")
+  }
+
+  test("the version-file CAS holds across OS PROCESSES, not just " +
+      "threads: two racing JVMs each land 25 commits with no version " +
+      "double-written and no gap (r12 'multi-process writer safety')") {
+    val root = graft.Scratch.dir("rlo_two_proc")
+    RloMeta.initTable(conf, root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))), "k")
+    RloMeta.publishVersion(conf, root, 1, 0L, Seq("base"))
+    val perRacer = 25
+    val java = s"${sys.props("java.home")}/bin/java"
+    val cp = sys.props("java.class.path")
+    def spawn(tag: String) =
+      new ProcessBuilder(java, "-cp", cp, "graft.CasRacer", root, tag,
+        perRacer.toString).redirectErrorStream(true).start()
+    val (a, b) = (spawn("A"), spawn("B"))
+    def drain(p: Process): String =
+      new String(p.getInputStream.readAllBytes())
+    val (outA, outB) = (drain(a), drain(b))
+    assert(a.waitFor() == 0, s"racer A failed:\n$outA")
+    assert(b.waitFor() == 0, s"racer B failed:\n$outB")
+    // dense version chain, exactly one writer per version
+    val head = RloMeta.headVersion(conf, root)
+    assert(head == 1 + 2 * perRacer, s"head $head, want ${1 + 2 * perRacer}")
+    val tags = (2 to head).map { v =>
+      val (_, cs) = RloMeta.commitsOf(conf, root, v)
+      assert(cs.length == 1, s"version $v lists $cs")
+      cs.head.takeWhile(_ != '-')
+    }
+    assert(tags.count(_ == "A") == perRacer, tags.mkString(","))
+    assert(tags.count(_ == "B") == perRacer, tags.mkString(","))
+    // and each racer's own sequence landed in order (its k-th append
+    // has a higher version than its (k-1)-th) — implied by the
+    // single-writer-loop structure, asserted via per-tag suffixes
+    Seq("A", "B").foreach { t =>
+      val seqs = (2 to head).flatMap { v =>
+        val c = RloMeta.commitsOf(conf, root, v)._2.head
+        if (c.startsWith(t + "-")) Some(c.stripPrefix(t + "-").toInt)
+        else None
+      }
+      assert(seqs == (0 until perRacer), s"$t out of order: $seqs")
+    }
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
