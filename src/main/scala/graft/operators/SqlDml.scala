@@ -271,4 +271,94 @@ object SqlDml {
       GROUP BY _partition
       ORDER BY commit_id""")
   }
+
+  /** q354: `ALTER TABLE ... ADD COLUMNS` — append-only schema
+    * evolution as SQL. The schema file widens (metadata-only);
+    * existing segments keep their narrower physical schema and the
+    * connector's readers null the new column per file that predates
+    * it (footer intersection in [[graft.sources.RloPartitionReader]]
+    * — the add-column contract every table format ships). The
+    * follow-up INSERT carries the new column, so the report's
+    * channel classes split exactly along the evolution boundary. */
+  def q354SqlAddColumn(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_cow_evo")
+    Tables.requireKeyHeadroom(spark, dir, 10000000L)
+    spark.sql(s"""ALTER TABLE $Cat.$Ns.orders_cow_evo
+      ADD COLUMNS (o_channel STRING)""")
+    ordersAsDate(spark, dir)
+      .filter(col("o_orderkey") % 100 === 13)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        lit("2002-01-15").cast("date").as("o_orderdate"),
+        when(col("o_custkey") % 2 === 0, "web").otherwise("store")
+          .as("o_channel"))
+      .createOrReplaceTempView("ins_src_q354")
+    spark.sql(s"""INSERT INTO $Cat.$Ns.orders_cow_evo
+      SELECT * FROM ins_src_q354""")
+    spark.sql(s"""
+      SELECT COALESCE(o_channel, 'pre_evolution') AS channel,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM $Cat.$Ns.orders_cow_evo
+      GROUP BY 1 ORDER BY channel""")
+  }
+
+  /** q355: `INSERT OVERWRITE` — the reference's OWN production write
+    * shape (a full overwrite per run, ref `etl/load.py:61-78`),
+    * expressed against the versioned catalog: truncate+append
+    * (SupportsTruncate), so the new version lists only the new
+    * segment while every prior version stays time-travelable —
+    * the overwrite is a manifest edit, not a physical delete. */
+  def q355SqlInsertOverwrite(spark: SparkSession,
+      dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_cow_ow")
+    ordersAsDate(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 10.0).as("o_totalprice"),
+        col("o_orderdate"))
+      .createOrReplaceTempView("ow_src_q355")
+    spark.sql(s"""INSERT OVERWRITE $Cat.$Ns.orders_cow_ow
+      SELECT * FROM ow_src_q355""")
+    spark.sql(s"""
+      SELECT 'v1_before' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM $Cat.$Ns.orders_cow_ow VERSION AS OF 1
+      UNION ALL
+      SELECT 'v2_after' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM $Cat.$Ns.orders_cow_ow
+      ORDER BY read""")
+  }
+
+  /** q356: EXPIRE + VACUUM for the DSv2 catalog — the q310 two-phase
+    * (manifest forgets first, then unreferenced segment dirs are
+    * reclaimed) applied to the SQL-DML tier: after the UPDATE
+    * replaces c2 with w2, expiring to the head makes c2 unreachable
+    * and the vacuum deletes exactly it. `n_rows_after` is COUNTED
+    * from the post-vacuum table, so a vacuum that deleted a live
+    * segment or missed a dead one hash-fails. */
+  def q356RloVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = buildTable(spark, dir, "orders_cow_gc")
+    spark.sql(s"""UPDATE $Cat.$Ns.orders_cow_gc
+      SET o_totalprice = o_totalprice + 500.0
+      WHERE o_orderdate >= DATE '1999-01-01'""")
+    val conf = new Configuration()
+    val (deadSegs, _) = RloMeta.expireAndVacuum(conf, root, keep = 2)
+    val after = spark.sql(s"""
+      SELECT _partition AS commit_id, COUNT(*) AS n_rows_after
+      FROM $Cat.$Ns.orders_cow_gc GROUP BY _partition""")
+    val reclaimed = deadSegs.map((_, 0L))
+      .toDF("commit_id", "n_rows_after")
+    after.unionByName(reclaimed)
+      .select(col("commit_id"),
+        when(col("commit_id").isin(deadSegs: _*), "reclaimed")
+          .otherwise("retained").as("status"),
+        col("n_rows_after"))
+      .orderBy(col("commit_id"))
+  }
 }

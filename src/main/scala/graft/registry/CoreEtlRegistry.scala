@@ -86,6 +86,9 @@ object CoreEtlRegistry {
     "q351_table_changes"   -> (CdcUpsert.q351TableChangesSql _),
     "q352_sql_mor_merge"   -> (SqlDml.q352SqlMorMerge _),
     "q353_sql_mor_delete"  -> (SqlDml.q353SqlMorDelete _),
+    "q354_sql_add_column"  -> (SqlDml.q354SqlAddColumn _),
+    "q355_sql_insert_overwrite" -> (SqlDml.q355SqlInsertOverwrite _),
+    "q356_rlo_vacuum"      -> (SqlDml.q356RloVacuum _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1694,5 +1697,54 @@ object CoreEtlRegistry {
         'base' AS status
       FROM seg WHERE d >= DATE '1996-01-01'
       GROUP BY c ORDER BY commit_id""",
+    // q354: the evolution boundary in the hash - rows from segments
+    // that predate the ADD COLUMN read back with a NULL channel, the
+    // inserted batch splits web/store on key parity.
+    "q354_sql_add_column" -> """
+      SELECT channel, n_rows, sum_price FROM (
+        SELECT 'pre_evolution' AS channel, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders
+        UNION ALL
+        SELECT CASE WHEN o_custkey % 2 = 0 THEN 'web'
+                    ELSE 'store' END AS channel,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders WHERE o_orderkey % 100 = 13
+        GROUP BY 1
+      ) r ORDER BY channel""",
+    // q355: INSERT OVERWRITE is a manifest edit - v1 still serves
+    // the full table, the head serves the overwrite query's result.
+    "q355_sql_insert_overwrite" -> """
+      SELECT 'v1_before' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM orders
+      UNION ALL
+      SELECT 'v2_after' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice + 10.0 AS DECIMAL(18,2)))
+          AS DOUBLE) AS sum_price
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      ORDER BY read""",
+    // q356: after the UPDATE (c2 -> w2) and expire-to-head, the
+    // vacuum must reclaim exactly c2; every count is taken from the
+    // post-vacuum table.
+    "q356_rlo_vacuum" -> """
+      WITH base AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+      SELECT commit_id, status, n_rows_after FROM (
+        SELECT 'c0' AS commit_id, 'retained' AS status,
+          COUNT(*) AS n_rows_after
+        FROM base WHERE d < DATE '1997-01-01'
+        UNION ALL
+        SELECT 'c1', 'retained', COUNT(*)
+        FROM base WHERE d >= DATE '1997-01-01' AND d < DATE '1999-01-01'
+        UNION ALL
+        SELECT 'c2', 'reclaimed', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'w2', 'retained', COUNT(*)
+        FROM base WHERE d >= DATE '1999-01-01'
+      ) r ORDER BY commit_id""",
   )
 }

@@ -138,9 +138,28 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces {
     new GraftRloTable(rootOf(ident), ident.toString, None)
   }
 
+  /** `ALTER TABLE ... ADD COLUMN` — append-only schema evolution:
+    * the schema file widens, existing segments stay put, readers
+    * null the column per file that predates it. Anything but a
+    * trailing add is rejected (it would reinterpret existing files'
+    * columns without rewriting them). */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER not supported")
+      changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    val newSchema = changes.foldLeft(RloMeta.readSchema(conf, root)) {
+      case (s, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "nested column adds not supported")
+        require(add.position() == null,
+          "positioned adds not supported: columns append at the end")
+        s.add(StructField(add.fieldNames().head, add.dataType(),
+          nullable = true))
+      case (_, ch) => throw new UnsupportedOperationException(
+        s"only ADD COLUMN is supported, got $ch")
+    }
+    RloMeta.evolveSchema(conf, root, newSchema)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     RloMeta.fs(conf).delete(
@@ -216,7 +235,7 @@ class GraftRloTable(val root: String, ident: String,
   override def version(): String = currentVersion.toString
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(RloPartitionCol)
 
@@ -225,12 +244,28 @@ class GraftRloTable(val root: String, ident: String,
     new RloScanBuilder(this, null)
 
   /** Plain `INSERT INTO`: append a new segment commit — base segments
-    * are never read, the manifest gains one entry. */
+    * are never read, the manifest gains one entry. `INSERT OVERWRITE`
+    * arrives as truncate+append (SupportsTruncate): the new version
+    * lists ONLY the new segment — nothing is physically deleted, so
+    * prior versions stay time-travelable and vacuum reclaims later. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, "cannot write to a version-pinned read")
-    new WriteBuilder {
-      override def build(): Write =
-        new RloWrite(root, info.schema(), statsColName, () => Set.empty)
+    val tableRoot = root
+    new WriteBuilder with SupportsTruncate {
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def build(): Write = {
+        val all = replaceAll
+        new RloWrite(tableRoot, info.schema(), statsColName,
+          () =>
+            if (!all) Set.empty
+            else {
+              val c = new Configuration()
+              RloMeta.commitsOf(c, tableRoot,
+                RloMeta.headVersion(c, tableRoot))._2.toSet
+            },
+          truncateAll = all)
+      }
     }
   }
 
@@ -437,12 +472,32 @@ class RloPartitionReader(commit: String, file: String, out: StructType,
   // reading only _partition) still needs the row COUNT — request the
   // narrowest real column and ignore its values; with live deletes
   // the row-id column must ride along regardless of the projection
-  private val readCols: StructType = {
+  private val wantedCols: StructType = {
     val base = if (dataCols.nonEmpty) dataCols
       else StructType(Seq(tableSchema.head))
     if (hasDeletes && !base.fieldNames.contains(keyCol))
       StructType(base.fields :+ tableSchema(keyCol))
     else base
+  }
+
+  // SCHEMA EVOLUTION: a file written before an ADD COLUMN lacks the
+  // new column — the parquet projection may only request fields the
+  // FILE has, so intersect against the footer and null the rest per
+  // row. The first table column exists in every file (evolution is
+  // append-only), so a projection of only-new columns still counts
+  // rows correctly.
+  private val fileFields: Set[String] = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file), conf))
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally r.close()
+  }
+  private val readCols: StructType = {
+    val present = StructType(wantedCols.filter(f => fileFields(f.name)))
+    if (present.nonEmpty) present
+    else StructType(Seq(tableSchema.head))
   }
 
   conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -451,8 +506,11 @@ class RloPartitionReader(commit: String, file: String, out: StructType,
     ParquetReader.builder(new GroupReadSupport(),
       new org.apache.hadoop.fs.Path(file)).withConf(conf).build()
 
+  // -1 = the _partition constant; -2 = column newer than this file
   private val fieldIdx: Array[Int] = out.fields.map { f =>
-    if (f.name == "_partition") -1 else readCols.fieldIndex(f.name)
+    if (f.name == "_partition") -1
+    else if (!readCols.fieldNames.contains(f.name)) -2
+    else readCols.fieldIndex(f.name)
   }
   private val keyIdx: Int =
     if (hasDeletes) readCols.fieldIndex(keyCol) else -1
@@ -476,7 +534,8 @@ class RloPartitionReader(commit: String, file: String, out: StructType,
       val row = new GenericInternalRow(out.length)
       var i = 0
       while (i < out.length) {
-        if (fieldIdx(i) < 0) row.update(i, partitionValue)
+        if (fieldIdx(i) == -1) row.update(i, partitionValue)
+        else if (fieldIdx(i) == -2) row.setNullAt(i)
         else {
           val fi = fieldIdx(i)
           if (g.getFieldRepetitionCount(fi) == 0) row.setNullAt(i)
@@ -541,7 +600,8 @@ class RloRowLevelOperation(table: GraftRloTable,
   * append (replaced = ∅) and copy-on-write DML (replaced = the
   * operation scan's group set). */
 class RloWrite(root: String, writeSchema: StructType,
-    statsColName: String, replaced: () => Set[String]) extends Write {
+    statsColName: String, replaced: () => Set[String],
+    truncateAll: Boolean = false) extends Write {
 
   override def description(): String = s"graft-rlo write $root"
 
@@ -555,7 +615,7 @@ class RloWrite(root: String, writeSchema: StructType,
     RloMeta.deleteCommitDir(conf, root, newCommit)
     val statsIdx = writeSchema.fieldIndex(statsColName)
     new RloBatchWrite(root, writeSchema.json, statsIdx, head,
-      newCommit, replaced)
+      newCommit, replaced, truncateAll)
   }
 }
 
@@ -564,7 +624,8 @@ case class RloCommitMessage(minDays: Int, maxDays: Int, n: Long)
 
 class RloBatchWrite(root: String, schemaJson: String, statsIdx: Int,
     baseVersion: Int, newCommit: String,
-    replaced: () => Set[String]) extends BatchWrite {
+    replaced: () => Set[String],
+    truncateAll: Boolean = false) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -594,8 +655,10 @@ class RloBatchWrite(root: String, schemaJson: String, statsIdx: Int,
     // pin version 1's timestamp; TIMESTAMP AS OF stays replayable)
     val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
     // carry scoped delete batches forward (merge-on-read appends);
-    // on the cow flavor this is always empty
-    val carriedDeletes = RloMeta.deletesOf(conf, root, head)
+    // on the cow flavor this is always empty. A truncate replaces the
+    // table wholesale, so nothing carries.
+    val carriedDeletes =
+      if (truncateAll) Nil else RloMeta.deletesOf(conf, root, head)
     if (!RloMeta.publishVersion(conf, root, head + 1, ts, next,
         carriedDeletes))
       throw new IllegalStateException(

@@ -93,6 +93,59 @@ object RloMeta {
   def statsCol(conf: Configuration, root: String): String =
     readText(fs(conf), new Path(metaDir(root), "statscol.txt")).trim
 
+  /** SCHEMA EVOLUTION (append-only): overwrite the schema with a
+    * wider one. Widening is metadata-only — existing segment files
+    * keep their narrower physical schema and readers null the
+    * missing columns per file (the [[RloPartitionReader]] footer
+    * check), the classic add-column contract. Only appends are
+    * legal: renames/drops/reorders would change the meaning of
+    * existing files' columns without rewriting them. */
+  def evolveSchema(conf: Configuration, root: String,
+      newSchema: StructType): Unit = {
+    val old = readSchema(conf, root)
+    require(newSchema.fields.take(old.length).map(f =>
+        (f.name, f.dataType)).sameElements(
+        old.fields.map(f => (f.name, f.dataType))),
+      "schema evolution is append-only: existing columns must be " +
+        s"unchanged (old ${old.toDDL}, new ${newSchema.toDDL})")
+    writeText(fs(conf), new Path(metaDir(root), "schema.ddl"),
+      newSchema.toDDL, overwrite = true)
+  }
+
+  /** Expire all versions but `keep`, then reclaim every segment dir
+    * and delete-batch dir no surviving version references — the q310
+    * expire-then-vacuum two-phase for this catalog. Reachability is
+    * pure manifest arithmetic; reclaim is a directory delete
+    * (immutable segments make GC a delete, never a rewrite).
+    * Returns (reclaimed segment dirs, reclaimed delete batches). */
+  def expireAndVacuum(conf: Configuration, root: String,
+      keep: Int): (Seq[String], Seq[String]) = {
+    val f = fs(conf)
+    val head = headVersion(conf, root)
+    require(keep <= head, s"keep=$keep but head is $head")
+    (1 to head).filterNot(_ == keep).foreach { v =>
+      f.delete(new Path(metaDir(root), f"v$v%05d.txt"), false)
+    }
+    val live = commitsOf(conf, root, keep)._2.toSet
+    val liveD = deletesOf(conf, root, keep).toSet
+    val onDisk =
+      if (!f.exists(dataDir(root))) Seq.empty[String]
+      else f.listStatus(dataDir(root)).filter(_.isDirectory)
+        .map(_.getPath.getName).toSeq
+    val dDir = new Path(root, "deletes")
+    val dOnDisk =
+      if (!f.exists(dDir)) Seq.empty[String]
+      else f.listStatus(dDir).filter(_.isDirectory)
+        .map(_.getPath.getName).toSeq
+    val deadSegs = onDisk.filterNot(live).sorted
+    val deadBatches = dOnDisk.filterNot(liveD).sorted
+    deadSegs.foreach(c => f.delete(commitDir(root, c), true))
+    deadBatches.foreach(b => f.delete(deleteBatchDir(root, b), true))
+    deadSegs.foreach(c =>
+      f.delete(new Path(metaDir(root), s"stats_$c.txt"), false))
+    (deadSegs, deadBatches)
+  }
+
   // ------------------------------------------------------- versions
 
   private def versionPath(root: String, v: Int) =

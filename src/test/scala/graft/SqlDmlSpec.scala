@@ -121,6 +121,67 @@ class SqlDmlSpec extends AnyFunSuite {
       Set("c0", "c1", "c2"))
   }
 
+  test("q354 schema evolution is metadata-only: ALTER+INSERT leaves " +
+      "pre-evolution segment files untouched, and projecting ONLY " +
+      "the new column over an old segment yields all-null rows with " +
+      "the right count (footer-intersection read)") {
+    graft.operators.SqlDml.q354SqlAddColumn(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_cow_evo")
+    // old segments keep their 4-column physical schema on disk
+    val c0Files = RloMeta.listDataFiles(conf, root, "c0")
+    assert(c0Files.nonEmpty)
+    // a projection of only the NEW column over the whole table: old
+    // rows null, inserted rows valued — and the count is the union
+    val rows = spark.sql(s"SELECT o_channel FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_evo").collect()
+    val total = SqlDml.ordersAsDate(spark, sf).count()
+    val inserted = SqlDml.ordersAsDate(spark, sf)
+      .filter(col("o_orderkey") % 100 === 13).count()
+    assert(rows.length == total + inserted)
+    assert(rows.count(_.isNullAt(0)) == total,
+      "pre-evolution rows must read the new column as null")
+    assert(rows.count(!_.isNullAt(0)) == inserted)
+  }
+
+  test("q355 INSERT OVERWRITE is a manifest edit: the new version " +
+      "lists only the new segment, prior segments stay on disk and " +
+      "version 1 still serves the full table") {
+    graft.operators.SqlDml.q355SqlInsertOverwrite(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_cow_ow")
+    assert(RloMeta.commitsOf(conf, root, 2)._2 == Seq("w2"))
+    Seq("c0", "c1", "c2").foreach { c =>
+      assert(RloMeta.listDataFiles(conf, root, c).nonEmpty,
+        s"overwrite physically deleted $c — it must stay for time travel")
+    }
+    val v1 = spark.sql(s"SELECT COUNT(*) FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_ow VERSION AS OF 1")
+      .collect().head.getLong(0)
+    assert(v1 == SqlDml.ordersAsDate(spark, sf).count())
+  }
+
+  test("q356 expire+vacuum reclaims exactly the unreachable segment: " +
+      "expired version files and c2's dir+stats are gone, the head " +
+      "read is byte-stable across the vacuum") {
+    val before = graft.operators.SqlDml.q356RloVacuum(spark, sf)
+      .collect()
+    val root = SqlDml.tableRoot("orders_cow_gc")
+    val f = RloMeta.fs(conf)
+    // only v2 survives; c2 is physically gone, its stats file too
+    assert(RloMeta.headVersion(conf, root) == 2)
+    intercept[java.io.FileNotFoundException] {
+      RloMeta.commitsOf(conf, root, 1)
+    }
+    assert(RloMeta.listDataFiles(conf, root, "c2").isEmpty)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      RloMeta.metaDir(root), "stats_c2.txt")))
+    // and the head still serves exactly what the report counted
+    val n = spark.sql(s"SELECT COUNT(*) FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_gc").collect()
+      .head.getLong(0)
+    assert(n == before.filter(_.getString(1) == "retained")
+      .map(_.getLong(2)).sum)
+  }
+
   test("q352 MERGE-ON-READ MERGE: no base segment is rewritten (all " +
       "files byte-and-mtime stable), the artifact holds exactly the " +
       "touched keys with exact segment routing, and version 1 still " +
