@@ -361,4 +361,51 @@ object SqlDml {
         col("n_rows_after"))
       .orderBy(col("commit_id"))
   }
+
+  /** q357: MERGE with `WHEN NOT MATCHED BY SOURCE` — full-table
+    * SYNC semantics (make the target equal the source relation):
+    * updates where prices moved, inserts for new keys, deletes for
+    * keys the source no longer has. The BY SOURCE clause means NO
+    * group can be pruned — every target row must be checked against
+    * the source — so all three segments rewrite into w2 and the
+    * final state must equal the source exactly; a group filter that
+    * wrongly pruned here would silently KEEP deleted rows, which the
+    * oracle's totals catch. The honest cost statement: sync-MERGE is
+    * a full rewrite by definition; the routed shapes are q346/q352. */
+  def q357SqlMergeSync(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_cow_sync")
+    Tables.requireKeyHeadroom(spark, dir, 10000000L)
+    val orders = ordersAsDate(spark, dir)
+    // the source snapshot: mod-19 rows gone, mod-11 prices +50,
+    // shifted mod-23 rows new
+    val src = orders.filter(col("o_orderkey") % 100 =!= 19)
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 100 === 11, col("o_totalprice") + 50.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate"))
+      .unionByName(orders.filter(col("o_orderkey") % 100 === 23)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          lit("2002-01-15").cast("date").as("o_orderdate")))
+    src.createOrReplaceTempView("sync_src_q357")
+    spark.sql(s"""
+      MERGE INTO $Cat.$Ns.orders_cow_sync t
+      USING sync_src_q357 s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED AND t.o_totalprice <> s.o_totalprice THEN
+        UPDATE SET o_totalprice = s.o_totalprice
+      WHEN NOT MATCHED THEN
+        INSERT (o_orderkey, o_custkey, o_totalprice, o_orderdate)
+        VALUES (s.o_orderkey, s.o_custkey, s.o_totalprice,
+          s.o_orderdate)
+      WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    spark.sql(s"""
+      SELECT _partition AS commit_id, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        COUNT(DISTINCT o_orderkey) AS n_keys
+      FROM $Cat.$Ns.orders_cow_sync
+      GROUP BY _partition
+      ORDER BY commit_id""")
+  }
 }

@@ -89,6 +89,7 @@ object CoreEtlRegistry {
     "q354_sql_add_column"  -> (SqlDml.q354SqlAddColumn _),
     "q355_sql_insert_overwrite" -> (SqlDml.q355SqlInsertOverwrite _),
     "q356_rlo_vacuum"      -> (SqlDml.q356RloVacuum _),
+    "q357_sql_merge_sync"  -> (SqlDml.q357SqlMergeSync _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1746,5 +1747,22 @@ object CoreEtlRegistry {
         SELECT 'w2', 'retained', COUNT(*)
         FROM base WHERE d >= DATE '1999-01-01'
       ) r ORDER BY commit_id""",
+    // q357: sync-MERGE - the final table must EQUAL the source
+    // snapshot (one rewritten segment w2 holds everything); a group
+    // filter that wrongly pruned under NOT MATCHED BY SOURCE would
+    // keep deleted rows and move these totals.
+    "q357_sql_merge_sync" -> """
+      WITH src AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 100 = 11 THEN o_totalprice + 50.0
+               ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 100 <> 19
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice AS p
+        FROM orders WHERE o_orderkey % 100 = 23)
+      SELECT 'w2' AS commit_id, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        COUNT(DISTINCT o_orderkey) AS n_keys
+      FROM src""",
   )
 }

@@ -38,6 +38,8 @@ object StreamingRegistry {
       (graft.streaming.StreamVectorGate.q304StreamIvfGate _),
     "q314_stream_commits" ->
       (graft.streaming.StreamSnapshotIngest.q314StreamCommitIngest _),
+    "q358_stream_rlo_sink" ->
+      (graft.streaming.StreamRloSink.q358StreamRloSink _),
     "q328_stream_mv_tail" ->
       (graft.streaming.StreamChangelogTail.q328StreamMvMaintenance _),
     "q337_stream_cdc_upsert" ->
@@ -397,5 +399,17 @@ object StreamingRegistry {
 
     // q216's positional-gram + islands CTEs with the candidate source
     // swapped: grams occurring in more than one DISTINCT document
+    // q358: version v of the streamed catalog table holds ticks
+    // 0..v-2 (key mod-4 classes) - re-derived from the content
+    // contract; the double-drain (fresh checkpoint) must not move
+    // these numbers.
+    "q358_stream_rlo_sink" -> """
+      SELECT CONCAT('version_', CAST(v AS STRING)) AS read,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM (SELECT UNNEST([2, 3, 4, 5]) AS v) vs
+      JOIN orders ON o_orderkey % 4 < v - 1
+      GROUP BY v ORDER BY read""",
   )
 }

@@ -268,6 +268,32 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("q357 sync-MERGE (NOT MATCHED BY SOURCE) correctly reads ALL " +
+      "groups: every segment is replaced (v2 = {w2} alone) and " +
+      "version 1 stays intact") {
+    graft.operators.SqlDml.q357SqlMergeSync(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_cow_sync")
+    assert(RloMeta.commitsOf(conf, root, 2)._2 == Seq("w2"),
+      "BY SOURCE semantics require a full rewrite - a pruned group " +
+        "would have silently kept its deleted rows")
+    assert(RloMeta.commitsOf(conf, root, 1)._2.toSet ==
+      Set("c0", "c1", "c2"))
+  }
+
+  test("q358 the streaming sink's exactly-once survives a LOST " +
+      "checkpoint: after the double drain the version chain is dense " +
+      "with one commit set per version and prefix-monotone content") {
+    graft.streaming.StreamRloSink.q358StreamRloSink(spark, sf)
+      .collect()
+    val root = SqlDml.tableRoot("orders_stream")
+    assert(RloMeta.headVersion(conf, root) == 5)
+    (2 to 5).foreach { v =>
+      assert(RloMeta.commitsOf(conf, root, v)._2 ==
+        (0 until v - 1).map(i => s"b$i"),
+        s"version $v commit set wrong")
+    }
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
