@@ -408,4 +408,26 @@ object SqlDml {
       GROUP BY _partition
       ORDER BY commit_id""")
   }
+
+  /** q359: METADATA-ONLY AGGREGATES — unfiltered `COUNT(*)` /
+    * `MIN` / `MAX` over the stats column are answered from the
+    * segment manifest through DSv2 aggregate pushdown
+    * ([[graft.sources.RloScanBuilder]].pushAggregation): one plan-time
+    * fold over per-segment stats, ZERO data files opened (SqlDmlSpec
+    * asserts the plan). The UPDATE first replaces a segment, so the
+    * answer exercises the incrementally-maintained stats of a
+    * DML-written segment, not just the fixture's. At 100 TB this is
+    * the difference between a dashboard COUNT costing a full scan
+    * and costing one manifest read. */
+  def q359SqlStatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_cow_stats")
+    spark.sql(s"""UPDATE $Cat.$Ns.orders_cow_stats
+      SET o_totalprice = o_totalprice + 500.0
+      WHERE o_orderdate >= DATE '1999-01-01'""")
+    spark.sql(s"""
+      SELECT COUNT(*) AS n_rows,
+        CAST(MIN(o_orderdate) AS STRING) AS min_date,
+        CAST(MAX(o_orderdate) AS STRING) AS max_date
+      FROM $Cat.$Ns.orders_cow_stats""")
+  }
 }

@@ -90,6 +90,7 @@ object CoreEtlRegistry {
     "q355_sql_insert_overwrite" -> (SqlDml.q355SqlInsertOverwrite _),
     "q356_rlo_vacuum"      -> (SqlDml.q356RloVacuum _),
     "q357_sql_merge_sync"  -> (SqlDml.q357SqlMergeSync _),
+    "q359_sql_stats_agg"   -> (SqlDml.q359SqlStatsAgg _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1764,5 +1765,12 @@ object CoreEtlRegistry {
         CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         COUNT(DISTINCT o_orderkey) AS n_keys
       FROM src""",
+    // q359: the manifest-answered aggregate must equal the data
+    // (the UPDATE moved prices, never dates or counts).
+    "q359_sql_stats_agg" -> """
+      SELECT COUNT(*) AS n_rows,
+        CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+        CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+      FROM orders""",
   )
 }

@@ -281,11 +281,53 @@ class GraftRloTable(val root: String, ident: String,
 
 class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   @transient private val conf = new Configuration()
   private var pushed: Array[sources.Filter] = Array.empty
   private var required: StructType = table.tableSchema
+  private var aggFuncs: Option[Seq[org.apache.spark.sql.connector
+    .expressions.aggregate.AggregateFunc]] = None
+
+  /** METADATA-ONLY AGGREGATES: unfiltered COUNT(*) / MIN / MAX over
+    * the stats column are answered from the segment manifest — zero
+    * data files read, the headline economics of keeping exact
+    * per-segment stats (Iceberg/Delta answer SELECT COUNT(*) the
+    * same way). Guard rails: no grouping, no residual filters (Spark
+    * only offers aggregates when filter pushdown consumed every
+    * predicate — ours are all residual, so only bare aggregates
+    * arrive), and no live delete artifacts (a MoR table's stats
+    * overcount until the fold; then the data path answers). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = canAnswer(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    if (!canAnswer(agg)) false
+    else { aggFuncs = Some(agg.aggregateExpressions().toSeq); true }
+  }
+
+  private def canAnswer(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    def statsColRef(e: org.apache.spark.sql.connector.expressions
+        .Expression): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.toSeq == Seq(table.statsColName)
+      case _ => false
+    }
+    agg.groupByExpressions().isEmpty && pushed.isEmpty &&
+      RloMeta.deletesOf(conf, table.root, table.currentVersion).isEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case m: Min => statsColRef(m.column)
+        case m: Max => statsColRef(m.column)
+        case _ => false
+      }
+  }
 
   /** Keep every filter as a residual (group scans must return whole
     * groups — rows are never filtered here); remember the
@@ -319,12 +361,76 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
       if (table.tableMode == "mor")
         RloMeta.liveDeleteKeys(conf, table.root, v)
       else Map.empty[String, Array[Long]]
-    val scan = new RloScan(table.root, required, kept, delKeys,
-      table.rowIdCol)
-    if (onBuild != null) onBuild(scan)
-    scan
+    aggFuncs match {
+      case Some(funcs) =>
+        // answer from the manifest: exact per-segment stats fold in
+        // one driver-side pass over metadata
+        import org.apache.spark.sql.connector.expressions.aggregate._
+        val stats = kept.map(c => RloMeta.stats(conf, table.root, c))
+        val n = stats.map(_._3).sum
+        val loOpt = if (stats.isEmpty) None else Some(stats.map(_._1).min)
+        val hiOpt = if (stats.isEmpty) None else Some(stats.map(_._2).max)
+        val (names, types, values) = funcs.zipWithIndex.map {
+          case (_: CountStar, i) =>
+            (s"count_$i", LongType: DataType, java.lang.Long.valueOf(n))
+          case (_: Min, i) => (s"min_$i", DateType: DataType,
+            loOpt.map(java.lang.Integer.valueOf).orNull)
+          case (_: Max, i) => (s"max_$i", DateType: DataType,
+            hiOpt.map(java.lang.Integer.valueOf).orNull)
+          case (f, _) => throw new IllegalStateException(f.toString)
+        }.unzip3
+        new RloAggScan(StructType(names.zip(types).map {
+          case (nm, dt) => StructField(nm, dt) }), values.toArray)
+      case None =>
+        val scan = new RloScan(table.root, required, kept, delKeys,
+          table.rowIdCol)
+        if (onBuild != null) onBuild(scan)
+        scan
+    }
   }
 }
+
+/** The metadata-answered aggregate scan: one partition, one row,
+  * zero data files opened — the values were folded from segment
+  * stats at plan time. */
+class RloAggScan(out: StructType, values: Array[Any]) extends Scan
+    with Batch {
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-rlo metadata-aggregate ${out.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(RloAggPartition(out.json, values.map {
+      case null => null
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i
+    }))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = {
+        val ap = p.asInstanceOf[RloAggPartition]
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = !done && { done = true; true }
+          override def get(): InternalRow = {
+            val row = new GenericInternalRow(ap.values.length)
+            ap.values.zipWithIndex.foreach {
+              case (null, i) => row.setNullAt(i)
+              case (l: java.lang.Long, i) => row.setLong(i, l)
+              case (n: java.lang.Integer, i) => row.setInt(i, n)
+              case (v, _) => throw new IllegalStateException(v.toString)
+            }
+            row
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class RloAggPartition(outJson: String, values: Array[Any])
+  extends InputPartition
 
 /** Min/max pruning arithmetic over the declared stats column (date,
   * stored as epoch days) — the manifest-stats half of an Iceberg
@@ -375,7 +481,7 @@ class RloScan(root: String, requiredSchema: StructType,
     staticCommits: Seq[String],
     deleteKeys: Map[String, Array[Long]] = Map.empty,
     keyCol: String = "") extends Scan with Batch
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   @transient private lazy val conf = new Configuration()
   @volatile private var runtimeKeep: Option[Set[String]] = None
@@ -391,8 +497,35 @@ class RloScan(root: String, requiredSchema: StructType,
   override def description(): String =
     s"graft-rlo scan $root commits=${staticCommits.mkString(",")}"
 
+  /** Manifest-derived size/row statistics, so Catalyst's join
+    * planning (broadcast thresholds, AQE) prices this relation from
+    * metadata instead of defaulting to "unknown = huge" — without
+    * this a small versioned table never gets broadcast. */
+  override def estimateStatistics(): Statistics = {
+    val bytes = effectiveCommits.flatMap(c =>
+      RloMeta.listDataFiles(conf, root, c)).map { p =>
+      RloMeta.fs(conf).getFileStatus(
+        new org.apache.hadoop.fs.Path(p)).getLen
+    }.sum
+    val rows = effectiveCommits
+      .map(c => RloMeta.stats(conf, root, c)._3).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  /** Runtime-filterable on `_partition` — but ONLY when the scan
+    * actually projects it (the row-level operation scans always do,
+    * via requiredMetadataAttributes): Spark's PartitionPruning rule
+    * resolves these refs against the scan OUTPUT and throws on a
+    * miss, so a plain projected read must not claim the column. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_partition"))
+    if (requiredSchema.fieldNames.contains("_partition"))
+      Array(Expressions.column("_partition"))
+    else Array.empty
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val keeps = predicates.flatMap(RloScan.partitionInValues)

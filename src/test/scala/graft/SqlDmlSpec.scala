@@ -294,6 +294,69 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("q359 metadata-only aggregates: the plan carries the " +
+      "manifest-answered agg scan (zero data files), a WHERE falls " +
+      "back to the data path, and a MoR table with live deletes " +
+      "refuses the shortcut and still counts right") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def v2Scans(df: DataFrame) = {
+      def go(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec => go(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case o => o.children.flatMap(go)
+      }
+      go(df.queryExecution.executedPlan)
+    }
+    val df = graft.operators.SqlDml.q359SqlStatsAgg(spark, sf)
+    df.collect()
+    val scans = v2Scans(df)
+    assert(scans.nonEmpty && scans.forall(
+      _.scan.isInstanceOf[graft.sources.RloAggScan]),
+      "COUNT/MIN/MAX did not push to the manifest:\n" +
+        df.queryExecution.executedPlan)
+    // a filtered aggregate must NOT take the shortcut (stats cannot
+    // answer it) — the data path serves it
+    val filtered = spark.sql(s"SELECT COUNT(*) FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_stats " +
+      "WHERE o_custkey > 0")
+    filtered.collect()
+    assert(v2Scans(filtered).forall(
+      !_.scan.isInstanceOf[graft.sources.RloAggScan]))
+    // MoR with live deletes: stats overcount, so the shortcut must
+    // refuse and the data path must return the post-delete count
+    SqlDml.buildTable(spark, sf, "orders_mor_agg", mode = "mor")
+    spark.sql(s"DELETE FROM ${SqlDml.Cat}.${SqlDml.Ns}.orders_mor_agg " +
+      "WHERE o_orderdate < DATE '1996-01-01'")
+    val morCount = spark.sql(s"SELECT COUNT(*) AS n FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_mor_agg")
+    val n = morCount.collect().head.getLong(0)
+    assert(v2Scans(morCount).forall(
+      !_.scan.isInstanceOf[graft.sources.RloAggScan]),
+      "MoR table with live deletes must not answer COUNT from stats")
+    val expect = SqlDml.ordersAsDate(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date"))
+      .count()
+    assert(n == expect, s"MoR count $n != $expect")
+  }
+
+  test("scan statistics come from the manifest: a small versioned " +
+      "table joined to a big parquet fact gets BROADCAST (without " +
+      "SupportsReportStatistics a v2 relation defaults to huge and " +
+      "never broadcasts)") {
+    SqlDml.buildTable(spark, sf, "orders_cow_bc")
+    Tables.registerViews(spark, sf)
+    val joined = spark.sql(s"""
+      SELECT COUNT(*) FROM lineitem l
+      JOIN ${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_bc t
+        ON l.l_orderkey = t.o_orderkey""")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small RLO side not broadcast:\n${plan.take(2000)}")
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
