@@ -430,4 +430,55 @@ object SqlDml {
         CAST(MAX(o_orderdate) AS STRING) AS max_date
       FROM $Cat.$Ns.orders_cow_stats""")
   }
+
+  /** q360: OPTIMIZE for the DSv2 catalog — bin-pack the small
+    * streaming segments (q358 leaves one per micro-batch; a
+    * continuous sink leaves thousands) into one consolidated
+    * segment: read the smalls once, write one packed segment + its
+    * stats, publish a version that swaps them atomically. Content is
+    * IDENTICAL across the swap (the report reads both versions
+    * through real scans, and the oracle's totals pin them equal);
+    * prior versions keep serving the small segments until vacuum.
+    * The q318 economics on the connector tier: per-probe file opens
+    * drop from O(batches) to O(1) without a byte of content change. */
+  def q360RloOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamRloSink
+    // the streaming sink's output IS the fixture: 4 small segments
+    StreamRloSink.q358StreamRloSink(spark, dir).collect()
+    val conf = new Configuration()
+    val root = tableRoot("orders_stream")
+    val head = RloMeta.headVersion(conf, root)
+    val live = RloMeta.commitsOf(conf, root, head)._2
+    require(live.forall(_.startsWith("b")), live.toString)
+
+    // one pass over the small segments -> one packed segment
+    val packed = spark.sql(s"""SELECT o_orderkey, o_custkey,
+        o_totalprice, o_orderdate
+      FROM $Cat.$Ns.orders_stream""").localCheckpoint()
+    // one output file: the pack targets a consolidated segment (at
+    // scale this is a repartition to the target segment size)
+    packed.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(RloMeta.commitDir(root, "p0").toString)
+    val st = packed.agg(min(unix_date(col("o_orderdate"))),
+      max(unix_date(col("o_orderdate"))), count(lit(1)))
+      .collect().head
+    RloMeta.writeStats(conf, root, "p0", st.getInt(0), st.getInt(1),
+      st.getLong(2))
+    val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
+    RloMeta.publishVersion(conf, root, head + 1, ts, Seq("p0"))
+
+    // report: both sides of the swap from REAL reads, plus the file
+    // economics (segment/file counts from the manifest + listing)
+    def side(label: String, v: Int): DataFrame = {
+      val segs = RloMeta.commitsOf(conf, root, v)._2
+      spark.sql(s"""SELECT COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM $Cat.$Ns.orders_stream VERSION AS OF $v""")
+        .select(lit(label).as("phase"), col("n_rows"),
+          col("sum_price"), lit(segs.size).as("n_segments"))
+    }
+    side("before", head).unionByName(side("after", head + 1))
+      .orderBy(col("phase"))
+  }
 }

@@ -91,6 +91,7 @@ object CoreEtlRegistry {
     "q356_rlo_vacuum"      -> (SqlDml.q356RloVacuum _),
     "q357_sql_merge_sync"  -> (SqlDml.q357SqlMergeSync _),
     "q359_sql_stats_agg"   -> (SqlDml.q359SqlStatsAgg _),
+    "q360_rlo_optimize"    -> (SqlDml.q360RloOptimize _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1772,5 +1773,21 @@ object CoreEtlRegistry {
         CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
         CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
       FROM orders""",
+    // q360: OPTIMIZE swaps 4 one-per-batch segments for 1 packed
+    // segment with bit-identical content - both phases' totals are
+    // the full streamed table; segment/file counts pin the swap.
+    "q360_rlo_optimize" -> """
+      SELECT phase, n_rows, sum_price, n_segments FROM (
+        SELECT 'before' AS phase, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          4 AS n_segments
+        FROM orders
+        UNION ALL
+        SELECT 'after', COUNT(*),
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+          1
+        FROM orders
+      ) r ORDER BY phase""",
   )
 }

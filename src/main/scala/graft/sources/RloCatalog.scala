@@ -10,6 +10,7 @@ import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
 import org.apache.parquet.hadoop.util.HadoopOutputFile
 import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.schema.MessageType
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -618,15 +619,19 @@ class RloPartitionReader(commit: String, file: String, out: StructType,
   // FILE has, so intersect against the footer and null the rest per
   // row. The first table column exists in every file (evolution is
   // append-only), so a projection of only-new columns still counts
-  // rows correctly.
-  private val fileFields: Set[String] = {
+  // rows correctly. The requested types are copied FROM THE FILE
+  // (not re-derived): segments written by different writers disagree
+  // on repetition (required vs optional int64 for the NOT NULL key),
+  // and parquet rejects a projection that relaxes a required field.
+  private val fileSchema: MessageType = {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(file), conf))
-    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(_.getName).toSet
+    try r.getFooter.getFileMetaData.getSchema
     finally r.close()
   }
+  private val fileFields: Set[String] =
+    fileSchema.getFields.asScala.map(_.getName).toSet
   private val readCols: StructType = {
     val present = StructType(wantedCols.filter(f => fileFields(f.name)))
     if (present.nonEmpty) present
@@ -634,7 +639,9 @@ class RloPartitionReader(commit: String, file: String, out: StructType,
   }
 
   conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-    RloMeta.messageTypeFor(readCols, "spark_schema").toString)
+    new MessageType("spark_schema",
+      readCols.fieldNames.map(n =>
+        fileSchema.getType(Seq(n): _*)).toSeq.asJava).toString)
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(),
       new org.apache.hadoop.fs.Path(file)).withConf(conf).build()

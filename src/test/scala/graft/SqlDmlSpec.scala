@@ -357,6 +357,25 @@ class SqlDmlSpec extends AnyFunSuite {
       s"small RLO side not broadcast:\n${plan.take(2000)}")
   }
 
+  test("q360 OPTIMIZE swaps segments without changing a byte: the " +
+      "packed head is one segment/one file, the small segments stay " +
+      "on disk for prior versions, and both versions read identically") {
+    graft.operators.SqlDml.q360RloOptimize(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_stream")
+    val head = RloMeta.headVersion(conf, root)
+    assert(RloMeta.commitsOf(conf, root, head)._2 == Seq("p0"))
+    assert(RloMeta.listDataFiles(conf, root, "p0").size == 1)
+    // smalls survive for prior versions until vacuum
+    (0 until 4).foreach { i =>
+      assert(RloMeta.listDataFiles(conf, root, s"b$i").nonEmpty)
+    }
+    // bit-equality across the swap (sum of keys is a content hash)
+    def keysum(v: Int) = spark.sql(s"SELECT SUM(o_orderkey) FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_stream VERSION AS OF $v")
+      .collect().head.getLong(0)
+    assert(keysum(head) == keysum(head - 1))
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
