@@ -242,6 +242,9 @@ object Bench {
     // runs certificates on a sampled cadence. Time the serving-only
     // mode (graft.Certs off) so bench_full.json records BOTH numbers
     // per round — the full-mode median comes from the main sweep.
+    // q345 carries NO inline certificate (its cost is streaming
+    // machinery) - it is timed in both modes anyway so the committed
+    // pair SHOWS that, rather than leaving it to prose (PERF_r13 #4)
     val certNames = Seq("q338_row_change_feed", "q340_crosstable_mv",
       "q345_stream_cdf_consumer").filter(names.contains)
     val servingOnly: Map[String, Double] = {

@@ -48,7 +48,17 @@ object SqlDml {
   private[graft] def tableRoot(table: String): String =
     s"${graft.Scratch.dir("rlo_catalog")}/$Ns/$table"
 
-  private def tsMicros(s: String): Long =
+  /** The versioned-orders fixture schema — ONE definition shared by
+    * the DML fixtures and the streaming sink (r13 review). The key is
+    * declared NOT NULL: it is the mor flavor's row id (Spark rejects
+    * nullable row-id attributes), and it is never null in fact. */
+  private[graft] val FixtureSchema = StructType(Seq(
+    StructField("o_orderkey", LongType, nullable = false),
+    StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", DateType)))
+
+  private[graft] def tsMicros(s: String): Long =
     java.time.LocalDateTime.parse(s.replace(' ', 'T'))
       .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
 
@@ -68,15 +78,7 @@ object SqlDml {
     ensureCatalog(spark)
     val conf = new Configuration()
     val root = tableRoot(table)
-    // the key is declared NOT NULL: it is the mor flavor's row id
-    // (Spark rejects nullable row-id attributes), and it is never
-    // null in fact
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType, nullable = false),
-      StructField("o_custkey", LongType),
-      StructField("o_totalprice", DoubleType),
-      StructField("o_orderdate", DateType)))
-    RloMeta.initTable(conf, root, schema, "o_orderdate")
+    RloMeta.initTable(conf, root, FixtureSchema, "o_orderdate")
     if (mode != "cow") RloMeta.setMode(conf, root, mode)
     val orders = ordersAsDate(spark, dir)
     val d = col("o_orderdate")

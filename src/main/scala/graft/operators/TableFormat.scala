@@ -2089,8 +2089,14 @@ object TableFormat {
     var attempt = 0
     while (true) {
       val s = nextSeq(spark, logT)
-      val staging = graft.Scratch.dir(
-        s"log_cas/${logT}_s${s}_${java.util.UUID.randomUUID.toString.take(8)}")
+      // stage INSIDE the table's own warehouse directory: a partition
+      // registered at a Scratch location would be wiped by the bench
+      // clean-room while still registered (r13 review); under the
+      // table dir it lives and dies with the table (dropManaged)
+      val warehouse = new java.net.URI(
+        spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val tag = java.util.UUID.randomUUID.toString.take(8)
+      val staging = s"$warehouse/$logT/_cas_s${s}_$tag"
       mkRow(s).drop("seq").write.mode(SaveMode.Overwrite).parquet(staging)
       interleave(s)
       try {

@@ -132,7 +132,13 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces {
     val statsCol = Option(properties.get("statscol")).getOrElse(
       schema.fields.collectFirst {
         case f if f.dataType == DateType => f.name
-      }.getOrElse(schema.fields.head.name))
+      }.getOrElse(throw new IllegalArgumentException(
+        "table needs a DATE column for segment stats (or an explicit " +
+          "'statscol' property naming one) - the stats writer and the " +
+          "metadata-aggregate path assume epoch-day stats")))
+    require(schema.fields.exists(f =>
+        f.name == statsCol && f.dataType == DateType),
+      s"statscol '$statsCol' must be a DATE column of the schema")
     RloMeta.initTable(conf, rootOf(ident), schema, statsCol)
     // an empty version 1 so the table is immediately readable
     RloMeta.publishVersion(conf, rootOf(ident), 1, 0L, Seq.empty)
@@ -369,8 +375,12 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
         import org.apache.spark.sql.connector.expressions.aggregate._
         val stats = kept.map(c => RloMeta.stats(conf, table.root, c))
         val n = stats.map(_._3).sum
-        val loOpt = if (stats.isEmpty) None else Some(stats.map(_._1).min)
-        val hiOpt = if (stats.isEmpty) None else Some(stats.map(_._2).max)
+        // a segment whose stats-column values were all NULL carries a
+        // sentinel (min > max) range: it contributes rows to COUNT
+        // but nothing to MIN/MAX (r13 review)
+        val ranged = stats.filter(st => st._1 <= st._2)
+        val loOpt = if (ranged.isEmpty) None else Some(ranged.map(_._1).min)
+        val hiOpt = if (ranged.isEmpty) None else Some(ranged.map(_._2).max)
         val (names, types, values) = funcs.zipWithIndex.map {
           case (_: CountStar, i) =>
             (s"count_$i", LongType: DataType, java.lang.Long.valueOf(n))
@@ -566,7 +576,11 @@ object RloScan {
     val kids = p.children()
     p.name() match {
       case "IN" if kids.nonEmpty && isPartitionRef(kids.head) =>
-        Some(kids.tail.flatMap(litString).toSet)
+        // fail OPEN: if any element isn't a plain literal, do not
+        // prune at all - silently dropping an unparseable element
+        // would skip a group that contains matches (r13 review)
+        val lits = kids.tail.map(litString)
+        if (lits.forall(_.isDefined)) Some(lits.flatten.toSet) else None
       case "=" if kids.length == 2 && isPartitionRef(kids.head) =>
         litString(kids(1)).map(Set(_))
       case _ => None
@@ -599,7 +613,7 @@ class RloPartitionReader(commit: String, file: String, out: StructType,
   private val conf = new Configuration()
   private val dataCols = StructType(out.filter(_.name != "_partition"))
   private val hasDeletes = deletedKeys.nonEmpty
-  private def tableSchema = RloMeta.readSchema(conf,
+  private lazy val tableSchema = RloMeta.readSchema(conf,
     new org.apache.hadoop.fs.Path(file).getParent.getParent.getParent
       .toString)
   // an all-metadata projection (e.g. the runtime-filter subquery

@@ -42,9 +42,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object RloMeta {
 
+  /** FileSystem OF THE PATH, not the default FS — a catalog root on
+    * s3a:// must not resolve through fs.defaultFS (r13 review). */
   def fs(conf: Configuration): FileSystem = FileSystem.get(conf)
 
+  private def fsOf(conf: Configuration, p: Path): FileSystem =
+    p.getFileSystem(conf)
+
   // ------------------------------------------------------- small IO
+
+  private def readTextAt(conf: Configuration, p: Path): String =
+    readText(fsOf(conf, p), p)
 
   private def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
@@ -73,7 +81,7 @@ object RloMeta {
 
   def initTable(conf: Configuration, root: String, schema: StructType,
       statsCol: String): Unit = {
-    val f = fs(conf)
+    val f = fsOf(conf, new Path(root))
     f.delete(new Path(root), true)
     f.mkdirs(metaDir(root))
     f.mkdirs(dataDir(root))
@@ -83,15 +91,17 @@ object RloMeta {
       overwrite = true)
   }
 
-  def tableExists(conf: Configuration, root: String): Boolean =
-    fs(conf).exists(new Path(metaDir(root), "schema.ddl"))
+  def tableExists(conf: Configuration, root: String): Boolean = {
+    val p = new Path(metaDir(root), "schema.ddl")
+    fsOf(conf, p).exists(p)
+  }
 
   def readSchema(conf: Configuration, root: String): StructType =
-    StructType.fromDDL(readText(fs(conf),
+    StructType.fromDDL(readTextAt(conf,
       new Path(metaDir(root), "schema.ddl")))
 
   def statsCol(conf: Configuration, root: String): String =
-    readText(fs(conf), new Path(metaDir(root), "statscol.txt")).trim
+    readTextAt(conf, new Path(metaDir(root), "statscol.txt")).trim
 
   /** SCHEMA EVOLUTION (append-only): overwrite the schema with a
     * wider one. Widening is metadata-only — existing segment files
@@ -108,7 +118,8 @@ object RloMeta {
         old.fields.map(f => (f.name, f.dataType))),
       "schema evolution is append-only: existing columns must be " +
         s"unchanged (old ${old.toDDL}, new ${newSchema.toDDL})")
-    writeText(fs(conf), new Path(metaDir(root), "schema.ddl"),
+    writeText(fsOf(conf, metaDir(root)),
+      new Path(metaDir(root), "schema.ddl"),
       newSchema.toDDL, overwrite = true)
   }
 
@@ -120,9 +131,13 @@ object RloMeta {
     * Returns (reclaimed segment dirs, reclaimed delete batches). */
   def expireAndVacuum(conf: Configuration, root: String,
       keep: Int): (Seq[String], Seq[String]) = {
-    val f = fs(conf)
+    val f = fsOf(conf, new Path(root))
     val head = headVersion(conf, root)
-    require(keep <= head, s"keep=$keep but head is $head")
+    // expire-to-head ONLY: keeping an older version while dropping
+    // the head would vacuum the newest committed data (r13 review)
+    require(keep == head,
+      s"keep=$keep must be the head version ($head) - expiry retires " +
+        "history, never the newest commit")
     (1 to head).filterNot(_ == keep).foreach { v =>
       f.delete(new Path(metaDir(root), f"v$v%05d.txt"), false)
     }
@@ -152,7 +167,8 @@ object RloMeta {
     new Path(metaDir(root), f"v$v%05d.txt")
 
   def headVersion(conf: Configuration, root: String): Int = {
-    val vs = fs(conf).listStatus(metaDir(root)).map(_.getPath.getName)
+    val vs = fsOf(conf, metaDir(root)).listStatus(metaDir(root))
+      .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toInt }
     require(vs.nonEmpty, s"no published version under $root")
@@ -165,7 +181,7 @@ object RloMeta {
     * are not commits; [[deletesOf]] reads those. */
   def commitsOf(conf: Configuration, root: String,
       v: Int): (Long, Seq[String]) = {
-    val lines = readText(fs(conf), versionPath(root, v)).linesIterator
+    val lines = readTextAt(conf, versionPath(root, v)).linesIterator
       .map(_.trim).filter(_.nonEmpty).toSeq
     val ts = lines.head.stripPrefix("ts=").toLong
     (ts, lines.tail.filterNot(_.startsWith("d:")))
@@ -174,7 +190,7 @@ object RloMeta {
   /** Delete batches scoped to one version (merge-on-read flavor). */
   def deletesOf(conf: Configuration, root: String,
       v: Int): Seq[String] =
-    readText(fs(conf), versionPath(root, v)).linesIterator
+    readTextAt(conf, versionPath(root, v)).linesIterator
       .map(_.trim).filter(_.startsWith("d:")).map(_.stripPrefix("d:"))
       .toSeq
 
@@ -209,12 +225,15 @@ object RloMeta {
     val text = (s"ts=$tsMicros" +: (commits ++ deletes.map("d:" + _)))
       .mkString("\n")
     val p = versionPath(root, v)
-    val isLocal = Option(p.toUri.getScheme).forall(s =>
-      s == "file" || fs(conf).getScheme == "file")
+    // decide locality from the PATH's own filesystem, never the
+    // default FS (an s3a root on a file-default host must take the
+    // remote branch - r13 review)
+    val pfs = fsOf(conf, p)
+    val isLocal = pfs.getScheme == "file"
     if (isLocal) {
       try {
         val local = java.nio.file.Paths.get(
-          new Path(fs(conf).makeQualified(p).toUri.getPath).toString)
+          new Path(pfs.makeQualified(p).toUri.getPath).toString)
         java.nio.file.Files.write(local,
           text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -224,10 +243,10 @@ object RloMeta {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } else {
-      try { writeText(fs(conf), p, text, overwrite = false); true }
+      try { writeText(pfs, p, text, overwrite = false); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs(conf).exists(p) => false
+        case _: java.io.IOException if pfs.exists(p) => false
       }
     }
   }
@@ -239,13 +258,14 @@ object RloMeta {
 
   def writeStats(conf: Configuration, root: String, commit: String,
       minDays: Int, maxDays: Int, nRows: Long): Unit =
-    writeText(fs(conf), statsPath(root, commit),
+    writeText(fsOf(conf, statsPath(root, commit)),
+      statsPath(root, commit),
       s"$minDays,$maxDays,$nRows", overwrite = true)
 
   /** (minDays, maxDays, nRows) of one commit's stats-column range. */
   def stats(conf: Configuration, root: String,
       commit: String): (Int, Int, Long) = {
-    val parts = readText(fs(conf), statsPath(root, commit)).trim
+    val parts = readTextAt(conf, statsPath(root, commit)).trim
       .split(",")
     (parts(0).toInt, parts(1).toInt, parts(2).toLong)
   }
@@ -253,7 +273,7 @@ object RloMeta {
   def listDataFiles(conf: Configuration, root: String,
       commit: String): Seq[String] = {
     val dir = commitDir(root, commit)
-    val f = fs(conf)
+    val f = fsOf(conf, dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
@@ -269,12 +289,12 @@ object RloMeta {
     * "mor" (merge-on-read delta writes + read-time artifact apply). */
   def mode(conf: Configuration, root: String): String = {
     val p = new Path(metaDir(root), "mode.txt")
-    if (fs(conf).exists(p)) readText(fs(conf), p).trim else "cow"
+    if (fsOf(conf, p).exists(p)) readTextAt(conf, p).trim else "cow"
   }
 
   def setMode(conf: Configuration, root: String, m: String): Unit =
-    writeText(fs(conf), new Path(metaDir(root), "mode.txt"), m,
-      overwrite = true)
+    writeText(fsOf(conf, metaDir(root)),
+      new Path(metaDir(root), "mode.txt"), m, overwrite = true)
 
   /** The artifact row schema: which key is deleted, in which segment
     * (the writer knows the exact segment from the row's `_partition`
@@ -292,7 +312,7 @@ object RloMeta {
     val batches = deletesOf(conf, root, v)
     val rows = batches.flatMap { b =>
       val dir = deleteBatchDir(root, b)
-      val f = fs(conf)
+      val f = fsOf(conf, dir)
       if (!f.exists(dir)) Seq.empty
       else f.listStatus(dir).map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).toSeq.flatMap { p =>
@@ -311,7 +331,8 @@ object RloMeta {
 
   def deleteCommitDir(conf: Configuration, root: String,
       commit: String): Unit = {
-    fs(conf).delete(commitDir(root, commit), true); ()
+    fsOf(conf, commitDir(root, commit))
+      .delete(commitDir(root, commit), true); ()
   }
 
   // ------------------------------------------------ parquet row codec

@@ -33,10 +33,6 @@ import graft.sources.RloMeta
   * content-derived version number. */
 object StreamRloSink {
 
-  private def tsMicros(s: String): Long =
-    java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
-
   /** Stage four deterministic single-file arrival slices (mod-4 key
     * classes, tick in the data) — the q314 stager reshaped for the
     * catalog's DATE-typed schema. */
@@ -99,20 +95,11 @@ object StreamRloSink {
       SqlDml.ensureCatalog(spark)
       val conf = new Configuration()
       val root = SqlDml.tableRoot("orders_stream")
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("o_orderkey",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("o_custkey",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("o_totalprice",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("o_orderdate",
-          org.apache.spark.sql.types.DateType)))
-      RloMeta.initTable(conf, root, schema, "o_orderdate")
+      RloMeta.initTable(conf, root, SqlDml.FixtureSchema, "o_orderdate")
       RloMeta.publishVersion(conf, root, 1,
-        tsMicros("2000-01-01 00:00:00"), Seq.empty)
+        SqlDml.tsMicros("2000-01-01 00:00:00"), Seq.empty)
       val zone = stageArrivals(spark, dir)
-      val srcSchema = schema.add("tick",
+      val srcSchema = SqlDml.FixtureSchema.add("tick",
         org.apache.spark.sql.types.IntegerType)
 
       def drain(checkpoint: String): Unit = {
