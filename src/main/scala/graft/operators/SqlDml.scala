@@ -51,11 +51,14 @@ object SqlDml {
   /** The versioned-orders fixture schema — ONE definition shared by
     * the DML fixtures and the streaming sink (r13 review). The key is
     * declared NOT NULL: it is the mor flavor's row id (Spark rejects
-    * nullable row-id attributes), and it is never null in fact. */
+    * nullable row-id attributes), and it is never null in fact.
+    * o_totalprice is DECIMAL(12,2): the engine's exact-sum discipline
+    * carried natively through the SQL-DML tier — codec, vectorized
+    * reader, and DML arithmetic all stay decimal (r13 verdict #6). */
   private[graft] val FixtureSchema = StructType(Seq(
     StructField("o_orderkey", LongType, nullable = false),
     StructField("o_custkey", LongType),
-    StructField("o_totalprice", DoubleType),
+    StructField("o_totalprice", DecimalType(12, 2)),
     StructField("o_orderdate", DateType)))
 
   private[graft] def tsMicros(s: String): Long =
@@ -65,7 +68,8 @@ object SqlDml {
   private[graft] def ordersAsDate(spark: SparkSession,
       dir: String): DataFrame =
     Tables.orders(spark, dir).select(col("o_orderkey"),
-      col("o_custkey"), col("o_totalprice"),
+      col("o_custkey"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("o_totalprice"),
       to_date(col("o_orderdate")).as("o_orderdate"))
 
   /** Build the versioned fixture table: three date-cut segments
@@ -93,8 +97,12 @@ object SqlDml {
       val st = seg.agg(min(unix_date(d)).as("lo"),
         max(unix_date(d)).as("hi"), count(lit(1)).as("n"))
         .collect().head
+      // bytes ride in the stats so plan-time statistics are pure
+      // manifest reads (r13 verdict #7)
+      val bytes = RloMeta.listDataFilesWithLen(conf, root, c)
+        .map(_._2).sum
       RloMeta.writeStats(conf, root, c, st.getInt(0), st.getInt(1),
-        st.getLong(2))
+        st.getLong(2), bytes)
     }
     RloMeta.publishVersion(conf, root, 1,
       tsMicros("2000-01-01 00:00:00"), segs.map(_._1))
@@ -103,18 +111,24 @@ object SqlDml {
 
   /** Per-segment report of the table's head, from SQL text — the
     * `_partition` metadata column is the segment id, so the oracle
-    * checks the DML's group routing, not just its row arithmetic. */
+    * checks the DML's group routing, not just its row arithmetic.
+    * DML-written segments carry an attempt-unique suffix
+    * (`w2-<attempt>`, the r13 racing-writers fix); the report keys
+    * on the stable display name (`substring_index` strips the
+    * suffix) so the oracle stays deterministic. */
   private def segmentReport(spark: SparkSession, table: String,
       carried: Seq[String]): DataFrame = {
     val inList = carried.map(c => s"'$c'").mkString(", ")
     spark.sql(s"""
-      SELECT _partition AS commit_id, COUNT(*) AS n_rows,
+      SELECT substring_index(_partition, '-', 1) AS commit_id,
+        COUNT(*) AS n_rows,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           AS sum_price,
-        CASE WHEN _partition IN ($inList) THEN 'carried'
+        CASE WHEN substring_index(_partition, '-', 1) IN ($inList)
+             THEN 'carried'
              ELSE 'rewritten' END AS status
       FROM $Cat.$Ns.$table
-      GROUP BY _partition
+      GROUP BY 1
       ORDER BY commit_id""")
   }
 
@@ -246,13 +260,14 @@ object SqlDml {
     buildTable(spark, dir, "orders_mor_mg", mode = "mor")
     runMerge(spark, dir, "orders_mor_mg")
     spark.sql(s"""
-      SELECT _partition AS commit_id, COUNT(*) AS n_rows,
+      SELECT substring_index(_partition, '-', 1) AS commit_id,
+        COUNT(*) AS n_rows,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           AS sum_price,
         CASE WHEN _partition IN ('c0', 'c1', 'c2') THEN 'base'
              ELSE 'appended' END AS status
       FROM $Cat.$Ns.orders_mor_mg
-      GROUP BY _partition
+      GROUP BY 1, 4
       ORDER BY commit_id""")
   }
 
@@ -340,25 +355,31 @@ object SqlDml {
     * (manifest forgets first, then unreferenced segment dirs are
     * reclaimed) applied to the SQL-DML tier: after the UPDATE
     * replaces c2 with w2, expiring to the head makes c2 unreachable
-    * and the vacuum deletes exactly it. `n_rows_after` is COUNTED
-    * from the post-vacuum table, so a vacuum that deleted a live
-    * segment or missed a dead one hash-fails. */
+    * and the vacuum deletes exactly it. Since r14 the maintenance
+    * entry point is PURE SQL — `CALL graft_rlo.system.vacuum(...)`,
+    * Spark's DSv2 procedure surface — and the reclaimed set is the
+    * CALL's result set. `n_rows_after` is COUNTED from the
+    * post-vacuum table, so a vacuum that deleted a live segment or
+    * missed a dead one hash-fails. */
   def q356RloVacuum(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val root = buildTable(spark, dir, "orders_cow_gc")
+    buildTable(spark, dir, "orders_cow_gc")
     spark.sql(s"""UPDATE $Cat.$Ns.orders_cow_gc
       SET o_totalprice = o_totalprice + 500.0
       WHERE o_orderdate >= DATE '1999-01-01'""")
-    val conf = new Configuration()
-    val (deadSegs, _) = RloMeta.expireAndVacuum(conf, root, keep = 2)
+    val reclaimed = spark.sql(
+      s"CALL $Cat.system.vacuum('$Ns.orders_cow_gc')")
+    val deadDisplay = reclaimed.filter(col("kind") === "segment")
+      .collect().map(_.getString(0).takeWhile(_ != '-')).toSeq
     val after = spark.sql(s"""
-      SELECT _partition AS commit_id, COUNT(*) AS n_rows_after
-      FROM $Cat.$Ns.orders_cow_gc GROUP BY _partition""")
-    val reclaimed = deadSegs.map((_, 0L))
+      SELECT substring_index(_partition, '-', 1) AS commit_id,
+        COUNT(*) AS n_rows_after
+      FROM $Cat.$Ns.orders_cow_gc GROUP BY 1""")
+    val reclaimedRows = deadDisplay.map((_, 0L))
       .toDF("commit_id", "n_rows_after")
-    after.unionByName(reclaimed)
+    after.unionByName(reclaimedRows)
       .select(col("commit_id"),
-        when(col("commit_id").isin(deadSegs: _*), "reclaimed")
+        when(col("commit_id").isin(deadDisplay: _*), "reclaimed")
           .otherwise("retained").as("status"),
         col("n_rows_after"))
       .orderBy(col("commit_id"))
@@ -402,12 +423,13 @@ object SqlDml {
           s.o_orderdate)
       WHEN NOT MATCHED BY SOURCE THEN DELETE""")
     spark.sql(s"""
-      SELECT _partition AS commit_id, COUNT(*) AS n_rows,
+      SELECT substring_index(_partition, '-', 1) AS commit_id,
+        COUNT(*) AS n_rows,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           AS sum_price,
         COUNT(DISTINCT o_orderkey) AS n_keys
       FROM $Cat.$Ns.orders_cow_sync
-      GROUP BY _partition
+      GROUP BY 1
       ORDER BY commit_id""")
   }
 
@@ -447,40 +469,144 @@ object SqlDml {
     import graft.streaming.StreamRloSink
     // the streaming sink's output IS the fixture: 4 small segments
     StreamRloSink.q358StreamRloSink(spark, dir).collect()
-    val conf = new Configuration()
-    val root = tableRoot("orders_stream")
-    val head = RloMeta.headVersion(conf, root)
-    val live = RloMeta.commitsOf(conf, root, head)._2
-    require(live.forall(_.startsWith("b")), live.toString)
-
-    // one pass over the small segments -> one packed segment
-    val packed = spark.sql(s"""SELECT o_orderkey, o_custkey,
-        o_totalprice, o_orderdate
-      FROM $Cat.$Ns.orders_stream""").localCheckpoint()
-    // one output file: the pack targets a consolidated segment (at
-    // scale this is a repartition to the target segment size)
-    packed.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(RloMeta.commitDir(root, "p0").toString)
-    val st = packed.agg(min(unix_date(col("o_orderdate"))),
-      max(unix_date(col("o_orderdate"))), count(lit(1)))
-      .collect().head
-    RloMeta.writeStats(conf, root, "p0", st.getInt(0), st.getInt(1),
-      st.getLong(2))
-    val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
-    RloMeta.publishVersion(conf, root, head + 1, ts, Seq("p0"))
+    // PURE SQL maintenance (r14): the bin-pack runs inside the
+    // catalog's own procedure; its result row carries the swap's
+    // manifest arithmetic (versions + segment counts)
+    val res = spark.sql(
+      s"CALL $Cat.system.optimize('$Ns.orders_stream')").collect().head
+    val (vBefore, vAfter) = (res.getInt(0), res.getInt(1))
+    val (segsBefore, segsAfter) = (res.getInt(2), res.getInt(3))
 
     // report: both sides of the swap from REAL reads, plus the file
-    // economics (segment/file counts from the manifest + listing)
-    def side(label: String, v: Int): DataFrame = {
-      val segs = RloMeta.commitsOf(conf, root, v)._2
+    // economics from the procedure's report
+    def side(label: String, v: Int, nSegs: Int): DataFrame =
       spark.sql(s"""SELECT COUNT(*) AS n_rows,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             AS sum_price
         FROM $Cat.$Ns.orders_stream VERSION AS OF $v""")
         .select(lit(label).as("phase"), col("n_rows"),
-          col("sum_price"), lit(segs.size).as("n_segments"))
-    }
-    side("before", head).unionByName(side("after", head + 1))
+          col("sum_price"), lit(nSegs).as("n_segments"))
+    side("before", vBefore, segsBefore)
+      .unionByName(side("after", vAfter, segsAfter))
       .orderBy(col("phase"))
+  }
+
+  /** q361: MoR DELETE-ARTIFACT COMPACTION + density-triggered fold
+    * (r13 verdict #3) — the q329 delete-debt discipline inside the
+    * connector, reachable as `CALL graft_rlo.system.compact_deletes`.
+    * Two DELETE batches accumulate artifacts (a dense retention
+    * delete concentrated on c0, a sparse key-class delete across all
+    * segments); the compaction then (a) FOLDS c0 copy-on-write —
+    * its delete density crossed the threshold, so its rows rewrite
+    * minus the deleted keys and its artifacts go inert by scope —
+    * and (b) MERGES the surviving sparse keys into ONE artifact
+    * file. The report is the procedure's own result set plus a
+    * live-content row (count + key-sum through a real read), so a
+    * compaction that lost a delete, resurrected a row, or folded the
+    * wrong segment hash-fails. */
+  def q361CompactDeletes(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_mor_cmp", mode = "mor")
+    // batch 1 (dense on c0): retention delete of everything pre-1996
+    // (the testdata's order dates start 1995, so this is ~half of c0
+    // - past the fold threshold; c1/c2 see only the sparse batch 2)
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_mor_cmp
+      WHERE o_orderdate < DATE '1996-01-01'""")
+    // batch 2 (sparse, all segments): a key-class delete
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_mor_cmp
+      WHERE o_orderkey % 100 = 7""")
+    val report = spark.sql(s"CALL $Cat.system.compact_deletes(" +
+      s"'$Ns.orders_mor_cmp', 0.2)")
+    val content = spark.sql(s"""
+      SELECT '_total' AS commit_id, 'live_rows' AS action,
+        COUNT(*) AS deletes_before,
+        CAST(SUM(o_orderkey) AS BIGINT) AS deletes_after
+      FROM $Cat.$Ns.orders_mor_cmp""")
+    report.unionByName(content).orderBy(col("commit_id"))
+  }
+
+  /** q362: ATOMIC CTAS — `CREATE TABLE ... AS SELECT` through the
+    * catalog's StagingTableCatalog surface (r13 verdict stretch):
+    * the table stages under a hidden attempt-unique root, the CTAS
+    * data write commits into it, and one RENAME publishes the whole
+    * table — visible atomically or not at all. The created table is
+    * a full citizen immediately: the follow-up UPDATE stats-routes
+    * against it and time travel serves the pre-UPDATE content. */
+  def q362SqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $Cat.$Ns.orders_ctas")
+    ordersAsDate(spark, dir).createOrReplaceTempView("ctas_src_q362")
+    spark.sql(s"""CREATE TABLE $Cat.$Ns.orders_ctas
+      TBLPROPERTIES ('statscol' = 'o_orderdate')
+      AS SELECT * FROM ctas_src_q362
+      WHERE o_orderdate >= DATE '1997-01-01'""")
+    spark.sql(s"""UPDATE $Cat.$Ns.orders_ctas
+      SET o_totalprice = o_totalprice + 500.0
+      WHERE o_orderdate >= DATE '1999-01-01'""")
+    spark.sql(s"""
+      SELECT 'head_after_update' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM $Cat.$Ns.orders_ctas
+      UNION ALL
+      SELECT 'v2_as_created' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM $Cat.$Ns.orders_ctas VERSION AS OF 2
+      ORDER BY read""")
+  }
+
+  /** The string-segmented fixture for q363: orders + a derived
+    * `o_source` channel ('asrc'..'tsrc', letter from the customer
+    * key), laid out in three segments CUT BY SOURCE RANGE — the
+    * date ranges of all three segments fully overlap, so ONLY the
+    * truncated string bounds in the segment stats can route a
+    * source predicate. */
+  private[graft] def buildStringTable(spark: SparkSession, dir: String,
+      table: String): String = {
+    ensureCatalog(spark)
+    val conf = new Configuration()
+    val root = tableRoot(table)
+    val schema = StructType(FixtureSchema.fields :+
+      StructField("o_source", StringType))
+    RloMeta.initTable(conf, root, schema, "o_orderdate")
+    val src = ordersAsDate(spark, dir).withColumn("o_source",
+      expr("substr('abcdefghijklmnopqrst', " +
+        "cast(pmod(o_custkey, 20) + 1 as int), 1) || 'src'"))
+    val segs = Seq(
+      ("s0", col("o_source") < lit("hsrc")),
+      ("s1", col("o_source") >= lit("hsrc") &&
+        col("o_source") < lit("osrc")),
+      ("s2", col("o_source") >= lit("osrc")))
+    segs.foreach { case (c, pred) =>
+      val seg = src.filter(pred).localCheckpoint()
+      seg.write.mode(SaveMode.Overwrite)
+        .parquet(RloMeta.commitDir(root, c).toString)
+      val st = seg.agg(min(unix_date(col("o_orderdate"))),
+        max(unix_date(col("o_orderdate"))), count(lit(1)),
+        min(col("o_source")), max(col("o_source"))).collect().head
+      RloMeta.writeStats(conf, root, c, st.getInt(0), st.getInt(1),
+        st.getLong(2),
+        RloMeta.listDataFilesWithLen(conf, root, c).map(_._2).sum,
+        Map("o_source" -> (RloMeta.truncLo(st.getString(3)),
+          RloMeta.truncUp(st.getString(4)))))
+    }
+    RloMeta.publishVersion(conf, root, 1,
+      tsMicros("2000-01-01 00:00:00"), segs.map(_._1))
+    root
+  }
+
+  /** q363: STRING-STATS-ROUTED DML (r13 verdict #5) — `DELETE FROM
+    * ... WHERE o_source = 'jsrc'` against the string-segmented
+    * fixture: the predicate is pushable, and the segment manifest's
+    * truncated string bounds route the operation scan to s1 alone
+    * (s0/s2 carry by reference — their bounds can't contain 'jsrc').
+    * The q347 discipline, now on a STRING predicate instead of the
+    * one DATE stats column. */
+  def q363StringRoutedDelete(spark: SparkSession,
+      dir: String): DataFrame = {
+    buildStringTable(spark, dir, "orders_cow_src")
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_cow_src
+      WHERE o_source = 'jsrc'""")
+    segmentReport(spark, "orders_cow_src", Seq("s0", "s2"))
   }
 }

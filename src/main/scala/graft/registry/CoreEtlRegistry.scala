@@ -92,6 +92,10 @@ object CoreEtlRegistry {
     "q357_sql_merge_sync"  -> (SqlDml.q357SqlMergeSync _),
     "q359_sql_stats_agg"   -> (SqlDml.q359SqlStatsAgg _),
     "q360_rlo_optimize"    -> (SqlDml.q360RloOptimize _),
+    "q361_compact_deletes" -> (SqlDml.q361CompactDeletes _),
+    "q362_sql_ctas"        -> (SqlDml.q362SqlCtas _),
+    "q363_string_routed_delete" ->
+      (SqlDml.q363StringRoutedDelete _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1789,5 +1793,79 @@ object CoreEtlRegistry {
           1
         FROM orders
       ) r ORDER BY phase""",
+    // q361: re-derive the compaction report from the two DELETE
+    // predicates - c0's delete density (pre-1994 retention + the
+    // key class) crosses the 0.2 threshold so it FOLDS (artifacts
+    // inert, 0 after); c1/c2 keep their sparse keys merged; the
+    // _total row pins the live content (count + key-sum) through a
+    // real read, so a lost or resurrected row hash-fails.
+    "q361_compact_deletes" -> """
+      WITH base AS (
+        SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+      del AS (
+        SELECT k,
+          CASE WHEN d < DATE '1997-01-01' THEN 'c0'
+               WHEN d < DATE '1999-01-01' THEN 'c1'
+               ELSE 'c2' END AS c,
+          (d < DATE '1996-01-01' OR k % 100 = 7) AS gone
+        FROM base)
+      SELECT commit_id, action, deletes_before, deletes_after FROM (
+        SELECT c AS commit_id,
+          CASE WHEN c = 'c0' THEN 'folded' ELSE 'merged' END AS action,
+          CAST(COUNT(*) FILTER (WHERE gone) AS BIGINT)
+            AS deletes_before,
+          CAST(CASE WHEN c = 'c0' THEN 0
+               ELSE COUNT(*) FILTER (WHERE gone) END AS BIGINT)
+            AS deletes_after
+        FROM del GROUP BY c
+        UNION ALL
+        SELECT '_total', 'live_rows',
+          CAST(COUNT(*) FILTER (WHERE NOT gone) AS BIGINT),
+          CAST(SUM(k) FILTER (WHERE NOT gone) AS BIGINT)
+        FROM del
+      ) r ORDER BY commit_id""",
+    // q362: atomic CTAS - v2 is the CTAS SELECT verbatim, the head
+    // adds the routed UPDATE on top.
+    "q362_sql_ctas" -> """
+      SELECT read, n_rows, sum_price FROM (
+        SELECT 'v2_as_created' AS read, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        UNION ALL
+        SELECT 'head_after_update', COUNT(*),
+          CAST(SUM(CAST(
+            CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+                 THEN o_totalprice + 500.0
+                 ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      ) r ORDER BY read""",
+    // q363: the string-routed DELETE - s0/s2 carried (their
+    // truncated source bounds can't contain 'jsrc'), w2 = s1 minus
+    // the deleted source.
+    "q363_string_routed_delete" -> """
+      WITH base AS (
+        SELECT o_totalprice,
+          substring('abcdefghijklmnopqrst',
+            CAST(o_custkey % 20 AS INTEGER) + 1, 1) || 'src' AS src
+        FROM orders),
+      seg AS (
+        SELECT *, CASE WHEN src < 'hsrc' THEN 's0'
+                       WHEN src < 'osrc' THEN 's1'
+                       ELSE 's2' END AS c FROM base)
+      SELECT commit_id, n_rows, sum_price, status FROM (
+        SELECT c AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'carried' AS status
+        FROM seg WHERE c IN ('s0', 's2') GROUP BY c
+        UNION ALL
+        SELECT 'w2' AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'rewritten' AS status
+        FROM seg WHERE c = 's1' AND src <> 'jsrc'
+      ) r ORDER BY commit_id""",
   )
 }

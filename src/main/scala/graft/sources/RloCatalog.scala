@@ -72,7 +72,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * CommitFailedException contract; segment files of the loser are
   * orphans for vacuum).
   */
-class GraftRloCatalog extends TableCatalog with SupportsNamespaces {
+class GraftRloCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -93,9 +94,10 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = new org.apache.hadoop.fs.Path(
       (base +: namespace.toSeq).mkString("/"))
-    val f = RloMeta.fs(conf)
+    val f = RloMeta.fs(conf, dir)
     if (!f.exists(dir)) Array.empty
     else f.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.contains(".staged-")) // in-flight CTAS attempts
       .filter(n => RloMeta.tableExists(conf,
         (base +: namespace.toSeq :+ n).mkString("/")))
       .map(Identifier.of(namespace, _))
@@ -129,16 +131,7 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val statsCol = Option(properties.get("statscol")).getOrElse(
-      schema.fields.collectFirst {
-        case f if f.dataType == DateType => f.name
-      }.getOrElse(throw new IllegalArgumentException(
-        "table needs a DATE column for segment stats (or an explicit " +
-          "'statscol' property naming one) - the stats writer and the " +
-          "metadata-aggregate path assume epoch-day stats")))
-    require(schema.fields.exists(f =>
-        f.name == statsCol && f.dataType == DateType),
-      s"statscol '$statsCol' must be a DATE column of the schema")
+    val statsCol = resolveStatsCol(schema, properties)
     RloMeta.initTable(conf, rootOf(ident), schema, statsCol)
     // an empty version 1 so the table is immediately readable
     RloMeta.publishVersion(conf, rootOf(ident), 1, 0L, Seq.empty)
@@ -168,19 +161,89 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    RloMeta.fs(conf).delete(
-      new org.apache.hadoop.fs.Path(rootOf(ident)), true)
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(rootOf(ident))
+    RloMeta.fs(conf, p).delete(p, true)
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
 
+  // ---- maintenance procedures: CALL graft_rlo.system.<proc>(...)
+
+  /** Resolve 'db.table' (or bare 'table' in the default namespace)
+    * to a table root — the procedures' table argument. */
+  private def rootOfName(qualified: String): String = {
+    val parts = qualified.split("\\.").toSeq
+    val root = (base +: parts).mkString("/")
+    require(RloMeta.tableExists(conf, root), s"no such table $qualified")
+    root
+  }
+
+  override def loadProcedure(ident: Identifier): procedures
+      .UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system"),
+      s"procedures live in the 'system' namespace, got $ident")
+    ident.name match {
+      case "vacuum" => RloProcedures.vacuum(rootOfName)
+      case "optimize" => RloProcedures.optimize(rootOfName)
+      case "compact_deletes" => RloProcedures.compactDeletes(rootOfName)
+      case other => throw new UnsupportedOperationException(
+        s"unknown procedure $other")
+    }
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    Array("vacuum", "optimize", "compact_deletes")
+      .map(Identifier.of(Array("system"), _))
+
+  // ---- atomic CTAS: CREATE TABLE ... AS SELECT via a staged root
+
+  /** Stage the table under a hidden attempt-unique root; data writes
+    * land there; [[StagedRloTable.commitStagedChanges]] renames it to
+    * the final root — the table becomes visible atomically or not at
+    * all (a raced CREATE loses at the rename, the CAS of this path). */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    val finalRoot = rootOf(ident)
+    if (RloMeta.tableExists(conf, finalRoot))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident.toString)
+    val statsCol = resolveStatsCol(schema, properties)
+    val stagedRoot = s"$finalRoot.staged-${RloNames.attemptId()}"
+    RloMeta.initTable(conf, stagedRoot, schema, statsCol)
+    RloMeta.publishVersion(conf, stagedRoot, 1, 0L, Seq.empty)
+    new StagedRloTable(stagedRoot, finalRoot, ident.toString)
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stageCreate(ident, info.schema(), info.partitions(),
+      info.properties())
+
+  private def resolveStatsCol(schema: StructType,
+      properties: util.Map[String, String]): String = {
+    val statsCol = Option(properties.get("statscol")).getOrElse(
+      schema.fields.collectFirst {
+        case f if f.dataType == DateType => f.name
+      }.getOrElse(throw new IllegalArgumentException(
+        "table needs a DATE column for segment stats (or an explicit " +
+          "'statscol' property naming one) - the stats writer and the " +
+          "metadata-aggregate path assume epoch-day stats")))
+    require(schema.fields.exists(f =>
+        f.name == statsCol && f.dataType == DateType),
+      s"statscol '$statsCol' must be a DATE column of the schema")
+    statsCol
+  }
+
   // ---- namespaces: paths under the base dir, nothing more
 
   override def listNamespaces(): Array[Array[String]] = {
     val dir = new org.apache.hadoop.fs.Path(base)
-    val f = RloMeta.fs(conf)
+    val f = RloMeta.fs(conf, dir)
     if (!f.exists(dir)) Array.empty
     else f.listStatus(dir).filter(_.isDirectory)
       .map(s => Array(s.getPath.getName))
@@ -197,8 +260,9 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createNamespace(namespace: Array[String],
       metadata: util.Map[String, String]): Unit = {
-    RloMeta.fs(conf).mkdirs(new org.apache.hadoop.fs.Path(
-      (base +: namespace.toSeq).mkString("/"))); ()
+    val p = new org.apache.hadoop.fs.Path(
+      (base +: namespace.toSeq).mkString("/"))
+    RloMeta.fs(conf, p).mkdirs(p); ()
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -206,9 +270,42 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException()
 
   override def dropNamespace(namespace: Array[String],
-      cascade: Boolean): Boolean =
-    RloMeta.fs(conf).delete(new org.apache.hadoop.fs.Path(
-      (base +: namespace.toSeq).mkString("/")), cascade)
+      cascade: Boolean): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      (base +: namespace.toSeq).mkString("/"))
+    RloMeta.fs(conf, p).delete(p, cascade)
+  }
+}
+
+/** Atomic-CTAS staged table: a fully functional catalog table living
+  * under a hidden attempt-unique root. The CTAS data write appends
+  * into it through the normal write path (segment + CAS'd v2); the
+  * final `commitStagedChanges` RENAME is the visibility flip — one
+  * filesystem op, after which the table exists at its real root with
+  * its data already committed. Abort deletes the staged root; the
+  * real root was never touched. */
+class StagedRloTable(stagedRoot: String, finalRoot: String,
+    ident: String) extends GraftRloTable(stagedRoot, ident, None)
+    with StagedTable {
+
+  @transient private lazy val sconf = new Configuration()
+
+  override def commitStagedChanges(): Unit = {
+    val src = new org.apache.hadoop.fs.Path(stagedRoot)
+    val dst = new org.apache.hadoop.fs.Path(finalRoot)
+    val f = RloMeta.fs(sconf, dst)
+    if (RloMeta.tableExists(sconf, finalRoot) || !f.rename(src, dst)) {
+      f.delete(src, true)
+      throw new IllegalStateException(
+        s"CTAS lost the race: $finalRoot already exists - staged " +
+          "data discarded, nothing visible")
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val src = new org.apache.hadoop.fs.Path(stagedRoot)
+    RloMeta.fs(sconf, src).delete(src, true); ()
+  }
 }
 
 /** The `_partition` metadata column — the segment (commit) a row
@@ -357,9 +454,9 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
     // static stats routing: drop segments whose stats range can't
     // intersect the pushed predicates (metadata-sized arithmetic)
     val kept = live.filter { c =>
-      val (lo, hi, _) = RloMeta.stats(conf, table.root, c)
+      val st = RloMeta.segStats(conf, table.root, c)
       pushed.forall(f =>
-        RloStatsPruning.overlaps(f, table.statsColName, lo, hi))
+        RloStatsPruning.overlaps(f, table.statsColName, st))
     }
     // merge-on-read: the version's scoped delete artifacts, resolved
     // driver-side (churn-bounded by the MoR contract) and shipped to
@@ -443,9 +540,12 @@ class RloAggScan(out: StructType, values: Array[Any]) extends Scan
 case class RloAggPartition(outJson: String, values: Array[Any])
   extends InputPartition
 
-/** Min/max pruning arithmetic over the declared stats column (date,
-  * stored as epoch days) — the manifest-stats half of an Iceberg
-  * scan plan. Conservative: unknown shapes prune nothing. */
+/** Min/max pruning arithmetic over the segment stats: the declared
+  * DATE stats column (epoch days) plus TRUNCATED string bounds per
+  * string column (the q350 zone-map math moved into the manifest,
+  * r13 verdict #5) — the manifest-stats half of an Iceberg scan
+  * plan. Conservative: unknown shapes and missing bounds prune
+  * nothing. */
 object RloStatsPruning {
   private def daysOf(v: Any): Option[Int] = v match {
     case d: java.time.LocalDate => Some(d.toEpochDay.toInt)
@@ -453,40 +553,83 @@ object RloStatsPruning {
     case _ => None
   }
 
+  private def strOf(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  /** Next string after every string with prefix `p` — the exclusive
+    * upper bound of the prefix range (last code unit bumped). */
+  private def bump(p: String): String =
+    if (p.isEmpty) p else p.init + (p.last + 1).toChar
+
   def usable(f: sources.Filter, statsCol: String): Boolean = f match {
-    case sources.GreaterThan(c, v) => c == statsCol && daysOf(v).isDefined
+    case sources.GreaterThan(c, v) =>
+      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
     case sources.GreaterThanOrEqual(c, v) =>
-      c == statsCol && daysOf(v).isDefined
-    case sources.LessThan(c, v) => c == statsCol && daysOf(v).isDefined
+      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
+    case sources.LessThan(c, v) =>
+      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
     case sources.LessThanOrEqual(c, v) =>
-      c == statsCol && daysOf(v).isDefined
-    case sources.EqualTo(c, v) => c == statsCol && daysOf(v).isDefined
+      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
+    case sources.EqualTo(c, v) =>
+      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
+    case sources.StringStartsWith(_, _) => true
     case sources.And(l, r) => usable(l, statsCol) || usable(r, statsCol)
     case _ => false
   }
 
-  /** Can a segment with stats range [lo, hi] contain a row matching
-    * `f`? False = prune the whole segment. */
-  def overlaps(f: sources.Filter, statsCol: String, lo: Int,
-      hi: Int): Boolean = f match {
-    case sources.GreaterThan(c, v) if c == statsCol =>
-      daysOf(v).forall(hi > _)
-    case sources.GreaterThanOrEqual(c, v) if c == statsCol =>
-      daysOf(v).forall(hi >= _)
-    case sources.LessThan(c, v) if c == statsCol =>
-      daysOf(v).forall(lo < _)
-    case sources.LessThanOrEqual(c, v) if c == statsCol =>
-      daysOf(v).forall(lo <= _)
-    case sources.EqualTo(c, v) if c == statsCol =>
-      daysOf(v).forall(d => lo <= d && d <= hi)
-    case sources.And(l, r) =>
-      overlaps(l, statsCol, lo, hi) && overlaps(r, statsCol, lo, hi)
-    case _ => true
+  /** Can a segment with stats `st` contain a row matching `f`?
+    * False = prune the whole segment. String bounds are TRUNCATED
+    * promises (lo <= every value, hi >= every value), so every
+    * comparison below stays sound under truncation. */
+  def overlaps(f: sources.Filter, statsCol: String,
+      st: RloMeta.SegStats): Boolean = {
+    val (lo, hi) = (st.minDays, st.maxDays)
+    def str(c: String, v: Any)(
+        keep: (String, String, String) => Boolean): Boolean =
+      (strOf(v), st.strBounds.get(c)) match {
+        case (Some(s), Some((slo, shi))) => keep(s, slo, shi)
+        case _ => true
+      }
+    f match {
+      case sources.GreaterThan(c, v) if c == statsCol &&
+        daysOf(v).isDefined => daysOf(v).forall(hi > _)
+      case sources.GreaterThanOrEqual(c, v) if c == statsCol &&
+        daysOf(v).isDefined => daysOf(v).forall(hi >= _)
+      case sources.LessThan(c, v) if c == statsCol &&
+        daysOf(v).isDefined => daysOf(v).forall(lo < _)
+      case sources.LessThanOrEqual(c, v) if c == statsCol &&
+        daysOf(v).isDefined => daysOf(v).forall(lo <= _)
+      case sources.EqualTo(c, v) if c == statsCol &&
+        daysOf(v).isDefined => daysOf(v).forall(d => lo <= d && d <= hi)
+      case sources.GreaterThan(c, v) => str(c, v)((s, _, shi) => shi > s)
+      case sources.GreaterThanOrEqual(c, v) =>
+        str(c, v)((s, _, shi) => shi >= s)
+      case sources.LessThan(c, v) => str(c, v)((s, slo, _) => slo < s)
+      case sources.LessThanOrEqual(c, v) =>
+        str(c, v)((s, slo, _) => slo <= s)
+      case sources.EqualTo(c, v) =>
+        str(c, v)((s, slo, shi) => slo <= s && s <= shi)
+      case sources.StringStartsWith(c, p) =>
+        str(c, p)((s, slo, shi) => shi >= s && (s.isEmpty || slo < bump(s)))
+      case sources.And(l, r) =>
+        overlaps(l, statsCol, st) && overlaps(r, statsCol, st)
+      case _ => true
+    }
   }
 }
 
+/** One byte range of one segment file — parquet row groups land in
+  * the range holding their midpoint, so ranges partition a file's
+  * row groups exactly (the Hadoop FileSplit contract both the
+  * vectorized reader and ParquetReader.withFileRange honor). A big
+  * packed segment therefore fans out across the cluster instead of
+  * serializing on one task (r13 verdict #2). */
 case class RloInputPartition(commit: String, file: String,
-    deletedKeys: Array[Long], keyCol: String) extends InputPartition
+    start: Long, length: Long, deletedKeys: Array[Long],
+    keyCol: String) extends InputPartition
 
 class RloScan(root: String, requiredSchema: StructType,
     staticCommits: Seq[String],
@@ -511,15 +654,18 @@ class RloScan(root: String, requiredSchema: StructType,
   /** Manifest-derived size/row statistics, so Catalyst's join
     * planning (broadcast thresholds, AQE) prices this relation from
     * metadata instead of defaulting to "unknown = huge" — without
-    * this a small versioned table never gets broadcast. */
+    * this a small versioned table never gets broadcast. Byte counts
+    * come from the SEGMENT STATS written at commit time; only a
+    * pre-v2 stats file (bytes unknown) falls back to one listStatus
+    * per segment — plan-time statistics read no per-file metadata
+    * (r13 verdict #7). */
   override def estimateStatistics(): Statistics = {
-    val bytes = effectiveCommits.flatMap(c =>
-      RloMeta.listDataFiles(conf, root, c)).map { p =>
-      RloMeta.fs(conf).getFileStatus(
-        new org.apache.hadoop.fs.Path(p)).getLen
+    val st = effectiveCommits.map(c => RloMeta.segStats(conf, root, c))
+    val bytes = effectiveCommits.zip(st).map { case (c, s) =>
+      if (s.bytes >= 0) s.bytes
+      else RloMeta.listDataFilesWithLen(conf, root, c).map(_._2).sum
     }.sum
-    val rows = effectiveCommits
-      .map(c => RloMeta.stats(conf, root, c)._3).sum
+    val rows = st.map(_.nRows).sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -544,19 +690,51 @@ class RloScan(root: String, requiredSchema: StructType,
       runtimeKeep = Some(keeps.reduce(_ intersect _))
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    effectiveCommits.flatMap(c =>
-      RloMeta.listDataFiles(conf, root, c)
-        .map(f => RloInputPartition(c, f,
-          deleteKeys.getOrElse(c, Array.empty[Long]), keyCol))).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splitBytes = RloScan.splitBytes()
+    effectiveCommits.flatMap { c =>
+      val keys = deleteKeys.getOrElse(c, Array.empty[Long])
+      RloMeta.listDataFilesWithLen(conf, root, c).flatMap {
+        case (f, len) =>
+          // row-group-granular splits: chop by byte range, the
+          // parquet midpoint rule assigns each row group to exactly
+          // one range; a file below the target stays one task
+          val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+          (0L until n).map { i =>
+            val start = i * splitBytes
+            RloInputPartition(c, f, start,
+              math.min(splitBytes, len - start), keys, keyCol)
+          }
+      }
+    }.toArray
+  }
+
+  /** Columnar iff no partition needs the row-at-a-time MoR delete
+    * apply, and the `_partition` constant (when projected) sits
+    * LAST — where initBatch appends partition columns. Spark
+    * requires all partitions of one scan to agree on the format. */
+  private def columnarEligible: Boolean =
+    deleteKeys.values.forall(_.isEmpty) && {
+      val idx = requiredSchema.fieldNames.indexOf("_partition")
+      idx < 0 || idx == requiredSchema.length - 1
+    } && requiredSchema.fields.exists(_.name != "_partition")
 
   override def createReaderFactory(): PartitionReaderFactory =
     // JSON, not DDL: an all-aggregate projection prunes to an EMPTY
     // schema, which DDL cannot round-trip
-    new RloReaderFactory(requiredSchema.json)
+    new RloReaderFactory(requiredSchema.json, columnarEligible)
 }
 
 object RloScan {
+  /** Read-side split target: ranges of this many bytes per input
+    * partition (conf `spark.graft.rlo.split.bytes`, default 128 MB —
+    * Spark's own files.maxPartitionBytes neighborhood). */
+  def splitBytes(): Long =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.rlo.split.bytes", (128L * 1024 * 1024).toString)
+      .toLong
+    catch { case _: Throwable => 128L * 1024 * 1024 }
+
   /** Extract the commit set of an `IN` / `=` runtime predicate on
     * `_partition`. */
   private[sources] def partitionInValues(
@@ -588,14 +766,90 @@ object RloScan {
   }
 }
 
-class RloReaderFactory(outJson: String) extends PartitionReaderFactory {
+class RloReaderFactory(outJson: String, columnar: Boolean)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar
+
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val ip = p.asInstanceOf[RloInputPartition]
-    new RloPartitionReader(ip.commit, ip.file,
+    new RloPartitionReader(ip.commit, ip.file, ip.start, ip.length,
       DataType.fromJson(outJson).asInstanceOf[StructType],
       ip.deletedKeys, ip.keyCol)
   }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val ip = p.asInstanceOf[RloInputPartition]
+    new RloColumnarReader(ip.commit, ip.file, ip.start, ip.length,
+      DataType.fromJson(outJson).asInstanceOf[StructType])
+  }
+}
+
+/** VECTORIZED segment read (r13 verdict #1): Spark's own
+  * `VectorizedParquetRecordReader` decodes the byte range into
+  * `ColumnarBatch`es — column-at-a-time decode, dictionary-aware,
+  * feeding whole-stage codegen's columnar-to-row boundary exactly
+  * like the native parquet source. The `_partition` constant rides
+  * as an initBatch partition column (a constant vector, zero decode
+  * cost); schema evolution keeps working because the reader clips
+  * the requested schema against the file footer and serves missing
+  * columns as null vectors. MoR partitions with live delete keys
+  * take the row-based reader instead (the binary-search drop needs
+  * per-row control), which the scan's columnar-eligibility gate
+  * enforces scan-wide. */
+class RloColumnarReader(commit: String, file: String, start: Long,
+    length: Long, out: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  private val dataCols = StructType(out.filter(_.name != "_partition"))
+  private val hasPart = out.fieldNames.contains("_partition")
+
+  private val conf = new Configuration()
+  // the vectorized reader resolves its projection through Spark's
+  // ParquetReadSupport (footer clipping = schema evolution) — the
+  // same two conf keys Spark's own parquet scan sets
+  conf.set("parquet.read.support.class",
+    "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+  conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+    dataCols.json)
+  // ParquetToSparkSchemaConverter reads these five with NO defaults
+  conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+  conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+  conf.setBoolean("spark.sql.caseSensitive", false)
+  conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
+  conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+
+  {
+    // the mapred flavor: Spark's reader casts to it internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(file), start, length,
+      Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, ctx)
+    if (hasPart)
+      reader.initBatch(
+        StructType(Seq(StructField("_partition", StringType,
+          nullable = false))),
+        InternalRow(UTF8String.fromString(commit)))
+    else reader.initBatch(new StructType(), InternalRow.empty)
+    reader.enableReturningBatches()
+  }
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue
+      .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
 }
 
 /** One parquet segment file → InternalRows of the pruned schema
@@ -606,7 +860,8 @@ class RloReaderFactory(outJson: String) extends PartitionReaderFactory {
   * column is force-included in the projection and deleted keys are
   * dropped during the read (binary search in the shipped sorted key
   * set — the Iceberg delete-file apply, per segment). */
-class RloPartitionReader(commit: String, file: String, out: StructType,
+class RloPartitionReader(commit: String, file: String, start: Long,
+    length: Long, out: StructType,
     deletedKeys: Array[Long], keyCol: String)
     extends PartitionReader[InternalRow] {
 
@@ -658,7 +913,10 @@ class RloPartitionReader(commit: String, file: String, out: StructType,
         fileSchema.getType(Seq(n): _*)).toSeq.asJava).toString)
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(),
-      new org.apache.hadoop.fs.Path(file)).withConf(conf).build()
+      new org.apache.hadoop.fs.Path(file)).withConf(conf)
+      // same row-group midpoint rule as the columnar path, so the
+      // two formats split identically
+      .withFileRange(start, start + length).build()
 
   // -1 = the _partition constant; -2 = column newer than this file
   private val fieldIdx: Array[Int] = out.fields.map { f =>
@@ -700,6 +958,11 @@ class RloPartitionReader(commit: String, file: String, out: StructType,
             case StringType => row.update(i,
               UTF8String.fromBytes(g.getBinary(fi, 0).getBytes))
             case DateType => row.setInt(i, g.getInteger(fi, 0))
+            case d: DecimalType => row.update(i,
+              org.apache.spark.sql.types.Decimal(
+                BigDecimal(BigInt(g.getLong(fi, 0)), d.scale),
+                d.precision, d.scale))
+            case TimestampType => row.setLong(i, g.getLong(fi, 0))
             case dt => throw new IllegalArgumentException(dt.sql)
           }
         }
@@ -749,10 +1012,19 @@ class RloRowLevelOperation(table: GraftRloTable,
     Array(Expressions.column("_partition"))
 }
 
-/** Batch write: land segment `w<nextVersion>`, then publish the next
-  * manifest version = (live − replaced) + the new segment. Shared by
-  * append (replaced = ∅) and copy-on-write DML (replaced = the
-  * operation scan's group set). */
+/** Batch write: land segment `w<nextVersion>-<attempt>`, then publish
+  * the next manifest version = (live − replaced) + the new segment.
+  * Shared by append (replaced = ∅) and copy-on-write DML (replaced =
+  * the operation scan's group set).
+  *
+  * ATTEMPT ISOLATION (r13 review, high): the segment name carries a
+  * per-attempt unique suffix, so two racing writers targeting the
+  * same next version can NEVER share a data directory — the loser's
+  * files are orphans in its own dir (vacuum reclaims them), its
+  * abort deletes only that dir, and the winner's published segment
+  * is untouchable by the loser. No pre-clean is needed or safe: a
+  * deterministic shared name would let the loser's cleanup delete
+  * the winner's just-published data. */
 class RloWrite(root: String, writeSchema: StructType,
     statsColName: String, replaced: () => Set[String],
     truncateAll: Boolean = false) extends Write {
@@ -762,33 +1034,73 @@ class RloWrite(root: String, writeSchema: StructType,
   override def toBatch: BatchWrite = {
     val conf = new Configuration()
     val head = RloMeta.headVersion(conf, root)
-    val newCommit = s"w${head + 1}"
-    // a previous aborted attempt may have left files under this name;
-    // segment dirs are only ever referenced via the manifest, so a
-    // pre-clean keeps the commit deterministic
-    RloMeta.deleteCommitDir(conf, root, newCommit)
+    val newCommit = s"w${head + 1}-${RloNames.attemptId()}"
     val statsIdx = writeSchema.fieldIndex(statsColName)
     new RloBatchWrite(root, writeSchema.json, statsIdx, head,
-      newCommit, replaced, truncateAll)
+      newCommit, replaced, truncateAll,
+      RloDataWriter.sessionTargetBytes())
   }
 }
 
-case class RloCommitMessage(minDays: Int, maxDays: Int, n: Long)
-  extends WriterCommitMessage
+/** Attempt-unique suffixes for segment / delete-batch names. The
+  * DISPLAY name of a segment (reports, specs) is the part before the
+  * first '-': stable `w<version>` regardless of which attempt won. */
+object RloNames {
+  def attemptId(): String =
+    java.util.UUID.randomUUID().toString.take(8)
+  def display(commit: String): String = commit.takeWhile(_ != '-')
+}
+
+case class RloCommitMessage(minDays: Int, maxDays: Int, n: Long,
+    bytes: Long, strMins: Map[String, String],
+    strMaxs: Map[String, String]) extends WriterCommitMessage
+
+object RloCommitMessage {
+  val Empty: RloCommitMessage =
+    RloCommitMessage(Int.MaxValue, Int.MinValue, 0L, 0L, Map.empty,
+      Map.empty)
+
+  /** Fold task messages into the segment's stats payload: date
+    * range, row count, exact byte total, and truncated string
+    * bounds per string column — everything [[RloMeta.writeStats]]
+    * persists, all carried back from the executors so stats
+    * maintenance never re-reads data (the q337 discipline). */
+  def fold(ms: Seq[RloCommitMessage]): RloCommitMessage =
+    ms.foldLeft(Empty) { (a, m) =>
+      RloCommitMessage(
+        math.min(a.minDays, m.minDays), math.max(a.maxDays, m.maxDays),
+        a.n + m.n, a.bytes + m.bytes,
+        (a.strMins.keySet ++ m.strMins.keySet).map { k =>
+          k -> Seq(a.strMins.get(k), m.strMins.get(k)).flatten.min
+        }.toMap,
+        (a.strMaxs.keySet ++ m.strMaxs.keySet).map { k =>
+          k -> Seq(a.strMaxs.get(k), m.strMaxs.get(k)).flatten.max
+        }.toMap)
+    }
+
+  def strBounds(m: RloCommitMessage): Map[String, (String, String)] =
+    m.strMins.keys.map { k =>
+      k -> (RloMeta.truncLo(m.strMins(k)), RloMeta.truncUp(m.strMaxs(k)))
+    }.toMap
+}
 
 class RloBatchWrite(root: String, schemaJson: String, statsIdx: Int,
     baseVersion: Int, newCommit: String,
     replaced: () => Set[String],
-    truncateAll: Boolean = false) extends BatchWrite {
+    truncateAll: Boolean = false,
+    targetFileBytes: Long = RloDataWriter.DefaultTargetFileBytes)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    RloWriterFactory(root, newCommit, schemaJson, statsIdx)
+    RloWriterFactory(root, newCommit, schemaJson, statsIdx,
+      targetFileBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     val ms = messages.collect { case m: RloCommitMessage => m }
-    val n = ms.map(_.n).sum
+    val folded = RloCommitMessage.fold(ms.toSeq)
+    val n = folded.n
     val head = RloMeta.headVersion(conf, root)
     if (head != baseVersion) throw new IllegalStateException(
       s"concurrent commit: head moved $baseVersion -> $head while " +
@@ -800,7 +1112,8 @@ class RloBatchWrite(root: String, schemaJson: String, statsIdx: Int,
       s"replaced groups $gone not all live in version $head")
     if (n > 0) {
       RloMeta.writeStats(conf, root, newCommit,
-        ms.map(_.minDays).min, ms.map(_.maxDays).max, n)
+        folded.minDays, folded.maxDays, n, folded.bytes,
+        RloCommitMessage.strBounds(folded))
     } else {
       RloMeta.deleteCommitDir(conf, root, newCommit)
     }
@@ -825,37 +1138,69 @@ class RloBatchWrite(root: String, schemaJson: String, statsIdx: Int,
 }
 
 case class RloWriterFactory(root: String, commit: String,
-    schemaJson: String, statsIdx: Int) extends DataWriterFactory {
+    schemaJson: String, statsIdx: Int,
+    targetFileBytes: Long = RloDataWriter.DefaultTargetFileBytes)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new RloDataWriter(root, commit, schemaJson, statsIdx, partitionId,
-      taskId)
+      taskId, targetFileBytes)
+}
+
+object RloDataWriter {
+  /** Default roll size — files a vectorized scan can split by row
+    * group and an object store serves efficiently (the Iceberg
+    * write.target-file-size default neighborhood). */
+  val DefaultTargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** Session override (`spark.graft.rlo.target.file.bytes`),
+    * resolved DRIVER-side at write planning and shipped to tasks in
+    * the writer factory. */
+  def sessionTargetBytes(): Long =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.rlo.target.file.bytes",
+        DefaultTargetFileBytes.toString).toLong
+    catch { case _: Throwable => DefaultTargetFileBytes }
 }
 
 /** Per-task parquet segment writer (executor-side): standard parquet
   * via the example Group API, plus running min/max/count on the
-  * stats column so segment stats ride back in the commit message —
-  * stats maintenance is incremental, never a post-hoc table scan
-  * (the q337 discipline). */
+  * stats column AND per-string-column bounds so segment stats ride
+  * back in the commit message — stats maintenance is incremental,
+  * never a post-hoc table scan (the q337 discipline). Rolls to a new
+  * file when the in-flight size passes `targetFileBytes`, so one big
+  * task can't produce one unsplittable giant file (r13 verdict #2). */
 class RloDataWriter(root: String, commit: String, schemaJson: String,
-    statsIdx: Int, partitionId: Int, taskId: Long)
+    statsIdx: Int, partitionId: Int, taskId: Long,
+    targetFileBytes: Long = RloDataWriter.DefaultTargetFileBytes)
     extends DataWriter[InternalRow] {
 
   private val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   private val conf = new Configuration()
-  private val path = new org.apache.hadoop.fs.Path(
-    RloMeta.commitDir(root, commit),
-    f"part-$partitionId%05d-$taskId.parquet")
   private val mt = RloMeta.messageTypeFor(schema, "spark_schema")
   private val factory = new SimpleGroupFactory(mt)
-  private val writer: ParquetWriter[Group] = {
-    val b = ExampleParquetWriter.builder(
-      HadoopOutputFile.fromPath(path, conf))
-    b.withType(mt).withConf(conf).build()
-  }
+  private val strCols: Array[Int] = schema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType == StringType => i }
+
+  private def filePath(seq: Int) = new org.apache.hadoop.fs.Path(
+    RloMeta.commitDir(root, commit),
+    f"part-$partitionId%05d-$taskId-$seq%03d.parquet")
+
+  private var seq = 0
+  private var path = filePath(seq)
+  private var writer: ParquetWriter[Group] = open(path)
+  private var closedBytes = 0L
+  private val written = scala.collection.mutable.ArrayBuffer(path)
+
+  private def open(p: org.apache.hadoop.fs.Path): ParquetWriter[Group] =
+    ExampleParquetWriter.builder(HadoopOutputFile.fromPath(p, conf))
+      .withType(mt).withConf(conf).build()
+
   private var minD = Int.MaxValue
   private var maxD = Int.MinValue
   private var n = 0L
+  private val strMins = new java.util.HashMap[Int, String]()
+  private val strMaxs = new java.util.HashMap[Int, String]()
 
   override def write(row: InternalRow): Unit = {
     writer.write(RloMeta.rowToGroup(row, schema, factory))
@@ -864,20 +1209,48 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
       if (d < minD) minD = d
       if (d > maxD) maxD = d
     }
+    var si = 0
+    while (si < strCols.length) {
+      val i = strCols(si)
+      if (!row.isNullAt(i)) {
+        val v = row.getUTF8String(i).toString
+        val lo = strMins.get(i)
+        if (lo == null || v < lo) strMins.put(i, v)
+        val hi = strMaxs.get(i)
+        if (hi == null || v > hi) strMaxs.put(i, v)
+      }
+      si += 1
+    }
     n += 1
+    if (targetFileBytes > 0 && writer.getDataSize >= targetFileBytes) {
+      writer.close()
+      closedBytes += fileLen(path)
+      seq += 1
+      path = filePath(seq)
+      written += path
+      writer = open(path)
+    }
   }
+
+  private def fileLen(p: org.apache.hadoop.fs.Path): Long =
+    RloMeta.fs(conf, p).getFileStatus(p).getLen
 
   override def commit(): WriterCommitMessage = {
     writer.close()
-    if (n == 0) { // nothing written: drop the empty file
-      org.apache.hadoop.fs.FileSystem.get(conf).delete(path, false)
-    }
-    RloCommitMessage(minD, maxD, n)
+    val bytes =
+      if (n == 0) { // nothing written: drop the empty file
+        RloMeta.fs(conf, path).delete(path, false); 0L
+      } else closedBytes + fileLen(path)
+    import scala.jdk.CollectionConverters._
+    RloCommitMessage(minD, maxD, n, bytes,
+      strMins.asScala.map { case (i, v) => schema(i).name -> v }.toMap,
+      strMaxs.asScala.map { case (i, v) => schema(i).name -> v }.toMap)
   }
 
   override def abort(): Unit = {
     try writer.close() catch { case _: Throwable => () }
-    org.apache.hadoop.fs.FileSystem.get(conf).delete(path, false); ()
+    // attempt-scoped: delete every file THIS task wrote, nothing else
+    written.foreach(p => RloMeta.fs(conf, p).delete(p, false))
   }
 
   override def close(): Unit = ()
@@ -930,11 +1303,11 @@ class RloDeltaWrite(root: String, info: LogicalWriteInfo,
   override def toBatch: DeltaBatchWrite = {
     val conf = new Configuration()
     val head = RloMeta.headVersion(conf, root)
-    val newCommit = s"w${head + 1}"
-    val newDbatch = s"d${head + 1}"
-    RloMeta.deleteCommitDir(conf, root, newCommit)
-    RloMeta.fs(conf).delete(RloMeta.deleteBatchDir(root, newDbatch),
-      true)
+    // attempt-unique names: racing delta writers never share a data
+    // or artifact directory (r13 review — see RloWrite)
+    val attempt = RloNames.attemptId()
+    val newCommit = s"w${head + 1}-$attempt"
+    val newDbatch = s"d${head + 1}-$attempt"
     // positions of the metadata `_partition` and the row-id column in
     // the side schemas Spark hands the delta writer
     val partIdx = info.metadataSchema().get().fieldIndex("_partition")
@@ -949,8 +1322,8 @@ class RloDeltaWrite(root: String, info: LogicalWriteInfo,
   }
 }
 
-case class RloDeltaCommitMessage(minDays: Int, maxDays: Int,
-    nInserts: Long, nDeletes: Long) extends WriterCommitMessage
+case class RloDeltaCommitMessage(data: RloCommitMessage,
+    nDeletes: Long) extends WriterCommitMessage
 
 class RloDeltaBatchWrite(root: String, rowSchemaJson: String,
     statsIdx: Int, partIdx: Int, baseVersion: Int, newCommit: String,
@@ -964,7 +1337,8 @@ class RloDeltaBatchWrite(root: String, rowSchemaJson: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     val ms = messages.collect { case m: RloDeltaCommitMessage => m }
-    val nIns = ms.map(_.nInserts).sum
+    val folded = RloCommitMessage.fold(ms.map(_.data).toSeq)
+    val nIns = folded.n
     val nDel = ms.map(_.nDeletes).sum
     val head = RloMeta.headVersion(conf, root)
     if (head != baseVersion) throw new IllegalStateException(
@@ -973,8 +1347,8 @@ class RloDeltaBatchWrite(root: String, rowSchemaJson: String,
     val live = RloMeta.commitsOf(conf, root, head)._2
     if (nIns > 0)
       RloMeta.writeStats(conf, root, newCommit,
-        ms.filter(_.nInserts > 0).map(_.minDays).min,
-        ms.filter(_.nInserts > 0).map(_.maxDays).max, nIns)
+        folded.minDays, folded.maxDays, nIns, folded.bytes,
+        RloCommitMessage.strBounds(folded))
     else RloMeta.deleteCommitDir(conf, root, newCommit)
     val commits = live ++ (if (nIns > 0) Seq(newCommit) else Nil)
     val deletes = RloMeta.deletesOf(conf, root, head) ++
@@ -989,9 +1363,10 @@ class RloDeltaBatchWrite(root: String, rowSchemaJson: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
+    // attempt-scoped cleanup: these names are unique to THIS attempt
     RloMeta.deleteCommitDir(conf, root, newCommit)
-    RloMeta.fs(conf).delete(RloMeta.deleteBatchDir(root, newDbatch),
-      true); ()
+    val db = RloMeta.deleteBatchDir(root, newDbatch)
+    RloMeta.fs(conf, db).delete(db, true); ()
   }
 }
 
@@ -1053,10 +1428,9 @@ class RloDeltaWriter(root: String, commit: String, dbatch: String,
   override def commit(): WriterCommitMessage = {
     val dataMsg = if (dataW != null)
       dataW.commit().asInstanceOf[RloCommitMessage]
-    else RloCommitMessage(Int.MaxValue, Int.MinValue, 0L)
+    else RloCommitMessage.Empty
     if (delW != null) delW.close()
-    RloDeltaCommitMessage(dataMsg.minDays, dataMsg.maxDays,
-      dataMsg.n, nDel)
+    RloDeltaCommitMessage(dataMsg, nDel)
   }
 
   override def abort(): Unit = {

@@ -1,0 +1,293 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-REACHABLE MAINTENANCE for the DSv2 catalog (r13 verdict #4):
+  * `CALL graft_rlo.system.vacuum|optimize|compact_deletes('db.t')` —
+  * Spark 4's DSv2 procedure surface ([[org.apache.spark.sql.connector
+  * .catalog.ProcedureCatalog]]), so expire/vacuum, segment bin-pack,
+  * and MoR delete-artifact compaction run from pure SQL text exactly
+  * like the q346+ DML does (the Iceberg `CALL catalog.system.*`
+  * shape). Each procedure returns its report as a [[LocalScan]] —
+  * the CALL's result set — so the queries that wrap them stay
+  * oracle-falsifiable with zero engine-internal calls in their
+  * bodies.
+  *
+  * The heavy lifting (what to pack, what to fold, what the swap must
+  * preserve) lives in [[RloMaintenance]]; procedures are thin
+  * bindings. All writes land through the same primitives as DML:
+  * immutable segment dirs + one CAS-published manifest version.
+  */
+object RloProcedures {
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  /** One-call bound procedure: fixed parameters, one result row
+    * schema, a body over (conf, root, spark). */
+  private abstract class RloProc(procName: String,
+      params: Seq[ProcedureParameter], out: StructType)
+      extends BoundProcedure with UnboundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft_rlo $procName"
+    override def bind(input: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    def run(input: InternalRow): Seq[InternalRow]
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val resultRows = run(input).toArray
+      util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = resultRows
+        override def readSchema(): StructType = out
+        override def description(): String = s"graft_rlo $procName result"
+      }).iterator()
+    }
+  }
+
+  private def str(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.map {
+      case s: String => UTF8String.fromString(s)
+      case o => o.asInstanceOf[AnyRef]
+    }.toArray[Any])
+
+  /** `CALL graft_rlo.system.vacuum('db.t')` — expire history to the
+    * head, then reclaim every segment dir and delete batch no
+    * surviving version references (the q310 two-phase). Returns one
+    * row per reclaimed object. */
+  def vacuum(rootOf: String => String): UnboundProcedure =
+    new RloProc("vacuum", Seq(param("table", StringType)),
+      StructType(Seq(StructField("reclaimed", StringType),
+        StructField("kind", StringType)))) {
+      override def run(input: InternalRow): Seq[InternalRow] = {
+        val conf = new Configuration()
+        val root = rootOf(input.getUTF8String(0).toString)
+        val head = RloMeta.headVersion(conf, root)
+        val (segs, batches) = RloMeta.expireAndVacuum(conf, root, head)
+        segs.map(s => str(s, "segment")) ++
+          batches.map(b => str(b, "delete_batch"))
+      }
+    }
+
+  /** `CALL graft_rlo.system.optimize('db.t')` — bin-pack the head's
+    * live segments into size-bounded packed files and publish the
+    * swap (content-identical by construction: the pack READS THROUGH
+    * the table, so MoR delete artifacts are applied and dropped from
+    * the packed version). Returns the swap's manifest arithmetic so
+    * callers can audit both sides via VERSION AS OF. */
+  def optimize(rootOf: String => String): UnboundProcedure =
+    new RloProc("optimize", Seq(param("table", StringType)),
+      StructType(Seq(
+        StructField("v_before", IntegerType),
+        StructField("v_after", IntegerType),
+        StructField("segments_before", IntegerType),
+        StructField("segments_after", IntegerType),
+        StructField("files_after", IntegerType),
+        StructField("n_rows", LongType)))) {
+      override def run(input: InternalRow): Seq[InternalRow] = {
+        val r = RloMaintenance.optimize(
+          rootOf(input.getUTF8String(0).toString))
+        Seq(new GenericInternalRow(Array[Any](r.vBefore, r.vAfter,
+          r.segsBefore, r.segsAfter, r.filesAfter, r.nRows)))
+      }
+    }
+
+  /** `CALL graft_rlo.system.compact_deletes('db.t', threshold)` —
+    * the q329 delete-debt discipline inside the connector (r13
+    * verdict #3): merge the head's delete batches into ONE artifact,
+    * and FOLD (copy-on-write rewrite) any segment whose delete
+    * density crossed the threshold — its artifacts become inert by
+    * scope and the shipped key set shrinks. One published version. */
+  def compactDeletes(rootOf: String => String): UnboundProcedure =
+    new RloProc("compact_deletes",
+      Seq(param("table", StringType), param("threshold", DoubleType)),
+      StructType(Seq(
+        StructField("commit_id", StringType),
+        StructField("action", StringType),
+        StructField("deletes_before", LongType),
+        StructField("deletes_after", LongType)))) {
+      override def run(input: InternalRow): Seq[InternalRow] = {
+        val r = RloMaintenance.compactDeletes(
+          rootOf(input.getUTF8String(0).toString), input.getDouble(1))
+        r.map { case (c, action, before, after) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(c),
+            UTF8String.fromString(action), before, after))
+        }
+      }
+    }
+}
+
+/** The maintenance bodies: pure manifest+segment arithmetic over
+  * [[RloMeta]], with Spark doing the data movement. Everything
+  * publishes through the version-file CAS, so maintenance races DML
+  * safely — a lost race leaves nothing visible. */
+object RloMaintenance {
+
+  case class OptimizeResult(vBefore: Int, vAfter: Int, segsBefore: Int,
+      segsAfter: Int, filesAfter: Int, nRows: Long)
+
+  private def targetFileBytes(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.rlo.target.file.bytes",
+      RloDataWriter.DefaultTargetFileBytes.toString).toLong
+
+  /** Catalog-qualified SQL name of a table root's db.table pair —
+    * maintenance reads go through the SQL surface so MoR artifact
+    * apply, schema evolution, and pruning all participate. */
+  private def sqlName(root: String): String = {
+    val parts = root.split("/").filter(_.nonEmpty)
+    s"graft_rlo.${parts(parts.length - 2)}.${parts(parts.length - 1)}"
+  }
+
+  /** Bin-pack the head's live segments into one packed segment of
+    * size-bounded files (the q318/q360 economics: per-probe file
+    * opens drop from O(batches) to O(bytes/target)). Content is
+    * IDENTICAL across the swap; prior versions keep serving the
+    * small segments until vacuum. */
+  def optimize(root: String): OptimizeResult = {
+    val spark = SparkSession.active
+    val conf = new Configuration()
+    val head = RloMeta.headVersion(conf, root)
+    val live = RloMeta.commitsOf(conf, root, head)._2
+    val statsCol = RloMeta.statsCol(conf, root)
+    val schema = RloMeta.readSchema(conf, root)
+
+    // size the pack from manifest bytes (no file RPCs)
+    val liveBytes = live.map { c =>
+      val st = RloMeta.segStats(conf, root, c)
+      if (st.bytes >= 0) st.bytes
+      else RloMeta.listDataFilesWithLen(conf, root, c).map(_._2).sum
+    }.sum
+    val target = targetFileBytes(spark)
+    val nFiles = math.max(1L, (liveBytes + target - 1) / target).toInt
+
+    // one pass through the TABLE (delete artifacts applied, schema
+    // evolution resolved) -> one packed segment of bounded files
+    val cols = schema.fieldNames.map(n => col(s"`$n`"))
+    val packed = spark.sql(s"SELECT * FROM ${sqlName(root)}")
+      .select(cols: _*).repartition(nFiles).localCheckpoint()
+    val newCommit = s"p${head + 1}-${RloNames.attemptId()}"
+    packed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(RloMeta.commitDir(root, newCommit).toString)
+
+    val strCols = schema.fields.filter(_.dataType == StringType)
+    val aggs = Seq(min(unix_date(col(statsCol))), max(unix_date(col(statsCol))),
+      count(lit(1))) ++
+      strCols.flatMap(f => Seq(min(col(f.name)), max(col(f.name))))
+    val st = packed.agg(aggs.head, aggs.tail: _*).collect().head
+    val strBounds = strCols.zipWithIndex.collect {
+      case (f, i) if st.getString(3 + 2 * i) != null =>
+        f.name -> (RloMeta.truncLo(st.getString(3 + 2 * i)),
+          RloMeta.truncUp(st.getString(4 + 2 * i)))
+    }.toMap
+    val bytes = RloMeta.listDataFilesWithLen(conf, root, newCommit)
+      .map(_._2).sum
+    RloMeta.writeStats(conf, root, newCommit, st.getInt(0), st.getInt(1),
+      st.getLong(2), bytes, strBounds)
+
+    // the packed read already applied any delete artifacts: the new
+    // version carries NO delete batches
+    val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
+    if (!RloMeta.publishVersion(conf, root, head + 1, ts, Seq(newCommit)))
+      throw new IllegalStateException(
+        s"concurrent commit: version ${head + 1} already published - " +
+          "re-run OPTIMIZE against the new head")
+    OptimizeResult(head, head + 1, live.size, 1,
+      RloMeta.listDataFiles(conf, root, newCommit).size, st.getLong(2))
+  }
+
+  /** Merge the head's delete batches into one artifact file and fold
+    * segments past the density threshold copy-on-write. Returns
+    * (displayCommit, action, deletesBefore, deletesAfter) per live
+    * segment that had deletes. */
+  def compactDeletes(root: String,
+      threshold: Double): Seq[(String, String, Long, Long)] = {
+    val spark = SparkSession.active
+    val conf = new Configuration()
+    require(RloMeta.mode(conf, root) == "mor",
+      "compact_deletes applies to merge-on-read tables")
+    val head = RloMeta.headVersion(conf, root)
+    val live = RloMeta.commitsOf(conf, root, head)._2
+    val keys = RloMeta.liveDeleteKeys(conf, root, head)
+    val statsCol = RloMeta.statsCol(conf, root)
+    val schema = RloMeta.readSchema(conf, root)
+
+    val (toFold, toKeep) = keys.partition { case (c, ks) =>
+      val n = RloMeta.segStats(conf, root, c).nRows
+      n > 0 && ks.length.toDouble / n >= threshold
+    }
+
+    // FOLD: rewrite each dense segment through the table read (its
+    // artifacts applied), landing a fresh segment; the old segment
+    // and its artifacts stay on disk for prior versions
+    var nextCommits = live.filterNot(toFold.keySet)
+    val folded = toFold.keys.toSeq.sorted.map { c =>
+      val newCommit = s"f${head + 1}-${RloNames.attemptId()}"
+      val cols = schema.fieldNames.map(n => col(s"`$n`"))
+      val rows = spark.sql(
+        s"SELECT * FROM ${sqlName(root)} WHERE _partition = '$c'")
+        .select(cols: _*).localCheckpoint()
+      rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(RloMeta.commitDir(root, newCommit).toString)
+      val st = rows.agg(min(unix_date(col(statsCol))),
+        max(unix_date(col(statsCol))), count(lit(1))).collect().head
+      RloMeta.writeStats(conf, root, newCommit, st.getInt(0),
+        st.getInt(1), st.getLong(2),
+        RloMeta.listDataFilesWithLen(conf, root, newCommit).map(_._2).sum)
+      nextCommits = nextCommits :+ newCommit
+      c -> newCommit
+    }
+
+    // MERGE: the surviving keys (unfolded segments only) land as ONE
+    // artifact file in one new batch - the per-read artifact ship is
+    // bounded again
+    val deletes =
+      if (toKeep.isEmpty || toKeep.values.forall(_.isEmpty)) Nil
+      else {
+        val dbatch = s"d${head + 1}-${RloNames.attemptId()}"
+        val p = new org.apache.hadoop.fs.Path(
+          RloMeta.deleteBatchDir(root, dbatch), "merged-000.parquet")
+        val mt = RloMeta.messageTypeFor(RloMeta.DeleteSchema,
+          "spark_schema")
+        val factory = new SimpleGroupFactory(mt)
+        val w = ExampleParquetWriter.builder(
+          HadoopOutputFile.fromPath(p, conf)).withType(mt).withConf(conf)
+          .build()
+        try toKeep.toSeq.sortBy(_._1).foreach { case (c, ks) =>
+          ks.foreach { k =>
+            val g = factory.newGroup()
+            g.add("del_key", k)
+            g.add("target_commit", c)
+            w.write(g)
+          }
+        } finally w.close()
+        Seq(dbatch)
+      }
+
+    val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
+    if (!RloMeta.publishVersion(conf, root, head + 1, ts, nextCommits,
+        deletes))
+      throw new IllegalStateException(
+        s"concurrent commit: version ${head + 1} already published - " +
+          "re-run compact_deletes against the new head")
+
+    val foldedMap = folded.toMap
+    keys.toSeq.sortBy(_._1).map { case (c, ks) =>
+      if (foldedMap.contains(c))
+        (RloNames.display(c), "folded", ks.length.toLong, 0L)
+      else (RloNames.display(c), "merged", ks.length.toLong,
+        ks.length.toLong)
+    }
+  }
+}

@@ -43,8 +43,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object RloMeta {
 
   /** FileSystem OF THE PATH, not the default FS — a catalog root on
-    * s3a:// must not resolve through fs.defaultFS (r13 review). */
-  def fs(conf: Configuration): FileSystem = FileSystem.get(conf)
+    * s3a:// must not resolve through fs.defaultFS (r13/r14 review:
+    * the old no-arg overload returned the default FS and would have
+    * failed every catalog operation on an object-store root). */
+  def fs(conf: Configuration, p: Path): FileSystem = p.getFileSystem(conf)
 
   private def fsOf(conf: Configuration, p: Path): FileSystem =
     p.getFileSystem(conf)
@@ -96,9 +98,28 @@ object RloMeta {
     fsOf(conf, p).exists(p)
   }
 
+  /** Current schema = the highest published schema generation:
+    * `schema.ddl` is generation 0 (written once at init), every
+    * ALTER publishes `schema_<k>.ddl` through the same
+    * create-if-absent CAS as versions — so concurrent ALTERs can
+    * never interleave silently (r13 review: the old
+    * read-validate-overwrite had a lost-update window). */
   def readSchema(conf: Configuration, root: String): StructType =
     StructType.fromDDL(readTextAt(conf,
-      new Path(metaDir(root), "schema.ddl")))
+      new Path(metaDir(root), schemaGenerations(conf, root).last._2)))
+
+  /** (generation, fileName) pairs, ascending — generation 0 is the
+    * init-time schema.ddl, always present. */
+  private def schemaGenerations(conf: Configuration,
+      root: String): Seq[(Int, String)] = {
+    val names = fsOf(conf, metaDir(root)).listStatus(metaDir(root))
+      .map(_.getPath.getName)
+    val evolved = names.collect {
+      case n if n.startsWith("schema_") && n.endsWith(".ddl") =>
+        (n.stripPrefix("schema_").stripSuffix(".ddl").toInt, n)
+    }
+    ((0, "schema.ddl") +: evolved.toSeq).sortBy(_._1)
+  }
 
   def statsCol(conf: Configuration, root: String): String =
     readTextAt(conf, new Path(metaDir(root), "statscol.txt")).trim
@@ -112,15 +133,22 @@ object RloMeta {
     * existing files' columns without rewriting them. */
   def evolveSchema(conf: Configuration, root: String,
       newSchema: StructType): Unit = {
-    val old = readSchema(conf, root)
+    val gens = schemaGenerations(conf, root)
+    val old = StructType.fromDDL(readTextAt(conf,
+      new Path(metaDir(root), gens.last._2)))
     require(newSchema.fields.take(old.length).map(f =>
         (f.name, f.dataType)).sameElements(
         old.fields.map(f => (f.name, f.dataType))),
       "schema evolution is append-only: existing columns must be " +
         s"unchanged (old ${old.toDDL}, new ${newSchema.toDDL})")
-    writeText(fsOf(conf, metaDir(root)),
-      new Path(metaDir(root), "schema.ddl"),
-      newSchema.toDDL, overwrite = true)
+    // publish the next generation via the SAME create-if-absent CAS
+    // as version files: a raced ALTER loses loudly and re-validates
+    // against the winner's schema instead of silently overwriting it
+    val next = new Path(metaDir(root), s"schema_${gens.last._1 + 1}.ddl")
+    if (!casCreate(conf, next, newSchema.toDDL))
+      throw new IllegalStateException(
+        s"concurrent schema change: ${next.getName} already published" +
+          " - re-run the ALTER against the new schema")
   }
 
   /** Expire all versions but `keep`, then reclaim every segment dir
@@ -166,11 +194,18 @@ object RloMeta {
   private def versionPath(root: String, v: Int) =
     new Path(metaDir(root), f"v$v%05d.txt")
 
-  def headVersion(conf: Configuration, root: String): Int = {
-    val vs = fsOf(conf, metaDir(root)).listStatus(metaDir(root))
+  /** Versions whose manifest file still exists — after an
+    * expire+vacuum this is a strict subset of 1..head (r13 review:
+    * time travel must skip expired versions, not crash on them). */
+  def liveVersions(conf: Configuration, root: String): Seq[Int] =
+    fsOf(conf, metaDir(root)).listStatus(metaDir(root))
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toInt }
+      .toSeq.sorted
+
+  def headVersion(conf: Configuration, root: String): Int = {
+    val vs = liveVersions(conf, root)
     require(vs.nonEmpty, s"no published version under $root")
     vs.max
   }
@@ -194,13 +229,20 @@ object RloMeta {
       .map(_.trim).filter(_.startsWith("d:")).map(_.stripPrefix("d:"))
       .toSeq
 
-  /** Highest version whose commit timestamp is <= tsMicros. */
+  /** Highest SURVIVING version whose commit timestamp is <= tsMicros.
+    * Only versions whose manifest file still exists are candidates,
+    * so a vacuumed table keeps serving TIMESTAMP AS OF for any time
+    * at or after a surviving commit; a timestamp that only expired
+    * versions could satisfy raises a clear 'expired' error instead of
+    * a FileNotFoundException (r13 review). */
   def versionAsOf(conf: Configuration, root: String,
       tsMicros: Long): Int = {
-    val vs = (1 to headVersion(conf, root)).filter { v =>
-      commitsOf(conf, root, v)._1 <= tsMicros
-    }
-    require(vs.nonEmpty, s"no version at or before ts $tsMicros")
+    val live = liveVersions(conf, root)
+    val vs = live.filter(v => commitsOf(conf, root, v)._1 <= tsMicros)
+    require(vs.nonEmpty,
+      s"no surviving version at or before ts $tsMicros " +
+        s"(surviving versions: ${live.mkString(",")} - earlier " +
+        "history may have been expired+vacuumed)")
     vs.max
   }
 
@@ -224,7 +266,13 @@ object RloMeta {
       deletes: Seq[String] = Nil): Boolean = {
     val text = (s"ts=$tsMicros" +: (commits ++ deletes.map("d:" + _)))
       .mkString("\n")
-    val p = versionPath(root, v)
+    casCreate(conf, versionPath(root, v), text)
+  }
+
+  /** Create-if-absent publish of one metadata file — the commit
+    * primitive shared by version manifests and schema generations. */
+  private[sources] def casCreate(conf: Configuration, p: Path,
+      text: String): Boolean = {
     // decide locality from the PATH's own filesystem, never the
     // default FS (an s3a root on a file-default host must take the
     // remote branch - r13 review)
@@ -256,28 +304,88 @@ object RloMeta {
   private def statsPath(root: String, commit: String) =
     new Path(metaDir(root), s"stats_$commit.txt")
 
+  /** Truncated string bounds length — the q350 zone-map truncate[4]
+    * discipline carried into the segment manifest (r13 verdict #5). */
+  val StrTruncLen = 4
+
+  /** Lower bound: plain prefix truncation (trunc(min) <= min). */
+  def truncLo(s: String): String = s.take(StrTruncLen)
+
+  /** Upper bound: prefix truncation with the last code point bumped
+    * when truncation dropped information, so truncUp(max) >= max
+    * (the Iceberg upper-bound truncation). */
+  def truncUp(s: String): String =
+    if (s.length <= StrTruncLen) s
+    else {
+      val t = s.take(StrTruncLen)
+      t.init + (t.last + 1).toChar
+    }
+
+  /** Full per-segment stats: the date-column range + row count
+    * (format v1), plus file BYTES (so plan-time statistics read no
+    * filesystem metadata) and truncated min/max bounds per string
+    * column (so string predicates stats-route too) — format v2,
+    * reader tolerant of v1 files (bytes = -1, no string bounds). */
+  case class SegStats(minDays: Int, maxDays: Int, nRows: Long,
+      bytes: Long, strBounds: Map[String, (String, String)])
+
+  private def hexEnc(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  private def hexDec(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+
   def writeStats(conf: Configuration, root: String, commit: String,
-      minDays: Int, maxDays: Int, nRows: Long): Unit =
+      minDays: Int, maxDays: Int, nRows: Long, bytes: Long = -1L,
+      strBounds: Map[String, (String, String)] = Map.empty): Unit = {
+    val head = s"$minDays,$maxDays,$nRows,$bytes"
+    // hex-encode string bounds: the payload may contain any
+    // character, the stats file stays line/comma-structured
+    val lines = head +: strBounds.toSeq.sortBy(_._1).map {
+      case (c, (lo, hi)) => s"s:$c:${hexEnc(lo)}:${hexEnc(hi)}"
+    }
     writeText(fsOf(conf, statsPath(root, commit)),
-      statsPath(root, commit),
-      s"$minDays,$maxDays,$nRows", overwrite = true)
+      statsPath(root, commit), lines.mkString("\n"), overwrite = true)
+  }
 
   /** (minDays, maxDays, nRows) of one commit's stats-column range. */
   def stats(conf: Configuration, root: String,
       commit: String): (Int, Int, Long) = {
-    val parts = readTextAt(conf, statsPath(root, commit)).trim
-      .split(",")
-    (parts(0).toInt, parts(1).toInt, parts(2).toLong)
+    val s = segStats(conf, root, commit)
+    (s.minDays, s.maxDays, s.nRows)
+  }
+
+  def segStats(conf: Configuration, root: String,
+      commit: String): SegStats = {
+    val lines = readTextAt(conf, statsPath(root, commit)).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    val parts = lines.head.split(",")
+    val bounds = lines.tail.collect {
+      case l if l.startsWith("s:") =>
+        val Array(_, c, lo, hi) = l.split(":", 4)
+        c -> (hexDec(lo), hexDec(hi))
+    }.toMap
+    SegStats(parts(0).toInt, parts(1).toInt, parts(2).toLong,
+      if (parts.length > 3) parts(3).toLong else -1L, bounds)
   }
 
   def listDataFiles(conf: Configuration, root: String,
-      commit: String): Seq[String] = {
+      commit: String): Seq[String] =
+    listDataFilesWithLen(conf, root, commit).map(_._1)
+
+  /** (path, length) per segment file — the one listStatus already
+    * pays for the listing carries the lengths, so split planning
+    * never needs a second round of getFileStatus RPCs. */
+  def listDataFilesWithLen(conf: Configuration, root: String,
+      commit: String): Seq[(String, Long)] = {
     val dir = commitDir(root, commit)
     val f = fsOf(conf, dir)
     if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    else f.listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.toString, s.getLen)).toSeq.sortBy(_._1)
   }
 
   // -------------------------------- merge-on-read delete artifacts
@@ -350,6 +458,17 @@ object RloMeta {
           .as(LogicalTypeAnnotation.stringType())
         case DateType => b.optional(PrimitiveTypeName.INT32)
           .as(LogicalTypeAnnotation.dateType())
+        // decimal p<=18 rides INT64 with a decimal annotation — the
+        // same physical layout Spark's own writer picks for
+        // non-legacy parquet, so fixture segments and DML segments
+        // stay mutually readable (r13 verdict #6: the exact-sum
+        // discipline is decimal, the codec must carry it natively)
+        case d: DecimalType if d.precision <= 18 =>
+          b.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+        case TimestampType => b.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS))
         case dt => throw new IllegalArgumentException(
           s"unsupported RLO column type ${dt.sql} for ${f.name}")
       }
@@ -376,6 +495,11 @@ object RloMeta {
         case StringType => row.update(i,
           UTF8String.fromBytes(g.getBinary(fi, 0).getBytes))
         case DateType => row.setInt(i, g.getInteger(fi, 0))
+        case d: DecimalType => row.update(i,
+          org.apache.spark.sql.types.Decimal(
+            BigDecimal(BigInt(g.getLong(fi, 0)), d.scale),
+            d.precision, d.scale))
+        case TimestampType => row.setLong(i, g.getLong(fi, 0))
         case dt => throw new IllegalArgumentException(dt.sql)
       }
       i += 1
@@ -395,6 +519,9 @@ object RloMeta {
         case DoubleType => g.add(schema(i).name, row.getDouble(i))
         case StringType => g.add(schema(i).name, row.getUTF8String(i).toString)
         case DateType => g.add(schema(i).name, row.getInt(i))
+        case d: DecimalType => g.add(schema(i).name,
+          row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case TimestampType => g.add(schema(i).name, row.getLong(i))
         case dt => throw new IllegalArgumentException(dt.sql)
       }
       i += 1

@@ -81,7 +81,8 @@ object StreamRloSink {
         max(unix_date(col("o_orderdate"))), count(lit(1)))
         .collect().head
       RloMeta.writeStats(conf, root, s"b$k", st.getInt(0), st.getInt(1),
-        st.getLong(2))
+        st.getLong(2),
+        RloMeta.listDataFilesWithLen(conf, root, s"b$k").map(_._2).sum)
       val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
       RloMeta.publishVersion(conf, root, k + 2, ts,
         (0 to k).map(i => s"b$i"))

@@ -23,11 +23,17 @@ class SqlDmlSpec extends AnyFunSuite {
 
   private val conf = new Configuration()
 
+  /** DML segment names carry an attempt-unique suffix (`w2-<id>`,
+    * the r13 racing-writers fix); specs assert on the stable display
+    * prefix. */
+  private def display(commits: Iterable[String]): Set[String] =
+    commits.map(_.takeWhile(_ != '-')).toSet
+
   private def fileStamps(root: String,
       commit: String): Seq[(String, Long, Long)] = {
-    val f = RloMeta.fs(conf)
     RloMeta.listDataFiles(conf, root, commit).map { p =>
-      val st = f.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val st = RloMeta.fs(conf, hp).getFileStatus(hp)
       (p, st.getLen, st.getModificationTime)
     }
   }
@@ -62,7 +68,7 @@ class SqlDmlSpec extends AnyFunSuite {
     // rewritten into w2 and this assertion (and the oracle) fails
     assert(RloMeta.commitsOf(conf, root, 1)._2.toSet ==
       Set("c0", "c1", "c2"))
-    assert(RloMeta.commitsOf(conf, root, 2)._2.toSet ==
+    assert(display(RloMeta.commitsOf(conf, root, 2)._2) ==
       Set("c0", "c2", "w2"))
     // physical carry: same files, same bytes, same mtimes
     Seq("c0", "c2").foreach { c =>
@@ -104,11 +110,12 @@ class SqlDmlSpec extends AnyFunSuite {
     val v2 = RloMeta.commitsOf(conf, root, 2)._2.toSet
     val v3 = RloMeta.commitsOf(conf, root, 3)._2.toSet
     assert(v2.subsetOf(v3), s"append replaced segments: $v2 vs $v3")
-    assert((v3 -- v2) == Set("w3"), s"unexpected appended set: ${v3 -- v2}")
+    assert(display(v3 -- v2) == Set("w3"),
+      s"unexpected appended set: ${v3 -- v2}")
     // the DELETE (v4) then replaced exactly the one dated segment
     val v4 = RloMeta.commitsOf(conf, root, 4)._2.toSet
     assert(v3 -- v4 == Set("c0"), s"DELETE replaced ${v3 -- v4}")
-    assert(v4 -- v3 == Set("w4"), s"DELETE appended ${v4 -- v3}")
+    assert(display(v4 -- v3) == Set("w4"), s"DELETE appended ${v4 -- v3}")
   }
 
   test("the version-file publish is a CAS: the second publisher of " +
@@ -148,7 +155,7 @@ class SqlDmlSpec extends AnyFunSuite {
       "version 1 still serves the full table") {
     graft.operators.SqlDml.q355SqlInsertOverwrite(spark, sf).collect()
     val root = SqlDml.tableRoot("orders_cow_ow")
-    assert(RloMeta.commitsOf(conf, root, 2)._2 == Seq("w2"))
+    assert(display(RloMeta.commitsOf(conf, root, 2)._2) == Set("w2"))
     Seq("c0", "c1", "c2").foreach { c =>
       assert(RloMeta.listDataFiles(conf, root, c).nonEmpty,
         s"overwrite physically deleted $c — it must stay for time travel")
@@ -165,7 +172,7 @@ class SqlDmlSpec extends AnyFunSuite {
     val before = graft.operators.SqlDml.q356RloVacuum(spark, sf)
       .collect()
     val root = SqlDml.tableRoot("orders_cow_gc")
-    val f = RloMeta.fs(conf)
+    val f = RloMeta.fs(conf, RloMeta.metaDir(root))
     // only v2 survives; c2 is physically gone, its stats file too
     assert(RloMeta.headVersion(conf, root) == 2)
     intercept[java.io.FileNotFoundException] {
@@ -197,9 +204,9 @@ class SqlDmlSpec extends AnyFunSuite {
     SqlDml.runMerge(spark, sf, "orders_mor_spec")
 
     // every base segment carries; exactly one append commit arrives
-    assert(RloMeta.commitsOf(conf, root, 2)._2.toSet ==
+    assert(display(RloMeta.commitsOf(conf, root, 2)._2) ==
       Set("c0", "c1", "c2", "w2"))
-    assert(RloMeta.deletesOf(conf, root, 2) == Seq("d2"))
+    assert(display(RloMeta.deletesOf(conf, root, 2)) == Set("d2"))
     Seq("c0", "c1", "c2").foreach { c =>
       assert(fileStamps(root, c) == before(c),
         s"MoR merge rewrote base segment $c")
@@ -273,7 +280,7 @@ class SqlDmlSpec extends AnyFunSuite {
       "version 1 stays intact") {
     graft.operators.SqlDml.q357SqlMergeSync(spark, sf).collect()
     val root = SqlDml.tableRoot("orders_cow_sync")
-    assert(RloMeta.commitsOf(conf, root, 2)._2 == Seq("w2"),
+    assert(display(RloMeta.commitsOf(conf, root, 2)._2) == Set("w2"),
       "BY SOURCE semantics require a full rewrite - a pruned group " +
         "would have silently kept its deleted rows")
     assert(RloMeta.commitsOf(conf, root, 1)._2.toSet ==
@@ -357,14 +364,17 @@ class SqlDmlSpec extends AnyFunSuite {
       s"small RLO side not broadcast:\n${plan.take(2000)}")
   }
 
-  test("q360 OPTIMIZE swaps segments without changing a byte: the " +
-      "packed head is one segment/one file, the small segments stay " +
-      "on disk for prior versions, and both versions read identically") {
+  test("q360 OPTIMIZE (via CALL graft_rlo.system.optimize) swaps " +
+      "segments without changing a byte: the packed head is one " +
+      "segment, the small segments stay on disk for prior versions, " +
+      "and both versions read identically") {
     graft.operators.SqlDml.q360RloOptimize(spark, sf).collect()
     val root = SqlDml.tableRoot("orders_stream")
     val head = RloMeta.headVersion(conf, root)
-    assert(RloMeta.commitsOf(conf, root, head)._2 == Seq("p0"))
-    assert(RloMeta.listDataFiles(conf, root, "p0").size == 1)
+    val packed = RloMeta.commitsOf(conf, root, head)._2
+    assert(display(packed) == Set(s"p$head"))
+    // fixture-scale pack fits the target -> exactly one file
+    assert(RloMeta.listDataFiles(conf, root, packed.head).size == 1)
     // smalls survive for prior versions until vacuum
     (0 until 4).foreach { i =>
       assert(RloMeta.listDataFiles(conf, root, s"b$i").nonEmpty)
@@ -374,6 +384,176 @@ class SqlDmlSpec extends AnyFunSuite {
       s"${SqlDml.Cat}.${SqlDml.Ns}.orders_stream VERSION AS OF $v")
       .collect().head.getLong(0)
     assert(keysum(head) == keysum(head - 1))
+  }
+
+  test("read-side range splits: a segment file larger than the " +
+      "split target plans >1 input partition, and the split read " +
+      "returns exactly the same rows (no loss or duplication at " +
+      "range boundaries)") {
+    SqlDml.buildTable(spark, sf, "orders_cow_split")
+    val full = spark.sql(s"SELECT SUM(o_orderkey) AS k, COUNT(*) AS n" +
+      s" FROM ${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_split")
+      .collect().head
+    spark.conf.set("spark.graft.rlo.split.bytes", "2048")
+    try {
+      val df = spark.sql(s"SELECT SUM(o_orderkey) AS k, COUNT(*) AS n" +
+        s" FROM ${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_split")
+      val res = df.collect().head
+      assert(res == full, s"split read drifted: $res vs $full")
+      val parts = rloScans(df).head.planInputPartitions()
+      assert(parts.length > 3,
+        s"want range splits beyond the 3 segment files, got " +
+          s"${parts.length}")
+    } finally spark.conf.unset("spark.graft.rlo.split.bytes")
+  }
+
+  test("write-side file rolling: with a small target file size one " +
+      "INSERT task emits multiple size-bounded files, stats intact") {
+    SqlDml.buildTable(spark, sf, "orders_cow_roll")
+    spark.conf.set("spark.graft.rlo.target.file.bytes", "16384")
+    try {
+      SqlDml.ordersAsDate(spark, sf).coalesce(1)
+        .createOrReplaceTempView("roll_src")
+      spark.sql(s"INSERT INTO ${SqlDml.Cat}.${SqlDml.Ns}" +
+        ".orders_cow_roll SELECT * FROM roll_src")
+      val root = SqlDml.tableRoot("orders_cow_roll")
+      val w2 = RloMeta.commitsOf(conf, root, 2)._2
+        .find(_.startsWith("w2")).get
+      val files = RloMeta.listDataFilesWithLen(conf, root, w2)
+      assert(files.size > 1, s"one task wrote ${files.size} file(s)")
+      // stats still describe the whole segment (all files folded in)
+      val st = RloMeta.segStats(conf, root, w2)
+      assert(st.nRows == SqlDml.ordersAsDate(spark, sf).count())
+      assert(st.bytes == files.map(_._2).sum)
+    } finally spark.conf.unset("spark.graft.rlo.target.file.bytes")
+  }
+
+  test("TIMESTAMP AS OF on a vacuumed table: timestamps at or after " +
+      "a surviving commit still resolve; a timestamp only expired " +
+      "versions could satisfy raises a clear 'expired' error, not a " +
+      "FileNotFoundException (r13 advice)") {
+    SqlDml.buildTable(spark, sf, "orders_cow_ttgc")
+    spark.sql(s"UPDATE ${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_ttgc " +
+      "SET o_totalprice = o_totalprice + 500.0 " +
+      "WHERE o_orderdate >= DATE '1999-01-01'")
+    spark.sql(s"CALL ${SqlDml.Cat}.system.vacuum(" +
+      s"'${SqlDml.Ns}.orders_cow_ttgc')").collect()
+    // v2's commit time (logical clock: v1 + 1s) still resolves
+    val n = spark.sql(s"SELECT COUNT(*) FROM ${SqlDml.Cat}." +
+      s"${SqlDml.Ns}.orders_cow_ttgc " +
+      "TIMESTAMP AS OF '2000-01-01 00:00:01'").collect().head.getLong(0)
+    assert(n == SqlDml.ordersAsDate(spark, sf).count())
+    // v1's time is only satisfiable by the expired version
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM ${SqlDml.Cat}." +
+        s"${SqlDml.Ns}.orders_cow_ttgc " +
+        "TIMESTAMP AS OF '2000-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("expired"),
+      s"want an 'expired' error, got: ${e.getMessage}")
+  }
+
+  test("schema evolution publishes CAS'd generations: two ALTERs " +
+      "land schema_1/schema_2 and readSchema returns the widest") {
+    val root = SqlDml.buildTable(spark, sf, "orders_cow_gens")
+    spark.sql(s"ALTER TABLE ${SqlDml.Cat}.${SqlDml.Ns}" +
+      ".orders_cow_gens ADD COLUMNS (x1 STRING)")
+    spark.sql(s"ALTER TABLE ${SqlDml.Cat}.${SqlDml.Ns}" +
+      ".orders_cow_gens ADD COLUMNS (x2 BIGINT)")
+    val f = RloMeta.fs(conf, RloMeta.metaDir(root))
+    Seq("schema_1.ddl", "schema_2.ddl").foreach { g =>
+      assert(f.exists(new org.apache.hadoop.fs.Path(
+        RloMeta.metaDir(root), g)), s"missing generation $g")
+    }
+    assert(RloMeta.readSchema(conf, root).fieldNames.toSeq
+      .endsWith(Seq("x1", "x2")))
+  }
+
+  test("q361 compact_deletes: ONE merged artifact batch replaces " +
+      "the accumulated ones, the dense segment folds copy-on-write " +
+      "(its artifacts inert by scope), the shipped key set shrinks, " +
+      "and the read is byte-stable across the compaction") {
+    graft.operators.SqlDml.q361CompactDeletes(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_mor_cmp")
+    val head = RloMeta.headVersion(conf, root)
+    assert(head == 4) // base, delete, delete, compact
+    // before: two artifact batches; after: exactly one merged batch
+    assert(RloMeta.deletesOf(conf, root, 3).size == 2)
+    assert(RloMeta.deletesOf(conf, root, head).size == 1)
+    // the driver-side key set SHRINKS (c0's keys folded away)
+    val before = RloMeta.liveDeleteKeys(conf, root, 3)
+    val after = RloMeta.liveDeleteKeys(conf, root, head)
+    assert(before.keySet == Set("c0", "c1", "c2"))
+    assert(after.keySet == Set("c1", "c2"),
+      s"folded segment still ships keys: ${after.keySet}")
+    assert(after.values.map(_.length).sum <
+      before.values.map(_.length).sum)
+    // c0 replaced by a folded segment; its files survive for v<=3
+    val commits = RloMeta.commitsOf(conf, root, head)._2
+    assert(!commits.contains("c0") &&
+      display(commits).contains(s"f$head"))
+    assert(RloMeta.listDataFiles(conf, root, "c0").nonEmpty)
+    // byte-stable across the compaction
+    def probe(v: Int) = spark.sql(s"SELECT COUNT(*) AS n, " +
+      s"SUM(o_orderkey) AS k FROM ${SqlDml.Cat}.${SqlDml.Ns}" +
+      s".orders_mor_cmp VERSION AS OF $v").collect().head
+    assert(probe(3) == probe(head))
+  }
+
+  test("q362 atomic CTAS: the table appears fully formed (no staged " +
+      "debris), and a CTAS losing the existence race discards its " +
+      "staged data with nothing visible") {
+    graft.operators.SqlDml.q362SqlCtas(spark, sf).collect()
+    val dbDir = new org.apache.hadoop.fs.Path(
+      SqlDml.tableRoot("orders_ctas")).getParent
+    val f = RloMeta.fs(conf, dbDir)
+    assert(!f.listStatus(dbDir).map(_.getPath.getName)
+      .exists(_.contains(".staged-")), "staged CTAS debris left behind")
+    // losing the race: stage a table, let someone else create the
+    // real root, then commit - must fail loudly and clean up
+    val cat = new graft.sources.GraftRloCatalog
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("root", graft.Scratch.dir("rlo_catalog"))
+    cat.initialize(SqlDml.Cat,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array(SqlDml.Ns), "ctas_race")
+    val schema = SqlDml.FixtureSchema
+    val noParts = Array
+      .empty[org.apache.spark.sql.connector.expressions.Transform]
+    val staged = cat.stageCreate(ident, schema, noParts,
+      new java.util.HashMap[String, String]())
+    cat.createTable(ident, schema, noParts,
+      new java.util.HashMap[String, String]())
+    intercept[IllegalStateException] {
+      staged.commitStagedChanges()
+    }
+    assert(!f.listStatus(dbDir).map(_.getPath.getName)
+      .exists(_.contains(".staged-")), "lost CTAS left staged debris")
+    cat.dropTable(ident)
+  }
+
+  test("q363 string stats route a string-predicate DML and plain " +
+      "reads: the source-equality SELECT plans only s1, and the " +
+      "DELETE's manifest arithmetic shows s0/s2 carried") {
+    SqlDml.buildStringTable(spark, sf, "orders_src_prune")
+    val df = spark.sql(s"SELECT o_orderkey FROM ${SqlDml.Cat}." +
+      s"${SqlDml.Ns}.orders_src_prune WHERE o_source = 'jsrc'")
+    df.collect()
+    val scans = rloScans(df)
+    assert(scans.nonEmpty)
+    assert(scans.head.effectiveCommits == Seq("s1"),
+      s"string predicate read ${scans.head.effectiveCommits}")
+    // and the DML query's manifest arithmetic (the q347 assertion,
+    // now on a string predicate)
+    graft.operators.SqlDml.q363StringRoutedDelete(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_cow_src")
+    val v2 = RloMeta.commitsOf(conf, root, 2)._2
+    assert(v2.count(_.startsWith("s")) == 2 &&
+      display(v2).contains("w2"),
+      s"string-routed DELETE replaced the wrong set: $v2")
+    assert(v2.toSet.intersect(Set("s0", "s2")) == Set("s0", "s2"),
+      s"s0/s2 should carry: $v2")
   }
 
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
