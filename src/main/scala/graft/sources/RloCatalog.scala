@@ -107,7 +107,13 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
     val root = rootOf(ident)
     if (!RloMeta.tableExists(conf, root))
       throw new NoSuchTableException(ident)
-    new GraftRloTable(root, ident.toString, None)
+    // cache the UNPINNED table handle (the Iceberg CachingCatalog
+    // shape): schema/statscol/mode memoize across statements, while
+    // version resolution stays a per-scan headVersion read — so DML
+    // visibility is immediate and only metadata-shape changes
+    // (init/ALTER/setMode) need the explicit invalidation they do
+    RloTableCache.m.computeIfAbsent(root,
+      _ => new GraftRloTable(root, ident.toString, None))
   }
 
   /** `VERSION AS OF n` — a version-pinned, read-only table. */
@@ -146,6 +152,7 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val root = rootOf(ident)
+    RloTableCache.invalidate(root)
     val newSchema = changes.foldLeft(RloMeta.readSchema(conf, root)) {
       case (s, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -162,7 +169,9 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(rootOf(ident))
+    val root = rootOf(ident)
+    RloTableCache.invalidate(root)
+    val p = new org.apache.hadoop.fs.Path(root)
     RloMeta.fs(conf, p).delete(p, true)
   }
 
@@ -275,6 +284,16 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
       (base +: namespace.toSeq).mkString("/"))
     RloMeta.fs(conf, p).delete(p, cascade)
   }
+}
+
+/** JVM-wide cache of unpinned table handles, keyed by root.
+  * Invalidated by every metadata-SHAPE change ([[RloMeta.initTable]],
+  * [[RloMeta.evolveSchema]], [[RloMeta.setMode]], DROP/ALTER) — data
+  * commits don't need it because version resolution is per-scan. */
+object RloTableCache {
+  private[sources] val m =
+    new java.util.concurrent.ConcurrentHashMap[String, GraftRloTable]()
+  def invalidate(root: String): Unit = { m.remove(root); () }
 }
 
 /** Atomic-CTAS staged table: a fully functional catalog table living
@@ -453,10 +472,11 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
     val live = RloMeta.commitsOf(conf, table.root, v)._2
     // static stats routing: drop segments whose stats range can't
     // intersect the pushed predicates (metadata-sized arithmetic)
+    val allStats = live.map(c =>
+      c -> RloMeta.segStats(conf, table.root, c)).toMap
     val kept = live.filter { c =>
-      val st = RloMeta.segStats(conf, table.root, c)
       pushed.forall(f =>
-        RloStatsPruning.overlaps(f, table.statsColName, st))
+        RloStatsPruning.overlaps(f, table.statsColName, allStats(c)))
     }
     // merge-on-read: the version's scoped delete artifacts, resolved
     // driver-side (churn-bounded by the MoR contract) and shipped to
@@ -470,7 +490,8 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
         // answer from the manifest: exact per-segment stats fold in
         // one driver-side pass over metadata
         import org.apache.spark.sql.connector.expressions.aggregate._
-        val stats = kept.map(c => RloMeta.stats(conf, table.root, c))
+        val stats = kept.map(c => allStats(c)).map(s =>
+          (s.minDays, s.maxDays, s.nRows))
         val n = stats.map(_._3).sum
         // a segment whose stats-column values were all NULL carries a
         // sentinel (min > max) range: it contributes rows to COUNT
@@ -491,7 +512,7 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
           case (nm, dt) => StructField(nm, dt) }), values.toArray)
       case None =>
         val scan = new RloScan(table.root, required, kept, delKeys,
-          table.rowIdCol)
+          table.rowIdCol, allStats.filter(kv => kept.contains(kv._1)))
         if (onBuild != null) onBuild(scan)
         scan
     }
@@ -627,15 +648,29 @@ object RloStatsPruning {
   * vectorized reader and ParquetReader.withFileRange honor). A big
   * packed segment therefore fans out across the cluster instead of
   * serializing on one task (r13 verdict #2). */
-case class RloInputPartition(commit: String, file: String,
-    start: Long, length: Long, deletedKeys: Array[Long],
+case class RloChunk(commit: String, file: String,
+    start: Long, length: Long, deletedKeys: Array[Long])
+
+/** One scan task = a BIN-PACKED bag of chunks (Spark's FilePartition
+  * shape): big files split into ranges, small files coalesce into
+  * shared tasks, so task count tracks bytes-per-core instead of file
+  * count — per-task reader setup is paid O(cores), not O(files). */
+case class RloInputPartition(chunks: Seq[RloChunk],
     keyCol: String) extends InputPartition
 
 class RloScan(root: String, requiredSchema: StructType,
     staticCommits: Seq[String],
     deleteKeys: Map[String, Array[Long]] = Map.empty,
-    keyCol: String = "") extends Scan with Batch
+    keyCol: String = "",
+    segStats: Map[String, RloMeta.SegStats] = Map.empty)
+    extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  /** Stats loaded ONCE at scan build (same plan moment, no
+    * staleness) — estimateStatistics and partition planning reuse
+    * them instead of re-reading the manifest. */
+  private def statsOf(c: String): RloMeta.SegStats =
+    segStats.getOrElse(c, RloMeta.segStats(conf, root, c))
 
   @transient private lazy val conf = new Configuration()
   @volatile private var runtimeKeep: Option[Set[String]] = None
@@ -660,7 +695,7 @@ class RloScan(root: String, requiredSchema: StructType,
     * per segment — plan-time statistics read no per-file metadata
     * (r13 verdict #7). */
   override def estimateStatistics(): Statistics = {
-    val st = effectiveCommits.map(c => RloMeta.segStats(conf, root, c))
+    val st = effectiveCommits.map(statsOf)
     val bytes = effectiveCommits.zip(st).map { case (c, s) =>
       if (s.bytes >= 0) s.bytes
       else RloMeta.listDataFilesWithLen(conf, root, c).map(_._2).sum
@@ -691,29 +726,59 @@ class RloScan(root: String, requiredSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val splitBytes = RloScan.splitBytes()
-    effectiveCommits.flatMap { c =>
+    val files = effectiveCommits.flatMap { c =>
       val keys = deleteKeys.getOrElse(c, Array.empty[Long])
-      RloMeta.listDataFilesWithLen(conf, root, c).flatMap {
-        case (f, len) =>
-          // row-group-granular splits: chop by byte range, the
-          // parquet midpoint rule assigns each row group to exactly
-          // one range; a file below the target stays one task
-          val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
-          (0L until n).map { i =>
-            val start = i * splitBytes
-            RloInputPartition(c, f, start,
-              math.min(splitBytes, len - start), keys, keyCol)
-          }
+      RloMeta.listDataFilesWithLen(conf, root, c)
+        .map { case (f, len) => (c, f, len, keys) }
+    }
+    // Spark's own maxSplitBytes rule: fill the cluster before
+    // hitting the ceiling — split size shrinks to bytes-per-core
+    // when the scan is smaller than cores x ceiling, floored at an
+    // open cost so tiny files don't shatter into confetti tasks
+    val ceiling = RloScan.splitBytes()
+    val openCost = math.min(4L * 1024 * 1024, ceiling)
+    val parallelism =
+      try org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism
+      catch { case _: Throwable => 8 }
+    val totalBytes = files.map(_._3 + openCost).sum
+    val splitBytes = math.min(ceiling,
+      math.max(openCost, totalBytes / math.max(1, parallelism)))
+    // 1) chop big files into row-group ranges (the parquet midpoint
+    // rule assigns each row group to exactly one range)
+    val chunks = files.flatMap { case (c, f, len, keys) =>
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map { i =>
+        val start = i * splitBytes
+        RloChunk(c, f, start, math.min(splitBytes, len - start), keys)
       }
-    }.toArray
+    }
+    // 2) bin-pack ranges into tasks, biggest first (FilePartition):
+    // each chunk costs its bytes + an open cost, a task closes at
+    // the split target — task count tracks bytes-per-core
+    val packed = scala.collection.mutable.ArrayBuffer[Vector[RloChunk]]()
+    var current = Vector.empty[RloChunk]
+    var currentBytes = 0L
+    chunks.sortBy(-_.length).foreach { ch =>
+      val cost = ch.length + openCost
+      if (current.nonEmpty && currentBytes + cost > splitBytes) {
+        packed += current; current = Vector.empty; currentBytes = 0L
+      }
+      current :+= ch; currentBytes += cost
+    }
+    if (current.nonEmpty) packed += current
+    packed.map(cs => RloInputPartition(cs, keyCol): InputPartition)
+      .toArray
   }
 
   /** Columnar iff no partition needs the row-at-a-time MoR delete
     * apply, and the `_partition` constant (when projected) sits
     * LAST — where initBatch appends partition columns. Spark
-    * requires all partitions of one scan to agree on the format. */
+    * requires all partitions of one scan to agree on the format.
+    * `spark.graft.rlo.columnar.enabled=false` forces the row path
+    * (escape hatch + the ScanProbe row-vs-columnar baseline). */
   private def columnarEligible: Boolean =
+    RloScan.columnarEnabled() &&
     deleteKeys.values.forall(_.isEmpty) && {
       val idx = requiredSchema.fieldNames.indexOf("_partition")
       idx < 0 || idx == requiredSchema.length - 1
@@ -734,6 +799,11 @@ object RloScan {
       .get("spark.graft.rlo.split.bytes", (128L * 1024 * 1024).toString)
       .toLong
     catch { case _: Throwable => 128L * 1024 * 1024 }
+
+  def columnarEnabled(): Boolean =
+    try org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.rlo.columnar.enabled", "true").toBoolean
+    catch { case _: Throwable => true }
 
   /** Extract the commit set of an `IN` / `=` runtime predicate on
     * `_partition`. */
@@ -775,17 +845,48 @@ class RloReaderFactory(outJson: String, columnar: Boolean)
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val ip = p.asInstanceOf[RloInputPartition]
-    new RloPartitionReader(ip.commit, ip.file, ip.start, ip.length,
-      DataType.fromJson(outJson).asInstanceOf[StructType],
-      ip.deletedKeys, ip.keyCol)
+    val out = DataType.fromJson(outJson).asInstanceOf[StructType]
+    new RloChainedReader[InternalRow](ip.chunks, ch =>
+      new RloPartitionReader(ch.commit, ch.file, ch.start, ch.length,
+        out, ch.deletedKeys, ip.keyCol))
   }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val ip = p.asInstanceOf[RloInputPartition]
-    new RloColumnarReader(ip.commit, ip.file, ip.start, ip.length,
-      DataType.fromJson(outJson).asInstanceOf[StructType])
+    val out = DataType.fromJson(outJson).asInstanceOf[StructType]
+    // ONE Configuration per task (the XML-resource parse is the
+    // dominant per-chunk fixed cost); chunks of a task share it —
+    // they request the same projection, only the split differs
+    val conf = RloColumnarReader.confFor(
+      StructType(out.filter(_.name != "_partition")))
+    new RloChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](
+      ip.chunks,
+      ch => new RloColumnarReader(ch.commit, ch.file, ch.start,
+        ch.length, out, conf))
   }
+}
+
+/** Drains a task's bin-packed chunks one reader at a time — readers
+  * open LAZILY so a task holds at most one file handle. */
+class RloChainedReader[T](chunks: Seq[RloChunk],
+    mk: RloChunk => PartitionReader[T]) extends PartitionReader[T] {
+  private var idx = -1
+  private var cur: PartitionReader[T] = _
+
+  @annotation.tailrec
+  final override def next(): Boolean = {
+    if (cur == null) {
+      idx += 1
+      if (idx >= chunks.length) return false
+      cur = mk(chunks(idx))
+    }
+    if (cur.next()) true
+    else { cur.close(); cur = null; next() }
+  }
+
+  override def get(): T = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** VECTORIZED segment read (r13 verdict #1): Spark's own
@@ -800,27 +901,34 @@ class RloReaderFactory(outJson: String, columnar: Boolean)
   * take the row-based reader instead (the binary-search drop needs
   * per-row control), which the scan's columnar-eligibility gate
   * enforces scan-wide. */
+object RloColumnarReader {
+  /** The Hadoop conf Spark's vectorized parquet reader needs: the
+    * projection + the five SQLConf keys ParquetToSparkSchemaConverter
+    * reads with NO defaults. Built once per TASK and shared across
+    * its chunks. */
+  def confFor(dataCols: StructType): Configuration = {
+    val conf = new Configuration()
+    // the vectorized reader resolves its projection through Spark's
+    // ParquetReadSupport (footer clipping = schema evolution) — the
+    // same two conf keys Spark's own parquet scan sets
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+      dataCols.json)
+    conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+    conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    conf.setBoolean("spark.sql.caseSensitive", false)
+    conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
+    conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    conf
+  }
+}
+
 class RloColumnarReader(commit: String, file: String, start: Long,
-    length: Long, out: StructType)
+    length: Long, out: StructType, conf: Configuration)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
-  private val dataCols = StructType(out.filter(_.name != "_partition"))
   private val hasPart = out.fieldNames.contains("_partition")
-
-  private val conf = new Configuration()
-  // the vectorized reader resolves its projection through Spark's
-  // ParquetReadSupport (footer clipping = schema evolution) — the
-  // same two conf keys Spark's own parquet scan sets
-  conf.set("parquet.read.support.class",
-    "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
-  conf.set("org.apache.spark.sql.parquet.row.requested_schema",
-    dataCols.json)
-  // ParquetToSparkSchemaConverter reads these five with NO defaults
-  conf.setBoolean("spark.sql.parquet.binaryAsString", false)
-  conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
-  conf.setBoolean("spark.sql.caseSensitive", false)
-  conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
-  conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
 
   private val reader =
     new org.apache.spark.sql.execution.datasources.parquet

@@ -83,6 +83,7 @@ object RloMeta {
 
   def initTable(conf: Configuration, root: String, schema: StructType,
       statsCol: String): Unit = {
+    RloTableCache.invalidate(root)
     val f = fsOf(conf, new Path(root))
     f.delete(new Path(root), true)
     f.mkdirs(metaDir(root))
@@ -133,6 +134,7 @@ object RloMeta {
     * existing files' columns without rewriting them. */
   def evolveSchema(conf: Configuration, root: String,
       newSchema: StructType): Unit = {
+    RloTableCache.invalidate(root)
     val gens = schemaGenerations(conf, root)
     val old = StructType.fromDDL(readTextAt(conf,
       new Path(metaDir(root), gens.last._2)))
@@ -400,9 +402,11 @@ object RloMeta {
     if (fsOf(conf, p).exists(p)) readTextAt(conf, p).trim else "cow"
   }
 
-  def setMode(conf: Configuration, root: String, m: String): Unit =
+  def setMode(conf: Configuration, root: String, m: String): Unit = {
+    RloTableCache.invalidate(root)
     writeText(fsOf(conf, metaDir(root)),
       new Path(metaDir(root), "mode.txt"), m, overwrite = true)
+  }
 
   /** The artifact row schema: which key is deleted, in which segment
     * (the writer knows the exact segment from the row's `_partition`
