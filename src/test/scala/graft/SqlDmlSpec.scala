@@ -556,6 +556,34 @@ class SqlDmlSpec extends AnyFunSuite {
       s"s0/s2 should carry: $v2")
   }
 
+  test("the RLO codec carries TIMESTAMP and DECIMAL natively: an " +
+      "INSERT through the connector writer round-trips microsecond " +
+      "timestamps and exact decimals on BOTH read paths (vectorized " +
+      "and row-based), nulls included") {
+    SqlDml.ensureCatalog(spark)
+    val t = s"${SqlDml.Cat}.${SqlDml.Ns}.codec_ts"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT NOT NULL, " +
+      "price DECIMAL(12,2), ts TIMESTAMP, d DATE)")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, 12.34, TIMESTAMP '2001-02-03 04:05:06.123456', " +
+      "DATE '2001-02-03'), " +
+      "(2, NULL, NULL, DATE '2001-02-04')")
+    def read(): Seq[String] =
+      spark.sql(s"SELECT k, CAST(price AS STRING) AS p, " +
+        s"CAST(ts AS STRING) AS tstr, CAST(d AS STRING) AS dd " +
+        s"FROM $t ORDER BY k").collect()
+        .map(_.mkString("|")).toSeq
+    val expected = Seq(
+      "1|12.34|2001-02-03 04:05:06.123456|2001-02-03",
+      "2|null|null|2001-02-04")
+    assert(read() == expected)
+    spark.conf.set("spark.graft.rlo.columnar.enabled", "false")
+    try assert(read() == expected, "row-based path disagrees")
+    finally spark.conf.unset("spark.graft.rlo.columnar.enabled")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
