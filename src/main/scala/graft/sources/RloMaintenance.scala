@@ -173,13 +173,18 @@ object RloMaintenance {
     val nFiles = math.max(1L, (liveBytes + target - 1) / target).toInt
 
     // one pass through the TABLE (delete artifacts applied, schema
-    // evolution resolved) -> one packed segment of bounded files
+    // evolution resolved) -> one packed segment of bounded files.
+    // NO caching: at 100 TB the pack must stream through; stats come
+    // from ONE re-read of the packed OUTPUT (bounded by the pack,
+    // not the table, and read columnar)
     val cols = schema.fieldNames.map(n => col(s"`$n`"))
-    val packed = spark.sql(s"SELECT * FROM ${sqlName(root)}")
-      .select(cols: _*).repartition(nFiles).localCheckpoint()
     val newCommit = s"p${head + 1}-${RloNames.attemptId()}"
-    packed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    spark.sql(s"SELECT * FROM ${sqlName(root)}")
+      .select(cols: _*).repartition(nFiles)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(RloMeta.commitDir(root, newCommit).toString)
+    val packed = spark.read.parquet(
+      RloMeta.commitDir(root, newCommit).toString)
 
     val strCols = schema.fields.filter(_.dataType == StringType)
     val aggs = Seq(min(unix_date(col(statsCol))), max(unix_date(col(statsCol))),
@@ -235,11 +240,13 @@ object RloMaintenance {
     val folded = toFold.keys.toSeq.sorted.map { c =>
       val newCommit = s"f${head + 1}-${RloNames.attemptId()}"
       val cols = schema.fieldNames.map(n => col(s"`$n`"))
-      val rows = spark.sql(
+      spark.sql(
         s"SELECT * FROM ${sqlName(root)} WHERE _partition = '$c'")
-        .select(cols: _*).localCheckpoint()
-      rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .select(cols: _*)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(RloMeta.commitDir(root, newCommit).toString)
+      val rows = spark.read.parquet(
+        RloMeta.commitDir(root, newCommit).toString)
       val st = rows.agg(min(unix_date(col(statsCol))),
         max(unix_date(col(statsCol))), count(lit(1))).collect().head
       RloMeta.writeStats(conf, root, newCommit, st.getInt(0),

@@ -556,6 +556,54 @@ class SqlDmlSpec extends AnyFunSuite {
       s"s0/s2 should carry: $v2")
   }
 
+  test("racing writers share NOTHING (r13 review, high): two write " +
+      "attempts against the same head land in attempt-unique segment " +
+      "dirs; the loser's commit fails loudly and its abort removes " +
+      "ONLY its own files — the winner's published segment survives " +
+      "and the table reads consistently") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.Decimal
+    val root = SqlDml.buildTable(spark, sf, "orders_cow_race")
+    val baseCount = spark.sql(s"SELECT COUNT(*) FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_race")
+      .collect().head.getLong(0)
+    def newBatch() = new graft.sources.RloWrite(root,
+      SqlDml.FixtureSchema, "o_orderdate", () => Set.empty).toBatch
+    // both attempts plan against head=1 BEFORE either commits — the
+    // interleaving the r13 advice showed corrupting shared-name dirs
+    val (wA, wB) = (newBatch(), newBatch())
+    def writeRow(bw: org.apache.spark.sql.connector.write.BatchWrite,
+        key: Long) = {
+      val w = bw.createBatchWriterFactory(null).createWriter(0, key)
+      w.write(InternalRow(key, 1L,
+        Decimal(BigDecimal("10.00"), 12, 2), 9000))
+      w.commit()
+    }
+    val (mA, mB) = (writeRow(wA, 900000101L), writeRow(wB, 900000202L))
+    wA.commit(Array(mA)) // wins: publishes v2
+    val e = intercept[IllegalStateException] { wB.commit(Array(mB)) }
+    assert(e.getMessage.contains("concurrent commit"))
+    wB.abort(Array(mB)) // loser cleans up ONLY its own attempt
+    // exactly ONE w2 segment dir remains — the winner's, with files
+    val dd = RloMeta.dataDir(root)
+    val w2Dirs = RloMeta.fs(conf, dd).listStatus(dd)
+      .map(_.getPath.getName).filter(_.startsWith("w2"))
+    assert(w2Dirs.length == 1,
+      s"want exactly the winner's w2 dir, got ${w2Dirs.toSeq}")
+    assert(RloMeta.listDataFiles(conf, root, w2Dirs.head).nonEmpty,
+      "loser's cleanup deleted the winner's published files")
+    // manifest and read agree: base + exactly the winner's row
+    assert(display(RloMeta.commitsOf(conf, root, 2)._2) ==
+      Set("c0", "c1", "c2", "w2"))
+    val after = spark.sql(s"SELECT COUNT(*) AS n, " +
+      s"SUM(CASE WHEN o_orderkey IN (900000101, 900000202) " +
+      s"THEN o_orderkey " +
+      s"ELSE 0 END) AS marker FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_race").collect().head
+    assert(after.getLong(0) == baseCount + 1)
+    assert(after.getLong(1) == 900000101L, "the loser's row leaked in")
+  }
+
   test("the RLO codec carries TIMESTAMP and DECIMAL natively: an " +
       "INSERT through the connector writer round-trips microsecond " +
       "timestamps and exact decimals on BOTH read paths (vectorized " +
