@@ -364,7 +364,7 @@ class GraftRloTable(val root: String, ident: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new RloScanBuilder(this, null)
+    new RloScanBuilder(this, null, isOperationScan = false)
 
   /** Plain `INSERT INTO`: append a new segment commit — base segments
     * are never read, the manifest gains one entry. `INSERT OVERWRITE`
@@ -402,13 +402,15 @@ class GraftRloTable(val root: String, ident: String,
 
 // ------------------------------------------------------------- scans
 
-class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
+class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit,
+    isOperationScan: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
   @transient private val conf = new Configuration()
   private var pushed: Array[sources.Filter] = Array.empty
+  private var allPushed: Array[sources.Filter] = Array.empty
   private var required: StructType = table.tableSchema
   private var aggFuncs: Option[Seq[org.apache.spark.sql.connector
     .expressions.aggregate.AggregateFunc]] = None
@@ -459,6 +461,7 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
       filters: Array[sources.Filter]): Array[sources.Filter] = {
     pushed = filters.filter(f =>
       RloStatsPruning.usable(f, table.statsColName))
+    allPushed = filters
     filters
   }
 
@@ -511,8 +514,15 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit)
         new RloAggScan(StructType(names.zip(types).map {
           case (nm, dt) => StructField(nm, dt) }), values.toArray)
       case None =>
+        // parquet row-group pushdown is a PLAIN-read move only: an
+        // operation scan must return touched groups whole (the
+        // copy-on-write contract), so it pushes nothing
+        val rowFilters =
+          if (isOperationScan) Array.empty[sources.Filter]
+          else allPushed
         val scan = new RloScan(table.root, required, kept, delKeys,
-          table.rowIdCol, allStats.filter(kv => kept.contains(kv._1)))
+          table.rowIdCol, allStats.filter(kv => kept.contains(kv._1)),
+          rowFilters)
         if (onBuild != null) onBuild(scan)
         scan
     }
@@ -662,7 +672,8 @@ class RloScan(root: String, requiredSchema: StructType,
     staticCommits: Seq[String],
     deleteKeys: Map[String, Array[Long]] = Map.empty,
     keyCol: String = "",
-    segStats: Map[String, RloMeta.SegStats] = Map.empty)
+    segStats: Map[String, RloMeta.SegStats] = Map.empty,
+    rowFilters: Array[sources.Filter] = Array.empty)
     extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
@@ -784,10 +795,17 @@ class RloScan(root: String, requiredSchema: StructType,
       idx < 0 || idx == requiredSchema.length - 1
     } && requiredSchema.fields.exists(_.name != "_partition")
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
     // JSON, not DDL: an all-aggregate projection prunes to an EMPTY
-    // schema, which DDL cannot round-trip
-    new RloReaderFactory(requiredSchema.json, columnarEligible)
+    // schema, which DDL cannot round-trip. Gen-0 schema rides along
+    // so executors can translate the pushed filters against column
+    // types every segment file is guaranteed to carry.
+    val gen0Json =
+      if (rowFilters.isEmpty) ""
+      else RloMeta.readSchemaGen0(conf, root).json
+    new RloReaderFactory(requiredSchema.json, columnarEligible,
+      rowFilters, gen0Json)
+  }
 }
 
 object RloScan {
@@ -836,19 +854,30 @@ object RloScan {
   }
 }
 
-class RloReaderFactory(outJson: String, columnar: Boolean)
-    extends PartitionReaderFactory {
+class RloReaderFactory(outJson: String, columnar: Boolean,
+    rowFilters: Array[sources.Filter] = Array.empty,
+    gen0Json: String = "") extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean =
     columnar
+
+  private def pushedPredicate: Option[org.apache.parquet.filter2
+      .predicate.FilterPredicate] =
+    if (rowFilters.isEmpty || gen0Json.isEmpty) None
+    else RloFilterPush.forFilters(rowFilters.toSeq,
+      DataType.fromJson(gen0Json).asInstanceOf[StructType])
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val ip = p.asInstanceOf[RloInputPartition]
     val out = DataType.fromJson(outJson).asInstanceOf[StructType]
+    val pred = pushedPredicate
+    val filterCols =
+      if (pred.isEmpty) Seq.empty
+      else rowFilters.toSeq.flatMap(_.references).distinct
     new RloChainedReader[InternalRow](ip.chunks, ch =>
       new RloPartitionReader(ch.commit, ch.file, ch.start, ch.length,
-        out, ch.deletedKeys, ip.keyCol))
+        out, ch.deletedKeys, ip.keyCol, pred, filterCols))
   }
 
   override def createColumnarReader(p: InputPartition)
@@ -860,6 +889,14 @@ class RloReaderFactory(outJson: String, columnar: Boolean)
     // they request the same projection, only the split differs
     val conf = RloColumnarReader.confFor(
       StructType(out.filter(_.name != "_partition")))
+    // row-group zone-map/dictionary skipping inside kept segments;
+    // record-level filtering stays OFF (the vectorized contract —
+    // Spark's residual filters do the exact row semantics)
+    pushedPredicate.foreach { pr =>
+      org.apache.parquet.hadoop.ParquetInputFormat
+        .setFilterPredicate(conf, pr)
+      conf.setBoolean("parquet.filter.record-level.enabled", false)
+    }
     new RloChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](
       ip.chunks,
       ch => new RloColumnarReader(ch.commit, ch.file, ch.start,
@@ -970,7 +1007,10 @@ class RloColumnarReader(commit: String, file: String, start: Long,
   * set — the Iceberg delete-file apply, per segment). */
 class RloPartitionReader(commit: String, file: String, start: Long,
     length: Long, out: StructType,
-    deletedKeys: Array[Long], keyCol: String)
+    deletedKeys: Array[Long], keyCol: String,
+    pushedPred: Option[org.apache.parquet.filter2.predicate
+      .FilterPredicate] = None,
+    filterCols: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -982,13 +1022,21 @@ class RloPartitionReader(commit: String, file: String, start: Long,
   // an all-metadata projection (e.g. the runtime-filter subquery
   // reading only _partition) still needs the row COUNT — request the
   // narrowest real column and ignore its values; with live deletes
-  // the row-id column must ride along regardless of the projection
+  // the row-id column must ride along regardless of the projection,
+  // and a pushed parquet filter needs ITS columns in the projection
+  // (parquet validates record-level filters against the requested
+  // schema)
   private val wantedCols: StructType = {
     val base = if (dataCols.nonEmpty) dataCols
       else StructType(Seq(tableSchema.head))
-    if (hasDeletes && !base.fieldNames.contains(keyCol))
-      StructType(base.fields :+ tableSchema(keyCol))
-    else base
+    val withKey =
+      if (hasDeletes && !base.fieldNames.contains(keyCol))
+        StructType(base.fields :+ tableSchema(keyCol))
+      else base
+    val missing = filterCols
+      .filterNot(withKey.fieldNames.contains)
+      .filter(tableSchema.fieldNames.contains)
+    StructType(withKey.fields ++ missing.map(tableSchema(_)))
   }
 
   // SCHEMA EVOLUTION: a file written before an ADD COLUMN lacks the
@@ -1019,12 +1067,22 @@ class RloPartitionReader(commit: String, file: String, start: Long,
     new MessageType("spark_schema",
       readCols.fieldNames.map(n =>
         fileSchema.getType(Seq(n): _*)).toSeq.asJava).toString)
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(),
+  private val reader: ParquetReader[Group] = {
+    val b = ParquetReader.builder(new GroupReadSupport(),
       new org.apache.hadoop.fs.Path(file)).withConf(conf)
       // same row-group midpoint rule as the columnar path, so the
       // two formats split identically
-      .withFileRange(start, start + length).build()
+      .withFileRange(start, start + length)
+    // row-group + record-level skip: only when every filter column
+    // made it into this file's projection (gen-0 columns always do)
+    val filtered = pushedPred match {
+      case Some(p) if filterCols.forall(readCols.fieldNames.contains) =>
+        b.withFilter(org.apache.parquet.filter2.compat.FilterCompat
+          .get(p))
+      case _ => b
+    }
+    filtered.build()
+  }
 
   // -1 = the _partition constant; -2 = column newer than this file
   private val fieldIdx: Array[Int] = out.fields.map { f =>

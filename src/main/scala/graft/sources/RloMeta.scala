@@ -109,6 +109,13 @@ object RloMeta {
     StructType.fromDDL(readTextAt(conf,
       new Path(metaDir(root), schemaGenerations(conf, root).last._2)))
 
+  /** The INITIAL schema (generation 0) — the columns every segment
+    * file is guaranteed to carry (evolution is append-only), i.e.
+    * the columns parquet filter pushdown may safely reference. */
+  def readSchemaGen0(conf: Configuration, root: String): StructType =
+    StructType.fromDDL(readTextAt(conf,
+      new Path(metaDir(root), "schema.ddl")))
+
   /** (generation, fileName) pairs, ascending — generation 0 is the
     * init-time schema.ddl, always present. */
   private def schemaGenerations(conf: Configuration,

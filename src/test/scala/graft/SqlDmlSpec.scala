@@ -604,6 +604,57 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(after.getLong(1) == 900000101L, "the loser's row leaked in")
   }
 
+  test("parquet row-group filter pushdown fires on PLAIN reads only: " +
+      "results stay exact on both read paths, and the pushed " +
+      "predicate provably reaches the reader (record-level drop " +
+      "observed by driving the row reader directly)") {
+    import org.apache.spark.sql.{sources => f}
+    val root = SqlDml.buildTable(spark, sf, "orders_cow_push")
+    val cut = java.sql.Date.valueOf("1998-01-01")
+    // equivalence through SQL on both read paths
+    val q = s"SELECT COUNT(*) AS n, SUM(o_orderkey) AS k FROM " +
+      s"${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_push " +
+      "WHERE o_orderdate >= DATE '1998-01-01' " +
+      "AND o_orderdate < DATE '1998-07-01'"
+    val expDf = SqlDml.ordersAsDate(spark, sf)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-07-01").cast("date"))
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect().head
+    val exp = (expDf.getLong(0), expDf.getLong(1))
+    def run(): (Long, Long) = {
+      val r = spark.sql(q).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(run() == exp)
+    spark.conf.set("spark.graft.rlo.columnar.enabled", "false")
+    try assert(run() == exp, "row path with pushdown drifted")
+    finally spark.conf.unset("spark.graft.rlo.columnar.enabled")
+    // the predicate reaches the reader: drive the row reader with a
+    // pushed predicate over c1 (dates [1997, 1999)) and observe the
+    // record-level drop — without pushdown it would return all rows
+    val c1Files = RloMeta.listDataFilesWithLen(conf, root, "c1")
+    val pred = graft.sources.RloFilterPush.forFilters(
+      Seq(f.GreaterThanOrEqual("o_orderdate", cut)),
+      SqlDml.FixtureSchema)
+    assert(pred.isDefined, "date predicate must translate")
+    def countRows(p: Option[org.apache.parquet.filter2.predicate
+        .FilterPredicate], cols: Seq[String]): Long =
+      c1Files.map { case (file, len) =>
+        val r = new graft.sources.RloPartitionReader("c1", file, 0, len,
+          SqlDml.FixtureSchema, Array.empty, "", p, cols)
+        try { var n = 0L; while (r.next()) n += 1; n } finally r.close()
+      }.sum
+    val all = countRows(None, Seq.empty)
+    val filtered = countRows(pred, Seq("o_orderdate"))
+    val expFiltered = SqlDml.ordersAsDate(spark, sf)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") < lit("1999-01-01").cast("date") &&
+        col("o_orderdate") >= lit(cut.toString).cast("date")).count()
+    assert(filtered < all, "pushed predicate did not fire")
+    assert(filtered == expFiltered,
+      s"pushed predicate dropped wrong rows: $filtered vs $expFiltered")
+  }
+
   test("the RLO codec carries TIMESTAMP and DECIMAL natively: an " +
       "INSERT through the connector writer round-trips microsecond " +
       "timestamps and exact decimals on BOTH read paths (vectorized " +
