@@ -95,14 +95,15 @@ object SqlDml {
       seg.write.mode(SaveMode.Overwrite)
         .parquet(RloMeta.commitDir(root, c).toString)
       val st = seg.agg(min(unix_date(d)).as("lo"),
-        max(unix_date(d)).as("hi"), count(lit(1)).as("n"))
+        max(unix_date(d)).as("hi"), count(lit(1)).as("n"),
+        (count(lit(1)) - count(d)).as("nulls"))
         .collect().head
       // bytes ride in the stats so plan-time statistics are pure
       // manifest reads (r13 verdict #7)
       val bytes = RloMeta.listDataFilesWithLen(conf, root, c)
         .map(_._2).sum
       RloMeta.writeStats(conf, root, c, st.getInt(0), st.getInt(1),
-        st.getLong(2), bytes)
+        st.getLong(2), bytes, Map.empty, st.getLong(3))
     }
     RloMeta.publishVersion(conf, root, 1,
       tsMicros("2000-01-01 00:00:00"), segs.map(_._1))
@@ -583,12 +584,13 @@ object SqlDml {
         .parquet(RloMeta.commitDir(root, c).toString)
       val st = seg.agg(min(unix_date(col("o_orderdate"))),
         max(unix_date(col("o_orderdate"))), count(lit(1)),
-        min(col("o_source")), max(col("o_source"))).collect().head
+        min(col("o_source")), max(col("o_source")),
+        count(lit(1)) - count(col("o_orderdate"))).collect().head
       RloMeta.writeStats(conf, root, c, st.getInt(0), st.getInt(1),
         st.getLong(2),
         RloMeta.listDataFilesWithLen(conf, root, c).map(_._2).sum,
         Map("o_source" -> (RloMeta.truncLo(st.getString(3)),
-          RloMeta.truncUp(st.getString(4)))))
+          RloMeta.truncUp(st.getString(4)))), st.getLong(5))
     }
     RloMeta.publishVersion(conf, root, 1,
       tsMicros("2000-01-01 00:00:00"), segs.map(_._1))
@@ -608,5 +610,34 @@ object SqlDml {
     spark.sql(s"""DELETE FROM $Cat.$Ns.orders_cow_src
       WHERE o_source = 'jsrc'""")
     segmentReport(spark, "orders_cow_src", Seq("s0", "s2"))
+  }
+
+  /** q364: METADATA-ONLY DELETE — a retention DELETE whose predicate
+    * exactly covers a segment (stats range inside the cutoff, ZERO
+    * stats-column nulls) never touches data at all: Spark's own
+    * `OptimizeMetadataOnlyDeleteFromTable` swaps the copy-on-write
+    * rewrite for `SupportsDelete.deleteWhere`, and the new version
+    * simply omits c0 — a manifest edit, identical cost at any table
+    * size (the Iceberg metadata-delete). The report's head rows are
+    * all 'carried' (a rewrite fallback would surface a w2 row and
+    * hash-fail) and the v1 row proves history is untouched. */
+  def q364MetadataDelete(spark: SparkSession, dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_cow_md")
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_cow_md
+      WHERE o_orderdate < DATE '1997-01-01'""")
+    spark.sql(s"""
+      SELECT substring_index(_partition, '-', 1) AS commit_id,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        'carried' AS status
+      FROM $Cat.$Ns.orders_cow_md
+      GROUP BY 1
+      UNION ALL
+      SELECT 'v1_total', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        'history'
+      FROM $Cat.$Ns.orders_cow_md VERSION AS OF 1
+      ORDER BY commit_id""")
   }
 }

@@ -96,6 +96,7 @@ object CoreEtlRegistry {
     "q362_sql_ctas"        -> (SqlDml.q362SqlCtas _),
     "q363_string_routed_delete" ->
       (SqlDml.q363StringRoutedDelete _),
+    "q364_metadata_delete"      -> (SqlDml.q364MetadataDelete _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1866,6 +1867,29 @@ object CoreEtlRegistry {
             AS sum_price,
           'rewritten' AS status
         FROM seg WHERE c = 's1' AND src <> 'jsrc'
+      ) r ORDER BY commit_id""",
+    // q364: the metadata delete - the head serves exactly c1/c2 as
+    // CARRIED segments (a copy-on-write fallback would surface a
+    // rewritten w2 row instead and hash-fail); v1 serves everything.
+    "q364_metadata_delete" -> """
+      WITH base AS (
+        SELECT o_totalprice, CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+      seg AS (
+        SELECT *, CASE WHEN d < DATE '1997-01-01' THEN 'c0'
+                       WHEN d < DATE '1999-01-01' THEN 'c1'
+                       ELSE 'c2' END AS c FROM base)
+      SELECT commit_id, n_rows, sum_price, status FROM (
+        SELECT c AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'carried' AS status
+        FROM seg WHERE c IN ('c1', 'c2') GROUP BY c
+        UNION ALL
+        SELECT 'v1_total', COUNT(*),
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+          'history'
+        FROM base
       ) r ORDER BY commit_id""",
   )
 }

@@ -339,7 +339,8 @@ object RloPartitionCol extends MetadataColumn {
 class GraftRloTable(val root: String, ident: String,
     val pinned: Option[Int]) extends Table
     with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsDelete {
 
   @transient private lazy val conf = new Configuration()
   lazy val tableSchema: StructType = RloMeta.readSchema(conf, root)
@@ -397,6 +398,62 @@ class GraftRloTable(val root: String, ident: String,
     require(pinned.isEmpty, "cannot run DML against a pinned version")
     if (tableMode == "mor") () => new RloMorOperation(this, info.command())
     else () => new RloRowLevelOperation(this, info.command())
+  }
+
+  // ---- METADATA-ONLY DELETE (the Iceberg metadata-delete move):
+  // when a DELETE's predicate provably covers whole segments —
+  // every live segment is either FULLY matched (range + zero nulls)
+  // or provably untouched — Spark's own
+  // OptimizeMetadataOnlyDeleteFromTable swaps the copy-on-write
+  // rewrite for deleteWhere: the new version simply omits the
+  // matched segments. Zero data IO; a retention DELETE aligned with
+  // the segment cut is a manifest edit at any table size.
+
+  /** (fully matched, untouched) split of the head's live segments;
+    * None when any segment would need a row-level rewrite. */
+  private def metadataDeleteSplit(filters: Array[org.apache.spark.sql
+      .sources.Filter]): Option[(Seq[String], Seq[String], Int)] = {
+    val conf = new Configuration()
+    val head = RloMeta.headVersion(conf, root)
+    val live = RloMeta.commitsOf(conf, root, head)._2
+    val split = live.map { c =>
+      val st = RloMeta.segStats(conf, root, c)
+      val full = filters.forall(f =>
+        RloStatsPruning.fullyMatches(f, statsColName, st))
+      // the conjunction cannot match any row iff SOME conjunct
+      // cannot overlap the segment
+      val untouched = filters.exists(f =>
+        !RloStatsPruning.overlaps(f, statsColName, st))
+      (c, full, untouched)
+    }
+    if (split.forall { case (_, f, u) => f || u })
+      Some((split.collect { case (c, true, _) => c },
+        split.collect { case (c, false, true) => c }, head))
+    else None
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinned.isEmpty && filters.nonEmpty &&
+      metadataDeleteSplit(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val conf = new Configuration()
+    val (dropped, kept, head) = metadataDeleteSplit(filters)
+      .getOrElse(throw new IllegalStateException(
+        "deleteWhere beyond canDeleteWhere's promise - a segment " +
+          "needs a row-level rewrite"))
+    val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
+    // dropped segments' files stay for prior versions (vacuum
+    // reclaims); MoR artifact batches carry — artifacts targeting
+    // dropped segments go inert by scope
+    if (!RloMeta.publishVersion(conf, root, head + 1, ts, kept,
+        RloMeta.deletesOf(conf, root, head)))
+      throw new IllegalStateException(
+        s"concurrent commit: version ${head + 1} already published - " +
+          "re-run the DELETE against the new head")
+    require(dropped.nonEmpty || kept.nonEmpty, "empty table state")
   }
 }
 
@@ -648,6 +705,37 @@ object RloStatsPruning {
       case sources.And(l, r) =>
         overlaps(l, statsCol, st) && overlaps(r, statsCol, st)
       case _ => true
+    }
+  }
+
+  /** Does EVERY row of a segment with stats `st` satisfy `f`? True
+    * only when the stats PROVE it: the range promise must cover the
+    * predicate AND the stats column must have zero nulls in the
+    * segment (a null never satisfies a comparison, and min/max say
+    * nothing about nulls — the reason stats v3 carries the null
+    * count). Unknown shapes and unknown null counts answer false —
+    * the metadata-delete path falls back to the rewrite. */
+  def fullyMatches(f: sources.Filter, statsCol: String,
+      st: RloMeta.SegStats): Boolean = {
+    val (lo, hi) = (st.minDays, st.maxDays)
+    if (st.nulls != 0 || lo > hi) false
+    else f match {
+      case sources.GreaterThan(c, v) if c == statsCol =>
+        daysOf(v).exists(lo > _)
+      case sources.GreaterThanOrEqual(c, v) if c == statsCol =>
+        daysOf(v).exists(lo >= _)
+      case sources.LessThan(c, v) if c == statsCol =>
+        daysOf(v).exists(hi < _)
+      case sources.LessThanOrEqual(c, v) if c == statsCol =>
+        daysOf(v).exists(hi <= _)
+      case sources.EqualTo(c, v) if c == statsCol =>
+        daysOf(v).exists(d => lo == d && hi == d)
+      case sources.IsNotNull(c) if c == statsCol => true // nulls == 0
+      case sources.And(l, r) =>
+        fullyMatches(l, statsCol, st) && fullyMatches(r, statsCol, st)
+      case sources.Or(l, r) =>
+        fullyMatches(l, statsCol, st) || fullyMatches(r, statsCol, st)
+      case _ => false
     }
   }
 }
@@ -1219,12 +1307,13 @@ object RloNames {
 
 case class RloCommitMessage(minDays: Int, maxDays: Int, n: Long,
     bytes: Long, strMins: Map[String, String],
-    strMaxs: Map[String, String]) extends WriterCommitMessage
+    strMaxs: Map[String, String], nulls: Long = 0L)
+    extends WriterCommitMessage
 
 object RloCommitMessage {
   val Empty: RloCommitMessage =
     RloCommitMessage(Int.MaxValue, Int.MinValue, 0L, 0L, Map.empty,
-      Map.empty)
+      Map.empty, 0L)
 
   /** Fold task messages into the segment's stats payload: date
     * range, row count, exact byte total, and truncated string
@@ -1241,7 +1330,8 @@ object RloCommitMessage {
         }.toMap,
         (a.strMaxs.keySet ++ m.strMaxs.keySet).map { k =>
           k -> Seq(a.strMaxs.get(k), m.strMaxs.get(k)).flatten.max
-        }.toMap)
+        }.toMap,
+        if (a.nulls < 0 || m.nulls < 0) -1L else a.nulls + m.nulls)
     }
 
   def strBounds(m: RloCommitMessage): Map[String, (String, String)] =
@@ -1279,7 +1369,7 @@ class RloBatchWrite(root: String, schemaJson: String, statsIdx: Int,
     if (n > 0) {
       RloMeta.writeStats(conf, root, newCommit,
         folded.minDays, folded.maxDays, n, folded.bytes,
-        RloCommitMessage.strBounds(folded))
+        RloCommitMessage.strBounds(folded), folded.nulls)
     } else {
       RloMeta.deleteCommitDir(conf, root, newCommit)
     }
@@ -1365,6 +1455,7 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
   private var minD = Int.MaxValue
   private var maxD = Int.MinValue
   private var n = 0L
+  private var nullD = 0L
   private val strMins = new java.util.HashMap[Int, String]()
   private val strMaxs = new java.util.HashMap[Int, String]()
 
@@ -1374,7 +1465,7 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
       val d = row.getInt(statsIdx)
       if (d < minD) minD = d
       if (d > maxD) maxD = d
-    }
+    } else nullD += 1
     var si = 0
     while (si < strCols.length) {
       val i = strCols(si)
@@ -1410,7 +1501,8 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
     import scala.jdk.CollectionConverters._
     RloCommitMessage(minD, maxD, n, bytes,
       strMins.asScala.map { case (i, v) => schema(i).name -> v }.toMap,
-      strMaxs.asScala.map { case (i, v) => schema(i).name -> v }.toMap)
+      strMaxs.asScala.map { case (i, v) => schema(i).name -> v }.toMap,
+      nullD)
   }
 
   override def abort(): Unit = {
@@ -1514,7 +1606,7 @@ class RloDeltaBatchWrite(root: String, rowSchemaJson: String,
     if (nIns > 0)
       RloMeta.writeStats(conf, root, newCommit,
         folded.minDays, folded.maxDays, nIns, folded.bytes,
-        RloCommitMessage.strBounds(folded))
+        RloCommitMessage.strBounds(folded), folded.nulls)
     else RloMeta.deleteCommitDir(conf, root, newCommit)
     val commits = live ++ (if (nIns > 0) Seq(newCommit) else Nil)
     val deletes = RloMeta.deletesOf(conf, root, head) ++

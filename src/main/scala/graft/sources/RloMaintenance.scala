@@ -188,18 +188,18 @@ object RloMaintenance {
 
     val strCols = schema.fields.filter(_.dataType == StringType)
     val aggs = Seq(min(unix_date(col(statsCol))), max(unix_date(col(statsCol))),
-      count(lit(1))) ++
+      count(lit(1)), count(lit(1)) - count(col(statsCol))) ++
       strCols.flatMap(f => Seq(min(col(f.name)), max(col(f.name))))
     val st = packed.agg(aggs.head, aggs.tail: _*).collect().head
     val strBounds = strCols.zipWithIndex.collect {
-      case (f, i) if st.getString(3 + 2 * i) != null =>
-        f.name -> (RloMeta.truncLo(st.getString(3 + 2 * i)),
-          RloMeta.truncUp(st.getString(4 + 2 * i)))
+      case (f, i) if st.getString(4 + 2 * i) != null =>
+        f.name -> (RloMeta.truncLo(st.getString(4 + 2 * i)),
+          RloMeta.truncUp(st.getString(5 + 2 * i)))
     }.toMap
     val bytes = RloMeta.listDataFilesWithLen(conf, root, newCommit)
       .map(_._2).sum
     RloMeta.writeStats(conf, root, newCommit, st.getInt(0), st.getInt(1),
-      st.getLong(2), bytes, strBounds)
+      st.getLong(2), bytes, strBounds, st.getLong(3))
 
     // the packed read already applied any delete artifacts: the new
     // version carries NO delete batches
@@ -248,10 +248,12 @@ object RloMaintenance {
       val rows = spark.read.parquet(
         RloMeta.commitDir(root, newCommit).toString)
       val st = rows.agg(min(unix_date(col(statsCol))),
-        max(unix_date(col(statsCol))), count(lit(1))).collect().head
+        max(unix_date(col(statsCol))), count(lit(1)),
+        count(lit(1)) - count(col(statsCol))).collect().head
       RloMeta.writeStats(conf, root, newCommit, st.getInt(0),
         st.getInt(1), st.getLong(2),
-        RloMeta.listDataFilesWithLen(conf, root, newCommit).map(_._2).sum)
+        RloMeta.listDataFilesWithLen(conf, root, newCommit).map(_._2).sum,
+        Map.empty, st.getLong(3))
       nextCommits = nextCommits :+ newCommit
       c -> newCommit
     }

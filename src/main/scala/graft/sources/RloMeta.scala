@@ -332,11 +332,14 @@ object RloMeta {
 
   /** Full per-segment stats: the date-column range + row count
     * (format v1), plus file BYTES (so plan-time statistics read no
-    * filesystem metadata) and truncated min/max bounds per string
-    * column (so string predicates stats-route too) — format v2,
-    * reader tolerant of v1 files (bytes = -1, no string bounds). */
+    * filesystem metadata), truncated min/max bounds per string
+    * column (so string predicates stats-route too), and the stats
+    * column's NULL count (so metadata-only DELETE can prove full
+    * segment coverage — a range promise says nothing about nulls).
+    * Reader tolerant of older files (bytes/nulls = -1 = unknown). */
   case class SegStats(minDays: Int, maxDays: Int, nRows: Long,
-      bytes: Long, strBounds: Map[String, (String, String)])
+      bytes: Long, strBounds: Map[String, (String, String)],
+      nulls: Long = -1L)
 
   private def hexEnc(s: String): String =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -348,8 +351,9 @@ object RloMeta {
 
   def writeStats(conf: Configuration, root: String, commit: String,
       minDays: Int, maxDays: Int, nRows: Long, bytes: Long = -1L,
-      strBounds: Map[String, (String, String)] = Map.empty): Unit = {
-    val head = s"$minDays,$maxDays,$nRows,$bytes"
+      strBounds: Map[String, (String, String)] = Map.empty,
+      nulls: Long = -1L): Unit = {
+    val head = s"$minDays,$maxDays,$nRows,$bytes,$nulls"
     // hex-encode string bounds: the payload may contain any
     // character, the stats file stays line/comma-structured
     val lines = head +: strBounds.toSeq.sortBy(_._1).map {
@@ -377,7 +381,8 @@ object RloMeta {
         c -> (hexDec(lo), hexDec(hi))
     }.toMap
     SegStats(parts(0).toInt, parts(1).toInt, parts(2).toLong,
-      if (parts.length > 3) parts(3).toLong else -1L, bounds)
+      if (parts.length > 3) parts(3).toLong else -1L, bounds,
+      if (parts.length > 4) parts(4).toLong else -1L)
   }
 
   def listDataFiles(conf: Configuration, root: String,

@@ -78,11 +78,13 @@ object StreamRloSink {
       rows.write.mode(SaveMode.Overwrite)
         .parquet(RloMeta.commitDir(root, s"b$k").toString)
       val st = rows.agg(min(unix_date(col("o_orderdate"))),
-        max(unix_date(col("o_orderdate"))), count(lit(1)))
+        max(unix_date(col("o_orderdate"))), count(lit(1)),
+        count(lit(1)) - count(col("o_orderdate")))
         .collect().head
       RloMeta.writeStats(conf, root, s"b$k", st.getInt(0), st.getInt(1),
         st.getLong(2),
-        RloMeta.listDataFilesWithLen(conf, root, s"b$k").map(_._2).sum)
+        RloMeta.listDataFilesWithLen(conf, root, s"b$k").map(_._2).sum,
+        Map.empty, st.getLong(3))
       val ts = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
       RloMeta.publishVersion(conf, root, k + 2, ts,
         (0 to k).map(i => s"b$i"))

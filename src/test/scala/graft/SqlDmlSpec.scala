@@ -604,6 +604,35 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(after.getLong(1) == 900000101L, "the loser's row leaked in")
   }
 
+  test("q364 metadata-only DELETE: an exactly-aligned retention " +
+      "DELETE publishes a manifest omitting c0 — NO new segment, " +
+      "nothing written, c0 files intact for time travel — while a " +
+      "partially-aligned DELETE still falls back to copy-on-write") {
+    graft.operators.SqlDml.q364MetadataDelete(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_cow_md")
+    // the new version is a pure manifest edit
+    assert(RloMeta.commitsOf(conf, root, 2)._2.toSet == Set("c1", "c2"))
+    val dd = RloMeta.dataDir(root)
+    assert(RloMeta.fs(conf, dd).listStatus(dd).map(_.getPath.getName)
+      .toSet == Set("c0", "c1", "c2"),
+      "metadata delete must write NO data at all")
+    assert(RloMeta.listDataFiles(conf, root, "c0").nonEmpty)
+    // v1 still serves the full table
+    val v1 = spark.sql(s"SELECT COUNT(*) FROM ${SqlDml.Cat}." +
+      s"${SqlDml.Ns}.orders_cow_md VERSION AS OF 1")
+      .collect().head.getLong(0)
+    assert(v1 == SqlDml.ordersAsDate(spark, sf).count())
+    // partial alignment: stats cannot prove full coverage of c0, so
+    // the copy-on-write rewrite handles it (w2 appears)
+    SqlDml.buildTable(spark, sf, "orders_cow_md2")
+    spark.sql(s"DELETE FROM ${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_md2 " +
+      "WHERE o_orderdate < DATE '1996-01-01'")
+    val root2 = SqlDml.tableRoot("orders_cow_md2")
+    assert(display(RloMeta.commitsOf(conf, root2, 2)._2) ==
+      Set("c1", "c2", "w2"),
+      "partial predicate must take the rewrite path")
+  }
+
   test("parquet row-group filter pushdown fires on PLAIN reads only: " +
       "results stay exact on both read paths, and the pushed " +
       "predicate provably reaches the reader (record-level drop " +
