@@ -589,8 +589,8 @@ object SqlDml {
       RloMeta.writeStats(conf, root, c, st.getInt(0), st.getInt(1),
         st.getLong(2),
         RloMeta.listDataFilesWithLen(conf, root, c).map(_._2).sum,
-        Map("o_source" -> (RloMeta.truncLo(st.getString(3)),
-          RloMeta.truncUp(st.getString(4)))), st.getLong(5))
+        RloMeta.truncBounds(st.getString(3), st.getString(4))
+          .map("o_source" -> _).toMap, st.getLong(5))
     }
     RloMeta.publishVersion(conf, root, 1,
       tsMicros("2000-01-01 00:00:00"), segs.map(_._1))

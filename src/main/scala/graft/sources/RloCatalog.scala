@@ -137,8 +137,10 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val statsCol = resolveStatsCol(schema, properties)
+    val (statsCol, partitioned) =
+      resolveCut(schema, partitions, properties)
     RloMeta.initTable(conf, rootOf(ident), schema, statsCol)
+    if (partitioned) RloMeta.setPartitioning(conf, rootOf(ident), statsCol)
     // an empty version 1 so the table is immediately readable
     RloMeta.publishVersion(conf, rootOf(ident), 1, 0L, Seq.empty)
     new GraftRloTable(rootOf(ident), ident.toString, None)
@@ -194,10 +196,19 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
       .UnboundProcedure = {
     require(ident.namespace.toSeq == Seq("system"),
       s"procedures live in the 'system' namespace, got $ident")
+    // thread the catalog's REGISTERED name into the bodies: reads go
+    // back through the SQL surface, and re-deriving the name from the
+    // filesystem path broke any registration other than 'graft_rlo'
+    // (r14 advice, low)
     ident.name match {
       case "vacuum" => RloProcedures.vacuum(rootOfName)
-      case "optimize" => RloProcedures.optimize(rootOfName)
-      case "compact_deletes" => RloProcedures.compactDeletes(rootOfName)
+      case "sweep_orphans" => RloProcedures.sweepOrphans(rootOfName)
+      case "optimize" =>
+        RloProcedures.optimize(rootOfName, catalogName)
+      case "compact_deletes" =>
+        RloProcedures.compactDeletes(rootOfName, catalogName)
+      case "plan_maintenance" =>
+        RloProcedures.planMaintenance(rootOfName)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other")
     }
@@ -205,33 +216,113 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(
       namespace: Array[String]): Array[Identifier] =
-    Array("vacuum", "optimize", "compact_deletes")
+    Array("vacuum", "sweep_orphans", "optimize", "compact_deletes",
+        "plan_maintenance")
       .map(Identifier.of(Array("system"), _))
 
-  // ---- atomic CTAS: CREATE TABLE ... AS SELECT via a staged root
+  // ---- atomic CTAS/RTAS: CREATE/REPLACE TABLE ... AS SELECT via a
+  // ---- staged root
 
   /** Stage the table under a hidden attempt-unique root; data writes
     * land there; [[StagedRloTable.commitStagedChanges]] renames it to
     * the final root — the table becomes visible atomically or not at
-    * all (a raced CREATE loses at the rename, the CAS of this path). */
+    * all (a raced CREATE loses at the rename+marker check). */
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
-    val finalRoot = rootOf(ident)
-    if (RloMeta.tableExists(conf, finalRoot))
+    if (RloMeta.tableExists(conf, rootOf(ident)))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident.toString)
-    val statsCol = resolveStatsCol(schema, properties)
-    val stagedRoot = s"$finalRoot.staged-${RloNames.attemptId()}"
-    RloMeta.initTable(conf, stagedRoot, schema, statsCol)
-    RloMeta.publishVersion(conf, stagedRoot, 1, 0L, Seq.empty)
-    new StagedRloTable(stagedRoot, finalRoot, ident.toString)
+    stage(ident, schema, partitions, properties, replace = false)
   }
+
+  /** RTAS: `REPLACE TABLE ... AS SELECT` (r14 verdict #3). The staged
+    * root holds the new content; the commit ADOPTS its segments into
+    * the EXISTING table as the next manifest version (content = only
+    * the staged segments, the truncate shape) — so the replace is one
+    * CAS'd version publish and time travel across it keeps working
+    * (the Iceberg RTAS semantics), instead of a root swap that would
+    * orphan history. */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!RloMeta.tableExists(conf, rootOf(ident)))
+      throw new NoSuchTableException(ident)
+    stage(ident, schema, partitions, properties, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = RloMeta.tableExists(conf, rootOf(ident)))
 
   override def stageCreate(ident: Identifier,
       info: TableInfo): StagedTable =
     stageCreate(ident, info.schema(), info.partitions(),
       info.properties())
+
+  override def stageReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stageReplace(ident, info.schema(), info.partitions(),
+      info.properties())
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stageCreateOrReplace(ident, info.schema(), info.partitions(),
+      info.properties())
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      replace: Boolean): StagedTable = {
+    val finalRoot = rootOf(ident)
+    val (statsCol, partitioned) =
+      resolveCut(schema, partitions, properties)
+    val attempt = RloNames.attemptId()
+    val stagedRoot = s"$finalRoot.staged-$attempt"
+    RloMeta.initTable(conf, stagedRoot, schema, statsCol)
+    if (partitioned) RloMeta.setPartitioning(conf, stagedRoot, statsCol)
+    // identity marker for the create path's publish-by-rename: the
+    // committer re-reads it at the final root to detect a rename that
+    // "succeeded" by nesting inside a racing winner (r14 advice)
+    RloMeta.writeAttemptMarker(conf, stagedRoot, attempt)
+    RloMeta.publishVersion(conf, stagedRoot, 1, 0L, Seq.empty)
+    new StagedRloTable(stagedRoot, finalRoot, ident.toString, attempt,
+      replace)
+  }
+
+  /** PARTITIONED BY handling (r14 verdict #4 — silently dropping a
+    * user's layout request builds an unpartitioned table behind their
+    * back): accept exactly `days(<the DATE stats column>)` — the
+    * declared segment cut IS the stats column, and "partition
+    * pruning" is the manifest's stats routing — and reject every
+    * other transform loudly. */
+  private def resolveCut(schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): (String, Boolean) = {
+    if (partitions.isEmpty)
+      (resolveStatsCol(schema, properties), false)
+    else {
+      if (partitions.length != 1 || partitions.head.name() != "days")
+        throw new UnsupportedOperationException(
+          s"unsupported PARTITIONED BY (${partitions.map(_.describe())
+            .mkString(", ")}): this catalog supports exactly one " +
+            "days(<date column>) transform - the declared cut routes " +
+            "reads and DML through per-segment date stats")
+      val cols = partitions.head.references().flatMap(_.fieldNames())
+      require(cols.length == 1,
+        s"days() takes one column, got ${cols.mkString(",")}")
+      val c = cols.head
+      require(schema.fields.exists(f =>
+          f.name == c && f.dataType == DateType),
+        s"PARTITIONED BY days($c): $c must be a DATE column")
+      val prop = Option(properties.get("statscol"))
+      require(prop.forall(_ == c),
+        s"PARTITIONED BY days($c) conflicts with statscol=${prop.get}")
+      (c, true)
+    }
+  }
 
   private def resolveStatsCol(schema: StructType,
       properties: util.Map[String, String]): String = {
@@ -304,21 +395,95 @@ object RloTableCache {
   * its data already committed. Abort deletes the staged root; the
   * real root was never touched. */
 class StagedRloTable(stagedRoot: String, finalRoot: String,
-    ident: String) extends GraftRloTable(stagedRoot, ident, None)
-    with StagedTable {
+    ident: String, attempt: String, replace: Boolean)
+    extends GraftRloTable(stagedRoot, ident, None) with StagedTable {
 
   @transient private lazy val sconf = new Configuration()
 
-  override def commitStagedChanges(): Unit = {
+  override def commitStagedChanges(): Unit =
+    if (replace) commitReplace() else commitCreate()
+
+  /** CTAS publish: one rename flips the whole staged root visible.
+    * NOT a CAS by itself — per the Hadoop FileSystem contract,
+    * rename(src, dst) with dst an existing directory moves src INTO
+    * dst, so a racer that lost the exists-check window would
+    * "succeed" while its table nests invisibly inside the winner's.
+    * The attempt marker written at stage time is re-read AT THE FINAL
+    * ROOT after the rename: only the true winner sees its own id;
+    * a loser cleans its nested debris out of the winner's root and
+    * fails loudly (r14 advice, medium). */
+  private def commitCreate(): Unit = {
     val src = new org.apache.hadoop.fs.Path(stagedRoot)
     val dst = new org.apache.hadoop.fs.Path(finalRoot)
     val f = RloMeta.fs(sconf, dst)
-    if (RloMeta.tableExists(sconf, finalRoot) || !f.rename(src, dst)) {
-      f.delete(src, true)
+    def lost(cleanupSrc: Boolean): Nothing = {
+      if (cleanupSrc && f.exists(src)) f.delete(src, true)
       throw new IllegalStateException(
         s"CTAS lost the race: $finalRoot already exists - staged " +
           "data discarded, nothing visible")
     }
+    if (RloMeta.tableExists(sconf, finalRoot) || !f.rename(src, dst))
+      lost(cleanupSrc = true)
+    if (!RloMeta.attemptMarker(sconf, finalRoot).contains(attempt)) {
+      // the rename landed us INSIDE a concurrent winner's table dir:
+      // remove exactly that nested debris, touch nothing else
+      val nested = new org.apache.hadoop.fs.Path(dst, src.getName)
+      if (f.exists(nested)) f.delete(nested, true)
+      lost(cleanupSrc = true)
+    }
+  }
+
+  /** RTAS publish: adopt the staged segments into the existing table
+    * as the next CAS'd manifest version. Schema changes ride the
+    * append-only evolution contract (anything else rejects loudly);
+    * the new version lists ONLY the adopted segments and carries no
+    * delete batches — the truncate shape — so prior versions stay
+    * time-travelable and vacuum reclaims the replaced content later. */
+  private def commitReplace(): Unit = {
+    val f = RloMeta.fs(sconf, new org.apache.hadoop.fs.Path(finalRoot))
+    if (!RloMeta.tableExists(sconf, finalRoot))
+      throw new IllegalStateException(
+        s"REPLACE TABLE target $finalRoot was dropped mid-flight")
+    require(RloMeta.statsCol(sconf, stagedRoot) ==
+        RloMeta.statsCol(sconf, finalRoot),
+      "REPLACE TABLE cannot change the stats column")
+    val stagedSchema = RloMeta.readSchema(sconf, stagedRoot)
+    if (stagedSchema != RloMeta.readSchema(sconf, finalRoot))
+      // append-only evolution or a loud error — REPLACE may not
+      // reinterpret existing segments' columns
+      RloMeta.evolveSchema(sconf, finalRoot, stagedSchema)
+    val head = RloMeta.headVersion(sconf, finalRoot)
+    val stagedHead = RloMeta.headVersion(sconf, stagedRoot)
+    val stagedCommits =
+      RloMeta.commitsOf(sconf, stagedRoot, stagedHead)._2
+    // adopt: move each staged segment dir + its stats under a
+    // replace-unique name in the real table
+    val adopted = stagedCommits.zipWithIndex.map { case (c, i) =>
+      val nn = s"r${head + 1}-$attempt" + (if (i > 0) s"-$i" else "")
+      if (!f.rename(RloMeta.commitDir(stagedRoot, c),
+          RloMeta.commitDir(finalRoot, nn)))
+        throw new IllegalStateException(
+          s"RTAS adopt failed moving segment $c into $finalRoot")
+      val st = RloMeta.segStats(sconf, stagedRoot, c)
+      RloMeta.writeStats(sconf, finalRoot, nn, st.minDays, st.maxDays,
+        st.nRows, st.bytes, st.strBounds, st.nulls)
+      nn
+    }
+    val ts = RloMeta.commitsOf(sconf, finalRoot, head)._1 + 1000000L
+    if (!RloMeta.publishVersion(sconf, finalRoot, head + 1, ts,
+        adopted)) {
+      adopted.foreach { nn =>
+        RloMeta.deleteCommitDir(sconf, finalRoot, nn)
+        f.delete(new org.apache.hadoop.fs.Path(
+          RloMeta.metaDir(finalRoot), s"stats_$nn.txt"), false)
+      }
+      abortStagedChanges()
+      throw new IllegalStateException(
+        s"concurrent commit: version ${head + 1} of $finalRoot " +
+          "already published - re-run the REPLACE against the new head")
+    }
+    RloTableCache.invalidate(finalRoot)
+    abortStagedChanges()
   }
 
   override def abortStagedChanges(): Unit = {
@@ -357,6 +522,9 @@ class GraftRloTable(val root: String, ident: String,
   override def name(): String = ident
   override def schema(): StructType = tableSchema
   override def version(): String = currentVersion.toString
+  override def partitioning(): Array[Transform] =
+    RloMeta.partitionedBy(conf, root)
+      .map(c => Expressions.days(c): Transform).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -527,15 +695,43 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Commit names a pushed `_partition` predicate pins the scan to —
+    * the PLAN-TIME twin of the runtime group filter, so a
+    * `WHERE _partition = 'c0'` read (maintenance folds, changelog
+    * reads) lists and opens ONLY that segment instead of residual-
+    * filtering the whole table. Equality/IN only; anything else
+    * prunes nothing. */
+  private def partitionPin: Option[Set[String]] = {
+    def values(f: sources.Filter): Option[Set[String]] = f match {
+      case sources.EqualTo("_partition", v: String) => Some(Set(v))
+      case sources.EqualTo("_partition", v: UTF8String) =>
+        Some(Set(v.toString))
+      case sources.In("_partition", vs)
+          if vs.nonEmpty && vs.forall(v =>
+            v.isInstanceOf[String] || v.isInstanceOf[UTF8String]) =>
+        Some(vs.map(_.toString).toSet)
+      case sources.And(l, r) =>
+        (values(l), values(r)) match {
+          case (Some(a), Some(b)) => Some(a intersect b)
+          case (a, b) => a.orElse(b)
+        }
+      case _ => None
+    }
+    val sets = allPushed.flatMap(values(_))
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   override def build(): Scan = {
     val v = table.currentVersion
     val live = RloMeta.commitsOf(conf, table.root, v)._2
     // static stats routing: drop segments whose stats range can't
-    // intersect the pushed predicates (metadata-sized arithmetic)
+    // intersect the pushed predicates (metadata-sized arithmetic);
+    // a pushed `_partition` predicate pins the commit set directly
+    val pin = partitionPin
     val allStats = live.map(c =>
       c -> RloMeta.segStats(conf, table.root, c)).toMap
     val kept = live.filter { c =>
-      pushed.forall(f =>
+      pin.forall(_.contains(c)) && pushed.forall(f =>
         RloStatsPruning.overlaps(f, table.statsColName, allStats(c)))
     }
     // merge-on-read: the version's scoped delete artifacts, resolved
@@ -647,10 +843,11 @@ object RloStatsPruning {
     case _ => None
   }
 
-  /** Next string after every string with prefix `p` — the exclusive
-    * upper bound of the prefix range (last code unit bumped). */
-  private def bump(p: String): String =
-    if (p.isEmpty) p else p.init + (p.last + 1).toChar
+  /** All string comparisons in UNSIGNED UTF-8 BYTE order — the order
+    * Spark evaluates string predicates in (UTF8String); Java's UTF-16
+    * code-unit order disagrees above the BMP (r14 advice, medium). */
+  private def u8lt(a: String, b: String): Boolean = RloMeta.u8cmp(a, b) < 0
+  private def u8le(a: String, b: String): Boolean = RloMeta.u8cmp(a, b) <= 0
 
   def usable(f: sources.Filter, statsCol: String): Boolean = f match {
     case sources.GreaterThan(c, v) =>
@@ -692,16 +889,18 @@ object RloStatsPruning {
         daysOf(v).isDefined => daysOf(v).forall(lo <= _)
       case sources.EqualTo(c, v) if c == statsCol &&
         daysOf(v).isDefined => daysOf(v).forall(d => lo <= d && d <= hi)
-      case sources.GreaterThan(c, v) => str(c, v)((s, _, shi) => shi > s)
+      case sources.GreaterThan(c, v) =>
+        str(c, v)((s, _, shi) => u8lt(s, shi))
       case sources.GreaterThanOrEqual(c, v) =>
-        str(c, v)((s, _, shi) => shi >= s)
-      case sources.LessThan(c, v) => str(c, v)((s, slo, _) => slo < s)
+        str(c, v)((s, _, shi) => u8le(s, shi))
+      case sources.LessThan(c, v) => str(c, v)((s, slo, _) => u8lt(slo, s))
       case sources.LessThanOrEqual(c, v) =>
-        str(c, v)((s, slo, _) => slo <= s)
+        str(c, v)((s, slo, _) => u8le(slo, s))
       case sources.EqualTo(c, v) =>
-        str(c, v)((s, slo, shi) => slo <= s && s <= shi)
+        str(c, v)((s, slo, shi) => u8le(slo, s) && u8le(s, shi))
       case sources.StringStartsWith(c, p) =>
-        str(c, p)((s, slo, shi) => shi >= s && (s.isEmpty || slo < bump(s)))
+        str(c, p)((s, slo, shi) => u8le(s, shi) && (s.isEmpty ||
+          RloMeta.cpBump(s).forall(nxt => u8lt(slo, nxt))))
       case sources.And(l, r) =>
         overlaps(l, statsCol, st) && overlaps(r, statsCol, st)
       case _ => true
@@ -1326,17 +1525,21 @@ object RloCommitMessage {
         math.min(a.minDays, m.minDays), math.max(a.maxDays, m.maxDays),
         a.n + m.n, a.bytes + m.bytes,
         (a.strMins.keySet ++ m.strMins.keySet).map { k =>
-          k -> Seq(a.strMins.get(k), m.strMins.get(k)).flatten.min
+          k -> Seq(a.strMins.get(k), m.strMins.get(k)).flatten
+            .reduce(RloMeta.u8min)
         }.toMap,
         (a.strMaxs.keySet ++ m.strMaxs.keySet).map { k =>
-          k -> Seq(a.strMaxs.get(k), m.strMaxs.get(k)).flatten.max
+          k -> Seq(a.strMaxs.get(k), m.strMaxs.get(k)).flatten
+            .reduce(RloMeta.u8max)
         }.toMap,
         if (a.nulls < 0 || m.nulls < 0) -1L else a.nulls + m.nulls)
     }
 
   def strBounds(m: RloCommitMessage): Map[String, (String, String)] =
-    m.strMins.keys.map { k =>
-      k -> (RloMeta.truncLo(m.strMins(k)), RloMeta.truncUp(m.strMaxs(k)))
+    m.strMins.keys.flatMap { k =>
+      // no finite upper bound (every truncated position overflowed):
+      // omit the column — absent bounds prune nothing, stays sound
+      RloMeta.truncBounds(m.strMins(k), m.strMaxs(k)).map(k -> _)
     }.toMap
 }
 
@@ -1472,9 +1675,9 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
       if (!row.isNullAt(i)) {
         val v = row.getUTF8String(i).toString
         val lo = strMins.get(i)
-        if (lo == null || v < lo) strMins.put(i, v)
+        if (lo == null || RloMeta.u8cmp(v, lo) < 0) strMins.put(i, v)
         val hi = strMaxs.get(i)
-        if (hi == null || v > hi) strMaxs.put(i, v)
+        if (hi == null || RloMeta.u8cmp(v, hi) > 0) strMaxs.put(i, v)
       }
       si += 1
     }

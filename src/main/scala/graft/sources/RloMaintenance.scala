@@ -64,9 +64,12 @@ object RloProcedures {
     }.toArray[Any])
 
   /** `CALL graft_rlo.system.vacuum('db.t')` — expire history to the
-    * head, then reclaim every segment dir and delete batch no
-    * surviving version references (the q310 two-phase). Returns one
-    * row per reclaimed object. */
+    * head, then reclaim segment dirs and delete batches the EXPIRED
+    * versions referenced and the head does not (the q310 two-phase).
+    * Never-referenced dirs — possibly a concurrent writer's in-flight
+    * attempt — are NOT touched (r14 advice); those are
+    * [[sweepOrphans]]'s age-gated job. Returns one row per reclaimed
+    * object. */
   def vacuum(rootOf: String => String): UnboundProcedure =
     new RloProc("vacuum", Seq(param("table", StringType)),
       StructType(Seq(StructField("reclaimed", StringType),
@@ -81,13 +84,35 @@ object RloProcedures {
       }
     }
 
+  /** `CALL graft_rlo.system.sweep_orphans('db.t', grace_seconds)` —
+    * delete never-referenced segment/delete-batch dirs older than the
+    * grace window: failed attempts and commit-race losers, which
+    * vacuum deliberately leaves alone because a young unreferenced
+    * dir may be an in-flight writer's (the Iceberg
+    * remove_orphan_files older-than contract). */
+  def sweepOrphans(rootOf: String => String): UnboundProcedure =
+    new RloProc("sweep_orphans",
+      Seq(param("table", StringType), param("grace_seconds", LongType)),
+      StructType(Seq(StructField("reclaimed", StringType),
+        StructField("kind", StringType)))) {
+      override def run(input: InternalRow): Seq[InternalRow] = {
+        val conf = new Configuration()
+        val root = rootOf(input.getUTF8String(0).toString)
+        val (segs, batches) = RloMeta.sweepOrphans(conf, root,
+          input.getLong(1) * 1000L)
+        segs.map(s => str(s, "segment")) ++
+          batches.map(b => str(b, "delete_batch"))
+      }
+    }
+
   /** `CALL graft_rlo.system.optimize('db.t')` — bin-pack the head's
     * live segments into size-bounded packed files and publish the
     * swap (content-identical by construction: the pack READS THROUGH
     * the table, so MoR delete artifacts are applied and dropped from
     * the packed version). Returns the swap's manifest arithmetic so
     * callers can audit both sides via VERSION AS OF. */
-  def optimize(rootOf: String => String): UnboundProcedure =
+  def optimize(rootOf: String => String,
+      catalogName: String): UnboundProcedure =
     new RloProc("optimize", Seq(param("table", StringType)),
       StructType(Seq(
         StructField("v_before", IntegerType),
@@ -97,10 +122,36 @@ object RloProcedures {
         StructField("files_after", IntegerType),
         StructField("n_rows", LongType)))) {
       override def run(input: InternalRow): Seq[InternalRow] = {
-        val r = RloMaintenance.optimize(
-          rootOf(input.getUTF8String(0).toString))
+        val qualified = input.getUTF8String(0).toString
+        val r = RloMaintenance.optimize(rootOf(qualified),
+          s"$catalogName.$qualified")
         Seq(new GenericInternalRow(Array[Any](r.vBefore, r.vAfter,
           r.segsBefore, r.segsAfter, r.filesAfter, r.nRows)))
+      }
+    }
+
+  /** `CALL graft_rlo.system.plan_maintenance('db.t')` — the q342
+    * cost-based planning discipline for CONNECTOR tables (r14 verdict
+    * #6): one pass over the manifest + delete ledger (zero data IO)
+    * prices each maintenance verb against its published threshold and
+    * returns the ranked plan. */
+  def planMaintenance(rootOf: String => String): UnboundProcedure =
+    new RloProc("plan_maintenance", Seq(param("table", StringType)),
+      StructType(Seq(
+        StructField("rank", IntegerType),
+        StructField("action", StringType),
+        StructField("target", StringType),
+        StructField("metric", DoubleType),
+        StructField("threshold", DoubleType),
+        StructField("benefit", DoubleType)))) {
+      override def run(input: InternalRow): Seq[InternalRow] = {
+        RloMaintenance.planMaintenance(
+          rootOf(input.getUTF8String(0).toString)).map { p =>
+          new GenericInternalRow(Array[Any](p.rank,
+            UTF8String.fromString(p.action),
+            UTF8String.fromString(p.target), p.metric, p.threshold,
+            p.benefit))
+        }
       }
     }
 
@@ -110,7 +161,8 @@ object RloProcedures {
     * and FOLD (copy-on-write rewrite) any segment whose delete
     * density crossed the threshold — its artifacts become inert by
     * scope and the shipped key set shrinks. One published version. */
-  def compactDeletes(rootOf: String => String): UnboundProcedure =
+  def compactDeletes(rootOf: String => String,
+      catalogName: String): UnboundProcedure =
     new RloProc("compact_deletes",
       Seq(param("table", StringType), param("threshold", DoubleType)),
       StructType(Seq(
@@ -119,8 +171,9 @@ object RloProcedures {
         StructField("deletes_before", LongType),
         StructField("deletes_after", LongType)))) {
       override def run(input: InternalRow): Seq[InternalRow] = {
-        val r = RloMaintenance.compactDeletes(
-          rootOf(input.getUTF8String(0).toString), input.getDouble(1))
+        val qualified = input.getUTF8String(0).toString
+        val r = RloMaintenance.compactDeletes(rootOf(qualified),
+          s"$catalogName.$qualified", input.getDouble(1))
         r.map { case (c, action, before, after) =>
           new GenericInternalRow(Array[Any](UTF8String.fromString(c),
             UTF8String.fromString(action), before, after))
@@ -138,24 +191,78 @@ object RloMaintenance {
   case class OptimizeResult(vBefore: Int, vAfter: Int, segsBefore: Int,
       segsAfter: Int, filesAfter: Int, nRows: Long)
 
+  case class PlanItem(rank: Int, action: String, target: String,
+      metric: Double, threshold: Double, benefit: Double)
+
+  /** Published planner thresholds (the q342 discipline: a rule is a
+    * threshold over a metadata-derived metric, and the plan is
+    * re-derivable from the manifest alone). */
+  val PlanDensityThreshold = 0.2 // fold a segment at ≥20% deleted
+  val PlanBatchThreshold = 2.0 // merge artifacts at ≥2 batches
+  val PlanSegmentsThreshold = 4.0 // bin-pack at ≥4 live segments
+
+  /** Rank the maintenance verbs for one connector table from ONE
+    * manifest + delete-ledger pass — zero data IO (r14 verdict #6,
+    * the q342 cost-based planner for the connector tier):
+    *
+    *  - `compact_deletes:fold` per segment whose delete density
+    *    (live artifact keys ÷ manifest rows) ≥ 0.2 — benefit = the
+    *    density itself, the per-read anti-join work a fold retires.
+    *  - `compact_deletes:merge` when ≥2 artifact batches are live —
+    *    benefit = the file-open reduction 1 − 1/batches.
+    *  - `optimize` when ≥4 live segments — benefit = the per-probe
+    *    open reduction 1 − 1/segments (the q318/q360 economics).
+    *
+    * Ranked by benefit descending (ties: action, then target). An
+    * empty plan is the healthy-table answer, not an error. */
+  def planMaintenance(root: String): Seq[PlanItem] = {
+    val conf = new Configuration()
+    val head = RloMeta.headVersion(conf, root)
+    val live = RloMeta.commitsOf(conf, root, head)._2
+    val batches = RloMeta.deletesOf(conf, root, head)
+    val keys =
+      if (batches.isEmpty) Map.empty[String, Array[Long]]
+      else RloMeta.liveDeleteKeys(conf, root, head)
+
+    val folds = keys.toSeq.flatMap { case (c, ks) =>
+      val n = RloMeta.segStats(conf, root, c).nRows
+      val density = if (n > 0) ks.length.toDouble / n else 0.0
+      if (live.contains(c) && density >= PlanDensityThreshold)
+        Some(PlanItem(0, "compact_deletes:fold", RloNames.display(c),
+          density, PlanDensityThreshold, density))
+      else None
+    }
+    val merge =
+      if (batches.size >= PlanBatchThreshold)
+        Seq(PlanItem(0, "compact_deletes:merge", "_artifacts",
+          batches.size.toDouble, PlanBatchThreshold,
+          1.0 - 1.0 / batches.size))
+      else Nil
+    val pack =
+      if (live.size >= PlanSegmentsThreshold)
+        Seq(PlanItem(0, "optimize", "_table", live.size.toDouble,
+          PlanSegmentsThreshold, 1.0 - 1.0 / live.size))
+      else Nil
+    (folds ++ merge ++ pack)
+      .sortBy(p => (-p.benefit, p.action, p.target))
+      .zipWithIndex.map { case (p, i) => p.copy(rank = i + 1) }
+  }
+
   private def targetFileBytes(spark: SparkSession): Long =
     spark.conf.get("spark.graft.rlo.target.file.bytes",
       RloDataWriter.DefaultTargetFileBytes.toString).toLong
-
-  /** Catalog-qualified SQL name of a table root's db.table pair —
-    * maintenance reads go through the SQL surface so MoR artifact
-    * apply, schema evolution, and pruning all participate. */
-  private def sqlName(root: String): String = {
-    val parts = root.split("/").filter(_.nonEmpty)
-    s"graft_rlo.${parts(parts.length - 2)}.${parts(parts.length - 1)}"
-  }
 
   /** Bin-pack the head's live segments into one packed segment of
     * size-bounded files (the q318/q360 economics: per-probe file
     * opens drop from O(batches) to O(bytes/target)). Content is
     * IDENTICAL across the swap; prior versions keep serving the
-    * small segments until vacuum. */
-  def optimize(root: String): OptimizeResult = {
+    * small segments until vacuum. `sqlName` is the catalog-qualified
+    * table name THREADED FROM THE PROCEDURE BINDING (r14 advice: the
+    * catalog registers under a user-chosen name — re-deriving it from
+    * the root path broke every other registration); reads go back
+    * through the SQL surface so MoR artifact apply, schema evolution,
+    * and pruning all participate. */
+  def optimize(root: String, sqlName: String): OptimizeResult = {
     val spark = SparkSession.active
     val conf = new Configuration()
     val head = RloMeta.headVersion(conf, root)
@@ -179,7 +286,7 @@ object RloMaintenance {
     // not the table, and read columnar)
     val cols = schema.fieldNames.map(n => col(s"`$n`"))
     val newCommit = s"p${head + 1}-${RloNames.attemptId()}"
-    spark.sql(s"SELECT * FROM ${sqlName(root)}")
+    spark.sql(s"SELECT * FROM $sqlName")
       .select(cols: _*).repartition(nFiles)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(RloMeta.commitDir(root, newCommit).toString)
@@ -191,10 +298,24 @@ object RloMaintenance {
       count(lit(1)), count(lit(1)) - count(col(statsCol))) ++
       strCols.flatMap(f => Seq(min(col(f.name)), max(col(f.name))))
     val st = packed.agg(aggs.head, aggs.tail: _*).collect().head
-    val strBounds = strCols.zipWithIndex.collect {
+    if (st.getLong(2) == 0L) {
+      // ZERO live rows (e.g. deletes emptied the table): the min/max
+      // aggregates are null and there is nothing to pack — drop the
+      // empty packed dir and publish an empty-commit version instead
+      // of crashing on null bounds (r14 advice, low)
+      RloMeta.deleteCommitDir(conf, root, newCommit)
+      val ts0 = RloMeta.commitsOf(conf, root, head)._1 + 1000000L
+      if (!RloMeta.publishVersion(conf, root, head + 1, ts0, Seq.empty))
+        throw new IllegalStateException(
+          s"concurrent commit: version ${head + 1} already published " +
+            "- re-run OPTIMIZE against the new head")
+      return OptimizeResult(head, head + 1, live.size, 0, 0, 0L)
+    }
+    val strBounds = strCols.zipWithIndex.flatMap {
       case (f, i) if st.getString(4 + 2 * i) != null =>
-        f.name -> (RloMeta.truncLo(st.getString(4 + 2 * i)),
-          RloMeta.truncUp(st.getString(5 + 2 * i)))
+        RloMeta.truncBounds(st.getString(4 + 2 * i),
+          st.getString(5 + 2 * i)).map(f.name -> _)
+      case _ => None
     }.toMap
     val bytes = RloMeta.listDataFilesWithLen(conf, root, newCommit)
       .map(_._2).sum
@@ -216,7 +337,7 @@ object RloMaintenance {
     * segments past the density threshold copy-on-write. Returns
     * (displayCommit, action, deletesBefore, deletesAfter) per live
     * segment that had deletes. */
-  def compactDeletes(root: String,
+  def compactDeletes(root: String, sqlName: String,
       threshold: Double): Seq[(String, String, Long, Long)] = {
     val spark = SparkSession.active
     val conf = new Configuration()
@@ -241,7 +362,7 @@ object RloMaintenance {
       val newCommit = s"f${head + 1}-${RloNames.attemptId()}"
       val cols = schema.fieldNames.map(n => col(s"`$n`"))
       spark.sql(
-        s"SELECT * FROM ${sqlName(root)} WHERE _partition = '$c'")
+        s"SELECT * FROM $sqlName WHERE _partition = '$c'")
         .select(cols: _*)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(RloMeta.commitDir(root, newCommit).toString)

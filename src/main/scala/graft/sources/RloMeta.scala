@@ -99,6 +99,23 @@ object RloMeta {
     fsOf(conf, p).exists(p)
   }
 
+  /** Attempt-identity marker for staged (CTAS/RTAS) roots: written in
+    * the STAGED meta dir before the publishing rename, re-read at the
+    * final root after it. Hadoop's rename(src, dst) with dst an
+    * existing directory moves src INTO dst — two racing committers
+    * can both "succeed", the loser's root nesting invisibly inside
+    * the winner's. The marker round-trip detects the lost race
+    * (r14 advice, medium). */
+  def writeAttemptMarker(conf: Configuration, root: String,
+      attempt: String): Unit =
+    writeText(fsOf(conf, metaDir(root)),
+      new Path(metaDir(root), "attempt.txt"), attempt, overwrite = true)
+
+  def attemptMarker(conf: Configuration, root: String): Option[String] = {
+    val p = new Path(metaDir(root), "attempt.txt")
+    if (fsOf(conf, p).exists(p)) Some(readTextAt(conf, p).trim) else None
+  }
+
   /** Current schema = the highest published schema generation:
     * `schema.ddl` is generation 0 (written once at init), every
     * ALTER publishes `schema_<k>.ddl` through the same
@@ -131,6 +148,24 @@ object RloMeta {
 
   def statsCol(conf: Configuration, root: String): String =
     readTextAt(conf, new Path(metaDir(root), "statscol.txt")).trim
+
+  /** Declared partitioning: a table created `PARTITIONED BY
+    * (days(c))` records the cut so [[GraftRloTable.partitioning]] can
+    * surface it (DESCRIBE, SHOW CREATE) — the cut column is always
+    * the stats column, so pruning semantics are identical either way. */
+  def setPartitioning(conf: Configuration, root: String,
+      col: String): Unit =
+    writeText(fsOf(conf, metaDir(root)),
+      new Path(metaDir(root), "partition.txt"), s"days($col)",
+      overwrite = true)
+
+  def partitionedBy(conf: Configuration, root: String): Option[String] = {
+    val p = new Path(metaDir(root), "partition.txt")
+    if (fsOf(conf, p).exists(p)) {
+      val v = readTextAt(conf, p).trim
+      Some(v.stripPrefix("days(").stripSuffix(")"))
+    } else None
+  }
 
   /** SCHEMA EVOLUTION (append-only): overwrite the schema with a
     * wider one. Widening is metadata-only — existing segment files
@@ -175,27 +210,55 @@ object RloMeta {
     require(keep == head,
       s"keep=$keep must be the head version ($head) - expiry retires " +
         "history, never the newest commit")
-    (1 to head).filterNot(_ == keep).foreach { v =>
+    // Reclaim ONLY objects the EXPIRED versions referenced: a dir no
+    // version ever referenced may be a concurrent writer's in-flight
+    // attempt (segments land BEFORE the version publishes) — deleting
+    // it between task commit and publishVersion would let the writer
+    // publish a manifest over vanished files (r14 advice, medium).
+    // Never-referenced orphans are [[sweepOrphans]]'s job, age-gated.
+    val expired = liveVersions(conf, root).filterNot(_ == keep)
+    val expiredSegs = expired.flatMap(v => commitsOf(conf, root, v)._2)
+    val expiredBatches = expired.flatMap(v => deletesOf(conf, root, v))
+    expired.foreach { v =>
       f.delete(new Path(metaDir(root), f"v$v%05d.txt"), false)
     }
     val live = commitsOf(conf, root, keep)._2.toSet
     val liveD = deletesOf(conf, root, keep).toSet
-    val onDisk =
-      if (!f.exists(dataDir(root))) Seq.empty[String]
-      else f.listStatus(dataDir(root)).filter(_.isDirectory)
-        .map(_.getPath.getName).toSeq
-    val dDir = new Path(root, "deletes")
-    val dOnDisk =
-      if (!f.exists(dDir)) Seq.empty[String]
-      else f.listStatus(dDir).filter(_.isDirectory)
-        .map(_.getPath.getName).toSeq
-    val deadSegs = onDisk.filterNot(live).sorted
-    val deadBatches = dOnDisk.filterNot(liveD).sorted
+    val deadSegs = expiredSegs.distinct.filterNot(live).sorted
+    val deadBatches = expiredBatches.distinct.filterNot(liveD).sorted
     deadSegs.foreach(c => f.delete(commitDir(root, c), true))
     deadBatches.foreach(b => f.delete(deleteBatchDir(root, b), true))
     deadSegs.foreach(c =>
       f.delete(new Path(metaDir(root), s"stats_$c.txt"), false))
     (deadSegs, deadBatches)
+  }
+
+  /** Age-gated orphan sweep — the OTHER half of reclamation: segment
+    * and delete-batch dirs NO surviving version references (failed
+    * attempts, losers of commit races) are deleted only once their
+    * modification time is older than `graceMs`, so an in-flight
+    * writer's not-yet-published dir is never swept out from under it
+    * (the Iceberg remove_orphan_files older-than contract). */
+  def sweepOrphans(conf: Configuration, root: String,
+      graceMs: Long): (Seq[String], Seq[String]) = {
+    val f = fsOf(conf, new Path(root))
+    val referenced = liveVersions(conf, root).flatMap { v =>
+      commitsOf(conf, root, v)._2 ++ deletesOf(conf, root, v)
+    }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    def sweep(dir: Path, rm: String => Path): Seq[String] =
+      if (!f.exists(dir)) Seq.empty
+      else f.listStatus(dir).filter(_.isDirectory)
+        .filter(s => !referenced(s.getPath.getName) &&
+          s.getModificationTime < cutoff)
+        .map(_.getPath.getName).toSeq.sorted
+        .map { n => f.delete(rm(n), true); n }
+    val segs = sweep(dataDir(root), commitDir(root, _))
+    segs.foreach(c =>
+      f.delete(new Path(metaDir(root), s"stats_$c.txt"), false))
+    val batches = sweep(new Path(root, "deletes"),
+      deleteBatchDir(root, _))
+    (segs, batches)
   }
 
   // ------------------------------------------------------- versions
@@ -314,21 +377,69 @@ object RloMeta {
     new Path(metaDir(root), s"stats_$commit.txt")
 
   /** Truncated string bounds length — the q350 zone-map truncate[4]
-    * discipline carried into the segment manifest (r13 verdict #5). */
+    * discipline carried into the segment manifest (r13 verdict #5).
+    * Measured in CODE POINTS: a UTF-16 code-unit prefix could split a
+    * surrogate pair, producing an unencodable bound (r14 advice). */
   val StrTruncLen = 4
 
-  /** Lower bound: plain prefix truncation (trunc(min) <= min). */
-  def truncLo(s: String): String = s.take(StrTruncLen)
+  /** Spark compares strings as unsigned UTF-8 bytes (UTF8String);
+    * every bound comparison must use the SAME order — Java's UTF-16
+    * code-unit order disagrees for supplementary-plane values vs
+    * constants in [U+E000,U+FFFF], which would prune segments that
+    * contain matches (r14 advice, medium). */
+  def u8cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Upper bound: prefix truncation with the last code point bumped
-    * when truncation dropped information, so truncUp(max) >= max
-    * (the Iceberg upper-bound truncation). */
-  def truncUp(s: String): String =
-    if (s.length <= StrTruncLen) s
-    else {
-      val t = s.take(StrTruncLen)
-      t.init + (t.last + 1).toChar
+  def u8min(a: String, b: String): String = if (u8cmp(a, b) <= 0) a else b
+  def u8max(a: String, b: String): String = if (u8cmp(a, b) >= 0) a else b
+
+  /** Lower bound: code-point prefix truncation (trunc(min) <= min in
+    * UTF-8 order — a prefix sorts before anything it prefixes). */
+  def truncLo(s: String): String = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= StrTruncLen) s
+    else new String(cps, 0, StrTruncLen)
+  }
+
+  /** Upper bound: code-point prefix truncation with the last code
+    * point bumped when truncation dropped information, CARRYING on
+    * overflow — bumping past U+10FFFF drops the position and bumps
+    * the previous one (the Iceberg truncate upper-bound semantics);
+    * all positions overflowing means NO finite bound exists (None —
+    * the column's bounds are omitted and prune nothing). The old
+    * code-unit bump wrapped ￿ to  , yielding an upper
+    * bound smaller than everything (r14 advice, medium). */
+  def truncUpOpt(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length <= StrTruncLen) Some(s)
+    else cpBump(new String(cps, 0, StrTruncLen))
+  }
+
+  /** Smallest string GREATER than every string with prefix `s`: the
+    * last code point bumped, carrying on overflow (drop the position,
+    * bump the previous); None when every position overflows — no
+    * finite successor exists. Shared by the truncated upper bound and
+    * the StartsWith prefix-range arithmetic. */
+  def cpBump(s: String): Option[String] = {
+    val t = s.codePoints().toArray
+    var i = t.length - 1
+    while (i >= 0) {
+      var cp = t(i) + 1
+      // skip the surrogate gap: D800–DFFF are not code points
+      if (cp == 0xD800) cp = 0xE000
+      if (cp <= 0x10FFFF)
+        return Some(new String(t, 0, i) + new String(Array(cp), 0, 1))
+      i -= 1
     }
+    None
+  }
+
+  /** (truncLo(min), truncUp(max)) when a finite upper bound exists —
+    * the one shape [[writeStats]] persists per string column. */
+  def truncBounds(min: String, max: String): Option[(String, String)] =
+    truncUpOpt(max).map(hi => (truncLo(min), hi))
 
   /** Full per-segment stats: the date-column range + row count
     * (format v1), plus file BYTES (so plan-time statistics read no
