@@ -612,6 +612,92 @@ object SqlDml {
     segmentReport(spark, "orders_cow_src", Seq("s0", "s2"))
   }
 
+  /** The key-segmented fixture for q365/q366 (stats v4): orders laid
+    * out in three segments CUT BY o_orderkey RANGE at a = max/4 and
+    * b = max/2 — the date ranges of all three segments fully overlap,
+    * so ONLY the per-column NUMERIC bounds in the segment stats can
+    * route a key predicate. Returns (root, a, b); the cuts derive
+    * from MAX(o_orderkey) so the fixture is deterministic at every
+    * scale factor and the oracle re-derives them in SQL. */
+  private[graft] def buildKeyTable(spark: SparkSession, dir: String,
+      table: String): (String, Long, Long) = {
+    ensureCatalog(spark)
+    val conf = new Configuration()
+    val root = tableRoot(table)
+    RloMeta.initTable(conf, root, FixtureSchema, "o_orderdate")
+    val orders = ordersAsDate(spark, dir)
+    val maxKey = orders.agg(max(col("o_orderkey")))
+      .collect().head.getLong(0)
+    val (a, b) = (maxKey / 4, maxKey / 2)
+    val k = col("o_orderkey")
+    val segs = Seq(
+      ("k0", k < a), ("k1", k >= a && k < b), ("k2", k >= b))
+    segs.foreach { case (c, pred) =>
+      val seg = orders.filter(pred).localCheckpoint()
+      seg.write.mode(SaveMode.Overwrite)
+        .parquet(RloMeta.commitDir(root, c).toString)
+      val d = col("o_orderdate")
+      val st = seg.agg(min(unix_date(d)), max(unix_date(d)),
+        count(lit(1)), count(lit(1)) - count(d),
+        min(k), max(k), count(lit(1)) - count(k)).collect().head
+      RloMeta.writeStats(conf, root, c, st.getInt(0), st.getInt(1),
+        st.getLong(2),
+        RloMeta.listDataFilesWithLen(conf, root, c).map(_._2).sum,
+        Map.empty, st.getLong(3),
+        Map("o_orderkey" -> RloMeta.NumBound(
+          java.math.BigDecimal.valueOf(st.getLong(4)),
+          java.math.BigDecimal.valueOf(st.getLong(5)),
+          st.getLong(6))))
+    }
+    RloMeta.publishVersion(conf, root, 1,
+      tsMicros("2000-01-01 00:00:00"), segs.map(_._1))
+    (root, a, b)
+  }
+
+  /** q365: NUMERIC-STATS-ROUTED DML (stats v4, r14 verdict #2) —
+    * `DELETE FROM ... WHERE o_orderkey >= a AND o_orderkey < mid`
+    * against the key-segmented fixture: the predicate is pushable,
+    * and the manifest's exact o_orderkey bounds route the operation
+    * scan to k1 alone (k0/k2 carry by reference — their key ranges
+    * can't intersect). The q347/q363 discipline on the commonest DML
+    * shape after date retention: a key-range predicate. */
+  def q365NumericRoutedDelete(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (_, a, b) = buildKeyTable(spark, dir, "orders_cow_key")
+    val mid = (a + b) / 2
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_cow_key
+      WHERE o_orderkey >= $a AND o_orderkey < $mid""")
+    segmentReport(spark, "orders_cow_key", Seq("k0", "k2"))
+  }
+
+  /** q366: METADATA-ONLY DELETE ON A NUMERIC PREDICATE — the q364
+    * move with the coverage proof carried by stats v4: the DELETE's
+    * key range exactly covers k0 (numeric bounds inside the cutoff,
+    * ZERO o_orderkey nulls in the segment's own null count), so
+    * Spark's OptimizeMetadataOnlyDeleteFromTable plans deleteWhere
+    * and the new version simply omits k0 — zero data IO at any
+    * table size. */
+  def q366NumericMetadataDelete(spark: SparkSession,
+      dir: String): DataFrame = {
+    val (_, a, _) = buildKeyTable(spark, dir, "orders_cow_keymd")
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_cow_keymd
+      WHERE o_orderkey < $a""")
+    spark.sql(s"""
+      SELECT substring_index(_partition, '-', 1) AS commit_id,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        'carried' AS status
+      FROM $Cat.$Ns.orders_cow_keymd
+      GROUP BY 1
+      UNION ALL
+      SELECT 'v1_total', COUNT(*),
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+        'history'
+      FROM $Cat.$Ns.orders_cow_keymd VERSION AS OF 1
+      ORDER BY commit_id""")
+  }
+
   /** q364: METADATA-ONLY DELETE — a retention DELETE whose predicate
     * exactly covers a segment (stats range inside the cutoff, ZERO
     * stats-column nulls) never touches data at all: Spark's own

@@ -97,6 +97,10 @@ object CoreEtlRegistry {
     "q363_string_routed_delete" ->
       (SqlDml.q363StringRoutedDelete _),
     "q364_metadata_delete"      -> (SqlDml.q364MetadataDelete _),
+    "q365_numeric_routed_delete" ->
+      (SqlDml.q365NumericRoutedDelete _),
+    "q366_numeric_metadata_delete" ->
+      (SqlDml.q366NumericMetadataDelete _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1890,6 +1894,62 @@ object CoreEtlRegistry {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
           'history'
         FROM base
+      ) r ORDER BY commit_id""",
+    // q365: the numeric-routed DELETE - k0/k2 carried (their
+    // o_orderkey bounds can't intersect [a, mid)), k1 rewritten
+    // minus the deleted key range; cuts re-derived from
+    // MAX(o_orderkey) exactly as the fixture derives them.
+    "q365_numeric_routed_delete" -> """
+      WITH cuts AS (
+        SELECT CAST(MAX(o_orderkey) // 4 AS BIGINT) AS a,
+               CAST(MAX(o_orderkey) // 2 AS BIGINT) AS b,
+               CAST((MAX(o_orderkey) // 4 + MAX(o_orderkey) // 2) // 2
+                 AS BIGINT) AS mid
+        FROM orders),
+      seg AS (
+        SELECT o.o_orderkey AS k, o.o_totalprice, c2.a, c2.mid,
+          CASE WHEN o.o_orderkey < c2.a THEN 'k0'
+               WHEN o.o_orderkey < c2.b THEN 'k1'
+               ELSE 'k2' END AS c
+        FROM orders o, cuts c2)
+      SELECT commit_id, n_rows, sum_price, status FROM (
+        SELECT c AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'carried' AS status
+        FROM seg WHERE c IN ('k0', 'k2') GROUP BY c
+        UNION ALL
+        SELECT 'w2' AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'rewritten' AS status
+        FROM seg WHERE c = 'k1' AND NOT (k >= a AND k < mid)
+      ) r ORDER BY commit_id""",
+    // q366: the numeric metadata delete - the head serves exactly
+    // k1/k2 as CARRIED segments (a copy-on-write fallback would
+    // surface a rewritten w2 row and hash-fail); v1 serves everything.
+    "q366_numeric_metadata_delete" -> """
+      WITH cuts AS (
+        SELECT CAST(MAX(o_orderkey) // 4 AS BIGINT) AS a,
+               CAST(MAX(o_orderkey) // 2 AS BIGINT) AS b
+        FROM orders),
+      seg AS (
+        SELECT o.o_orderkey AS k, o.o_totalprice,
+          CASE WHEN o.o_orderkey < c2.a THEN 'k0'
+               WHEN o.o_orderkey < c2.b THEN 'k1'
+               ELSE 'k2' END AS c
+        FROM orders o, cuts c2)
+      SELECT commit_id, n_rows, sum_price, status FROM (
+        SELECT c AS commit_id, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price,
+          'carried' AS status
+        FROM seg WHERE c IN ('k1', 'k2') GROUP BY c
+        UNION ALL
+        SELECT 'v1_total', COUNT(*),
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+          'history'
+        FROM seg
       ) r ORDER BY commit_id""",
   )
 }

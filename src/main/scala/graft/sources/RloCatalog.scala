@@ -466,7 +466,7 @@ class StagedRloTable(stagedRoot: String, finalRoot: String,
           s"RTAS adopt failed moving segment $c into $finalRoot")
       val st = RloMeta.segStats(sconf, stagedRoot, c)
       RloMeta.writeStats(sconf, finalRoot, nn, st.minDays, st.maxDays,
-        st.nRows, st.bytes, st.strBounds, st.nulls)
+        st.nRows, st.bytes, st.strBounds, st.nulls, st.numBounds)
       nn
     }
     val ts = RloMeta.commitsOf(sconf, finalRoot, head)._1 + 1000000L
@@ -843,26 +843,45 @@ object RloStatsPruning {
     case _ => None
   }
 
+  /** Numeric filter values — long/int/decimal unified as BigDecimal
+    * (exact; the bounds are stored the same way), so key- and
+    * price-predicates route segments like date ones (stats v4). */
+  private def numOf(v: Any): Option[java.math.BigDecimal] = v match {
+    case l: java.lang.Long => Some(java.math.BigDecimal.valueOf(l))
+    case i: java.lang.Integer =>
+      Some(java.math.BigDecimal.valueOf(i.longValue))
+    case s: java.lang.Short =>
+      Some(java.math.BigDecimal.valueOf(s.longValue))
+    case b: java.lang.Byte =>
+      Some(java.math.BigDecimal.valueOf(b.longValue))
+    case b: java.math.BigDecimal => Some(b)
+    case b: scala.math.BigDecimal => Some(b.bigDecimal)
+    case d: org.apache.spark.sql.types.Decimal =>
+      Some(d.toJavaBigDecimal)
+    case _ => None
+  }
+
   /** All string comparisons in UNSIGNED UTF-8 BYTE order — the order
     * Spark evaluates string predicates in (UTF8String); Java's UTF-16
     * code-unit order disagrees above the BMP (r14 advice, medium). */
   private def u8lt(a: String, b: String): Boolean = RloMeta.u8cmp(a, b) < 0
   private def u8le(a: String, b: String): Boolean = RloMeta.u8cmp(a, b) <= 0
 
-  def usable(f: sources.Filter, statsCol: String): Boolean = f match {
-    case sources.GreaterThan(c, v) =>
-      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
-    case sources.GreaterThanOrEqual(c, v) =>
-      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
-    case sources.LessThan(c, v) =>
-      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
-    case sources.LessThanOrEqual(c, v) =>
-      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
-    case sources.EqualTo(c, v) =>
-      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined
-    case sources.StringStartsWith(_, _) => true
-    case sources.And(l, r) => usable(l, statsCol) || usable(r, statsCol)
-    case _ => false
+  def usable(f: sources.Filter, statsCol: String): Boolean = {
+    def cmp(c: String, v: Any): Boolean =
+      (c == statsCol && daysOf(v).isDefined) || strOf(v).isDefined ||
+        numOf(v).isDefined
+    f match {
+      case sources.GreaterThan(c, v) => cmp(c, v)
+      case sources.GreaterThanOrEqual(c, v) => cmp(c, v)
+      case sources.LessThan(c, v) => cmp(c, v)
+      case sources.LessThanOrEqual(c, v) => cmp(c, v)
+      case sources.EqualTo(c, v) => cmp(c, v)
+      case sources.StringStartsWith(_, _) => true
+      case sources.And(l, r) =>
+        usable(l, statsCol) || usable(r, statsCol)
+      case _ => false
+    }
   }
 
   /** Can a segment with stats `st` contain a row matching `f`?
@@ -878,6 +897,17 @@ object RloStatsPruning {
         case (Some(s), Some((slo, shi))) => keep(s, slo, shi)
         case _ => true
       }
+    // numeric bounds are EXACT (not truncated); an all-null column
+    // (null range, real null count) can't contain a row matching any
+    // comparison, so the segment prunes
+    def num(c: String, v: Any)(keep: (java.math.BigDecimal,
+        java.math.BigDecimal, java.math.BigDecimal) => Boolean)
+        : Boolean =
+      (numOf(v), st.numBounds.get(c)) match {
+        case (Some(x), Some(b)) =>
+          if (b.lo == null) false else keep(x, b.lo, b.hi)
+        case _ => true
+      }
     f match {
       case sources.GreaterThan(c, v) if c == statsCol &&
         daysOf(v).isDefined => daysOf(v).forall(hi > _)
@@ -889,6 +919,17 @@ object RloStatsPruning {
         daysOf(v).isDefined => daysOf(v).forall(lo <= _)
       case sources.EqualTo(c, v) if c == statsCol &&
         daysOf(v).isDefined => daysOf(v).forall(d => lo <= d && d <= hi)
+      case sources.GreaterThan(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, _, nhi) => nhi.compareTo(x) > 0)
+      case sources.GreaterThanOrEqual(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, _, nhi) => nhi.compareTo(x) >= 0)
+      case sources.LessThan(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, nlo, _) => nlo.compareTo(x) < 0)
+      case sources.LessThanOrEqual(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, nlo, _) => nlo.compareTo(x) <= 0)
+      case sources.EqualTo(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, nlo, nhi) =>
+          nlo.compareTo(x) <= 0 && x.compareTo(nhi) <= 0)
       case sources.GreaterThan(c, v) =>
         str(c, v)((s, _, shi) => u8lt(s, shi))
       case sources.GreaterThanOrEqual(c, v) =>
@@ -917,19 +958,43 @@ object RloStatsPruning {
   def fullyMatches(f: sources.Filter, statsCol: String,
       st: RloMeta.SegStats): Boolean = {
     val (lo, hi) = (st.minDays, st.maxDays)
-    if (st.nulls != 0 || lo > hi) false
-    else f match {
-      case sources.GreaterThan(c, v) if c == statsCol =>
-        daysOf(v).exists(lo > _)
-      case sources.GreaterThanOrEqual(c, v) if c == statsCol =>
-        daysOf(v).exists(lo >= _)
-      case sources.LessThan(c, v) if c == statsCol =>
-        daysOf(v).exists(hi < _)
-      case sources.LessThanOrEqual(c, v) if c == statsCol =>
-        daysOf(v).exists(hi <= _)
-      case sources.EqualTo(c, v) if c == statsCol =>
-        daysOf(v).exists(d => lo == d && hi == d)
-      case sources.IsNotNull(c) if c == statsCol => true // nulls == 0
+    // the statsCol range proves anything only with ZERO nulls and a
+    // real range; same per numeric column via its own null count
+    val dateOk = st.nulls == 0 && lo <= hi
+    def num(c: String, v: Any)(keep: (java.math.BigDecimal,
+        java.math.BigDecimal, java.math.BigDecimal) => Boolean)
+        : Boolean =
+      (numOf(v), st.numBounds.get(c)) match {
+        case (Some(x), Some(b)) =>
+          b.nulls == 0 && b.lo != null && keep(x, b.lo, b.hi)
+        case _ => false
+      }
+    f match {
+      case sources.GreaterThan(c, v) if c == statsCol &&
+        daysOf(v).isDefined => dateOk && daysOf(v).exists(lo > _)
+      case sources.GreaterThanOrEqual(c, v) if c == statsCol &&
+        daysOf(v).isDefined => dateOk && daysOf(v).exists(lo >= _)
+      case sources.LessThan(c, v) if c == statsCol &&
+        daysOf(v).isDefined => dateOk && daysOf(v).exists(hi < _)
+      case sources.LessThanOrEqual(c, v) if c == statsCol &&
+        daysOf(v).isDefined => dateOk && daysOf(v).exists(hi <= _)
+      case sources.EqualTo(c, v) if c == statsCol &&
+        daysOf(v).isDefined =>
+        dateOk && daysOf(v).exists(d => lo == d && hi == d)
+      case sources.GreaterThan(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, nlo, _) => nlo.compareTo(x) > 0)
+      case sources.GreaterThanOrEqual(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, nlo, _) => nlo.compareTo(x) >= 0)
+      case sources.LessThan(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, _, nhi) => nhi.compareTo(x) < 0)
+      case sources.LessThanOrEqual(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, _, nhi) => nhi.compareTo(x) <= 0)
+      case sources.EqualTo(c, v) if numOf(v).isDefined =>
+        num(c, v)((x, nlo, nhi) =>
+          nlo.compareTo(x) == 0 && nhi.compareTo(x) == 0)
+      case sources.IsNotNull(c) if c == statsCol => st.nulls == 0
+      case sources.IsNotNull(c) =>
+        st.numBounds.get(c).exists(_.nulls == 0)
       case sources.And(l, r) =>
         fullyMatches(l, statsCol, st) && fullyMatches(r, statsCol, st)
       case sources.Or(l, r) =>
@@ -1506,19 +1571,24 @@ object RloNames {
 
 case class RloCommitMessage(minDays: Int, maxDays: Int, n: Long,
     bytes: Long, strMins: Map[String, String],
-    strMaxs: Map[String, String], nulls: Long = 0L)
+    strMaxs: Map[String, String], nulls: Long = 0L,
+    numBounds: Map[String, RloMeta.NumBound] = Map.empty)
     extends WriterCommitMessage
 
 object RloCommitMessage {
   val Empty: RloCommitMessage =
     RloCommitMessage(Int.MaxValue, Int.MinValue, 0L, 0L, Map.empty,
-      Map.empty, 0L)
+      Map.empty, 0L, Map.empty)
 
   /** Fold task messages into the segment's stats payload: date
-    * range, row count, exact byte total, and truncated string
-    * bounds per string column — everything [[RloMeta.writeStats]]
-    * persists, all carried back from the executors so stats
-    * maintenance never re-reads data (the q337 discipline). */
+    * range, row count, exact byte total, truncated string bounds per
+    * string column, and exact numeric bounds + null counts per
+    * long/int/decimal column (stats v4) — everything
+    * [[RloMeta.writeStats]] persists, all carried back from the
+    * executors so stats maintenance never re-reads data (the q337
+    * discipline). A task that wrote zero rows contributes no bounds
+    * for a column; the merged nulls stay exact because every task of
+    * one write covers disjoint rows. */
   def fold(ms: Seq[RloCommitMessage]): RloCommitMessage =
     ms.foldLeft(Empty) { (a, m) =>
       RloCommitMessage(
@@ -1532,7 +1602,20 @@ object RloCommitMessage {
           k -> Seq(a.strMaxs.get(k), m.strMaxs.get(k)).flatten
             .reduce(RloMeta.u8max)
         }.toMap,
-        if (a.nulls < 0 || m.nulls < 0) -1L else a.nulls + m.nulls)
+        if (a.nulls < 0 || m.nulls < 0) -1L else a.nulls + m.nulls,
+        (a.numBounds.keySet ++ m.numBounds.keySet).map { k =>
+          val vs = Seq(a.numBounds.get(k), m.numBounds.get(k)).flatten
+          // an all-null task carries a null range but a real null
+          // count — ranges merge over the non-null contributions
+          val los = vs.map(_.lo).filter(_ != null)
+          val his = vs.map(_.hi).filter(_ != null)
+          k -> RloMeta.NumBound(
+            los.reduceOption((x, y) => if (x.compareTo(y) <= 0) x else y)
+              .orNull,
+            his.reduceOption((x, y) => if (x.compareTo(y) >= 0) x else y)
+              .orNull,
+            vs.map(_.nulls).sum)
+        }.toMap)
     }
 
   def strBounds(m: RloCommitMessage): Map[String, (String, String)] =
@@ -1572,7 +1655,8 @@ class RloBatchWrite(root: String, schemaJson: String, statsIdx: Int,
     if (n > 0) {
       RloMeta.writeStats(conf, root, newCommit,
         folded.minDays, folded.maxDays, n, folded.bytes,
-        RloCommitMessage.strBounds(folded), folded.nulls)
+        RloCommitMessage.strBounds(folded), folded.nulls,
+        folded.numBounds)
     } else {
       RloMeta.deleteCommitDir(conf, root, newCommit)
     }
@@ -1640,6 +1724,13 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
   private val factory = new SimpleGroupFactory(mt)
   private val strCols: Array[Int] = schema.fields.zipWithIndex
     .collect { case (f, i) if f.dataType == StringType => i }
+  // stats v4: every long/int/decimal column gets exact bounds +
+  // a null count; decimals track the unscaled long (same order as
+  // the value within one column's fixed scale)
+  private val numCols: Array[Int] = schema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType == LongType ||
+      f.dataType == IntegerType ||
+      f.dataType.isInstanceOf[DecimalType] => i }
 
   private def filePath(seq: Int) = new org.apache.hadoop.fs.Path(
     RloMeta.commitDir(root, commit),
@@ -1661,6 +1752,9 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
   private var nullD = 0L
   private val strMins = new java.util.HashMap[Int, String]()
   private val strMaxs = new java.util.HashMap[Int, String]()
+  private val numLos = Array.fill(numCols.length)(Long.MaxValue)
+  private val numHis = Array.fill(numCols.length)(Long.MinValue)
+  private val numNulls = Array.fill(numCols.length)(0L)
 
   override def write(row: InternalRow): Unit = {
     writer.write(RloMeta.rowToGroup(row, schema, factory))
@@ -1680,6 +1774,22 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
         if (hi == null || RloMeta.u8cmp(v, hi) > 0) strMaxs.put(i, v)
       }
       si += 1
+    }
+    var ni = 0
+    while (ni < numCols.length) {
+      val i = numCols(ni)
+      if (!row.isNullAt(i)) {
+        val v = schema(i).dataType match {
+          case LongType => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case d: DecimalType =>
+            row.getDecimal(i, d.precision, d.scale).toUnscaledLong
+          case dt => throw new IllegalStateException(dt.sql)
+        }
+        if (v < numLos(ni)) numLos(ni) = v
+        if (v > numHis(ni)) numHis(ni) = v
+      } else numNulls(ni) += 1
+      ni += 1
     }
     n += 1
     if (targetFileBytes > 0 && writer.getDataSize >= targetFileBytes) {
@@ -1702,10 +1812,26 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
         RloMeta.fs(conf, path).delete(path, false); 0L
       } else closedBytes + fileLen(path)
     import scala.jdk.CollectionConverters._
+    val nums = numCols.indices.flatMap { ni =>
+      if (n == 0) None
+      else {
+        val scale = schema(numCols(ni)).dataType match {
+          case d: DecimalType => d.scale
+          case _ => 0
+        }
+        def dec(v: Long) = java.math.BigDecimal.valueOf(v, scale)
+        val b =
+          if (numLos(ni) > numHis(ni)) // every value was null
+            RloMeta.NumBound(null, null, numNulls(ni))
+          else RloMeta.NumBound(dec(numLos(ni)), dec(numHis(ni)),
+            numNulls(ni))
+        Some(schema(numCols(ni)).name -> b)
+      }
+    }.toMap
     RloCommitMessage(minD, maxD, n, bytes,
       strMins.asScala.map { case (i, v) => schema(i).name -> v }.toMap,
       strMaxs.asScala.map { case (i, v) => schema(i).name -> v }.toMap,
-      nullD)
+      nullD, nums)
   }
 
   override def abort(): Unit = {
@@ -1809,7 +1935,8 @@ class RloDeltaBatchWrite(root: String, rowSchemaJson: String,
     if (nIns > 0)
       RloMeta.writeStats(conf, root, newCommit,
         folded.minDays, folded.maxDays, nIns, folded.bytes,
-        RloCommitMessage.strBounds(folded), folded.nulls)
+        RloCommitMessage.strBounds(folded), folded.nulls,
+        folded.numBounds)
     else RloMeta.deleteCommitDir(conf, root, newCommit)
     val commits = live ++ (if (nIns > 0) Seq(newCommit) else Nil)
     val deletes = RloMeta.deletesOf(conf, root, head) ++

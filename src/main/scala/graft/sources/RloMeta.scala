@@ -444,13 +444,25 @@ object RloMeta {
   /** Full per-segment stats: the date-column range + row count
     * (format v1), plus file BYTES (so plan-time statistics read no
     * filesystem metadata), truncated min/max bounds per string
-    * column (so string predicates stats-route too), and the stats
+    * column (so string predicates stats-route too), the stats
     * column's NULL count (so metadata-only DELETE can prove full
-    * segment coverage — a range promise says nothing about nulls).
-    * Reader tolerant of older files (bytes/nulls = -1 = unknown). */
+    * segment coverage — a range promise says nothing about nulls),
+    * and — stats v4 (r14 verdict #2) — EXACT min/max + null count
+    * per long/int/decimal column, so key- and price-predicate DML
+    * routes segments like date/string DML does (Iceberg keeps bounds
+    * for every column the same way).
+    * Reader tolerant of older files (bytes/nulls = -1 = unknown,
+    * absent bounds prune nothing). */
   case class SegStats(minDays: Int, maxDays: Int, nRows: Long,
       bytes: Long, strBounds: Map[String, (String, String)],
-      nulls: Long = -1L)
+      nulls: Long = -1L,
+      numBounds: Map[String, NumBound] = Map.empty)
+
+  /** One numeric column's exact segment bounds: values as
+    * BigDecimal (longs/ints ride scale-0), plus the column's null
+    * count — fullyMatches needs zero-null proof per column. */
+  case class NumBound(lo: java.math.BigDecimal,
+      hi: java.math.BigDecimal, nulls: Long)
 
   private def hexEnc(s: String): String =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -463,13 +475,20 @@ object RloMeta {
   def writeStats(conf: Configuration, root: String, commit: String,
       minDays: Int, maxDays: Int, nRows: Long, bytes: Long = -1L,
       strBounds: Map[String, (String, String)] = Map.empty,
-      nulls: Long = -1L): Unit = {
+      nulls: Long = -1L,
+      numBounds: Map[String, NumBound] = Map.empty): Unit = {
     val head = s"$minDays,$maxDays,$nRows,$bytes,$nulls"
     // hex-encode string bounds: the payload may contain any
     // character, the stats file stays line/comma-structured
-    val lines = head +: strBounds.toSeq.sortBy(_._1).map {
+    val lines = head +: (strBounds.toSeq.sortBy(_._1).map {
       case (c, (lo, hi)) => s"s:$c:${hexEnc(lo)}:${hexEnc(hi)}"
-    }
+    } ++ numBounds.toSeq.sortBy(_._1).map {
+      case (c, b) =>
+        // an all-null column has a real null count but no range
+        def tok(v: java.math.BigDecimal) =
+          if (v == null) "" else v.toPlainString
+        s"n:$c:${tok(b.lo)}:${tok(b.hi)}:${b.nulls}"
+    })
     writeText(fsOf(conf, statsPath(root, commit)),
       statsPath(root, commit), lines.mkString("\n"), overwrite = true)
   }
@@ -491,9 +510,16 @@ object RloMeta {
         val Array(_, c, lo, hi) = l.split(":", 4)
         c -> (hexDec(lo), hexDec(hi))
     }.toMap
+    val nums = lines.tail.collect {
+      case l if l.startsWith("n:") =>
+        val Array(_, c, lo, hi, nn) = l.split(":", 5)
+        def dec(t: String) =
+          if (t.isEmpty) null else new java.math.BigDecimal(t)
+        c -> NumBound(dec(lo), dec(hi), nn.toLong)
+    }.toMap
     SegStats(parts(0).toInt, parts(1).toInt, parts(2).toLong,
       if (parts.length > 3) parts(3).toLong else -1L, bounds,
-      if (parts.length > 4) parts(4).toLong else -1L)
+      if (parts.length > 4) parts(4).toLong else -1L, nums)
   }
 
   def listDataFiles(conf: Configuration, root: String,

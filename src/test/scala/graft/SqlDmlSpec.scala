@@ -712,6 +712,125 @@ class SqlDmlSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("q365/q366 numeric stats (v4) route key predicates: a " +
+      "key-range SELECT plans input partitions from only k1, the " +
+      "DELETE's manifest arithmetic shows k0/k2 carried, and an " +
+      "exactly-covering key DELETE goes metadata-only (the new " +
+      "version omits k0 with NO new segment written)") {
+    val (_, a, b) = SqlDml.buildKeyTable(spark, sf, "orders_key_prune")
+    val mid = (a + b) / 2
+    // plain-read routing from the numeric manifest bounds alone (the
+    // date ranges of all three segments fully overlap by design)
+    val df = spark.sql(s"SELECT o_orderkey FROM ${SqlDml.Cat}." +
+      s"${SqlDml.Ns}.orders_key_prune " +
+      s"WHERE o_orderkey >= $a AND o_orderkey < $mid")
+    df.collect()
+    val scans = rloScans(df)
+    assert(scans.nonEmpty)
+    assert(scans.head.effectiveCommits == Seq("k1"),
+      s"key predicate read ${scans.head.effectiveCommits}, want k1")
+    // q365: the operation scan routed to k1 — k0/k2 carried by
+    // reference, one w2 rewrite
+    SqlDml.q365NumericRoutedDelete(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_cow_key")
+    val v2 = RloMeta.commitsOf(conf, root, 2)._2
+    assert(v2.toSet.intersect(Set("k0", "k2")) == Set("k0", "k2"),
+      s"k0/k2 should carry: $v2")
+    assert(display(v2) == Set("k0", "k2", "w2"),
+      s"numeric-routed DELETE replaced the wrong set: $v2")
+    // q366: full coverage proven by numeric bounds + zero nulls →
+    // deleteWhere, a pure manifest omission (no segment written)
+    SqlDml.q366NumericMetadataDelete(spark, sf).collect()
+    val root2 = SqlDml.tableRoot("orders_cow_keymd")
+    assert(RloMeta.commitsOf(conf, root2, 2)._2.toSet ==
+      Set("k1", "k2"),
+      "numeric metadata DELETE should omit k0 and write nothing")
+    // k0's files survive for time travel
+    assert(RloMeta.listDataFiles(conf, root2, "k0").nonEmpty)
+  }
+
+  test("string bounds are UTF-8-ordered and code-point-truncated " +
+      "(r14 advice): a segment whose max is a supplementary-plane " +
+      "value is NOT pruned for a BMP constant above U+E000, truncUp " +
+      "carries on overflow instead of wrapping below everything, and " +
+      "truncation never splits a surrogate pair") {
+    import graft.sources.RloStatsPruning
+    import org.apache.spark.sql.sources
+    val supp = new String(Array(0x10000), 0, 1) // U+10000
+    // UTF-8 order: U+E000 < U+F000 < U+10000; UTF-16 order disagrees
+    // (the surrogate D800 sorts below E000)
+    assert(RloMeta.u8cmp("", supp) < 0 && "" > supp)
+    val st = RloMeta.SegStats(0, 0, 1L, 0L,
+      Map("c" -> (RloMeta.truncLo(""),
+        RloMeta.truncUpOpt(supp).get)), 0L)
+    assert(RloStatsPruning.overlaps(
+      sources.EqualTo("c", ""), "d", st),
+      "segment containing [U+E000, U+10000] pruned for U+F000 - " +
+        "UTF-16 ordering regression")
+    // code-point truncation: 5 supplementary chars = 10 UTF-16 units;
+    // the lower bound keeps 4 CODE POINTS and stays a valid string
+    val five = supp * 5
+    val lo = RloMeta.truncLo(five)
+    assert(lo.codePointCount(0, lo.length) == 4 && lo == supp * 4)
+    // upper-bound carry: bumping U+10FFFF overflows, drops the
+    // position, bumps the previous code point
+    val maxCp = new String(Array(0x10FFFF), 0, 1)
+    assert(RloMeta.truncUpOpt("a" + maxCp * 4).contains("b"))
+    assert(RloMeta.truncUpOpt(maxCp * 4 + "x").isEmpty,
+      "all positions overflowed - no finite bound exists")
+    // the bump skips the surrogate gap
+    assert(RloMeta.cpBump("퟿").contains(""))
+  }
+
+  test("vacuum never reclaims a NEVER-REFERENCED dir (a concurrent " +
+      "writer's in-flight attempt) while sweep_orphans age-gates it " +
+      "(r14 advice): expire+vacuum reclaims only expired-version " +
+      "references, the in-flight dir survives, and the orphan sweep " +
+      "takes it only past the grace window") {
+    val root = SqlDml.buildTable(spark, sf, "orders_cow_inflight")
+    spark.sql(s"UPDATE ${SqlDml.Cat}.${SqlDml.Ns}.orders_cow_inflight " +
+      "SET o_totalprice = o_totalprice + 1.0 " +
+      "WHERE o_orderdate >= DATE '1999-01-01'")
+    // an in-flight writer's attempt dir: segment files landed, the
+    // version NOT yet published
+    val inflight = RloMeta.commitDir(root, "w9-inflight1")
+    val f = RloMeta.fs(conf, inflight)
+    f.mkdirs(inflight)
+    val probe = new org.apache.hadoop.fs.Path(inflight, "part-0.parquet")
+    val out = f.create(probe); out.write(1); out.close()
+    val (segs, _) = spark.sql(
+      s"CALL ${SqlDml.Cat}.system.vacuum('${SqlDml.Ns}" +
+        ".orders_cow_inflight')")
+      .collect().map(_.getString(0)).partition(_.startsWith("c"))
+    assert(segs.toSeq == Seq("c2"),
+      s"vacuum should reclaim exactly the expired c2, got ${segs.toSeq}")
+    assert(f.exists(probe),
+      "vacuum deleted an in-flight writer's un-published segment dir")
+    // young orphan survives a generous grace; a past-grace sweep
+    // takes it (and only it)
+    val kept = spark.sql(s"CALL ${SqlDml.Cat}.system.sweep_orphans(" +
+      s"'${SqlDml.Ns}.orders_cow_inflight', 3600)").collect()
+    assert(kept.isEmpty && f.exists(probe))
+    val swept = spark.sql(s"CALL ${SqlDml.Cat}.system.sweep_orphans(" +
+      s"'${SqlDml.Ns}.orders_cow_inflight', -1)").collect()
+    assert(swept.map(_.getString(0)).toSeq == Seq("w9-inflight1"))
+    assert(!f.exists(inflight))
+  }
+
+  test("OPTIMIZE on a table whose head has zero live rows publishes " +
+      "an empty-commit version instead of crashing on null bounds " +
+      "(r14 advice)") {
+    SqlDml.buildTable(spark, sf, "orders_cow_empty")
+    spark.sql(s"DELETE FROM ${SqlDml.Cat}.${SqlDml.Ns}" +
+      ".orders_cow_empty WHERE o_orderdate >= DATE '1990-01-01'")
+    val res = spark.sql(s"CALL ${SqlDml.Cat}.system.optimize(" +
+      s"'${SqlDml.Ns}.orders_cow_empty')").collect().head
+    assert(res.getInt(3) == 0 && res.getLong(5) == 0L,
+      s"empty optimize should report 0 segments/rows, got $res")
+    assert(spark.sql(s"SELECT COUNT(*) FROM ${SqlDml.Cat}." +
+      s"${SqlDml.Ns}.orders_cow_empty").collect().head.getLong(0) == 0L)
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
