@@ -612,6 +612,71 @@ object SqlDml {
     segmentReport(spark, "orders_cow_src", Seq("s0", "s2"))
   }
 
+  /** q367: INCREMENTAL READ for connector tables (r14 verdict #5) —
+    * `table_changes(1, 3)` over a CoW lifecycle: the UPDATE (v2)
+    * reads as delete(old c2 rows) + insert(updated w2 rows) and the
+    * INSERT (v3) as insert(w3 rows), all derived from the MANIFEST
+    * DIFF alone with every step read pinned to its churn segments
+    * (the `_partition IN` plan-time pin; SqlDmlSpec asserts the
+    * partitions-read). The report folds the changelog per (version,
+    * change type), so a consumer that lost a step, double-read one,
+    * or classified a rewrite wrong hash-fails. */
+  def q367ConnectorTableChanges(spark: SparkSession,
+      dir: String): DataFrame = {
+    val root = buildTable(spark, dir, "orders_chg")
+    Tables.requireKeyHeadroom(spark, dir, 10000000L)
+    spark.sql(s"""UPDATE $Cat.$Ns.orders_chg
+      SET o_totalprice = o_totalprice + 500.0
+      WHERE o_orderdate >= DATE '1999-01-01'""")
+    ordersAsDate(spark, dir)
+      .filter(col("o_orderkey") % 100 === 13)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        lit("2002-01-15").cast("date").as("o_orderdate"))
+      .createOrReplaceTempView("ins_src_q367")
+    spark.sql(s"""INSERT INTO $Cat.$Ns.orders_chg
+      SELECT * FROM ins_src_q367""")
+    graft.sources.RloChanges
+      .tableChanges(spark, s"$Cat.$Ns.orders_chg", root, 1, 3)
+      .groupBy(col("version"), col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("sum_price"))
+      .orderBy(col("version"), col("_change_type"))
+  }
+
+  /** q368: COST-BASED MAINTENANCE PLAN for connector tables (r14
+    * verdict #6) — `CALL graft_rlo.system.plan_maintenance('db.t')`
+    * prices every verb from ONE manifest + delete-ledger pass (zero
+    * data IO) against the published thresholds: the engineered
+    * fixture makes each rule fire exactly once — five live segments
+    * (bin-pack, benefit 1-1/5), a delete-dense c0 (fold, benefit =
+    * its density), two artifact batches (merge, benefit 1-1/2) —
+    * and the oracle re-derives the ranked plan NUMBER-FOR-NUMBER
+    * from the same cut arithmetic. */
+  def q368PlanMaintenance(spark: SparkSession,
+      dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_plan", mode = "mor")
+    Tables.requireKeyHeadroom(spark, dir, 20000000L)
+    val orders = ordersAsDate(spark, dir)
+    Seq((13, 10000000L, "2002-01-15"), (17, 20000000L, "2003-01-15"))
+      .foreach { case (m, shift, d) =>
+        orders.filter(col("o_orderkey") % 100 === m)
+          .select((col("o_orderkey") + shift).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"),
+            lit(d).cast("date").as("o_orderdate"))
+          .createOrReplaceTempView(s"ins_src_q368_$m")
+        spark.sql(s"""INSERT INTO $Cat.$Ns.orders_plan
+          SELECT * FROM ins_src_q368_$m""")
+      }
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_plan
+      WHERE o_orderdate < DATE '1996-01-01'""")
+    spark.sql(s"""DELETE FROM $Cat.$Ns.orders_plan
+      WHERE o_orderkey % 100 = 7""")
+    spark.sql(
+      s"CALL $Cat.system.plan_maintenance('$Ns.orders_plan')")
+  }
+
   /** The key-segmented fixture for q365/q366 (stats v4): orders laid
     * out in three segments CUT BY o_orderkey RANGE at a = max/4 and
     * b = max/2 — the date ranges of all three segments fully overlap,

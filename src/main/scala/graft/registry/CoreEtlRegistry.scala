@@ -101,6 +101,9 @@ object CoreEtlRegistry {
       (SqlDml.q365NumericRoutedDelete _),
     "q366_numeric_metadata_delete" ->
       (SqlDml.q366NumericMetadataDelete _),
+    "q367_connector_table_changes" ->
+      (SqlDml.q367ConnectorTableChanges _),
+    "q368_plan_maintenance" -> (SqlDml.q368PlanMaintenance _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1951,5 +1954,56 @@ object CoreEtlRegistry {
           'history'
         FROM seg
       ) r ORDER BY commit_id""",
+    // q367: the connector changelog - the v2 UPDATE reads as
+    // delete(old c2) + insert(updated w2), the v3 INSERT as
+    // insert(w3); re-derived from the DML predicates.
+    "q367_connector_table_changes" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
+        FROM orders)
+      SELECT version, _change_type, n_rows, sum_price FROM (
+        SELECT 2 AS version, 'delete' AS _change_type,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS sum_price
+        FROM base WHERE d >= DATE '1999-01-01'
+        UNION ALL
+        SELECT 2, 'insert', COUNT(*),
+          CAST(SUM(CAST(o_totalprice + 500.0 AS DECIMAL(18,2)))
+            AS DOUBLE)
+        FROM base WHERE d >= DATE '1999-01-01'
+        UNION ALL
+        SELECT 3, 'insert', COUNT(*),
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM base WHERE o_orderkey % 100 = 13
+      ) r ORDER BY version, _change_type""",
+    // q368: the ranked maintenance plan, number-for-number from the
+    // fixture's cut arithmetic - 5 live segments (bin-pack, benefit
+    // 1-1/5), c0's delete density (fold, benefit = density), two
+    // artifact batches (merge, benefit 1-1/2). The fold density is
+    // (date<1996 OR key%100=7) within c0 over c0's rows, exactly
+    // what the merged distinct artifact keys count.
+    "q368_plan_maintenance" -> """
+      WITH c0 AS (
+        SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+        WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'),
+      dens AS (
+        SELECT CAST(SUM(CASE WHEN d < DATE '1996-01-01'
+                 OR o_orderkey % 100 = 7 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS density
+        FROM c0),
+      items AS (
+        SELECT 'compact_deletes:fold' AS action, 'c0' AS target,
+          density AS metric, 0.2 AS threshold, density AS benefit
+        FROM dens
+        UNION ALL
+        SELECT 'compact_deletes:merge', '_artifacts', 2.0, 2.0,
+          1.0 - 1.0 / 2.0
+        UNION ALL
+        SELECT 'optimize', '_table', 5.0, 4.0, 1.0 - 1.0 / 5.0)
+      SELECT CAST(ROW_NUMBER() OVER (
+          ORDER BY benefit DESC, action, target) AS INT) AS "rank",
+        action, target, metric, threshold, benefit
+      FROM items""",
   )
 }

@@ -1134,18 +1134,22 @@ class RloScan(root: String, requiredSchema: StructType,
       .toArray
   }
 
-  /** Columnar iff no partition needs the row-at-a-time MoR delete
-    * apply, and the `_partition` constant (when projected) sits
-    * LAST — where initBatch appends partition columns. Spark
-    * requires all partitions of one scan to agree on the format.
+  /** Columnar whenever the format allows: the `_partition` constant
+    * (when projected) must sit LAST — where initBatch appends
+    * partition columns — and an all-metadata projection takes the
+    * row path UNLESS live deletes force the key column into the read
+    * anyway. Live MoR delete keys no longer de-vectorize the scan
+    * (r14 verdict #1): [[RloMorColumnarReader]] applies them batch-
+    * at-a-time on the ColumnarBatch. Spark requires all partitions
+    * of one scan to agree on the format.
     * `spark.graft.rlo.columnar.enabled=false` forces the row path
     * (escape hatch + the ScanProbe row-vs-columnar baseline). */
   private def columnarEligible: Boolean =
-    RloScan.columnarEnabled() &&
-    deleteKeys.values.forall(_.isEmpty) && {
+    RloScan.columnarEnabled() && {
       val idx = requiredSchema.fieldNames.indexOf("_partition")
       idx < 0 || idx == requiredSchema.length - 1
-    } && requiredSchema.fields.exists(_.name != "_partition")
+    } && (requiredSchema.fields.exists(_.name != "_partition") ||
+      deleteKeys.values.exists(_.nonEmpty))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // JSON, not DDL: an all-aggregate projection prunes to an EMPTY
@@ -1236,23 +1240,41 @@ class RloReaderFactory(outJson: String, columnar: Boolean,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val ip = p.asInstanceOf[RloInputPartition]
     val out = DataType.fromJson(outJson).asInstanceOf[StructType]
-    // ONE Configuration per task (the XML-resource parse is the
-    // dominant per-chunk fixed cost); chunks of a task share it —
-    // they request the same projection, only the split differs
-    val conf = RloColumnarReader.confFor(
-      StructType(out.filter(_.name != "_partition")))
+    val dataCols = StructType(out.filter(_.name != "_partition"))
     // row-group zone-map/dictionary skipping inside kept segments;
     // record-level filtering stays OFF (the vectorized contract —
     // Spark's residual filters do the exact row semantics)
-    pushedPredicate.foreach { pr =>
-      org.apache.parquet.hadoop.ParquetInputFormat
-        .setFilterPredicate(conf, pr)
-      conf.setBoolean("parquet.filter.record-level.enabled", false)
+    def withPred(c: Configuration): Configuration = {
+      pushedPredicate.foreach { pr =>
+        org.apache.parquet.hadoop.ParquetInputFormat
+          .setFilterPredicate(c, pr)
+        c.setBoolean("parquet.filter.record-level.enabled", false)
+      }
+      c
     }
+    // ONE Configuration per task per projection (the XML-resource
+    // parse is the dominant per-chunk fixed cost); chunks of a task
+    // share it — MoR chunks additionally force the row-id column
+    // into the read so the batch filter can key on it
+    lazy val plainConf = withPred(RloColumnarReader.confFor(dataCols))
+    lazy val morCols =
+      if (ip.keyCol.isEmpty || dataCols.fieldNames.contains(ip.keyCol))
+        dataCols
+      // the MoR row id is the table's first column, LongType by the
+      // delete-artifact contract (del_key is INT64)
+      else StructType(dataCols.fields :+
+        StructField(ip.keyCol, LongType, nullable = false))
+    lazy val morConf = withPred(RloColumnarReader.confFor(morCols))
     new RloChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](
       ip.chunks,
-      ch => new RloColumnarReader(ch.commit, ch.file, ch.start,
-        ch.length, out, conf))
+      ch =>
+        if (ch.deletedKeys.isEmpty)
+          new RloColumnarReader(ch.commit, ch.file, ch.start,
+            ch.length, out, plainConf)
+        else
+          new RloMorColumnarReader(ch.commit, ch.file, ch.start,
+            ch.length, out, morCols, morConf, ch.deletedKeys,
+            ip.keyCol))
   }
 }
 
@@ -1346,6 +1368,144 @@ class RloColumnarReader(commit: String, file: String, start: Long,
   override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
     reader.getCurrentValue
       .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
+}
+
+/** COLUMNAR MERGE-ON-READ (r15, the r14 verdict's #1 ask): live
+  * delete artifacts no longer de-vectorize the scan. The vectorized
+  * reader decodes the byte range batch-at-a-time with the row-id
+  * column forced into the projection; each `ColumnarBatch` is then
+  * filtered against the shipped sorted key set — a batch containing
+  * NO deleted keys passes through untouched (same vectors, just the
+  * output projection + the `_partition` constant wrapped around
+  * them; the overwhelmingly common case when deletes are sparse),
+  * and a batch with hits rebuilds only the surviving ordinals into
+  * fresh on-heap vectors. Both shapes keep feeding whole-stage
+  * codegen's columnar boundary exactly like the delete-free path;
+  * the row-based reader remains only as the conf escape hatch. */
+class RloMorColumnarReader(commit: String, file: String, start: Long,
+    length: Long, out: StructType, readCols: StructType,
+    conf: Configuration, deletedKeys: Array[Long], keyCol: String)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector, WritableColumnVector}
+
+  private val reader =
+    new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+
+  {
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(file), start, length,
+      Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    reader.initialize(split, ctx)
+    // NO initBatch partition column: this reader assembles the
+    // output itself (the filter-copy path needs to own the vectors)
+    reader.initBatch(new StructType(), InternalRow.empty)
+    reader.enableReturningBatches()
+  }
+
+  private val keyIdx = readCols.fieldIndex(keyCol)
+  private val outSrcIdx: Array[Int] = out.fields.map { f =>
+    if (f.name == "_partition") -1 else readCols.fieldIndex(f.name)
+  }
+  // the `_partition` constant: one reusable vector (reads are
+  // positional against a constant, so live-count changes are free)
+  private val partVector: ConstantColumnVector = {
+    val v = new ConstantColumnVector(4096, StringType)
+    v.setUtf8String(UTF8String.fromString(commit))
+    v
+  }
+  private var liveIdx = new Array[Int](4096)
+  private var current: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (!reader.nextBatch()) { current = null; false }
+    else {
+      val src = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      val n = src.numRows()
+      val keys = src.column(keyIdx)
+      if (liveIdx.length < n) liveIdx = new Array[Int](n)
+      var i = 0
+      var live = 0
+      while (i < n) {
+        // a null row id can never be in the key set (the artifact
+        // schema's del_key is a value) — keep the row
+        if (keys.isNullAt(i) || java.util.Arrays.binarySearch(
+            deletedKeys, keys.getLong(i)) < 0) {
+          liveIdx(live) = i; live += 1
+        }
+        i += 1
+      }
+      val cols: Array[ColumnVector] = outSrcIdx.zipWithIndex.map {
+        case (-1, _) => partVector: ColumnVector
+        case (si, oi) =>
+          if (live == n) src.column(si) // pass-through, zero copy
+          else copyLive(src.column(si), out(oi).dataType, live)
+      }
+      current = new ColumnarBatch(cols, live)
+      true
+    }
+  }
+
+  /** Compact the surviving ordinals of one column into a fresh
+    * on-heap vector (only when the batch actually contained deleted
+    * keys). Types mirror the RLO codec exactly. */
+  private def copyLive(src: ColumnVector, dt: DataType,
+      live: Int): ColumnVector = {
+    val dst: WritableColumnVector = new OnHeapColumnVector(live, dt)
+    var i = 0
+    dt match {
+      case LongType | TimestampType =>
+        while (i < live) {
+          val r = liveIdx(i)
+          if (src.isNullAt(r)) dst.putNull(i)
+          else dst.putLong(i, src.getLong(r))
+          i += 1
+        }
+      case IntegerType | DateType =>
+        while (i < live) {
+          val r = liveIdx(i)
+          if (src.isNullAt(r)) dst.putNull(i)
+          else dst.putInt(i, src.getInt(r))
+          i += 1
+        }
+      case DoubleType =>
+        while (i < live) {
+          val r = liveIdx(i)
+          if (src.isNullAt(r)) dst.putNull(i)
+          else dst.putDouble(i, src.getDouble(r))
+          i += 1
+        }
+      case StringType =>
+        while (i < live) {
+          val r = liveIdx(i)
+          if (src.isNullAt(r)) dst.putNull(i)
+          else {
+            val u = src.getUTF8String(r)
+            dst.putByteArray(i, u.getBytes)
+          }
+          i += 1
+        }
+      case d: DecimalType =>
+        while (i < live) {
+          val r = liveIdx(i)
+          if (src.isNullAt(r)) dst.putNull(i)
+          else dst.putDecimal(i, src.getDecimal(r, d.precision,
+            d.scale), d.precision)
+          i += 1
+        }
+      case other => throw new IllegalArgumentException(other.sql)
+    }
+    dst
+  }
+
+  override def get(): ColumnarBatch = current
   override def close(): Unit = reader.close()
 }
 

@@ -569,8 +569,13 @@ object RloMeta {
     * contract; Iceberg ships delete files to readers the same way).
     * Returns commit -> sorted distinct keys. */
   def liveDeleteKeys(conf: Configuration, root: String,
-      v: Int): Map[String, Array[Long]] = {
-    val batches = deletesOf(conf, root, v)
+      v: Int): Map[String, Array[Long]] =
+    readDeleteKeys(conf, root, deletesOf(conf, root, v))
+
+  /** Keys of SPECIFIC delete batches (changelog steps read only the
+    * batches a version appended), commit -> sorted distinct keys. */
+  def readDeleteKeys(conf: Configuration, root: String,
+      batches: Seq[String]): Map[String, Array[Long]] = {
     val rows = batches.flatMap { b =>
       val dir = deleteBatchDir(root, b)
       val f = fsOf(conf, dir)

@@ -115,6 +115,29 @@ object ScanProbe {
       medianSecs(pq.replace("%T", "native_t")),
       medianSecs(pq.replace("%T", conn)), None)
 
+    // the MoR probe (r15 verdict #1): LIVE delete artifacts on the
+    // COLUMNAR path vs the same content artifact-free. The "native"
+    // slot is the artifact-free connector scan (the r14 done
+    // criterion: MoR within ~1.5x of it); the row slot is the old
+    // de-vectorized fallback the batch filter replaces.
+    Seq(("mor_sparse_0.5pct", 200), ("mor_dense_5pct", 20))
+      .foreach { case (name, mod) =>
+        val tbl = s"orders_scanprobe_$mod"
+        graft.operators.SqlDml.buildTable(spark, big, tbl, mode = "mor")
+        val morConn =
+          s"${graft.operators.SqlDml.Cat}.${graft.operators.SqlDml.Ns}.$tbl"
+        spark.sql(
+          s"DELETE FROM $morConn WHERE o_orderkey % $mod = 7")
+        val mq = "SELECT COUNT(*) AS n, SUM(o_totalprice) AS s, " +
+          "SUM(o_orderkey) AS k FROM %T"
+        val artifactFree = medianSecs(mq.replace("%T", conn))
+        val mor = medianSecs(mq.replace("%T", morConn))
+        spark.conf.set("spark.graft.rlo.columnar.enabled", "false")
+        val morRow = medianSecs(mq.replace("%T", morConn))
+        spark.conf.unset("spark.graft.rlo.columnar.enabled")
+        results += fmt(name, artifactFree, mor, Some(morRow))
+      }
+
     results.foreach(println)
     spark.stop()
   }
