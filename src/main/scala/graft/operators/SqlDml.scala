@@ -645,6 +645,43 @@ object SqlDml {
       .orderBy(col("version"), col("_change_type"))
   }
 
+  /** q369: RTAS — `CREATE OR REPLACE TABLE ... AS SELECT` (r14
+    * verdict #3), the other half of q362's CTAS. The create goes
+    * through the staged-root rename (and declares its layout with
+    * `PARTITIONED BY (days(o_orderdate))` — the r14 silent-ignore
+    * trap, now an accepted declared cut); the REPLACE stages new
+    * content and publishes it as the NEXT CAS'd VERSION of the
+    * existing table, so time travel across the replace keeps working
+    * (the Iceberg RTAS semantics — a root swap would orphan
+    * history). The report reads both sides of the replace through
+    * real scans. */
+  def q369SqlRtas(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $Cat.$Ns.orders_rtas")
+    ordersAsDate(spark, dir).createOrReplaceTempView("rtas_src_q369")
+    spark.sql(s"""CREATE TABLE $Cat.$Ns.orders_rtas
+      PARTITIONED BY (days(o_orderdate))
+      AS SELECT * FROM rtas_src_q369
+      WHERE o_orderdate >= DATE '1997-01-01'""")
+    spark.sql(s"""CREATE OR REPLACE TABLE $Cat.$Ns.orders_rtas
+      AS SELECT o_orderkey, o_custkey,
+        CAST(o_totalprice + 100.0 AS DECIMAL(12,2)) AS o_totalprice,
+        o_orderdate
+      FROM rtas_src_q369
+      WHERE o_orderdate < DATE '1997-01-01'""")
+    spark.sql(s"""
+      SELECT 'head_replaced' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM $Cat.$Ns.orders_rtas
+      UNION ALL
+      SELECT 'v2_pre_replace' AS read, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM $Cat.$Ns.orders_rtas VERSION AS OF 2
+      ORDER BY read""")
+  }
+
   /** q368: COST-BASED MAINTENANCE PLAN for connector tables (r14
     * verdict #6) — `CALL graft_rlo.system.plan_maintenance('db.t')`
     * prices every verb from ONE manifest + delete-ledger pass (zero

@@ -104,6 +104,7 @@ object CoreEtlRegistry {
     "q367_connector_table_changes" ->
       (SqlDml.q367ConnectorTableChanges _),
     "q368_plan_maintenance" -> (SqlDml.q368PlanMaintenance _),
+    "q369_sql_rtas"         -> (SqlDml.q369SqlRtas _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2005,5 +2006,21 @@ object CoreEtlRegistry {
           ORDER BY benefit DESC, action, target) AS INT) AS "rank",
         action, target, metric, threshold, benefit
       FROM items""",
+    // q369: RTAS - the head is the replacement (<1997, +100), the
+    // pre-replace version (v2, the CTAS content) stays readable.
+    "q369_sql_rtas" -> """
+      WITH base AS (
+        SELECT o_totalprice, CAST(o_orderdate AS DATE) AS d
+        FROM orders)
+      SELECT read, n_rows, sum_price FROM (
+        SELECT 'head_replaced' AS read, COUNT(*) AS n_rows,
+          CAST(SUM(CAST(o_totalprice + 100.0 AS DECIMAL(18,2)))
+            AS DOUBLE) AS sum_price
+        FROM base WHERE d < DATE '1997-01-01'
+        UNION ALL
+        SELECT 'v2_pre_replace', COUNT(*),
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        FROM base WHERE d >= DATE '1997-01-01'
+      ) r ORDER BY read""",
   )
 }

@@ -288,8 +288,14 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
     // "succeeded" by nesting inside a racing winner (r14 advice)
     RloMeta.writeAttemptMarker(conf, stagedRoot, attempt)
     RloMeta.publishVersion(conf, stagedRoot, 1, 0L, Seq.empty)
+    // a REPLACE validates against the head it was planned on (the
+    // Iceberg base-snapshot rule): if the table moved while the RTAS
+    // ran, the commit loses loudly instead of replacing state it
+    // never read
+    val base =
+      if (replace) RloMeta.headVersion(conf, finalRoot) else 0
     new StagedRloTable(stagedRoot, finalRoot, ident.toString, attempt,
-      replace)
+      replace, base)
   }
 
   /** PARTITIONED BY handling (r14 verdict #4 — silently dropping a
@@ -395,7 +401,8 @@ object RloTableCache {
   * its data already committed. Abort deletes the staged root; the
   * real root was never touched. */
 class StagedRloTable(stagedRoot: String, finalRoot: String,
-    ident: String, attempt: String, replace: Boolean)
+    ident: String, attempt: String, replace: Boolean,
+    baseVersion: Int = 0)
     extends GraftRloTable(stagedRoot, ident, None) with StagedTable {
 
   @transient private lazy val sconf = new Configuration()
@@ -453,6 +460,13 @@ class StagedRloTable(stagedRoot: String, finalRoot: String,
       // reinterpret existing segments' columns
       RloMeta.evolveSchema(sconf, finalRoot, stagedSchema)
     val head = RloMeta.headVersion(sconf, finalRoot)
+    if (head != baseVersion) {
+      abortStagedChanges()
+      throw new IllegalStateException(
+        s"concurrent commit: head moved $baseVersion -> $head while " +
+          "this REPLACE ran - staged data discarded, re-run against " +
+          "the new head (replaces never splice)")
+    }
     val stagedHead = RloMeta.headVersion(sconf, stagedRoot)
     val stagedCommits =
       RloMeta.commitsOf(sconf, stagedRoot, stagedHead)._2

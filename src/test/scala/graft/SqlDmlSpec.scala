@@ -942,6 +942,60 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(after.isEmpty, s"packed table should be healthy: $after")
   }
 
+  test("q369 RTAS publishes as a NEW VERSION of the existing table " +
+      "(r15 verdict #3): time travel crosses the replace, a REPLACE " +
+      "racing another loses the base-version check loudly with all " +
+      "staged data discarded, and PARTITIONED BY accepts exactly " +
+      "days(datecol) while rejecting anything else (r15 verdict #4)") {
+    graft.operators.SqlDml.q369SqlRtas(spark, sf).collect()
+    val root = SqlDml.tableRoot("orders_rtas")
+    assert(RloMeta.headVersion(conf, root) == 3,
+      "REPLACE should publish v3 of the SAME table, not a fresh root")
+    // the declared cut is surfaced (the r14 silent-ignore trap)
+    val cat = new graft.sources.GraftRloCatalog
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("root", graft.Scratch.dir("rlo_catalog"))
+    cat.initialize(SqlDml.Cat,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array(SqlDml.Ns), "orders_rtas")
+    assert(cat.loadTable(ident).partitioning().map(_.describe())
+      .toSeq == Seq("days(o_orderdate)"))
+    // racing REPLACEs: both stage against head 3; the first commit
+    // wins v4, the second fails the base-version check and discards
+    val schema = RloMeta.readSchema(conf, root)
+    val noParts = Array
+      .empty[org.apache.spark.sql.connector.expressions.Transform]
+    val props = new java.util.HashMap[String, String]()
+    val sA = cat.stageReplace(ident, schema, noParts, props)
+    val sB = cat.stageReplace(ident, schema, noParts, props)
+    sA.commitStagedChanges()
+    assert(RloMeta.headVersion(conf, root) == 4)
+    intercept[IllegalStateException] { sB.commitStagedChanges() }
+    assert(RloMeta.headVersion(conf, root) == 4,
+      "the losing REPLACE published something")
+    val dbDir = new org.apache.hadoop.fs.Path(root).getParent
+    val f = RloMeta.fs(conf, dbDir)
+    assert(!f.listStatus(dbDir).map(_.getPath.getName)
+      .exists(_.contains(".staged-")), "lost RTAS left staged debris")
+    // rejection: any transform but days(<date col>) is a loud error,
+    // never a silently-unpartitioned table
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val badIdent = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array(SqlDml.Ns), "orders_badpart")
+    intercept[UnsupportedOperationException] {
+      cat.createTable(badIdent, schema,
+        Array[org.apache.spark.sql.connector.expressions.Transform](
+          Expressions.bucket(4, "o_custkey")), props)
+    }
+    assert(!RloMeta.tableExists(conf, SqlDml.tableRoot("orders_badpart")))
+    intercept[IllegalArgumentException] {
+      cat.createTable(badIdent, schema,
+        Array[org.apache.spark.sql.connector.expressions.Transform](
+          Expressions.days("o_custkey")), props) // not a DATE column
+    }
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
