@@ -682,6 +682,52 @@ object SqlDml {
       ORDER BY read""")
   }
 
+  /** q370: NESTED + WIDE-DECIMAL through the connector (r14 stretch)
+    * — a table with an `array<double>` embedding column and a
+    * DECIMAL(30,4) amount (unscaled beyond a long → FLBA codec)
+    * round-trips through the FULL DML cycle: INSERT writes both
+    * shapes via the connector's own writer (3-level LIST encoding,
+    * Spark-width FLBA), the CoW UPDATE reads them back through the
+    * vectorized reader and rewrites the touched segment, and the
+    * report aggregates embeddings + exact wide sums through a real
+    * scan — the shapes the engine's embeddings/documents tables
+    * need, now first-class in the connector. */
+  def q370NestedWideDml(spark: SparkSession, dir: String): DataFrame = {
+    ensureCatalog(spark)
+    val conf = new Configuration()
+    val root = tableRoot("orders_nested")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_custkey", LongType),
+      StructField("wide_amt", DecimalType(30, 4)),
+      StructField("emb", ArrayType(DoubleType)),
+      StructField("o_orderdate", DateType)))
+    RloMeta.initTable(conf, root, schema, "o_orderdate")
+    RloMeta.publishVersion(conf, root, 1,
+      tsMicros("2000-01-01 00:00:00"), Seq.empty)
+    // exact binary fractions so the embedding sums are
+    // order-independent doubles on both sides of the oracle
+    ordersAsDate(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"),
+        (col("o_totalprice") * 100000000L).cast(DecimalType(30, 4))
+          .as("wide_amt"),
+        array((col("o_orderkey") % 7).cast("double") * 0.5,
+          (col("o_custkey") % 11).cast("double") * 0.25).as("emb"),
+        col("o_orderdate"))
+      .createOrReplaceTempView("nested_src_q370")
+    spark.sql(s"""INSERT INTO $Cat.$Ns.orders_nested
+      SELECT * FROM nested_src_q370""")
+    spark.sql(s"""UPDATE $Cat.$Ns.orders_nested
+      SET wide_amt = wide_amt + 0.5
+      WHERE o_orderdate >= DATE '1999-01-01'""")
+    spark.sql(s"""
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(aggregate(emb, CAST(0.0 AS DOUBLE), (a, x) -> a + x))
+          AS DOUBLE) AS sum_emb,
+        CAST(SUM(wide_amt) AS DOUBLE) AS sum_wide
+      FROM $Cat.$Ns.orders_nested""")
+  }
+
   /** q368: COST-BASED MAINTENANCE PLAN for connector tables (r14
     * verdict #6) — `CALL graft_rlo.system.plan_maintenance('db.t')`
     * prices every verb from ONE manifest + delete-ledger pass (zero

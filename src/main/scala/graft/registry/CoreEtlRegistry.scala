@@ -105,6 +105,7 @@ object CoreEtlRegistry {
       (SqlDml.q367ConnectorTableChanges _),
     "q368_plan_maintenance" -> (SqlDml.q368PlanMaintenance _),
     "q369_sql_rtas"         -> (SqlDml.q369SqlRtas _),
+    "q370_nested_wide_dml"  -> (SqlDml.q370NestedWideDml _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2022,5 +2023,22 @@ object CoreEtlRegistry {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
         FROM base WHERE d >= DATE '1997-01-01'
       ) r ORDER BY read""",
+    // q370: nested + wide-decimal round trip - the embedding sums
+    // are exact binary fractions (order-independent doubles), the
+    // wide amounts are exact decimal arithmetic incl. the UPDATE's
+    // +0.5 on the dated rows.
+    "q370_nested_wide_dml" -> """
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_orderkey % 7 AS DOUBLE) * 0.5
+          + CAST(o_custkey % 11 AS DOUBLE) * 0.25) AS DOUBLE)
+          AS sum_emb,
+        CAST(SUM(
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100000000
+            AS DECIMAL(30,4))
+          + CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+                 THEN CAST(0.5 AS DECIMAL(30,4))
+                 ELSE CAST(0.0 AS DECIMAL(30,4)) END) AS DOUBLE)
+          AS sum_wide
+      FROM orders""",
   )
 }

@@ -1163,7 +1163,12 @@ class RloScan(root: String, requiredSchema: StructType,
       val idx = requiredSchema.fieldNames.indexOf("_partition")
       idx < 0 || idx == requiredSchema.length - 1
     } && (requiredSchema.fields.exists(_.name != "_partition") ||
-      deleteKeys.values.exists(_.nonEmpty))
+      deleteKeys.values.exists(_.nonEmpty)) &&
+    // the MoR batch filter compacts atomic vectors only; a projected
+    // ARRAY column with live deletes takes the row path
+    (deleteKeys.values.forall(_.isEmpty) ||
+      requiredSchema.fields.forall(f =>
+        !f.dataType.isInstanceOf[ArrayType]))
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // JSON, not DDL: an all-aggregate projection prunes to an EMPTY
@@ -1496,6 +1501,13 @@ class RloMorColumnarReader(commit: String, file: String, start: Long,
           else dst.putDouble(i, src.getDouble(r))
           i += 1
         }
+      case FloatType =>
+        while (i < live) {
+          val r = liveIdx(i)
+          if (src.isNullAt(r)) dst.putNull(i)
+          else dst.putFloat(i, src.getFloat(r))
+          i += 1
+        }
       case StringType =>
         while (i < live) {
           val r = liveIdx(i)
@@ -1650,12 +1662,14 @@ class RloPartitionReader(commit: String, file: String, start: Long,
             case StringType => row.update(i,
               UTF8String.fromBytes(g.getBinary(fi, 0).getBytes))
             case DateType => row.setInt(i, g.getInteger(fi, 0))
-            case d: DecimalType => row.update(i,
+            case d: DecimalType if d.precision <= 18 => row.update(i,
               org.apache.spark.sql.types.Decimal(
                 BigDecimal(BigInt(g.getLong(fi, 0)), d.scale),
                 d.precision, d.scale))
             case TimestampType => row.setLong(i, g.getLong(fi, 0))
-            case dt => throw new IllegalArgumentException(dt.sql)
+            // arrays, wide decimals, floats (r14 stretch)
+            case dt => row.update(i,
+              RloMeta.groupValueComplex(g, fi, dt))
           }
         }
         i += 1
@@ -1900,11 +1914,15 @@ class RloDataWriter(root: String, commit: String, schemaJson: String,
     .collect { case (f, i) if f.dataType == StringType => i }
   // stats v4: every long/int/decimal column gets exact bounds +
   // a null count; decimals track the unscaled long (same order as
-  // the value within one column's fixed scale)
+  // the value within one column's fixed scale), so wide decimals
+  // (unscaled beyond a long) are excluded — absent bounds are sound
   private val numCols: Array[Int] = schema.fields.zipWithIndex
     .collect { case (f, i) if f.dataType == LongType ||
       f.dataType == IntegerType ||
-      f.dataType.isInstanceOf[DecimalType] => i }
+      (f.dataType match {
+        case d: DecimalType => d.precision <= 18
+        case _ => false
+      }) => i }
 
   private def filePath(seq: Int) = new org.apache.hadoop.fs.Path(
     RloMeta.commitDir(root, commit),

@@ -603,34 +603,59 @@ object RloMeta {
 
   // ------------------------------------------------ parquet row codec
 
+  /** Smallest FIXED_LEN_BYTE_ARRAY width that can hold any unscaled
+    * value of the given decimal precision — the same rule Spark's
+    * parquet writer applies, so wide-decimal segments stay mutually
+    * readable. */
+  def decimalFlbaBytes(precision: Int): Int =
+    (1 to 16).find(n =>
+      BigInt(2).pow(8 * n - 1) - 1 >= BigInt(10).pow(precision) - 1).get
+
+  private def primitiveFor(dt: DataType): Types.PrimitiveBuilder[
+      org.apache.parquet.schema.PrimitiveType] = dt match {
+    case LongType => Types.optional(PrimitiveTypeName.INT64)
+    case IntegerType => Types.optional(PrimitiveTypeName.INT32)
+    case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE)
+    case FloatType => Types.optional(PrimitiveTypeName.FLOAT)
+    case StringType => Types.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType())
+    case DateType => Types.optional(PrimitiveTypeName.INT32)
+      .as(LogicalTypeAnnotation.dateType())
+    // decimal p<=18 rides INT64 with a decimal annotation — the
+    // same physical layout Spark's own writer picks for
+    // non-legacy parquet, so fixture segments and DML segments
+    // stay mutually readable (r13 verdict #6); wider precisions
+    // ride FIXED_LEN_BYTE_ARRAY at Spark's width (r14 stretch)
+    case d: DecimalType if d.precision <= 18 =>
+      Types.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+    case d: DecimalType =>
+      Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+        .length(decimalFlbaBytes(d.precision))
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+    case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(true,
+        LogicalTypeAnnotation.TimeUnit.MICROS))
+    case other => throw new IllegalArgumentException(
+      s"unsupported RLO column type ${other.sql}")
+  }
+
   /** Parquet MessageType for a StructType over the supported types.
-    * All fields optional — nullability is per-value at write time. */
+    * All fields optional — nullability is per-value at write time.
+    * Arrays use the standard 3-level LIST encoding with Spark's
+    * element naming (`list`/`element`), so files written by either
+    * writer stay mutually readable. */
   def messageTypeFor(schema: StructType, name: String): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
-      val prim: Types.PrimitiveBuilder[_] = f.dataType match {
-        case LongType => b.optional(PrimitiveTypeName.INT64)
-        case IntegerType => b.optional(PrimitiveTypeName.INT32)
-        case DoubleType => b.optional(PrimitiveTypeName.DOUBLE)
-        case StringType => b.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-        case DateType => b.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType())
-        // decimal p<=18 rides INT64 with a decimal annotation — the
-        // same physical layout Spark's own writer picks for
-        // non-legacy parquet, so fixture segments and DML segments
-        // stay mutually readable (r13 verdict #6: the exact-sum
-        // discipline is decimal, the codec must carry it natively)
-        case d: DecimalType if d.precision <= 18 =>
-          b.optional(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-        case TimestampType => b.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case dt => throw new IllegalArgumentException(
-          s"unsupported RLO column type ${dt.sql} for ${f.name}")
+      val t = f.dataType match {
+        case ArrayType(et, _) =>
+          Types.optionalList()
+            .element(primitiveFor(et).named("element"))
+            .named(f.name)
+        case dt => primitiveFor(dt).named(f.name)
       }
-      prim.named(f.name)
+      b.addField(t)
     }
     b.named(name)
   }
@@ -639,6 +664,40 @@ object RloMeta {
     * Field lookup is BY NAME against the group's own schema, so the
     * codec is indifferent to on-disk column order (fixture segments
     * are written by Spark's parquet writer, DML segments by ours). */
+  /** One parquet value at (group, field, index 0) → Catalyst value —
+    * the shapes the inline primitive switches don't cover (arrays,
+    * wide decimals, floats). */
+  def groupValueComplex(g: Group, fi: Int, dt: DataType): Any =
+    dt match {
+      case FloatType => g.getFloat(fi, 0)
+      case d: DecimalType => // precision > 18: FLBA two's complement
+        org.apache.spark.sql.types.Decimal(
+          BigDecimal(BigInt(g.getBinary(fi, 0).getBytes), d.scale),
+          d.precision, d.scale)
+      case ArrayType(et, _) =>
+        val lg = g.getGroup(fi, 0) // the LIST wrapper
+        val n = lg.getFieldRepetitionCount(0) // repeated 'list'
+        val out = new Array[Any](n)
+        var k = 0
+        while (k < n) {
+          val eg = lg.getGroup(0, k)
+          out(k) =
+            if (eg.getFieldRepetitionCount(0) == 0) null
+            else et match {
+              case DoubleType => eg.getDouble(0, 0)
+              case FloatType => eg.getFloat(0, 0)
+              case LongType => eg.getLong(0, 0)
+              case IntegerType => eg.getInteger(0, 0)
+              case StringType =>
+                UTF8String.fromBytes(eg.getBinary(0, 0).getBytes)
+              case other => throw new IllegalArgumentException(other.sql)
+            }
+          k += 1
+        }
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+      case other => throw new IllegalArgumentException(other.sql)
+    }
+
   def groupToRow(g: Group, schema: StructType,
       fieldIdx: Array[Int]): InternalRow = {
     val row = new GenericInternalRow(schema.length)
@@ -653,12 +712,12 @@ object RloMeta {
         case StringType => row.update(i,
           UTF8String.fromBytes(g.getBinary(fi, 0).getBytes))
         case DateType => row.setInt(i, g.getInteger(fi, 0))
-        case d: DecimalType => row.update(i,
+        case d: DecimalType if d.precision <= 18 => row.update(i,
           org.apache.spark.sql.types.Decimal(
             BigDecimal(BigInt(g.getLong(fi, 0)), d.scale),
             d.precision, d.scale))
         case TimestampType => row.setLong(i, g.getLong(fi, 0))
-        case dt => throw new IllegalArgumentException(dt.sql)
+        case dt => row.update(i, groupValueComplex(g, fi, dt))
       }
       i += 1
     }
@@ -675,11 +734,41 @@ object RloMeta {
         case LongType => g.add(schema(i).name, row.getLong(i))
         case IntegerType => g.add(schema(i).name, row.getInt(i))
         case DoubleType => g.add(schema(i).name, row.getDouble(i))
+        case FloatType => g.add(schema(i).name, row.getFloat(i))
         case StringType => g.add(schema(i).name, row.getUTF8String(i).toString)
         case DateType => g.add(schema(i).name, row.getInt(i))
-        case d: DecimalType => g.add(schema(i).name,
-          row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case d: DecimalType if d.precision <= 18 =>
+          g.add(schema(i).name,
+            row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case d: DecimalType => // FLBA, sign-extended to Spark's width
+          val unscaled = row.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.unscaledValue()
+          val width = decimalFlbaBytes(d.precision)
+          val raw = unscaled.toByteArray
+          val padded = new Array[Byte](width)
+          val pad: Byte = if (unscaled.signum() < 0) -1 else 0
+          java.util.Arrays.fill(padded, pad)
+          System.arraycopy(raw, 0, padded, width - raw.length, raw.length)
+          g.add(schema(i).name, org.apache.parquet.io.api.Binary
+            .fromConstantByteArray(padded))
         case TimestampType => g.add(schema(i).name, row.getLong(i))
+        case ArrayType(et, _) =>
+          val arr = row.getArray(i)
+          val lg = g.addGroup(schema(i).name)
+          var k = 0
+          while (k < arr.numElements()) {
+            val eg = lg.addGroup("list")
+            if (!arr.isNullAt(k)) et match {
+              case DoubleType => eg.add("element", arr.getDouble(k))
+              case FloatType => eg.add("element", arr.getFloat(k))
+              case LongType => eg.add("element", arr.getLong(k))
+              case IntegerType => eg.add("element", arr.getInt(k))
+              case StringType =>
+                eg.add("element", arr.getUTF8String(k).toString)
+              case other => throw new IllegalArgumentException(other.sql)
+            }
+            k += 1
+          }
         case dt => throw new IllegalArgumentException(dt.sql)
       }
       i += 1

@@ -996,6 +996,38 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("q370 nested + wide-decimal codec (r15 stretch): the " +
+      "array<double>/DECIMAL(30,4) table reads identically on the " +
+      "vectorized and row paths, and a MoR DELETE over a projected " +
+      "array column falls back to the row path and stays exact") {
+    import org.apache.spark.sql.types._
+    graft.operators.SqlDml.q370NestedWideDml(spark, sf).collect()
+    val t = s"${SqlDml.Cat}.${SqlDml.Ns}.orders_nested"
+    def read(): Seq[String] = spark.sql(
+      s"SELECT o_orderkey, CAST(wide_amt AS STRING) AS w, " +
+        s"CAST(emb AS STRING) AS e FROM $t").collect()
+      .map(_.mkString("|")).sorted.toSeq
+    val viaColumnar = read()
+    spark.conf.set("spark.graft.rlo.columnar.enabled", "false")
+    val viaRow = try read()
+      finally spark.conf.unset("spark.graft.rlo.columnar.enabled")
+    assert(viaColumnar == viaRow,
+      "nested/wide read paths disagree")
+    assert(viaColumnar.nonEmpty &&
+      viaColumnar.head.split("\\|")(2).startsWith("["))
+    // MoR + arrays: delete keys apply exactly with the array column
+    // projected (the columnar gate routes this scan to the row path)
+    val root = SqlDml.tableRoot("orders_nested")
+    RloMeta.setMode(conf, root, "mor")
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey % 10 = 3")
+    val survivors = spark.sql(
+      s"SELECT o_orderkey, emb FROM $t").collect()
+    assert(survivors.nonEmpty &&
+      !survivors.exists(_.getLong(0) % 10 == 3),
+      "a deleted key survived the MoR array read")
+    assert(survivors.forall(!_.isNullAt(1)))
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
