@@ -177,9 +177,26 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
     RloMeta.fs(conf, p).delete(p, true)
   }
 
+  /** `ALTER TABLE ... RENAME TO` — one directory rename (the table
+    * root is self-contained: meta + data + deletes travel together).
+    * Same-filesystem only, like every path-based catalog. */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME not supported")
+      newIdent: Identifier): Unit = {
+    val oldRoot = rootOf(oldIdent)
+    val newRoot = rootOf(newIdent)
+    if (!RloMeta.tableExists(conf, oldRoot))
+      throw new NoSuchTableException(oldIdent)
+    if (RloMeta.tableExists(conf, newRoot))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(newIdent.toString)
+    RloTableCache.invalidate(oldRoot)
+    val f = RloMeta.fs(conf, new org.apache.hadoop.fs.Path(oldRoot))
+    if (!f.rename(new org.apache.hadoop.fs.Path(oldRoot),
+        new org.apache.hadoop.fs.Path(newRoot)))
+      throw new IllegalStateException(
+        s"rename $oldRoot -> $newRoot failed")
+    ()
+  }
 
   // ---- maintenance procedures: CALL graft_rlo.system.<proc>(...)
 
@@ -418,7 +435,15 @@ class StagedRloTable(stagedRoot: String, finalRoot: String,
     * The attempt marker written at stage time is re-read AT THE FINAL
     * ROOT after the rename: only the true winner sees its own id;
     * a loser cleans its nested debris out of the winner's root and
-    * fails loudly (r14 advice, medium). */
+    * fails loudly (r14 advice, medium).
+    *
+    * STORE CONTRACT: this path relies on directory rename being
+    * atomic-ish and cheap (POSIX, HDFS). S3 has NO rename — a CTAS
+    * against an s3a:// root would copy object-by-object and lose
+    * atomicity. On such stores the RTAS path's shape (adopt staged
+    * segments + publish one CAS'd version file, `commitReplace`) is
+    * the correct publish primitive; the create path should grow the
+    * same move before an object-store deployment. */
   private def commitCreate(): Unit = {
     val src = new org.apache.hadoop.fs.Path(stagedRoot)
     val dst = new org.apache.hadoop.fs.Path(finalRoot)

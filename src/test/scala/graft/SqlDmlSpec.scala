@@ -1028,6 +1028,31 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(survivors.forall(!_.isNullAt(1)))
   }
 
+  test("ALTER TABLE RENAME moves the self-contained root: the new " +
+      "name serves the same content with history intact, the old " +
+      "name is gone, and renaming onto an existing table rejects") {
+    SqlDml.buildTable(spark, sf, "orders_rn_old")
+    val t = s"${SqlDml.Cat}.${SqlDml.Ns}"
+    spark.sql(s"UPDATE $t.orders_rn_old SET o_totalprice = " +
+      "o_totalprice + 1.0 WHERE o_orderdate >= DATE '1999-01-01'")
+    val before = spark.sql(s"SELECT COUNT(*) FROM $t.orders_rn_old")
+      .collect().head.getLong(0)
+    spark.sql(s"DROP TABLE IF EXISTS $t.orders_rn_new")
+    spark.sql(s"ALTER TABLE $t.orders_rn_old RENAME TO " +
+      s"${SqlDml.Ns}.orders_rn_new")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t.orders_rn_new")
+      .collect().head.getLong(0) == before)
+    // history traveled with the root
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t.orders_rn_new " +
+      "VERSION AS OF 1").collect().head.getLong(0) == before)
+    assert(!RloMeta.tableExists(conf, SqlDml.tableRoot("orders_rn_old")))
+    SqlDml.buildTable(spark, sf, "orders_rn_old")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t.orders_rn_old RENAME TO " +
+        s"${SqlDml.Ns}.orders_rn_new")
+    }
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
