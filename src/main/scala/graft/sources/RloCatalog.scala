@@ -407,7 +407,10 @@ class GraftRloCatalog extends TableCatalog with SupportsNamespaces
 object RloTableCache {
   private[sources] val m =
     new java.util.concurrent.ConcurrentHashMap[String, GraftRloTable]()
-  def invalidate(root: String): Unit = { m.remove(root); () }
+  def invalidate(root: String): Unit = {
+    m.remove(root)
+    RloDeleteKeyCache.invalidate(root)
+  }
 }
 
 /** Atomic-CTAS staged table: a fully functional catalog table living
@@ -778,7 +781,7 @@ class RloScanBuilder(table: GraftRloTable, onBuild: RloScan => Unit,
     // each segment's readers — the Iceberg delete-file apply
     val delKeys =
       if (table.tableMode == "mor")
-        RloMeta.liveDeleteKeys(conf, table.root, v)
+        RloDeleteKeyCache.get(conf, table.root, v)
       else Map.empty[String, Array[Long]]
     aggFuncs match {
       case Some(funcs) =>
@@ -1309,6 +1312,15 @@ class RloReaderFactory(outJson: String, columnar: Boolean,
       else StructType(dataCols.fields :+
         StructField(ip.keyCol, LongType, nullable = false))
     lazy val morConf = withPred(RloColumnarReader.confFor(morCols))
+    // ONE hash set per distinct key array, shared by the task's
+    // chunks of that segment (chunks deserialize with identity
+    // preserved within the task's object graph)
+    val setMemo = new java.util.IdentityHashMap[Array[Long], RloLongSet]()
+    def setFor(keys: Array[Long]): RloLongSet = {
+      var s = setMemo.get(keys)
+      if (s == null) { s = RloLongSet(keys); setMemo.put(keys, s) }
+      s
+    }
     new RloChainedReader[org.apache.spark.sql.vectorized.ColumnarBatch](
       ip.chunks,
       ch =>
@@ -1317,8 +1329,65 @@ class RloReaderFactory(outJson: String, columnar: Boolean,
             ch.length, out, plainConf)
         else
           new RloMorColumnarReader(ch.commit, ch.file, ch.start,
-            ch.length, out, morCols, morConf, ch.deletedKeys,
+            ch.length, out, morCols, morConf, setFor(ch.deletedKeys),
             ip.keyCol))
+  }
+}
+
+/** Membership test for the shipped delete-key set: open-addressing
+  * hash with linear probing — ONE expected cache miss per row
+  * instead of the ~log2(k) misses a binary search over a
+  * megabyte-scale sorted array pays (measured: the search dominated
+  * the MoR batch filter once the key set outgrew L2). Built once per
+  * key-array instance and shared across a task's chunks. */
+final class RloLongSet private (table: Array[Long], used: Array[Boolean],
+    mask: Int, shift: Int) {
+  def contains(k: Long): Boolean = {
+    var i = ((k * -7046029254386353131L) >>> shift).toInt
+    while (used(i)) {
+      if (table(i) == k) return true
+      i = (i + 1) & mask
+    }
+    false
+  }
+}
+
+object RloLongSet {
+  def apply(keys: Array[Long]): RloLongSet = {
+    var cap = 16
+    while (cap < keys.length * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val mask = cap - 1
+    val shift = java.lang.Long.numberOfLeadingZeros(cap - 1L)
+    keys.foreach { k =>
+      var i = ((k * -7046029254386353131L) >>> shift).toInt
+      while (used(i) && table(i) != k) i = (i + 1) & mask
+      table(i) = k; used(i) = true
+    }
+    new RloLongSet(table, used, mask, shift)
+  }
+}
+
+/** Delete-key sets resolved per (root, version) — a version's
+  * artifact set is IMMUTABLE (manifests never change after publish),
+  * so repeated scans of the same head skip the driver-side artifact
+  * parquet read entirely (it dominated MoR plan time: ~0.5–1 s per
+  * query at ~1M keys). Cleared with the table-handle cache on every
+  * metadata-shape change, and size-bounded. */
+object RloDeleteKeyCache {
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), Map[String, Array[Long]]]()
+
+  def get(conf: Configuration, root: String,
+      v: Int): Map[String, Array[Long]] = {
+    if (m.size > 64) m.clear()
+    m.computeIfAbsent((root, v),
+      _ => RloMeta.liveDeleteKeys(conf, root, v))
+  }
+
+  def invalidate(root: String): Unit = {
+    m.keySet.removeIf(_._1 == root); ()
   }
 }
 
@@ -1429,7 +1498,7 @@ class RloColumnarReader(commit: String, file: String, start: Long,
   * the row-based reader remains only as the conf escape hatch. */
 class RloMorColumnarReader(commit: String, file: String, start: Long,
     length: Long, out: StructType, readCols: StructType,
-    conf: Configuration, deletedKeys: Array[Long], keyCol: String)
+    conf: Configuration, deleted: RloLongSet, keyCol: String)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -1480,8 +1549,7 @@ class RloMorColumnarReader(commit: String, file: String, start: Long,
       while (i < n) {
         // a null row id can never be in the key set (the artifact
         // schema's del_key is a value) — keep the row
-        if (keys.isNullAt(i) || java.util.Arrays.binarySearch(
-            deletedKeys, keys.getLong(i)) < 0) {
+        if (keys.isNullAt(i) || !deleted.contains(keys.getLong(i))) {
           liveIdx(live) = i; live += 1
         }
         i += 1
@@ -1659,12 +1727,15 @@ class RloPartitionReader(commit: String, file: String, start: Long,
   private var current: InternalRow = _
 
   @annotation.tailrec
+  private val deletedSet =
+    if (hasDeletes) RloLongSet(deletedKeys) else null
+
+  @annotation.tailrec
   private def readLive(): Group = {
     val g = reader.read()
     if (g == null) null
     else if (hasDeletes && g.getFieldRepetitionCount(keyIdx) > 0 &&
-        java.util.Arrays.binarySearch(deletedKeys,
-          g.getLong(keyIdx, 0)) >= 0) readLive()
+        deletedSet.contains(g.getLong(keyIdx, 0))) readLive()
     else g
   }
 
