@@ -728,6 +728,45 @@ object SqlDml {
       FROM $Cat.$Ns.orders_nested""")
   }
 
+  /** q371: CONNECTOR TABLE AS STREAMING SOURCE — `readStream.table`
+    * over `graft_rlo` plans micro-batches as manifest VERSION RANGES
+    * (offset = version; a batch's input = the segments appended
+    * between two versions; the Delta/Iceberg streaming-source
+    * shape). The drive: initial snapshot, two appends consumed
+    * across explicit drains, then the report folds the sink —
+    * exactly-once means every source row lands exactly once
+    * regardless of how triggers sliced the version chain, which is
+    * what the year-grouped totals hash-check. */
+  def q371ConnectorStreamSource(spark: SparkSession,
+      dir: String): DataFrame = {
+    buildTable(spark, dir, "orders_streamsrc")
+    Tables.requireKeyHeadroom(spark, dir, 20000000L)
+    val orders = ordersAsDate(spark, dir)
+    spark.sql("DROP VIEW IF EXISTS q371_sink")
+    val q = spark.readStream.table(s"$Cat.$Ns.orders_streamsrc")
+      .writeStream.format("memory").queryName("q371_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 0: the initial snapshot
+      Seq((13, 10000000L, "2002-01-15"), (17, 20000000L, "2003-01-15"))
+        .foreach { case (m, shift, d) =>
+          orders.filter(col("o_orderkey") % 100 === m)
+            .select((col("o_orderkey") + shift).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice"),
+              lit(d).cast("date").as("o_orderdate"))
+            .createOrReplaceTempView(s"ins_src_q371_$m")
+          spark.sql(s"""INSERT INTO $Cat.$Ns.orders_streamsrc
+            SELECT * FROM ins_src_q371_$m""")
+          q.processAllAvailable() // one append consumed per drain
+        }
+    } finally q.stop()
+    spark.sql(s"""
+      SELECT year(o_orderdate) AS y, COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM q371_sink GROUP BY 1 ORDER BY y""")
+  }
+
   /** q368: COST-BASED MAINTENANCE PLAN for connector tables (r14
     * verdict #6) — `CALL graft_rlo.system.plan_maintenance('db.t')`
     * prices every verb from ONE manifest + delete-ledger pass (zero

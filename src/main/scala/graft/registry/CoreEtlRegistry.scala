@@ -106,6 +106,8 @@ object CoreEtlRegistry {
     "q368_plan_maintenance" -> (SqlDml.q368PlanMaintenance _),
     "q369_sql_rtas"         -> (SqlDml.q369SqlRtas _),
     "q370_nested_wide_dml"  -> (SqlDml.q370NestedWideDml _),
+    "q371_connector_stream_source" ->
+      (SqlDml.q371ConnectorStreamSource _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2040,5 +2042,24 @@ object CoreEtlRegistry {
                  ELSE CAST(0.0 AS DECIMAL(30,4)) END) AS DOUBLE)
           AS sum_wide
       FROM orders""",
+    // q371: the streamed sink must equal source + the two inserted
+    // classes, each row exactly once, grouped by year.
+    "q371_connector_stream_source" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS d
+        FROM orders),
+      streamed AS (
+        SELECT o_totalprice, d FROM base
+        UNION ALL
+        SELECT o_totalprice, DATE '2002-01-15' FROM base
+        WHERE o_orderkey % 100 = 13
+        UNION ALL
+        SELECT o_totalprice, DATE '2003-01-15' FROM base
+        WHERE o_orderkey % 100 = 17)
+      SELECT CAST(EXTRACT(year FROM d) AS INT) AS y,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM streamed GROUP BY 1 ORDER BY y""",
   )
 }

@@ -569,7 +569,8 @@ class GraftRloTable(val root: String, ident: String,
       .map(c => Expressions.days(c): Transform).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(RloPartitionCol)
 
@@ -1088,6 +1089,9 @@ class RloScan(root: String, requiredSchema: StructType,
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RloMicroBatchStream(root, requiredSchema.json, keyCol)
   override def description(): String =
     s"graft-rlo scan $root commits=${staticCommits.mkString(",")}"
 
@@ -1130,51 +1134,9 @@ class RloScan(root: String, requiredSchema: StructType,
       runtimeKeep = Some(keeps.reduce(_ intersect _))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val files = effectiveCommits.flatMap { c =>
-      val keys = deleteKeys.getOrElse(c, Array.empty[Long])
-      RloMeta.listDataFilesWithLen(conf, root, c)
-        .map { case (f, len) => (c, f, len, keys) }
-    }
-    // Spark's own maxSplitBytes rule: fill the cluster before
-    // hitting the ceiling — split size shrinks to bytes-per-core
-    // when the scan is smaller than cores x ceiling, floored at an
-    // open cost so tiny files don't shatter into confetti tasks
-    val ceiling = RloScan.splitBytes()
-    val openCost = math.min(4L * 1024 * 1024, ceiling)
-    val parallelism =
-      try org.apache.spark.sql.SparkSession.active
-        .sparkContext.defaultParallelism
-      catch { case _: Throwable => 8 }
-    val totalBytes = files.map(_._3 + openCost).sum
-    val splitBytes = math.min(ceiling,
-      math.max(openCost, totalBytes / math.max(1, parallelism)))
-    // 1) chop big files into row-group ranges (the parquet midpoint
-    // rule assigns each row group to exactly one range)
-    val chunks = files.flatMap { case (c, f, len, keys) =>
-      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
-      (0L until n).map { i =>
-        val start = i * splitBytes
-        RloChunk(c, f, start, math.min(splitBytes, len - start), keys)
-      }
-    }
-    // 2) bin-pack ranges into tasks, biggest first (FilePartition):
-    // each chunk costs its bytes + an open cost, a task closes at
-    // the split target — task count tracks bytes-per-core
-    val packed = scala.collection.mutable.ArrayBuffer[Vector[RloChunk]]()
-    var current = Vector.empty[RloChunk]
-    var currentBytes = 0L
-    chunks.sortBy(-_.length).foreach { ch =>
-      val cost = ch.length + openCost
-      if (current.nonEmpty && currentBytes + cost > splitBytes) {
-        packed += current; current = Vector.empty; currentBytes = 0L
-      }
-      current :+= ch; currentBytes += cost
-    }
-    if (current.nonEmpty) packed += current
-    packed.map(cs => RloInputPartition(cs, keyCol): InputPartition)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    RloScan.planChunks(conf, root, effectiveCommits, deleteKeys,
+      keyCol)
 
   /** Columnar whenever the format allows: the `_partition` constant
     * (when projected) must sit LAST — where initBatch appends
@@ -1212,6 +1174,54 @@ class RloScan(root: String, requiredSchema: StructType,
 }
 
 object RloScan {
+  /** The scan-task planning shared by batch scans and the streaming
+    * source: Spark's own maxSplitBytes rule (fill the cluster before
+    * hitting the ceiling — split size shrinks to bytes-per-core when
+    * the scan is smaller than cores × ceiling, floored at an open
+    * cost so tiny files don't shatter into confetti tasks), then
+    * (1) chop big files into row-group byte ranges (the parquet
+    * midpoint rule assigns each row group to exactly one range) and
+    * (2) bin-pack ranges into tasks biggest-first (FilePartition) —
+    * task count tracks bytes-per-core, not file count. */
+  def planChunks(conf: Configuration, root: String,
+      commits: Seq[String], deleteKeys: Map[String, Array[Long]],
+      keyCol: String): Array[InputPartition] = {
+    val files = commits.flatMap { c =>
+      val keys = deleteKeys.getOrElse(c, Array.empty[Long])
+      RloMeta.listDataFilesWithLen(conf, root, c)
+        .map { case (f, len) => (c, f, len, keys) }
+    }
+    val ceiling = splitBytes()
+    val openCost = math.min(4L * 1024 * 1024, ceiling)
+    val parallelism =
+      try org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism
+      catch { case _: Throwable => 8 }
+    val totalBytes = files.map(_._3 + openCost).sum
+    val split = math.min(ceiling,
+      math.max(openCost, totalBytes / math.max(1, parallelism)))
+    val chunks = files.flatMap { case (c, f, len, keys) =>
+      val n = math.max(1L, (len + split - 1) / split)
+      (0L until n).map { i =>
+        val start = i * split
+        RloChunk(c, f, start, math.min(split, len - start), keys)
+      }
+    }
+    val packed = scala.collection.mutable.ArrayBuffer[Vector[RloChunk]]()
+    var current = Vector.empty[RloChunk]
+    var currentBytes = 0L
+    chunks.sortBy(-_.length).foreach { ch =>
+      val cost = ch.length + openCost
+      if (current.nonEmpty && currentBytes + cost > split) {
+        packed += current; current = Vector.empty; currentBytes = 0L
+      }
+      current :+= ch; currentBytes += cost
+    }
+    if (current.nonEmpty) packed += current
+    packed.map(cs => RloInputPartition(cs, keyCol): InputPartition)
+      .toArray
+  }
+
   /** Read-side split target: ranges of this many bytes per input
     * partition (conf `spark.graft.rlo.split.bytes`, default 128 MB —
     * Spark's own files.maxPartitionBytes neighborhood). */

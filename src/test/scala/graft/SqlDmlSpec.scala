@@ -1053,6 +1053,57 @@ class SqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("q371 the connector streaming source consumes VERSION RANGES " +
+      "append-only: each drain reads exactly the appended segments, " +
+      "a replace (CoW UPDATE) mid-stream fails LOUDLY instead of " +
+      "re-emitting or losing rows, and offsets are the versions") {
+    import graft.sources.{RloMicroBatchStream, RloVersionOffset}
+    val root = SqlDml.buildTable(spark, sf, "orders_ss_spec")
+    val t = s"${SqlDml.Cat}.${SqlDml.Ns}.orders_ss_spec"
+    // unit-level: plan the version diff directly
+    val stream = new RloMicroBatchStream(root,
+      SqlDml.FixtureSchema.json, "o_orderkey")
+    assert(stream.latestOffset() == RloVersionOffset(1))
+    val initial = stream.planInputPartitions(RloVersionOffset(0),
+      RloVersionOffset(1))
+    assert(initial.nonEmpty, "initial snapshot plans the head")
+    spark.sql(s"INSERT INTO $t SELECT o_orderkey + 20000000, " +
+      s"o_custkey, o_totalprice, DATE '2002-01-15' FROM $t " +
+      "WHERE o_orderkey % 100 = 13")
+    val step = stream.planInputPartitions(RloVersionOffset(1),
+      RloVersionOffset(2))
+    val stepCommits = step.flatMap {
+      case p: graft.sources.RloInputPartition =>
+        p.chunks.map(_.commit)
+    }.toSet
+    assert(stepCommits.forall(_.startsWith("w2")),
+      s"append step should plan ONLY the appended segment: $stepCommits")
+    // through the real engine: a stream checkpointed BEFORE a
+    // replace dies loudly when the next drain crosses it (a fresh
+    // stream would just take the new head as its initial snapshot)
+    spark.sql("DROP VIEW IF EXISTS ss_spec_sink")
+    val q = spark.readStream.table(t)
+      .writeStream.format("memory").queryName("ss_spec_sink")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // consumes to v2, checkpoint holds 2
+      spark.sql(s"UPDATE $t SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE o_orderdate >= DATE '1999-01-01'")
+      val err = intercept[Exception] { q.processAllAvailable() }
+      assert(err.getMessage != null &&
+        (err.getMessage.contains("append-only") ||
+          Option(err.getCause).exists(
+            _.getMessage.contains("append-only"))),
+        s"expected the append-only violation, got $err")
+    } finally q.stop()
+    // unit-level: the violating range names the remedy
+    val uerr = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(RloVersionOffset(2),
+        RloVersionOffset(3))
+    }
+    assert(uerr.getMessage.contains("table_changes"))
+  }
+
   test("the DSv2 reader round-trips the fixture exactly: counts and " +
       "key sums match the source parquet, and column pruning " +
       "projects without decoding the rest") {
