@@ -23,4 +23,42 @@ package graft
 object Certs {
   def enabled: Boolean =
     !sys.props.get("graft.cert.mode").contains("off")
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.{abs, col, lit, sum}
+
+  /** Signed multiset difference of two same-schema frames: one row per
+    * distinct tuple whose multiplicity differs, with `__d` = count(a) −
+    * count(b). The one-pass replacement for the exceptAll-in-both-
+    * directions certificate shape (r15 optimization round): a pair of
+    * `a.exceptAll(b)` / `b.exceptAll(a)` plans scans EACH side twice
+    * and costs two actions; this scans each side once and one shuffle.
+    * groupBy's null-safe grouping matches exceptAll's null semantics,
+    * so emptiness here ⟺ emptiness of both exceptAlls. */
+  private[graft] def multisetDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val cols = a.columns.toSeq
+    a.withColumn("__sgn", lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn("__sgn", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__sgn")).as("__d"))
+      .filter(col("__d") =!= 0L)
+  }
+
+  /** Multiset equality in ONE action: a ≡ b as bags ⟺ no tuple's
+    * multiplicity differs. Bit-identical verdict to
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` at half the
+    * scans and a single job. */
+  private[graft] def sameMultiset(a: DataFrame, b: DataFrame): Boolean =
+    multisetDiff(a, b).isEmpty
+
+  /** |a ∖ b| + |b ∖ a| as a 1-row (count) frame — the symmetric-
+    * difference CARDINALITY under multiset semantics, equal by
+    * definition to Σ over tuples of |count(a) − count(b)|. One pass
+    * per side instead of the two exceptAll subtrees it replaces. */
+  private[graft] def symmetricDiffCount(a: DataFrame, b: DataFrame,
+      asName: String): DataFrame = {
+    import org.apache.spark.sql.functions.coalesce
+    multisetDiff(a, b)
+      .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as(asName))
+  }
 }

@@ -138,30 +138,36 @@ object CdcUpsert {
     import spark.implicits._
     Seq(CuData, CuManifest, CuSegstats, CuDeletes, CuDManifest)
       .foreach(Scale.dropManaged(spark, _))
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_orderdate"), lit("b_base").as("commit_id"))
-      .write.partitionBy("commit_id")
-      .mode(SaveMode.Overwrite).saveAsTable(CuData)
-    spark.table(CuData).groupBy(col("commit_id"))
-      .agg(min(col("o_orderdate")).as("min_ts"),
-        max(col("o_orderdate")).as("max_ts"),
-        count(lit(1)).as("n_rows"))
-      .select(col("min_ts"), col("max_ts"), col("n_rows"),
-        col("commit_id"))
-      .write.partitionBy("commit_id")
-      .mode(SaveMode.Overwrite).saveAsTable(CuSegstats)
-    Seq(("b_base", 1)).toDF("commit_id", "version")
-      .write.partitionBy("version")
-      .mode(SaveMode.Overwrite).saveAsTable(CuManifest)
-    // artifact + delete-manifest shells: rows appear from tick 0 on
-    Seq.empty[(Long, String, String)]
-      .toDF("del_key", "target_commit", "dbatch")
-      .write.partitionBy("dbatch")
-      .mode(SaveMode.Overwrite).saveAsTable(CuDeletes)
-    Seq.empty[(String, Int)].toDF("dbatch", "version")
-      .write.partitionBy("version")
-      .mode(SaveMode.Overwrite).saveAsTable(CuDManifest)
+    // the base data+stats chain and the three shell tables are
+    // independent — overlap their writes (guide §2.6): the shells'
+    // driver-side plan/commit constants hide under the data write
+    Scale.inParallel(
+      () => {
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"), lit("b_base").as("commit_id"))
+          .write.partitionBy("commit_id")
+          .mode(SaveMode.Overwrite).saveAsTable(CuData)
+        spark.table(CuData).groupBy(col("commit_id"))
+          .agg(min(col("o_orderdate")).as("min_ts"),
+            max(col("o_orderdate")).as("max_ts"),
+            count(lit(1)).as("n_rows"))
+          .select(col("min_ts"), col("max_ts"), col("n_rows"),
+            col("commit_id"))
+          .write.partitionBy("commit_id")
+          .mode(SaveMode.Overwrite).saveAsTable(CuSegstats)
+      },
+      () => Seq(("b_base", 1)).toDF("commit_id", "version")
+        .write.partitionBy("version")
+        .mode(SaveMode.Overwrite).saveAsTable(CuManifest),
+      // artifact + delete-manifest shells: rows appear from tick 0 on
+      () => Seq.empty[(Long, String, String)]
+        .toDF("del_key", "target_commit", "dbatch")
+        .write.partitionBy("dbatch")
+        .mode(SaveMode.Overwrite).saveAsTable(CuDeletes),
+      () => Seq.empty[(String, Int)].toDF("dbatch", "version")
+        .write.partitionBy("version")
+        .mode(SaveMode.Overwrite).saveAsTable(CuDManifest))
   }
 
   /** Run `body` under dynamic partition-overwrite (the idempotent
@@ -241,9 +247,16 @@ object CdcUpsert {
       // update) routes to no live segment and the delete would be
       // silently lost; assert resolution completeness here, at the
       // writer, where the feed can still be rejected. Both counts
-      // are churn-sized.
-      val nKeys = routedKeys.select(col("o_orderkey")).distinct().count()
-      val nRouted = routed.select(col("del_key")).distinct().count()
+      // are churn-sized and computed in ONE action (both inputs are
+      // already pinned, so the union scans each once).
+      val cnt = routedKeys.select(col("o_orderkey").as("k"),
+          lit(1).as("side"))
+        .unionByName(routed.select(col("del_key").as("k"),
+          lit(2).as("side")))
+        .agg(countDistinct(when(col("side") === 1, col("k"))).as("nk"),
+          countDistinct(when(col("side") === 2, col("k"))).as("nr"))
+        .collect().head
+      val (nKeys, nRouted) = (cnt.getLong(0), cnt.getLong(1))
       require(nRouted == nKeys,
         s"tick $t: ${nKeys - nRouted} of $nKeys pre-image keys route " +
           "to no live segment — before-images must carry the date of " +
@@ -268,29 +281,44 @@ object CdcUpsert {
     Ticks.foreach(tk => applyTick(tickRows(spark, dir, tk)))
   }
 
+  /** One metadata pass covering versions 1..k of the CDC table — the
+    * batched planning input every multi-version reader below shares
+    * (r15 opt: 3 collects total instead of 3 per version). Collect it
+    * AFTER the lifecycle's last write, never across a mutation. */
+  private[graft] def morMeta(spark: SparkSession,
+      versions: Seq[Int]): TableFormat.MorMeta =
+    TableFormat.morMetaAt(spark, CuManifest, CuDeletes, CuDManifest,
+      versions)
+
   /** The merge-on-read state at one version of the CDC table —
     * (rows, scoped delete artifacts) through the shared q317 path. */
-  private[graft] def readState(spark: SparkSession,
-      v: Int): (DataFrame, DataFrame) = {
-    val (direct, anti, scoped) = TableFormat.morBranchesAt(spark,
-      CuData, CuManifest, CuDeletes, CuDManifest, v)
+  private[graft] def readStateMeta(spark: SparkSession,
+      meta: TableFormat.MorMeta, v: Int): (DataFrame, DataFrame) = {
+    val (direct, anti, scoped) = TableFormat.morBranchesFromMeta(spark,
+      CuData, CuDeletes, meta, v)
     (direct.unionByName(anti), scoped)
   }
+
+  private[graft] def readState(spark: SparkSession,
+      v: Int): (DataFrame, DataFrame) =
+    readStateMeta(spark, morMeta(spark, Seq(v)), v)
 
   /** The per-version report shared by q337 (which produces the table
     * by streaming) and the spec: n_rows / sum_price counted from the
     * real merge-on-read reads, n_live_deletes from the scoped
     * artifacts — the oracle re-derives all three per version from
     * the tick predicates. */
-  private[graft] def versionReport(spark: SparkSession): DataFrame =
+  private[graft] def versionReport(spark: SparkSession): DataFrame = {
+    val meta = morMeta(spark, 1 to 1 + Ticks.size)
     (1 to 1 + Ticks.size).map { v =>
-      val (rows, scoped) = readState(spark, v)
+      val (rows, scoped) = readStateMeta(spark, meta, v)
       rows.agg(count(lit(1)).as("n_rows"),
           dsum(col("o_totalprice")).as("sum_price"))
         .crossJoin(scoped.agg(count(lit(1)).as("n_live_deletes")))
         .select(lit(v).as("version"), col("n_rows"), col("sum_price"),
           col("n_live_deletes"))
     }.reduce(_ unionByName _).orderBy(col("version"))
+  }
 
   // ------------------------- row-level change data feed (q338)
 
@@ -395,8 +423,9 @@ object CdcUpsert {
     // four reads total, not eight executions through the exceptAll
     // pairs.
     if (graft.Certs.enabled) {
+      val meta = morMeta(spark, 1 to 1 + Ticks.size)
       val mvAt: Map[Int, DataFrame] = (1 to 1 + Ticks.size).map { v =>
-        v -> readState(spark, v)._1
+        v -> readStateMeta(spark, meta, v)._1
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
             sum(dec(col("o_totalprice"))).as("sum_price"))
@@ -404,10 +433,12 @@ object CdcUpsert {
       }.toMap
       Ticks.foreach { tk =>
         val v = tk.t + 2
+        // one-pass multiset equality (r15 opt): the fold is consumed
+        // exactly once inside the single certificate action, so it no
+        // longer needs its own pin
         val folded = TableFormat.mvApplyDelta(mvAt(v - 1),
-          feedSignedDelta(steps(tk.t))).localCheckpoint()
-        require(folded.exceptAll(mvAt(v)).isEmpty &&
-          mvAt(v).exceptAll(folded).isEmpty,
+          feedSignedDelta(steps(tk.t)))
+        require(graft.Certs.sameMultiset(folded, mvAt(v)),
           s"change feed for v${v - 1}->v$v does not maintain the MV")
       }
     }

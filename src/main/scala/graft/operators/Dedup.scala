@@ -336,8 +336,12 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint()
+    // carry the edge count across rounds (r15 opt): each round's
+    // fixed-point check needs |small| == |e|, and |e| is last round's
+    // |small| — one count job per round instead of two
+    var eCount = e.count()
     var rounds = 0
-    var converged = e.isEmpty
+    var converged = eCount == 0L
     while (!converged) {
       rounds += 1
       if (rounds > StarMaxRounds)
@@ -368,9 +372,11 @@ object Dedup {
         .distinct().localCheckpoint()
       // fixed point: the round changed nothing (set equality; counts
       // first so the anti-join only runs at parity)
-      converged = small.count() == e.count() &&
+      val smallCount = small.count()
+      converged = smallCount == eCount &&
         small.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = small
+      eCount = smallCount
     }
     // at the fixed point e IS the component stars: (node, root) per
     // non-root node; roots — and self-loop-only nodes — label
@@ -1670,11 +1676,14 @@ object Dedup {
         stale: DataFrame): DataFrame = {
       val kept = df.join(broadcast(del), Seq("doc_id"), "left_anti")
         .localCheckpoint(eager = false)
-      val residual = kept.exceptAll(rebuilt).select(col("doc_id"))
-        .unionAll(rebuilt.exceptAll(kept).select(col("doc_id")))
+      // |kept ∆ rebuilt| as one grouped pass per side (r15 opt) —
+      // Σ|count_kept − count_rebuilt| equals the two exceptAll
+      // cardinalities summed, at half the scans of each input
+      val residual = graft.Certs.symmetricDiffCount(kept, rebuilt,
+        "residual_refs")
       df.agg(count(lit(1)).as("rows_before"))
         .crossJoin(kept.agg(count(lit(1)).as("rows_after")))
-        .crossJoin(residual.agg(count(lit(1)).as("residual_refs")))
+        .crossJoin(residual)
         .crossJoin(stale.agg(count(lit(1)).as("n_stale")))
         .select(lit(name).as("artifact"), col("rows_before"),
           (col("rows_before") - col("rows_after")).as("rows_deleted"),
@@ -1747,6 +1756,11 @@ object Dedup {
         posexplode(expr("slice(ord, 1, n - ((4 * n + 4) div 5) + 1)")))
       .select(col("doc_id"), col("n"), (col("pos") + 1).as("pos"),
         col("col.s").as("s"))
+      // pinned (r15 opt): both sides of the candidate self-join read
+      // this frame — un-pinned, the df-attach join + per-doc ordering
+      // ran TWICE (measured ~40% of q289's wall); the prefix table is
+      // corpus-linear (≈ n/5 + 1 rows per doc), safe to materialize
+      .localCheckpoint(eager = false)
     // Two more recall-complete prunes inside the join predicate, both
     // pure integer arithmetic:
     //  - size filter: J ≥ t forces min(n_a,n_b)/max(n_a,n_b) ≥ t —

@@ -67,18 +67,28 @@ object PositionDeletes {
     * directly; touched segments pay one broadcast anti-join per
     * artifact KIND present. */
   private[graft] def pdRead(spark: SparkSession,
+      version: Int): (DataFrame, DataFrame, DataFrame) =
+    pdReadMeta(spark,
+      TableFormat.morMetaAt(spark, PdManifest, PdDeletes, PdDManifest,
+        Seq(version)), version)
+
+  /** [[pdRead]] planned from pre-collected metadata (r15 opt): the
+    * per-version report loops issue 3 collects TOTAL instead of 3 per
+    * version; `touched` derives from the meta exactly as the collected
+    * distinct target set did. */
+  private[graft] def pdReadMeta(spark: SparkSession,
+      meta: TableFormat.MorMeta,
       version: Int): (DataFrame, DataFrame, DataFrame) = {
-    val commits = TableFormat.commitsOf(spark, PdManifest, version).toSeq
-    val dbs = spark.table(PdDManifest)
-      .filter(col("version") === version)
-      .select(col("dbatch")).collect().map(_.getString(0)).toSeq
+    val commits = meta.commits.getOrElse(version, Set.empty).toSeq
+    val dbs = meta.dbatches.getOrElse(version, Set.empty).toSeq.sorted
     val scoped = spark.table(PdDeletes)
       .filter(col("dbatch").isin(dbs: _*))
       .filter(col("target_commit").isin(commits: _*))
     val eq = scoped.filter(col("kind") === "eq")
     val pos = scoped.filter(col("kind") === "pos")
-    val touched = scoped.select(col("target_commit")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val touched = dbs
+      .flatMap(meta.batchTargets.getOrElse(_, Set.empty[String]))
+      .toSet.intersect(commits.toSet).toSeq.sorted
     val direct = spark.table(PdData)
       .filter(col("commit_id").isin(
         commits.filterNot(touched.contains): _*))
@@ -208,9 +218,12 @@ object PositionDeletes {
     * arithmetic. */
   def q339PositionDeletes(spark: SparkSession, dir: String): DataFrame = {
     buildLifecycle(spark, dir)
+    // one metadata pass plans all four reported versions (r15 opt)
+    val meta = TableFormat.morMetaAt(spark, PdManifest, PdDeletes,
+      PdDManifest, 1 to 4)
     Seq((1, "base"), (2, "eq"), (3, "eq+pos"), (4, "folded")).map {
       case (v, status) =>
-        val (rows, eq, pos) = pdRead(spark, v)
+        val (rows, eq, pos) = pdReadMeta(spark, meta, v)
         rows.agg(count(lit(1)).as("n_rows"),
             dsum(col("o_totalprice")).as("sum_price"))
           .crossJoin(eq.agg(count(lit(1)).as("n_live_eq")))

@@ -27,6 +27,40 @@ object Scale {
     graft.Scratch.deleteRecursively(java.nio.file.Paths.get(warehouse, table))
   }
 
+  /** Drop many partitions of a managed table in ONE statement (r15
+    * opt): the per-partition ALTER loop it replaces paid a full
+    * driver/metastore round-trip per partition — pure serial driver
+    * time at any scale. `specs` are rendered partition specs, e.g.
+    * "commit_id='c0'". No-op on empty. */
+  private[graft] def dropPartitions(spark: SparkSession, table: String,
+      specs: Seq[String]): Unit =
+    if (specs.nonEmpty)
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS " +
+        specs.map(s => s"PARTITION ($s)").mkString(", "))
+
+  /** Run INDEPENDENT driver actions concurrently (guide §2.6: actions
+    * are only sequential because driver code calls them sequentially —
+    * concurrent jobs back-fill each other's stragglers and overlap
+    * each other's driver-side planning/commit time). Used by fixture
+    * builders whose steps have no data dependency (e.g. two tables'
+    * base writes). Spark sessions are thread-safe for job submission;
+    * callers must not toggle session-wide conf inside the bodies. The
+    * first failure is rethrown after all bodies finish, so error
+    * semantics match the sequential form. */
+  private[graft] def inParallel(bodies: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = bodies.map { b =>
+      val t = new Thread(() => {
+        try b() catch { case e: Throwable => errs.add(e) }
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
   /** Co-located join via bucketing: both fact tables written bucketed
     * AND sorted on the join key, so the sort-merge join reads bucket i
     * against bucket i directly — no shuffle, no sort at query time.
@@ -140,18 +174,38 @@ object Scale {
       sortExprs: org.apache.spark.sql.Column*): DataFrame = {
     val spark = df.sparkSession
     val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // EAGER checkpoint: zipWithIndex runs two jobs (per-partition
-    // counts, then the offset map). Un-checkpointed, the second job
-    // re-runs the reduce-side sort; checkpointed, both jobs read the
-    // sorted blocks once-materialized — the sort is paid exactly once.
+    // EAGER checkpoint: the offset job below and the caller's own
+    // action both read the sorted blocks once-materialized — the sort
+    // is paid exactly once.
     val sorted = df.repartitionByRange(nParts, sortExprs: _*)
       .sortWithinPartitions(sortExprs: _*)
       .localCheckpoint()
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
+    // Per-partition counts (one tiny job over the pinned blocks) →
+    // cumulative offsets in partition order, which IS range order.
+    // The rank is then pure codegen arithmetic: Spark's
+    // monotonically_increasing_id() on a materialized RDD is
+    // (partitionId << 33) + rowIndexInPartition, so the within-
+    // partition index is recoverable exactly and the whole operator
+    // stays inside whole-stage codegen — the former rdd.zipWithIndex
+    // path dropped to a row-at-a-time closure plus an
+    // InternalRow→Row→InternalRow round-trip for every consumer
+    // (guide §4: eliminate non-codegen closures on the hot path).
+    val counts = sorted.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](nParts max 1)
+    var acc = 0L
+    for (p <- 0 until (nParts max 1)) {
+      offsets(p) = acc
+      acc += counts.getOrElse(p, 0L)
     }
-    spark.createDataFrame(indexed, sorted.schema
-      .add("rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val offsetLit = array(offsets.map(lit(_)): _*)
+    sorted.withColumn("rank",
+      coalesce(
+        element_at(offsetLit, spark_partition_id() + 1) +
+          (monotonically_increasing_id() -
+            shiftleft(spark_partition_id().cast("long"), 33)) + 1L,
+        lit(0L)))
   }
 
   def q85GlobalIndex(spark: SparkSession, dir: String): DataFrame =

@@ -495,18 +495,15 @@ object TableFormat {
     val filesBatch = spark.table(ImManifest).count() - filesStanding
 
     // certificates: the maintained manifests equal a from-scratch
-    // rebuild over the current table, row-for-row (rebuilt frames
-    // pinned once — exceptAll runs each side twice)
+    // rebuild over the current table, row-for-row — one-pass multiset
+    // equality (r15 opt), each side scanned once in a single action
     val rebuiltM = spark.table(ImData).groupBy(col("zfile"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
-      .localCheckpoint()
-    val mMatch = spark.table(ImManifest).exceptAll(rebuiltM).isEmpty &&
-      rebuiltM.exceptAll(spark.table(ImManifest)).isEmpty
-    val rebuiltB = bloomRowsOf(spark.table(ImData), m).localCheckpoint()
-    val bMatch = spark.table(ImBloom).exceptAll(rebuiltB).isEmpty &&
-      rebuiltB.exceptAll(spark.table(ImBloom)).isEmpty
+    val mMatch = graft.Certs.sameMultiset(spark.table(ImManifest), rebuiltM)
+    val bMatch = graft.Certs.sameMultiset(spark.table(ImBloom),
+      bloomRowsOf(spark.table(ImData), m))
 
     // probes over the MERGED metadata
     val boxFiles = overlappingFiles(spark.table(ImManifest), ZBox)
@@ -685,8 +682,8 @@ object TableFormat {
       .select(col("p_partkey"), col("p_retailprice"), col("x"),
         col("y"), col("zfile"))
       .write.insertInto(RmData)
-    rewritten.foreach(f => spark.sql(
-      s"ALTER TABLE $RmData DROP IF EXISTS PARTITION (zfile=$f)"))
+    Scale.dropPartitions(spark, RmData,
+      rewritten.map(f => s"zfile=$f"))
 
     // incremental metadata maintenance: retire exactly the rewritten
     // ids, derive new rows from the fresh partitions ONLY
@@ -705,18 +702,15 @@ object TableFormat {
     val filesNew =
       spark.table(RmManifest).count() - (filesBefore - rewritten.size)
 
-    // certificates: maintained metadata ≡ from-scratch rebuild
-    // (rebuilt frames pinned once — exceptAll runs each side twice)
+    // certificates: maintained metadata ≡ from-scratch rebuild —
+    // one-pass multiset equality (r15 opt), each side scanned once
     val rebuiltM = spark.table(RmData).groupBy(col("zfile"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("x")).as("min_x"), max(col("x")).as("max_x"),
         min(col("y")).as("min_y"), max(col("y")).as("max_y"))
-      .localCheckpoint()
-    val mMatch = spark.table(RmManifest).exceptAll(rebuiltM).isEmpty &&
-      rebuiltM.exceptAll(spark.table(RmManifest)).isEmpty
-    val rebuiltB = bloomRowsOf(spark.table(RmData), m).localCheckpoint()
-    val bMatch = spark.table(RmBloom).exceptAll(rebuiltB).isEmpty &&
-      rebuiltB.exceptAll(spark.table(RmBloom)).isEmpty
+    val mMatch = graft.Certs.sameMultiset(spark.table(RmManifest), rebuiltM)
+    val bMatch = graft.Certs.sameMultiset(spark.table(RmBloom),
+      bloomRowsOf(spark.table(RmData), m))
 
     // probes over the MAINTAINED metadata
     val boxFiles = overlappingFiles(spark.table(RmManifest), ZBox)
@@ -885,6 +879,25 @@ object TableFormat {
     spark.table(manifest).filter(col("version") === version)
       .select(col("commit_id")).collect().map(_.getString(0)).toSet
 
+  /** Commit sets of SEVERAL manifest versions in one collect — the
+    * batched form of [[commitsOf]] for callers that compare or diff
+    * versions (r15 opt: a gate/changelog check that issued one tiny
+    * job per version now issues one per MANIFEST; each collect is
+    * metadata-sized either way, but the per-action driver overhead
+    * dominates these lookups at bench scale and the batched shape is
+    * also one manifest read instead of k at cluster scale). Missing
+    * versions resolve to empty sets, matching commitsOf. */
+  private[graft] def commitsOfMany(spark: SparkSession, manifest: String,
+      versions: Seq[Int]): Map[Int, Set[String]] = {
+    val found = spark.table(manifest)
+      .filter(col("version").isin(versions.distinct: _*))
+      .select(col("version"), col("commit_id")).collect()
+      .groupBy(_.getInt(0))
+      .map { case (v, rows) => v -> rows.map(_.getString(1)).toSet }
+    versions.distinct.map(v => v -> found.getOrElse(v, Set.empty[String]))
+      .toMap
+  }
+
   /** Read one snapshot: manifest lookup → static commit predicate →
     * partition-pruned scan. */
   private[graft] def readVersion(spark: SparkSession, data: String,
@@ -943,10 +956,8 @@ object TableFormat {
       .filter(col("version") === latest).localCheckpoint()
     keptManifest.write.mode(SaveMode.Overwrite).saveAsTable(manifest)
     val dead = (onDisk -- live).toSeq.sorted
-    dead.foreach { c =>
-      spark.sql(
-        s"ALTER TABLE $data DROP IF EXISTS PARTITION (commit_id='$c')")
-    }
+    Scale.dropPartitions(spark, data,
+      dead.map(c => s"commit_id='$c'"))
     val after = spark.table(data).groupBy(col("commit_id"))
       .agg(count(lit(1)).as("n_rows_after"))
     spark.table(segstats)
@@ -1267,18 +1278,50 @@ object TableFormat {
     * relation is the recent churn (bounded, metadata-adjacent), never
     * the corpus. TableFormatSpec asserts both branches' partition
     * pruning separately, which is why they are exposed unpacked. */
-  private[graft] def morBranchesAt(spark: SparkSession, data: String,
-      manifest: String, deletes: String, dmanifest: String,
-      version: Int): (DataFrame, DataFrame, DataFrame) = {
-    val commits = commitsOf(spark, manifest, version).toSeq
+  /** Pre-collected MoR planning metadata for a SET of versions — the
+    * batched form of the three per-version lookups [[morBranchesAt]]
+    * needs (r15 opt): a report that reads k versions of one table
+    * previously issued 3k metadata jobs; all three tables are
+    * metadata-sized, so one collect each covers every version. */
+  private[graft] case class MorMeta(
+      commits: Map[Int, Set[String]],
+      dbatches: Map[Int, Set[String]],
+      batchTargets: Map[String, Set[String]])
+
+  private[graft] def morMetaAt(spark: SparkSession, manifest: String,
+      deletes: String, dmanifest: String,
+      versions: Seq[Int]): MorMeta = {
+    val commits = commitsOfMany(spark, manifest, versions)
     val dbs = spark.table(dmanifest)
-      .filter(col("version") === version)
-      .select(col("dbatch")).collect().map(_.getString(0)).toSeq
+      .filter(col("version").isin(versions.distinct: _*))
+      .select(col("version"), col("dbatch")).collect()
+      .groupBy(_.getInt(0))
+      .map { case (v, rows) => v -> rows.map(_.getString(1)).toSet }
+    val targets = spark.table(deletes)
+      .select(col("dbatch"), col("target_commit")).distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (b, rows) => b -> rows.map(_.getString(1)).toSet }
+    MorMeta(commits,
+      versions.distinct.map(v =>
+        v -> dbs.getOrElse(v, Set.empty[String])).toMap,
+      targets)
+  }
+
+  /** [[morBranchesAt]] planned from pre-collected [[MorMeta]] — zero
+    * metadata jobs per call; `touched` is derived from the meta
+    * (batch targets ∩ the version's commits), which equals the
+    * collected distinct target set of the scoped artifact rows. */
+  private[graft] def morBranchesFromMeta(spark: SparkSession,
+      data: String, deletes: String, meta: MorMeta,
+      version: Int): (DataFrame, DataFrame, DataFrame) = {
+    val commits = meta.commits.getOrElse(version, Set.empty).toSeq
+    val dbs = meta.dbatches.getOrElse(version, Set.empty).toSeq.sorted
     val scoped = spark.table(deletes)
       .filter(col("dbatch").isin(dbs: _*))
       .filter(col("target_commit").isin(commits: _*))
-    val touched = scoped.select(col("target_commit")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    val touched = dbs
+      .flatMap(meta.batchTargets.getOrElse(_, Set.empty[String]))
+      .toSet.intersect(commits.toSet).toSeq.sorted
     val direct = spark.table(data)
       .filter(col("commit_id").isin(commits.filterNot(touched.contains): _*))
     val anti = spark.table(data)
@@ -1288,6 +1331,13 @@ object TableFormat {
           col("commit_id") === col("target_commit"), "left_anti")
     (direct, anti, scoped)
   }
+
+  private[graft] def morBranchesAt(spark: SparkSession, data: String,
+      manifest: String, deletes: String, dmanifest: String,
+      version: Int): (DataFrame, DataFrame, DataFrame) =
+    morBranchesFromMeta(spark, data, deletes,
+      morMetaAt(spark, manifest, deletes, dmanifest, Seq(version)),
+      version)
 
   private[graft] def morBranches(spark: SparkSession,
       version: Int): (DataFrame, DataFrame, DataFrame) =
@@ -1404,9 +1454,13 @@ object TableFormat {
 
   def q317MergeOnReadDeletes(spark: SparkSession, dir: String): DataFrame = {
     val (_, _, _, _, _, latest) = buildMorLifecycle(spark, dir, "_mor")
+    // one metadata pass for all four reported versions (r15 opt)
+    val meta = morMetaAt(spark, MorManifest, MorDeletes, MorDManifest,
+      latest to latest + 3)
 
     def versionRow(v: Int, status: String): DataFrame = {
-      val (direct, anti, scoped) = morBranches(spark, v)
+      val (direct, anti, scoped) =
+        morBranchesFromMeta(spark, MorData, MorDeletes, meta, v)
       direct.unionByName(anti)
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("o_totalprice")).as("sum_price"))
@@ -1468,12 +1522,17 @@ object TableFormat {
     def stateRow(phase: String,
         branches: (DataFrame, DataFrame, DataFrame)): DataFrame = {
       val (direct, anti, _) = branches
-      val nVersions = spark.table(manifest).select(col("version"))
-        .distinct().count()
-      val nBatches = spark.table(deletes).select(col("dbatch"))
-        .distinct().count()
-      val nArtifact = spark.table(deletes).count()
-      val nDmRows = spark.table(dmanifest).count()
+      // all four metadata counters in ONE action (r15 opt) — the
+      // tables are metadata-sized, the per-action overhead was not
+      val m = spark.table(manifest)
+        .agg(countDistinct(col("version")).as("nv"))
+        .crossJoin(spark.table(deletes)
+          .agg(countDistinct(col("dbatch")).as("nb"),
+            count(lit(1)).as("na")))
+        .crossJoin(spark.table(dmanifest).agg(count(lit(1)).as("nd")))
+        .collect().head
+      val (nVersions, nBatches, nArtifact, nDmRows) =
+        (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
       direct.unionByName(anti)
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("o_totalprice")).as("sum_price"))
@@ -2297,10 +2356,12 @@ object TableFormat {
       keyCol: String, referenced: Set[String]): Unit = {
     val onDisk = spark.sql(s"SHOW PARTITIONS $table")
       .collect().map(_.getString(0).stripPrefix(s"$keyCol=")).toSet
-    (onDisk -- referenced).toSeq.sorted.foreach { p =>
-      spark.sql(
-        s"ALTER TABLE $table DROP IF EXISTS PARTITION ($keyCol='$p')")
-    }
+    val drop = (onDisk -- referenced).toSeq.sorted
+    // ONE batched DROP statement (r15 opt) — the per-partition form
+    // paid a full driver round-trip per reclaimed segment
+    if (drop.nonEmpty)
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS " +
+        drop.map(p => s"PARTITION ($keyCol='$p')").mkString(", "))
   }
 
   /** Reclaim data segments no surviving manifest version lists. */
@@ -2901,20 +2962,27 @@ object TableFormat {
     Seq(XtAData, XtAManifest, XtBData, XtBManifest, XtCatalog)
       .foreach(Scale.dropManaged(spark, _))
 
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_orderdate"), lit("a_base").as("commit_id"))
-      .write.partitionBy("commit_id")
-      .mode(SaveMode.Overwrite).saveAsTable(XtAData)
-    Seq((1, "a_base")).toDF("version", "commit_id")
-      .write.mode(SaveMode.Overwrite).saveAsTable(XtAManifest)
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_extendedprice"),
-        lit("b_base").as("commit_id"))
-      .write.partitionBy("commit_id")
-      .mode(SaveMode.Overwrite).saveAsTable(XtBData)
-    Seq((1, "b_base")).toDF("version", "commit_id")
-      .write.mode(SaveMode.Overwrite).saveAsTable(XtBManifest)
+    // A-side and B-side base writes touch disjoint tables — overlap
+    // them (guide §2.6, r15 opt)
+    Scale.inParallel(
+      () => {
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderdate"), lit("a_base").as("commit_id"))
+          .write.partitionBy("commit_id")
+          .mode(SaveMode.Overwrite).saveAsTable(XtAData)
+        Seq((1, "a_base")).toDF("version", "commit_id")
+          .write.mode(SaveMode.Overwrite).saveAsTable(XtAManifest)
+      },
+      () => {
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            lit("b_base").as("commit_id"))
+          .write.partitionBy("commit_id")
+          .mode(SaveMode.Overwrite).saveAsTable(XtBData)
+        Seq((1, "b_base")).toDF("version", "commit_id")
+          .write.mode(SaveMode.Overwrite).saveAsTable(XtBManifest)
+      })
     Seq((1, "A", 1), (1, "B", 1))
       .toDF("catalog_version", "table_name", "version")
       .write.mode(SaveMode.Overwrite).saveAsTable(XtCatalog)
@@ -2925,17 +2993,25 @@ object TableFormat {
       * dangling apart. Returns the two staged manifest versions. */
     def stagePair(mod: Int, shift: Long, tag: String,
         corruptB: Boolean): (Int, Int) = {
-      stageCommit(spark, dir, XtAData, mod, shift, "2002-03-01",
-        s"a_$tag")
-      val aV = stageManifestVersion(spark, XtAManifest, s"a_$tag")
-      val price =
-        if (corruptB) -col("l_extendedprice") else col("l_extendedprice")
-      Tables.lineitem(spark, dir)
-        .filter(col("l_orderkey") % 100 === mod)
-        .select((col("l_orderkey") + shift).as("l_orderkey"),
-          price.as("l_extendedprice"), lit(s"b_$tag").as("commit_id"))
-        .write.insertInto(XtBData)
-      val bV = stageManifestVersion(spark, XtBManifest, s"b_$tag")
+      var aV = 0
+      var bV = 0
+      // the two table stagings are disjoint-table work — overlap them
+      Scale.inParallel(
+        () => {
+          stageCommit(spark, dir, XtAData, mod, shift, "2002-03-01",
+            s"a_$tag")
+          aV = stageManifestVersion(spark, XtAManifest, s"a_$tag")
+        },
+        () => {
+          val price = if (corruptB) -col("l_extendedprice")
+            else col("l_extendedprice")
+          Tables.lineitem(spark, dir)
+            .filter(col("l_orderkey") % 100 === mod)
+            .select((col("l_orderkey") + shift).as("l_orderkey"),
+              price.as("l_extendedprice"), lit(s"b_$tag").as("commit_id"))
+            .write.insertInto(XtBData)
+          bV = stageManifestVersion(spark, XtBManifest, s"b_$tag")
+        })
       (aV, bV)
     }
 
@@ -2992,14 +3068,18 @@ object TableFormat {
         .select(col("o_orderkey"))
       val bRows = readVersion(spark, XtBData, XtBManifest, pair("B"))
         .select(col("l_orderkey"), col("l_extendedprice"))
-      val nA = a.count()
-      val agg = bRows.agg(count(lit(1)).as("n"),
-        sum(dec(col("l_extendedprice"))).cast("double").as("rev"))
+      // all four report numbers in ONE action (r15 opt): the three
+      // aggregates are independent subtrees of a single crossJoin
+      val r = a.agg(count(lit(1)).as("n_a"))
+        .crossJoin(bRows.agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("rev")))
+        .crossJoin(bRows.join(
+            a.select(col("o_orderkey").as("l_orderkey")),
+            Seq("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_dangling")))
         .collect().head
-      val dangling = bRows.join(
-        a.select(col("o_orderkey").as("l_orderkey")),
-        Seq("l_orderkey"), "left_anti").count()
-      (entity, status, nA, agg.getLong(0), agg.getDouble(1), dangling)
+      (entity, status, r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))
     }
 
     val rows = Seq(

@@ -422,9 +422,8 @@ object VectorIndex {
     spark.conf.set(pom, "dynamic")
     try newContents.write.mode(SaveMode.Overwrite).insertInto(idxT)
     finally spark.conf.set(pom, oldPom)
-    (flagged -- targets).toSeq.sorted.foreach { c =>
-      spark.sql(s"ALTER TABLE $idxT DROP IF EXISTS PARTITION (cid=$c)")
-    }
+    Scale.dropPartitions(spark, idxT,
+      (flagged -- targets).toSeq.sorted.map(c => s"cid=$c"))
     // ---- report, from the post-maintenance artifact ----
     val after = spark.table(idxT).groupBy(col("cid"))
       .agg(count(lit(1)).as("n_after"))
@@ -702,9 +701,8 @@ object VectorIndex {
       spark.conf.set(pom, "dynamic")
       try survivors.write.mode(SaveMode.Overwrite).insertInto(idxT)
       finally spark.conf.set(pom, oldPom)
-      touched.filterNot(kept).foreach { c =>
-        spark.sql(s"ALTER TABLE $idxT DROP IF EXISTS PARTITION (cid=$c)")
-      }
+      Scale.dropPartitions(spark, idxT,
+        touched.filterNot(kept).map(c => s"cid=$c"))
     }
     // report: n_after COUNTED from the post-maintenance artifact
     val deleted = delAssigned.groupBy(col("cid"))
@@ -961,9 +959,8 @@ object VectorIndex {
     spark.conf.set(pom, "dynamic")
     try newContents.write.mode(SaveMode.Overwrite).insertInto(VdIndex)
     finally spark.conf.set(pom, oldPom)
-    (flagged -- targets).toSeq.sorted.foreach { c =>
-      spark.sql(s"ALTER TABLE $VdIndex DROP IF EXISTS PARTITION (cid=$c)")
-    }
+    Scale.dropPartitions(spark, VdIndex,
+      (flagged -- targets).toSeq.sorted.map(c => s"cid=$c"))
     // report, from the post-maintenance artifact — q302's shape,
     // q302's oracle: composition must be invisible in the answer
     val after = spark.table(VdIndex).groupBy(col("cid"))
