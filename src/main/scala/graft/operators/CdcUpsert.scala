@@ -209,7 +209,10 @@ object CdcUpsert {
     // but before its manifest write must NOT pass this gate (it
     // would scope an empty delete batch and silently drop deletes).
     // A replayed tick still passes: version t+1 stays on disk.
-    require(TableFormat.commitsOf(s, CuManifest, t + 1).nonEmpty,
+    // (ONE manifest lookup serves both the gate and the routing scope
+    // below — r15 opt; the scope is pinned by the tick either way.)
+    val live = TableFormat.commitsOf(s, CuManifest, t + 1).toSeq.sorted
+    require(live.nonEmpty,
       s"tick $t arrived before version ${t + 1} was published " +
         s"(predecessor tick ${t - 1} incomplete)")
 
@@ -221,20 +224,20 @@ object CdcUpsert {
       .select(col("o_orderkey"), col("pre_orderdate").as("o_orderdate"))
       .localCheckpoint()
     withDynamicOverwrite(s) {
-      // 1. the append commit (inserts + update post-images)
-      upserts.write.mode(SaveMode.Overwrite).insertInto(CuData)
-      // 2. its stats row — derived from the BATCH, not a table scan
-      upserts.groupBy(col("commit_id"))
-        .agg(min(col("o_orderdate")).as("min_ts"),
-          max(col("o_orderdate")).as("max_ts"),
-          count(lit(1)).as("n_rows"))
-        .select(col("min_ts"), col("max_ts"), col("n_rows"),
-          col("commit_id"))
-        .write.mode(SaveMode.Overwrite).insertInto(CuSegstats)
+      // 1.+2. the append commit and its stats row are disjoint-table
+      // writes off the same pinned batch — overlap them (guide §2.6)
+      Scale.inParallel(
+        () => upserts.write.mode(SaveMode.Overwrite).insertInto(CuData),
+        () => upserts.groupBy(col("commit_id"))
+          .agg(min(col("o_orderdate")).as("min_ts"),
+            max(col("o_orderdate")).as("max_ts"),
+            count(lit(1)).as("n_rows"))
+          .select(col("min_ts"), col("max_ts"), col("n_rows"),
+            col("commit_id"))
+          .write.mode(SaveMode.Overwrite).insertInto(CuSegstats))
       // 3. the delete artifact: pre-image keys routed by the per-
       // commit stats of version t+1 (the table as of the previous
       // tick — pinned, so replay routes identically)
-      val live = TableFormat.commitsOf(s, CuManifest, t + 1).toSeq.sorted
       val routed = TableFormat
         .routeDeletes(s, CuSegstats, live, routedKeys, s"cd$t")
         .select(col("del_key"), col("target_commit"), col("dbatch"))
@@ -411,10 +414,14 @@ object CdcUpsert {
 
   def q338RowChangeFeed(spark: SparkSession, dir: String): DataFrame = {
     buildLifecycle(spark, dir)
-    val steps = Ticks.map { tk =>
-      // pin each step: feed + certificate share one pass
-      changeFeedStep(spark, tk.t).localCheckpoint()
-    }
+    // pin each step (feed + certificate share one pass); the three
+    // step derivations are independent churn-sized reads — overlap
+    // their materialization (guide §2.6, r15 opt)
+    val stepArr = new Array[DataFrame](Ticks.size)
+    Scale.inParallel(Ticks.map { tk => () =>
+      stepArr(tk.t) = changeFeedStep(spark, tk.t).localCheckpoint()
+    }: _*)
+    val steps = stepArr.toSeq
     // certificate per step: the feed maintains the per-customer MV —
     // fold its signed rows into state(v) and demand equality with the
     // recompute at v+1 (bit-equal decimal arithmetic, the q324 rule).
@@ -424,14 +431,20 @@ object CdcUpsert {
     // pairs.
     if (graft.Certs.enabled) {
       val meta = morMeta(spark, 1 to 1 + Ticks.size)
-      val mvAt: Map[Int, DataFrame] = (1 to 1 + Ticks.size).map { v =>
-        v -> readStateMeta(spark, meta, v)._1
+      // the four per-version MV states are independent MoR reads, and
+      // the three per-step equality certificates only consume the
+      // pinned states — run each wave concurrently (guide §2.6)
+      val mvArr = new Array[DataFrame](2 + Ticks.size)
+      Scale.inParallel((1 to 1 + Ticks.size).map { v => () =>
+        mvArr(v) = readStateMeta(spark, meta, v)._1
           .groupBy(col("o_custkey"))
           .agg(count(lit(1)).as("n_orders"),
             sum(dec(col("o_totalprice"))).as("sum_price"))
           .localCheckpoint()
-      }.toMap
-      Ticks.foreach { tk =>
+      }: _*)
+      val mvAt: Map[Int, DataFrame] =
+        (1 to 1 + Ticks.size).map(v => v -> mvArr(v)).toMap
+      Scale.inParallel(Ticks.map { tk => () =>
         val v = tk.t + 2
         // one-pass multiset equality (r15 opt): the fold is consumed
         // exactly once inside the single certificate action, so it no
@@ -440,7 +453,7 @@ object CdcUpsert {
           feedSignedDelta(steps(tk.t)))
         require(graft.Certs.sameMultiset(folded, mvAt(v)),
           s"change feed for v${v - 1}->v$v does not maintain the MV")
-      }
+      }: _*)
     }
     steps.reduce(_ unionByName _)
       .orderBy(col("version"), col("_change_type"), col("o_orderkey"))

@@ -2836,37 +2836,48 @@ object TableFormat {
       .write.mode(SaveMode.Overwrite).saveAsTable(PrMv)
     bindArtifact(spark, PrBindings, PrMv, manifest, 2)
 
-    def segRow(phase: String, commit: String): (String, String,
-        String, Long, Double) = {
-      val onDisk = spark.sql(s"SHOW PARTITIONS $data").collect()
-        .map(_.getString(0).stripPrefix("commit_id=")).contains(commit)
-      if (!onDisk) (phase, commit, "reclaimed", 0L, 0.0d)
-      else {
-        val r = spark.table(data)
-          .filter(col("commit_id") === commit)
-          .agg(count(lit(1)), sum(dec(col("o_totalprice")))
-            .cast("double")).collect().head
-        (phase, commit, "on_disk", r.getLong(0), r.getDouble(1))
-      }
-    }
-    def mvRow(phase: String): (String, String, String, Long, Double) = {
-      val bound = latestBindings(spark, PrBindings)(PrMv)._2
-      val r = spark.table(PrMv).agg(count(lit(1)),
-        sum(col("sum_price")).cast("double")).collect().head
-      (phase, "mv", s"bound_v$bound", r.getLong(0), r.getDouble(1))
-    }
+    /** All of one phase's report aggregates in ONE action (r15 opt):
+      * the retained-version reads, the c0 segment probe, and the MV
+      * summary are independent subtrees unioned under entity tags;
+      * the driver-side status logic is unchanged. */
     def phaseRows(phase: String, retained: Seq[Int]): Seq[(String,
-        String, String, Long, Double)] =
+        String, String, Long, Double)] = {
+      val c0OnDisk = spark.sql(s"SHOW PARTITIONS $data").collect()
+        .map(_.getString(0).stripPrefix("commit_id=")).contains("c0")
+      val bound = latestBindings(spark, PrBindings)(PrMv)._2
+      val cs = commitsOfMany(spark, manifest, retained)
+      def tag(name: String, df: DataFrame): DataFrame =
+        df.select(lit(name).as("entity"), col("n"), col("c"))
+      val aggFrames =
+        retained.map { v =>
+          tag(s"v$v", spark.table(data)
+            .filter(col("commit_id").isin(cs(v).toSeq.sorted: _*))
+            .agg(count(lit(1)).as("n"),
+              sum(dec(col("o_totalprice"))).cast("double").as("c")))
+        } ++
+        (if (c0OnDisk) Seq(tag("c0", spark.table(data)
+          .filter(col("commit_id") === "c0")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("c"))))
+         else Nil) :+
+        tag("mv", spark.table(PrMv).agg(count(lit(1)).as("n"),
+          sum(col("sum_price")).cast("double").as("c")))
+      val got = aggFrames.reduce(_ unionByName _).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
       (1 to 3).map { v =>
         if (!retained.contains(v)) (phase, s"v$v", "expired", 0L, 0.0d)
         else {
           val status = if (v == 3) "retained" else "pinned_by_consumer"
-          val r = readVersion(spark, data, manifest, v)
-            .agg(count(lit(1)), sum(dec(col("o_totalprice")))
-              .cast("double")).collect().head
-          (phase, s"v$v", status, r.getLong(0), r.getDouble(1))
+          val (n, c) = got(s"v$v")
+          (phase, s"v$v", status, n, c)
         }
-      } :+ segRow(phase, "c0") :+ mvRow(phase)
+      } :+ (if (c0OnDisk) {
+        val (n, c) = got("c0"); (phase, "c0", "on_disk", n, c)
+      } else (phase, "c0", "reclaimed", 0L, 0.0d)) :+ {
+        val (n, c) = got("mv"); (phase, "mv", s"bound_v$bound", n, c)
+      }
+    }
 
     // p1: maintenance under the lagging consumer — v2 pinned, c0 stays
     val retained1 = bindingAwareRetention(spark, data, manifest,

@@ -33,7 +33,9 @@ object StreamCdcUpsert {
     fs.delete(new org.apache.hadoop.fs.Path(zone), true)
     val t0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
       s"$dir/orders.parquet")).getModificationTime
-    CdcUpsert.Ticks.foreach { tk =>
+    // independent slice writes with EXPLICIT mtimes — concurrent
+    // staging preserves the intended delivery order (r15 opt)
+    graft.operators.Scale.inParallel(CdcUpsert.Ticks.map { tk => () =>
       val tmp = s"$zone/_stage_${tk.t}"
       CdcUpsert.tickRows(spark, dir, tk)
         .coalesce(1).write.parquet(tmp)
@@ -44,7 +46,7 @@ object StreamCdcUpsert {
       fs.rename(part, dst)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       fs.setTimes(dst, t0 + (tk.t + 1) * 2000L, -1)
-    }
+    }: _*)
     zone
   }
 

@@ -55,7 +55,9 @@ object StreamCdfConsumer {
     fs.delete(new org.apache.hadoop.fs.Path(zone), true)
     val t0 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
       s"$dir/orders.parquet")).getModificationTime
-    CdcUpsert.Ticks.foreach { tk =>
+    // independent one-row writes with EXPLICIT mtimes — concurrent
+    // staging preserves the intended delivery order (r15 opt)
+    Scale.inParallel(CdcUpsert.Ticks.map { tk => () =>
       val v = tk.t + 2
       val tmp = s"$zone/_stage_$v"
       Seq((v, s"2002-0${tk.t + 4}-02 00:00:00"))
@@ -69,7 +71,7 @@ object StreamCdfConsumer {
       fs.rename(part, dst)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       fs.setTimes(dst, t0 + (tk.t + 1) * 2000L, -1)
-    }
+    }: _*)
     zone
   }
 
