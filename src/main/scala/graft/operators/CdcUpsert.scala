@@ -216,13 +216,18 @@ object CdcUpsert {
       s"tick $t arrived before version ${t + 1} was published " +
         s"(predecessor tick ${t - 1} incomplete)")
 
-    val upserts = batch.filter(col("op").isin("I", "U"))
-      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-        col("o_orderdate"), lit(s"u$t").as("commit_id"))
-      .localCheckpoint() // one source pass feeds three writes
-    val routedKeys = batch.filter(col("op").isin("U", "D"))
-      .select(col("o_orderkey"), col("pre_orderdate").as("o_orderdate"))
-      .localCheckpoint()
+    // pin both tick-derived frames concurrently (independent slices
+    // of the same batch; one source pass each feeds every consumer)
+    var upserts: DataFrame = null
+    var routedKeys: DataFrame = null
+    Scale.inParallel(
+      () => upserts = batch.filter(col("op").isin("I", "U"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), lit(s"u$t").as("commit_id"))
+        .localCheckpoint(),
+      () => routedKeys = batch.filter(col("op").isin("U", "D"))
+        .select(col("o_orderkey"), col("pre_orderdate").as("o_orderdate"))
+        .localCheckpoint())
     withDynamicOverwrite(s) {
       // 1.+2. the append commit and its stats row are disjoint-table
       // writes off the same pinned batch — overlap them (guide §2.6)
